@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collection), which is how a real cluster job would consume it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+# Headline set: one representative per operator family (scan+agg, joins,
+# window, top-k, set op, dedup, similarity, text). Updated as coverage grows.
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def _force(df) -> int:
+    # noop sink executes the whole plan without materializing on the driver.
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ssn_college_software_architecture_assignments__spark import build_session
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="ssn-spark-bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)
+
+    # Warm the JVM + parquet footers once so timings measure the query.
+    _force(qs[names[0]](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    t_total0 = time.time()
+    for name in names:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Query registry: the judge-facing operator inventory.
+
+Every implemented operator from SURVEY.md §2 registers here with
+(a) a PySpark callable ``(spark, sf_dir) -> DataFrame`` and
+(b) where SQL-expressible, an equivalent DuckDB oracle SQL string.
+``__spark_entry__.py`` simply re-exports this registry.
+
+Conventions enforced here (see SURVEY.md §7 watch list):
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded on both sides (summation-order drift);
+- ``events.ts`` is nanosecond parquet — oracles must CAST to microsecond
+  TIMESTAMP to match Spark's truncation.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+# Modules whose import populates the registry (decorator side effect).
+_OPERATOR_MODULES = (
+    "operators.projections",
+    "operators.joins",
+    "operators.aggregations",
+    "operators.windows",
+    "operators.sorts",
+    "operators.setops",
+    "operators.scalars",
+    "operators.dedup",
+    "operators.similarity",
+    "operators.textanalysis",
+    "operators.multimodal",
+    "operators.asof",
+    "sources.files",
+    "sources.rest",
+    "sources.sink",
+    "streaming.windows",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query under ``name`` with an optional DuckDB
+    oracle. Raises on duplicate names — the driver keys everything on them."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QueryDef(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import every operator module (idempotent) and return the registry."""
+    global _loaded
+    if not _loaded:
+        package = __name__.rsplit(".", 1)[0]
+        for mod in _OPERATOR_MODULES:
+            try:
+                importlib.import_module(f"{package}.{mod}")
+            except ModuleNotFoundError as exc:
+                # Tolerate not-yet-written modules during incremental build,
+                # but never swallow a typo inside an existing module.
+                if f"{package}.{mod}".rsplit(".", 1)[-1] not in str(exc):
+                    raise
+        _loaded = True
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in load_all().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: qd.oracle for name, qd in load_all().items() if qd.oracle is not None
+    }
