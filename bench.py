@@ -17,9 +17,20 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 # Headline set: one representative per operator family (scan+agg, joins,
-# window, top-k, set op, dedup, similarity, text). Updated as coverage grows.
+# window, top-k, dedup, similarity, text, as-of, streaming).
 HEADLINE = [
     "q1_pricing_summary",
+    "j1_inner_equi_join",
+    "j6_broadcast_join",
+    "j8_asof_join",
+    "a8_pivot",
+    "w1_row_number_latest",
+    "o3_top_k_per_group",
+    "x1_exact_dedup",
+    "x2_minhash_near_dedup",
+    "x3_similarity_bruteforce",
+    "x4b_term_frequency",
+    "t1_tumbling_window",
 ]
 
 

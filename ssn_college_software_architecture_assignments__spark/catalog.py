@@ -10,6 +10,8 @@ tables in this catalog; analytics queries address them by name.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import tune_session
 
@@ -39,11 +41,34 @@ class Catalog:
         tune_session(spark)
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        # Cache DataFrames per table so two accesses return the SAME plan
+        # (self-referencing joins need identical attribute ids).
+        self._frames: dict[str, DataFrame] = {}
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown fixture table: {name!r}")
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name not in self._frames:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            self._frames[name] = self._normalize(df)
+        return self._frames[name]
+
+    @staticmethod
+    def _normalize(df: DataFrame) -> DataFrame:
+        """Normalize ingest-side type quirks (the reference's Transform
+        stage handles "compatibility" coercions — README.md:22).
+
+        Parquet TIMESTAMP(NANOS) is unreadable by Spark's vectorized
+        reader; we read it as raw nanos (``nanosAsLong``, set in
+        tune_session) and rebuild a microsecond timestamp with integer
+        division (floor — matches DuckDB's CAST(ns AS TIMESTAMP))."""
+        out = df
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                out = out.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        return out
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:

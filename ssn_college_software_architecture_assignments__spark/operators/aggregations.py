@@ -68,3 +68,220 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# A1 — count validation (the reference's insert-consistency check,
+# README.md:33,46,106) -------------------------------------------------------
+
+_A1_ORACLE = """
+SELECT count(*)                   AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts
+FROM lineitem
+"""
+
+
+@register("a1_count_validate", oracle=_A1_ORACLE, tags=("A1",))
+def a1_count_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch row/key counts for insert validation (README.md:33,106)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# A2 — hash groupBy aggregate over events ------------------------------------
+
+_A2_ORACLE = """
+SELECT event_type,
+       count(*)              AS n,
+       round(sum(value), 2)  AS sum_value,
+       round(avg(value), 4)  AS avg_value,
+       round(min(value), 2)  AS min_value,
+       round(max(value), 2)  AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a2_groupby_agg", oracle=_A2_ORACLE, tags=("A2",))
+def a2_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash aggregation per event type."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# A3 — distinct --------------------------------------------------------------
+
+_A3_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("a3_distinct", oracle=_A3_ORACLE, tags=("A3",))
+def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-domain audit: distinct is a groupBy on all columns (map-side
+    partial dedup, then a tiny shuffle)."""
+    return Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# A4 — approximate count distinct (HLL++) — approx, so rows-only check --------
+
+
+@register("a4_approx_count_distinct", tags=("A4",))
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimation at scale: HyperLogLog++ sketches merge
+    associatively across partitions — the 100 TB answer to COUNT(DISTINCT).
+    Approximate by design -> rows-only check (SURVEY.md §2.4 A4)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# A5 — rollup / grouping sets ---------------------------------------------------
+
+_A5_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("a5_rollup", oracle=_A5_ORACLE, tags=("A5",))
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity totals in one pass (Expand + single shuffle)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_A5B_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("a5_cube", oracle=_A5B_ORACLE, tags=("A5",))
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over the two flag dimensions."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# A6 — percentiles ----------------------------------------------------------------
+
+_A6_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a6_percentiles", oracle=_A6_ORACLE, tags=("A6",))
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation). At 100 TB prefer `percentile_approx` (a mergeable
+    sketch); the exact variant is the oracle-checkable baseline."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+@register("a6_percentile_approx", tags=("A6",))
+def a6_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (KLL-style sketch, mergeable across
+    partitions) — the scale path. Approx -> rows-only."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+# A7 — collect / re-nest -------------------------------------------------------------
+
+_A7_ORACLE = """
+SELECT n_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@register("a7_collect_agg", oracle=_A7_ORACLE, tags=("A7",))
+def a7_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-nest flat rows into per-key collections (document sinks want
+    nested docs — README.md:22). Sorted + joined for a deterministic
+    oracle comparison."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+# A8 — pivot ----------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_A8_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d')             AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@register("a8_pivot", oracle=_A8_ORACLE, tags=("A8",))
+def a8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide audit matrix: day x event_type counts. Pivot values are
+    pinned explicitly — with them, Spark skips the extra distinct-values
+    job and the plan is a single aggregation."""
+    ev = Catalog(spark, sf_dir).events
+    pivoted = (
+        ev.select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return pivoted.na.fill(0, _EVENT_TYPES)

@@ -1,0 +1,125 @@
+"""As-of join (SURVEY.md §2.3 J8).
+
+Spark has no native ASOF JOIN executor. The scalable re-expression is the
+union-and-window pass: tag both streams, sort once per key, and carry the
+most recent right-side id forward with `last(ignorenulls)`. This is ONE
+shuffle on the key and never materializes the (left x earlier-rights)
+blowup that the naive inequality join creates — the plan that survives
+100 TB event tables.
+
+Oracle: DuckDB's native `ASOF JOIN` (timestamps cast to microsecond
+TIMESTAMP on both sides so ns-vs-µs precision cannot flip a boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+_J8_ORACLE = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup')
+SELECT p.user_id,
+       p.event_id              AS purchase_id,
+       s.event_id              AS asof_signup_id,
+       round(p.value, 2)       AS purchase_value
+FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach the latest right row
+    with right_ts <= left_ts within the same `on` key.
+
+    Implementation: union both sides with a side tag, window-sort by
+    (ts, side, id) per key — right rows sort before left rows at equal
+    timestamps so equality matches — then forward-fill right columns with
+    ``last(ignorenulls=True)`` and keep only left rows. Inner semantics:
+    left rows with no prior right row are dropped.
+    """
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
+    cols = set(left.columns) | set(right.columns)
+    l_full = l_tagged.select(
+        *[
+            (F.col(c) if c in left.columns else F.lit(None)).alias(c)
+            for c in cols
+        ],
+        "_side",
+        "_ts",
+    )
+    r_full = r_tagged.select(
+        *[
+            (F.col(c) if c in right.columns else F.lit(None)).alias(c)
+            for c in cols
+        ],
+        "_side",
+        "_ts",
+    )
+    unioned = l_full.unionByName(r_full)
+    w = (
+        W.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    result = filled.filter(F.col("_side") == 1)
+    return result
+
+
+@register("j8_asof_join", oracle=_J8_ORACLE, tags=("J8",))
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent signup at-or-before the
+    purchase timestamp (event enrichment against slowly-changing state)."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        right_cols=["signup_id"],
+    )
+    return (
+        joined.filter(F.col("_asof_signup_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("_asof_signup_id").alias("asof_signup_id"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )

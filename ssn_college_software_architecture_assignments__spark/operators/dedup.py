@@ -1,0 +1,255 @@
+"""Deduplication operators (SURVEY.md §2.10, X1-X2): exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+These are the training-data-pipeline dedup family. Design constraints at
+100 TB:
+- everything is expressed in built-in JVM functions (xxhash64, explode,
+  groupBy) — no Python in the hot path;
+- candidate generation is LSH banding (shuffle on band hash, tiny groups),
+  never an all-pairs cross join;
+- exact dedup is a hash aggregate keyed on the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# X1 — exact dedup ------------------------------------------------------------
+
+_X1_ORACLE = """
+SELECT md5(text)      AS fingerprint,
+       min(doc_id)    AS keep_doc_id,
+       count(*)       AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("x1_exact_dedup", oracle=_X1_ORACLE, tags=("X1",))
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: group on a hash of the payload,
+    keep the smallest id deterministically. One shuffle on the (uniform)
+    fingerprint — skew-free by construction."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# Shared shingling ------------------------------------------------------------
+
+
+def shingles(text_col: str | Column, k: int = 3) -> Column:
+    """Word k-shingles as an array column (JVM higher-order functions)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(col, r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+# X2a — MinHash + LSH banding ---------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash array<long>[num_hashes]) via seeded xxhash64 over
+    word shingles. Seeded-hash min-aggregation == classic permutation
+    MinHash; all JVM-side, one shuffle on id."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = exploded.groupBy("_id").agg(*aggs)
+    return sigs.select(
+        "_id", F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join on
+    (band_idx, band_hash), emit candidate id pairs with the estimated
+    Jaccard (fraction of matching minhashes).
+
+    The self-join is on band buckets (small, uniform), never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("minhash")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "_id", "minhash", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.minhash").alias("mh_a"),
+            F.col("r.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+@register("x2_minhash_near_dedup", tags=("X2",))
+def x2_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs over documents via MinHash-LSH
+    (16 hashes, 4 bands -> catches pairs with Jaccard >~ 0.5). Output is
+    deterministic; semantics are approximate -> rows-only check, with
+    invariant tests in tests/test_dedup.py."""
+    docs = Catalog(spark, sf_dir).documents
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return minhash_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+# X2b — SimHash ----------------------------------------------------------------
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over word tokens, entirely in JVM expressions:
+    per-token xxhash64, per-bit +/-1 votes aggregated across tokens, sign
+    -> bit. Returns BIGINT.
+
+    Written as a SQL expression because the DSL's shiftleft/shiftright
+    take only literal bit counts, while the SQL forms accept expressions.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split({text_col}, '\\\\s+'),
+              array_repeat(0L, 64),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          i -> CASE WHEN shiftrightunsigned(xxhash64(t), CAST(i AS INT)) % 2 = 1
+                                    THEN 1L ELSE -1L END),
+                (a, b) -> a + b)),
+            sequence(0, 63),
+            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
+          0L,
+          (acc, x) -> acc | x)
+        """
+    )
+
+
+@register("x2b_simhash", tags=("X2",))
+def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprints (near-dup by small Hamming
+    distance). Deterministic but not SQL-expressible in DuckDB -> rows-only."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", simhash64("text").alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+# X2c — exact n-gram Jaccard (full oracle: same relational algebra both sides) --
+
+_X2C_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+  WHERE doc_id < 40
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.lang = b.lang
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+"""
+
+
+@register("x2c_ngram_jaccard", oracle=_X2C_ORACLE, tags=("X2",))
+def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 between same-lang documents, via the
+    inverted-index join (token -> doc postings), not all-pairs: documents
+    sharing no token never meet. Restricted to a small id range so the
+    oracle stays cheap; the shape is the scalable one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,222 @@
+"""Join operators (SURVEY.md §2.3, J1-J7, J9; J8 as-of lives in asof.py).
+
+The reference's linear E->T->L pipeline never joins
+(/root/reference/README.md:20-23); this surface is driver-mandated for
+analytics over the ingested star schema (TESTDATA.md).
+
+Scale notes: dimension tables (region 5, nation 25, supplier small) are
+always broadcast — either via Catalyst's size estimate or an explicit
+``F.broadcast`` hint — so the fact table never shuffles for them. Fact-fact
+joins (lineitem x orders) shuffle on the join key; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# J1 — inner equi-join ---------------------------------------------------------
+
+_J1_ORACLE = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, round(o.o_totalprice, 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("j1_inner_equi_join", oracle=_J1_ORACLE, tags=("J1",))
+def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim enrichment join. Customer is small relative to orders, so
+    Catalyst selects broadcast-hash; at 100 TB a huge customer dim falls
+    back to sort-merge on o_custkey."""
+    c = Catalog(spark, sf_dir)
+    orders, customer = c.orders, c.customer
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# J2 — left outer join ----------------------------------------------------------
+
+_J2_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey)                          AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2)   AS total_spent
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("j2_left_outer_join", oracle=_J2_ORACLE, tags=("J2",))
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep unmatched dimension rows (customers with zero orders)."""
+    c = Catalog(spark, sf_dir)
+    orders, customer = c.orders, c.customer
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# J3 — full outer join -------------------------------------------------------------
+
+_J3_ORACLE = """
+WITH cn AS (SELECT DISTINCT c_nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey FROM supplier)
+SELECT cn.c_nationkey, sn.s_nationkey
+FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+"""
+
+
+@register("j3_full_outer_join", oracle=_J3_ORACLE, tags=("J3",))
+def j3_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric completeness check: nations with customers vs suppliers."""
+    c = Catalog(spark, sf_dir)
+    cn = c.customer.select("c_nationkey").distinct()
+    sn = c.supplier.select("s_nationkey").distinct()
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+
+
+# J4 — semi join ---------------------------------------------------------------------
+
+_J4_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("j4_semi_join", oracle=_J4_ORACLE, tags=("J4",))
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter (customers that ordered); semi-join never widens
+    rows, so the probe side streams through unchanged."""
+    c = Catalog(spark, sf_dir)
+    orders, customer = c.orders, c.customer
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# J5 — anti join -----------------------------------------------------------------------
+
+_J5_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("j5_anti_join", oracle=_J5_ORACLE, tags=("J5",))
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-missing / dedup-against-sink (supports the reference's
+    "updates" model, README.md:28): rows not yet present on the other side."""
+    c = Catalog(spark, sf_dir)
+    orders, customer = c.orders, c.customer
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# J6 — broadcast chain join (Q5-style) ---------------------------------------------------
+
+_J6_ORACLE = """
+SELECT r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("j6_broadcast_join", oracle=_J6_ORACLE, tags=("J6",))
+def j6_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain with explicit broadcast hints on every dim: the
+    fact table is scanned exactly once with zero shuffles before the final
+    4-row aggregation — the plan shape that survives a 1000x scale-up."""
+    c = Catalog(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.lineitem.join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# J7 — theta / range join ------------------------------------------------------------------
+
+_PRICE_BANDS = [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)]
+
+_J7_ORACLE = """
+SELECT b.band,
+       count(*)                      AS n_parts,
+       round(avg(p.p_retailprice), 4) AS avg_price
+FROM part p
+JOIN (VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1e9))
+     AS b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+@register("j7_range_join", oracle=_J7_ORACLE, tags=("J7",))
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (banding) join. The band table is tiny and broadcast, so
+    the inequality predicate evaluates as a broadcast nested-loop — the
+    right physical choice when one side is O(1) rows."""
+    c = Catalog(spark, sf_dir)
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    p = c.part
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# J9 — cross join ------------------------------------------------------------------------------
+
+_J9_ORACLE = """
+SELECT r.r_name, s.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+@register("j9_cross_join", oracle=_J9_ORACLE, tags=("J9",))
+def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs scaffold (used by similarity search X3). Only ever safe
+    when at least one side is provably tiny — here 5 x 3 rows."""
+    c = Catalog(spark, sf_dir)
+    statuses = c.orders.select("o_orderstatus").distinct()
+    return c.region.select("r_name").crossJoin(statuses)

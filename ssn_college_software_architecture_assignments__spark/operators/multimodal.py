@@ -1,0 +1,98 @@
+"""Multimodal column handling (SURVEY.md §2.10 X5).
+
+Binary payloads (image/audio/video) travel the pipeline as opaque
+``binary`` columns wrapped with typed metadata; decode / feature-extract
+steps are Arrow-batched ``mapInPandas`` operators. The actual media codecs
+are not in this container, so the decode kernel is STUBBED (deterministic
+fake behind the real Spark plumbing — schema, partitioning, batch shape
+are all genuine and tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# X5a — binary payload + metadata struct, full oracle ---------------------------
+
+_X5_ORACLE = """
+SELECT doc_id,
+       base64(encode(text))                       AS payload_b64,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'text/plain'                               AS mime_type,
+       md5(text)                                  AS checksum
+FROM documents
+"""
+
+
+@register("x5_multimodal_payload", oracle=_X5_ORACLE, tags=("X5",))
+def x5_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry content as binary + typed metadata (mime, size, checksum)
+    through the pipeline. Fixtures have no real media, so text bytes stand
+    in for the payload; the column plumbing is identical for image/audio."""
+    docs = Catalog(spark, sf_dir).documents
+    payload = F.encode("text", "UTF-8")
+    # Spark's base64 emits RFC-2045 line breaks every 76 chars; strip to
+    # the canonical unchunked form (what DuckDB/python produce).
+    b64 = F.regexp_replace(F.base64(payload), "[\\r\\n]", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("payload_b64"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.lit("text/plain").alias("mime_type"),
+        F.md5("text").alias("checksum"),
+    )
+
+
+# X5b — decode / feature-extract kernel over mapInPandas -------------------------
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, "
+    "decode_status string"
+)
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode kernel. Real deployments plug PIL/ffmpeg in
+    here; this container has neither, so decoding is a deterministic fake
+    keyed on payload bytes (STUB — see module docstring). The iterator
+    shape (pandas batches in/out) is exactly what a real decoder uses."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len).astype("int64")
+        try:
+            raise NotImplementedError("media codecs not available in this container")
+        except NotImplementedError:
+            # Deterministic fake: pretend every payload decodes to a
+            # (len % 640, len % 480, 3) "image".
+            decoded = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": (n_bytes % 640).astype("int32"),
+                    "height": (n_bytes % 480).astype("int32"),
+                    "channels": 3,
+                    "decode_status": "stubbed",
+                }
+            )
+        yield decoded
+
+
+@register("x5b_multimodal_decode", tags=("X5",))
+def x5b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode via mapInPandas: Arrow batches cross the JVM/Python
+    boundary once per batch (not per row). Deterministic stub -> rows-only."""
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(decode_media_batch, DECODE_SCHEMA).orderBy(
+        "doc_id"
+    )

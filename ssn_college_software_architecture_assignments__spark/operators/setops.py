@@ -1,0 +1,80 @@
+"""Set operators (SURVEY.md §2.7, U1-U3).
+
+U1 (union-all) is the reference's page-merge: pagination collects page
+DataFrames and unions them (README.md:12) — `unionByName` with
+allowMissingColumns tolerates schema drift between pages (FIXTURES.md B2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# U1 — union all ---------------------------------------------------------------
+
+_U1_ORACLE = """
+SELECT nationkey, side, count(*) AS n
+FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+)
+GROUP BY nationkey, side
+"""
+
+
+@register("u1_union_all", oracle=_U1_ORACLE, tags=("U1",))
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge heterogeneous batches by column name (page-merge pattern).
+    Union is plan-level concatenation — zero shuffle."""
+    c = Catalog(spark, sf_dir)
+    cn = c.customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    sn = c.supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cn.unionByName(sn, allowMissingColumns=True).groupBy(
+        "nationkey", "side"
+    ).agg(F.count("*").alias("n"))
+
+
+# U2 — intersect ------------------------------------------------------------------
+
+_U2_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+@register("u2_intersect", oracle=_U2_ORACLE, tags=("U2",))
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having both customers and suppliers (INTERSECT DISTINCT)."""
+    c = Catalog(spark, sf_dir)
+    cn = c.customer.select(F.col("c_nationkey").alias("nationkey"))
+    sn = c.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return cn.intersect(sn)
+
+
+# U3 — except ----------------------------------------------------------------------
+
+_U3_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("u3_except", oracle=_U3_ORACLE, tags=("U3",))
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-records-since-last-run pattern (README.md:28 "updates"):
+    set difference with DISTINCT semantics — users who clicked but never
+    purchased."""
+    ev = Catalog(spark, sf_dir).events
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)

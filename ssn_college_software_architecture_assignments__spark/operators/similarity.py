@@ -1,0 +1,199 @@
+"""Similarity search over embeddings (SURVEY.md §2.10 X3).
+
+Two paths, both over ``embeddings.embedding`` (array<float>, dim 64):
+
+- **Brute-force top-k** (the correctness baseline): broadcast the query
+  vectors, compute cosine against every candidate with JVM higher-order
+  functions, take per-query top-k with a window. Cost is O(Q x N) but the
+  N side streams — no shuffle of the corpus, no driver collection. Right
+  up to ~thousands of queries at 100 TB corpus scale.
+
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (deterministic, seeded via xxhash64 of the dimension index) bucket both
+  sides; cosine is evaluated only within matching buckets. Sublinear
+  candidate sets; recall traded via number of planes/tables.
+
+All float math is cast to double *before* any arithmetic so the oracle
+(DuckDB, same double ops in the same sequential order) matches bit-for-bit
+at our rounding precision. DuckDB's builtin list_cosine_similarity computes
+in float32 and does NOT match — the oracle recomputes cosine explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# X3a — brute-force cosine top-k -----------------------------------------------
+
+_X3_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         list_aggregate(list_transform(list_zip(q.q_emb, c.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q.q_emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, round(cos_sim, 4) AS cos_sim
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_sim, 4) DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("x3_similarity_bruteforce", oracle=_X3_ORACLE, tags=("X3",))
+def x3_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors. Ranking ties are
+    broken on (rounded similarity, vec_id) so float noise below 1e-4 can
+    never reorder the oracle comparison."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
+    )
+    candidates = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# X3b — LSH-bucketed approximate neighbors (scale path) --------------------------
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a hash recurrence
+    (no RNG state; reproducible across engines and runs)."""
+    vals = []
+    x = (plane_idx * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
+    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / norm for v in vals]
+
+
+def lsh_signature(emb_col: Column, dim: int = 64, n_planes: int = 12) -> Column:
+    """Random-hyperplane (sign) signature as a BIGINT bucket id."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = (dot(_dvec(emb_col), plane) > 0).cast("long")
+        bits.append(F.shiftleft(bit, p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+@register("x3b_similarity_lsh", tags=("X3",))
+def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket-join instead of cross join.
+    Each query only scores candidates sharing its 12-bit signature —
+    sublinear work, deterministic planes. Approximate -> rows-only check;
+    recall-vs-bruteforce is asserted in tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    sig = lsh_signature(F.col("embedding"))
+    tagged = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    queries = tagged.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        tagged.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# X3c — vector feature engineering (norms / normalization), full oracle -----------
+
+_X3C_ORACLE = """
+SELECT vec_id, label,
+       round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4)  AS comp_sum,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS first_comp,
+       CAST(len(embedding) AS BIGINT)         AS dim
+FROM embeddings
+"""
+
+
+@register("x3c_vector_features", oracle=_X3C_ORACLE, tags=("X3",))
+def x3c_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene features (norm, component stats) computed with
+    higher-order functions — the preprocessing stage before any ANN build."""
+    emb = Catalog(spark, sf_dir).embeddings
+    d = _dvec(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(d), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("comp_sum"),
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("first_comp"),
+        F.size("embedding").cast("long").alias("dim"),
+    )

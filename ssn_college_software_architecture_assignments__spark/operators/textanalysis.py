@@ -1,0 +1,186 @@
+"""Text analysis operators (SURVEY.md §2.10 X4): token counting, term
+stats, quality scoring, fingerprinting, language-ID heuristic.
+
+All hot-path math is JVM higher-order functions over the token array —
+the per-document feature extraction a training-data pipeline runs over
+billions of documents, with zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# X4a — token counting ----------------------------------------------------------
+
+_X4A_ORACLE = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT)                 AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT)  AS n_unique_tokens,
+       n_chars,
+       round(CAST(n_chars AS DOUBLE) / len(toks), 4) AS chars_per_token
+FROM t
+"""
+
+
+@register("x4a_token_count", oracle=_X4A_ORACLE, tags=("X4",))
+def x4a_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + type/token stats per document."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        "n_chars",
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# X4b — corpus term frequencies ---------------------------------------------------
+
+_X4B_ORACLE = """
+SELECT tok AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY tf DESC, term
+LIMIT 25
+"""
+
+
+@register("x4b_term_frequency", oracle=_X4B_ORACLE, tags=("X4",))
+def x4b_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF/DF table (the explode -> groupBy inverted-index build).
+    Partial aggregation collapses each partition's token stream before the
+    shuffle, so network volume ~ vocabulary, not corpus size."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(25)
+    )
+
+
+# X4c — quality scoring --------------------------------------------------------------
+
+_STOPWORDS = ("the", "a")
+
+_X4C_ORACLE = """
+WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)           AS distinct_ratio,
+       round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+             / len(toks), 4)                                                    AS stopword_ratio,
+       round(CAST(n_chars AS DOUBLE) / len(toks), 4)                            AS avg_token_len,
+       (len(toks) >= 20 AND len(list_distinct(toks)) > 5)                       AS passes_quality
+FROM t
+"""
+
+
+@register("x4c_quality_score", oracle=_X4C_ORACLE, tags=("X4",))
+def x4c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality gates (length, lexical diversity,
+    stopword density) — the pre-training filter stage."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    is_stop = lambda x: (x == _STOPWORDS[0]) | (x == _STOPWORDS[1])  # noqa: E731
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n_tok, 4
+        ).alias("distinct_ratio"),
+        F.round(
+            F.size(F.filter(toks, is_stop)).cast("double") / n_tok, 4
+        ).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("avg_token_len"),
+        ((n_tok >= 20) & (F.size(F.array_distinct(toks)) > 5)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+# X4d — content fingerprinting ----------------------------------------------------------
+
+_X4D_ORACLE = """
+SELECT doc_id,
+       md5(lower(text))                       AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_of_words_md5
+FROM documents
+"""
+
+
+@register("x4d_fingerprint", oracle=_X4D_ORACLE, tags=("X4",))
+def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level fingerprints: raw content hash (byte-exact dedup) and
+    order-insensitive bag-of-words hash (reorder-invariant dedup)."""
+    docs = Catalog(spark, sf_dir).documents
+    low = F.lower("text")
+    bow = F.array_join(F.sort_array(F.array_distinct(F.split(low, " "))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(low).alias("content_md5"),
+        F.md5(bow).alias("bag_of_words_md5"),
+    )
+
+
+# X4e — language-ID heuristic ----------------------------------------------------------
+
+# Marker-ngram profiles. The fixture text is synthetic word soup, so this
+# demonstrates the *mechanism* (profile scoring entirely in JVM exprs);
+# accuracy on real text comes from real profiles.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "了", "是"),
+}
+
+
+def lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+@register("x4e_lang_id", tags=("X4",))
+def x4e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each profile, argmax wins, 'und'
+    when nothing matches. Pure JVM expressions (isin + filter + greatest);
+    rows-only check — the heuristic has no SQL twin registered."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split(F.lower("text"), " ")
+    scores = [
+        lang_score(toks, markers).cast("double").alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.lit("und")
+    # argmax with deterministic first-wins ordering
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), lang
+        ).otherwise(guess)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        best.cast("long").alias("marker_hits"),
+    ).orderBy("doc_id")

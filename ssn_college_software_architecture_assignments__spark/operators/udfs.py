@@ -1,0 +1,125 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10 F1-F3).
+
+The reference's Transform stage is arbitrary Python
+(/root/reference/README.md:22,54); in this engine arbitrary Python enters
+through exactly three doors, all Arrow-batched (never row-at-a-time):
+
+- F1 scalar: ``@pandas_udf`` — vectorized columnar kernels;
+- F2 aggregate: ``applyInPandas`` over grouped data;
+- F3 table: Python UDTF (one record -> many records — the page->records
+  expansion, README.md:12).
+
+Every kernel here is deterministic so the oracle can replay it in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..catalog import Catalog
+from ..registry import register
+
+# F1 — vectorized scalar UDF --------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def _score_kernel(value: pd.Series, k: pd.Series) -> pd.Series:
+    """Example cleaning kernel: bounded log-scaled score."""
+    import numpy as np
+
+    return (np.log1p(value.clip(lower=0)) * (1 + k / 100.0)).round(6)
+
+
+_F1_ORACLE = """
+SELECT event_id,
+       round(ln(1 + greatest(value, 0))
+             * (1 + CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0), 6) AS score
+FROM events
+"""
+
+
+@register("f1_pandas_udf", oracle=_F1_ORACLE, tags=("F1",))
+def f1_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF (numpy kernel over columnar batches).
+    ~10-100x over row-at-a-time Python; still ~2-5x slower than the pure
+    JVM expression the oracle uses — which is why UDFs are the escape
+    hatch, not the default."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.select(
+        "event_id", _score_kernel(F.col("value"), k).alias("score")
+    )
+
+
+# F2 — grouped aggregation UDF (UDAF via applyInPandas) ---------------------------
+
+
+def _weighted_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    w = pdf["l_quantity"]
+    x = pdf["l_extendedprice"]
+    wavg = (x * w).sum() / w.sum() if w.sum() else 0.0
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "weighted_avg_price": [round(wavg, 2)],
+            "n": [len(pdf)],
+        }
+    )
+
+
+_F2_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS weighted_avg_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("f2_grouped_udaf", oracle=_F2_ORACLE, tags=("F2",))
+def f2_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via applyInPandas: each group arrives as one
+    pandas DataFrame (Arrow batch). Scale note: group cardinality here is
+    4; for high-cardinality keys pre-aggregate JVM-side first or use a
+    two-stage pandas_udf aggregation to bound per-group memory."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        _weighted_stats,
+        "l_returnflag string, l_linestatus string, weighted_avg_price double, n long",
+    )
+
+
+# F3 — table UDF (one row -> many rows) ----------------------------------------------
+
+_F3_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')[1:4]) AS token
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("f3_udtf_expand", oracle=_F3_ORACLE, tags=("F3",))
+def f3_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: expand each document into its first 4 tokens — the
+    page->records expansion shape (README.md:12). The lateral-join plan is
+    identical to explode's; UDTF buys arbitrary Python expansion logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class ExpandTokens:
+        def eval(self, doc_id: int, text: str):
+            for tok in (text or "").split(" ")[:4]:
+                yield doc_id, tok
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 50)
+    spark.udtf.register("expand_tokens", ExpandTokens)
+    docs.createOrReplaceTempView("_f3_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM _f3_docs, "
+        "LATERAL expand_tokens(doc_id, text) t"
+    )

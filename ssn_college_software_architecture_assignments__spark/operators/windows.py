@@ -1,0 +1,184 @@
+"""Window-function operators (SURVEY.md §2.5, W1-W5).
+
+All windows partition by a real key (user_id) so state is bounded per
+partition; the one global window (W4, distribution bucketing over orders)
+is documented as a deliberate single-partition sort — at 100 TB you'd
+replace it with `approx_percentile`-based bucketing or a range-partitioned
+two-pass rank.
+
+Ordering note: ``events.ts`` is nanosecond in parquet and microsecond in
+Spark, so every ORDER BY carries ``event_id`` as the final tiebreaker and
+oracles compare on ids/values, not raw ns timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# W1 — row_number latest-per-key dedup ---------------------------------------
+
+_W1_ORACLE = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("w1_row_number_latest", oracle=_W1_ORACLE, tags=("W1",))
+def w1_row_number_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the canonical "updates" pattern the
+    reference's audit column exists for (README.md:28). One shuffle on
+    user_id; Spark rewrites rn=1 into a per-partition top-1 (no full sort
+    materialization) via InferWindowGroupLimit."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# W1b — rank / dense_rank ------------------------------------------------------
+
+_W1B_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)               AS drnk
+FROM orders
+"""
+
+
+@register("w1b_rank_dense_rank", oracle=_W1B_ORACLE, tags=("W1",))
+def w1b_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    w_price = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w_price).alias("rnk"),
+        F.dense_rank().over(w_prio).alias("drnk"),
+    )
+
+
+# W2 — lag / lead ----------------------------------------------------------------
+
+_W2_ORACLE = """
+SELECT user_id, event_id,
+       round(value - lag(value)  OVER w, 2) AS delta_prev,
+       round(lead(value) OVER w - value, 2) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+@register("w2_lag_lead", oracle=_W2_ORACLE, tags=("W2",))
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection between consecutive events of a user."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+# W3 — running / frame aggregates ----------------------------------------------------
+
+_W3_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg_3
+FROM events
+"""
+
+
+@register("w3_running_agg", oracle=_W3_ORACLE, tags=("W3",))
+def w3_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average. ROWS frames (not RANGE) so
+    ns-vs-µs timestamp precision cannot change frame membership."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+# W4 — distribution bucketing ----------------------------------------------------------
+
+_W4_ORACLE = """
+SELECT o_orderkey,
+       ntile(4)        OVER w                    AS quartile,
+       round(percent_rank() OVER w, 6)           AS pct_rank,
+       round(cume_dist()    OVER w, 6)           AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("w4_ntile_percent_rank", oracle=_W4_ORACLE, tags=("W4",))
+def w4_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distribution bucketing. Deliberately a single-partition
+    window here; the 100 TB variant buckets via approx quantile cutpoints
+    broadcast back (no global sort)."""
+    orders = Catalog(spark, sf_dir).orders
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# W5 — first / last value ------------------------------------------------------------------
+
+_W5_ORACLE = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       round(first_value(value) OVER w, 2) AS first_value_amt,
+       round(last_value(value)  OVER w, 2) AS last_value_amt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("w5_first_last_value", oracle=_W5_ORACLE, tags=("W5",))
+def w5_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user as-of snapshot: first and last observed state."""
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.round(F.first("value").over(w), 2).alias("first_value_amt"),
+        F.round(F.last("value").over(w), 2).alias("last_value_amt"),
+    ).distinct()

@@ -48,10 +48,12 @@ _OPERATOR_MODULES = (
     "operators.textanalysis",
     "operators.multimodal",
     "operators.asof",
+    "operators.udfs",
     "sources.files",
     "sources.rest",
     "sources.sink",
     "streaming.windows",
+    "streaming.stateful",
 )
 
 _loaded = False

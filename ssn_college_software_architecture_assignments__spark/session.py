@@ -29,6 +29,9 @@ _RUNTIME_CONFS = {
     # CORRECTED is both fastest and right.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Parquet TIMESTAMP(NANOS) is otherwise PARQUET_TYPE_ILLEGAL; read the
+    # raw int64 and let Catalog._normalize rebuild a µs timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -1,0 +1,120 @@
+"""File-format scans (SURVEY.md §2.1 S4-S6): JSON, CSV, Parquet.
+
+JSON is the reference's native payload format (README.md:21); CSV is the
+common connector landing format. Each scan query proves a lossless
+round-trip: export a fixture table to the format, read it back with an
+EXPLICIT schema (never inferSchema in production — one pass saved, types
+pinned), and compare against the original via the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Catalog
+from ..registry import register
+
+_EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "ssn_spark_export")
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+CUSTOMER_SCHEMA = (
+    "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, "
+    "c_mktsegment STRING"
+)
+
+
+def _export_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_EXPORT_ROOT, tag, fmt)
+    return path
+
+
+# S4 — JSON scan ---------------------------------------------------------------
+
+_S4_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register("s4_json_scan", oracle=_S4_ORACLE, tags=("S4",))
+def s4_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip with explicit schema (no inference pass).
+    At scale: JSON scans support predicate pushdown only on partition
+    columns — land JSON into parquet early (see s7_raw_sink)."""
+    docs = Catalog(spark, sf_dir).documents
+    out = _export_dir(sf_dir, "json")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(DOCS_SCHEMA).json(out)
+
+
+# S5 — Parquet scan -------------------------------------------------------------
+
+_S5_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("s5_parquet_scan", oracle=_S5_ORACLE, tags=("S5",))
+def s5_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan — the engine's canonical storage format (vectorized
+    reader, predicate pushdown, column pruning)."""
+    return Catalog(spark, sf_dir).region.select("r_regionkey", "r_name")
+
+
+# S6 — CSV scan -------------------------------------------------------------------
+
+_S6_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@register("s6_csv_scan", oracle=_S6_ORACLE, tags=("S6",))
+def s6_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with header + explicit schema."""
+    cust = Catalog(spark, sf_dir).customer
+    out = _export_dir(sf_dir, "csv")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(CUSTOMER_SCHEMA).option("header", True).csv(out)
+
+
+# S1/S2/S3 — REST extraction through the Python Data Source ------------------------
+
+_S1_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
+@register("s1_rest_source", oracle=_S1_ORACLE, tags=("S1", "S2", "S3"))
+def s1_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E(xtract) path: an in-process mock REST API serves the
+    documents table as paginated JSON (FIXTURES.md B1); the ``restapi``
+    Python Data Source extracts it with page-range partitions and rate
+    limiting, yielding a DataFrame equal to the source table.
+
+    The mock server lives only for the duration of the action, so the
+    result is materialized (cached + counted) before the server stops."""
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    docs = Catalog(spark, sf_dir).documents
+    records = [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+        for r in docs.select("doc_id", "lang", "n_chars").toLocalIterator()
+    ]
+    register_rest_source(spark)
+    with MockApiServer(records) as server:
+        df = (
+            spark.read.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "documents")
+            .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .option("page_size", "200")
+            .option("pages_per_partition", "2")
+            .load()
+        )
+        df = df.cache()
+        df.count()  # materialize while the server is alive
+    return df

@@ -1,0 +1,100 @@
+"""In-process mock REST API for connector tests (FIXTURES.md §B).
+
+Serves any list of dict records as a paginated JSON API shaped like
+FIXTURES.md B1 ({"meta": {...,"total": N}, "data": [...]}), with optional
+fault injection (429 rate limits, 500s, invalid JSON, auth checks) so the
+reference's fault matrix (README.md:32: invalid responses, empty payloads,
+rate limits, connectivity errors) is exercisable hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class MockApiServer:
+    def __init__(
+        self,
+        records: list[dict],
+        require_token: str | None = None,
+        fail_first_n: int = 0,
+        fail_mode: str = "500",  # "500" | "429" | "garbage"
+    ):
+        self.records = records
+        self.require_token = require_token
+        self.fail_first_n = fail_first_n
+        self.fail_mode = fail_mode
+        self._fail_lock = threading.Lock()
+        self._fails_left = fail_first_n
+        self.request_count = 0
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence
+                pass
+
+            def do_GET(self):
+                outer.request_count += 1
+                if outer.require_token:
+                    auth = self.headers.get("Authorization", "")
+                    if auth != f"Bearer {outer.require_token}":
+                        self.send_response(401)
+                        self.end_headers()
+                        return
+                with outer._fail_lock:
+                    failing = outer._fails_left > 0
+                    if failing:
+                        outer._fails_left -= 1
+                if failing:
+                    if outer.fail_mode == "429":
+                        self.send_response(429)
+                        self.send_header("Retry-After", "0")
+                        self.end_headers()
+                    elif outer.fail_mode == "garbage":
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.end_headers()
+                        self.wfile.write(b"<html>not json</html>")
+                    else:
+                        self.send_response(500)
+                        self.end_headers()
+                    return
+                query = urllib.parse.urlparse(self.path).query
+                params = dict(urllib.parse.parse_qsl(query))
+                page = int(params.get("page", "1"))
+                per_page = int(params.get("per_page", "100"))
+                start = (page - 1) * per_page
+                data = outer.records[start : start + per_page]
+                body = json.dumps(
+                    {
+                        "meta": {
+                            "page": page,
+                            "per_page": per_page,
+                            "total": len(outer.records),
+                        },
+                        "data": data,
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    @property
+    def base_url(self) -> str:
+        host, port = self._server.server_address
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> "MockApiServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._server.shutdown()
+        self._server.server_close()

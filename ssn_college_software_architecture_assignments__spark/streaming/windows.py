@@ -1,0 +1,196 @@
+"""Streaming window operators (SURVEY.md §2.9, T1-T5, T7).
+
+Every query here runs a REAL Structured Streaming job (micro-batch over
+the events parquet with an availableNow trigger) — not a batch query
+dressed up. Oracles, where registered, are the batch-SQL equivalents
+(time_bucket arithmetic in DuckDB), which is exactly the batch-stream
+equivalence check from SURVEY.md §5.2(5).
+
+At scale these are the operators that replace the reference's "re-run the
+connector" model: watermarked state, incremental output, exactly-once
+sinks via checkpointing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .core import run_to_memory, stream_events
+
+# T1 — tumbling window aggregation ----------------------------------------------
+
+_T1_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("t1_tumbling_window", oracle=_T1_ORACLE, tags=("T1",))
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type, computed by a streaming
+    job and compared against batch SQL — window starts are epoch-aligned
+    in both engines."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+# T2 — sliding window aggregation --------------------------------------------------
+
+_T2_ORACLE = """
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - o.off AS window_start,
+         value
+  FROM events
+  CROSS JOIN (SELECT unnest([INTERVAL '0 minutes', INTERVAL '5 minutes']) AS off) o
+)
+SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM slid
+GROUP BY window_start
+"""
+
+
+@register("t2_sliding_window", oracle=_T2_ORACLE, tags=("T2",))
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly 2
+    windows; the oracle reproduces the expansion with an offset unnest."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n", "sum_value")
+
+
+# T3 — session windows ----------------------------------------------------------------
+
+_T3_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       min(ts)                          AS session_start,
+       max(ts) + INTERVAL '30 minutes'  AS session_end,
+       count(*)                         AS n_events,
+       round(sum(value), 2)             AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("t3_session_window", oracle=_T3_ORACLE, tags=("T3",))
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user (streaming session_window
+    state merge). Oracle rebuilds sessions with the lag/cumsum islands
+    idiom — session_end is last event + gap in both."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# T4 — watermark + late-data handling ---------------------------------------------------
+
+
+@register("t4_watermarked_agg", tags=("T4",))
+def t4_watermarked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation in append mode: only windows the
+    10-minute watermark has sealed are emitted. Late-data semantics are
+    trigger-dependent -> rows-only; the drop behavior itself is unit-tested
+    with a two-batch file source in tests/test_streaming.py."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(F.col("w.start").alias("window_start"), "event_type", "n")
+
+
+# T5 — streaming dedup ---------------------------------------------------------------------
+
+
+@register("t5_streaming_dedup", tags=("T5",))
+def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-per-key ingestion: dropDuplicatesWithinWatermark on
+    event_id over a stream that deliberately delivers every event twice
+    (duplicate-delivery fault from FIXTURES.md B2)."""
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.union(ev).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_memory(counted, "complete")
+
+
+# T7 — incremental append sink with checkpoint -----------------------------------------------
+
+
+@register("t7_incremental_sink", tags=("T7",))
+def t7_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental pipeline: stream -> transform -> parquet
+    sink with checkpoint (exactly-once file commit protocol), then read
+    the sink back. availableNow processes the backlog and stops — the
+    scheduled-rerun connector model (README.md:28) with no duplicate
+    loads."""
+    ev = stream_events(spark, sf_dir)
+    transformed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).alias("value_cents"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="ssn_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ssn_stream_sink_ckpt_")
+    q = (
+        transformed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").alias("total_cents"),
+    )

@@ -1,0 +1,62 @@
+"""Invariant tests for the near-dedup family (SURVEY.md §5.2(4))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_minhash_identical_docs_always_pair(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(30)
+    # duplicate doc 0 under a new id -> exact dup must surface as candidate
+    clone = docs.filter(F.col("doc_id") == 0).withColumn("doc_id", F.lit(999_999))
+    corpus = docs.unionByName(clone)
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    pairs = minhash_candidate_pairs(sigs).collect()
+    assert any(
+        p["id_a"] == 0 and p["id_b"] == 999_999 and p["est_jaccard"] == 1.0
+        for p in pairs
+    )
+
+
+def test_minhash_pairs_are_canonical_and_unique(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = minhash_candidate_pairs(sigs).collect()
+    seen = set()
+    for p in pairs:
+        assert p["id_a"] < p["id_b"]
+        assert (p["id_a"], p["id_b"]) not in seen
+        seen.add((p["id_a"], p["id_b"]))
+        assert 0.0 <= p["est_jaccard"] <= 1.0
+
+
+def test_simhash_deterministic_and_near_for_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash64("text").alias("sh")).collect()}
+    assert rows[1] == rows[2]  # identical text -> identical fingerprint
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = hamming(rows[1], rows[3])
+    far = hamming(rows[1], rows[4])
+    assert near < far  # one-word edit is closer than unrelated text
+    assert near <= 16
