@@ -12,11 +12,12 @@ These are the training-data-pipeline dedup family. Design constraints at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from .similarity import _dvec, cosine
 
 # X1 — exact dedup ------------------------------------------------------------
 
@@ -252,4 +253,64 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .filter(jac >= 0.8)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# X2d — embedding-cosine near-dup (full oracle: identical double math) ---------
+
+_X2D_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < 100
+),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, cos_sim, is_near_dup
+FROM (
+  SELECT vec_id, nn_id, round(cos_sim, 4) AS cos_sim,
+         cos_sim >= 0.95 AS is_near_dup,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(cos_sim, 4) DESC, nn_id) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
+@register("x2d_embedding_neardup", oracle=_X2D_ORACLE, tags=("X2",))
+def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: each vector's exact
+    nearest neighbor plus a duplicate verdict (cos >= 0.95). Checked
+    exactly on a 100-vector slice; at corpus scale the candidate pairs
+    come from LSH buckets (similarity.lsh_buckets) instead of all-pairs —
+    the scoring/verdict stage is identical."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    a = emb.select("vec_id", _dvec("embedding").alias("emb_a"))
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"), _dvec("embedding").alias("emb_b")
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("nn_id"))
+        .select(
+            "vec_id",
+            "nn_id",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.round("cos_raw", 4).desc(), F.col("nn_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            (F.col("cos_raw") >= 0.95).alias("is_near_dup"),
+        )
     )

@@ -120,11 +120,13 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / norm for v in vals]
 
 
-def lsh_signature(emb_col: Column, dim: int = 64, n_planes: int = 12) -> Column:
+def lsh_signature(
+    emb_col: Column, dim: int = 64, n_planes: int = 6, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane (sign) signature as a BIGINT bucket id."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
         bit = (dot(_dvec(emb_col), plane) > 0).cast("long")
         bits.append(F.shiftleft(bit, p))
     out = bits[0]
@@ -133,31 +135,55 @@ def lsh_signature(emb_col: Column, dim: int = 64, n_planes: int = 12) -> Column:
     return out
 
 
+def lsh_buckets(
+    emb_col: Column, dim: int = 64, n_tables: int = 4, planes_per_table: int = 6
+) -> Column:
+    """Multi-table LSH (OR-amplification): an array of per-table bucket
+    ids, each from an independent set of hyperplanes. A pair is a
+    candidate if it collides in ANY table — recall grows with tables,
+    candidate-set size stays ~n_tables * n / 2^planes_per_table."""
+    return F.array(
+        *[
+            lsh_signature(emb_col, dim, planes_per_table, t * planes_per_table)
+            for t in range(n_tables)
+        ]
+    )
+
+
 @register("x3b_similarity_lsh", tags=("X3",))
 def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket-join instead of cross join.
-    Each query only scores candidates sharing its 12-bit signature —
-    sublinear work, deterministic planes. Approximate -> rows-only check;
-    recall-vs-bruteforce is asserted in tests/test_similarity.py."""
+    """ANN via multi-table random-hyperplane LSH: candidates are pairs
+    colliding in any of 4 independent 6-bit signatures (bucket equi-join
+    per table, never a cross join); exact cosine re-ranks the candidates.
+    Approximate -> rows-only check; recall-vs-bruteforce is asserted in
+    tests/test_similarity.py."""
     emb = Catalog(spark, sf_dir).embeddings
-    sig = lsh_signature(F.col("embedding"))
-    tagged = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(lsh_buckets(F.col("embedding"))).alias("tbl", "bucket"),
+    )
     queries = tagged.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    scored = (
+    candidates = (
         tagged.join(
             F.broadcast(queries),
-            (F.col("bucket") == F.col("q_bucket"))
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("q_id")),
         )
-        .select(
-            "q_id",
-            "vec_id",
-            cosine(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
-        )
+        # a pair may collide in several tables — score it once
+        .select("q_id", "vec_id", "q_emb", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "q_id",
+        "vec_id",
+        cosine(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(
         F.round("cos_sim", 4).desc(), F.col("vec_id")

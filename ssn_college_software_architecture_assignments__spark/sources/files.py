@@ -13,6 +13,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
@@ -117,4 +118,73 @@ def s1_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         df = df.cache()
         df.count()  # materialize while the server is alive
+    return df
+
+
+def _docs_records(spark: SparkSession, sf_dir: str, limit: int) -> list[dict]:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < limit)
+    return [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+        for r in docs.select("doc_id", "lang", "n_chars").toLocalIterator()
+    ]
+
+
+_S2_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s2_paginated_read", oracle=_S2_ORACLE, tags=("S2",))
+def s2_paginated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination as partition parallelism: one InputPartition per page
+    (pages_per_partition=1), so every page is fetched by its own task —
+    the page loop runs on executors, not the driver (README.md:12)."""
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    records = _docs_records(spark, sf_dir, 100)
+    register_rest_source(spark)
+    with MockApiServer(records) as server:
+        df = (
+            spark.read.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "documents")
+            .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .option("page_size", "25")
+            .option("pages_per_partition", "1")
+            .load()
+        )
+        df = df.cache()
+        df.count()
+    return df
+
+
+_S3_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s3_rate_limited_read", oracle=_S3_ORACLE, tags=("S3",))
+def s3_rate_limited_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit + fault survival: the server 429s the first two
+    requests (honored via Retry-After backoff) and the reader throttles
+    itself to rate_limit_rps per partition — yet the extraction still
+    yields exactly the source rows (README.md:12,32)."""
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    records = _docs_records(spark, sf_dir, 100)
+    register_rest_source(spark)
+    with MockApiServer(records, fail_first_n=2, fail_mode="429") as server:
+        df = (
+            spark.read.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "documents")
+            .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .option("page_size", "50")
+            .option("rate_limit_rps", "50")
+            .load()
+        )
+        df = df.cache()
+        df.count()
     return df
