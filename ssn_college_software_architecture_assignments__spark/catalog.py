@@ -80,3 +80,20 @@ class Catalog:
         DataFrame queries see identical data (SURVEY.md §3.2 E2)."""
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread compute-heavy map stages across cores when the scan cannot.
+
+    The local fixtures are single-file, single-row-group parquet, so a scan
+    yields ONE task no matter what maxPartitionBytes says — any expensive
+    per-row work (hashing, shingling, decode UDFs) would run on one core.
+    On a real lake the input arrives in thousands of splits and this is a
+    no-op; we only repartition when the scan gives fewer splits than
+    requested, so no shuffle is ever added to an already-parallel input."""
+    from .session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

