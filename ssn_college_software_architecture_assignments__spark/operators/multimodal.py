@@ -96,3 +96,54 @@ def x5b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(decode_media_batch, DECODE_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# X5c — frame sampling: one input row -> N frame rows ----------------------------
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame_bytes binary, "
+    "sample_status string"
+)
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler (video -> evenly spaced frames). Real
+    deployments call ffmpeg per payload here; this container has no
+    codecs, so the sampler is a deterministic fake (STUB): payload length
+    decides the frame count, each "frame" is a byte slice. Row explosion
+    (1 video -> N frames) inside the kernel is the genuine shape."""
+    for pdf in batches:
+        out_rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) % 4) + 1  # stub: fake "duration"
+            for i in range(n_frames):
+                start = (i * len(payload)) // max(n_frames, 1)
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_ts_ms": i * 1000,
+                        "frame_bytes": payload[start : start + 16],
+                        "sample_status": "stubbed",
+                    }
+                )
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "doc_id", "frame_idx", "frame_ts_ms", "frame_bytes", "sample_status",
+            ],
+        )
+
+
+@register("x5c_frame_sample", tags=("X5",))
+def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via mapInPandas: each binary payload row fans out to
+    N frame rows inside the Arrow kernel (the UDTF shape for media).
+    Deterministic stub -> rows-only."""
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(sample_frames_batch, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
 
 
@@ -85,7 +85,10 @@ def x3_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
     )
-    candidates = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    # corpus side does all the scoring work — spread single-split scans
+    candidates = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
     scored = (
         candidates.crossJoin(F.broadcast(queries))
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -190,6 +193,73 @@ def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+# X3d — IVF (inverted-file) ANN: coarse quantize -> probe nearest cells ----------
+
+
+@register("x3d_similarity_ivf", tags=("X3",))
+def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid (the
+    "cell"), then each query scores only vectors in its nprobe=2 closest
+    cells. Centroids here are 16 fixed corpus vectors (vec_id < 16) so the
+    whole query is deterministic; a production build trains them with
+    MLlib KMeans — the search-side dataflow (broadcast centroids ->
+    cell assignment -> cell-equi-join -> exact re-rank) is identical.
+
+    Scale: the corpus never shuffles on anything wider than its cell id;
+    centroid assignment is a broadcast nested loop over K=16 rows, and the
+    candidate join per query touches ~2/16 of the corpus."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
+    )
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+
+    # nearest cell per corpus vector (rank over K broadcast centroids)
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cent_dist").asc(), F.col("cent_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("cent_dist", -cosine(F.col("emb"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+
+    # queries probe their nprobe=2 nearest cells
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cent_dist", -cosine(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cent_dist").asc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim")
+        )
+    )
+    w_rank = W.partitionBy("q_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
     )

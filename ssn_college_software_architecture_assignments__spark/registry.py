@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "operators.textanalysis",
     "operators.multimodal",
     "operators.asof",
+    "operators.sqlapi",
     "operators.udfs",
     "sources.files",
     "sources.rest",

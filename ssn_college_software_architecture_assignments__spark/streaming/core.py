@@ -42,16 +42,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over the available data
     (availableNow trigger) into an in-memory table; return it as a batch
-    DataFrame. Checkpoints go to a throwaway temp dir."""
+    DataFrame. Checkpoints go to a throwaway temp dir.
+
+    Stateful streaming creates one state store per shuffle partition per
+    operator; at local scale that fixed cost dominates, so the partition
+    count is pinned low for the query's lifetime (on a cluster, size it
+    to key cardinality instead)."""
+    spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     checkpoint = tempfile.mkdtemp(prefix="ssn_stream_ckpt_")
-    query = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
