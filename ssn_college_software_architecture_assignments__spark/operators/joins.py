@@ -220,3 +220,44 @@ def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     statuses = c.orders.select("o_orderstatus").distinct()
     return c.region.select("r_name").crossJoin(statuses)
+
+
+# J10 — salted skew join (SURVEY.md §4.3 skew posture, made concrete) ---------------
+
+_J10_ORACLE = """
+SELECT l_returnflag,
+       count(*)                      AS n,
+       round(sum(o_totalprice), 2)   AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+@register("j10_salted_skew_join", oracle=_J10_ORACLE, tags=("J1", "J10"))
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key salting for a skewed fact-fact join: the probe side
+    appends a deterministic salt in [0, S) to its key; the build side is
+    replicated S ways (explode over the salt domain), so one hot key's
+    rows land on S reducers instead of one. The result is provably
+    identical to the unsalted join — which is exactly what the oracle
+    checks. AQE's OptimizeSkewedJoin does this automatically at runtime
+    for sort-merge joins; the manual form is for engines/paths AQE can't
+    see (e.g. aggregations after the join keep the salt column until the
+    final combine)."""
+    S = 8
+    c = Catalog(spark, sf_dir)
+    fact = c.lineitem.select("l_orderkey", "l_returnflag").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(S)).cast("int")
+    )
+    build = (
+        c.orders.select("o_orderkey", "o_totalprice")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+    )
+    joined = fact.join(
+        build,
+        (fact.l_orderkey == build.o_orderkey) & (fact._salt == build._salt),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -164,7 +164,7 @@ def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T7 — incremental append sink with checkpoint -----------------------------------------------
 
 
-@register("t7_incremental_sink", tags=("T7",))
+@register("t7_incremental_sink", tags=("T7", "S9"))
 def t7_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental pipeline: stream -> transform -> parquet
     sink with checkpoint (exactly-once file commit protocol), then read

@@ -1,0 +1,78 @@
+"""Property-based laws (SURVEY.md §5.2(4)) on small generated frames.
+
+hypothesis drives the inputs; each law runs one Spark job per example, so
+example counts are kept low (Spark latency, not law weakness, is the
+budget). Laws:
+
+- ``from_json(to_json(row)) == row`` on a pinned schema (JSON round trip,
+  the reference's payload format — README.md:21);
+- exact dedup output is unique and a subset of its input;
+- minhash estimated Jaccard is 1.0 for identical texts and in [0, 1]
+  always.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+clean_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-(2**31), 2**31 - 1), clean_text, st.booleans()),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_json_round_trip_identity(spark, rows):
+    schema = "id BIGINT, name STRING, flag BOOLEAN"
+    df = spark.createDataFrame(rows, schema)
+    back = df.select(
+        F.from_json(F.to_json(F.struct("id", "name", "flag")), schema).alias("s")
+    ).select("s.*")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=20),
+)
+@SETTINGS
+def test_exact_dedup_unique_and_subset(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    out = [r["k"] for r in df.dropDuplicates(["k"]).collect()]
+    assert len(out) == len(set(out))
+    assert set(out) == set(keys)
+
+
+@given(
+    base=st.lists(clean_text.filter(lambda s: s.strip()), min_size=4, max_size=6),
+)
+@SETTINGS
+def test_minhash_identical_docs_jaccard_one(spark, base):
+    text = " ".join(base)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id BIGINT, text STRING")
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    pairs = minhash_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    assert len(pairs) == 1
+    est = pairs[0]["est_jaccard"]
+    assert est == 1.0
