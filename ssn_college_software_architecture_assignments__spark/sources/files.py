@@ -159,6 +159,37 @@ def s2_paginated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_S2B_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s2b_cursor_read", oracle=_S2B_ORACLE, tags=("S2",))
+def s2b_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-cursor pagination (Stripe/GitHub shape): the reader walks
+    next_cursor links serially in one partition — cursor chains cannot be
+    probed for parallelism, so scale comes from running many connectors,
+    not splitting one chain (README.md:12)."""
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    records = _docs_records(spark, sf_dir, 100)
+    register_rest_source(spark)
+    with MockApiServer(records, cursor_mode=True) as server:
+        df = (
+            spark.read.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "documents")
+            .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .option("page_size", "30")
+            .option("pagination", "cursor")
+            .load()
+        )
+        df = df.cache()
+        df.count()
+    return df
+
+
 _S3_ORACLE = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 """

@@ -22,11 +22,13 @@ class MockApiServer:
         require_token: str | None = None,
         fail_first_n: int = 0,
         fail_mode: str = "500",  # "500" | "429" | "garbage"
+        cursor_mode: bool = False,
     ):
         self.records = records
         self.require_token = require_token
         self.fail_first_n = fail_first_n
         self.fail_mode = fail_mode
+        self.cursor_mode = cursor_mode
         self._fail_lock = threading.Lock()
         self._fails_left = fail_first_n
         self.request_count = 0
@@ -64,20 +66,36 @@ class MockApiServer:
                     return
                 query = urllib.parse.urlparse(self.path).query
                 params = dict(urllib.parse.parse_qsl(query))
-                page = int(params.get("page", "1"))
                 per_page = int(params.get("per_page", "100"))
-                start = (page - 1) * per_page
-                data = outer.records[start : start + per_page]
-                body = json.dumps(
-                    {
-                        "meta": {
-                            "page": page,
-                            "per_page": per_page,
-                            "total": len(outer.records),
-                        },
-                        "data": data,
-                    }
-                ).encode()
+                if outer.cursor_mode:
+                    # Opaque-cursor pagination: cursor is the start offset,
+                    # next_cursor is null on the last page (the common
+                    # Stripe/GitHub API shape).
+                    start = int(params.get("cursor", "0") or 0)
+                    data = outer.records[start : start + per_page]
+                    nxt = start + per_page
+                    body = json.dumps(
+                        {
+                            "data": data,
+                            "next_cursor": (
+                                str(nxt) if nxt < len(outer.records) else None
+                            ),
+                        }
+                    ).encode()
+                else:
+                    page = int(params.get("page", "1"))
+                    start = (page - 1) * per_page
+                    data = outer.records[start : start + per_page]
+                    body = json.dumps(
+                        {
+                            "meta": {
+                                "page": page,
+                                "per_page": per_page,
+                                "total": len(outer.records),
+                            },
+                            "data": data,
+                        }
+                    ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()

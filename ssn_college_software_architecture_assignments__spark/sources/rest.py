@@ -44,6 +44,16 @@ class PageRange(InputPartition):
         self.end_page = end_page  # exclusive
 
 
+class CursorWalk(InputPartition):
+    """Opaque-cursor chains are inherently serial (each page's address is
+    only known after the previous page arrives), so the whole walk is one
+    partition. Parallelize ABOVE the connector (many endpoints/tenants),
+    not within a single cursor chain."""
+
+    def __init__(self):
+        super().__init__(value=None)
+
+
 def _fetch_json(
     url: str,
     headers: dict[str, str],
@@ -87,8 +97,11 @@ class RestDataSourceReader(DataSourceReader):
         self.base_url = options["base_url"].rstrip("/")
         self.endpoint = options.get("endpoint", "").lstrip("/")
         self.page_size = int(options.get("page_size", "100"))
+        self.pagination = options.get("pagination", "offset")  # offset | cursor
         self.page_param = options.get("page_param", "page")
         self.size_param = options.get("size_param", "per_page")
+        self.cursor_param = options.get("cursor_param", "cursor")
+        self.next_cursor_path = options.get("next_cursor_path", "next_cursor")
         self.data_path = options.get("data_path", "data")
         self.total_path = options.get("total_path", "meta.total")
         self.max_pages = int(options.get("max_pages", "100000"))
@@ -123,6 +136,14 @@ class RestDataSourceReader(DataSourceReader):
         qs = urllib.parse.urlencode(params)
         return f"{self.base_url}/{self.endpoint}?{qs}"
 
+    def _cursor_url(self, cursor: str | None) -> str:
+        params = dict(self.extra_params)
+        if cursor is not None:
+            params[self.cursor_param] = cursor
+        params[self.size_param] = self.page_size
+        qs = urllib.parse.urlencode(params)
+        return f"{self.base_url}/{self.endpoint}?{qs}"
+
     def _dig(self, payload, dotted: str):
         cur = payload
         for part in dotted.split("."):
@@ -135,7 +156,10 @@ class RestDataSourceReader(DataSourceReader):
 
     def partitions(self):
         """Probe page 1 for the total record count, then one partition per
-        page range so the page loop runs ON EXECUTORS in parallel."""
+        page range so the page loop runs ON EXECUTORS in parallel. Cursor
+        pagination cannot be probed — it yields one serial partition."""
+        if self.pagination == "cursor":
+            return [CursorWalk()]
         first = _fetch_json(self._page_url(1), self._headers)
         total = self._dig(first, self.total_path)
         records = self._dig(first, self.data_path) or []
@@ -150,7 +174,10 @@ class RestDataSourceReader(DataSourceReader):
             for p in range(1, n_pages + 1, step)
         ]
 
-    def read(self, partition: PageRange):
+    def read(self, partition):
+        if isinstance(partition, CursorWalk):
+            yield from self._read_cursor_chain()
+            return
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
         for page in range(partition.start_page, partition.end_page):
             if delay:
@@ -161,6 +188,23 @@ class RestDataSourceReader(DataSourceReader):
                 break
             for rec in records:
                 yield tuple(rec.get(name) for name in self._field_names)
+
+    def _read_cursor_chain(self):
+        delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
+        cursor: str | None = None
+        for _ in range(self.max_pages):
+            if delay:
+                time.sleep(delay)
+            payload = _fetch_json(self._cursor_url(cursor), self._headers)
+            records = self._dig(payload, self.data_path)
+            if not records:
+                return
+            for rec in records:
+                yield tuple(rec.get(name) for name in self._field_names)
+            nxt = self._dig(payload, self.next_cursor_path)
+            if nxt is None:
+                return
+            cursor = str(nxt)
 
 
 class RestDataSource(DataSource):

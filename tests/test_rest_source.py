@@ -94,6 +94,22 @@ def test_missing_auth_env_fails_fast(spark, monkeypatch):
             ).collect()
 
 
+def test_cursor_pagination_walks_chain(spark):
+    with MockApiServer(RECORDS, cursor_mode=True) as server:
+        df = _read(spark, server, pagination="cursor")
+        rows = df.collect()
+    assert {r["id"] for r in rows} == set(range(250))
+    assert df.rdd.getNumPartitions() == 1  # cursor chains are serial
+
+
+def test_cursor_pagination_with_retries(spark):
+    with MockApiServer(
+        RECORDS[:60], cursor_mode=True, fail_first_n=2, fail_mode="500"
+    ) as server:
+        df = _read(spark, server, pagination="cursor", page_size="25")
+        assert df.count() == 60
+
+
 def test_missing_fields_become_null(spark):
     ragged = [{"id": 1, "name": "a", "price": 1.0}, {"id": 2}]  # schema drift
     with MockApiServer(ragged) as server:
