@@ -158,11 +158,44 @@ def lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
 
-@register("x4e_lang_id", tags=("X4",))
+def _lang_id_oracle() -> str:
+    """DuckDB twin generated from the same marker table (list_filter +
+    greatest + first-wins CASE), so profile edits cannot drift."""
+    langs = list(_LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({}))) AS DOUBLE) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"score_{l}" for l in langs))
+    whens = "\n            ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM t
+)
+SELECT doc_id,
+       lang AS labeled_lang,
+       CASE WHEN {best} = 0 THEN 'und'
+            {whens}
+       END AS guessed_lang,
+       CAST({best} AS BIGINT) AS marker_hits
+FROM s
+"""
+
+
+@register("x4e_lang_id", oracle=_lang_id_oracle(), tags=("X4",))
 def x4e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID: score each profile, argmax wins, 'und'
-    when nothing matches. Pure JVM expressions (isin + filter + greatest);
-    rows-only check — the heuristic has no SQL twin registered."""
+    when nothing matches. Pure JVM expressions (isin + filter + greatest),
+    with a generated DuckDB twin for the full-oracle check."""
     docs = Catalog(spark, sf_dir).documents
     toks = F.split(F.lower("text"), " ")
     scores = [
