@@ -43,6 +43,39 @@ def x4a_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X4a2 — BPE-ish regex tokenization ------------------------------------------------
+
+# Letter runs, digit runs, or single non-alphanumeric marks — the
+# pre-tokenization split most BPE vocabularies assume. Kept to a subset
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_X4A2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT)                AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe_tokens
+FROM t
+"""
+
+
+@register("x4a2_bpe_token_count", oracle=_X4A2_ORACLE, tags=("X4",))
+def x4a2_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (letter runs / digit runs /
+    punctuation marks) — the token budget estimator for training-data
+    accounting, entirely in JVM regexp_extract_all."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe_tokens"),
+    )
+
+
 # X4b — corpus term frequencies ---------------------------------------------------
 
 _X4B_ORACLE = """
