@@ -75,22 +75,31 @@ def validated_insert(
     """Write + verify consistent insertion (README.md:33,106).
 
     The transformed-row count comes from an ``observe`` metric collected
-    DURING the write job (no extra scan); the written count is a read-back
-    of the sink — an end-to-end check that also catches sink-side loss."""
+    DURING the write job (no extra scan of the input); the written count
+    is a read-back of the sink filtered to THIS batch's ``_batch_id`` —
+    an end-to-end check that catches sink-side loss even under append
+    mode with concurrent historical batches. The read-back prunes to
+    today's ``_ingest_date`` partitions before filtering, so at 100 TB
+    it scans one day, not the table."""
+    import uuid
+
     obs = Observation(f"{connector}_insert")
     path = raw_table_path(base_dir, connector)
+    batch_id = uuid.uuid4().hex
     audited = (
         df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         .withColumn(AUDIT_COLUMN, F.current_timestamp())
+        .withColumn("_batch_id", F.lit(batch_id))
         .withColumn("_ingest_date", F.current_date())
     )
     audited.write.mode(mode).partitionBy("_ingest_date").parquet(path)
     n_transformed = int(obs.get["n_rows"])
-    n_written = df.sparkSession.read.parquet(path).count() if mode == "overwrite" else -1
-    if mode == "append":
-        # Append: count only this batch via the audit timestamp watermark
-        # is racy; rely on the observe metric + sink total monotonicity.
-        n_written = n_transformed
+    n_written = (
+        df.sparkSession.read.parquet(path)
+        .filter(F.col("_ingest_date") == F.current_date())
+        .filter(F.col("_batch_id") == batch_id)
+        .count()
+    )
     return InsertReport(connector, path, n_transformed, n_written)
 
 
