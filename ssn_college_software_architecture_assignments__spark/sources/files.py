@@ -190,6 +190,50 @@ def s2b_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_S9B_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s9b_rest_stream", oracle=_S9B_ORACLE, tags=("S9",))
+def s9b_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental REST ingestion through the Python streaming data
+    source: repeated availableNow runs against one checkpoint walk the
+    page offset forward until the API is exhausted — the reference's
+    scheduled-rerun model (README.md:28) with exactly-once commits. The
+    final sink equals the source table, which is what the oracle checks."""
+    import tempfile
+
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    records = _docs_records(spark, sf_dir, 100)
+    register_rest_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="ssn_rest_stream_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="ssn_rest_stream_out_")
+    with MockApiServer(records) as server:
+        for _ in range(4):  # 100 rows / (25/page * 2 pages/run) + idempotent rerun
+            stream = (
+                spark.readStream.format("restapi")
+                .option("base_url", server.base_url)
+                .option("endpoint", "documents")
+                .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+                .option("page_size", "25")
+                .option("stream_pages_per_batch", "2")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    return spark.read.parquet(out_dir).select("doc_id", "lang", "n_chars")
+
+
 _S3_ORACLE = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 """

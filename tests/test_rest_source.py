@@ -110,6 +110,39 @@ def test_cursor_pagination_with_retries(spark):
         assert df.count() == 60
 
 
+def test_streaming_rest_incremental_reruns_exactly_once(spark, tmp_path):
+    """The scheduled-rerun connector model (reference README.md:28): each
+    availableNow run ingests only pages beyond the committed offset;
+    re-runs after exhaustion add nothing; no duplicates ever."""
+    ckpt, out_dir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    totals = []
+    with MockApiServer(RECORDS) as server:
+        register_rest_source(spark)
+        for _ in range(4):
+            stream = (
+                spark.readStream.format("restapi")
+                .option("base_url", server.base_url)
+                .option("endpoint", "items")
+                .option("schema", SCHEMA)
+                .option("page_size", "50")
+                .option("stream_pages_per_batch", "2")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = spark.read.parquet(out_dir).collect()
+            totals.append(len(rows))
+            assert len({r["id"] for r in rows}) == len(rows)  # no dupes
+    assert totals == [100, 200, 250, 250]
+
+
 def test_missing_fields_become_null(spark):
     ragged = [{"id": 1, "name": "a", "price": 1.0}, {"id": 2}]  # schema drift
     with MockApiServer(ragged) as server:
