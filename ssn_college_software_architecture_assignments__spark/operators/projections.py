@@ -10,7 +10,7 @@ column pruning doing the heavy lifting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -156,6 +156,41 @@ def p5_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sanitize_field_names(df: DataFrame) -> DataFrame:
+    """Generic sink-key sanitizer (README.md:22 "MongoDB compatibility"):
+    rewrites every column AND nested struct field name, replacing
+    characters illegal in document-store keys (``.`` ``$`` and
+    whitespace) with ``_``. Structs are rebuilt recursively with pure
+    projections — no data movement, no Python in the row path."""
+    from pyspark.sql import types as T
+
+    def clean(name: str) -> str:
+        return "".join("_" if ch in ".$ \t" else ch for ch in name)
+
+    def rebuild(col: Column, dtype: T.DataType) -> Column:
+        if isinstance(dtype, T.StructType):
+            return F.struct(
+                *[
+                    rebuild(col.getField(f.name), f.dataType).alias(clean(f.name))
+                    for f in dtype.fields
+                ]
+            )
+        if isinstance(dtype, T.ArrayType) and isinstance(
+            dtype.elementType, T.StructType
+        ):
+            return F.transform(col, lambda x: rebuild(x, dtype.elementType))
+        return col
+
+    # Backtick-quote top-level names so a literal "pay.load" column is
+    # not parsed as a struct path.
+    return df.select(
+        *[
+            rebuild(F.col(f"`{f.name}`"), f.dataType).alias(clean(f.name))
+            for f in df.schema.fields
+        ]
+    )
+
+
 # P6 — field sanitization --------------------------------------------------------
 
 _P6_ORACLE = """
@@ -179,6 +214,36 @@ def p6_field_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type"),
         F.col("value").alias("value_usd"),
         F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+
+
+_P6B_ORACLE = """
+SELECT event_id,
+       round(value, 2) AS value_usd,
+       event_type      AS event_kind
+FROM events
+"""
+
+
+@register("p6b_sanitize_generic", oracle=_P6B_ORACLE, tags=("P6",))
+def p6b_sanitize_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic recursive sanitizer over a deliberately hostile nested
+    schema: dotted/dollar/space names at the top level and inside a
+    struct all become sink-safe, then the struct is flattened back out
+    for the oracle comparison."""
+    ev = Catalog(spark, sf_dir).events
+    hostile = ev.select(
+        "event_id",
+        F.struct(
+            F.round("value", 2).alias("value.usd"),
+            F.col("event_type").alias("event kind"),
+        ).alias("pay$load"),
+    )
+    clean = sanitize_field_names(hostile)
+    return clean.select(
+        "event_id",
+        F.col("pay_load.value_usd").alias("value_usd"),
+        F.col("pay_load.event_kind").alias("event_kind"),
     )
 
 

@@ -76,6 +76,24 @@ ORDER BY revenue DESC, n_name
 """
 
 
+_GS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("a5_grouping_sets", oracle=_GS_SQL, tags=("A5", "E2"))
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary granularity list, unlike
+    rollup/cube's fixed lattices) — one Expand + one shuffle, same as
+    rollup."""
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(_GS_SQL)
+
+
 @register("e2_sql_regional_revenue", oracle=_Q5_SQL, tags=("E2",))
 def e2_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table star join with a region filter that
