@@ -84,7 +84,7 @@ def s6_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S1/S2/S3 — REST extraction through the Python Data Source ------------------------
 
 _S1_ORACLE = """
-SELECT doc_id, lang, n_chars FROM documents
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 1000
 """
 
 
@@ -93,18 +93,15 @@ def s1_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E(xtract) path: an in-process mock REST API serves the
     documents table as paginated JSON (FIXTURES.md B1); the ``restapi``
     Python Data Source extracts it with page-range partitions and rate
-    limiting, yielding a DataFrame equal to the source table.
+    limiting, yielding a DataFrame equal to the source table (bounded to
+    1000 docs so the correctness run isn't dominated by mock HTTP time).
 
     The mock server lives only for the duration of the action, so the
     result is materialized (cached + counted) before the server stops."""
     from .mock_api import MockApiServer
     from .rest import register_rest_source
 
-    docs = Catalog(spark, sf_dir).documents
-    records = [
-        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
-        for r in docs.select("doc_id", "lang", "n_chars").toLocalIterator()
-    ]
+    records = _docs_records(spark, sf_dir, 1000)
     register_rest_source(spark)
     with MockApiServer(records) as server:
         df = (

@@ -194,3 +194,42 @@ def t7_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+# T8 — stream-static enrichment join ---------------------------------------------
+
+_T8_ORACLE = """
+WITH profile AS (
+  SELECT user_id, count(*) AS n_events_static
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       e.event_type,
+       count(*)               AS n,
+       min(p.n_events_static) AS user_total
+FROM events e JOIN profile p ON e.user_id = p.user_id
+GROUP BY e.user_id, e.event_type
+"""
+
+
+@register("t8_stream_static_join", oracle=_T8_ORACLE, tags=("T1", "S9"))
+def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against a static per-user profile (broadcast dim — the
+    streaming analogue of J1/J6). The static side is planned once; only
+    the stream side is incremental. Compared against the batch join."""
+    from ..catalog import Catalog
+
+    ev_static = Catalog(spark, sf_dir).events
+    profile = ev_static.groupBy("user_id").agg(
+        F.count("*").alias("n_events_static")
+    )
+    stream = stream_events(spark, sf_dir)
+    enriched = stream.join(F.broadcast(profile), "user_id").select(
+        "user_id", "event_type", "n_events_static"
+    )
+    agg = enriched.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("n_events_static").alias("user_total"),
+    )
+    return run_to_memory(agg, "complete")
