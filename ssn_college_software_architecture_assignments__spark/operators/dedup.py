@@ -173,6 +173,16 @@ def simhash64(text_col: str) -> Column:
     per-token xxhash64, per-bit +/-1 votes aggregated across tokens, sign
     -> bit. Returns BIGINT.
 
+    Per-row expression deliberately (NOT explode + 64 vote-sum
+    aggregates): this form is map-only — zero shuffle, embarrassingly
+    parallel — and measured ~10x faster than the relational vote form,
+    whose shuffle carries 65 longs per (doc, partition). The opposite
+    trade from minhash, where the per-row HOF form loses to explode+agg:
+    here the expression is one pass over the token array.
+
+    Bit test is ``& 1`` — ``% 2`` looks equivalent but returns -1 for
+    negative hashes (Java signed semantics), silently corrupting bit 0.
+
     Written as a SQL expression because the DSL's shiftleft/shiftright
     take only literal bit counts, while the SQL forms accept expressions.
     """
@@ -186,7 +196,7 @@ def simhash64(text_col: str) -> Column:
               (acc, t) -> zip_with(
                 acc,
                 transform(sequence(0, 63),
-                          i -> CASE WHEN shiftrightunsigned(xxhash64(t), CAST(i AS INT)) % 2 = 1
+                          i -> CASE WHEN (shiftrightunsigned(xxhash64(t), CAST(i AS INT)) & 1L) = 1
                                     THEN 1L ELSE -1L END),
                 (a, b) -> a + b)),
             sequence(0, 63),
@@ -201,7 +211,7 @@ def simhash64(text_col: str) -> Column:
 def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash fingerprints (near-dup by small Hamming
     distance). Deterministic but not SQL-expressible in DuckDB -> rows-only."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
     return docs.select("doc_id", simhash64("text").alias("simhash")).orderBy(
         "doc_id"
     )

@@ -173,6 +173,61 @@ def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X4d2 — winnowing (rolling-window fingerprint selection) --------------------------
+
+_X4D2_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, i AS pos,
+         substring(md5(array_to_string(string_split(text, ' ')[i:i+3], ' ')), 1, 16) AS fp
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 1)) AS i)
+),
+wmin AS (
+  SELECT doc_id,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+  FROM sh
+)
+SELECT doc_id,
+       CAST(count(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+       min(sel)                            AS min_fp
+FROM wmin
+GROUP BY doc_id
+"""
+
+
+@register("x4d2_winnowing", oracle=_X4D2_ORACLE, tags=("X4",))
+def x4d2_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash dedup scheme): hash every
+    word 4-gram, slide a 5-shingle window, keep each window's minimum —
+    guaranteeing shared fingerprints for any sufficiently long shared
+    substring. Expressed relationally (posexplode + frame-window min, all
+    codegen) rather than per-row loops; hashes are md5-prefix STRINGS so
+    lexicographic min is identical across engines."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - 3, F.lit(0))
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, 4))), 1, 16
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    wmin = sh.select("doc_id", F.min("fp").over(w).alias("sel"))
+    return wmin.groupBy("doc_id").agg(
+        F.countDistinct("sel").cast("long").alias("n_fingerprints"),
+        F.min("sel").alias("min_fp"),
+    )
+
+
 # X4e — language-ID heuristic ----------------------------------------------------------
 
 # Marker-ngram profiles. The fixture text is synthetic word soup, so this
