@@ -98,6 +98,56 @@ def x5b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X5d — resize: fixed-target thumbnail kernel ------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_bytes long, target_w int, target_h int, "
+    "thumb_bytes binary, resize_status string"
+)
+
+_TARGET_W, _TARGET_H = 224, 224
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize kernel (image -> fixed WxH thumbnail). Real
+    deployments call PIL's ``Image.resize`` here; this container has no
+    imaging libs, so the resample is a deterministic fake (STUB): the
+    "thumbnail" is the payload strided down to ``target_w`` bytes. The
+    batch shape, fixed-size output contract, and byte-typed column are
+    the genuine plumbing a real resizer uses."""
+    for pdf in batches:
+        try:
+            raise NotImplementedError("imaging libs not available in this container")
+        except NotImplementedError:
+            thumbs = []
+            for payload in pdf["payload"]:
+                stride = max(len(payload) // _TARGET_W, 1)
+                thumbs.append(bytes(payload[::stride][:_TARGET_W]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_bytes": pdf["payload"].map(len).astype("int64"),
+                    "target_w": _TARGET_W,
+                    "target_h": _TARGET_H,
+                    "thumb_bytes": thumbs,
+                    "resize_status": "stubbed",
+                }
+            )
+
+
+@register("x5d_resize", tags=("X5",))
+def x5d_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize via mapInPandas: every payload maps to one fixed-size
+    thumbnail row — output size is bounded per row regardless of input
+    size, which is what makes the op safe at 100 TB (no row can blow the
+    batch). Deterministic stub -> rows-only."""
+    docs = Catalog(spark, sf_dir).documents
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(resize_batch, RESIZE_SCHEMA).orderBy("doc_id")
+
+
 # X5c — frame sampling: one input row -> N frame rows ----------------------------
 
 FRAME_SCHEMA = (
