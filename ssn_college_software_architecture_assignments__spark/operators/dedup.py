@@ -278,6 +278,115 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2e — near-dup cluster resolution: connected components over candidate pairs --
+
+_X2E_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+  WHERE doc_id < 40
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.lang = b.lang
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 40
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT CAST(id AS BIGINT)     AS doc_id,
+       CAST(min(r) AS BIGINT) AS cluster_id,
+       (id = min(r))          AS is_canonical
+FROM reach
+GROUP BY id
+"""
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 16
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes`` has column ``id``; ``edges`` has ``src``/``dst`` (undirected
+    — both directions are added here). Each round every node takes the min
+    of its own label and its neighbors' labels; converges to the component
+    minimum in <= diameter rounds. The convergence probe is a
+    ``limit(1).count()`` action per round — the only driver-side data is
+    that single number.
+
+    Scale: each round is one shuffle (groupBy ``src``) plus a key join;
+    ``localCheckpoint`` truncates lineage so plans stay flat across
+    rounds. Near-dup graphs have tiny diameters (dup clusters are
+    near-cliques), so rounds ~ 2-3 in practice. For adversarial
+    long-chain graphs at 100 TB, swap the loop body for the
+    large-star/small-star rounds of Kiveris et al. ("Connected Components
+    in MapReduce and Beyond") — O(log n) rounds, same per-round shape."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("x2e_dedup_clusters", oracle=_X2E_ORACLE, tags=("X2",))
+def x2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters and a canonical
+    keep-list: connected components over the exact-Jaccard >= 0.8 pair
+    graph (x2c), cluster id = min doc_id in the component, canonical = the
+    kept representative. This is the step a training-data pipeline runs
+    AFTER candidate generation — candidates alone over-remove (A~B, B~C
+    does not imply A~C; clustering keeps one doc per component, not per
+    pair). Full oracle via DuckDB recursive-CTE transitive closure."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 40)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pairs = x2c_ngram_jaccard(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(nodes, pairs)
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # X2d — embedding-cosine near-dup (full oracle: identical double math) ---------
 
 _X2D_ORACLE = """

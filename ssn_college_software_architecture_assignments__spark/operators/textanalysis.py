@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
 
 # X4a — token counting ----------------------------------------------------------
@@ -90,17 +90,22 @@ LIMIT 25
 @register("x4b_term_frequency", oracle=_X4B_ORACLE, tags=("X4",))
 def x4b_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF/DF table (the explode -> groupBy inverted-index build).
-    Partial aggregation collapses each partition's token stream before the
-    shuffle, so network volume ~ vocabulary, not corpus size."""
-    docs = Catalog(spark, sf_dir).documents
+    DF is computed as a two-stage aggregate — (term, doc_id) partial
+    counts, then per-term sum/count — instead of ``countDistinct``, which
+    plans a distinct-expand carrying every (term, doc_id) pair through a
+    wider shuffle. Both stages keep map-side partial aggregation, so
+    network volume ~ vocabulary x docs-per-term, and the scan is spread
+    before the explode (single-split fixture)."""
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
     return (
-        toks.groupBy("term")
+        per_doc.groupBy("term")
         .agg(
-            F.count("*").alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.sum("c").alias("tf"),
+            F.count("*").alias("df"),
         )
         .orderBy(F.col("tf").desc(), "term")
         .limit(25)
@@ -225,6 +230,64 @@ def x4d2_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wmin.groupBy("doc_id").agg(
         F.countDistinct("sel").cast("long").alias("n_fingerprints"),
         F.min("sel").alias("min_fp"),
+    )
+
+
+# X4f — composed corpus-curation verdict (dedup + quality gates in one pass) ------
+
+_X4F_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS toks,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+),
+v AS (
+  SELECT doc_id, lang, canonical_id,
+         (doc_id = canonical_id)                                   AS is_canonical,
+         (len(toks) >= 20 AND len(list_distinct(toks)) > 5)        AS passes_quality
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(canonical_id AS BIGINT) AS canonical_id,
+       (is_canonical AND passes_quality) AS keep,
+       CASE WHEN NOT is_canonical THEN 'duplicate'
+            WHEN NOT passes_quality THEN 'low_quality'
+            ELSE 'kept' END AS verdict
+FROM v
+"""
+
+
+@register("x4f_corpus_curation", oracle=_X4F_ORACLE, tags=("X4",))
+def x4f_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document: exact-dedup canonical
+    selection (window-min over the content fingerprint) composed with the
+    quality gates of x4c, emitting keep/drop + reason — the final filter a
+    training-data pipeline writes back to the lake. One window shuffle on
+    the (uniform) fingerprint; every expression is codegen'd."""
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    canonical_id = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        canonical_id.cast("long").alias("canonical_id"),
+        ((F.size(toks) >= 20) & (F.size(F.array_distinct(toks)) > 5)).alias(
+            "passes_quality"
+        ),
+    )
+    is_canon = F.col("doc_id") == F.col("canonical_id")
+    return staged.select(
+        "doc_id",
+        "lang",
+        "canonical_id",
+        (is_canon & F.col("passes_quality")).alias("keep"),
+        F.when(~is_canon, "duplicate")
+        .when(~F.col("passes_quality"), "low_quality")
+        .otherwise("kept")
+        .alias("verdict"),
     )
 
 

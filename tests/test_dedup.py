@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+    connected_components,
     minhash_candidate_pairs,
     minhash_signatures,
     simhash64,
@@ -60,3 +61,22 @@ def test_simhash_deterministic_and_near_for_near_texts(spark):
     far = hamming(rows[1], rows[4])
     assert near < far  # one-word edit is closer than unrelated text
     assert near <= 16
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3 plus edge 5-4 plus isolated 9: transitivity must group
+    # the whole chain even though (1,3) is not an edge.
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 4)], "src long, dst long")
+    got = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+def test_connected_components_long_path_converges(spark):
+    # worst-case diameter: a 12-node path; min label must reach the far end
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    got = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(12)}
