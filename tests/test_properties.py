@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+    connected_components,
     minhash_candidate_pairs,
     minhash_signatures,
 )
@@ -76,3 +77,38 @@ def test_minhash_identical_docs_jaccard_one(spark, base):
     assert len(pairs) == 1
     est = pairs[0]["est_jaccard"]
     assert est == 1.0
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python oracle: min node id per component via union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@given(
+    n_nodes=st.integers(2, 10),
+    edge_picks=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=12),
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_picks if a % n_nodes != b % n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        edges_df = edges_df.limit(0)
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == _union_find_components(n_nodes, edges)
