@@ -30,6 +30,7 @@ HEADLINE = [
     "x2_minhash_near_dedup",
     "x3_similarity_bruteforce",
     "x4b_term_frequency",
+    "x4f_corpus_curation",
     "t1_tumbling_window",
 ]
 

@@ -182,3 +182,60 @@ def w5_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("value").over(w), 2).alias("first_value_amt"),
         F.round(F.last("value").over(w), 2).alias("last_value_amt"),
     ).distinct()
+
+
+# W6 — gap-based sessionization (composed: lag -> flag -> running sum -> agg) ---
+
+_W6_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, ts, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, ts, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT)        AS session_idx,
+       count(*)                           AS n_events,
+       min(ts)                            AS session_start,
+       round((max(us) - min(us)) / 1e6, 3) AS duration_sec
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+@register("w6_sessionize", oracle=_W6_ORACLE, tags=("W2", "W3"))
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag flags session
+    starts, a running sum assigns session ids, then per-session stats —
+    the batch twin of the T3 session window. All three passes share ONE
+    shuffle on user_id (identical window partitioning), and the gap math
+    runs on integer microseconds (unix_micros / epoch_us) so both engines
+    compare exactly — no float drift at session boundaries."""
+    ev = Catalog(spark, sf_dir).events
+    base = ev.select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = base.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round((F.max("us") - F.min("us")) / 1e6, 3).alias("duration_sec"),
+    )
