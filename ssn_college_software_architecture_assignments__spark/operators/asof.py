@@ -56,7 +56,9 @@ def asof_join(
         right.withColumn("_side", F.lit(0))
         .withColumn("_ts", F.col(right_ts))
     )
-    cols = set(left.columns) | set(right.columns)
+    # Ordered merge (left cols, then right-only cols) — a `set` union here
+    # would make the output schema order depend on Python hash seeding.
+    cols = list(left.columns) + [c for c in right.columns if c not in left.columns]
     l_full = l_tagged.select(
         *[
             (F.col(c) if c in left.columns else F.lit(None)).alias(c)

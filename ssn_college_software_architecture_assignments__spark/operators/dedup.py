@@ -74,10 +74,10 @@ def minhash_signatures(
     word shingles. Seeded-hash min-aggregation == classic permutation
     MinHash.
 
-    Computed per-row with ``array_min(transform(...))`` — a pure
-    projection inside whole-stage codegen. No explode, no shuffle: at
-    100 TB the signature stage is map-only and embarrassingly parallel
-    (the old explode+groupBy form shuffled every shingle)."""
+    Computed with explode + hash-aggregate: per-shingle xxhash64 and the
+    per-seed ``min`` run inside whole-stage codegen with map-side partial
+    aggregation, so the shuffle carries only (id, num_hashes longs) per
+    document — at 100 TB the shuffle payload is signatures, not shingles."""
     # Explode + hash-aggregate deliberately: per-shingle xxhash64 and the
     # min() run inside whole-stage codegen with map-side partial
     # aggregation, so the shuffle carries only (id, 16 longs) per doc.

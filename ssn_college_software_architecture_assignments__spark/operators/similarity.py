@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -149,7 +151,9 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 def lsh_signature(
     emb_col: Column, dim: int = 64, n_planes: int = 6, plane_offset: int = 0
 ) -> Column:
-    """Random-hyperplane (sign) signature as a BIGINT bucket id."""
+    """Random-hyperplane (sign) signature as a BIGINT bucket id (HOF
+    expression form — fine for a single small signature; for the
+    multi-table hot path use :func:`lsh_buckets`)."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
@@ -167,13 +171,30 @@ def lsh_buckets(
     """Multi-table LSH (OR-amplification): an array of per-table bucket
     ids, each from an independent set of hyperplanes. A pair is a
     candidate if it collides in ANY table — recall grows with tables,
-    candidate-set size stays ~n_tables * n / 2^planes_per_table."""
-    return F.array(
-        *[
-            lsh_signature(emb_col, dim, planes_per_table, t * planes_per_table)
-            for t in range(n_tables)
-        ]
-    )
+    candidate-set size stays ~n_tables * n / 2^planes_per_table.
+
+    Implementation note: 24 plane dot-products as Catalyst expressions
+    (HOF or flat-unrolled) make the plan tree itself pathological —
+    analysis + codegen dominated the query (5-16s for a 500-row input).
+    A single Arrow-batched pandas UDF doing one numpy matmul per batch
+    keeps the plan tiny and the math vectorized; at 100 TB it is map-only
+    and embarrassingly parallel, with one C-speed (n x dim)@(dim x 24)
+    GEMM per Arrow batch."""
+    n_planes = n_tables * planes_per_table
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)]
+    )  # (n_planes, dim)
+    pow2 = 1 << np.arange(planes_per_table, dtype=np.int64)  # (planes_per_table,)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        e = np.asarray(emb.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (e @ planes.T) > 0  # (n, n_planes)
+        per_tbl = bits.reshape(len(e), n_tables, planes_per_table)
+        ids = (per_tbl * pow2).sum(axis=2)  # (n, n_tables) bucket ids
+        return pd.Series(list(ids))
+
+    return _buckets(emb_col)
 
 
 @register("x3b_similarity_lsh", tags=("X3",))

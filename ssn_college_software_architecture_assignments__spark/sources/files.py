@@ -209,14 +209,16 @@ def s9b_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ssn_rest_stream_ckpt_")
     out_dir = tempfile.mkdtemp(prefix="ssn_rest_stream_out_")
     with MockApiServer(records) as server:
-        for _ in range(4):  # 100 rows / (25/page * 2 pages/run) + idempotent rerun
+        # Run 1 drains all 4 pages in one micro-batch; run 2 re-runs against
+        # the same checkpoint and must commit nothing (exactly-once proof).
+        for _ in range(2):
             stream = (
                 spark.readStream.format("restapi")
                 .option("base_url", server.base_url)
                 .option("endpoint", "documents")
                 .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
                 .option("page_size", "25")
-                .option("stream_pages_per_batch", "2")
+                .option("stream_pages_per_batch", "4")
                 .load()
             )
             q = (
