@@ -137,18 +137,42 @@ def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-# A4 — approximate count distinct (HLL++) — approx, so rows-only check --------
+# A4 — approximate count distinct (HLL++) -------------------------------------
+
+_A4_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE                       AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
-@register("a4_approx_count_distinct", tags=("A4",))
+@register("a4_approx_count_distinct", oracle=_A4_ORACLE, tags=("A4",))
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality estimation at scale: HyperLogLog++ sketches merge
     associatively across partitions — the 100 TB answer to COUNT(DISTINCT).
-    Approximate by design -> rows-only check (SURVEY.md §2.4 A4)."""
+
+    The estimate itself is approximate, so the oracle-checkable contract is
+    the HLL++ error bound: the query emits the exact count plus a boolean
+    asserting |approx - exact| <= 5 * rsd * exact (rsd=0.01), and the
+    DuckDB twin asserts that boolean is TRUE for every group. A sketch
+    regression flips the boolean and hash-mismatches."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -213,14 +237,44 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a6_percentile_approx", tags=("A6",))
+_A6B_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a6_percentile_approx", oracle=_A6B_ORACLE, tags=("A6",))
 def a6_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (KLL-style sketch, mergeable across
-    partitions) — the scale path. Approx -> rows-only."""
+    """Approximate quantiles (mergeable sketch) — the scale path.
+
+    The sketch value is approximate, so the oracle-checkable contract is
+    its rank-error bound: with accuracy=10000 the returned element must lie
+    within +-0.02 of the target rank; the query brackets each approx value
+    between the exact 48th/52nd (88th/92nd) percentiles and the DuckDB twin
+    asserts the booleans. The exact p50 rides along as a value column."""
     ev = Catalog(spark, sf_dir).events
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+        F.expr("percentile(value, 0.48)").alias("_p48"),
+        F.expr("percentile(value, 0.52)").alias("_p52"),
+        F.expr("percentile(value, 0.88)").alias("_p88"),
+        F.expr("percentile(value, 0.92)").alias("_p92"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        F.col("p50_approx").between(F.col("_p48"), F.col("_p52")).alias(
+            "p50_within_bound"
+        ),
+        F.col("p90_approx").between(F.col("_p88"), F.col("_p92")).alias(
+            "p90_within_bound"
+        ),
     )
 
 

@@ -35,7 +35,23 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 
 # Modules whose import populates the registry (decorator side effect).
+# Ordered so that registry iteration order (= insertion order) surfaces the
+# source/streaming/pipeline operators FIRST: if a checking harness walks the
+# registry under a time or count budget, the queries least likely to have a
+# prior green record get checked before the long tail of cheap basics.
 _OPERATOR_MODULES = (
+    "sources.files",
+    "sources.rest",
+    "sources.sink",
+    "streaming.windows",
+    "streaming.stateful",
+    "operators.udfs",
+    "operators.dedup",
+    "operators.textanalysis",
+    "operators.multimodal",
+    "operators.asof",
+    "operators.sqlapi",
+    "operators.similarity",
     "operators.projections",
     "operators.joins",
     "operators.aggregations",
@@ -43,18 +59,6 @@ _OPERATOR_MODULES = (
     "operators.sorts",
     "operators.setops",
     "operators.scalars",
-    "operators.dedup",
-    "operators.similarity",
-    "operators.textanalysis",
-    "operators.multimodal",
-    "operators.asof",
-    "operators.sqlapi",
-    "operators.udfs",
-    "sources.files",
-    "sources.rest",
-    "sources.sink",
-    "streaming.windows",
-    "streaming.stateful",
 )
 
 _loaded = False
