@@ -126,6 +126,78 @@ def _docs_records(spark: SparkSession, sf_dir: str, limit: int) -> list[dict]:
     ]
 
 
+_S1B_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s1b_rest_infer", oracle=_S1B_ORACLE, tags=("S1",))
+def s1b_rest_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference for unknown APIs (SURVEY.md §1.2): ``read_rest``
+    with ``schema=None`` probes page 1, infers the record schema with
+    Spark's JSON inference, pins it to a file, and the extraction then
+    runs with the pinned schema — the oracle proves the inferred-schema
+    read equals the declared-schema read."""
+    import tempfile as _tf
+
+    from .mock_api import MockApiServer
+    from .rest import read_rest
+
+    records = _docs_records(spark, sf_dir, 100)
+    pin = os.path.join(_tf.mkdtemp(prefix="ssn_schema_pin_"), "documents.schema.json")
+    with MockApiServer(records) as server:
+        df = read_rest(
+            spark,
+            server.base_url,
+            "documents",
+            schema=None,
+            page_size=50,
+            schema_pin_path=pin,
+        )
+        df = df.select("doc_id", "lang", "n_chars").cache()
+        df.count()
+    assert os.path.exists(pin), "inferred schema was not pinned"
+    return df
+
+
+_S1C_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s1c_rest_env_auth", oracle=_S1C_ORACLE, tags=("S1",))
+def s1c_rest_env_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credentialed extraction through the .env contract
+    (README.md:16-17,89-92): the token lives only in a .env file, the
+    server rejects unauthenticated requests (401), and ``read_rest``
+    loads the file and attaches the bearer token. Redaction is asserted
+    in tests/test_rest_source.py."""
+    import tempfile as _tf
+
+    from .mock_api import MockApiServer
+    from .rest import read_rest
+
+    token = "s1c-test-token-not-a-real-secret"
+    env_file = os.path.join(_tf.mkdtemp(prefix="ssn_dotenv_"), ".env")
+    with open(env_file, "w", encoding="utf-8") as fh:
+        fh.write(f"# connector credentials\nexport SSN_S1C_API_TOKEN='{token}'\n")
+    os.environ.pop("SSN_S1C_API_TOKEN", None)
+    records = _docs_records(spark, sf_dir, 100)
+    with MockApiServer(records, require_token=token) as server:
+        df = read_rest(
+            spark,
+            server.base_url,
+            "documents",
+            schema="doc_id BIGINT, lang STRING, n_chars BIGINT",
+            page_size=50,
+            env_file=env_file,
+            auth_env="SSN_S1C_API_TOKEN",
+        )
+        df = df.cache()
+        df.count()
+    return df
+
+
 _S2_ORACLE = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 """

@@ -285,19 +285,92 @@ def register_rest_source(spark) -> None:
     spark.dataSource.register(RestDataSource)
 
 
-def read_rest(spark, base_url: str, endpoint: str, schema: str, **options):
+def infer_rest_schema(
+    spark,
+    base_url: str,
+    endpoint: str,
+    data_path: str = "data",
+    size_param: str = "per_page",
+    page_param: str = "page",
+    page_size: int = 100,
+    headers: dict[str, str] | None = None,
+    pin_path: str | None = None,
+) -> str:
+    """Infer the record schema of an unknown REST API from its first page
+    (SURVEY.md §1.2: infer on first run, then pin and evolve; the
+    reference makes students "understand the response structure",
+    README.md:12 — this is that step, automated).
+
+    One driver-side probe request; Spark's JSON reader infers types from
+    the sampled records (same inference as ``spark.read.json``). If
+    ``pin_path`` is given, the inferred DDL is persisted on first run and
+    later runs EVOLVE it: previously-pinned fields keep their pinned types
+    (no silent type drift), genuinely new fields are appended. Returns a
+    DDL string for the ``schema`` option."""
+    params = urllib.parse.urlencode({page_param: 1, size_param: page_size})
+    url = f"{base_url.rstrip('/')}/{endpoint.lstrip('/')}?{params}"
+    payload = _fetch_json(url, headers or {"Accept": "application/json"})
+    cur = payload
+    for part in data_path.split("."):
+        cur = cur.get(part) if isinstance(cur, dict) else None
+    records = cur or []
+    if not records:
+        raise ValueError(f"cannot infer schema: no records at {data_path!r}")
+    # Spill the sample page to a temp JSONL file so inference runs through
+    # the JVM JSON reader (no Python worker round-trip for a driver probe).
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".jsonl", delete=False, encoding="utf-8"
+    ) as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+        sample_path = fh.name
+    try:
+        inferred = spark.read.json(sample_path).schema
+    finally:
+        os.unlink(sample_path)
+    if pin_path:
+        if os.path.exists(pin_path):
+            from pyspark.sql.types import StructType as _ST
+
+            with open(pin_path, encoding="utf-8") as fh:
+                pinned = _ST.fromJson(json.load(fh))
+            pinned_names = {f.name for f in pinned.fields}
+            evolved = _ST(
+                pinned.fields
+                + [f for f in inferred.fields if f.name not in pinned_names]
+            )
+            inferred = evolved
+        with open(pin_path, "w", encoding="utf-8") as fh:
+            json.dump(inferred.jsonValue(), fh)
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in inferred.fields)
+
+
+def read_rest(spark, base_url: str, endpoint: str, schema: str | None = None, **options):
     """Driver-side entry point for the REST connector.
 
-    Resolves ``auth_env`` from the DRIVER's environment (the reference's
-    .env contract, README.md:16-17,89-92) so credentials work regardless
-    of worker-process environments, then hands the opaque token to the
-    reader as the ``auth_token`` option. The token never appears in logs
-    we control; callers should treat explain/debug output as sensitive
-    when passing credentials.
+    Loads ``env_file`` (a .env file, reference credential contract
+    README.md:16-17,89-92) into the driver environment first, then
+    resolves ``auth_env`` from the DRIVER's environment so credentials
+    work regardless of worker-process environments, handing the opaque
+    token to the reader as the ``auth_token`` option. The token never
+    appears in logs we control; callers should treat explain/debug output
+    as sensitive when passing credentials.
+
+    ``schema=None`` triggers first-page inference (:func:`infer_rest_schema`);
+    pass ``schema_pin_path`` to persist-and-evolve the inferred schema
+    across runs instead of re-inferring from scratch.
     """
     register_rest_source(spark)
     opts = {k: str(v) for k, v in options.items()}
+    env_file = opts.pop("env_file", None)
+    if env_file:
+        from .dotenv import load_dotenv
+
+        load_dotenv(env_file)
     auth_env = opts.pop("auth_env", None)
+    token = ""
     if auth_env:
         token = os.environ.get(auth_env, "")
         if not token:
@@ -306,6 +379,21 @@ def read_rest(spark, base_url: str, endpoint: str, schema: str, **options):
                 "any request (reference fault matrix: auth)"
             )
         opts["auth_token"] = token
+    if schema is None:
+        headers = {"Accept": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        schema = infer_rest_schema(
+            spark,
+            base_url,
+            endpoint,
+            data_path=opts.get("data_path", "data"),
+            size_param=opts.get("size_param", "per_page"),
+            page_param=opts.get("page_param", "page"),
+            page_size=int(opts.get("page_size", "100")),
+            headers=headers,
+            pin_path=opts.pop("schema_pin_path", None),
+        )
     reader = (
         spark.read.format("restapi")
         .option("base_url", base_url)

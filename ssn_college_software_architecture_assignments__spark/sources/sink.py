@@ -139,3 +139,104 @@ def s8_validated_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(report.n_transformed, report.n_written, report.consistent)],
         "n_transformed long, n_written long, consistent boolean",
     )
+
+
+# S7b — document-shaped sink (the reference's MongoDB Load stage) ---------------
+
+
+def to_documents(
+    df: DataFrame, id_col: str, nests: dict[str, list[str]]
+) -> DataFrame:
+    """Re-nest a flat DataFrame into document shape: ``_id`` plus one
+    struct column per entry in ``nests`` (reference Load contract,
+    /root/reference/README.md:23,26-27 — records land as JSON documents,
+    not flat rows). Columns not named stay top-level. Pure projection —
+    zero shuffle at any scale."""
+    nested_cols = {c for cols in nests.values() for c in cols}
+    out = [F.col(id_col).alias("_id")]
+    for c in df.columns:
+        if c != id_col and c not in nested_cols:
+            out.append(F.col(c))
+    for name, cols in nests.items():
+        out.append(F.struct(*[F.col(c) for c in cols]).alias(name))
+    return df.select(*out)
+
+
+def document_sink(
+    df: DataFrame,
+    connector: str,
+    base_dir: str,
+    mongo_uri: str | None = None,
+    database: str = "etl",
+    mode: str = "append",
+) -> str:
+    """Write a document-shaped DataFrame to ``<connector>_raw``.
+
+    If ``mongo_uri`` is given (or ``SSN_MONGO_URI`` is set) and the MongoDB
+    Spark connector is on the classpath, writes through
+    ``format("mongodb")`` to the ``<connector>_raw`` collection — the
+    reference's literal Load target (README.md:23,98,106). Otherwise falls
+    back to JSON-lines files of the same documents (byte-identical payload
+    shape, mongoimport-ready), so the pipeline is runnable and checkable
+    without a database in the loop."""
+    audited = df.withColumn(AUDIT_COLUMN, F.current_timestamp())
+    uri = mongo_uri or os.environ.get("SSN_MONGO_URI")
+    if uri:
+        try:
+            (
+                audited.write.format("mongodb")
+                .mode(mode)
+                .option("connection.uri", uri)
+                .option("database", database)
+                .option("collection", f"{connector}_raw")
+                .save()
+            )
+            return f"mongodb://{database}/{connector}_raw"
+        except Exception:
+            # Connector jar absent or server unreachable: fall through to
+            # the file sink rather than losing the batch.
+            pass
+    path = raw_table_path(base_dir, connector)
+    audited.write.mode("overwrite" if mode == "overwrite" else "append").json(path)
+    return path
+
+
+_S7B_ORACLE = """
+SELECT c_custkey AS _id,
+       c_name,
+       c_mktsegment,
+       round(c_acctbal, 2) AS acctbal
+FROM customer
+"""
+
+
+@register("s7b_document_sink", oracle=_S7B_ORACLE, tags=("S7",))
+def s7b_document_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-shaped Load round trip: customers re-nested into
+    ``{_id, profile: {name, segment}, account: {balance}}`` documents,
+    written as JSON-lines (``format("mongodb")`` when SSN_MONGO_URI and
+    the connector are present — same DataFrame either way), read back and
+    flattened. Proves the re-nesting and the sink are lossless."""
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    docs = to_documents(
+        cust,
+        id_col="c_custkey",
+        nests={"profile": ["c_name", "c_mktsegment"], "account": ["acctbal"]},
+    )
+    base = tempfile.mkdtemp(prefix="ssn_document_sink_")
+    path = document_sink(docs, "customers", base, mode="overwrite")
+    back = spark.read.schema(
+        "_id BIGINT, profile STRUCT<c_name: STRING, c_mktsegment: STRING>, "
+        "account STRUCT<acctbal: DOUBLE>"
+    ).json(path)
+    return back.select(
+        "_id",
+        F.col("profile.c_name").alias("c_name"),
+        F.col("profile.c_mktsegment").alias("c_mktsegment"),
+        F.col("account.acctbal").alias("acctbal"),
+    )

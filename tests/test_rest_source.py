@@ -148,3 +148,100 @@ def test_missing_fields_become_null(spark):
     with MockApiServer(ragged) as server:
         rows = {r["id"]: r for r in _read(spark, server).collect()}
     assert rows[2]["name"] is None and rows[2]["price"] is None
+
+
+# -- .env loading + schema inference (reference README.md:16-17; SURVEY §1.2) --
+
+
+def test_dotenv_parser_formats(tmp_path):
+    from ssn_college_software_architecture_assignments__spark.sources.dotenv import (
+        load_dotenv,
+        parse_dotenv,
+    )
+
+    text = """
+# comment line
+export TOKEN='abc 123'
+PLAIN=hello
+QUOTED="with # hash inside"
+UNQUOTED=value # trailing comment
+EMPTY=
+BAD LINE NO EQUALS
+=novalue
+"""
+    parsed = parse_dotenv(text)
+    assert parsed == {
+        "TOKEN": "abc 123",
+        "PLAIN": "hello",
+        "QUOTED": "with # hash inside",
+        "UNQUOTED": "value",
+        "EMPTY": "",
+    }
+
+    import os
+
+    env_file = tmp_path / ".env"
+    env_file.write_text("SSN_DOTENV_TEST_A=file\nSSN_DOTENV_TEST_B=file\n")
+    os.environ.pop("SSN_DOTENV_TEST_A", None)
+    os.environ["SSN_DOTENV_TEST_B"] = "live"
+    try:
+        load_dotenv(str(env_file))
+        assert os.environ["SSN_DOTENV_TEST_A"] == "file"
+        assert os.environ["SSN_DOTENV_TEST_B"] == "live"  # live env wins
+        load_dotenv(str(env_file), override=True)
+        assert os.environ["SSN_DOTENV_TEST_B"] == "file"
+        assert load_dotenv(str(tmp_path / "missing.env")) == {}  # no-op
+    finally:
+        os.environ.pop("SSN_DOTENV_TEST_A", None)
+        os.environ.pop("SSN_DOTENV_TEST_B", None)
+
+
+def test_dotenv_auth_token_redacted_from_plan(spark, tmp_path):
+    """The token from a .env file must authenticate the read but never
+    appear in the DataFrame's query plan output."""
+    import os
+
+    token = "dotenv-secret-do-not-print"
+    env_file = tmp_path / ".env"
+    env_file.write_text(f"SSN_REDACT_TOKEN={token}\n")
+    os.environ.pop("SSN_REDACT_TOKEN", None)
+    try:
+        with MockApiServer(RECORDS[:50], require_token=token) as server:
+            df = read_rest(
+                spark, server.base_url, "items", SCHEMA,
+                page_size="50",
+                env_file=str(env_file),
+                auth_env="SSN_REDACT_TOKEN",
+            )
+            assert df.count() == 50
+            plan = df._jdf.queryExecution().toString()
+            assert token not in plan
+    finally:
+        os.environ.pop("SSN_REDACT_TOKEN", None)
+
+
+def test_schema_inference_pin_and_evolve(spark, tmp_path):
+    """schema=None infers from page 1; the pin file persists the schema;
+    a later run with a new field appends it without retyping old ones."""
+    from ssn_college_software_architecture_assignments__spark.sources.rest import (
+        infer_rest_schema,
+    )
+
+    pin = str(tmp_path / "items.schema.json")
+    with MockApiServer(RECORDS[:20]) as server:
+        df = read_rest(
+            spark, server.base_url, "items", schema=None,
+            page_size="20", schema_pin_path=pin,
+        )
+        assert df.count() == 20
+        assert set(df.columns) == {"id", "name", "price"}
+        assert df.schema["price"].dataType.simpleString() == "double"
+
+    evolved_records = [dict(r, rating=5) for r in RECORDS[:20]]
+    with MockApiServer(evolved_records) as server:
+        ddl = infer_rest_schema(
+            spark, server.base_url, "items", page_size=20, pin_path=pin
+        )
+    # pinned fields keep their types and order; the new field is appended
+    assert ddl.startswith("id bigint, name string, price double")
+    assert "rating" in ddl
