@@ -38,11 +38,19 @@ def _accumulate(
     )
 
 
-@register("t6_stateful_per_key", tags=("T6",))
+_T6_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("t6_stateful_per_key", oracle=_T6_ORACLE, tags=("T6",))
 def t6_stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key state over a real stream: per-user event count and
-    value total accumulated in GroupState. Deterministic end state ->
-    rows-only check (state semantics aren't SQL-expressible)."""
+    value total accumulated in GroupState. The cross-batch state machine
+    itself isn't SQL-expressible, but its END state over a bounded fixture
+    is the per-user batch aggregate — which is what the oracle checks."""
     ev = stream_events(spark, sf_dir)
     stateful = (
         ev.select("user_id", "value")

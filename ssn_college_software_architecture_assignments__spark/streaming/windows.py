@@ -131,13 +131,30 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # T4 — watermark + late-data handling ---------------------------------------------------
 
+_T4_ORACLE = """
+WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n
+FROM agg, m
+WHERE window_start + INTERVAL '10 minutes' <= max_ts - INTERVAL '10 minutes'
+"""
 
-@register("t4_watermarked_agg", tags=("T4",))
+
+@register("t4_watermarked_agg", oracle=_T4_ORACLE, tags=("T4",))
 def t4_watermarked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation in append mode: only windows the
-    10-minute watermark has sealed are emitted. Late-data semantics are
-    trigger-dependent -> rows-only; the drop behavior itself is unit-tested
-    with a two-batch file source in tests/test_streaming.py."""
+    10-minute watermark has sealed are emitted. With availableNow over a
+    bounded fixture the final watermark is max(ts) - 10min, so the sealed
+    set is deterministic: the oracle keeps exactly the windows whose end
+    <= final watermark (the no-new-data flush batch emits them). The
+    two-batch late-drop behavior is additionally unit-tested in
+    tests/test_streaming.py."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
         F.count("*").alias("n")
@@ -148,12 +165,20 @@ def t4_watermarked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # T5 — streaming dedup ---------------------------------------------------------------------
 
+_T5_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+"""
 
-@register("t5_streaming_dedup", tags=("T5",))
+
+@register("t5_streaming_dedup", oracle=_T5_ORACLE, tags=("T5",))
 def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once-per-key ingestion: dropDuplicatesWithinWatermark on
     event_id over a stream that deliberately delivers every event twice
-    (duplicate-delivery fault from FIXTURES.md B2)."""
+    (duplicate-delivery fault from FIXTURES.md B2). Both copies arrive
+    inside the watermark, so the surviving set is exactly the distinct
+    event_ids — which is what the batch twin counts."""
     ev = stream_events(spark, sf_dir)
     doubled = ev.union(ev).withWatermark("ts", "1 hour")
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
@@ -164,7 +189,16 @@ def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T7 — incremental append sink with checkpoint -----------------------------------------------
 
 
-@register("t7_incremental_sink", tags=("T7", "S9"))
+_T7_ORACLE = """
+SELECT event_type,
+       count(*)                    AS n,
+       sum(round(value * 100, 0))  AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("t7_incremental_sink", oracle=_T7_ORACLE, tags=("T7", "S9"))
 def t7_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental pipeline: stream -> transform -> parquet
     sink with checkpoint (exactly-once file commit protocol), then read
