@@ -85,10 +85,24 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield decoded
 
 
-@register("x5b_multimodal_decode", tags=("X5",))
+_X5B_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT)       AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INT)    AS width,
+       CAST(octet_length(encode(text)) % 480 AS INT)    AS height,
+       CAST(3 AS INT)                                   AS channels,
+       'stubbed'                                        AS decode_status
+FROM documents
+"""
+
+
+@register("x5b_multimodal_decode", oracle=_X5B_ORACLE, tags=("X5",))
 def x5b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode via mapInPandas: Arrow batches cross the JVM/Python
-    boundary once per batch (not per row). Deterministic stub -> rows-only."""
+    boundary once per batch (not per row). The decode itself is a declared
+    STUB, but its deterministic fake is SQL-expressible, so the Arrow
+    plumbing (batch shape, schema, types) is still oracle-checked
+    end-to-end."""
     docs = Catalog(spark, sf_dir).documents
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -135,17 +149,50 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
 
 
-@register("x5d_resize", tags=("X5",))
+_X5D_ORACLE = """
+-- ASCII-verified fixture: char positions == byte positions, so the
+-- kernel's strided byte slice payload[::stride][:224] is reproduced by
+-- picking characters at 0, stride, 2*stride, ... and re-encoding.
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         GREATEST(octet_length(encode(text)) // 224, 1) AS stride
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS src_bytes,
+       CAST(224 AS INT)  AS target_w,
+       CAST(224 AS INT)  AS target_h,
+       upper(hex(encode(array_to_string(
+         list_transform(
+           range(LEAST((n + stride - 1) // stride, 224)),
+           i -> substring(text, CAST(i * stride AS BIGINT) + 1, 1)
+         ), '')))) AS thumb_hex,
+       'stubbed' AS resize_status
+FROM d
+"""
+
+
+@register("x5d_resize", oracle=_X5D_ORACLE, tags=("X5",))
 def x5d_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize via mapInPandas: every payload maps to one fixed-size
     thumbnail row — output size is bounded per row regardless of input
     size, which is what makes the op safe at 100 TB (no row can blow the
-    batch). Deterministic stub -> rows-only."""
+    batch). The resample is a declared STUB with a deterministic strided
+    fake; the checked projection carries the thumbnail as hex so the
+    whole kernel is oracle-checked end-to-end."""
     docs = Catalog(spark, sf_dir).documents
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return with_payload.mapInPandas(resize_batch, RESIZE_SCHEMA).orderBy("doc_id")
+    resized = with_payload.mapInPandas(resize_batch, RESIZE_SCHEMA)
+    return resized.select(
+        "doc_id",
+        "src_bytes",
+        "target_w",
+        "target_h",
+        F.upper(F.hex("thumb_bytes")).alias("thumb_hex"),
+        "resize_status",
+    ).orderBy("doc_id")
 
 
 # X5c — frame sampling: one input row -> N frame rows ----------------------------
@@ -185,15 +232,43 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-@register("x5c_frame_sample", tags=("X5",))
+_X5C_ORACLE = """
+-- DuckDB lacks BLOB substring; fixture text is verified pure ASCII
+-- (octet_length == length for every row), so character slicing on the
+-- VARCHAR followed by encode() is byte-identical to the kernel's slice.
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 4 + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT)           AS frame_idx,
+       CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+       upper(hex(encode(substring(text, CAST((i * n) // n_frames AS BIGINT) + 1, 16)))) AS frame_hex,
+       'stubbed'                AS sample_status
+FROM d, LATERAL (SELECT unnest(range(n_frames)) AS i) gen
+"""
+
+
+@register("x5c_frame_sample", oracle=_X5C_ORACLE, tags=("X5",))
 def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling via mapInPandas: each binary payload row fans out to
-    N frame rows inside the Arrow kernel (the UDTF shape for media).
-    Deterministic stub -> rows-only."""
+    N frame rows inside the Arrow kernel (the UDTF shape for media). The
+    sampler is a declared STUB, but its deterministic fake (length-keyed
+    frame count, contiguous byte slices) is SQL-expressible, so the
+    fan-out plumbing is oracle-checked end-to-end."""
     docs = Catalog(spark, sf_dir).documents
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return with_payload.mapInPandas(sample_frames_batch, FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
-    )
+    frames = with_payload.mapInPandas(sample_frames_batch, FRAME_SCHEMA)
+    # Binary columns normalize differently across comparator backends
+    # (bytes vs bytearray), so the checked projection carries the frame
+    # payload as hex — the kernel output itself stays binary.
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.upper(F.hex("frame_bytes")).alias("frame_hex"),
+        "sample_status",
+    ).orderBy("doc_id", "frame_idx")

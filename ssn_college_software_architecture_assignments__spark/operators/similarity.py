@@ -245,7 +245,64 @@ def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3d — IVF (inverted-file) ANN: coarse quantize -> probe nearest cells ----------
 
 
-@register("x3d_similarity_ivf", tags=("X3",))
+_X3D_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb
+  FROM embeddings WHERE vec_id < 8
+),
+vc AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         list_aggregate(list_transform(list_zip(v.emb, c.cemb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(v.emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.cemb, x -> x*x), 'sum'))) AS cos
+  FROM v CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT vec_id, emb, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT q.q_id, q.qemb, c.cent_id,
+         list_aggregate(list_transform(list_zip(q.qemb, c.cemb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q.qemb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.cemb, x -> x*x), 'sum'))) AS cos
+  FROM q CROSS JOIN c
+),
+probe AS (
+  SELECT q_id, qemb, cent_id AS cell FROM (
+    SELECT q_id, qemb, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rn
+    FROM qc
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.q_id, cl.vec_id,
+         list_aggregate(list_transform(list_zip(p.qemb, cl.emb), pr -> pr[1] * pr[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(p.qemb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(cl.emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM probe p JOIN cells cl ON p.cell = cl.cell
+  WHERE cl.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, round(cos_sim, 4) AS cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_sim, 4) DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("x3d_similarity_ivf", oracle=_X3D_ORACLE, tags=("X3",))
 def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every vector to its nearest coarse centroid (the
     "cell"), then each query scores only vectors in its nprobe=2 closest

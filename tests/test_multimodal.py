@@ -22,7 +22,7 @@ def test_resize_one_row_per_doc_bounded(spark):
     assert len(out) == docs_n
     for r in out:
         assert r.target_w == _TARGET_W
-        assert len(r.thumb_bytes) <= _TARGET_W
+        assert len(r.thumb_hex) <= 2 * _TARGET_W  # hex doubles the byte length
         assert r.resize_status == "stubbed"
 
 

@@ -46,8 +46,8 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
