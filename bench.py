@@ -70,17 +70,34 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+
+    # Round-over-round continuity: compare against the newest BENCH_r*.json
+    # so per-query regressions are visible in the bench line itself.
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+    if prior:
+        try:
+            with open(prior[-1], encoding="utf-8") as fh:
+                prev = json.load(fh)
+            # The driver wraps the bench line under "parsed".
+            prev_q = prev.get("parsed", prev).get("queries", {})
+            out["prev_round"] = os.path.basename(prior[-1])
+            out["delta_vs_prev"] = {
+                n: round(per_query[n] - prev_q[n], 3)
+                for n in per_query
+                if n in prev_q
             }
-        )
-    )
+        except (OSError, ValueError, KeyError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
