@@ -59,3 +59,81 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), mode
     )
+
+
+# E1 — the reference's whole program as ONE registry query -----------------------
+
+_E1_ORACLE = """
+SELECT doc_id,
+       lower(lang) AS lang_norm,
+       n_chars
+FROM documents
+WHERE doc_id < 200 AND text IS NOT NULL AND length(trim(text)) > 0
+"""
+
+
+def _register_e1() -> None:
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+
+    @register("e1_etl_connector", oracle=_E1_ORACLE, tags=("E1", "S1", "S7", "S8"))
+    def e1_etl_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's complete connector contract in one query
+        (/root/reference/README.md:20-23,62): Extract a paginated mock
+        REST API through the ``restapi`` DataSource, Transform (drop
+        empty text, normalize fields), Load through the audited +
+        batch-validated sink, then read the ``<name>_raw`` table back.
+        The insert-consistency report is asserted inline; the oracle
+        replays the same E->T->L on the source table."""
+        import os
+        import tempfile
+
+        from ..catalog import Catalog
+        from ..sources.mock_api import MockApiServer
+        from ..sources.rest import read_rest
+
+        docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+        records = [
+            {
+                "doc_id": r["doc_id"],
+                "text": r["text"],
+                "lang": r["lang"],
+                "n_chars": r["n_chars"],
+            }
+            for r in docs.select("doc_id", "text", "lang", "n_chars")
+            .toLocalIterator()
+        ]
+        base = tempfile.mkdtemp(prefix="ssn_e1_connector_")
+        with MockApiServer(records) as server:
+            pipe = Pipeline(
+                name="docs_api",
+                source=lambda s: read_rest(
+                    s,
+                    server.base_url,
+                    "documents",
+                    schema="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+                    page_size=100,
+                ),
+            ).transform(
+                lambda df: df.filter(
+                    F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+                )
+            ).transform(
+                lambda df: df.select(
+                    "doc_id",
+                    F.lower("lang").alias("lang_norm"),
+                    "n_chars",
+                )
+            )
+            report = pipe.run(spark, base_dir=base, mode="overwrite")
+        if not report.consistent:
+            raise AssertionError(
+                f"insert validation failed: {report.n_transformed} transformed "
+                f"!= {report.n_written} written"
+            )
+        back = spark.read.parquet(os.path.join(base, "docs_api_raw"))
+        return back.select("doc_id", "lang_norm", "n_chars")
+
+
+_register_e1()

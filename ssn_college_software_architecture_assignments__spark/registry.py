@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "sources.files",
     "sources.rest",
     "sources.sink",
+    "plans.pipeline",
     "streaming.windows",
     "streaming.stateful",
     "operators.udfs",
