@@ -141,6 +141,74 @@ def s8_validated_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S10 — upsert / latest-wins merge (the reference's "updates" path) -------------
+
+
+def upsert_latest_wins(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Merge ``updates`` into ``existing``: one row per key, highest
+    ``version_col`` wins (ties break toward the updates side). This is
+    the reference's "store ingestion timestamps to support audits or
+    updates" contract (/root/reference/README.md:28,99) as an operator:
+    re-ingested records supersede their predecessors by audit timestamp.
+
+    One shuffle on the key (union is shuffle-free; the window sorts per
+    key). At 100 TB prefer table formats with native MERGE (Delta/
+    Iceberg) for the storage side; this is the engine-side dataflow that
+    stays identical."""
+    from pyspark.sql import Window as W
+
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+_S10_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN round(o_totalprice + 100.0, 2)
+            ELSE round(o_totalprice, 2) END AS totalprice,
+       CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version
+FROM orders
+"""
+
+
+@register("s10_upsert_latest_wins", oracle=_S10_ORACLE, tags=("S10", "S7"))
+def s10_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert: a re-ingested batch (every 10th order with a
+    repriced total (+100.00 — additive so both engines round identically), version 2) merges over the original load (version 1);
+    exactly the updated keys must surface the new values."""
+    orders = Catalog(spark, sf_dir).orders
+    existing = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 100.0, 2).alias("totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    return upsert_latest_wins(
+        existing, updates, key_cols=["o_orderkey"], version_col="version"
+    )
+
+
 # S7b — document-shaped sink (the reference's MongoDB Load stage) ---------------
 
 
