@@ -217,6 +217,55 @@ def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x2b2_simhash_pairs", tags=("X2",))
+def x2b2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING: 64-bit fingerprints split into 4 x 16-bit
+    bands; pairs colliding on any band (bucket equi-join — the pigeonhole
+    guarantee: any pair with Hamming distance <= 3 shares at least one
+    exact band) are scored with the exact Hamming distance
+    (bit_count(xor)) and flagged at <= 12 bits. Candidate generation is
+    engine-hash-dependent -> rows-only; the Hamming arithmetic is
+    re-verified in tests/test_dedup.py.
+
+    Scale shape: signatures are map-only; the only shuffle is the
+    (band_idx, band_value) bucket join — never all-pairs."""
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
+    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        (
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 12
+        ).alias("is_near_dup"),
+    )
+
+
 # X2c — exact n-gram Jaccard (full oracle: same relational algebra both sides) --
 
 _X2C_ORACLE = """

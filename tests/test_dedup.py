@@ -119,3 +119,30 @@ def test_embedding_lsh_candidates_scored_exactly_and_sublinear(spark):
     assert len(pairs) == len(set(pairs))
     n = len(emb)
     assert len(pairs) < 0.5 * n * (n - 1) / 2
+
+
+def test_simhash_pairs_hamming_exact_and_banded(spark):
+    """x2b2: the reported Hamming distance must equal popcount(xor) of the
+    two docs' independently computed signatures; every candidate pair must
+    genuinely share a 16-bit band; candidates stay sublinear."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2b2_simhash_pairs,
+        x2b_simhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sigs = {r["doc_id"]: r["simhash"] for r in x2b_simhash(spark, sf).collect()}
+    out = x2b2_simhash_pairs(spark, sf).collect()
+    assert out, "band collisions must produce candidates on the fixture"
+    for r in out:
+        xor = (sigs[r["id_a"]] ^ sigs[r["id_b"]]) & 0xFFFFFFFFFFFFFFFF
+        assert bin(xor).count("1") == r["hamming"]
+        assert r["is_near_dup"] == (r["hamming"] <= 12)
+        shares_band = any(
+            ((sigs[r["id_a"]] >> (16 * b)) & 0xFFFF)
+            == ((sigs[r["id_b"]] >> (16 * b)) & 0xFFFF)
+            for b in range(4)
+        )
+        assert shares_band
+    n = len(sigs)
+    assert len(out) < 0.5 * n * (n - 1) / 2
