@@ -230,7 +230,10 @@ def x2b2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are map-only; the only shuffle is the
     (band_idx, band_value) bucket join — never all-pairs."""
     docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
-    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    # Materialize signatures once: the self-join otherwise re-evaluates the
+    # (interpreted HOF) simhash expression on BOTH sides. At scale this is
+    # the natural "persist the fingerprint table" step of a dedup pipeline.
+    sigs = docs.select("doc_id", simhash64("text").alias("simhash")).localCheckpoint()
     banded = sigs.select(
         "doc_id",
         "simhash",
