@@ -46,6 +46,55 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X1b — incremental dedup (new batch vs existing corpus) -----------------------
+
+_X1B_ORACLE = """
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS fingerprint
+    FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+    SELECT md5(text)   AS fingerprint,
+           min(doc_id) AS admit_doc_id,
+           count(*)    AS n_batch_copies
+    FROM documents WHERE doc_id % 10 = 0
+    GROUP BY md5(text)
+)
+SELECT b.fingerprint, b.admit_doc_id, b.n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
+"""
+
+
+@register("x1b_incremental_dedup", oracle=_X1B_ORACLE, tags=("X1",))
+def x1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only new-batch documents whose fingerprint
+    is neither already in the corpus nor duplicated within the batch
+    (min doc_id wins). This is the steady-state form of X1 for an ongoing
+    ingest pipeline — the corpus side is the *persisted fingerprint table*
+    (narrow: one md5 per doc), so the nightly batch never rescans corpus
+    text. Shape: batch groupBy fingerprint (uniform key) + left-anti join
+    against the fingerprint store — one shuffle each, both skew-free; at
+    100 TB the anti-join's corpus side is bucketed by fingerprint so only
+    the (small) batch side shuffles. The local fixture splits ``documents``
+    10%/90% to stand in for batch/corpus."""
+    docs = Catalog(spark, sf_dir).documents
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("admit_doc_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+    )
+    return batch.join(corpus_fp, "fingerprint", "left_anti")
+
+
 # Shared shingling ------------------------------------------------------------
 
 

@@ -261,3 +261,57 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# J11 — bucketed co-located join (zero-shuffle fact-fact join) ------------------
+
+_J11_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*)                                              AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("j11_bucketed_join", oracle=_J11_ORACLE, tags=("J1", "S7"))
+def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both sides are written
+    ``bucketBy(N, key).sortBy(key)`` so the sort-merge join reads
+    pre-partitioned, pre-sorted buckets and needs NO Exchange (and no
+    sort) on either input — the single most effective shuffle eliminator
+    for a join that repeats nightly at 100 TB. The bucketed write costs
+    one shuffle ONCE at ingest; every subsequent join of the two tables
+    on the bucket key is then shuffle-free. Locally the tables land in a
+    temp dir as external tables; ``tests/test_joins.py`` asserts the
+    physical plan has no Exchange below the SortMergeJoin."""
+    import tempfile
+
+    c = Catalog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ssn_bucketed_")
+    n_buckets = 8
+    (
+        c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem_b")
+        .mode("overwrite")
+        .saveAsTable("ssn_lineitem_bucketed")
+    )
+    (
+        c.orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/orders_b")
+        .mode("overwrite")
+        .saveAsTable("ssn_orders_bucketed")
+    )
+    li = spark.table("ssn_lineitem_bucketed")
+    od = spark.table("ssn_orders_bucketed")
+    joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -368,3 +368,72 @@ def x4e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         guess.alias("guessed_lang"),
         best.cast("long").alias("marker_hits"),
     ).orderBy("doc_id")
+
+
+# X4g — corpus column profiling (data-quality stats, one pass) -----------------
+
+_X4G_ORACLE = """
+SELECT 'doc_id' AS col_name,
+       count(*) - count(doc_id)              AS n_nulls,
+       count(DISTINCT doc_id)                AS n_distinct,
+       CAST(min(doc_id) AS DOUBLE)           AS min_num,
+       CAST(max(doc_id) AS DOUBLE)           AS max_num
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'text', count(*) - count(text), count(DISTINCT text),
+       CAST(min(length(text)) AS DOUBLE), CAST(max(length(text)) AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+       CAST(min(length(lang)) AS DOUBLE), CAST(max(length(lang)) AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'source', count(*) - count(source), count(DISTINCT source),
+       CAST(min(length(source)) AS DOUBLE), CAST(max(length(source)) AS DOUBLE)
+FROM documents
+"""
+
+
+@register("x4g_column_profile", oracle=_X4G_ORACLE, tags=("X4", "A2"))
+def x4g_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (null count, exact distinct,
+    numeric/length min-max) in ONE aggregate over one scan, then
+    unpivoted to long form with ``stack`` — the ingest-gate profiling
+    step a training pipeline runs before admitting a batch. The multiple
+    exact count-distincts compile to Spark's Expand (5x row multiply
+    before partial aggregation, still one scan + one shuffle); at 100 TB
+    swap ``countDistinct`` for ``approx_count_distinct`` per column and
+    the Expand disappears — same query shape, sketch-mergeable. String
+    columns profile length (collation-free); numeric columns profile the
+    value itself."""
+    docs = Catalog(spark, sf_dir).documents
+    n = F.count(F.lit(1))
+
+    def _stats(col: str, measure: Column) -> list[Column]:
+        return [
+            (n - F.count(col)).alias(f"{col}_nulls"),
+            F.countDistinct(col).alias(f"{col}_distinct"),
+            F.min(measure).cast("double").alias(f"{col}_min"),
+            F.max(measure).cast("double").alias(f"{col}_max"),
+        ]
+
+    wide = docs.agg(
+        *_stats("doc_id", F.col("doc_id")),
+        *_stats("n_chars", F.col("n_chars")),
+        *_stats("text", F.length("text")),
+        *_stats("lang", F.length("lang")),
+        *_stats("source", F.length("source")),
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max"
+        for c in ("doc_id", "n_chars", "text", "lang", "source")
+    )
+    return wide.select(
+        F.expr(
+            f"stack(5, {stack_args}) AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )

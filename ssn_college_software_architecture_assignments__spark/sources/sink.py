@@ -308,3 +308,43 @@ def s7b_document_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.c_mktsegment").alias("c_mktsegment"),
         F.col("account.acctbal").alias("acctbal"),
     )
+
+
+# S11 — date-partitioned lake write + partition-pruned readback ----------------
+
+_S11_ORACLE = """
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-10'
+GROUP BY event_type
+"""
+
+
+@register("s11_partitioned_lake", oracle=_S11_ORACLE, tags=("S7", "S5"))
+def s11_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-date partitioning, the load-side half of partition pruning:
+    land events ``partitionBy(event_date)`` (one directory per day), then
+    read back with a 3-day predicate. The date filter is resolved against
+    the directory listing BEFORE any file is opened — the plan's
+    ``PartitionFilters`` carries the range and ``PartitionCount`` drops
+    from 30 to 3 (asserted in ``tests/test_sources.py``). At 100 TB this
+    is the difference between scanning a month and scanning a weekend;
+    the same layout feeds the incremental connectors' daily reruns."""
+    events = Catalog(spark, sf_dir).events
+    base = tempfile.mkdtemp(prefix="ssn_partitioned_lake_")
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(f"{base}/events_lake")
+    )
+    lake = spark.read.parquet(f"{base}/events_lake")
+    pruned = lake.filter(
+        F.col("event_date").between("2024-01-08", "2024-01-10")
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,77 @@
+"""Plan-shape and invariant tests for the lake-layout operators:
+bucketed co-located join (j11), date-partitioned pruning (s11), and
+incremental dedup (x1b). These assert the SCALE claims, not just values
+(the value check is the DuckDB oracle in the registry)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ssn_college_software_architecture_assignments__spark.registry import all_queries
+from tests.conftest import SF_DIR_001
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange_below_smj(spark):
+    df = all_queries()["j11_bucketed_join"](spark, SF_DIR_001)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # The ONLY exchange allowed is the final group-by on o_orderpriority;
+    # neither join input may reshuffle.
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert exchanges == ["o_orderpriority"], plan
+    # And the values still match the plain (shuffling) join.
+    smj = {r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in df.collect()}
+    li = spark.read.parquet(f"{SF_DIR_001}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR_001}/orders.parquet")
+    plain = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    expected = {r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in plain.collect()}
+    assert smj == expected
+
+
+def test_partitioned_lake_prunes_to_three_days(spark):
+    df = all_queries()["s11_partitioned_lake"](spark, SF_DIR_001)
+    plan = _executed_plan(df)
+    # Partition pruning happens at the directory listing: the scan must
+    # carry the range in PartitionFilters and select only 3 of 30 days.
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    filters = m.group(1)
+    assert ">= 2024-01-08" in filters and "<= 2024-01-10" in filters, filters
+    # The predicate must be a partition filter, NOT a data filter: nothing
+    # may remain to push to row groups (date never reaches file contents).
+    assert re.search(r"DataFilters: \[\]", plan), plan
+
+
+def test_incremental_dedup_admits_only_novel_fingerprints(spark):
+    admitted = all_queries()["x1b_incremental_dedup"](spark, SF_DIR_001)
+    docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    corpus_fp = {
+        r["fp"]
+        for r in docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    rows = admitted.collect()
+    # No admitted fingerprint may already exist in the corpus.
+    assert all(r["fingerprint"] not in corpus_fp for r in rows)
+    # Within-batch duplicates collapse to one admit (min doc_id wins).
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps))
+    assert all(r["admit_doc_id"] % 10 == 0 for r in rows)
