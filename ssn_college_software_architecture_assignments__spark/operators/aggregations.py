@@ -339,3 +339,43 @@ def a8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return pivoted.na.fill(0, _EVENT_TYPES)
+
+
+# A9 — key-skew profile (the pre-join diagnostic for salting decisions) --------
+
+_A9_ORACLE = """
+WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT count(*)                                   AS n_keys,
+       CAST(sum(n) AS BIGINT)                     AS total_rows,
+       max(n)                                     AS max_per_key,
+       round(avg(n), 4)                           AS avg_per_key,
+       round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS DOUBLE), 4)
+                                                  AS p50_per_key,
+       round(CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY n) AS DOUBLE), 4)
+                                                  AS p99_per_key,
+       round(max(n) / avg(n), 4)                  AS skew_ratio
+FROM k
+"""
+
+
+@register("a9_key_skew_profile", oracle=_A9_ORACLE, tags=("A2", "A6"))
+def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the distribution of per-key row counts for a
+    prospective join/agg key (events.user_id). ``skew_ratio`` (hottest key
+    vs mean) is the number that decides between a plain shuffle, AQE skew
+    splitting, and manual salting (J10) — you run THIS before shuffling
+    100 TB on a key you haven't profiled. Shape: two aggregations, the
+    first keyed on the profiled key (uniform by definition of profiling
+    it), the second a single-row reduce over one count per key — the
+    second stage's input is |keys| rows, not |rows|."""
+    ev = Catalog(spark, sf_dir).events
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.avg("n"), 4).alias("avg_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )

@@ -348,3 +348,49 @@ def s11_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# S12 — small-file compaction (lake maintenance) -------------------------------
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a parquet directory into ``ceil(bytes / target)`` files.
+    Streaming sinks and per-day partitioned loads accumulate small files
+    (one per task per micro-batch); scans then pay per-file open/footer
+    cost. Compaction sizes output files from the MEASURED input bytes —
+    the same arithmetic a table-format OPTIMIZE runs. Returns the file
+    count written."""
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+_S12_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register("s12_compaction", oracle=_S12_ORACLE, tags=("S7",))
+def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment documents into 64 tiny files (a streaming sink's worst
+    case), compact to measured-size file counts, and read the compacted
+    table back — lossless by oracle, file-count drop asserted in
+    ``tests/test_lake.py``. At 100 TB this runs per partition directory
+    after each incremental load; the repartition is the one deliberate
+    shuffle and writes land at target size."""
+    docs = Catalog(spark, sf_dir).documents
+    base = tempfile.mkdtemp(prefix="ssn_compaction_")
+    frag, compacted = f"{base}/frag", f"{base}/compacted"
+    docs.repartition(64).write.parquet(frag)
+    compact_parquet(spark, frag, compacted)
+    back = spark.read.parquet(compacted)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")

@@ -58,6 +58,32 @@ def test_partitioned_lake_prunes_to_three_days(spark):
     assert re.search(r"DataFilters: \[\]", plan), plan
 
 
+def test_compaction_reduces_file_count_losslessly(spark, tmp_path):
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        compact_parquet,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    frag = str(tmp_path / "frag")
+    docs.repartition(16).write.parquet(frag)
+
+    def _n_parquet(d):
+        import os
+
+        return sum(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        )
+
+    assert _n_parquet(frag) == 16
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, compacted)
+    assert _n_parquet(compacted) == n < 16
+    back = spark.read.parquet(compacted)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    assert back.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+
+
 def test_incremental_dedup_admits_only_novel_fingerprints(spark):
     admitted = all_queries()["x1b_incremental_dedup"](spark, SF_DIR_001)
     docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
