@@ -1,0 +1,192 @@
+"""Corpus curation operators (SURVEY.md §2.10, X6): the split / pack /
+mix / decontaminate stage of a training-data pipeline.
+
+These sit between dedup (X1/X2) and the sink: once a corpus is deduped
+and quality-scored, it still has to be (a) split reproducibly into
+train/val/test, (b) packed into token-budget sequences, (c) mixed across
+sources at target rates, and (d) scrubbed of benchmark contamination.
+All four are pure DataFrame dataflow — no Python in the hot path — and
+all four have exact DuckDB oracles.
+
+Determinism note: the split/mix bucket uses a PORTABLE multiplicative
+hash (Knuth 2654435761 mod 2^32) rather than ``xxhash64`` deliberately —
+a train/test split must reproduce bit-for-bit across engines (Spark,
+DuckDB, a Rust scorer reading the same lake), and ``xxhash64(seed=42)``
+is Spark-private. The hash only has to be uniform-ish over doc ids, not
+adversarially strong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# Shared: portable deterministic bucket in [0, 100) --------------------------
+
+
+def split_bucket(id_col: str | Column) -> Column:
+    """Deterministic pseudo-uniform bucket 0-99 from an integer id,
+    reproducible in any engine with 64-bit integer arithmetic."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (col * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+
+
+_BUCKET_SQL = "(doc_id * 2654435761) % 4294967296 % 100"
+
+
+# X6a — reproducible train/val/test split ------------------------------------
+
+_X6_ORACLE = f"""
+SELECT doc_id,
+       CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END          AS split
+FROM documents
+"""
+
+
+@register("x6_deterministic_split", oracle=_X6_ORACLE, tags=("X6",))
+def x6_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashing the document id —
+    stateless, join-free, and stable under corpus growth: a document's
+    split never changes when other documents arrive, unlike
+    ``randomSplit`` (sample-based, partition-order sensitive) or
+    row_number modulo (reshuffles every run). Map-only: zero shuffles,
+    survives any scale by construction."""
+    docs = Catalog(spark, sf_dir).documents
+    b = split_bucket("doc_id")
+    return docs.select(
+        "doc_id",
+        b.cast("long").alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# X6b — sequence packing under a token budget --------------------------------
+
+_X6B_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / 2048.0) AS BIGINT) AS chunk_id
+FROM t
+"""
+
+
+@register("x6b_sequence_packing", oracle=_X6B_ORACLE, tags=("X6",))
+def x6b_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training sequences: a running
+    token count per source (window cumsum in doc_id order) assigns each
+    document to the chunk where it starts. One shuffle on source; the
+    frame is the default running frame so Spark computes it in a single
+    sort-based pass. At 100 TB the partition key becomes
+    (source, split_bucket) so no single source serializes into one task
+    — same expression, finer key."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+
+# X6c — mixture sampling at per-stratum rates --------------------------------
+
+_X6C_RATES = {"en": 100, "de": 50, "es": 50, "fr": 25, "zh": 10}
+
+_X6C_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                                WHEN 'es' THEN 50 WHEN 'fr' THEN 25
+                                WHEN 'zh' THEN 10 ELSE 0 END
+"""
+
+
+@register("x6c_mixture_sample", oracle=_X6C_ORACLE, tags=("X6",))
+def x6c_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: downsample each stratum (language) to its target
+    rate with the same portable hash as the split — deterministic,
+    map-only, and consistent with X6a (a doc sampled out stays out
+    across reruns). Rates > 1.0 (upsampling) would explode a repeat
+    count instead; same expression family. Zero shuffles."""
+    docs = Catalog(spark, sf_dir).documents
+    rate = F.lit(0)
+    for lang, pct in _X6C_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return docs.filter(split_bucket("doc_id") < rate).select("doc_id", "lang")
+
+
+# X6d — benchmark decontamination (8-gram overlap) ---------------------------
+
+_X6D_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 7),
+             i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+         ))) AS gram
+  FROM documents
+),
+bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+SELECT t.doc_id                        AS train_doc_id,
+       count(DISTINCT t.gram)          AS n_shared_grams,
+       count(DISTINCT b.bench_id)      AS n_benchmark_docs
+FROM train t JOIN bench b ON t.gram = b.gram
+GROUP BY t.doc_id
+"""
+
+
+@register("x6d_decontamination", oracle=_X6D_ORACLE, tags=("X6", "X2"))
+def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the held-out benchmark set (stand-in: doc_id % 50 == 0).
+    Inverted-index shape — explode distinct 8-grams, equi-join on the
+    gram — so train docs sharing nothing with the benchmark never meet
+    it. The benchmark side is tiny by definition (eval sets are KBs-MBs
+    against a 100 TB corpus), so the join broadcasts and the corpus
+    NEVER shuffles. At scale, substitute ``xxhash64(gram)`` for the
+    string before the join: the shuffle/broadcast payload shrinks ~10x
+    for a ~1e-10 false-flag rate, acceptable for a filter that errs
+    toward dropping."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    grams_col = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        )
+    )
+    grams = docs.select("doc_id", F.explode(grams_col).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select("gram", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "streaming.stateful",
     "operators.udfs",
     "operators.dedup",
+    "operators.curation",
     "operators.textanalysis",
     "operators.multimodal",
     "operators.asof",
