@@ -394,3 +394,37 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_parquet(spark, frag, compacted)
     back = spark.read.parquet(compacted)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# S13 — schema evolution on read (mergeSchema across load generations) ---------
+
+_S13_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN source  ELSE NULL END AS source
+FROM documents
+"""
+
+
+@register("s13_schema_evolution", oracle=_S13_ORACLE, tags=("S7", "S5"))
+def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across load generations: generation 1 landed only
+    (doc_id, lang); generation 2 added (n_chars, source). A
+    ``mergeSchema`` read unions the footers — old files surface NULL for
+    late columns, no rewrite of historical data. This is the pin-and-
+    evolve read side of the REST source's inferred-schema policy
+    (SURVEY §1.2): additive drift is absorbed at the reader. At 100 TB
+    ``mergeSchema`` footer-merging is a one-time listing cost; pin the
+    merged schema in the catalog afterwards so routine scans skip it."""
+    docs = Catalog(spark, sf_dir).documents
+    base = tempfile.mkdtemp(prefix="ssn_schema_evo_")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    gen1.write.parquet(f"{base}/lake/gen=1")
+    gen2.write.parquet(f"{base}/lake/gen=2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(f"{base}/lake")
+    return merged.select("doc_id", "lang", "n_chars", "source")
