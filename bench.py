@@ -32,6 +32,10 @@ HEADLINE = [
     "x4b_term_frequency",
     "x4f_corpus_curation",
     "t1_tumbling_window",
+    # round-2 additions: lake layout + curation (no prior-round delta)
+    "j11_bucketed_join",
+    "x1b_incremental_dedup",
+    "x6d_decontamination",
 ]
 
 
