@@ -358,7 +358,7 @@ FROM k
 """
 
 
-@register("a9_key_skew_profile", oracle=_A9_ORACLE, tags=("A2", "A6"))
+@register("a9_key_skew_profile", oracle=_A9_ORACLE, tags=("A9",))
 def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: the distribution of per-key row counts for a
     prospective join/agg key (events.user_id). ``skew_ratio`` (hottest key
@@ -378,4 +378,56 @@ def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_per_key"),
         F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_per_key"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
+# A10 — statistical aggregates -------------------------------------------------
+
+_A10_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*)               AS n,
+         avg(l_quantity)        AS mean_qty,
+         stddev_pop(l_quantity) AS sd_pop,
+         corr(l_quantity, l_extendedprice)       AS corr_qp,
+         covar_samp(l_quantity, l_extendedprice) AS covar_qp,
+         stddev_samp(l_quantity)                 AS stddev_qty,
+         var_samp(l_quantity)                    AS var_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(any_value(m.corr_qp), 6)   AS corr_qty_price,
+       round(any_value(m.covar_qp), 4)  AS covar_qty_price,
+       round(any_value(m.stddev_qty), 6) AS stddev_qty,
+       round(any_value(m.var_qty), 6)    AS var_qty,
+       round((sum(pow(l.l_quantity - m.mean_qty, 3)) / m.n) / pow(m.sd_pop, 3), 6)
+           AS skewness_qty,
+       round((sum(pow(l.l_quantity - m.mean_qty, 4)) / m.n) / pow(m.sd_pop, 4) - 3, 6)
+           AS kurtosis_qty
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag, m.n, m.mean_qty, m.sd_pop
+"""
+
+
+@register("a10_stats_agg", oracle=_A10_ORACLE, tags=("A10",))
+def a10_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: correlation, covariance,
+    dispersion, and the 3rd/4th standardized moments. All are single-pass
+    partial-aggregatable JVM aggregates (Spark maintains running moment
+    sketches per partition and merges them) — one shuffle of one small
+    state row per (group, agg), identical shape at any scale. The DuckDB
+    oracle spells out Spark's population-moment skewness/kurtosis
+    definitions explicitly because DuckDB's natives use the
+    sample-adjusted estimator (verified numerically: population formulas
+    match Spark to ~1e-11)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.skewness("l_quantity"), 6).alias("skewness_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurtosis_qty"),
     )

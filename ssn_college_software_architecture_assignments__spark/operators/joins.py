@@ -274,7 +274,7 @@ GROUP BY o.o_orderpriority
 """
 
 
-@register("j11_bucketed_join", oracle=_J11_ORACLE, tags=("J1", "S7"))
+@register("j11_bucketed_join", oracle=_J11_ORACLE, tags=("J11",))
 def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located fact-fact join: both sides are written
     ``bucketBy(N, key).sortBy(key)`` so the sort-merge join reads

@@ -437,3 +437,70 @@ def x4g_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(5, {stack_args}) AS (col_name, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+# X4h — PII redaction ----------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_X4H_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM dirty
+)
+SELECT doc_id,
+       md5(redacted)                                   AS redacted_md5,
+       length(redacted) - length(replace(redacted, '<EMAIL>', ''))
+           >= 7                                        AS had_email,
+       length(redacted) - length(replace(redacted, '<PHONE>', ''))
+           >= 7                                        AS had_phone
+FROM red
+"""
+
+
+@register("x4h_pii_redaction", oracle=_X4H_ORACLE, tags=("X4", "P6"))
+def x4h_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: regexp-replace email and
+    phone patterns with typed placeholder tokens (the curation step every
+    published LLM data pipeline runs before tokenization). Map-only JVM
+    regex — zero shuffle, scales linearly with corpus bytes. The fixture
+    corpus contains no organic PII, so the query deterministically
+    injects a synthetic email+phone per document first (same expression
+    in the oracle) — the check then proves every injected instance is
+    caught. Patterns stay in the RE2-compatible subset so the DuckDB
+    oracle runs the *same* regexes rather than a translation."""
+    docs = Catalog(spark, sf_dir).documents
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        (
+            F.length(redacted) - F.length(F.replace(redacted, F.lit("<EMAIL>"), F.lit("")))
+            >= 7
+        ).alias("had_email"),
+        (
+            F.length(redacted) - F.length(F.replace(redacted, F.lit("<PHONE>"), F.lit("")))
+            >= 7
+        ).alias("had_phone"),
+    )

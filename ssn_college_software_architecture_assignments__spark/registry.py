@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "operators.multimodal",
     "operators.asof",
     "operators.sqlapi",
+    "operators.quality",
     "operators.similarity",
     "operators.projections",
     "operators.joins",

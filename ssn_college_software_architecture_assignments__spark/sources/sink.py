@@ -322,7 +322,7 @@ GROUP BY event_type
 """
 
 
-@register("s11_partitioned_lake", oracle=_S11_ORACLE, tags=("S7", "S5"))
+@register("s11_partitioned_lake", oracle=_S11_ORACLE, tags=("S11",))
 def s11_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-date partitioning, the load-side half of partition pruning:
     land events ``partitionBy(event_date)`` (one directory per day), then
@@ -379,7 +379,7 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
-@register("s12_compaction", oracle=_S12_ORACLE, tags=("S7",))
+@register("s12_compaction", oracle=_S12_ORACLE, tags=("S12",))
 def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fragment documents into 64 tiny files (a streaming sink's worst
     case), compact to measured-size file counts, and read the compacted
@@ -406,7 +406,7 @@ FROM documents
 """
 
 
-@register("s13_schema_evolution", oracle=_S13_ORACLE, tags=("S7", "S5"))
+@register("s13_schema_evolution", oracle=_S13_ORACLE, tags=("S13",))
 def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across load generations: generation 1 landed only
     (doc_id, lang); generation 2 added (n_chars, source). A
@@ -428,3 +428,121 @@ def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursiveFileLookup", "true"
     ).parquet(f"{base}/lake")
     return merged.select("doc_id", "lang", "n_chars", "source")
+
+
+# S14 — snapshot diff (change data capture between load generations) -----------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """CDC between two snapshots of the same table: full outer join on the
+    key, classify each row as insert / delete / update, drop unchanged
+    rows. This is how the reference's "run the connector again" model
+    (/root/reference/README.md:12,28) turns into an incremental feed.
+
+    One shuffle per side on the key (or zero if both snapshots are
+    bucket-written on the key — see j11/S11); the unchanged majority is
+    filtered before any downstream work, so the emitted delta is
+    O(changes), not O(table). At 100 TB that is the difference between
+    re-loading a table and shipping a few MB of changes."""
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+    )
+    cond = [o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *out_keys,
+            F.col("change_type"),
+            *[F.col(f"_ov_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"_nv_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+_S14_ORACLE = """
+WITH gen0 AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority AS priority
+  FROM orders
+), gen1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice + 100.0, 2)
+              ELSE round(o_totalprice, 2) END AS totalprice,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, round(o_totalprice, 2), o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.totalprice IS DISTINCT FROM n.totalprice
+              OR o.priority  IS DISTINCT FROM n.priority THEN 'update' END AS change_type,
+       o.totalprice AS old_totalprice, n.totalprice AS new_totalprice,
+       o.priority AS old_priority, n.priority AS new_priority
+FROM gen0 o FULL OUTER JOIN gen1 n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN o.totalprice IS DISTINCT FROM n.totalprice
+             OR o.priority  IS DISTINCT FROM n.priority THEN 'update' END IS NOT NULL
+"""
+
+
+@register("s14_snapshot_diff", oracle=_S14_ORACLE, tags=("S14",))
+def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: generation 1 reprices every 10th order (+100.00,
+    additive so both engines round identically), drops every 7th, and
+    inserts a shifted copy of every 13th; the diff must emit exactly the
+    insert/update/delete rows and nothing else."""
+    orders = Catalog(spark, sf_dir).orders
+    gen0 = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    gen1 = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.round(F.col("o_totalprice") + 100.0, 2),
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    )
+    return snapshot_diff(
+        gen0, gen1, key_cols=["o_orderkey"], compare_cols=["totalprice", "priority"]
+    )

@@ -246,7 +246,7 @@ GROUP BY e.user_id, e.event_type
 """
 
 
-@register("t8_stream_static_join", oracle=_T8_ORACLE, tags=("T1", "S9"))
+@register("t8_stream_static_join", oracle=_T8_ORACLE, tags=("T8",))
 def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: each micro-batch of the event stream is
     enriched against a static per-user profile (broadcast dim — the
@@ -267,3 +267,71 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_events_static").alias("user_total"),
     )
     return run_to_memory(agg, "complete")
+
+
+# T9 — stream-stream join ------------------------------------------------------
+
+_T9_ORACLE = """
+SELECT l.event_id AS view_id,
+       r.event_id AS purchase_id,
+       l.user_id  AS user_id,
+       CAST(l.ts AS TIMESTAMP) AS view_ts,
+       CAST(r.ts AS TIMESTAMP) AS purchase_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+ AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+"""
+
+
+@register("t9_stream_stream_join", oracle=_T9_ORACLE, tags=("T9",))
+def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range constraint: each
+    ``view`` event pairs with the same user's ``purchase`` events within
+    the following hour (attribution-style funnel join — the reference's
+    "re-run and correlate" pattern, /root/reference/README.md:12,28, as
+    one incremental job).
+
+    Both sides carry a watermark; the range condition bounds join state
+    to [watermark, watermark + 1h] per side, so state size is O(events
+    within the window), not O(stream history) — the property that keeps
+    this runnable forever at 100 TB/day. The inner join emits exactly the
+    batch-join result for availableNow processing, which is what the
+    DuckDB oracle checks (batch-stream equivalence, SURVEY.md §5.2(5))."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "view_user = purchase_user "
+            "AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        F.col("view_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )

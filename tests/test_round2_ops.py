@@ -1,0 +1,164 @@
+"""Tests for the round-2 additions: stream-stream join (T9), snapshot
+CDC diff (S14), statistical aggregates (A10), PII redaction (X4h)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+    a10_stats_agg,
+)
+from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+    x4h_pii_redaction,
+)
+from ssn_college_software_architecture_assignments__spark.sources.sink import (
+    s14_snapshot_diff,
+    snapshot_diff,
+)
+from ssn_college_software_architecture_assignments__spark.streaming.windows import (
+    t9_stream_stream_join,
+)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The streaming funnel join must emit exactly the batch join rows."""
+    streamed = {
+        (r["view_id"], r["purchase_id"])
+        for r in t9_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = Catalog(spark, sf_dir).events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_snapshot_diff_classifies_all_change_types(spark, sf_dir):
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in s14_snapshot_diff(spark, sf_dir)
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    orders = Catalog(spark, sf_dir).orders
+    n_del = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_ins = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    # updates: repriced (%10) minus those deleted (%7) — deletion wins
+    n_upd = orders.filter(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).count()
+    assert by_type.get("delete", 0) == n_del
+    assert by_type.get("insert", 0) == n_ins
+    assert by_type.get("update", 0) == n_upd
+
+
+def test_snapshot_diff_emits_nothing_for_identical_snapshots(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    diff = snapshot_diff(
+        orders, orders, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+    assert diff.count() == 0
+
+
+def test_stats_agg_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = a10_stats_agg(spark, sf_dir).collect()
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        q = li[li.l_returnflag == r["l_returnflag"]].l_quantity.to_numpy()
+        p = li[li.l_returnflag == r["l_returnflag"]].l_extendedprice.to_numpy()
+        assert abs(r["corr_qty_price"] - np.corrcoef(q, p)[0, 1]) < 1e-5
+        assert abs(r["stddev_qty"] - q.std(ddof=1)) < 1e-5
+        m = q.mean()
+        sd = q.std(ddof=0)
+        skew = ((q - m) ** 3).mean() / sd**3
+        kurt = ((q - m) ** 4).mean() / sd**4 - 3
+        assert abs(r["skewness_qty"] - skew) < 1e-5
+        assert abs(r["kurtosis_qty"] - kurt) < 1e-5
+
+
+def test_pii_redaction_catches_every_injected_instance(spark, sf_dir):
+    out = x4h_pii_redaction(spark, sf_dir)
+    n = out.count()
+    assert n > 0
+    # every doc had exactly one email and one phone injected
+    assert out.filter(F.col("had_email") & F.col("had_phone")).count() == n
+
+
+def test_dq_report_all_checks_pass_on_clean_fixture(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.quality import (
+        s8b_dq_report,
+    )
+
+    rows = s8b_dq_report(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["passed"] for r in rows)
+    assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_expectation_report_counts_violations(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.quality import (
+        expectation_report,
+    )
+
+    orders = Catalog(spark, sf_dir).orders
+    rep = {
+        r["check_name"]: r["n_violations"]
+        for r in expectation_report(
+            orders, {"low_price": F.col("o_totalprice") < 50000}
+        ).collect()
+    }
+    expected = orders.filter(F.col("o_totalprice") < 50000).count()
+    assert rep["low_price"] == expected > 0
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.quality import (
+        a11_incremental_rollup,
+    )
+
+    merged = {
+        r["order_month"]: (r["n_orders"], r["revenue"])
+        for r in a11_incremental_rollup(spark, sf_dir).collect()
+    }
+    orders = Catalog(spark, sf_dir).orders
+    full = {
+        r["order_month"]: (r["n_orders"], r["revenue"])
+        for r in orders.groupBy(
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert merged == full
