@@ -78,3 +78,37 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.subtract(buyers)
+
+
+# U4 — union across drifted schemas ---------------------------------------------
+
+_U4_ORACLE = """
+SELECT o_orderkey, totalprice, priority FROM (
+  SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+"""
+
+
+@register("u4_union_schema_drift", oracle=_U4_ORACLE, tags=("U4", "S13"))
+def u4_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across load generations whose schemas drifted (a column was
+    added/dropped between connector runs — the S13 scenario at the
+    dataflow layer instead of the storage layer). ``unionByName(
+    allowMissingColumns=True)`` aligns by NAME and null-fills the gaps;
+    positional ``union`` would silently mis-align columns, the classic
+    multi-generation ingestion bug. Pure narrow op — no shuffle at any
+    scale."""
+    orders = Catalog(spark, sf_dir).orders
+    gen_a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    gen_b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    return gen_a.unionByName(gen_b, allowMissingColumns=True).select(
+        "o_orderkey", "totalprice", "priority"
+    )

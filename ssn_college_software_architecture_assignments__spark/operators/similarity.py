@@ -371,8 +371,8 @@ def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X3C_ORACLE = """
 SELECT vec_id, label,
        round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
-       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4)  AS comp_sum,
-       round(CAST(embedding[1] AS DOUBLE), 4) AS first_comp,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS comp_sum,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_comp,
        CAST(len(embedding) AS BIGINT)         AS dim
 FROM embeddings
 """
@@ -388,9 +388,10 @@ def x3c_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(l2_norm(d), 4).alias("l2_norm"),
-        F.round(
+        # + 0.0 collapses IEEE -0.0 (surfaced at sf0.1) to +0.0 in both engines
+        (F.round(
             F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("comp_sum"),
-        F.round(F.col("embedding")[0].cast("double"), 4).alias("first_comp"),
+        ) + 0.0).alias("comp_sum"),
+        (F.round(F.col("embedding")[0].cast("double"), 4) + 0.0).alias("first_comp"),
         F.size("embedding").cast("long").alias("dim"),
     )

@@ -214,7 +214,7 @@ GROUP BY user_id, session_idx
 """
 
 
-@register("w6_sessionize", oracle=_W6_ORACLE, tags=("W2", "W3"))
+@register("w6_sessionize", oracle=_W6_ORACLE, tags=("W6",))
 def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap): lag flags session
     starts, a running sum assigns session ids, then per-session stats —
@@ -238,4 +238,76 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.round((F.max("us") - F.min("us")) / 1e6, 3).alias("duration_sec"),
+    )
+
+
+# W7 — ordered-sequence (funnel) detection ---------------------------------------
+
+_W7_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), s1 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS recent_view
+  FROM e
+), s2 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'click' AND recent_view IS NOT NULL
+                             AND ts <= recent_view + INTERVAL 30 MINUTE
+                            THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS recent_qclick
+  FROM s1
+)
+SELECT user_id, count(*) AS n_funnels
+FROM s2
+WHERE event_type = 'purchase' AND recent_qclick IS NOT NULL
+  AND ts <= recent_qclick + INTERVAL 30 MINUTE
+GROUP BY user_id
+"""
+
+
+@register("w7_funnel_detect", oracle=_W7_ORACLE, tags=("W7",))
+def w7_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence detection (view -> click -> purchase, each step
+    within 30 minutes of the one it chains from) — MATCH_RECOGNIZE-style
+    funnel analytics without a single self-join. Two stacked conditional
+    ``last(..., ignorenulls)`` running windows over the SAME partition/
+    order spec carry the most recent qualifying prior step forward, so
+    the whole funnel costs ONE shuffle on user_id and one sort, where the
+    naive 3-way self-join explodes quadratically on active users. Ties
+    are broken by event_id so both engines see identical frames."""
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    s1 = ev.withColumn(
+        "recent_view",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    s2 = s1.withColumn(
+        "recent_qclick",
+        F.last(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("recent_view").isNotNull()
+                & (F.col("ts") <= F.col("recent_view") + half_hour),
+                F.col("ts"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        s2.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("recent_qclick").isNotNull()
+            & (F.col("ts") <= F.col("recent_qclick") + half_hour)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_funnels"))
     )

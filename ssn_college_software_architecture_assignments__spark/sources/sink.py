@@ -546,3 +546,60 @@ def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         gen0, gen1, key_cols=["o_orderkey"], compare_cols=["totalprice", "priority"]
     )
+
+
+# S15 — quarantine split (error-handling contract) -----------------------------
+
+_S15_ORACLE = """
+WITH corrupted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 83 = 0 THEN 'zzz' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 97 = 0 THEN -value ELSE value END     AS value,
+         CASE WHEN event_id % 89 = 0 THEN '{broken' ELSE props END  AS props
+  FROM events
+)
+SELECT event_id, event_type,
+       CASE WHEN NOT json_valid(props)              THEN 'bad_props'
+            WHEN value < 0                           THEN 'negative_value'
+            WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+                                                     THEN 'unknown_type'
+       END AS reject_reason
+FROM corrupted
+"""
+
+
+@register("s15_quarantine_split", oracle=_S15_ORACLE, tags=("S15", "S8"))
+def s15_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing — the reference's "handle errors and invalid
+    data" contract (/root/reference/README.md:22,63) as one dataflow:
+    every record is classified in a single scan (first failing check in a
+    fixed order wins), valid rows flow on with ``reject_reason`` NULL,
+    invalid rows carry the machine-readable reason a replay job needs.
+    Map-only: at 100 TB the split is free, and writing the two streams is
+    one ``partitionBy("reject_reason")`` write — no second scan, no
+    driver round-trip. The fixture is clean, so the query deterministically
+    corrupts three disjoint slices first (negated value, truncated JSON,
+    unknown type) with the same expressions in the oracle; the check
+    proves every corruption lands in quarantine with the right reason."""
+    events = Catalog(spark, sf_dir).events
+    corrupted = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 83 == 0, F.lit("zzz"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 97 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 89 == 0, F.lit("{broken"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    known = ("click", "view", "purchase", "signup", "error")
+    reason = (
+        F.when(F.get_json_object("props", "$.k").isNull(), F.lit("bad_props"))
+        .when(F.col("value") < 0, F.lit("negative_value"))
+        .when(~F.col("event_type").isin(*known), F.lit("unknown_type"))
+    )
+    return corrupted.select(
+        "event_id", "event_type", reason.alias("reject_reason")
+    )

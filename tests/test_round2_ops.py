@@ -162,3 +162,86 @@ def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
         .collect()
     }
     assert merged == full
+
+
+def test_quarantine_split_routes_exactly_the_corrupted_slices(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        s15_quarantine_split,
+    )
+
+    out = s15_quarantine_split(spark, sf_dir)
+    by_reason = {
+        r["reject_reason"]: r["n"]
+        for r in out.groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ev = Catalog(spark, sf_dir).events
+    # precedence: bad_props > negative_value > unknown_type
+    exp_props = ev.filter(F.col("event_id") % 89 == 0).count()
+    exp_neg = ev.filter(
+        (F.col("event_id") % 97 == 0) & (F.col("event_id") % 89 != 0)
+    ).count()
+    exp_type = ev.filter(
+        (F.col("event_id") % 83 == 0)
+        & (F.col("event_id") % 89 != 0)
+        & (F.col("event_id") % 97 != 0)
+    ).count()
+    assert by_reason.get("bad_props", 0) == exp_props
+    assert by_reason.get("negative_value", 0) == exp_neg
+    assert by_reason.get("unknown_type", 0) == exp_type
+    assert by_reason.get(None, 0) == ev.count() - exp_props - exp_neg - exp_type
+
+
+def test_funnel_detect_matches_three_way_join(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w7_funnel_detect,
+    )
+
+    fast = {
+        r["user_id"]: r["n_funnels"]
+        for r in w7_funnel_detect(spark, sf_dir).collect()
+    }
+    # oracle by construction: for each purchase, the most recent qualifying
+    # click must exist, where a qualifying click has a view <=30min before it
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts", "event_id")
+    ev.createOrReplaceTempView("w7ev")
+    slow = {
+        r["user_id"]: r["n_funnels"]
+        for r in spark.sql(
+            """
+            WITH s1 AS (
+              SELECT *, last(CASE WHEN event_type = 'view' THEN ts END, true)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS recent_view
+              FROM w7ev
+            ), s2 AS (
+              SELECT *, last(CASE WHEN event_type = 'click'
+                                   AND ts <= recent_view + INTERVAL 30 MINUTES
+                                  THEN ts END, true)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS recent_qclick
+              FROM s1
+            )
+            SELECT user_id, count(*) AS n_funnels FROM s2
+            WHERE event_type = 'purchase'
+              AND ts <= recent_qclick + INTERVAL 30 MINUTES
+            GROUP BY user_id
+            """
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_union_schema_drift_nullfills_by_name(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.setops import (
+        u4_union_schema_drift,
+    )
+
+    out = u4_union_schema_drift(spark, sf_dir)
+    orders = Catalog(spark, sf_dir).orders
+    assert out.count() == orders.count()
+    assert out.filter(
+        (F.col("o_orderkey") % 2 == 0) & F.col("priority").isNotNull()
+    ).count() == 0
+    assert out.filter(
+        (F.col("o_orderkey") % 2 == 1) & F.col("totalprice").isNotNull()
+    ).count() == 0
