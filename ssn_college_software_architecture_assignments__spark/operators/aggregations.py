@@ -384,28 +384,21 @@ def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A10 — statistical aggregates -------------------------------------------------
 
 _A10_ORACLE = """
-WITH m AS (
-  SELECT l_returnflag,
-         count(*)               AS n,
-         avg(l_quantity)        AS mean_qty,
-         stddev_pop(l_quantity) AS sd_pop,
-         corr(l_quantity, l_extendedprice)       AS corr_qp,
-         covar_samp(l_quantity, l_extendedprice) AS covar_qp,
-         stddev_samp(l_quantity)                 AS stddev_qty,
-         var_samp(l_quantity)                    AS var_qty
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT l.l_returnflag,
-       round(any_value(m.corr_qp), 6)   AS corr_qty_price,
-       round(any_value(m.covar_qp), 4)  AS covar_qty_price,
-       round(any_value(m.stddev_qty), 6) AS stddev_qty,
-       round(any_value(m.var_qty), 6)    AS var_qty,
-       round((sum(pow(l.l_quantity - m.mean_qty, 3)) / m.n) / pow(m.sd_pop, 3), 6)
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6)                 AS stddev_qty,
+       round(var_samp(l_quantity), 6)                    AS var_qty,
+       round((sum(pow(l_quantity, 3))/count(*)
+              - 3*avg(l_quantity)*sum(pow(l_quantity, 2))/count(*)
+              + 2*pow(avg(l_quantity), 3)) / pow(stddev_pop(l_quantity), 3), 6)
            AS skewness_qty,
-       round((sum(pow(l.l_quantity - m.mean_qty, 4)) / m.n) / pow(m.sd_pop, 4) - 3, 6)
+       round((sum(pow(l_quantity, 4))/count(*)
+              - 4*avg(l_quantity)*sum(pow(l_quantity, 3))/count(*)
+              + 6*pow(avg(l_quantity), 2)*sum(pow(l_quantity, 2))/count(*)
+              - 3*pow(avg(l_quantity), 4)) / pow(stddev_pop(l_quantity), 4) - 3, 6)
            AS kurtosis_qty
-FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
-GROUP BY l.l_returnflag, m.n, m.mean_qty, m.sd_pop
+FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -419,7 +412,10 @@ def a10_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle spells out Spark's population-moment skewness/kurtosis
     definitions explicitly because DuckDB's natives use the
     sample-adjusted estimator (verified numerically: population formulas
-    match Spark to ~1e-11)."""
+    match Spark to ~1e-11). The oracle uses the raw-moment expansion so
+    it stays one aggregation pass — safe here because l_quantity is
+    small-magnitude; with large means, prefer the centered two-pass
+    form."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
