@@ -104,3 +104,56 @@ def e2_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer", "orders", "lineitem", "supplier", "nation", "region")
     )
     return spark.sql(_Q5_SQL)
+
+
+# E2c — TPC-H Q4: EXISTS subquery (decorrelated to a semi-join) -----------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+@register("e2_sql_exists_priority", oracle=_Q4_SQL, tags=("E2",))
+def e2_sql_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery. Catalyst's
+    RewritePredicateSubquery decorrelates it into a LEFT SEMI join on
+    l_orderkey — the date filter pushes to the orders scan and the
+    discount predicate evaluates inside the lineitem scan, so the
+    semi-join build side carries only qualifying keys. The same text
+    runs verbatim in DuckDB (its optimizer does the same rewrite), which
+    is the point of the SQL entry surface: one dialect-portable string,
+    two engines, identical results."""
+    Catalog(spark, sf_dir).register_views(("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+# E2d — TPC-H Q17-style: correlated scalar subquery ------------------------------
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_size <= 5
+  AND l1.l_quantity < (SELECT 0.8 * avg(l2.l_quantity)
+                       FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@register("e2_sql_scalar_subquery", oracle=_Q17_SQL, tags=("E2",))
+def e2_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold; probe filtered to small parts). Catalyst's
+    RewriteCorrelatedScalarSubquery turns
+    the per-row subquery into ONE aggregation over lineitem grouped by
+    partkey joined back to the filtered probe — the subquery is evaluated
+    once per key, not once per row (the difference between O(|parts|)
+    and O(|lineitem|^2) at 100 TB). The part filter broadcasts."""
+    Catalog(spark, sf_dir).register_views(("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
