@@ -163,30 +163,34 @@ def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram — so train docs sharing nothing with the benchmark never meet
     it. The benchmark side is tiny by definition (eval sets are KBs-MBs
     against a 100 TB corpus), so the join broadcasts and the corpus
-    NEVER shuffles. At scale, substitute ``xxhash64(gram)`` for the
-    string before the join: the shuffle/broadcast payload shrinks ~10x
-    for a ~1e-10 false-flag rate, acceptable for a filter that errs
-    toward dropping."""
+    NEVER shuffles. The join key is ``xxhash64(gram)``, not the gram
+    string: the broadcast table and per-row probe payload shrink ~6x for
+    a ~1e-10 false-flag rate — acceptable for a filter that errs toward
+    dropping. The DuckDB oracle joins on the raw strings; agreement of
+    the two forms at the gate's scale is itself evidence the hash
+    substitution is sound."""
     docs = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
+    # hash INSIDE the per-doc transform: array_distinct, explode, and the
+    # downstream join/agg all operate on 8-byte longs, never gram strings
     grams_col = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
         )
     )
-    grams = docs.select("doc_id", F.explode(grams_col).alias("gram"))
+    grams = docs.select("doc_id", F.explode(grams_col).alias("gram_h"))
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0)
-        .select("gram", F.col("doc_id").alias("bench_id"))
+        .select("gram_h", F.col("doc_id").alias("bench_id"))
         .distinct()
     )
     train = grams.filter(F.col("doc_id") % 50 != 0)
     return (
-        train.join(F.broadcast(bench), "gram")
+        train.join(F.broadcast(bench), "gram_h")
         .groupBy(F.col("doc_id").alias("train_doc_id"))
         .agg(
-            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("gram_h").alias("n_shared_grams"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
     )
