@@ -586,3 +586,160 @@ def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos_raw") >= 0.95).alias("is_near_dup"),
         )
     )
+
+
+# X2g — MinHash+LSH with a FULL oracle (md5-derived permutation hashes) --------
+#
+# The flagship x2_minhash_near_dedup uses xxhash64, which DuckDB cannot
+# reproduce, so it is rows-only by design. This variant runs the SAME
+# relational pipeline — shingle-explode -> map-side partial min-agg ->
+# band-hash bucket self-join -> signature-overlap estimate — with every
+# hash derived from md5 (identical in both engines: Spark
+# conv(substr(md5(x),1,15),16,10) == DuckDB CAST('0x'||substr(md5(x),1,15)
+# AS BIGINT), a 60-bit positive value), so the ENTIRE MinHash+LSH dataflow
+# is exact-value checkable end-to-end: signatures, band buckets, candidate
+# pairs, and Jaccard estimates all verified, not just row counts.
+
+_X2G_HASHES = 8
+_X2G_BANDS = 4
+
+
+def _md5h60(col: Column) -> Column:
+    """60-bit hash both engines compute identically (see block comment)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_X2G_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM docs
+),
+sigs AS (
+  SELECT doc_id,
+         min(CAST('0x' || substr(md5('0:' || shingle), 1, 15) AS BIGINT)) AS mh_0,
+         min(CAST('0x' || substr(md5('1:' || shingle), 1, 15) AS BIGINT)) AS mh_1,
+         min(CAST('0x' || substr(md5('2:' || shingle), 1, 15) AS BIGINT)) AS mh_2,
+         min(CAST('0x' || substr(md5('3:' || shingle), 1, 15) AS BIGINT)) AS mh_3,
+         min(CAST('0x' || substr(md5('4:' || shingle), 1, 15) AS BIGINT)) AS mh_4,
+         min(CAST('0x' || substr(md5('5:' || shingle), 1, 15) AS BIGINT)) AS mh_5,
+         min(CAST('0x' || substr(md5('6:' || shingle), 1, 15) AS BIGINT)) AS mh_6,
+         min(CAST('0x' || substr(md5('7:' || shingle), 1, 15) AS BIGINT)) AS mh_7
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, CAST('0x' || substr(md5(CAST(mh_0 AS VARCHAR) || ':' || CAST(mh_1 AS VARCHAR)), 1, 15) AS BIGINT) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST('0x' || substr(md5(CAST(mh_2 AS VARCHAR) || ':' || CAST(mh_3 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST('0x' || substr(md5(CAST(mh_4 AS VARCHAR) || ':' || CAST(mh_5 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST('0x' || substr(md5(CAST(mh_6 AS VARCHAR) || ':' || CAST(mh_7 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round((CAST(sa.mh_0 = sb.mh_0 AS INT) + CAST(sa.mh_1 = sb.mh_1 AS INT)
+            + CAST(sa.mh_2 = sb.mh_2 AS INT) + CAST(sa.mh_3 = sb.mh_3 AS INT)
+            + CAST(sa.mh_4 = sb.mh_4 AS INT) + CAST(sa.mh_5 = sb.mh_5 AS INT)
+            + CAST(sa.mh_6 = sb.mh_6 AS INT) + CAST(sa.mh_7 = sb.mh_7 AS INT)
+             ) / 8.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON p.id_a = sa.doc_id
+JOIN sigs sb ON p.id_b = sb.doc_id
+"""
+
+
+@register("x2g_minhash_full_oracle", oracle=_X2G_ORACLE, tags=("X2",))
+def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with EVERY stage exact-value oracle-checked
+    (8 md5-derived permutation hashes, 4 bands of 2). Same physical shape
+    as the xxhash64 flagship: shingle explode + map-side partial min-agg
+    (shuffle carries 8 longs per doc, never shingles), band-hash bucket
+    self-join (never all-pairs). Restricted to doc_id < 200 so the DuckDB
+    twin (which must brute-force the same 8 md5s per shingle) stays cheap;
+    the Spark side's shape is the 100 TB one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5h60(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"mh_{s}")
+            for s in range(_X2G_HASHES)
+        ]
+    )
+    rows_per_band = _X2G_HASHES // _X2G_BANDS
+    band_hashes = F.array(
+        *[
+            _md5h60(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(_X2G_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_X2G_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_X2G_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"a_{s}") == F.col(f"b_{s}")).cast("int")
+        for s in range(_X2G_HASHES)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(_X2G_HASHES)), 4).alias("est_jaccard"),
+        )
+    )

@@ -88,6 +88,7 @@ _CHECK_PRIORITY = (
     "f3_udtf_expand",            # F3
     "x1_exact_dedup",            # X1
     "x2_minhash_near_dedup",     # X2 flagship (rows-only)
+    "x2g_minhash_full_oracle",   # X2 same pipeline, md5 hashes, full oracle
     "x2c_ngram_jaccard",         # X2 full-oracle rep
     "x3c_vector_features",       # X3 (x3 brute was driver-green in r1)
     "j8_asof_join",              # J8
