@@ -743,3 +743,63 @@ def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(matches / F.lit(float(_X2G_HASHES)), 4).alias("est_jaccard"),
         )
     )
+
+
+# X2b3 — SimHash with a FULL oracle (md5-derived token hashes, 60 bits) --------
+#
+# Same cross-engine md5 trick as x2g: the xxhash64 SimHash (x2b) is
+# rows-only because DuckDB can't reproduce the hash; this twin computes a
+# 60-bit SimHash from md5 token hashes so signature generation — per-token
+# hash, per-bit +/-1 votes, sign threshold — is exact-value checked.
+# Tie votes (sum == 0) yield bit 0 in both engines.
+
+_X2B3_BITS = 60
+
+_X2B3_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, g.b AS bit,
+         sum(CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, LATERAL (SELECT unnest(range(60)) AS b) g
+  GROUP BY doc_id, g.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+            AS BIGINT) AS simhash60
+FROM votes
+GROUP BY doc_id
+"""
+
+
+@register("x2b3_simhash_full_oracle", oracle=_X2B3_ORACLE, tags=("X2",))
+def x2b3_simhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash whose every signature is exact-value oracle-checked
+    (md5-derived token hashes, reproducible in DuckDB — see x2g). The
+    vote aggregation runs as 60 codegen'd sum() columns over the exploded
+    token stream with map-side partial aggregation: the shuffle carries 60
+    ints per (doc, partition), never tokens — the relational form of the
+    map-only expression used by the xxhash64 flagship (x2b). Restricted to
+    doc_id < 200 to keep the DuckDB twin cheap."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", _md5h60(F.col("tok")).alias("hv"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(_X2B3_BITS)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(_X2B3_BITS)
+    )
+    return votes.select("doc_id", sig.alias("simhash60"))

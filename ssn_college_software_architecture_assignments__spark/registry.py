@@ -89,6 +89,7 @@ _CHECK_PRIORITY = (
     "x1_exact_dedup",            # X1
     "x2_minhash_near_dedup",     # X2 flagship (rows-only)
     "x2g_minhash_full_oracle",   # X2 same pipeline, md5 hashes, full oracle
+    "x2b3_simhash_full_oracle",  # X2 SimHash signatures, full oracle
     "x2c_ngram_jaccard",         # X2 full-oracle rep
     "x3c_vector_features",       # X3 (x3 brute was driver-green in r1)
     "j8_asof_join",              # J8
