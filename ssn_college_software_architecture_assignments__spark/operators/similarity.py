@@ -395,3 +395,87 @@ def x3c_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("embedding")[0].cast("double"), 4) + 0.0).alias("first_comp"),
         F.size("embedding").cast("long").alias("dim"),
     )
+
+
+# X3b2 — hyperplane-LSH bucketing with a FULL oracle ---------------------------
+#
+# x3b is rows-only because ANN semantics are approximate — but the bucket
+# ASSIGNMENT is deterministic: the hyperplanes come from an LCG hash
+# recurrence (_hyperplane), not an RNG, so DuckDB can recompute every
+# sign bit from the same plane literals. This twin emits the integer
+# collision counts per (query, candidate) pair — bucket ids and counts
+# are integers, so there is no float-rounding tie risk; a sign flip would
+# need |dot| ~ 1e-15 (both engines sum the same float64 values).
+# The oracle SQL is generated once at import with the plane weights
+# inlined as literals (1536 doubles — trivial for DuckDB to parse; the
+# Spark side keeps the one-GEMM pandas UDF, no literal blowup there).
+
+_X3B2_TABLES = 4
+_X3B2_BITS = 6
+
+
+def _x3b2_oracle() -> str:
+    planes = [
+        _hyperplane(64, p) for p in range(_X3B2_TABLES * _X3B2_BITS)
+    ]
+    rows = ",\n    ".join(
+        "({}, [{}])".format(p, ", ".join(repr(v) for v in w))
+        for p, w in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, w) AS (
+  VALUES
+    {rows}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < 100
+),
+bits AS (
+  SELECT v.vec_id, pl.p // {_X3B2_BITS} AS tbl, pl.p % {_X3B2_BITS} AS bit,
+         CASE WHEN list_dot_product(v.emb, pl.w) > 0 THEN 1 ELSE 0 END AS b
+  FROM v CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, tbl, CAST(sum(b * (1 << bit)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+)
+SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       count(*) AS n_collisions
+FROM buckets q
+JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              AND q.vec_id <> c.vec_id
+WHERE q.vec_id < 8
+GROUP BY q.vec_id, c.vec_id
+"""
+
+
+@register("x3b2_similarity_lsh_oracle", oracle=_x3b2_oracle(), tags=("X3",))
+def x3b2_similarity_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment exact-value checked end-to-end:
+    per-vector sign bits, 6-bit bucket ids per table, and the per-pair
+    collision counts the ANN candidate join is built on. Same pandas-UDF
+    GEMM kernel as the flagship (x3b) — this query proves that kernel's
+    buckets are exactly the advertised hyperplane signs, which is the
+    part of ANN an oracle CAN pin down (recall quality stays a pytest
+    invariant). Corpus restricted to vec_id < 100 for oracle cost."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    tagged = emb.select(
+        "vec_id",
+        F.posexplode(lsh_buckets(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    queries = tagged.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    return (
+        tagged.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.count("*").alias("n_collisions"))
+    )

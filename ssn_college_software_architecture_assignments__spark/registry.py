@@ -92,6 +92,7 @@ _CHECK_PRIORITY = (
     "x2b3_simhash_full_oracle",  # X2 SimHash signatures, full oracle
     "x2c_ngram_jaccard",         # X2 full-oracle rep
     "x3c_vector_features",       # X3 (x3 brute was driver-green in r1)
+    "x3b2_similarity_lsh_oracle",  # X3 LSH buckets, full oracle
     "j8_asof_join",              # J8
     "j11_bucketed_join",         # J11
     "a4_approx_count_distinct",  # A4 (err:no_oracle in r1; now full oracle)
