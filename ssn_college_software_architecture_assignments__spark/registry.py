@@ -116,6 +116,7 @@ _CHECK_PRIORITY = (
     "s13_schema_evolution",      # S13
     "s14_snapshot_diff",         # S14
     "s15_quarantine_split",      # S15
+    "s16_zorder_layout",         # S16
     # tier 1c: REST sources (mock-HTTP setup cost)
     "s1_rest_source",            # S1
     "s2_paginated_read",         # S2

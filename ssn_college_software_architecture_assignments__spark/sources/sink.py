@@ -603,3 +603,91 @@ def s15_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupted.select(
         "event_id", "event_type", reason.alias("reject_reason")
     )
+
+
+# S16 — Z-order (Morton) clustering for multi-column data skipping -------------
+#
+# Partitioning (S11) prunes on ONE column; Z-ordering clusters a file
+# layout on TWO (or more) so per-file min/max stats stay narrow on every
+# dimension and a scan with a predicate on either column can skip most
+# files. The Morton key — interleave the bits of the two dims — is pure
+# integer arithmetic, so both engines compute the identical layout and
+# the per-file skip-index (min/max per dim per file) is exact-value
+# oracle-checked.
+
+_S16_BITS = 8
+_S16_ROWS_PER_FILE = 500
+
+
+def _morton_terms(xcol: str, ycol: str, sql: bool) -> str | F.Column:
+    """Bit-interleave x (odd bit slots) and y (even): same 16-term sum in
+    Spark DSL and DuckDB SQL."""
+    if sql:
+        terms = [
+            f"(({xcol} >> {i}) & 1) * {1 << (2 * i + 1)} + "
+            f"(({ycol} >> {i}) & 1) * {1 << (2 * i)}"
+            for i in range(_S16_BITS)
+        ]
+        return " + ".join(terms)
+    total = F.lit(0)
+    for i in range(_S16_BITS):
+        xbit = F.shiftright(F.col(xcol), i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(F.col(ycol), i).bitwiseAND(F.lit(1))
+        total = total + xbit * F.lit(1 << (2 * i + 1)) + ybit * F.lit(1 << (2 * i))
+    return total
+
+
+_S16_ORACLE = f"""
+WITH keyed AS (
+  SELECT user_id, event_id % 256 AS y,
+         {_morton_terms('user_id', '(event_id % 256)', sql=True)} AS morton,
+         event_id
+  FROM events
+),
+filed AS (
+  SELECT user_id, y,
+         (row_number() OVER (ORDER BY morton, event_id) - 1) // {_S16_ROWS_PER_FILE}
+           AS file_id
+  FROM keyed
+)
+SELECT file_id, count(*) AS n_rows,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       min(y) AS min_y, max(y) AS max_y
+FROM filed GROUP BY file_id
+"""
+
+
+@register("s16_zorder_layout", oracle=_S16_ORACLE, tags=("S16",))
+def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order maintenance rewrite: cluster events on (user_id, event_id
+    % 256) via Morton bit-interleave, cut the ordering into fixed-size
+    files, and emit the per-file min/max skip-index for BOTH dimensions —
+    the statistics a scan consults to prune files on either predicate.
+    The JVM-side key is a 16-term codegen'd integer expression. Locally
+    the file cut uses one global row_number for a deterministic oracle;
+    at 100 TB the same layout comes from ``repartitionByRange(morton)``
+    + ``sortWithinPartitions``, which clusters identically with no
+    global window (noted vs `spark.write.option("maxRecordsPerFile")`)."""
+    events = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    keyed = events.select(
+        "user_id",
+        (F.col("event_id") % 256).alias("y"),
+        "event_id",
+    ).withColumn("morton", _morton_terms("user_id", "y", sql=False))
+    filed = keyed.select(
+        "user_id",
+        "y",
+        (
+            (F.row_number().over(W.orderBy("morton", "event_id")) - 1)
+            / _S16_ROWS_PER_FILE
+        ).cast("long").alias("file_id"),
+    )
+    return filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
