@@ -101,3 +101,23 @@ def test_incremental_dedup_admits_only_novel_fingerprints(spark):
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps))
     assert all(r["admit_doc_id"] % 10 == 0 for r in rows)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """Z-ordering exists to keep per-file min/max ranges narrow on BOTH
+    dims; a sort on user_id alone would leave y ranges at full width.
+    Morton-contiguous files cover ~1/n_files of the 2-D key space, so
+    each dim's per-file range must sit well below its global extent.
+    Needs sf0.01's 20 files — at sf0.001 there are only 2, too few for
+    the interleave to separate either dimension (measured: ~34% of the
+    global extent per file on both dims at sf0.01)."""
+    from tests.conftest import SF_DIR_01
+
+    stats = all_queries()["s16_zorder_layout"](spark, SF_DIR_01).collect()
+    assert sum(r["n_rows"] for r in stats) == 10_000  # sf0.01 events
+    g_user = max(r["max_user"] for r in stats) - min(r["min_user"] for r in stats)
+    g_y = max(r["max_y"] for r in stats) - min(r["min_y"] for r in stats)
+    avg_user = sum(r["max_user"] - r["min_user"] for r in stats) / len(stats)
+    avg_y = sum(r["max_y"] - r["min_y"] for r in stats) / len(stats)
+    assert avg_user < 0.6 * g_user
+    assert avg_y < 0.6 * g_y
