@@ -169,15 +169,16 @@ def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping. The DuckDB oracle joins on the raw strings; agreement of
     the two forms at the gate's scale is itself evidence the hash
     substitution is sound."""
+    from .dedup import token_shingles
+
     docs = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
     # hash INSIDE the per-doc transform: array_distinct, explode, and the
-    # downstream join/agg all operate on 8-byte longs, never gram strings
+    # downstream join/agg all operate on 8-byte longs, never gram strings.
+    # token_shingles guards sub-8-token documents (empty gram array, not a
+    # sequence(1,0) slice error — see dedup.token_shingles).
     grams_col = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
-        )
+        F.transform(token_shingles(toks, 8), lambda s: F.xxhash64(s))
     )
     grams = docs.select("doc_id", F.explode(grams_col).alias("gram_h"))
     bench = (

@@ -98,15 +98,32 @@ def x1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared shingling ------------------------------------------------------------
 
 
+def token_shingles(toks: Column, k: int) -> Column:
+    """k-shingles over a token array, guarded for short inputs.
+
+    The guard matters: for fewer than ``k`` tokens the naive
+    ``sequence(1, size - k + 1)`` bound is <= 0 and Spark's ``sequence``
+    emits the DESCENDING ``[1, 0]``, so ``slice(toks, 0, k)`` throws
+    ``INVALID_PARAMETER_VALUE.START`` and aborts the whole query — a
+    real-corpus hazard (100 TB of web text always contains sub-k-token
+    documents). The DuckDB oracles' ``generate_series(1, 0)``/``range``
+    emit nothing for the same bound, so the guard is also what keeps both
+    engines agreeing: short docs yield an EMPTY shingle array, not an
+    error."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(text_col: str | Column, k: int = 3) -> Column:
-    """Word k-shingles as an array column (JVM higher-order functions)."""
+    """Word k-shingles as an array column (JVM higher-order functions).
+    Empty array (never an error) for documents with fewer than k tokens."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(col, r"\s+")
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    return token_shingles(F.split(col, r"\s+"), k)
 
 
 # X2a — MinHash + LSH banding ---------------------------------------------------
@@ -670,17 +687,9 @@ def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side's shape is the 100 TB one."""
     docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
     toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - 2, F.lit(0))
     sh = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-                )
-            )
-        ).alias("shingle"),
+        F.explode(F.array_distinct(token_shingles(toks, 3))).alias("shingle"),
     )
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -742,6 +751,69 @@ def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(matches / F.lit(float(_X2G_HASHES)), 4).alias("est_jaccard"),
         )
+    )
+
+
+# X2h — short-document robustness gate (full oracle) --------------------------
+#
+# Regression oracle for the sequence(1,0) class of bug: a real corpus
+# always contains documents shorter than the shingle width, and the naive
+# gram builder ABORTS the whole query on the first one (Spark's
+# sequence(1,0) is descending; slice(toks, 0, k) throws). This query
+# manufactures 0-, 1- and 2-token documents from the fixture and pushes
+# them through the guarded shingle pipeline; DuckDB's range(1,1) emits
+# nothing for the same bound, so both engines must agree that short docs
+# produce an EMPTY shingle set (and a NULL min-signature), not an error.
+
+_X2H_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 < 3
+              THEN string_split(text, ' ')[1:(doc_id % 3)]
+              ELSE string_split(text, ' ') END AS t
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_tokens   AS BIGINT) AS n_tokens,
+       CAST(len(grams) AS BIGINT) AS n_shingles,
+       list_min(list_transform(
+           grams, s -> CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT)
+       )) AS mh_0
+FROM g
+"""
+
+
+@register("x2h_short_docs", oracle=_X2H_ORACLE, tags=("X2",))
+def x2h_short_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-document robustness: every doc_id % 7 in {0,1,2} is truncated
+    to 0-2 tokens (all below the shingle width k=3), then shingled with the
+    guarded builder and min-hashed with the md5-derived 60-bit hash both
+    engines compute identically (see x2g). Exact-value oracle: short docs
+    yield (n_shingles=0, mh_0=NULL); long docs yield the same counts and
+    min signature as DuckDB. Before the token_shingles guard this query
+    aborted with INVALID_PARAMETER_VALUE.START — it exists so the oracle
+    itself, not the fixture's word-soup shape, guards this bug class."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    full = F.split("text", " ")
+    toks = F.when(
+        F.col("doc_id") % 7 < 3,
+        F.slice(full, 1, (F.col("doc_id") % 3).cast("int")),
+    ).otherwise(full)
+    grams = F.array_distinct(token_shingles(toks, 3))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(grams).cast("long").alias("n_shingles"),
+        F.array_min(
+            F.transform(grams, lambda s: _md5h60(F.concat(F.lit("0:"), s)))
+        ).alias("mh_0"),
     )
 
 

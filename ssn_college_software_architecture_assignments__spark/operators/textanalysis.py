@@ -209,17 +209,19 @@ def x4d2_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring. Expressed relationally (posexplode + frame-window min, all
     codegen) rather than per-row loops; hashes are md5-prefix STRINGS so
     lexicographic min is identical across engines."""
+    from .dedup import token_shingles
+
     docs = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - 3, F.lit(0))
+    # token_shingles guards sub-4-token docs (empty array, not a
+    # sequence(1,0) slice error); pos only orders the rolling window, so
+    # its 0-based origin vs the oracle's 1-based series is immaterial.
     sh = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, 4))), 1, 16
-                ),
+                token_shingles(toks, 4),
+                lambda s: F.substring(F.md5(s), 1, 16),
             )
         ).alias("pos", "fp"),
     )

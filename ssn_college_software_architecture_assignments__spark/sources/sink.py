@@ -559,7 +559,8 @@ WITH corrupted AS (
   FROM events
 )
 SELECT event_id, event_type,
-       CASE WHEN NOT json_valid(props)              THEN 'bad_props'
+       CASE WHEN json_type(try_cast(props AS JSON)) IS DISTINCT FROM 'OBJECT'
+                                                     THEN 'bad_props'
             WHEN value < 0                           THEN 'negative_value'
             WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
                                                      THEN 'unknown_type'
@@ -595,8 +596,16 @@ def s15_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("props"),
     )
     known = ("click", "view", "purchase", "signup", "error")
+    # Shape-independent validity: from_json with a permissive map schema is
+    # NULL exactly when props is not a JSON object (malformed, scalar, or
+    # array) — verified equivalent to the oracle's
+    # json_type(try_cast(... AS JSON)) IS DISTINCT FROM 'OBJECT' on all
+    # shapes, so a valid object that merely lacks some key still passes.
     reason = (
-        F.when(F.get_json_object("props", "$.k").isNull(), F.lit("bad_props"))
+        F.when(
+            F.from_json("props", "map<string,string>").isNull(),
+            F.lit("bad_props"),
+        )
         .when(F.col("value") < 0, F.lit("negative_value"))
         .when(~F.col("event_type").isin(*known), F.lit("unknown_type"))
     )

@@ -146,3 +146,43 @@ def test_simhash_pairs_hamming_exact_and_banded(spark):
         assert shares_band
     n = len(sigs)
     assert len(out) < 0.5 * n * (n - 1) / 2
+
+
+def test_short_documents_never_crash_shingle_pipelines(spark):
+    """Regression for the sequence(1,0) crash class: documents with fewer
+    tokens than the shingle width must yield EMPTY shingle sets (and flow
+    through minhash / decontamination), never abort the query with
+    INVALID_PARAMETER_VALUE.START."""
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+        token_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "exactly three tokens here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(shingles("text", 3)).alias("n")
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 2}
+
+    # k-1 tokens through the k=8 gram builder used by x6d
+    toks = F.split("text", " ")
+    g8 = docs.select(
+        F.size(F.array_distinct(
+            F.transform(token_shingles(toks, 8), lambda s: F.xxhash64(s))
+        )).alias("n")
+    ).collect()
+    assert [r["n"] for r in g8] == [0, 0, 0, 0]
+
+    # the full minhash pipeline: short docs simply produce no signature row
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    ids = {r["_id"] for r in sigs.collect()}
+    assert ids == {3}

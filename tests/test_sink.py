@@ -36,3 +36,30 @@ def test_validated_insert_consistent(spark, tmp_path, sf_dir):
     report = validated_insert(df, "nation", str(tmp_path), mode="overwrite")
     assert report.consistent
     assert report.n_transformed == df.count() == report.n_written
+
+
+def test_quarantine_validity_is_shape_independent(spark):
+    """s15's bad_props check must classify by JSON-object validity, not by
+    the presence of any fixture-specific key: valid objects lacking 'k'
+    pass; malformed / scalar / array JSON quarantine."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (2, '{"other": 1}'),
+            (3, "{broken"),
+            (4, "3"),
+            (5, "[1,2]"),
+            (6, "{}"),
+        ],
+        "event_id long, props string",
+    )
+    bad = {
+        r["event_id"]: r["bad"]
+        for r in df.select(
+            "event_id",
+            F.from_json("props", "map<string,string>").isNull().alias("bad"),
+        ).collect()
+    }
+    assert bad == {1: False, 2: False, 3: True, 4: True, 5: True, 6: False}
