@@ -259,6 +259,38 @@ def s2b_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_S2C_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s2c_link_header_read", oracle=_S2C_ORACLE, tags=("S2",))
+def s2c_link_header_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5988 Link-header pagination (GitHub/GitLab shape, README.md:12;
+    SURVEY S2's third pagination style): the server advertises the next
+    page only in a ``Link: <url>; rel="next"`` response header, so the
+    reader follows the chain serially in one partition — like cursors,
+    link chains cannot be probed for parallelism."""
+    from .mock_api import MockApiServer
+    from .rest import register_rest_source
+
+    records = _docs_records(spark, sf_dir, 100)
+    register_rest_source(spark)
+    with MockApiServer(records, link_mode=True) as server:
+        df = (
+            spark.read.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "documents")
+            .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+            .option("page_size", "30")
+            .option("pagination", "link")
+            .load()
+        )
+        df = df.cache()
+        df.count()
+    return df
+
+
 _S9B_ORACLE = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 """

@@ -23,12 +23,14 @@ class MockApiServer:
         fail_first_n: int = 0,
         fail_mode: str = "500",  # "500" | "429" | "garbage"
         cursor_mode: bool = False,
+        link_mode: bool = False,
     ):
         self.records = records
         self.require_token = require_token
         self.fail_first_n = fail_first_n
         self.fail_mode = fail_mode
         self.cursor_mode = cursor_mode
+        self.link_mode = link_mode
         self._fail_lock = threading.Lock()
         self._fails_left = fail_first_n
         self.request_count = 0
@@ -82,6 +84,25 @@ class MockApiServer:
                             ),
                         }
                     ).encode()
+                elif outer.link_mode:
+                    # RFC 5988 Link-header pagination (GitHub shape): the
+                    # body carries only the records; the NEXT address lives
+                    # in the Link response header, relative to this path.
+                    page = int(params.get("page", "1"))
+                    start = (page - 1) * per_page
+                    data = outer.records[start : start + per_page]
+                    body = json.dumps({"data": data}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    if start + per_page < len(outer.records):
+                        path = urllib.parse.urlparse(self.path).path
+                        nxt = f"{path}?page={page + 1}&per_page={per_page}"
+                        self.send_header(
+                            "Link", f'<{nxt}>; rel="next", <{path}?page=1>; rel="first"'
+                        )
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 else:
                     page = int(params.get("page", "1"))
                     start = (page - 1) * per_page

@@ -59,6 +59,35 @@ class CursorWalk(InputPartition):
         super().__init__(value=None)
 
 
+class LinkWalk(InputPartition):
+    """RFC 5988 ``Link: <url>; rel="next"`` chains (GitHub/GitLab shape)
+    are serial for the same reason as cursors: the next page's address
+    arrives in the previous response's headers."""
+
+    def __init__(self):
+        super().__init__(value=None)
+
+
+def parse_link_next(link_header: str | None) -> str | None:
+    """Extract the rel="next" target from an RFC 5988 Link header, e.g.
+    ``<https://api/x?page=2>; rel="next", <...>; rel="last"`` -> the URL.
+    Returns None when there is no next link (end of the chain)."""
+    if not link_header:
+        return None
+    for part in link_header.split(","):
+        segs = part.split(";")
+        if len(segs) < 2:
+            continue
+        url = segs[0].strip()
+        if not (url.startswith("<") and url.endswith(">")):
+            continue
+        for param in segs[1:]:
+            k, _, v = param.strip().partition("=")
+            if k.strip().lower() == "rel" and v.strip().strip('"').lower() == "next":
+                return url[1:-1]
+    return None
+
+
 def _fetch_json(
     url: str,
     headers: dict[str, str],
@@ -71,14 +100,27 @@ def _fetch_json(
     Retry-After), and invalid (non-JSON) 200 bodies — exactly the fault
     matrix the reference requires connectors to survive (README.md:32).
     """
+    return _fetch_json_with_headers(url, headers, max_retries, backoff_base)[0]
+
+
+def _fetch_json_with_headers(
+    url: str,
+    headers: dict[str, str],
+    max_retries: int = 4,
+    backoff_base: float = 0.25,
+):
+    """Same retry/backoff loop as :func:`_fetch_json`, but also returns
+    the response headers (link-header pagination reads ``Link`` from
+    them). Returns ``(payload, headers_dict)``."""
     last_err: Exception | None = None
     for attempt in range(max_retries + 1):
         try:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=DEFAULT_TIMEOUT_SEC) as resp:
                 body = resp.read()
+                resp_headers = dict(resp.headers.items())
             try:
-                return json.loads(body)
+                return json.loads(body), resp_headers
             except json.JSONDecodeError as exc:
                 last_err = ValueError(f"invalid JSON response from {url}: {exc}")
         except urllib.error.HTTPError as exc:
@@ -165,6 +207,8 @@ class RestDataSourceReader(DataSourceReader):
         pagination cannot be probed — it yields one serial partition."""
         if self.pagination == "cursor":
             return [CursorWalk()]
+        if self.pagination == "link":
+            return [LinkWalk()]
         first = _fetch_json(self._page_url(1), self._headers)
         total = self._dig(first, self.total_path)
         records = self._dig(first, self.data_path) or []
@@ -183,6 +227,9 @@ class RestDataSourceReader(DataSourceReader):
         if isinstance(partition, CursorWalk):
             yield from self._read_cursor_chain()
             return
+        if isinstance(partition, LinkWalk):
+            yield from self._read_link_chain()
+            return
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
         for page in range(partition.start_page, partition.end_page):
             if delay:
@@ -193,6 +240,30 @@ class RestDataSourceReader(DataSourceReader):
                 break
             for rec in records:
                 yield tuple(rec.get(name) for name in self._field_names)
+
+    def _read_link_chain(self):
+        """Follow ``Link: <url>; rel="next"`` headers (README.md:12; SURVEY
+        S2 names offset/cursor/link-header). The first request goes to the
+        endpoint with only the size param; every later address comes from
+        the previous response's headers, resolved relative to the current
+        URL so servers may emit absolute or relative targets."""
+        delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
+        url = self._cursor_url(None)
+        for _ in range(self.max_pages):
+            if delay:
+                time.sleep(delay)
+            payload, resp_headers = _fetch_json_with_headers(url, self._headers)
+            records = self._dig(payload, self.data_path)
+            if not records:
+                return
+            for rec in records:
+                yield tuple(rec.get(name) for name in self._field_names)
+            nxt = parse_link_next(
+                resp_headers.get("Link") or resp_headers.get("link")
+            )
+            if nxt is None:
+                return
+            url = urllib.parse.urljoin(url, nxt)
 
     def _read_cursor_chain(self):
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0

@@ -245,3 +245,31 @@ def test_schema_inference_pin_and_evolve(spark, tmp_path):
     # pinned fields keep their types and order; the new field is appended
     assert ddl.startswith("id bigint, name string, price double")
     assert "rating" in ddl
+
+
+def test_link_header_pagination_walks_chain(spark):
+    """pagination=link follows RFC 5988 Link rel="next" headers across
+    pages (relative URLs resolved against the current address) and stops
+    when the header disappears."""
+    with MockApiServer(RECORDS, link_mode=True) as server:
+        df = _read(spark, server, pagination="link", page_size=60)
+        rows = df.collect()
+    assert len(rows) == len(RECORDS)
+    assert {r["id"] for r in rows} == {r["id"] for r in RECORDS}
+
+
+def test_parse_link_next_formats():
+    from ssn_college_software_architecture_assignments__spark.sources.rest import (
+        parse_link_next,
+    )
+
+    assert parse_link_next(None) is None
+    assert parse_link_next("") is None
+    assert (
+        parse_link_next('<https://api/x?page=2>; rel="next"')
+        == "https://api/x?page=2"
+    )
+    # multiple links, unquoted rel, arbitrary order and spacing
+    hdr = '</x?page=9>; rel="last" , </x?page=2>;rel=next'
+    assert parse_link_next(hdr) == "/x?page=2"
+    assert parse_link_next('</x?page=1>; rel="prev"') is None
