@@ -63,3 +63,42 @@ def test_quarantine_validity_is_shape_independent(spark):
         ).collect()
     }
     assert bad == {1: False, 2: False, 3: True, 4: True, 5: True, 6: False}
+
+
+def test_document_writer_fallback_only_on_missing_datasource(spark, tmp_path, sf_dir):
+    """The mongodb->file fallback fires ONLY when the data source is
+    absent from the classpath (nothing reached a database); any other
+    failure must raise rather than risk double-loading a batch."""
+    import pytest as _pytest
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        DocumentWriter,
+        _is_missing_datasource_error,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    # connector jar absent in this sandbox -> classified as missing,
+    # fallback="json" lands files losslessly
+    w = DocumentWriter(
+        "region", str(tmp_path), mongo_uri="mongodb://127.0.0.1:1/x"
+    )
+    path = w.write(df, mode="overwrite")
+    assert not path.startswith("mongodb://")
+    assert spark.read.json(path).count() == df.count()
+
+    # same condition with fallback="error" must raise instead
+    strict = DocumentWriter(
+        "region2", str(tmp_path), mongo_uri="mongodb://127.0.0.1:1/x",
+        fallback="error",
+    )
+    with _pytest.raises(Exception):
+        strict.write(df, mode="overwrite")
+
+    # classifier: only missing-datasource shapes match
+    assert _is_missing_datasource_error(Exception("DATA_SOURCE_NOT_FOUND: mongodb"))
+    assert _is_missing_datasource_error(
+        Exception("java.lang.ClassNotFoundException: mongodb.DefaultSource")
+    )
+    assert not _is_missing_datasource_error(Exception("connection refused"))
+    assert not _is_missing_datasource_error(Exception("auth failed"))
