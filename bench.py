@@ -33,10 +33,11 @@ HEADLINE = [
     "x4f_corpus_curation",
     "t1_tumbling_window",
     # round-2 additions: lake layout + curation (no prior-round delta)
-    "j11_bucketed_join",
     "x1b_incremental_dedup",
     "x6d_decontamination",
 ]
+# j11 is benchmarked as its two legs (see main): "j11_write" is the
+# one-off bucketed ingest, "j11_join" the repeated shuffle-free join.
 
 
 def _force(df) -> int:
@@ -71,6 +72,25 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
+
+    # j11 split timing: the bucketed-table write is a one-off ingest cost
+    # that amortizes over every later join; the join leg is the claim under
+    # test (no-Exchange SMJ) and must stay cheap round-over-round.
+    from ssn_college_software_architecture_assignments__spark.operators.joins import (
+        j11_join_bucketed,
+        j11_write_bucketed_tables,
+    )
+
+    t0 = time.time()
+    j11_write_bucketed_tables(spark, sf_dir)
+    per_query["j11_write"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _force(j11_join_bucketed(spark))
+        best = min(best, time.time() - t0)
+    per_query["j11_join"] = round(best, 3)
+
     total = round(sum(per_query.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,15 +111,20 @@ def main() -> None:
         try:
             with open(prior[-1], encoding="utf-8") as fh:
                 prev = json.load(fh)
-            # The driver wraps the bench line under "parsed".
-            prev_q = prev.get("parsed", prev).get("queries", {})
+            # The driver wraps the bench line under "parsed". Guard every
+            # shape assumption: a corrupted/hand-edited prior file must
+            # never kill the bench run.
+            if not isinstance(prev, dict):
+                raise ValueError("prior bench file is not a JSON object")
+            prev_q = prev.get("parsed", prev)
+            prev_q = prev_q.get("queries", {}) if isinstance(prev_q, dict) else {}
             out["prev_round"] = os.path.basename(prior[-1])
             out["delta_vs_prev"] = {
                 n: round(per_query[n] - prev_q[n], 3)
                 for n in per_query
-                if n in prev_q
+                if isinstance(prev_q.get(n), (int, float))
             }
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
             pass
     print(json.dumps(out))
 

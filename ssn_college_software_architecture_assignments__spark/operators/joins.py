@@ -274,22 +274,19 @@ GROUP BY o.o_orderpriority
 """
 
 
-@register("j11_bucketed_join", oracle=_J11_ORACLE, tags=("J11",))
-def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located fact-fact join: both sides are written
-    ``bucketBy(N, key).sortBy(key)`` so the sort-merge join reads
-    pre-partitioned, pre-sorted buckets and needs NO Exchange (and no
-    sort) on either input — the single most effective shuffle eliminator
-    for a join that repeats nightly at 100 TB. The bucketed write costs
-    one shuffle ONCE at ingest; every subsequent join of the two tables
-    on the bucket key is then shuffle-free. Locally the tables land in a
-    temp dir as external tables; ``tests/test_joins.py`` asserts the
-    physical plan has no Exchange below the SortMergeJoin."""
+def j11_write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> None:
+    """The one-off ingest leg of the bucketed join: write both fact
+    tables ``bucketBy(n_buckets, key).sortBy(key)`` as external tables.
+    This is the amortized cost — it runs once per load, and every
+    subsequent join of the two tables on the bucket key is shuffle-free.
+    Benchmarked separately from the join leg (bench.py j11_write vs
+    j11_join) so the shuffle-free claim is measurable round-over-round."""
     import tempfile
 
     c = Catalog(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ssn_bucketed_")
-    n_buckets = 8
     (
         c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(n_buckets, "l_orderkey")
@@ -306,6 +303,12 @@ def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .saveAsTable("ssn_orders_bucketed")
     )
+
+
+def j11_join_bucketed(spark: SparkSession) -> DataFrame:
+    """The repeated leg: sort-merge join of the two pre-bucketed tables —
+    NO Exchange and no Sort on either input (plan-asserted in
+    tests/test_round2_ops.py)."""
     li = spark.table("ssn_lineitem_bucketed")
     od = spark.table("ssn_orders_bucketed")
     joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
@@ -315,3 +318,18 @@ def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register("j11_bucketed_join", oracle=_J11_ORACLE, tags=("J11",))
+def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both sides are written
+    ``bucketBy(N, key).sortBy(key)`` so the sort-merge join reads
+    pre-partitioned, pre-sorted buckets and needs NO Exchange (and no
+    sort) on either input — the single most effective shuffle eliminator
+    for a join that repeats nightly at 100 TB. The bucketed write costs
+    one shuffle ONCE at ingest; every subsequent join of the two tables
+    on the bucket key is then shuffle-free. Locally the tables land in a
+    temp dir as external tables; ``tests/test_joins.py`` asserts the
+    physical plan has no Exchange below the SortMergeJoin."""
+    j11_write_bucketed_tables(spark, sf_dir)
+    return j11_join_bucketed(spark)

@@ -17,26 +17,36 @@ from pyspark.sql import functions as F
 
 from ..session import tune_session
 
-# events.parquet carries TIMESTAMP(NANOS) which Spark reads as long
-# (nanosAsLong); streaming reads must declare that physical schema and
-# rebuild the µs timestamp exactly like Catalog._normalize does.
-EVENTS_PHYSICAL_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture with timestamps identical to the batch
+    (Catalog) read.
+
+    events.parquet carries TIMESTAMP(NANOS). How that surfaces depends on
+    the Spark build: some read it natively as a (µs-truncated) timestamp,
+    others only through nanosAsLong as a raw-nanos BIGINT — and declaring
+    the wrong one silently delivers values off by 1000x (a hardcoded
+    BIGINT schema on a native-nanos build yielded 1970-era timestamps and
+    a 320x overcount in the t9 range join). So: probe the BATCH schema
+    from the parquet footer — one driver-side metadata read — declare
+    exactly that for the stream, and rebuild the µs timestamp only when
+    ts really arrives as a long (matching Catalog._normalize)."""
     tune_session(spark)
+    from pyspark.sql import types as T
+
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
     # The fixture is a single file, not a directory; FileStreamSource
     # derives basePath from the non-glob path prefix and requires it to be
     # a directory, so address the file through a glob ("events.parque*")
     # to make the parent dir the base path.
-    raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
-        .parquet(f"{sf_dir.rstrip('/')}/events.parque*")
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(f"{base}/events.parque*")
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (with zone); the session is pinned
+        # UTC (tune_session), so the cast is value-identical.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
