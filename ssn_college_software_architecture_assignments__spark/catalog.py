@@ -58,16 +58,24 @@ class Catalog:
         """Normalize ingest-side type quirks (the reference's Transform
         stage handles "compatibility" coercions — README.md:22).
 
-        Parquet TIMESTAMP(NANOS) is unreadable by Spark's vectorized
-        reader; we read it as raw nanos (``nanosAsLong``, set in
-        tune_session) and rebuild a microsecond timestamp with integer
-        division (floor — matches DuckDB's CAST(ns AS TIMESTAMP))."""
+        Parquet TIMESTAMP(NANOS) surfaces differently across Spark
+        builds: as raw nanos (``nanosAsLong``, set in tune_session) on
+        some, natively as a µs-truncated TIMESTAMP_NTZ on others. Both
+        are normalized to a session-zone TIMESTAMP — the long via
+        integer division (floor — matches DuckDB's CAST(ns AS
+        TIMESTAMP)), the NTZ via a cast that is value-identical because
+        the session is pinned UTC. Downstream operators may then rely on
+        TimestampType (watermarks and unix_micros reject NTZ)."""
         out = df
         for field in df.schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
                 out = out.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif field.name == "ts" and isinstance(
+                field.dataType, T.TimestampNTZType
+            ):
+                out = out.withColumn("ts", F.col("ts").cast("timestamp"))
         return out
 
     def __getattr__(self, name: str) -> DataFrame:

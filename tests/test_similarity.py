@@ -46,3 +46,63 @@ def test_ivf_results_scored_exactly_and_ranked(spark, sf_dir):
     for sims in by_q.values():
         assert sims == sorted(sims, reverse=True)
         assert len(sims) <= 5
+
+
+def _planted_corpus():
+    """Seeded corpus with PLANTED near-duplicates: 150 random unit-ish
+    vectors; the first 40 get a twin at cosine >= 0.95. Random-hyperplane
+    LSH's contract is recall on genuinely-near pairs (collision
+    probability (1 - theta/pi)^planes per table, OR-amplified over 4
+    tables => ~0.9+ for cosine >= 0.95); on near-orthogonal noise like
+    the fixture embeddings (max pairwise cosine ~0.51) low recall is the
+    mathematically expected behavior, so the bound is asserted on the
+    planted pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(150, 64)
+    rows, planted = [], []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    nxt = len(base)
+    for i in range(40):
+        v = base[i]
+        twin = v + 0.18 * rng.randn(64)
+        cos = float(v @ twin / (np.linalg.norm(v) * np.linalg.norm(twin)))
+        assert cos >= 0.95, cos
+        rows.append((nxt, [float(x) for x in twin]))
+        planted.append((i, nxt))
+        nxt += 1
+    return rows, planted
+
+
+def test_lsh_bucket_recall_on_planted_near_dups(spark):
+    """The x2f/x3b candidate mechanism (multi-table hyperplane buckets)
+    must recall >= 85% of planted cosine>=0.95 pairs. Deterministic:
+    seeded vectors, seeded hyperplanes. Bound documented in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        lsh_buckets,
+    )
+
+    rows, planted = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tagged = df.select(
+        "vec_id", F.posexplode(lsh_buckets(F.col("embedding"))).alias("tbl", "bucket")
+    )
+    a = tagged.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = tagged.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    }
+    hit = sum(1 for p in planted if p in cand)
+    recall = hit / len(planted)
+    assert recall >= 0.85, f"planted-pair recall {recall:.2f} < 0.85"
+    # and the candidate set stays sublinear vs all-pairs
+    n = df.count()
+    assert len(cand) < 0.25 * n * (n - 1) / 2
