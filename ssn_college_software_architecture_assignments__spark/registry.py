@@ -113,6 +113,7 @@ _CHECK_PRIORITY = (
     "s1c_rest_env_auth",
     "s2b_cursor_read",
     "s2c_link_header_read",      # NEW r4: Link-header pagination
+    "s1d_oauth_refresh",         # NEW r4: OAuth client-credentials + refresh
     # tier 1b: never driver-checked, rows-only by design
     "x2b_simhash",
     "x2b2_simhash_pairs",
@@ -130,11 +131,12 @@ _CHECK_PRIORITY = (
     "e1_etl_connector",
     "s7_raw_sink_roundtrip",     # sink module changed (DocumentWriter)
     "s8_validated_insert",
-    # tier 1d: flagship re-confirmation
+    # tier 1d: flagship re-confirmation (j8's module is unchanged this
+    # round and has r2+r3 green rows, so it yields its slot to s1d)
     "x1_exact_dedup",
-    "j8_asof_join",
     "j11_bucketed_join",
     # ---- 50-query driver budget line ----
+    "j8_asof_join",
     # below: queries with existing driver-green rows (r1-r3), plus the
     # guaranteed-no_oracle flagship
     "x2_minhash_near_dedup",

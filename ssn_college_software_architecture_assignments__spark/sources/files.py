@@ -198,6 +198,50 @@ def s1c_rest_env_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_S1D_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+"""
+
+
+@register("s1d_oauth_refresh", oracle=_S1D_ORACLE, tags=("S1", "S3"))
+def s1d_oauth_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OAuth2 client-credentials extraction with MID-RUN token expiry
+    (README.md:88-92 auth contract beyond static bearer): the server's
+    tokens die after every 2 data requests, so a 4-page read MUST refresh
+    at least once; the reader re-fetches on 401 and the extraction still
+    yields exactly the source table. Client id/secret ride the .env
+    contract like every other credential."""
+    import tempfile as _tf
+
+    from .mock_api import MockApiServer
+    from .rest import read_rest
+
+    records = _docs_records(spark, sf_dir, 100)
+    env_file = os.path.join(_tf.mkdtemp(prefix="ssn_oauth_env_"), ".env")
+    with open(env_file, "w", encoding="utf-8") as fh:
+        fh.write(
+            "S1D_CLIENT_ID=connector-ci\n"
+            "S1D_CLIENT_SECRET=s1d-test-secret-not-a-real-secret\n"
+        )
+    with MockApiServer(records, oauth_mode=True, token_ttl_requests=2) as server:
+        df = read_rest(
+            spark,
+            server.base_url,
+            "documents",
+            schema="doc_id BIGINT, lang STRING, n_chars BIGINT",
+            page_size=25,
+            pages_per_partition=2,
+            env_file=env_file,
+            token_url=f"{server.base_url}/oauth/token",
+            client_id_env="S1D_CLIENT_ID",
+            client_secret_env="S1D_CLIENT_SECRET",
+        )
+        df = df.cache()
+        df.count()
+        assert server.token_fetches >= 2, "mid-run refresh never happened"
+    return df
+
+
 _S2_ORACLE = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 """

@@ -24,6 +24,8 @@ class MockApiServer:
         fail_mode: str = "500",  # "500" | "429" | "garbage"
         cursor_mode: bool = False,
         link_mode: bool = False,
+        oauth_mode: bool = False,
+        token_ttl_requests: int = 0,
     ):
         self.records = records
         self.require_token = require_token
@@ -31,6 +33,15 @@ class MockApiServer:
         self.fail_mode = fail_mode
         self.cursor_mode = cursor_mode
         self.link_mode = link_mode
+        # OAuth2 client-credentials mode: POST /oauth/token issues
+        # sequential tokens; each expires after token_ttl_requests data
+        # requests (0 = never), forcing clients to refresh mid-read.
+        self.oauth_mode = oauth_mode
+        self.token_ttl_requests = token_ttl_requests
+        self._token_serial = 0
+        self._current_token: str | None = None
+        self._token_uses_left = 0
+        self.token_fetches = 0
         self._fail_lock = threading.Lock()
         self._fails_left = fail_first_n
         self.request_count = 0
@@ -40,8 +51,53 @@ class MockApiServer:
             def log_message(self, *args):  # silence
                 pass
 
+            def do_POST(self):
+                if not (outer.oauth_mode and self.path.rstrip("/").endswith("/oauth/token")):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", "0") or 0)
+                body = self.rfile.read(length).decode()
+                params = dict(urllib.parse.parse_qsl(body))
+                if params.get("grant_type") != "client_credentials" or not params.get(
+                    "client_id"
+                ):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                with outer._fail_lock:
+                    outer._token_serial += 1
+                    outer.token_fetches += 1
+                    outer._current_token = f"tok-{outer._token_serial}"
+                    outer._token_uses_left = outer.token_ttl_requests
+                    token = outer._current_token
+                payload = json.dumps(
+                    {"access_token": token, "token_type": "Bearer", "expires_in": 60}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(payload)
+
             def do_GET(self):
                 outer.request_count += 1
+                if outer.oauth_mode:
+                    auth = self.headers.get("Authorization", "")
+                    with outer._fail_lock:
+                        valid = (
+                            outer._current_token is not None
+                            and auth == f"Bearer {outer._current_token}"
+                            and (
+                                outer.token_ttl_requests == 0
+                                or outer._token_uses_left > 0
+                            )
+                        )
+                        if valid and outer.token_ttl_requests:
+                            outer._token_uses_left -= 1
+                    if not valid:
+                        self.send_response(401)
+                        self.end_headers()
+                        return
                 if outer.require_token:
                     auth = self.headers.get("Authorization", "")
                     if auth != f"Bearer {outer.require_token}":

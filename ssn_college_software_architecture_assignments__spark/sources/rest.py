@@ -138,6 +138,48 @@ def _fetch_json_with_headers(
     raise RuntimeError(f"REST fetch failed after {max_retries + 1} attempts: {last_err}")
 
 
+def fetch_oauth_token(
+    token_url: str,
+    client_id: str,
+    client_secret: str,
+    max_retries: int = 4,
+) -> str:
+    """OAuth2 client-credentials grant (RFC 6749 §4.4): POST the token
+    endpoint with form-encoded credentials, return the access token.
+    Reuses the connector's retry/backoff policy for 5xx/429/connectivity;
+    a 4xx is a credential error and fails fast."""
+    data = urllib.parse.urlencode(
+        {
+            "grant_type": "client_credentials",
+            "client_id": client_id,
+            "client_secret": client_secret,
+        }
+    ).encode()
+    last_err: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            req = urllib.request.Request(
+                token_url,
+                data=data,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req, timeout=DEFAULT_TIMEOUT_SEC) as resp:
+                payload = json.loads(resp.read())
+            token = payload.get("access_token")
+            if not token:
+                raise ValueError("token endpoint returned no access_token")
+            return str(token)
+        except urllib.error.HTTPError as exc:
+            if exc.code == 429 or 500 <= exc.code < 600:
+                last_err = exc
+            else:
+                raise
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            last_err = exc
+        time.sleep(0.25 * (2**attempt))
+    raise RuntimeError(f"OAuth token fetch failed: {last_err}")
+
+
 class RestDataSourceReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -172,9 +214,45 @@ class RestDataSourceReader(DataSourceReader):
         self._headers = {"Accept": "application/json"}
         if token:
             self._headers["Authorization"] = f"Bearer {token}"
+        # OAuth2 client-credentials (RFC 6749 §4.4): token fetched lazily
+        # per task process and refreshed once on 401 — bearer tokens
+        # expire mid-extraction in long jobs, and a static token can't
+        # survive that (README.md:88-92 auth contract, extended).
+        self._token_url = options.get("token_url")
+        self._client_id = options.get("client_id", "")
+        self._client_secret = options.get("client_secret", "")
         self._field_names = [f.name for f in schema.fields]
 
     # -- helpers ------------------------------------------------------------
+
+    def _refresh_token(self) -> None:
+        self._headers["Authorization"] = "Bearer " + fetch_oauth_token(
+            self._token_url, self._client_id, self._client_secret
+        )
+
+    def _get(self, url: str):
+        """GET with OAuth refresh: fetch a token before the first request
+        if none is held, re-fetch ONCE on 401 (expired mid-run)."""
+        if self._token_url and "Authorization" not in self._headers:
+            self._refresh_token()
+        try:
+            return _fetch_json(url, self._headers)
+        except urllib.error.HTTPError as exc:
+            if exc.code == 401 and self._token_url:
+                self._refresh_token()
+                return _fetch_json(url, self._headers)
+            raise
+
+    def _get_with_headers(self, url: str):
+        if self._token_url and "Authorization" not in self._headers:
+            self._refresh_token()
+        try:
+            return _fetch_json_with_headers(url, self._headers)
+        except urllib.error.HTTPError as exc:
+            if exc.code == 401 and self._token_url:
+                self._refresh_token()
+                return _fetch_json_with_headers(url, self._headers)
+            raise
 
     def _page_url(self, page: int) -> str:
         params = dict(self.extra_params)
@@ -209,7 +287,7 @@ class RestDataSourceReader(DataSourceReader):
             return [CursorWalk()]
         if self.pagination == "link":
             return [LinkWalk()]
-        first = _fetch_json(self._page_url(1), self._headers)
+        first = self._get(self._page_url(1))
         total = self._dig(first, self.total_path)
         records = self._dig(first, self.data_path) or []
         if total is None:
@@ -234,7 +312,7 @@ class RestDataSourceReader(DataSourceReader):
         for page in range(partition.start_page, partition.end_page):
             if delay:
                 time.sleep(delay)
-            payload = _fetch_json(self._page_url(page), self._headers)
+            payload = self._get(self._page_url(page))
             records = self._dig(payload, self.data_path)
             if not records:  # empty payload terminates cleanly (README.md:32)
                 break
@@ -252,7 +330,7 @@ class RestDataSourceReader(DataSourceReader):
         for _ in range(self.max_pages):
             if delay:
                 time.sleep(delay)
-            payload, resp_headers = _fetch_json_with_headers(url, self._headers)
+            payload, resp_headers = self._get_with_headers(url)
             records = self._dig(payload, self.data_path)
             if not records:
                 return
@@ -271,7 +349,7 @@ class RestDataSourceReader(DataSourceReader):
         for _ in range(self.max_pages):
             if delay:
                 time.sleep(delay)
-            payload = _fetch_json(self._cursor_url(cursor), self._headers)
+            payload = self._get(self._cursor_url(cursor))
             records = self._dig(payload, self.data_path)
             if not records:
                 return
@@ -312,7 +390,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         for _ in range(self.pages_per_batch):
             if delay:
                 time.sleep(delay)
-            payload = _fetch_json(r._page_url(page), r._headers)
+            payload = r._get(r._page_url(page))
             records = r._dig(payload, r.data_path)
             if not records:
                 break
@@ -325,7 +403,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         """Deterministic replay of a committed range (failure recovery)."""
         r = self._r
         for page in range(int(start["page"]), int(end["page"])):
-            payload = _fetch_json(r._page_url(page), r._headers)
+            payload = r._get(r._page_url(page))
             for rec in r._dig(payload, r.data_path) or []:
                 yield tuple(rec.get(n) for n in r._field_names)
 
@@ -450,6 +528,30 @@ def read_rest(spark, base_url: str, endpoint: str, schema: str | None = None, **
                 "any request (reference fault matrix: auth)"
             )
         opts["auth_token"] = token
+    # OAuth2 client-credentials: resolve client id/secret from the
+    # DRIVER's environment (same .env contract as auth_env) and hand them
+    # to the reader, which fetches and refreshes tokens itself (401 ->
+    # one re-fetch). A driver-fetched token alone would not survive
+    # expiry mid-extraction on executors.
+    if "token_url" in opts:
+        for opt_key, env_key in (
+            ("client_id", opts.pop("client_id_env", None)),
+            ("client_secret", opts.pop("client_secret_env", None)),
+        ):
+            if env_key:
+                val = os.environ.get(env_key, "")
+                if not val:
+                    raise ValueError(
+                        f"oauth env var {env_key!r} is not set — failing fast "
+                        "before any request (reference fault matrix: auth)"
+                    )
+                opts[opt_key] = val
+        if not token:
+            token = fetch_oauth_token(
+                opts["token_url"],
+                opts.get("client_id", ""),
+                opts.get("client_secret", ""),
+            )
     if schema is None:
         headers = {"Accept": "application/json"}
         if token:

@@ -273,3 +273,59 @@ def test_parse_link_next_formats():
     hdr = '</x?page=9>; rel="last" , </x?page=2>;rel=next'
     assert parse_link_next(hdr) == "/x?page=2"
     assert parse_link_next('</x?page=1>; rel="prev"') is None
+
+
+def test_oauth_client_credentials_with_midrun_refresh(spark, monkeypatch):
+    """Tokens expiring every 2 requests force the reader to re-fetch on
+    401; extraction must still be lossless and the token endpoint must
+    have been hit more than once."""
+    monkeypatch.setenv("OAUTH_T_ID", "test-client")
+    monkeypatch.setenv("OAUTH_T_SECRET", "oauth-test-secret-not-real")
+    with MockApiServer(RECORDS, oauth_mode=True, token_ttl_requests=2) as server:
+        df = read_rest(
+            spark,
+            server.base_url,
+            "items",
+            schema=SCHEMA,
+            page_size=50,
+            pages_per_partition=2,
+            token_url=f"{server.base_url}/oauth/token",
+            client_id_env="OAUTH_T_ID",
+            client_secret_env="OAUTH_T_SECRET",
+        )
+        rows = df.collect()
+        assert server.token_fetches >= 2
+    assert {r["id"] for r in rows} == {r["id"] for r in RECORDS}
+
+
+def test_oauth_missing_env_fails_fast(spark, monkeypatch):
+    import pytest as _pytest
+
+    monkeypatch.delenv("OAUTH_MISSING_ID", raising=False)
+    with MockApiServer(RECORDS, oauth_mode=True) as server:
+        with _pytest.raises(ValueError, match="OAUTH_MISSING_ID"):
+            read_rest(
+                spark,
+                server.base_url,
+                "items",
+                schema=SCHEMA,
+                token_url=f"{server.base_url}/oauth/token",
+                client_id_env="OAUTH_MISSING_ID",
+            )
+
+
+def test_oauth_bad_grant_rejected(spark):
+    from ssn_college_software_architecture_assignments__spark.sources.rest import (
+        fetch_oauth_token,
+    )
+    import pytest as _pytest
+    import urllib.error
+
+    with MockApiServer(RECORDS, oauth_mode=True) as server:
+        tok = fetch_oauth_token(
+            f"{server.base_url}/oauth/token", "cid", "secret"
+        )
+        assert tok.startswith("tok-")
+        with _pytest.raises(urllib.error.HTTPError):
+            # missing client_id -> 400 fails fast, no retry loop
+            fetch_oauth_token(f"{server.base_url}/oauth/token", "", "x")
