@@ -284,25 +284,38 @@ def j11_write_bucketed_tables(
     Benchmarked separately from the join leg (bench.py j11_write vs
     j11_join) so the shuffle-free claim is measurable round-over-round."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     c = Catalog(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ssn_bucketed_")
-    (
-        c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(n_buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{base}/lineitem_b")
-        .mode("overwrite")
-        .saveAsTable("ssn_lineitem_bucketed")
-    )
-    (
-        c.orders.select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(n_buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{base}/orders_b")
-        .mode("overwrite")
-        .saveAsTable("ssn_orders_bucketed")
-    )
+
+    def _write_lineitem():
+        (
+            c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(n_buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem_b")
+            .mode("overwrite")
+            .saveAsTable("ssn_lineitem_bucketed")
+        )
+
+    def _write_orders():
+        (
+            c.orders.select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(n_buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/orders_b")
+            .mode("overwrite")
+            .saveAsTable("ssn_orders_bucketed")
+        )
+
+    # The two table writes are independent Spark jobs — submit them
+    # concurrently (Spark's scheduler interleaves their stages across the
+    # executor pool) so ingest wall-clock is ~max, not sum, of the two.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_write_lineitem), pool.submit(_write_orders)]
+        for f in futures:
+            f.result()
 
 
 def j11_join_bucketed(spark: SparkSession) -> DataFrame:
