@@ -100,6 +100,11 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "notes": (
+            "r4: j11_bucketed_join reported as j11_write (one-off ingest) "
+            "+ j11_join (repeated no-Exchange SMJ leg); totals are not "
+            "directly comparable to r3's single j11 entry"
+        ),
     }
 
     # Round-over-round continuity: compare against the newest BENCH_r*.json
