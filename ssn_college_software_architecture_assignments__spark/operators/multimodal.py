@@ -386,6 +386,110 @@ def x5e_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_ppm_batch, PPM_DECODE_SCHEMA)
 
 
+# X5g — REAL image resize: nearest-neighbor resample of decoded PPMs -----------
+#
+# x5d's resample is a declared stub (its "thumbnail" is a byte stride,
+# the shape a JPEG path would use without PIL). This variant is the real
+# operation: decode the P6 raster (same parser as x5e), resample it to a
+# fixed target with floor-mapping nearest-neighbor indexing — one numpy
+# fancy-index per image, exactly the arithmetic PIL's NEAREST performs —
+# and reduce the resized pixels. Every output is predicted arithmetically
+# by the oracle from doc_id, so the resample itself is value-checked.
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, target_w int, target_h int, "
+    "mean_pixel double, sum_pixel long, resize_status string"
+)
+
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def resize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real nearest-neighbor resize: raster[(ty*h)//Th, (tx*w)//Tw] via
+    numpy index arrays — vectorized, bounded output per row."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "src_w": [], "src_h": [], "target_w": [],
+            "target_h": [], "mean_pixel": [], "sum_pixel": [],
+            "resize_status": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            try:
+                if not buf.startswith(b"P6"):
+                    raise ValueError("not a P6 PPM")
+                parts = buf.split(b"\n", 3)
+                w, h = (int(t) for t in parts[1].split())
+                raster = np.frombuffer(parts[3], dtype=np.uint8)
+                if raster.size != w * h * 3:
+                    raise ValueError("truncated raster")
+                img = raster.reshape(h, w, 3)
+                rows = (np.arange(_RESIZE_H) * h) // _RESIZE_H
+                cols = (np.arange(_RESIZE_W) * w) // _RESIZE_W
+                resized = img[rows][:, cols].astype(np.int64)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["target_w"].append(_RESIZE_W)
+                out["target_h"].append(_RESIZE_H)
+                out["mean_pixel"].append(round(float(resized.mean()), 4))
+                out["sum_pixel"].append(int(resized.sum()))
+                out["resize_status"].append("ok")
+            except ValueError as exc:
+                out["src_w"].append(0)
+                out["src_h"].append(0)
+                out["target_w"].append(_RESIZE_W)
+                out["target_h"].append(_RESIZE_H)
+                out["mean_pixel"].append(0.0)
+                out["sum_pixel"].append(0)
+                out["resize_status"].append(f"error: {exc}")
+            out["doc_id"].append(doc_id)
+        yield pd.DataFrame(out)
+
+
+_X5G_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31
+          + (((ty.i * d.h) // 6) * d.w + ((tx.i * d.w) // 8)) * 3
+          + c.i) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(6)) AS i) ty,
+       LATERAL (SELECT unnest(range(8)) AS i) tx,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+)
+SELECT doc_id,
+       CAST(max(w) AS INT)   AS src_w,
+       CAST(max(h) AS INT)   AS src_h,
+       CAST(8 AS INT)        AS target_w,
+       CAST(6 AS INT)        AS target_h,
+       round(avg(v), 4)      AS mean_pixel,
+       CAST(sum(v) AS BIGINT) AS sum_pixel,
+       'ok'                  AS resize_status
+FROM px
+GROUP BY doc_id
+"""
+
+
+@register("x5g_ppm_resize", oracle=_X5G_ORACLE, tags=("X5",))
+def x5g_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, no stub: deterministic P6 images (x5e's encode
+    kernel) are decoded and nearest-neighbor-resampled to 8x6 inside one
+    Arrow-batched kernel; the oracle predicts the resized pixel sums and
+    means arithmetically from doc_id, so the resample arithmetic itself —
+    not just the plumbing — is value-checked. Pixel(y,x,c) of the source
+    is (doc_id*31 + (y*w+x)*3 + c) % 256; the target pixel maps from
+    ((ty*h)//6, (tx*w)//8)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(resize_ppm_batch, PPM_RESIZE_SCHEMA)
+
+
 # X5f — REAL audio decode: WAV (RIFF/PCM) encoder + decoder ---------------------
 #
 # Like PPM (x5e), canonical WAV needs no codec library: a RIFF header plus

@@ -101,6 +101,7 @@ _CHECK_PRIORITY = (
     "x5b_multimodal_decode",
     "x5c_frame_sample",
     "x5d_resize",
+    "x5g_ppm_resize",            # NEW r4: real nearest-neighbor resize
     "x6b_sequence_packing",
     "x6c_mixture_sample",
     "e2_sql_shipping_priority",
@@ -130,13 +131,13 @@ _CHECK_PRIORITY = (
     "s9b_rest_stream",
     "e1_etl_connector",
     "s7_raw_sink_roundtrip",     # sink module changed (DocumentWriter)
-    "s8_validated_insert",
     # tier 1d: flagship re-confirmation (j8's module is unchanged this
     # round and has r2+r3 green rows, so it yields its slot to s1d)
     "x1_exact_dedup",
     "j11_bucketed_join",
     # ---- 50-query driver budget line ----
     "j8_asof_join",
+    "s8_validated_insert",
     # below: queries with existing driver-green rows (r1-r3), plus the
     # guaranteed-no_oracle flagship
     "x2_minhash_near_dedup",
