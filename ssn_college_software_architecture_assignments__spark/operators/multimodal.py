@@ -490,6 +490,126 @@ def x5g_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(resize_ppm_batch, PPM_RESIZE_SCHEMA)
 
 
+# X5h — REAL frame sampling: demux of a concatenated-PPM container --------------
+#
+# x5c's sampler is a declared stub (byte slices standing in for frames,
+# the shape an mp4 path would use without ffmpeg). This variant performs
+# the real operation on a codec-free container: a "video" is N P6 images
+# concatenated back-to-back, and the kernel genuinely DEMUXES it — walks
+# the buffer, parses each frame's header to find its extent, decodes the
+# sampled frames, reduces their pixels. Same Arrow fan-out shape
+# (1 container row -> N frame rows); every output arithmetic-predicted.
+
+PPM_VIDEO_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_pixel double, sample_status string"
+)
+
+
+def _ppm_video_bytes(doc_id: int) -> bytes:
+    """Deterministic multi-frame container: 2 + doc_id % 4 frames, frame
+    f's image seeded with doc_id + f (dims AND pixels derive from the
+    seed, so an SQL oracle predicts every sampled frame's reduction)."""
+    n_frames = 2 + doc_id % 4
+    return b"".join(_ppm_bytes(doc_id + f) for f in range(n_frames))
+
+
+def encode_ppm_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(_ppm_video_bytes),
+            }
+        )
+
+
+def sample_ppm_frames_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Real demux + sample: walk the container, header-parse each frame
+    to find its byte extent, decode every 2nd frame, reduce with numpy."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "frame_idx": [], "width": [], "height": [],
+            "mean_pixel": [], "sample_status": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos, idx = 0, 0
+            while pos < len(buf):
+                try:
+                    if buf[pos : pos + 2] != b"P6":
+                        raise ValueError(f"bad frame magic at {pos}")
+                    # header: "P6\n{w} {h}\n255\n"
+                    nl1 = buf.index(b"\n", pos)
+                    nl2 = buf.index(b"\n", nl1 + 1)
+                    nl3 = buf.index(b"\n", nl2 + 1)
+                    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+                    frame_end = nl3 + 1 + w * h * 3
+                    if frame_end > len(buf):
+                        raise ValueError("truncated frame")
+                    if idx % 2 == 0:  # sample every 2nd frame
+                        raster = np.frombuffer(
+                            buf[nl3 + 1 : frame_end], dtype=np.uint8
+                        )
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_pixel"].append(round(float(raster.mean()), 4))
+                        out["sample_status"].append("ok")
+                    pos, idx = frame_end, idx + 1
+                except ValueError as exc:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_pixel"].append(0.0)
+                    out["sample_status"].append(f"error: {exc}")
+                    break
+        yield pd.DataFrame(out)
+
+
+_X5H_ORACLE = """
+WITH frames AS (
+  SELECT d.doc_id, f.i AS frame_idx,
+         4 + (d.doc_id + f.i) % 13 AS w,
+         4 + (d.doc_id + f.i) % 7  AS h
+  FROM documents d,
+       LATERAL (SELECT unnest(range(2 + d.doc_id % 4)) AS i) f
+  WHERE f.i % 2 = 0
+)
+SELECT fr.doc_id,
+       CAST(fr.frame_idx AS INT) AS frame_idx,
+       CAST(fr.w AS INT)         AS width,
+       CAST(fr.h AS INT)         AS height,
+       round(avg(((fr.doc_id + fr.frame_idx) * 31 + g.i) % 256), 4) AS mean_pixel,
+       'ok'                      AS sample_status
+FROM frames fr,
+     LATERAL (SELECT unnest(range(fr.w * fr.h * 3)) AS i) g
+GROUP BY fr.doc_id, fr.frame_idx, fr.w, fr.h
+"""
+
+
+@register("x5h_ppm_frame_sample", oracle=_X5H_ORACLE, tags=("X5",))
+def x5h_ppm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling, no stub: each document becomes a multi-frame
+    concatenated-PPM container; the kernel demuxes it by parsing each
+    frame header for its byte extent, decodes every 2nd frame, and
+    reduces its pixels — the container-walk + selective-decode dataflow
+    of an ffmpeg sampler, minus only the codec. The oracle predicts every
+    sampled frame's dims and mean pixel arithmetically from
+    (doc_id, frame_idx)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_ppm_video_batch, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(sample_ppm_frames_batch, PPM_VIDEO_SCHEMA)
+
+
 # X5f — REAL audio decode: WAV (RIFF/PCM) encoder + decoder ---------------------
 #
 # Like PPM (x5e), canonical WAV needs no codec library: a RIFF header plus

@@ -102,6 +102,7 @@ _CHECK_PRIORITY = (
     "x5c_frame_sample",
     "x5d_resize",
     "x5g_ppm_resize",            # NEW r4: real nearest-neighbor resize
+    "x5h_ppm_frame_sample",      # NEW r4: real container demux + sample
     "x6b_sequence_packing",
     "x6c_mixture_sample",
     "e2_sql_shipping_priority",
@@ -131,11 +132,12 @@ _CHECK_PRIORITY = (
     "s9b_rest_stream",
     "e1_etl_connector",
     "s7_raw_sink_roundtrip",     # sink module changed (DocumentWriter)
-    # tier 1d: flagship re-confirmation (j8's module is unchanged this
-    # round and has r2+r3 green rows, so it yields its slot to s1d)
-    "x1_exact_dedup",
+    # tier 1d: flagship re-confirmation (j8/x1 have multi-round greens
+    # and their families are re-validated above, so their slots went to
+    # the round-4 queries)
     "j11_bucketed_join",
     # ---- 50-query driver budget line ----
+    "x1_exact_dedup",
     "j8_asof_join",
     "s8_validated_insert",
     # below: queries with existing driver-green rows (r1-r3), plus the
