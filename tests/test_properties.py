@@ -112,3 +112,44 @@ def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == _union_find_components(n_nodes, edges)
+
+
+# Arbitrary unicode: CJK (no spaces at all), emoji, combining marks,
+# whitespace runs, empty — the shapes a real web corpus contains and the
+# ASCII word-soup fixture never exercises.
+unicode_text = st.text(min_size=0, max_size=60)
+
+
+@given(st.lists(unicode_text, min_size=1, max_size=8))
+@SETTINGS
+def test_text_pipeline_survives_arbitrary_unicode(spark, texts):
+    """Robustness law: shingling, minhash, and simhash must never abort
+    on ANY document content (the sequence(1,0) crash class), and
+    byte-identical documents must always produce identical signatures."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        shingles,
+        simhash64,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # duplicate every doc so the identical-signature law is exercised
+    rows += [(len(texts) + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    shingled = df.select(
+        "doc_id", F.size(shingles("text", 3)).alias("n_shingles")
+    ).collect()
+    assert all(r["n_shingles"] >= 0 for r in shingled)
+
+    sigs = minhash_signatures(df, "doc_id", "text").collect()
+    by_id = {r["_id"]: tuple(r["minhash"]) for r in sigs}
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        twin = len(texts) + i
+        # identical text -> identical signatures (when a signature exists)
+        if i in by_id or twin in by_id:
+            assert by_id.get(i) == by_id.get(twin)
+        assert sims[i] == sims[twin]
