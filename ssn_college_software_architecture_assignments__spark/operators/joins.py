@@ -321,7 +321,7 @@ def j11_write_bucketed_tables(
 def j11_join_bucketed(spark: SparkSession) -> DataFrame:
     """The repeated leg: sort-merge join of the two pre-bucketed tables —
     NO Exchange and no Sort on either input (plan-asserted in
-    tests/test_round2_ops.py)."""
+    tests/test_lake.py::test_bucketed_join_has_no_exchange_below_smj)."""
     li = spark.table("ssn_lineitem_bucketed")
     od = spark.table("ssn_orders_bucketed")
     joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
@@ -342,7 +342,8 @@ def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a join that repeats nightly at 100 TB. The bucketed write costs
     one shuffle ONCE at ingest; every subsequent join of the two tables
     on the bucket key is then shuffle-free. Locally the tables land in a
-    temp dir as external tables; ``tests/test_joins.py`` asserts the
-    physical plan has no Exchange below the SortMergeJoin."""
+    temp dir as external tables;
+    ``tests/test_lake.py::test_bucketed_join_has_no_exchange_below_smj``
+    asserts the physical plan has no Exchange below the SortMergeJoin."""
     j11_write_bucketed_tables(spark, sf_dir)
     return j11_join_bucketed(spark)

@@ -206,11 +206,14 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
 @register("s1d_oauth_refresh", oracle=_S1D_ORACLE, tags=("S1", "S3"))
 def s1d_oauth_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OAuth2 client-credentials extraction with MID-RUN token expiry
-    (README.md:88-92 auth contract beyond static bearer): the server's
-    tokens die after every 2 data requests, so a 4-page read MUST refresh
-    at least once; the reader re-fetches on 401 and the extraction still
-    yields exactly the source table. Client id/secret ride the .env
-    contract like every other credential."""
+    (README.md:88-92 auth contract beyond static bearer): every token dies
+    after ONE data request, so each 2-page task inevitably hits a 401 on
+    its second page, must re-fetch, and the extraction still yields
+    exactly the source table. The gate asserts on the server's 401
+    counter — a lossless read that provoked 401s can only have succeeded
+    through the reader's 401->refresh->retry path (a raw fetch-count
+    would also rise from per-task lazy fetches and prove nothing).
+    Client id/secret ride the .env contract like every other credential."""
     import tempfile as _tf
 
     from .mock_api import MockApiServer
@@ -223,7 +226,7 @@ def s1d_oauth_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "S1D_CLIENT_ID=connector-ci\n"
             "S1D_CLIENT_SECRET=s1d-test-secret-not-a-real-secret\n"
         )
-    with MockApiServer(records, oauth_mode=True, token_ttl_requests=2) as server:
+    with MockApiServer(records, oauth_mode=True, token_ttl_requests=1) as server:
         df = read_rest(
             spark,
             server.base_url,
@@ -238,7 +241,8 @@ def s1d_oauth_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         df = df.cache()
         df.count()
-        assert server.token_fetches >= 2, "mid-run refresh never happened"
+        assert server.auth_401s >= 1, "mid-run 401 (expiry) never happened"
+        assert server.token_fetches >= 2, "401-driven re-fetch never happened"
     return df
 
 

@@ -26,6 +26,7 @@ class MockApiServer:
         link_mode: bool = False,
         oauth_mode: bool = False,
         token_ttl_requests: int = 0,
+        revoke_tokens: bool = False,
     ):
         self.records = records
         self.require_token = require_token
@@ -36,12 +37,26 @@ class MockApiServer:
         # OAuth2 client-credentials mode: POST /oauth/token issues
         # sequential tokens; each expires after token_ttl_requests data
         # requests (0 = never), forcing clients to refresh mid-read.
+        # Real client-credentials servers allow OVERLAPPING tokens, so a
+        # set of valid tokens with per-token remaining-use counters is
+        # kept — concurrent readers must not invalidate each other (a
+        # single-current-token model makes multi-partition reads flaky).
         self.oauth_mode = oauth_mode
         self.token_ttl_requests = token_ttl_requests
+        # revoke_tokens: issue tokens that are NEVER valid (instant
+        # revocation) — exercises the client's refresh-once-then-surface
+        # path when a refresh cannot help.
+        self.revoke_tokens = revoke_tokens
         self._token_serial = 0
-        self._current_token: str | None = None
-        self._token_uses_left = 0
+        self._tokens: dict[str, int] = {}  # token -> uses left (-1 = unlimited)
         self.token_fetches = 0
+        # every POST to the token endpoint, including rejected grants —
+        # lets tests bound retry behavior (no refresh storms).
+        self.token_posts = 0
+        # 401s served to bearer-auth'd requests: the observable proof that
+        # a reader's 401->refresh->retry path actually ran (a read that
+        # both raised this counter AND was lossless must have refreshed).
+        self.auth_401s = 0
         self._fail_lock = threading.Lock()
         self._fails_left = fail_first_n
         self.request_count = 0
@@ -59,6 +74,8 @@ class MockApiServer:
                 length = int(self.headers.get("Content-Length", "0") or 0)
                 body = self.rfile.read(length).decode()
                 params = dict(urllib.parse.parse_qsl(body))
+                with outer._fail_lock:
+                    outer.token_posts += 1
                 if params.get("grant_type") != "client_credentials" or not params.get(
                     "client_id"
                 ):
@@ -68,9 +85,9 @@ class MockApiServer:
                 with outer._fail_lock:
                     outer._token_serial += 1
                     outer.token_fetches += 1
-                    outer._current_token = f"tok-{outer._token_serial}"
-                    outer._token_uses_left = outer.token_ttl_requests
-                    token = outer._current_token
+                    token = f"tok-{outer._token_serial}"
+                    if not outer.revoke_tokens:
+                        outer._tokens[token] = outer.token_ttl_requests or -1
                 payload = json.dumps(
                     {"access_token": token, "token_type": "Bearer", "expires_in": 60}
                 ).encode()
@@ -83,17 +100,14 @@ class MockApiServer:
                 outer.request_count += 1
                 if outer.oauth_mode:
                     auth = self.headers.get("Authorization", "")
+                    token = auth.removeprefix("Bearer ") if auth else ""
                     with outer._fail_lock:
-                        valid = (
-                            outer._current_token is not None
-                            and auth == f"Bearer {outer._current_token}"
-                            and (
-                                outer.token_ttl_requests == 0
-                                or outer._token_uses_left > 0
-                            )
-                        )
-                        if valid and outer.token_ttl_requests:
-                            outer._token_uses_left -= 1
+                        uses = outer._tokens.get(token, 0)
+                        valid = uses != 0
+                        if uses > 0:
+                            outer._tokens[token] = uses - 1
+                        if not valid:
+                            outer.auth_401s += 1
                     if not valid:
                         self.send_response(401)
                         self.end_headers()
@@ -144,6 +158,10 @@ class MockApiServer:
                     # RFC 5988 Link-header pagination (GitHub shape): the
                     # body carries only the records; the NEXT address lives
                     # in the Link response header, relative to this path.
+                    # Deliberately hostile shape: rel="first" and rel="next"
+                    # ride SEPARATE Link headers (RFC 5988 allows several)
+                    # and the next URL carries an unencoded comma in a
+                    # query value — both legal, both break naive parsers.
                     page = int(params.get("page", "1"))
                     start = (page - 1) * per_page
                     data = outer.records[start : start + per_page]
@@ -152,10 +170,12 @@ class MockApiServer:
                     self.send_header("Content-Type", "application/json")
                     if start + per_page < len(outer.records):
                         path = urllib.parse.urlparse(self.path).path
-                        nxt = f"{path}?page={page + 1}&per_page={per_page}"
-                        self.send_header(
-                            "Link", f'<{nxt}>; rel="next", <{path}?page=1>; rel="first"'
+                        nxt = (
+                            f"{path}?page={page + 1}&per_page={per_page}"
+                            f"&tags=a,b"
                         )
+                        self.send_header("Link", f'<{path}?page=1>; rel="first"')
+                        self.send_header("Link", f'<{nxt}>; rel="next"')
                     self.end_headers()
                     self.wfile.write(body)
                     return

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import time
 import urllib.error
 import urllib.parse
@@ -68,23 +69,33 @@ class LinkWalk(InputPartition):
         super().__init__(value=None)
 
 
+# Each RFC 5988 link-value is a <URL-reference> followed by ;-separated
+# params, up to the next '<'. Matching the bracket group FIRST (instead of
+# splitting the header on ',') keeps unencoded commas inside link URLs —
+# legal in query strings — from truncating the URL.
+_LINK_VALUE_RE = re.compile(r"<([^>]*)>([^<]*)")
+
+
 def parse_link_next(link_header: str | None) -> str | None:
     """Extract the rel="next" target from an RFC 5988 Link header, e.g.
     ``<https://api/x?page=2>; rel="next", <...>; rel="last"`` -> the URL.
-    Returns None when there is no next link (end of the chain)."""
+    Returns None when there is no next link (end of the chain).
+
+    Robust to the two truncation traps a naive comma-split has: unencoded
+    commas inside a link URL (the ``<...>`` group wins over the separator)
+    and rel lists (``rel="next last"`` — RFC 8288 §3.3 allows a
+    space-separated list of relation types)."""
     if not link_header:
         return None
-    for part in link_header.split(","):
-        segs = part.split(";")
-        if len(segs) < 2:
-            continue
-        url = segs[0].strip()
-        if not (url.startswith("<") and url.endswith(">")):
-            continue
-        for param in segs[1:]:
+    for m in _LINK_VALUE_RE.finditer(link_header):
+        url, params = m.group(1), m.group(2)
+        for param in params.split(";"):
             k, _, v = param.strip().partition("=")
-            if k.strip().lower() == "rel" and v.strip().strip('"').lower() == "next":
-                return url[1:-1]
+            if k.strip().lower() != "rel":
+                continue
+            rels = v.strip().rstrip(",").strip().strip('"').lower().split()
+            if "next" in rels:
+                return url
     return None
 
 
@@ -119,6 +130,13 @@ def _fetch_json_with_headers(
             with urllib.request.urlopen(req, timeout=DEFAULT_TIMEOUT_SEC) as resp:
                 body = resp.read()
                 resp_headers = dict(resp.headers.items())
+                # RFC 5988 allows SEVERAL Link headers; dict() would keep
+                # only the last, silently dropping a rel="next" carried in
+                # an earlier one. Re-join them, comma-separated (RFC 9110
+                # §5.3 list-header equivalence), under the canonical key.
+                link_values = resp.headers.get_all("Link")
+                if link_values:
+                    resp_headers["Link"] = ", ".join(link_values)
             try:
                 return json.loads(body), resp_headers
             except json.JSONDecodeError as exc:
@@ -219,11 +237,30 @@ class RestDataSourceReader(DataSourceReader):
         # expire mid-extraction in long jobs, and a static token can't
         # survive that (README.md:88-92 auth contract, extended).
         self._token_url = options.get("token_url")
-        self._client_id = options.get("client_id", "")
-        self._client_secret = options.get("client_secret", "")
+        # OAuth client credentials: prefer direct options, else resolve
+        # *_env names from this process's environment — the narrow-exposure
+        # path (only the env var NAME rides the options / plan / UI) for
+        # deployments whose env is present at JVM launch.
+        self._client_id = self._secret_option(options, "client_id")
+        self._client_secret = self._secret_option(options, "client_secret")
         self._field_names = [f.name for f in schema.fields]
 
     # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _secret_option(options: dict, key: str) -> str:
+        """Resolve ``key`` from a direct option, else from the env var
+        named by ``{key}_env`` (fail fast if named but absent)."""
+        val = options.get(key, "")
+        env_name = options.get(f"{key}_env")
+        if not val and env_name:
+            val = os.environ.get(env_name, "")
+            if not val:
+                raise ValueError(
+                    f"oauth env var {env_name!r} is not set in this process — "
+                    "failing fast before any request (reference fault matrix: auth)"
+                )
+        return val
 
     def _refresh_token(self) -> None:
         self._headers["Authorization"] = "Bearer " + fetch_oauth_token(
@@ -507,6 +544,15 @@ def read_rest(spark, base_url: str, endpoint: str, schema: str | None = None, **
     appears in logs we control; callers should treat explain/debug output
     as sensitive when passing credentials.
 
+    SECRET-EXPOSURE CAVEAT: ``auth_token`` — and, by default, the OAuth
+    ``client_id``/``client_secret`` resolved from ``client_id_env``/
+    ``client_secret_env`` — travel as data source OPTIONS, which Spark may
+    surface in explain output, the UI, and event logs. When worker
+    processes inherit the credential env vars (set before JVM launch),
+    pass ``ship_secrets=False``: only the env var NAMES are shipped and
+    each task resolves the values locally, keeping secrets out of the
+    plan entirely.
+
     ``schema=None`` triggers first-page inference (:func:`infer_rest_schema`);
     pass ``schema_pin_path`` to persist-and-evolve the inferred schema
     across runs instead of re-inferring from scratch.
@@ -534,10 +580,10 @@ def read_rest(spark, base_url: str, endpoint: str, schema: str | None = None, **
     # one re-fetch). A driver-fetched token alone would not survive
     # expiry mid-extraction on executors.
     if "token_url" in opts:
-        for opt_key, env_key in (
-            ("client_id", opts.pop("client_id_env", None)),
-            ("client_secret", opts.pop("client_secret_env", None)),
-        ):
+        ship_secrets = str(opts.pop("ship_secrets", "true")).lower() != "false"
+        resolved: dict[str, str] = {}
+        for opt_key in ("client_id", "client_secret"):
+            env_key = opts.get(f"{opt_key}_env")
             if env_key:
                 val = os.environ.get(env_key, "")
                 if not val:
@@ -545,12 +591,21 @@ def read_rest(spark, base_url: str, endpoint: str, schema: str | None = None, **
                         f"oauth env var {env_key!r} is not set — failing fast "
                         "before any request (reference fault matrix: auth)"
                     )
-                opts[opt_key] = val
-        if not token:
+                resolved[opt_key] = val
+                if ship_secrets:
+                    # default: ship the value (works regardless of worker
+                    # env) — see the SECRET-EXPOSURE CAVEAT above
+                    opts.pop(f"{opt_key}_env")
+                    opts[opt_key] = val
+        # A driver-held token is only needed to authenticate the schema
+        # inference probe below; tasks fetch (and refresh) their own.
+        # Fetching one unconditionally would also pollute token-endpoint
+        # hit counts that tests use to isolate reader refresh behavior.
+        if schema is None and not token:
             token = fetch_oauth_token(
                 opts["token_url"],
-                opts.get("client_id", ""),
-                opts.get("client_secret", ""),
+                resolved.get("client_id", opts.get("client_id", "")),
+                resolved.get("client_secret", opts.get("client_secret", "")),
             )
     if schema is None:
         headers = {"Accept": "application/json"}

@@ -250,7 +250,10 @@ def test_schema_inference_pin_and_evolve(spark, tmp_path):
 def test_link_header_pagination_walks_chain(spark):
     """pagination=link follows RFC 5988 Link rel="next" headers across
     pages (relative URLs resolved against the current address) and stops
-    when the header disappears."""
+    when the header disappears. The mock is deliberately hostile: next
+    and first ride SEPARATE Link headers and the next URL contains an
+    unencoded comma — dropping either would silently truncate the read
+    (no next is indistinguishable from end-of-chain)."""
     with MockApiServer(RECORDS, link_mode=True) as server:
         df = _read(spark, server, pagination="link", page_size=60)
         rows = df.collect()
@@ -273,15 +276,26 @@ def test_parse_link_next_formats():
     hdr = '</x?page=9>; rel="last" , </x?page=2>;rel=next'
     assert parse_link_next(hdr) == "/x?page=2"
     assert parse_link_next('</x?page=1>; rel="prev"') is None
+    # unencoded comma inside a link URL must not truncate parsing
+    hdr = '</x?ids=1,2&page=3>; rel="next", </x?ids=1,2&page=9>; rel="last"'
+    assert parse_link_next(hdr) == "/x?ids=1,2&page=3"
+    # rel list (RFC 8288 §3.3): next may ride with other relation types
+    assert parse_link_next('</x?page=4>; rel="next last"') == "/x?page=4"
+    # joined repeated headers (", "-concatenated by the fetch layer)
+    hdr = '</x?page=1>; rel="first", </x?page=5>; rel="next"'
+    assert parse_link_next(hdr) == "/x?page=5"
 
 
 def test_oauth_client_credentials_with_midrun_refresh(spark, monkeypatch):
-    """Tokens expiring every 2 requests force the reader to re-fetch on
-    401; extraction must still be lossless and the token endpoint must
-    have been hit more than once."""
+    """Tokens expiring after ONE request force every 2-page task to hit a
+    401 mid-read and re-fetch; extraction must still be lossless. The
+    server keeps a SET of valid tokens (overlapping tokens, like real
+    client-credentials servers), so concurrent tasks cannot invalidate
+    each other — the 401s counted here come only from genuine expiry."""
+    secret = "oauth-test-secret-not-real"
     monkeypatch.setenv("OAUTH_T_ID", "test-client")
-    monkeypatch.setenv("OAUTH_T_SECRET", "oauth-test-secret-not-real")
-    with MockApiServer(RECORDS, oauth_mode=True, token_ttl_requests=2) as server:
+    monkeypatch.setenv("OAUTH_T_SECRET", secret)
+    with MockApiServer(RECORDS, oauth_mode=True, token_ttl_requests=1) as server:
         df = read_rest(
             spark,
             server.base_url,
@@ -294,8 +308,82 @@ def test_oauth_client_credentials_with_midrun_refresh(spark, monkeypatch):
             client_secret_env="OAUTH_T_SECRET",
         )
         rows = df.collect()
-        assert server.token_fetches >= 2
+        assert server.auth_401s >= 1, "expiry-driven 401 never happened"
+        assert server.token_fetches >= 2, "401-driven re-fetch never happened"
+        # the resolved secret must not leak into the query plan text
+        plan = df._jdf.queryExecution().toString()
+        assert secret not in plan
     assert {r["id"] for r in rows} == {r["id"] for r in RECORDS}
+
+
+def test_oauth_refresh_once_then_surface(spark):
+    """When a refreshed token STILL yields 401 (instant revocation), the
+    reader must refresh exactly once and then surface the error — not
+    loop on the token endpoint."""
+    with MockApiServer(RECORDS, oauth_mode=True, revoke_tokens=True) as server:
+        df = _read(
+            spark,
+            server,
+            token_url=f"{server.base_url}/oauth/token",
+            client_id="cid",
+            client_secret="sek",
+        )
+        with pytest.raises(Exception):
+            df.count()
+        # initial lazy fetch + exactly one 401-driven re-fetch per attempt
+        assert server.token_posts == 2, f"refresh storm: {server.token_posts} posts"
+        assert server.auth_401s == 2  # first GET + the single retry
+
+
+def test_oauth_refresh_endpoint_4xx_no_retry_storm(spark):
+    """A 4xx from the token endpoint is a credential error: fail fast on
+    the first POST, no backoff-retry loop against the refresh endpoint."""
+    with MockApiServer(RECORDS, oauth_mode=True) as server:
+        df = _read(
+            spark,
+            server,
+            token_url=f"{server.base_url}/oauth/token",
+            client_id="",  # mock rejects a missing client_id with 400
+            client_secret="x",
+        )
+        with pytest.raises(Exception):
+            df.count()
+        assert server.token_posts == 1, f"retry storm: {server.token_posts} posts"
+
+
+def test_oauth_env_names_resolved_reader_side(monkeypatch):
+    """ship_secrets=False ships only env var NAMES; the reader resolves
+    values from its own process environment and fails fast when the named
+    var is absent — secrets never enter the options map."""
+    from pyspark.sql.types import StructType
+    from ssn_college_software_architecture_assignments__spark.sources.rest import (
+        RestDataSourceReader,
+    )
+
+    schema = StructType.fromDDL(SCHEMA)
+    monkeypatch.setenv("OAUTH_RS_ID", "rs-client")
+    monkeypatch.setenv("OAUTH_RS_SECRET", "rs-secret-not-real")
+    r = RestDataSourceReader(
+        schema,
+        {
+            "base_url": "http://localhost:9",
+            "token_url": "http://localhost:9/oauth/token",
+            "client_id_env": "OAUTH_RS_ID",
+            "client_secret_env": "OAUTH_RS_SECRET",
+        },
+    )
+    assert r._client_id == "rs-client"
+    assert r._client_secret == "rs-secret-not-real"
+    monkeypatch.delenv("OAUTH_RS_SECRET")
+    with pytest.raises(ValueError, match="OAUTH_RS_SECRET"):
+        RestDataSourceReader(
+            schema,
+            {
+                "base_url": "http://localhost:9",
+                "token_url": "http://localhost:9/oauth/token",
+                "client_secret_env": "OAUTH_RS_SECRET",
+            },
+        )
 
 
 def test_oauth_missing_env_fails_fast(spark, monkeypatch):
