@@ -49,6 +49,49 @@ def _force(df) -> int:
         return df.count()
 
 
+# Host-speed calibration: a fixed-size, data-independent, in-memory JVM
+# aggregation (no IO, no shuffle). Its wall-time tracks raw host/runtime
+# speed, so round-over-round drift becomes MEASURED instead of inferred
+# from uniform slowdowns across unchanged queries (the r3->r4 lesson).
+# CALIB_NOMINAL_SEC pins the round-5 host as the normalization reference:
+# value_normalized = value * (CALIB_NOMINAL_SEC / calib_sec) re-expresses
+# a total in round-5-host seconds, comparable across rounds.
+CALIB_NOMINAL_SEC = 0.140
+
+
+def _calibrate(spark) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _force(spark.range(0, 50_000_000, 1, 8).selectExpr("sum(id * 2) AS s"))
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
+def _fingerprint(spark) -> dict:
+    import platform
+
+    import pyspark
+
+    cpu_model = ""
+    try:
+        with open("/proc/cpuinfo", encoding="utf-8") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {
+        "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+        "cpu_model": cpu_model,
+        "cpus": os.cpu_count(),
+        "calib_sec": _calibrate(spark),
+        "calib_nominal_sec": CALIB_NOMINAL_SEC,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ssn_college_software_architecture_assignments__spark import build_session
@@ -60,6 +103,8 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so timings measure the query.
     _force(qs[names[0]](spark, sf_dir))
+
+    fingerprint = _fingerprint(spark)
 
     # Run each query twice and report the min: machine noise on shared
     # hosts dwarfs plan differences (the same plan has been observed at
@@ -94,16 +139,26 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Drift-normalized total: what this run would cost on the pinned
+    # reference host (calib_sec == CALIB_NOMINAL_SEC). Guard against a
+    # degenerate calibration (0 would mean the clock failed).
+    calib = fingerprint["calib_sec"]
+    normalized = round(total * (CALIB_NOMINAL_SEC / calib), 3) if calib > 0 else None
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "value_normalized": normalized,
+        "fingerprint": fingerprint,
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "notes": (
-            "r4: j11_bucketed_join reported as j11_write (one-off ingest) "
-            "+ j11_join (repeated no-Exchange SMJ leg); totals are not "
-            "directly comparable to r3's single j11 entry"
+            "value_normalized rescales the total by the fixed in-memory "
+            "calibration agg (fingerprint.calib_sec vs the pinned "
+            "calib_nominal_sec) so host/runtime drift is factored out of "
+            "round-over-round comparison; j11 stays split as j11_write "
+            "(one-off ingest) + j11_join (repeated no-Exchange SMJ leg)"
         ),
     }
 
@@ -129,6 +184,17 @@ def main() -> None:
                 for n in per_query
                 if isinstance(prev_q.get(n), (int, float))
             }
+            # Host-speed ratio vs the previous round, when it recorded a
+            # calibration: >1 means this host is that much slower now.
+            prev_parsed = prev.get("parsed", prev)
+            prev_fp = (
+                prev_parsed.get("fingerprint", {})
+                if isinstance(prev_parsed, dict)
+                else {}
+            )
+            prev_calib = prev_fp.get("calib_sec")
+            if isinstance(prev_calib, (int, float)) and prev_calib > 0 and calib > 0:
+                out["calib_drift_vs_prev"] = round(calib / prev_calib, 3)
         except (OSError, ValueError, KeyError, TypeError, AttributeError):
             pass
     print(json.dumps(out))
