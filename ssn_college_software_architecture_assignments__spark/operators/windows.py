@@ -214,31 +214,44 @@ GROUP BY user_id, session_idx
 """
 
 
-@register("w6_sessionize", oracle=_W6_ORACLE, tags=("W6",))
-def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity gap): lag flags session
-    starts, a running sum assigns session ids, then per-session stats —
-    the batch twin of the T3 session window. All three passes share ONE
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization core over any frame with ``user_id``,
+    ``event_id``, ``ts``: lag flags session starts, a running sum assigns
+    session ids, then per-session stats. All three passes share ONE
     shuffle on user_id (identical window partitioning), and the gap math
-    runs on integer microseconds (unix_micros / epoch_us) so both engines
-    compare exactly — no float drift at session boundaries."""
-    ev = Catalog(spark, sf_dir).events
-    base = ev.select(
+    runs on integer microseconds (unix_micros) so engines compare exactly
+    — no float drift at session boundaries. The window orders by
+    ``(us, event_id)``, so session assignment is a pure function of the
+    row SET — input order (late/out-of-order arrival in a batch backfill)
+    cannot change it; tests/test_late_data.py holds that law under
+    hypothesis-shuffled orderings."""
+    base = events.select(
         "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
     )
+    gap_us = int(gap_minutes) * 60_000_000
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
     sess = base.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     ).withColumn(
         "session_idx",
         F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
-    return sess.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+    return sess.groupBy(
+        "user_id", F.col("session_idx").cast("long").alias("session_idx")
+    ).agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.round((F.max("us") - F.min("us")) / 1e6, 3).alias("duration_sec"),
     )
+
+
+@register("w6_sessionize", oracle=_W6_ORACLE, tags=("W6",))
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) of the events
+    fixture — the batch twin of the T3 session window. See
+    :func:`sessionize` for the core and its order-invariance law."""
+    return sessionize(Catalog(spark, sf_dir).events, gap_minutes=30)
 
 
 # W7 — ordered-sequence (funnel) detection ---------------------------------------

@@ -153,8 +153,8 @@ def t4_watermarked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded fixture the final watermark is max(ts) - 10min, so the sealed
     set is deterministic: the oracle keeps exactly the windows whose end
     <= final watermark (the no-new-data flush batch emits them). The
-    two-batch late-drop behavior is additionally unit-tested in
-    tests/test_streaming.py."""
+    across-restart late-drop behavior is additionally unit-tested in
+    tests/test_late_data.py."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
         F.count("*").alias("n")
