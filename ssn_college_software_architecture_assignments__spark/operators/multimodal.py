@@ -2,10 +2,19 @@
 
 Binary payloads (image/audio/video) travel the pipeline as opaque
 ``binary`` columns wrapped with typed metadata; decode / feature-extract
-steps are Arrow-batched ``mapInPandas`` operators. The actual media codecs
-are not in this container, so the decode kernel is STUBBED (deterministic
-fake behind the real Spark plumbing — schema, partitioning, batch shape
-are all genuine and tested).
+steps are Arrow-batched ``mapInPandas`` operators.
+
+Codec posture (round 5): the generic decode (x5b) and resize (x5d)
+kernels are REAL format-dispatching kernels — they sniff the payload
+magic and genuinely decode P6 PPM (Netpbm) and RIFF/WAV PCM with the
+parsers in this module, or any PIL-supported format when PIL is
+importable at runtime (import-guarded; absent in this container).
+Payloads in no recognized format fall back to a deterministic,
+SQL-expressible fake, which is what keeps the fixture-driven oracles
+exact (fixture payloads are text bytes, not media). Only the compressed
+video path (x5c) remains a declared stub — there is no codec-free
+container for it; x5h demuxes a real concatenated-PPM container as its
+real twin.
 """
 
 from __future__ import annotations
@@ -19,6 +28,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+
+try:  # optional real-codec path: present in production images, not here
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # deterministic fallback keeps oracles exact
+    _PILImage = None
 
 # X5a — binary payload + metadata struct, full oracle ---------------------------
 
@@ -59,30 +73,87 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched decode kernel. Real deployments plug PIL/ffmpeg in
-    here; this container has neither, so decoding is a deterministic fake
-    keyed on payload bytes (STUB — see module docstring). The iterator
-    shape (pandas batches in/out) is exactly what a real decoder uses."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len).astype("int64")
+def _sniff_decode(buf: bytes):
+    """Try every REAL decode path for one payload; return
+    (width, height, channels, status) or None when no real path applies
+    (unknown format, parse failure, codec lib absent)."""
+    if buf.startswith(b"P6"):
         try:
-            raise NotImplementedError("media codecs not available in this container")
-        except NotImplementedError:
-            # Deterministic fake: pretend every payload decodes to a
-            # (len % 640, len % 480, 3) "image".
-            decoded = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes,
-                    "width": (n_bytes % 640).astype("int32"),
-                    "height": (n_bytes % 480).astype("int32"),
-                    "channels": 3,
-                    "decode_status": "stubbed",
-                }
-            )
-        yield decoded
+            parts = buf.split(b"\n", 3)
+            w, h = (int(t) for t in parts[1].split())
+            if int(parts[2]) == 255 and len(parts[3]) == w * h * 3:
+                return w, h, 3, "ok:ppm"
+        except (ValueError, IndexError):
+            pass
+        return None
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        # audio through the image-shaped schema: width = sample count,
+        # height = 1 (one "scanline" of samples), channels = PCM channels
+        import struct
+
+        try:
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                chunk = buf[pos + 8 : pos + 8 + clen]
+                if len(chunk) != clen:
+                    return None
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", chunk[:16])
+                elif cid == b"data":
+                    data = chunk
+                pos += 8 + clen + (clen & 1)
+            if fmt is None or data is None or fmt[0] != 1:
+                return None
+            channels, bits = fmt[1], fmt[5]
+            n = len(data) // (bits // 8) // channels
+            return n, 1, channels, "ok:wav"
+        except (struct.error, ZeroDivisionError):
+            return None
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(buf)) as img:
+                return img.width, img.height, len(img.getbands()), "ok:pil"
+        except Exception:
+            return None
+    return None
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched GENERIC media decode: sniff each payload's magic and
+    really decode it — P6 PPM and RIFF/WAV via the parsers in this module,
+    anything PIL understands when PIL is importable (import-guarded).
+    Unrecognized payloads degrade to the deterministic fake
+    ((len % 640, len % 480, 3), status "stubbed") so a mixed corpus never
+    kills the batch and fixture oracles stay exact. The iterator shape
+    (pandas batches in/out) is the production decoder shape."""
+    for pdf in batches:
+        widths, heights, channels_col, statuses = [], [], [], []
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        for payload in pdf["payload"]:
+            real = _sniff_decode(bytes(payload))
+            if real is not None:
+                w, h, c, status = real
+            else:
+                n = len(payload)
+                w, h, c, status = n % 640, n % 480, 3, "stubbed"
+            widths.append(w)
+            heights.append(h)
+            channels_col.append(c)
+            statuses.append(status)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": pd.array(widths, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "channels": pd.array(channels_col, dtype="int32"),
+                "decode_status": statuses,
+            }
+        )
 
 
 _X5B_ORACLE = """
@@ -99,10 +170,12 @@ FROM documents
 @register("x5b_multimodal_decode", oracle=_X5B_ORACLE, tags=("X5",))
 def x5b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode via mapInPandas: Arrow batches cross the JVM/Python
-    boundary once per batch (not per row). The decode itself is a declared
-    STUB, but its deterministic fake is SQL-expressible, so the Arrow
-    plumbing (batch shape, schema, types) is still oracle-checked
-    end-to-end."""
+    boundary once per batch (not per row). The kernel really decodes
+    recognized formats (PPM/WAV here, PIL formats when importable — see
+    :func:`_sniff_decode`); the fixture's text payloads take the
+    deterministic SQL-expressible fallback, so the Arrow plumbing (batch
+    shape, schema, types) is oracle-checked end-to-end while the real
+    paths are value-checked in tests/test_multimodal.py."""
     docs = Catalog(spark, sf_dir).documents
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -122,31 +195,73 @@ RESIZE_SCHEMA = (
 _TARGET_W, _TARGET_H = 224, 224
 
 
-def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched resize kernel (image -> fixed WxH thumbnail). Real
-    deployments call PIL's ``Image.resize`` here; this container has no
-    imaging libs, so the resample is a deterministic fake (STUB): the
-    "thumbnail" is the payload strided down to ``target_w`` bytes. The
-    batch shape, fixed-size output contract, and byte-typed column are
-    the genuine plumbing a real resizer uses."""
-    for pdf in batches:
+def _try_real_resize(buf: bytes):
+    """Real resample to (_TARGET_W, _TARGET_H) for recognized image
+    payloads; returns (thumb_bytes, status) or None. P6 PPM goes through
+    the same floor-mapping nearest-neighbor indexing as x5g (the
+    arithmetic PIL's NEAREST performs) and the thumbnail is re-encoded as
+    a valid P6; PIL formats resize through PIL when it is importable."""
+    if buf.startswith(b"P6"):
+        import numpy as np
+
         try:
-            raise NotImplementedError("imaging libs not available in this container")
-        except NotImplementedError:
-            thumbs = []
-            for payload in pdf["payload"]:
-                stride = max(len(payload) // _TARGET_W, 1)
-                thumbs.append(bytes(payload[::stride][:_TARGET_W]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_bytes": pdf["payload"].map(len).astype("int64"),
-                    "target_w": _TARGET_W,
-                    "target_h": _TARGET_H,
-                    "thumb_bytes": thumbs,
-                    "resize_status": "stubbed",
-                }
-            )
+            parts = buf.split(b"\n", 3)
+            w, h = (int(t) for t in parts[1].split())
+            if int(parts[2]) != 255 or len(parts[3]) != w * h * 3:
+                return None
+            img = np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+            rows = (np.arange(_TARGET_H) * h) // _TARGET_H
+            cols = (np.arange(_TARGET_W) * w) // _TARGET_W
+            resized = img[rows][:, cols]
+            header = f"P6\n{_TARGET_W} {_TARGET_H}\n255\n".encode("ascii")
+            return header + resized.tobytes(), "ok:ppm"
+        except (ValueError, IndexError):
+            return None
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(buf)) as img:
+                thumb = img.resize((_TARGET_W, _TARGET_H), _PILImage.NEAREST)
+                out = io.BytesIO()
+                thumb.save(out, format="PNG")
+                return out.getvalue(), "ok:pil"
+        except Exception:
+            return None
+    return None
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize kernel (image -> fixed WxH thumbnail). P6 PPM
+    payloads are REALLY resampled (nearest-neighbor, re-encoded as P6);
+    PIL-supported formats resize through PIL when it is importable
+    (import-guarded, absent here). Unrecognized payloads keep the
+    deterministic fallback — the payload strided down to ``target_w``
+    bytes — so mixed corpora survive and fixture oracles stay exact. The
+    fixed-size output contract (bounded bytes per row regardless of input
+    size) is what makes the op safe at 100 TB."""
+    for pdf in batches:
+        thumbs, statuses = [], []
+        for payload in pdf["payload"]:
+            buf = bytes(payload)
+            real = _try_real_resize(buf)
+            if real is not None:
+                thumb, status = real
+            else:
+                stride = max(len(buf) // _TARGET_W, 1)
+                thumb, status = bytes(buf[::stride][:_TARGET_W]), "stubbed"
+            thumbs.append(thumb)
+            statuses.append(status)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_bytes": pdf["payload"].map(len).astype("int64"),
+                "target_w": _TARGET_W,
+                "target_h": _TARGET_H,
+                "thumb_bytes": thumbs,
+                "resize_status": statuses,
+            }
+        )
 
 
 _X5D_ORACLE = """
@@ -177,9 +292,11 @@ def x5d_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize via mapInPandas: every payload maps to one fixed-size
     thumbnail row — output size is bounded per row regardless of input
     size, which is what makes the op safe at 100 TB (no row can blow the
-    batch). The resample is a declared STUB with a deterministic strided
-    fake; the checked projection carries the thumbnail as hex so the
-    whole kernel is oracle-checked end-to-end."""
+    batch). The kernel really resamples recognized image payloads (see
+    :func:`_try_real_resize`); the fixture's text payloads take the
+    deterministic strided fallback, and the checked projection carries
+    the thumbnail as hex so the whole kernel is oracle-checked
+    end-to-end."""
     docs = Catalog(spark, sf_dir).documents
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")

@@ -1,8 +1,12 @@
 """Multimodal kernel contracts (SURVEY.md §2.10 X5).
 
-The codecs are stubbed (none in this container) — these tests pin the
-Spark-side plumbing that IS real: schema, one-row-per-input for resize,
-bounded output size, and frame fan-out."""
+x5b/x5d are real format-dispatching kernels since round 5: they sniff
+payload magics and genuinely decode/resize PPM and WAV (plus PIL formats
+when PIL is importable — not in this container), falling back to the
+deterministic fake only for unrecognized payloads. These tests pin both
+legs: the real decode/resize outputs on crafted media bytes, and the
+fallback plumbing (schema, one-row-per-input, bounded output, fan-out)
+the fixture oracles rely on."""
 
 from __future__ import annotations
 
@@ -43,6 +47,106 @@ def test_frame_sample_fans_out(spark):
     assert len(by_doc) == docs_n
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_generic_decode_dispatches_real_formats():
+    """x5b's kernel must really decode recognized payloads: P6 dims from
+    the header, WAV sample counts from the chunk walk — and only fall
+    back to the fake for unknown bytes (parse failures included)."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _ppm_bytes,
+        _wav_bytes,
+        decode_media_batch,
+    )
+
+    ppm = _ppm_bytes(7)                      # 11 x 7 x 3 image
+    wav = _wav_bytes(5)                      # 165 mono 16-bit samples
+    text = "just a document".encode()
+    corrupt_ppm = ppm[:-5]                   # sniffs as P6, fails parse
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "payload": [ppm, wav, text, corrupt_ppm]}
+    )
+    out = pd.concat(decode_media_batch(iter([batch]))).set_index("doc_id")
+    assert out.loc[1].decode_status == "ok:ppm"
+    assert (out.loc[1].width, out.loc[1].height, out.loc[1].channels) == (
+        4 + 7 % 13, 4 + 7 % 7, 3,
+    )
+    assert out.loc[2].decode_status == "ok:wav"
+    assert (out.loc[2].width, out.loc[2].height, out.loc[2].channels) == (
+        160 + 5 % 41, 1, 1,
+    )
+    for did in (3, 4):  # unknown/corrupt -> deterministic fake, no error
+        row = out.loc[did]
+        assert row.decode_status == "stubbed"
+        assert (row.width, row.height) == (row.n_bytes % 640, row.n_bytes % 480)
+
+
+def test_resize_really_resamples_ppm():
+    """x5d's kernel must produce a genuine 224x224 P6 thumbnail for PPM
+    payloads whose pixels equal floor-mapping nearest-neighbor resampling
+    (the x5g arithmetic), while text payloads keep the strided fake."""
+    import numpy as np
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _TARGET_H,
+        _TARGET_W,
+        _ppm_bytes,
+        resize_batch,
+    )
+
+    ppm = _ppm_bytes(9)
+    text = "plain text payload".encode()
+    batch = pd.DataFrame({"doc_id": [1, 2], "payload": [ppm, text]})
+    out = pd.concat(resize_batch(iter([batch]))).set_index("doc_id")
+
+    real = out.loc[1]
+    assert real.resize_status == "ok:ppm"
+    thumb = bytes(real.thumb_bytes)
+    header = f"P6\n{_TARGET_W} {_TARGET_H}\n255\n".encode()
+    assert thumb.startswith(header)
+    pixels = np.frombuffer(thumb[len(header):], dtype=np.uint8)
+    assert pixels.size == _TARGET_W * _TARGET_H * 3
+    # independent nearest-neighbor reference on the source raster
+    parts = ppm.split(b"\n", 3)
+    w, h = (int(t) for t in parts[1].split())
+    src = np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+    rows = (np.arange(_TARGET_H) * h) // _TARGET_H
+    cols = (np.arange(_TARGET_W) * w) // _TARGET_W
+    assert np.array_equal(pixels.reshape(_TARGET_H, _TARGET_W, 3), src[rows][:, cols])
+
+    fake = out.loc[2]
+    assert fake.resize_status == "stubbed"
+    stride = max(len(text) // _TARGET_W, 1)
+    assert bytes(fake.thumb_bytes) == bytes(text[::stride][:_TARGET_W])
+
+
+def test_pil_path_when_available():
+    """PIL leg of the dispatch — executes only where PIL exists (absent
+    in this container; the guard keeps the kernel honest either way)."""
+    import pytest
+
+    from ssn_college_software_architecture_assignments__spark.operators import (
+        multimodal as mm,
+    )
+
+    if mm._PILImage is None:
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    import pandas as pd
+
+    img = mm._PILImage.new("RGB", (32, 16), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    batch = pd.DataFrame({"doc_id": [1], "payload": [buf.getvalue()]})
+    dec = pd.concat(mm.decode_media_batch(iter([batch]))).iloc[0]
+    assert dec.decode_status == "ok:pil"
+    assert (dec.width, dec.height, dec.channels) == (32, 16, 3)
+    rsz = pd.concat(mm.resize_batch(iter([batch]))).iloc[0]
+    assert rsz.resize_status == "ok:pil"
 
 
 # x5e / x5f are REAL codecs (PPM, WAV need no library) — test the parsers
