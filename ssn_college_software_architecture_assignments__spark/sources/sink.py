@@ -271,6 +271,7 @@ class DocumentWriter:
         mongo_uri: str | None = None,
         database: str = "etl",
         fallback: str = "json",
+        format_name: str = "mongodb",
     ):
         if fallback not in ("json", "error"):
             raise ValueError(f"fallback must be 'json' or 'error', got {fallback!r}")
@@ -279,6 +280,11 @@ class DocumentWriter:
         self.mongo_uri = mongo_uri or os.environ.get("SSN_MONGO_URI")
         self.database = database
         self.fallback = fallback
+        # ``format_name`` covers wire-compatible document stores whose
+        # Spark connector registers under another name — and lets tests
+        # execute this exact branch against a registered fake data source
+        # (tests/test_sink.py) instead of only its error classifier.
+        self.format_name = format_name
 
     def _write_files(self, audited: DataFrame, mode: str) -> str:
         path = raw_table_path(self.base_dir, self.connector)
@@ -294,7 +300,7 @@ class DocumentWriter:
         if self.mongo_uri:
             try:
                 (
-                    audited.write.format("mongodb")
+                    audited.write.format(self.format_name)
                     .mode(mode)
                     .option("connection.uri", self.mongo_uri)
                     .option("database", self.database)
