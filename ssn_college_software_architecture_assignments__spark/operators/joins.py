@@ -243,12 +243,20 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks. AQE's OptimizeSkewedJoin does this automatically at runtime
     for sort-merge joins; the manual form is for engines/paths AQE can't
     see (e.g. aggregations after the join keep the salt column until the
-    final combine)."""
+    final combine).
+
+    The salt MUST vary per row, not per key: a salt derived from the join
+    key alone is constant across a hot key's rows, so the hot key still
+    lands on a single reducer and the salting is a no-op (measured in
+    tools/skew_bench.py). Here the row-distinguishing l_linenumber feeds
+    the hash alongside the key, keeping the salt deterministic (retry-
+    stable) while spreading each key's rows across all S buckets."""
     S = 8
     c = Catalog(spark, sf_dir)
-    fact = c.lineitem.select("l_orderkey", "l_returnflag").withColumn(
-        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(S)).cast("int")
-    )
+    fact = c.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S)).cast("int"),
+    ).drop("l_linenumber")
     build = (
         c.orders.select("o_orderkey", "o_totalprice")
         .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))

@@ -8,6 +8,8 @@ dedup/similarity family, and filter pushdown reaching the parquet scan.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ssn_college_software_architecture_assignments__spark.plans.pipeline import (
     explain_str,
 )
@@ -66,3 +68,29 @@ def test_scan_filter_pushdown_reaches_parquet(spark):
     plan = _plan(spark, "e2_sql_regional_revenue")
     assert "PushedFilters: [" in plan
     assert "ReadSchema" in plan
+
+
+def test_salting_spreads_hot_key_across_partitions(spark):
+    """J10 mechanism gate: a per-ROW salt must fan one hot key's rows
+    out over ~S reducers, while bare-key partitioning necessarily piles
+    them onto exactly one. (A per-KEY salt — the classic mistake — would
+    leave the hot key on one reducer and this test fails.)"""
+    S, PARTS = 8, 16
+    hot = spark.range(4000).selectExpr("CAST(1 AS LONG) AS key", "id AS row_id")
+    cold = spark.range(400).selectExpr("id + 100 AS key", "id AS row_id")
+    df = hot.union(cold)
+
+    def hot_partition_spread(frame, cols):
+        return (
+            frame.repartition(PARTS, *cols)
+            .filter(F.col("key") == 1)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+
+    assert hot_partition_spread(df, ["key"]) == 1
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("key", "row_id"), F.lit(S)).cast("int")
+    )
+    assert hot_partition_spread(salted, ["key", "_salt"]) >= S - 2
