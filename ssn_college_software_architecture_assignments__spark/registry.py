@@ -68,26 +68,141 @@ _loaded = False
 
 # Explicit iteration-order priority for a checking harness that walks the
 # registry under a time or count budget (the driver records rows for the
-# first ~50 names each round). Rebuilt for round 4 from the aggregated
-# r01-r03 correctness records: tier 1 is every query that has NEVER had a
-# driver-produced row (33 judge-local-only ids + the three queries new
-# this round), t7/t8/t9 leading per the round-3 verdict; tier 1b is the
-# never-checked rows-only quartet (weaker evidence, still evidence);
-# tier 1c re-checks every query whose source changed this round; tier 1d
-# re-confirms three flagships. Everything with an existing green row
-# follows below the 50-line. x2_minhash_near_dedup (guaranteed
-# err:no_oracle) sits below 50 so it stops burning a driver slot. Names
-# missing from the registry are ignored, so this list never breaks
-# registration changes.
+# first ~50 names each round). Rebuilt for round 5 as an evidence-AGE
+# rotation (round-4 verdict task 1): after r4, every one of the 137
+# registry queries has a driver row somewhere in r1..r4, so the 50 slots
+# now go to the ids whose newest driver row is OLDEST — the 48 ids whose
+# only row dates to round 1 (three runtime generations ago: P*, J1-J10,
+# A1-A3/A5-A8, W1-W6, O*, U1-U3, the eight §2.8 scalar families, q1, x3)
+# plus the two flagships (x1, j8) whose slots round 4 deliberately gave
+# away. Everything re-confirmed in r3/r4 sits below the line, newest
+# evidence last; x2_minhash_near_dedup (guaranteed err:no_oracle — its
+# oracle-checked twin is x2g) stays at the bottom so it never burns a
+# driver slot. Names missing from the registry are ignored, and
+# registry names missing here sort after the listed ones, so this list
+# never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: never driver-checked, full oracle (streaming trio first)
+    # tier 1: driver evidence from round 1 only — re-confirm under the
+    # current runtime. Flagship + family representatives first so a
+    # shorter-than-50 walk still samples every family.
+    "q1_pricing_summary",
+    "j1_inner_equi_join",
+    "j6_broadcast_join",
+    "j10_salted_skew_join",      # r5: per-row salt fix — must re-check
+    "w6_sessionize",             # r5: refactored through sessionize()
+    "a2_groupby_agg",
+    "o3_top_k_per_group",
+    "p1_project",
+    "u1_union_all",
+    "f_string_family",
+    "x3_similarity_bruteforce",
+    "j2_left_outer_join",
+    "j3_full_outer_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j7_range_join",
+    "j9_cross_join",
+    "a1_count_validate",
+    "a3_distinct",
+    "a5_cube",
+    "a5_rollup",
+    "a6_percentiles",
+    "a7_collect_agg",
+    "a8_pivot",
+    "w1_row_number_latest",
+    "w1b_rank_dense_rank",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_ntile_percent_rank",
+    "w5_first_last_value",
+    "o1_order_by",
+    "o2_limit_topn",
+    "p2_filter",
+    "p3_drop_empty",
+    "p4_null_fill",
+    "p5_type_cast",
+    "p6_field_sanitize",
+    "p6b_sanitize_generic",
+    "p7_flatten",
+    "u2_intersect",
+    "u3_except",
+    "f_datetime_family",
+    "f_math_family",
+    "f_array_family",
+    "f_struct_family",
+    "f_json_family",
+    "f_hash_family",
+    "f_conditional_family",
+    # tier 1b: flagships whose last row is r3 (gave their r4 slots away)
+    "x1_exact_dedup",
+    "j8_asof_join",
+    # ---- 50-query driver budget line ----
+    # below: last driver row in r3 — next-stalest first
+    "s8_validated_insert",
+    "a4_approx_count_distinct",
+    "a5_grouping_sets",
+    "a6_percentile_approx",
+    "a9_key_skew_profile",
+    "a10_stats_agg",
+    "a11_incremental_rollup",
+    "w7_funnel_detect",
+    "u4_union_schema_drift",
+    "e2_sql_regional_revenue",
+    "f1_pandas_udf",
+    "f2_grouped_udaf",
+    "f3_udtf_expand",
+    "s4_json_scan",
+    "s5_parquet_scan",
+    "s6_csv_scan",
+    "s10_upsert_latest_wins",
+    "s11_partitioned_lake",
+    "s12_compaction",
+    "s13_schema_evolution",
+    "s14_snapshot_diff",
+    "s16_zorder_layout",
+    "t1_tumbling_window",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_watermarked_agg",
+    "t5_streaming_dedup",
+    "t6_stateful_per_key",
+    "x2b3_simhash_full_oracle",
+    "x3b2_similarity_lsh_oracle",
+    "x3c_vector_features",
+    "x4b_term_frequency",
+    "x5_multimodal_payload",
+    "x5e_ppm_decode",
+    "x5f_wav_decode",
+    "x6_deterministic_split",
+    # last driver row in r4 (freshest evidence; r5-changed sources first)
+    "s1d_oauth_refresh",
+    "s2c_link_header_read",
+    "s1_rest_source",
+    "s2_paginated_read",
+    "s2b_cursor_read",
+    "s3_rate_limited_read",
+    "s9b_rest_stream",
+    "s1b_rest_infer",
+    "s1c_rest_env_auth",
+    "s7_raw_sink_roundtrip",
+    "s7b_document_sink",
+    "s7c_document_writer",
+    "s8b_dq_report",
+    "s15_quarantine_split",
+    "e1_etl_connector",
+    "e2_sql_shipping_priority",
+    "e2_sql_exists_priority",
+    "e2_sql_scalar_subquery",
+    "j11_bucketed_join",
     "t7_incremental_sink",
     "t8_stream_static_join",
     "t9_stream_stream_join",
-    "x2h_short_docs",            # NEW r4: short-doc robustness gate
     "x1b_incremental_dedup",
+    "x2c_ngram_jaccard",
     "x2d_embedding_neardup",
     "x2e_dedup_clusters",
+    "x2g_minhash_full_oracle",
+    "x2h_short_docs",
     "x3d_similarity_ivf",
     "x4a_token_count",
     "x4a2_bpe_token_count",
@@ -101,83 +216,17 @@ _CHECK_PRIORITY = (
     "x5b_multimodal_decode",
     "x5c_frame_sample",
     "x5d_resize",
-    "x5g_ppm_resize",            # NEW r4: real nearest-neighbor resize
-    "x5h_ppm_frame_sample",      # NEW r4: real container demux + sample
+    "x5g_ppm_resize",
+    "x5h_ppm_frame_sample",
     "x6b_sequence_packing",
     "x6c_mixture_sample",
-    "e2_sql_shipping_priority",
-    "e2_sql_exists_priority",
-    "e2_sql_scalar_subquery",
-    "s8b_dq_report",
-    "s7b_document_sink",
-    "s7c_document_writer",       # NEW r4: MongoDB writer abstraction
-    "s1b_rest_infer",
-    "s1c_rest_env_auth",
-    "s2b_cursor_read",
-    "s2c_link_header_read",      # NEW r4: Link-header pagination
-    "s1d_oauth_refresh",         # NEW r4: OAuth client-credentials + refresh
-    # tier 1b: never driver-checked, rows-only by design
+    "x6d_decontamination",
+    # rows-only by design (no SQL oracle; property/recall-tested)
     "x2b_simhash",
     "x2b2_simhash_pairs",
     "x2f_embedding_neardup_lsh",
     "x3b_similarity_lsh",
-    # tier 1c: source changed in round 4 — re-check
-    "x2g_minhash_full_oracle",   # shared shingle guard
-    "x6d_decontamination",       # gram-builder guard
-    "x2c_ngram_jaccard",         # dedup module sibling
-    "s15_quarantine_split",      # shape-independent validity predicate
-    "s1_rest_source",            # RestDataSourceReader changed (link mode)
-    "s2_paginated_read",
-    "s3_rate_limited_read",
-    "s9b_rest_stream",
-    "e1_etl_connector",
-    "s7_raw_sink_roundtrip",     # sink module changed (DocumentWriter)
-    # tier 1d: flagship re-confirmation (j8/x1 have multi-round greens
-    # and their families are re-validated above, so their slots went to
-    # the round-4 queries)
-    "j11_bucketed_join",
-    # ---- 50-query driver budget line ----
-    "x1_exact_dedup",
-    "j8_asof_join",
-    "s8_validated_insert",
-    # below: queries with existing driver-green rows (r1-r3), plus the
-    # guaranteed-no_oracle flagship
     "x2_minhash_near_dedup",
-    "x4b_term_frequency",
-    "x5_multimodal_payload",
-    "x5e_ppm_decode",
-    "x5f_wav_decode",
-    "x6_deterministic_split",
-    "f1_pandas_udf",
-    "f2_grouped_udaf",
-    "f3_udtf_expand",
-    "x2b3_simhash_full_oracle",
-    "x3c_vector_features",
-    "x3b2_similarity_lsh_oracle",
-    "a4_approx_count_distinct",
-    "a6_percentile_approx",
-    "a5_grouping_sets",
-    "a9_key_skew_profile",
-    "a10_stats_agg",
-    "a11_incremental_rollup",
-    "w7_funnel_detect",
-    "u4_union_schema_drift",
-    "e2_sql_regional_revenue",
-    "s5_parquet_scan",
-    "s6_csv_scan",
-    "s4_json_scan",
-    "s10_upsert_latest_wins",
-    "s11_partitioned_lake",
-    "s12_compaction",
-    "s13_schema_evolution",
-    "s14_snapshot_diff",
-    "s16_zorder_layout",
-    "t1_tumbling_window",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermarked_agg",
-    "t5_streaming_dedup",
-    "t6_stateful_per_key",
 )
 
 
