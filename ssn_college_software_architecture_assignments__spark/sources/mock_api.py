@@ -24,6 +24,7 @@ class MockApiServer:
         fail_mode: str = "500",  # "500" | "429" | "garbage"
         cursor_mode: bool = False,
         link_mode: bool = False,
+        link_truncate_after: int = 0,  # >0: stop sending Link after N pages
         oauth_mode: bool = False,
         token_ttl_requests: int = 0,
         revoke_tokens: bool = False,
@@ -34,6 +35,7 @@ class MockApiServer:
         self.fail_mode = fail_mode
         self.cursor_mode = cursor_mode
         self.link_mode = link_mode
+        self.link_truncate_after = link_truncate_after
         # OAuth2 client-credentials mode: POST /oauth/token issues
         # sequential tokens; each expires after token_ttl_requests data
         # requests (0 = never), forcing clients to refresh mid-read.
@@ -165,10 +167,18 @@ class MockApiServer:
                     page = int(params.get("page", "1"))
                     start = (page - 1) * per_page
                     data = outer.records[start : start + per_page]
-                    body = json.dumps({"data": data}).encode()
+                    # meta.total rides the body so readers can cross-check
+                    # the walked chain against the advertised count
+                    body = json.dumps(
+                        {"data": data, "meta": {"total": len(outer.records)}}
+                    ).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
-                    if start + per_page < len(outer.records):
+                    truncated = (
+                        outer.link_truncate_after
+                        and page >= outer.link_truncate_after
+                    )
+                    if start + per_page < len(outer.records) and not truncated:
                         path = urllib.parse.urlparse(self.path).path
                         nxt = (
                             f"{path}?page={page + 1}&per_page={per_page}"

@@ -364,21 +364,34 @@ class RestDataSourceReader(DataSourceReader):
         URL so servers may emit absolute or relative targets."""
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
         url = self._cursor_url(None)
+        n_yielded, expected_total = 0, None
         for _ in range(self.max_pages):
             if delay:
                 time.sleep(delay)
             payload, resp_headers = self._get_with_headers(url)
+            if expected_total is None:
+                expected_total = self._dig(payload, self.total_path)
             records = self._dig(payload, self.data_path)
             if not records:
-                return
+                break
             for rec in records:
                 yield tuple(rec.get(name) for name in self._field_names)
+            n_yielded += len(records)
             nxt = parse_link_next(
                 resp_headers.get("Link") or resp_headers.get("link")
             )
             if nxt is None:
-                return
+                break
             url = urllib.parse.urljoin(url, nxt)
+        # A missing rel="next" is indistinguishable from end-of-chain, so
+        # a parsing gap would silently truncate the extraction. When the
+        # API advertises a total, cross-check it and fail loudly instead.
+        if expected_total is not None and n_yielded < int(expected_total):
+            raise RuntimeError(
+                f"link-header chain ended after {n_yielded} records but the "
+                f"API advertised {expected_total} — a rel=\"next\" link was "
+                "lost (silent truncation)"
+            )
 
     def _read_cursor_chain(self):
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0

@@ -261,6 +261,16 @@ def test_link_header_pagination_walks_chain(spark):
     assert {r["id"] for r in rows} == {r["id"] for r in RECORDS}
 
 
+def test_link_chain_truncation_fails_loudly(spark):
+    """A lost rel="next" is indistinguishable from end-of-chain, so when
+    the API advertises meta.total the reader must cross-check and raise
+    on a short chain instead of silently returning a truncated table."""
+    with MockApiServer(RECORDS, link_mode=True, link_truncate_after=1) as server:
+        df = _read(spark, server, pagination="link", page_size=60)
+        with pytest.raises(Exception, match="truncation|advertised|SparkException"):
+            df.count()
+
+
 def test_parse_link_next_formats():
     from ssn_college_software_architecture_assignments__spark.sources.rest import (
         parse_link_next,
