@@ -425,6 +425,15 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._r = RestDataSourceReader(schema, options)
         self.pages_per_batch = int(options.get("stream_pages_per_batch", "4"))
+        if self._r.pagination != "offset":
+            # Cursor/link chains have no replayable page addresses, so a
+            # numeric stream offset cannot express exactly-once progress
+            # over them. Fail at stream construction, not mid-run.
+            raise ValueError(
+                "streaming REST reads require offset pagination; "
+                f"got pagination={self._r.pagination!r} (cursor/link chains "
+                "are not offset-replayable — run them as batch reads)"
+            )
 
     def initialOffset(self) -> dict:
         return {"page": 1}

@@ -427,3 +427,30 @@ def test_oauth_bad_grant_rejected(spark):
         with _pytest.raises(urllib.error.HTTPError):
             # missing client_id -> 400 fails fast, no retry loop
             fetch_oauth_token(f"{server.base_url}/oauth/token", "", "x")
+
+
+def test_stream_rejects_non_offset_pagination(spark):
+    """Cursor/link chains have no replayable numeric offsets, so the
+    streaming reader must refuse them at construction instead of
+    committing wrong exactly-once progress mid-run."""
+    with MockApiServer(RECORDS[:10], cursor_mode=True) as server:
+        stream = (
+            spark.readStream.format("restapi")
+            .option("base_url", server.base_url)
+            .option("endpoint", "items")
+            .option("schema", SCHEMA)
+            .option("pagination", "cursor")
+            .load()
+        )
+        q = None
+        with pytest.raises(Exception, match="offset pagination|pagination"):
+            try:
+                q = (
+                    stream.writeStream.format("noop")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(60)
+            finally:
+                if q is not None:
+                    q.stop()
