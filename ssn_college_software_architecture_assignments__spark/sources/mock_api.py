@@ -24,7 +24,10 @@ class MockApiServer:
         fail_mode: str = "500",  # "500" | "429" | "garbage"
         cursor_mode: bool = False,
         link_mode: bool = False,
-        link_truncate_after: int = 0,  # >0: stop sending Link after N pages
+        # >0: drop the next-page pointer (Link header / next_cursor)
+        # after N pages even though more data remains — the silent-
+        # truncation fault the chain walkers must detect via meta.total
+        link_truncate_after: int = 0,
         oauth_mode: bool = False,
         token_ttl_requests: int = 0,
         revoke_tokens: bool = False,
@@ -144,15 +147,23 @@ class MockApiServer:
                 if outer.cursor_mode:
                     # Opaque-cursor pagination: cursor is the start offset,
                     # next_cursor is null on the last page (the common
-                    # Stripe/GitHub API shape).
+                    # Stripe/GitHub API shape). meta.total lets readers
+                    # cross-check the chain against the advertised count.
                     start = int(params.get("cursor", "0") or 0)
                     data = outer.records[start : start + per_page]
                     nxt = start + per_page
+                    truncated = (
+                        outer.link_truncate_after
+                        and nxt >= outer.link_truncate_after * per_page
+                    )
                     body = json.dumps(
                         {
                             "data": data,
+                            "meta": {"total": len(outer.records)},
                             "next_cursor": (
-                                str(nxt) if nxt < len(outer.records) else None
+                                str(nxt)
+                                if nxt < len(outer.records) and not truncated
+                                else None
                             ),
                         }
                     ).encode()

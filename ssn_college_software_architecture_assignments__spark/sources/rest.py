@@ -396,19 +396,32 @@ class RestDataSourceReader(DataSourceReader):
     def _read_cursor_chain(self):
         delay = 1.0 / self.rate_limit_rps if self.rate_limit_rps > 0 else 0.0
         cursor: str | None = None
+        n_yielded, expected_total = 0, None
         for _ in range(self.max_pages):
             if delay:
                 time.sleep(delay)
             payload = self._get(self._cursor_url(cursor))
+            if expected_total is None:
+                expected_total = self._dig(payload, self.total_path)
             records = self._dig(payload, self.data_path)
             if not records:
-                return
+                break
             for rec in records:
                 yield tuple(rec.get(name) for name in self._field_names)
+            n_yielded += len(records)
             nxt = self._dig(payload, self.next_cursor_path)
             if nxt is None:
-                return
+                break
             cursor = str(nxt)
+        # Same silent-truncation net as the link chain: a server that
+        # emits next_cursor=null early (or a misconfigured
+        # next_cursor_path) would otherwise look like clean end-of-chain.
+        if expected_total is not None and n_yielded < int(expected_total):
+            raise RuntimeError(
+                f"cursor chain ended after {n_yielded} records but the API "
+                f"advertised {expected_total} — next_cursor disappeared "
+                "early (silent truncation)"
+            )
 
 
 class RestStreamReader(SimpleDataSourceStreamReader):

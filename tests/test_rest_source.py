@@ -271,6 +271,18 @@ def test_link_chain_truncation_fails_loudly(spark):
             df.count()
 
 
+def test_cursor_chain_truncation_fails_loudly(spark):
+    """Same net for cursor chains: a server emitting next_cursor=null
+    early (with more data remaining) must raise against meta.total, not
+    return a silently truncated table."""
+    with MockApiServer(
+        RECORDS, cursor_mode=True, link_truncate_after=1
+    ) as server:
+        df = _read(spark, server, pagination="cursor", page_size=60)
+        with pytest.raises(Exception, match="truncation|advertised|SparkException"):
+            df.count()
+
+
 def test_parse_link_next_formats():
     from ssn_college_software_architecture_assignments__spark.sources.rest import (
         parse_link_next,
