@@ -538,14 +538,27 @@ def x2f_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer and the >= 0.95 verdict are identical to x2d's. Approximate
     candidate generation (engine-side hyperplane hashing) -> rows-only;
     tests assert every emitted pair truly clears the exact-cosine bar and
-    that recall vs the all-pairs baseline is high on the fixture."""
-    from .similarity import cosine, lsh_buckets
+    that recall vs the all-pairs baseline is high on the fixture.
+
+    LSH parameters are sized to the corpus (lsh_auto_params): plane count
+    tracks log2(n) so bucket occupancy — and with it candidate pairs PER
+    VECTOR — stays constant as the corpus grows; table count then grows
+    to hold the >= 85% recall bound for cos >= 0.95 pairs. Without this,
+    fixed 6-bit buckets produced exactly quadratic pair growth (99.9x
+    pairs for 10x vectors, measured in tools/stress_sf1.py). The one
+    count() here is a parquet-metadata read, not a scan."""
+    from .similarity import cosine, lsh_auto_params, lsh_buckets
 
     emb = Catalog(spark, sf_dir).embeddings
+    n_tables, planes = lsh_auto_params(emb.count())
     tagged = emb.select(
         "vec_id",
         _dvec("embedding").alias("emb"),
-        F.posexplode(lsh_buckets(F.col("embedding"))).alias("tbl", "bucket"),
+        F.posexplode(
+            lsh_buckets(
+                F.col("embedding"), n_tables=n_tables, planes_per_table=planes
+            )
+        ).alias("tbl", "bucket"),
     )
     a = tagged.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "tbl", "bucket"

@@ -165,13 +165,45 @@ def lsh_signature(
     return out
 
 
+def lsh_auto_params(
+    n: int,
+    target_cos: float = 0.95,
+    recall: float = 0.85,
+    occupancy: int = 16,
+) -> tuple[int, int]:
+    """Size (n_tables, planes_per_table) for a corpus of ``n`` vectors.
+
+    With FIXED plane counts, expected candidate PAIRS grow as
+    n_tables * n^2 / 2^(planes+1) — quadratic in corpus size (measured:
+    a 10x corpus produced 99.9x pairs in ``tools/stress_sf1.py``). The
+    scale law: planes grow with log2(n / occupancy) so bucket count
+    tracks corpus size and expected bucket occupancy stays constant —
+    pairs become ~n_tables * n * occupancy / 2, LINEAR in n. More planes
+    lower per-table recall for target_cos pairs
+    (p_bit^planes, p_bit = 1 - acos(cos)/pi), so tables then grow to
+    hold the OR-amplified recall bound: 1-(1-p^planes)^tables >= recall.
+    Each extra table is one more map-side signature + one more bucket
+    join leg — linear cost, bounded by the recall target."""
+    planes = max(6, math.ceil(math.log2(max(n, 1) / occupancy))) if n > occupancy else 6
+    p_bit = 1.0 - math.acos(min(max(target_cos, -1.0), 1.0)) / math.pi
+    per_table = p_bit**planes
+    if per_table >= 1.0:
+        return 4, planes
+    tables = max(4, math.ceil(math.log(1.0 - recall) / math.log(1.0 - per_table)))
+    return tables, planes
+
+
 def lsh_buckets(
     emb_col: Column, dim: int = 64, n_tables: int = 4, planes_per_table: int = 6
 ) -> Column:
     """Multi-table LSH (OR-amplification): an array of per-table bucket
     ids, each from an independent set of hyperplanes. A pair is a
-    candidate if it collides in ANY table — recall grows with tables,
-    candidate-set size stays ~n_tables * n / 2^planes_per_table.
+    candidate if it collides in ANY table — recall grows with tables.
+    Expected candidate pairs are ~n_tables * n^2 / 2^(planes+1): at
+    FIXED plane counts that is quadratic in corpus size, so size the
+    parameters with :func:`lsh_auto_params` (constant bucket occupancy
+    -> linear pairs) instead of trusting the defaults beyond ~10^3-10^4
+    vectors.
 
     Implementation note: 24 plane dot-products as Catalyst expressions
     (HOF or flat-unrolled) make the plan tree itself pathological —

@@ -106,3 +106,33 @@ def test_lsh_bucket_recall_on_planted_near_dups(spark):
     # and the candidate set stays sublinear vs all-pairs
     n = df.count()
     assert len(cand) < 0.25 * n * (n - 1) / 2
+
+
+def test_lsh_auto_params_scaling_law():
+    """The parameter law behind x2f's linear candidate growth: planes
+    track log2(n) (constant bucket occupancy), tables hold the recall
+    bound, and expected pairs-per-vector stay bounded as n grows 100x."""
+    import math
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        lsh_auto_params,
+    )
+
+    p_bit = 1.0 - math.acos(0.95) / math.pi
+    prev_planes = 0
+    for n in (200, 2_000, 20_000, 200_000, 2_000_000):
+        tables, planes = lsh_auto_params(n)
+        assert planes >= prev_planes, "planes must be monotone in n"
+        prev_planes = planes
+        # recall bound holds for cos>=0.95 pairs
+        recall = 1.0 - (1.0 - p_bit**planes) ** tables
+        assert recall >= 0.85, f"n={n}: recall {recall:.3f}"
+        # occupancy invariant: per-table bucket population n/2^planes
+        # never exceeds the occupancy target (16), so pairs per vector
+        # are <= tables * occupancy / 2 — an O(log n) factor on linear,
+        # never the n/2^planes -> n quadratic drift of fixed planes
+        assert n / 2**planes <= 16, f"n={n}: occupancy {n / 2**planes:.1f}"
+        pairs_per_vec = tables * n / 2 ** (planes + 1)
+        assert pairs_per_vec <= tables * 8, f"n={n}: {pairs_per_vec:.0f} pairs/vec"
+    # small corpora keep the proven defaults
+    assert lsh_auto_params(190) == (4, 6)

@@ -78,6 +78,21 @@ def synthesize(spark) -> None:
                 c = c.withColumn(
                     "text", F.translate("text", VOWELS, _rotated(i))
                 )
+            if table == "embeddings":
+                # per-copy deterministic sign-flip: an ORTHOGONAL
+                # transform, so every within-copy cosine is preserved
+                # exactly (each copy carries the original near-dup
+                # structure) while cross-copy similarity is destroyed —
+                # without this, 10 verbatim copies would plant 9 exact
+                # duplicates per vector and make x2f candidate growth
+                # quadratic by construction.
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> "
+                        f"x * CAST(1 - 2 * pmod(xxhash64(j * 131 + {i}), 2) AS FLOAT))"
+                    ),
+                )
             copies.append(c)
         full = copies[0]
         for c in copies[1:]:
@@ -104,20 +119,32 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in bench.HEADLINE if n in qs]
+    # the round-4 verdict's watched risk: candidate-PAIR growth in the
+    # near-dup generators — for these, count output rows too, since a
+    # quadratic pair blowup shows in cardinality before wall time
+    count_names = [
+        n
+        for n in ("x2f_embedding_neardup_lsh", "x2g_minhash_full_oracle")
+        if n in qs
+    ]
 
-    def timed(name, sf_dir):
-        best = float("inf")
+    def timed(name, sf_dir, count=False):
+        best, rows = float("inf"), None
         for _ in range(2):
             t0 = time.time()
-            bench._force(qs[name](spark, sf_dir))
+            if count:
+                rows = qs[name](spark, sf_dir).count()
+            else:
+                bench._force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
-        return round(best, 3)
+        return round(best, 3), rows
 
     bench._force(qs[names[0]](spark, SF01))  # warm
     results = {}
-    for name in names:
-        t_small = timed(name, SF01)
-        t_big = timed(name, SF1)
+    for name in names + count_names:
+        count = name in count_names
+        t_small, rows_small = timed(name, SF01, count)
+        t_big, rows_big = timed(name, SF1, count)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         results[name] = {
             "sf01_sec": t_small,
@@ -129,6 +156,15 @@ def main() -> None:
                 else "ok"
             ),
         }
+        if count:
+            results[name]["sf01_rows"] = rows_small
+            results[name]["sf1_rows"] = rows_big
+            row_ratio = (
+                round(rows_big / rows_small, 2) if rows_small else None
+            )
+            results[name]["row_ratio"] = row_ratio
+            if row_ratio is not None and row_ratio > SUPRALINEAR_RATIO:
+                results[name]["verdict"] = "SUPER-LINEAR (rows)"
     out = {
         "copies": COPIES,
         "supralinear_threshold": SUPRALINEAR_RATIO,
