@@ -250,7 +250,15 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands on a single reducer and the salting is a no-op (measured in
     tools/skew_bench.py). Here the row-distinguishing l_linenumber feeds
     the hash alongside the key, keeping the salt deterministic (retry-
-    stable) while spreading each key's rows across all S buckets."""
+    stable) while spreading each key's rows across the salt domain.
+
+    Entropy bound: the spread per hot key is capped by the cardinality of
+    the row-discriminators fed to the hash. TPC-H's l_linenumber takes at
+    most 7 distinct values per order key, so with S=8 a hot key's rows
+    land in at most 7 salt buckets and raising S beyond ~7 buys no extra
+    spread. When S must exceed the per-key discriminator cardinality,
+    fold in another row-distinguishing column (tools/skew_bench.py does
+    this with a synthetic _rep ordinal) or a full-row hash."""
     S = 8
     c = Catalog(spark, sf_dir)
     fact = c.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag").withColumn(

@@ -31,6 +31,10 @@ class MockApiServer:
         oauth_mode: bool = False,
         token_ttl_requests: int = 0,
         revoke_tokens: bool = False,
+        # override the advertised meta.total (any JSON value — tests use
+        # a dict/string to prove the reader treats the total as advisory
+        # and skips the cross-check instead of crashing); None = len(records)
+        meta_total=None,
     ):
         self.records = records
         self.require_token = require_token
@@ -39,6 +43,7 @@ class MockApiServer:
         self.cursor_mode = cursor_mode
         self.link_mode = link_mode
         self.link_truncate_after = link_truncate_after
+        self.meta_total = meta_total
         # OAuth2 client-credentials mode: POST /oauth/token issues
         # sequential tokens; each expires after token_ttl_requests data
         # requests (0 = never), forcing clients to refresh mid-read.
@@ -65,6 +70,13 @@ class MockApiServer:
         self._fail_lock = threading.Lock()
         self._fails_left = fail_first_n
         self.request_count = 0
+
+        def _total():
+            return (
+                self.meta_total if self.meta_total is not None else len(self.records)
+            )
+
+        self._total = _total
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -159,7 +171,7 @@ class MockApiServer:
                     body = json.dumps(
                         {
                             "data": data,
-                            "meta": {"total": len(outer.records)},
+                            "meta": {"total": outer._total()},
                             "next_cursor": (
                                 str(nxt)
                                 if nxt < len(outer.records) and not truncated
@@ -181,7 +193,7 @@ class MockApiServer:
                     # meta.total rides the body so readers can cross-check
                     # the walked chain against the advertised count
                     body = json.dumps(
-                        {"data": data, "meta": {"total": len(outer.records)}}
+                        {"data": data, "meta": {"total": outer._total()}}
                     ).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
@@ -209,7 +221,7 @@ class MockApiServer:
                             "meta": {
                                 "page": page,
                                 "per_page": per_page,
-                                "total": len(outer.records),
+                                "total": outer._total(),
                             },
                             "data": data,
                         }

@@ -72,8 +72,52 @@ class LinkWalk(InputPartition):
 # Each RFC 5988 link-value is a <URL-reference> followed by ;-separated
 # params, up to the next '<'. Matching the bracket group FIRST (instead of
 # splitting the header on ',') keeps unencoded commas inside link URLs —
-# legal in query strings — from truncating the URL.
+# legal in query strings — from truncating the URL. Known limitation: a
+# QUOTED '<' inside a param value (e.g. title="a<b") can still open a
+# bracket group early — URL-references are required to be pct-encoded so
+# real servers don't emit that, and full RFC 8288 tokenization isn't
+# worth the parser surface here.
 _LINK_VALUE_RE = re.compile(r"<([^>]*)>([^<]*)")
+
+
+def _advisory_int(value) -> int | None:
+    """Coerce an advertised record total to ``int`` when it is cleanly
+    numeric, else ``None``. The total is ADVISORY: a server whose
+    ``meta.total`` resolves to a dict, bool, or malformed string must
+    skip the truncation cross-check, not kill the executor with an
+    opaque TypeError/ValueError."""
+    if isinstance(value, bool):  # bool is an int subclass; not a count
+        return None
+    if isinstance(value, int):
+        return value
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    if isinstance(value, str):
+        try:
+            return int(value.strip())
+        except ValueError:
+            return None
+    return None
+
+
+def _split_params_quote_aware(params: str) -> list[str]:
+    """Split a link-value's param string on ';' OUTSIDE double quotes, so
+    a quoted param value containing ';rel=next' (e.g. title="a;rel=next")
+    stays one token instead of fabricating a false rel param."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_quotes = False
+    for ch in params:
+        if ch == '"':
+            in_quotes = not in_quotes
+            buf.append(ch)
+        elif ch == ";" and not in_quotes:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
 
 
 def parse_link_next(link_header: str | None) -> str | None:
@@ -81,15 +125,16 @@ def parse_link_next(link_header: str | None) -> str | None:
     ``<https://api/x?page=2>; rel="next", <...>; rel="last"`` -> the URL.
     Returns None when there is no next link (end of the chain).
 
-    Robust to the two truncation traps a naive comma-split has: unencoded
-    commas inside a link URL (the ``<...>`` group wins over the separator)
-    and rel lists (``rel="next last"`` — RFC 8288 §3.3 allows a
-    space-separated list of relation types)."""
+    Robust to three truncation/fabrication traps a naive split has:
+    unencoded commas inside a link URL (the ``<...>`` group wins over the
+    separator), rel lists (``rel="next last"`` — RFC 8288 §3.3 allows a
+    space-separated list of relation types), and ';' inside quoted param
+    values (``title="a;rel=next"`` must not mint a false next link)."""
     if not link_header:
         return None
     for m in _LINK_VALUE_RE.finditer(link_header):
         url, params = m.group(1), m.group(2)
-        for param in params.split(";"):
+        for param in _split_params_quote_aware(params):
             k, _, v = param.strip().partition("=")
             if k.strip().lower() != "rel":
                 continue
@@ -383,13 +428,20 @@ class RestDataSourceReader(DataSourceReader):
             if nxt is None:
                 break
             url = urllib.parse.urljoin(url, nxt)
+        else:
+            # The max_pages budget ran out with a live rel="next" still in
+            # hand: a deliberately capped read, not truncation — return
+            # the bounded prefix without tripping the cross-check.
+            return
         # A missing rel="next" is indistinguishable from end-of-chain, so
         # a parsing gap would silently truncate the extraction. When the
-        # API advertises a total, cross-check it and fail loudly instead.
-        if expected_total is not None and n_yielded < int(expected_total):
+        # API advertises a (cleanly numeric — it is advisory) total,
+        # cross-check it and fail loudly instead.
+        expected = _advisory_int(expected_total)
+        if expected is not None and n_yielded < expected:
             raise RuntimeError(
                 f"link-header chain ended after {n_yielded} records but the "
-                f"API advertised {expected_total} — a rel=\"next\" link was "
+                f"API advertised {expected} — a rel=\"next\" link was "
                 "lost (silent truncation)"
             )
 
@@ -413,13 +465,18 @@ class RestDataSourceReader(DataSourceReader):
             if nxt is None:
                 break
             cursor = str(nxt)
+        else:
+            # Budget exhausted with a live next_cursor: deliberately
+            # capped read — return the bounded prefix, no cross-check.
+            return
         # Same silent-truncation net as the link chain: a server that
         # emits next_cursor=null early (or a misconfigured
         # next_cursor_path) would otherwise look like clean end-of-chain.
-        if expected_total is not None and n_yielded < int(expected_total):
+        expected = _advisory_int(expected_total)
+        if expected is not None and n_yielded < expected:
             raise RuntimeError(
                 f"cursor chain ended after {n_yielded} records but the API "
-                f"advertised {expected_total} — next_cursor disappeared "
+                f"advertised {expected} — next_cursor disappeared "
                 "early (silent truncation)"
             )
 

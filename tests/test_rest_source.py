@@ -306,6 +306,42 @@ def test_parse_link_next_formats():
     # joined repeated headers (", "-concatenated by the fetch layer)
     hdr = '</x?page=1>; rel="first", </x?page=5>; rel="next"'
     assert parse_link_next(hdr) == "/x?page=5"
+    # ';rel=next' INSIDE a quoted param value must not mint a false next
+    hdr = '</x?page=9>; rel="last"; title="a;rel=next"'
+    assert parse_link_next(hdr) is None
+    hdr = '</x?page=9>; title="a;rel=next"; rel="prev"'
+    assert parse_link_next(hdr) is None
+    # ...while a genuine next still parses past a hostile quoted title
+    hdr = '</x?p=2>; title="a;rel=last"; rel="next"'
+    assert parse_link_next(hdr) == "/x?p=2"
+
+
+def test_capped_read_returns_bounded_prefix(spark):
+    """A deliberately low max_pages is a CAPPED read, not truncation:
+    the walkers must return the bounded prefix instead of raising the
+    silent-truncation error (the loop ran out of budget with a valid
+    next pointer still in hand — nothing was 'lost')."""
+    with MockApiServer(RECORDS, link_mode=True) as server:
+        df = _read(spark, server, pagination="link", page_size=60, max_pages=2)
+        assert df.count() == 120  # 2 pages x 60, no RuntimeError
+    with MockApiServer(RECORDS, cursor_mode=True) as server:
+        df = _read(spark, server, pagination="cursor", page_size=60, max_pages=2)
+        assert df.count() == 120
+
+
+def test_non_numeric_total_skips_cross_check(spark):
+    """meta.total is advisory: a server whose total resolves to a dict
+    (or junk string) must not kill the executor with an int() TypeError —
+    the cross-check is skipped and the full chain is still returned."""
+    weird = {"exact": False, "value": "many"}
+    with MockApiServer(RECORDS, link_mode=True, meta_total=weird) as server:
+        df = _read(spark, server, pagination="link", page_size=60)
+        assert df.count() == len(RECORDS)
+    with MockApiServer(
+        RECORDS, cursor_mode=True, meta_total="n/a"
+    ) as server:
+        df = _read(spark, server, pagination="cursor", page_size=60)
+        assert df.count() == len(RECORDS)
 
 
 def test_oauth_client_credentials_with_midrun_refresh(spark, monkeypatch):
