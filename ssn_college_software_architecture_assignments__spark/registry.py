@@ -68,28 +68,119 @@ _loaded = False
 
 # Explicit iteration-order priority for a checking harness that walks the
 # registry under a time or count budget (the driver records rows for the
-# first ~50 names each round). Rebuilt for round 5 as an evidence-AGE
-# rotation (round-4 verdict task 1): after r4, every one of the 137
-# registry queries has a driver row somewhere in r1..r4, so the 50 slots
-# now go to the ids whose newest driver row is OLDEST — the 48 ids whose
-# only row dates to round 1 (three runtime generations ago: P*, J1-J10,
-# A1-A3/A5-A8, W1-W6, O*, U1-U3, the eight §2.8 scalar families, q1, x3)
-# plus the two flagships (x1, j8) whose slots round 4 deliberately gave
-# away. Everything re-confirmed in r3/r4 sits below the line, newest
-# evidence last; x2_minhash_near_dedup (guaranteed err:no_oracle — its
+# first ~50 names each round). This is an evidence-AGE rotation (standing
+# task since round 4): each round the ~50 slots go to the ids whose
+# newest driver row is OLDEST, plus any id whose source changed this
+# round. For round 6 that is the 36-id cohort whose last driver row is
+# r3 (S4-S6/S8/S10-S14/S16, A4/A5gs/A6pa/A9-A11, W7, U4, E2-regional,
+# F1-F3, T1-T6, X2b3, X3b2, X3c, X4b, X5/X5e/X5f, X6), the REST/
+# pagination family re-touched by the r6 Link/total hardening, the x5c
+# demux promotion, and the new t6b transformWithStateInPandas query.
+# Everything with r4/r5 evidence sits below the line, newest evidence
+# last; x2_minhash_near_dedup (guaranteed err:no_oracle — its
 # oracle-checked twin is x2g) stays at the bottom so it never burns a
 # driver slot. Names missing from the registry are ignored, and
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: driver evidence from round 1 only — re-confirm under the
-    # current runtime. Flagship + family representatives first so a
-    # shorter-than-50 walk still samples every family.
+    # tier 1: last driver row is r3 (two runtime generations ago) —
+    # family representatives first so a shorter-than-50 walk still
+    # samples every family.
+    "s4_json_scan",
+    "s10_upsert_latest_wins",
+    "t1_tumbling_window",
+    "f1_pandas_udf",
+    "a4_approx_count_distinct",
+    "w7_funnel_detect",
+    "u4_union_schema_drift",
+    "e2_sql_regional_revenue",
+    "x2b3_simhash_full_oracle",
+    "x3b2_similarity_lsh_oracle",
+    "x4b_term_frequency",
+    "x5_multimodal_payload",
+    "x6_deterministic_split",
+    "s5_parquet_scan",
+    "s6_csv_scan",
+    "s8_validated_insert",
+    "s11_partitioned_lake",
+    "s12_compaction",
+    "s13_schema_evolution",
+    "s14_snapshot_diff",
+    "s16_zorder_layout",
+    "a5_grouping_sets",
+    "a6_percentile_approx",
+    "a9_key_skew_profile",
+    "a10_stats_agg",
+    "a11_incremental_rollup",
+    "f2_grouped_udaf",
+    "f3_udtf_expand",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_watermarked_agg",
+    "t5_streaming_dedup",
+    "t6_stateful_per_key",
+    "x3c_vector_features",
+    "x5e_ppm_decode",
+    "x5f_wav_decode",
+    # tier 1b: sources changed in round 6 — re-prove under the new code
+    # (Link/param/total hardening touches every REST-path query; x5c
+    # gains a real demux dispatch; t6b is new).
+    "t6b_transform_with_state",
+    "x5c_frame_sample",
+    "s1d_oauth_refresh",
+    "s2c_link_header_read",
+    "s1_rest_source",
+    "s2_paginated_read",
+    "s2b_cursor_read",
+    "s3_rate_limited_read",
+    "s9b_rest_stream",
+    "s1b_rest_infer",
+    "s1c_rest_env_auth",
+    # tier 1c: next-stalest r4 ids fill the remaining slots
+    "s7_raw_sink_roundtrip",
+    "s7b_document_sink",
+    "s7c_document_writer",
+    # ---- ~50-query driver budget line ----
+    # below: last driver row in r4 — stalest first
+    "s8b_dq_report",
+    "s15_quarantine_split",
+    "e1_etl_connector",
+    "e2_sql_shipping_priority",
+    "e2_sql_exists_priority",
+    "e2_sql_scalar_subquery",
+    "j11_bucketed_join",
+    "t7_incremental_sink",
+    "t8_stream_static_join",
+    "t9_stream_stream_join",
+    "x1b_incremental_dedup",
+    "x2c_ngram_jaccard",
+    "x2d_embedding_neardup",
+    "x2e_dedup_clusters",
+    "x2g_minhash_full_oracle",
+    "x2h_short_docs",
+    "x3d_similarity_ivf",
+    "x4a_token_count",
+    "x4a2_bpe_token_count",
+    "x4c_quality_score",
+    "x4d_fingerprint",
+    "x4d2_winnowing",
+    "x4e_lang_id",
+    "x4f_corpus_curation",
+    "x4g_column_profile",
+    "x4h_pii_redaction",
+    "x5b_multimodal_decode",
+    "x5d_resize",
+    "x5g_ppm_resize",
+    "x5h_ppm_frame_sample",
+    "x6b_sequence_packing",
+    "x6c_mixture_sample",
+    "x6d_decontamination",
+    # last driver row in r5 (freshest evidence)
     "q1_pricing_summary",
     "j1_inner_equi_join",
     "j6_broadcast_join",
-    "j10_salted_skew_join",      # r5: per-row salt fix — must re-check
-    "w6_sessionize",             # r5: refactored through sessionize()
+    "j10_salted_skew_join",
+    "w6_sessionize",
     "a2_groupby_agg",
     "o3_top_k_per_group",
     "p1_project",
@@ -133,94 +224,8 @@ _CHECK_PRIORITY = (
     "f_json_family",
     "f_hash_family",
     "f_conditional_family",
-    # tier 1b: flagships whose last row is r3 (gave their r4 slots away)
     "x1_exact_dedup",
     "j8_asof_join",
-    # ---- 50-query driver budget line ----
-    # below: last driver row in r3 — next-stalest first
-    "s8_validated_insert",
-    "a4_approx_count_distinct",
-    "a5_grouping_sets",
-    "a6_percentile_approx",
-    "a9_key_skew_profile",
-    "a10_stats_agg",
-    "a11_incremental_rollup",
-    "w7_funnel_detect",
-    "u4_union_schema_drift",
-    "e2_sql_regional_revenue",
-    "f1_pandas_udf",
-    "f2_grouped_udaf",
-    "f3_udtf_expand",
-    "s4_json_scan",
-    "s5_parquet_scan",
-    "s6_csv_scan",
-    "s10_upsert_latest_wins",
-    "s11_partitioned_lake",
-    "s12_compaction",
-    "s13_schema_evolution",
-    "s14_snapshot_diff",
-    "s16_zorder_layout",
-    "t1_tumbling_window",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermarked_agg",
-    "t5_streaming_dedup",
-    "t6_stateful_per_key",
-    "x2b3_simhash_full_oracle",
-    "x3b2_similarity_lsh_oracle",
-    "x3c_vector_features",
-    "x4b_term_frequency",
-    "x5_multimodal_payload",
-    "x5e_ppm_decode",
-    "x5f_wav_decode",
-    "x6_deterministic_split",
-    # last driver row in r4 (freshest evidence; r5-changed sources first)
-    "s1d_oauth_refresh",
-    "s2c_link_header_read",
-    "s1_rest_source",
-    "s2_paginated_read",
-    "s2b_cursor_read",
-    "s3_rate_limited_read",
-    "s9b_rest_stream",
-    "s1b_rest_infer",
-    "s1c_rest_env_auth",
-    "s7_raw_sink_roundtrip",
-    "s7b_document_sink",
-    "s7c_document_writer",
-    "s8b_dq_report",
-    "s15_quarantine_split",
-    "e1_etl_connector",
-    "e2_sql_shipping_priority",
-    "e2_sql_exists_priority",
-    "e2_sql_scalar_subquery",
-    "j11_bucketed_join",
-    "t7_incremental_sink",
-    "t8_stream_static_join",
-    "t9_stream_stream_join",
-    "x1b_incremental_dedup",
-    "x2c_ngram_jaccard",
-    "x2d_embedding_neardup",
-    "x2e_dedup_clusters",
-    "x2g_minhash_full_oracle",
-    "x2h_short_docs",
-    "x3d_similarity_ivf",
-    "x4a_token_count",
-    "x4a2_bpe_token_count",
-    "x4c_quality_score",
-    "x4d_fingerprint",
-    "x4d2_winnowing",
-    "x4e_lang_id",
-    "x4f_corpus_curation",
-    "x4g_column_profile",
-    "x4h_pii_redaction",
-    "x5b_multimodal_decode",
-    "x5c_frame_sample",
-    "x5d_resize",
-    "x5g_ppm_resize",
-    "x5h_ppm_frame_sample",
-    "x6b_sequence_packing",
-    "x6c_mixture_sample",
-    "x6d_decontamination",
     # rows-only by design (no SQL oracle; property/recall-tested)
     "x2b_simhash",
     "x2b2_simhash_pairs",
