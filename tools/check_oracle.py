@@ -5,12 +5,20 @@ DuckDB over the same parquet tables, then compares row count, sorted column
 names, and order-insensitive values (exact string equality after type
 normalization — stricter than any reasonable hash).
 
-Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+    python tools/check_oracle.py --both [--out ORACLE_SWEEP.json] [names...]
+
+``--both`` is the standing dual-scale gate (round-5 verdict task 3): one
+command runs the full sweep at sf0.01 AND sf0.1 and writes a JSON
+artifact recording per-query status at each scale, so the "correct at
+both scales" claim is a checked-in record instead of session prose.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -24,6 +32,8 @@ sys.path.insert(0, REPO_ROOT)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+BOTH_SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
 def _norm_cell(v):
@@ -60,41 +70,34 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--rows-only-ok", action="store_true")
-    ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
-
-    import __spark_entry__ as entrymod
-    from ssn_college_software_architecture_assignments__spark import build_session
-
-    spark = build_session(app_name="oracle-check", shuffle_partitions=8)
+def run_sweep(spark, sf: str, names: list[str], qs, oracles) -> dict:
+    """Run the oracle diff for ``names`` at scale dir ``sf``; returns a
+    result dict: {"pass": n, "fail": n, "rows_only": n, "failures": [...],
+    "queries": {name: "pass"|"fail"|"rows-only"}, "elapsed_sec": s}."""
     con = duckdb.connect()
     for t in TABLES:
-        path = f"{args.sf}/{t}.parquet"
+        path = f"{sf}/{t}.parquet"
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    names = args.names or sorted(qs)
-
+    t_sweep = time.time()
     n_pass = n_fail = n_rows_only = 0
-    failures = []
+    failures: list[str] = []
+    statuses: dict[str, str] = {}
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf)
+            sdf = qs[name](spark, sf)
             spark_pdf = sdf.toPandas()
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            statuses[name] = "fail"
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             n_rows_only += 1
+            statuses[name] = "rows-only"
             print(f"rows-only  {name}: {len(spark_pdf)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -102,6 +105,7 @@ def main() -> int:
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            statuses[name] = "fail"
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -124,18 +128,78 @@ def main() -> int:
         if problems:
             n_fail += 1
             failures.append(name)
+            statuses[name] = "fail"
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
+            statuses[name] = "pass"
             print(f"PASS  {name}: {len(spark_pdf)} rows  ({time.time()-t0:.1f}s)")
 
+    con.close()
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
-        f"of {len(names)} queries at {args.sf}"
+        f"of {len(names)} queries at {sf}"
     )
     if failures:
         print("failures:", " ".join(failures))
-    return 1 if n_fail else 0
+    return {
+        "sf_dir": sf,
+        "pass": n_pass,
+        "fail": n_fail,
+        "rows_only": n_rows_only,
+        "failures": failures,
+        "queries": statuses,
+        "elapsed_sec": round(time.time() - t_sweep, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--both",
+        action="store_true",
+        help="run the sweep at sf0.01 AND sf0.1 and write a JSON artifact",
+    )
+    ap.add_argument(
+        "--out",
+        default="ORACLE_SWEEP.json",
+        help="artifact path for --both (repo-root relative)",
+    )
+    ap.add_argument("--rows-only-ok", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from ssn_college_software_architecture_assignments__spark import build_session
+
+    spark = build_session(app_name="oracle-check", shuffle_partitions=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or sorted(qs)
+
+    if not args.both:
+        result = run_sweep(spark, args.sf, names, qs, oracles)
+        return 1 if result["fail"] else 0
+
+    results = {}
+    for sf in BOTH_SCALES:
+        print(f"\n===== sweep at {sf} =====")
+        results[os.path.basename(sf)] = run_sweep(spark, sf, names, qs, oracles)
+    artifact = {
+        "tool": "check_oracle --both",
+        "n_queries": len(names),
+        "scales": results,
+        "all_green": all(r["fail"] == 0 for r in results.values()),
+    }
+    out_path = (
+        args.out if os.path.isabs(args.out) else os.path.join(REPO_ROOT, args.out)
+    )
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"\nwrote {out_path}  all_green={artifact['all_green']}")
+    return 0 if artifact["all_green"] else 1
 
 
 if __name__ == "__main__":

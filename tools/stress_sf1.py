@@ -18,6 +18,19 @@ the algorithm.)
 Usage: python tools/stress_sf1.py [--synth-only]
 Writes /tmp/ssn_sf1/<table>.parquet (reused if present) and prints one
 JSON object {query: {sf01_sec, sf1_sec, ratio, verdict}}.
+
+Timing methodology (round-5 verdict fix): the r5 run timed all sf0.1
+iterations, then all sf1 iterations, whole-run sequentially — so a
+transient host-load episode could inflate one side of the ratio only.
+BENCH_r05_sf1.json recorded x4f with ratio 0.16 (sf1 FASTER than
+sf0.1), physically impossible, proving a contaminated denominator — the
+exact failure mode that would let a genuinely super-linear query slip
+under the flag (inflated denominator => understated growth). Now each
+query runs N INTERLEAVED (sf0.1, sf1) pairs — load spikes hit both
+scales with equal probability — takes the min per side across pairs,
+and cross-checks each shared query's sf0.1 time against the newest
+BENCH_r*.json: >2x disagreement marks the run TIMING-SUSPECT and exits
+nonzero instead of publishing poisoned ratios.
 """
 
 from __future__ import annotations
@@ -38,6 +51,48 @@ OFFSET = 100_000_000  # disjoint key ranges per copy, far above any sf0.1 key
 # rows grow 10x; allow generous constant-overhead slack before calling a
 # query super-linear (constant setup makes most ratios land well under 10)
 SUPRALINEAR_RATIO = 13.0
+
+# interleaved (sf0.1, sf1) measurement pairs per query; min per side
+PAIRS = 2
+
+# a shared-scale (sf0.1) timing that disagrees with the round's
+# BENCH_r*.json record by more than this factor marks the whole run
+# TIMING-SUSPECT: the host was loaded, the ratios are poisoned.
+BENCH_AGREEMENT_FACTOR = 2.0
+
+
+def _latest_bench_path() -> str | None:
+    """Newest round bench record (BENCH_rNN.json, not the *_sf1 stress
+    outputs) — the cross-check reference for sf0.1 timings."""
+    import glob
+    import re
+
+    cands = [
+        p
+        for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    ]
+    return max(cands, default=None)
+
+
+def _load_latest_bench_times() -> dict[str, float]:
+    path = _latest_bench_path()
+    if path is None:
+        return {}
+    try:
+        with open(path) as fh:
+            payload = json.load(fh)
+        # the driver wraps bench.py's JSON line under "parsed"
+        queries = payload.get("queries") or (payload.get("parsed") or {}).get(
+            "queries"
+        )
+        return {
+            k: float(v)
+            for k, v in (queries or {}).items()
+            if isinstance(v, (int, float))
+        }
+    except (OSError, ValueError):
+        return {}
 
 VOWELS = "aeiou"
 
@@ -128,23 +183,31 @@ def main() -> None:
         if n in qs
     ]
 
-    def timed(name, sf_dir, count=False):
-        best, rows = float("inf"), None
-        for _ in range(2):
-            t0 = time.time()
-            if count:
-                rows = qs[name](spark, sf_dir).count()
-            else:
-                bench._force(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        return round(best, 3), rows
+    def run_once(name, sf_dir, count=False):
+        t0 = time.time()
+        rows = None
+        if count:
+            rows = qs[name](spark, sf_dir).count()
+        else:
+            bench._force(qs[name](spark, sf_dir))
+        return time.time() - t0, rows
 
     bench._force(qs[names[0]](spark, SF01))  # warm
+    bench_ref = _load_latest_bench_times()
     results = {}
+    timing_suspect = []
     for name in names + count_names:
         count = name in count_names
-        t_small, rows_small = timed(name, SF01, count)
-        t_big, rows_big = timed(name, SF1, count)
+        # N interleaved (sf0.1, sf1) pairs: a transient host-load episode
+        # hits both scales with equal probability instead of poisoning
+        # one side of the ratio; min per side across pairs.
+        t_small = t_big = float("inf")
+        rows_small = rows_big = None
+        for _ in range(PAIRS):
+            s, rows_small = run_once(name, SF01, count)
+            b, rows_big = run_once(name, SF1, count)
+            t_small, t_big = min(t_small, s), min(t_big, b)
+        t_small, t_big = round(t_small, 3), round(t_big, 3)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         results[name] = {
             "sf01_sec": t_small,
@@ -156,6 +219,17 @@ def main() -> None:
                 else "ok"
             ),
         }
+        # Cross-check the shared scale against the round bench record: a
+        # >2x disagreement means this session's timings are contaminated
+        # and every ratio derived from them is unpublishable.
+        ref = bench_ref.get(name)
+        if ref and ref > 0 and t_small > 0:
+            disagreement = max(t_small / ref, ref / t_small)
+            results[name]["bench_sf01_sec"] = ref
+            results[name]["bench_disagreement"] = round(disagreement, 2)
+            if disagreement > BENCH_AGREEMENT_FACTOR:
+                results[name]["verdict"] = "TIMING-SUSPECT"
+                timing_suspect.append(name)
         if count:
             results[name]["sf01_rows"] = rows_small
             results[name]["sf1_rows"] = rows_big
@@ -167,11 +241,23 @@ def main() -> None:
                 results[name]["verdict"] = "SUPER-LINEAR (rows)"
     out = {
         "copies": COPIES,
+        "pairs_per_query": PAIRS,
         "supralinear_threshold": SUPRALINEAR_RATIO,
+        "bench_agreement_factor": BENCH_AGREEMENT_FACTOR,
+        "bench_reference": _latest_bench_path(),
+        "timing_suspect": timing_suspect,
         "queries": results,
         "worst": max(results, key=lambda n: results[n]["ratio"] or 0),
     }
     print(json.dumps(out))
+    if timing_suspect:
+        print(
+            f"TIMING-SUSPECT: {len(timing_suspect)} queries disagree with "
+            f"the bench record by >{BENCH_AGREEMENT_FACTOR}x — ratios "
+            "unpublishable, re-run on a quiet host",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
