@@ -329,6 +329,56 @@ def test_capped_read_returns_bounded_prefix(spark):
         assert df.count() == 120
 
 
+def _all_plan_text(df) -> str:
+    """Every user-visible plan surface for a DataFrame: the full
+    queryExecution dump (parsed/analyzed/optimized/physical) plus the
+    extended and formatted explain outputs."""
+    import contextlib
+    import io
+
+    text = df._jdf.queryExecution().toString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+        df.explain("formatted")
+    return text + buf.getvalue()
+
+
+def test_secrets_never_in_query_plans(spark, monkeypatch):
+    """Credentials must never surface in plan/explain output — plans leak
+    into logs, UIs, and error reports. Gated for BOTH credential paths:
+    OAuth client id/secret resolved from env names, and a directly-passed
+    bearer token (the wide-exposure path users still reach for)."""
+    from ssn_college_software_architecture_assignments__spark.sources.rest import (
+        read_rest,
+    )
+
+    secret = "plan-leak-canary-secret-9f3a"
+    client_id = "plan-leak-canary-id-17bd"
+    monkeypatch.setenv("PLANTEST_CLIENT_ID", client_id)
+    monkeypatch.setenv("PLANTEST_CLIENT_SECRET", secret)
+    with MockApiServer(RECORDS[:10], oauth_mode=True) as server:
+        df = read_rest(
+            spark, server.base_url, "items", schema=SCHEMA, page_size=100,
+            token_url=f"{server.base_url}/oauth/token",
+            client_id_env="PLANTEST_CLIENT_ID",
+            client_secret_env="PLANTEST_CLIENT_SECRET",
+        )
+        assert df.count() == 10
+        plans = _all_plan_text(df)
+        assert secret not in plans
+        assert client_id not in plans
+        assert "tok-" not in plans  # issued bearer tokens stay executor-side
+
+    token = "direct-canary-token-55e1"
+    with MockApiServer(RECORDS[:5], require_token=token) as server:
+        df = read_rest(
+            spark, server.base_url, "items", schema=SCHEMA, auth_token=token
+        )
+        assert df.count() == 5
+        assert token not in _all_plan_text(df)
+
+
 def test_non_numeric_total_skips_cross_check(spark):
     """meta.total is advisory: a server whose total resolves to a dict
     (or junk string) must not kill the executor with an int() TypeError —
