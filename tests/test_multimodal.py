@@ -211,3 +211,46 @@ def test_wav_roundtrip_and_errors():
     assert out.loc[5].mean_amp == out.loc[8].mean_amp
     assert out.loc[6].decode_status.startswith("error")
     assert out.loc[7].decode_status.startswith("error")
+
+
+def test_frame_sampler_demuxes_ppm_containers():
+    """x5c's sampler is a format-dispatch kernel: a concatenated-PPM
+    container is REALLY demuxed (one row per frame, each frame's extent
+    found by header parse, bounded raster prefix as payload); text-ish
+    payloads keep the deterministic fallback; a corrupt container
+    surfaces an error row instead of silently truncating."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _ppm_bytes,
+        _ppm_video_bytes,
+        sample_frames_batch,
+    )
+
+    video = _ppm_video_bytes(9)           # 2 + 9 % 4 = 3 frames
+    text = b"plain text payload"
+    # corrupt: valid first frame, garbage where frame 2's magic should be
+    first = _ppm_bytes(9)
+    corrupt = first + b"XX" + b"\x00" * 10
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [video, text, corrupt]}
+    )
+    out = pd.concat(sample_frames_batch(iter([batch])))
+
+    vid = out[out.doc_id == 1].sort_values("frame_idx")
+    assert list(vid.frame_idx) == [0, 1, 2]
+    assert list(vid.frame_ts_ms) == [0, 1000, 2000]
+    assert set(vid.sample_status) == {"ok:ppm"}
+    # frame payloads are the RASTER prefix (post-header), frame f seeded
+    # with doc_id + f => first raster byte of frame f is (9+f)*31 % 256
+    for f, fb in zip(vid.frame_idx, vid.frame_bytes):
+        expected = bytes(((9 + f) * 31 + i) % 256 for i in range(16))
+        assert bytes(fb) == expected
+
+    txt = out[out.doc_id == 2]
+    assert set(txt.sample_status) == {"stubbed"}
+    assert len(txt) == (len(text) % 4) + 1
+
+    bad = out[out.doc_id == 3].sort_values("frame_idx")
+    assert list(bad.sample_status)[0] == "ok:ppm"      # frame 0 decoded
+    assert list(bad.sample_status)[-1].startswith("error")
