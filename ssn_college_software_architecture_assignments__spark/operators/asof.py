@@ -39,15 +39,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic as-of join: for each left row, attach the latest right row
     with right_ts <= left_ts within the same `on` key.
 
     Implementation: union both sides with a side tag, window-sort by
-    (ts, side, id) per key — right rows sort before left rows at equal
-    timestamps so equality matches — then forward-fill right columns with
-    ``last(ignorenulls=True)`` and keep only left rows. Inner semantics:
-    left rows with no prior right row are dropped.
+    (ts, side[, tiebreak]) per key — right rows sort before left rows at
+    equal timestamps so equality matches — then forward-fill right
+    columns with ``last(ignorenulls=True)`` and keep only left rows.
+    Inner semantics: left rows with no prior right row are dropped.
+
+    ``right_tiebreak`` names a right-side column (usually its id) used as
+    the final window sort key: when two right rows share (key, ts), the
+    HIGHEST tiebreak value wins deterministically. Without it, equal-ts
+    right rows are picked in partition arrival order — nondeterministic
+    across retries/partitionings, the kind of instability only visible
+    when real data has ties. The column is NULL on left-side rows and
+    left/right already separate on ``_side``, so the tiebreak only
+    disambiguates among right rows.
     """
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ts", F.col(left_ts)
@@ -76,9 +86,12 @@ def asof_join(
         "_ts",
     )
     unioned = l_full.unionByName(r_full)
+    order = [F.col("_ts"), F.col("_side")]
+    if right_tiebreak is not None:
+        order.append(F.col(right_tiebreak))
     w = (
         W.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(
@@ -115,6 +128,7 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="p_ts",
         right_ts="s_ts",
         right_cols=["signup_id"],
+        right_tiebreak="signup_id",
     )
     return (
         joined.filter(F.col("_asof_signup_id").isNotNull())

@@ -20,3 +20,84 @@ def test_asof_picks_latest_at_or_before(spark):
     assert got[(1, 100)] == "a"   # equal timestamps match (>=)
     assert got[(1, 250)] == "b"   # latest at-or-before 250 is 200
     assert got[(2, 50)] is None   # nothing at-or-before -> null (pre-filter)
+
+
+# ---- property test vs a brute-force Python reference (round-5 verdict
+# task 6; mirrors what tests/test_late_data.py does for sessionize) -----
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = datetime(2024, 3, 1, 9, 0, 0)
+
+# (key, seconds-offset) pairs; tiny domains force collisions so ties —
+# same key + same timestamp on either or both sides — and pre-first-dim
+# events (a left row earlier than every right row) are all exercised.
+_side_strategy = lambda max_size: st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),
+    min_size=0,
+    max_size=max_size,
+)
+
+
+def _python_asof(left_rows, right_rows):
+    """Brute-force reference: for each left row, scan ALL right rows for
+    the same key at-or-before its timestamp; highest (ts, id) wins; left
+    rows with no candidate drop (inner semantics)."""
+    out = []
+    for key, lts, lid in left_rows:
+        cands = [
+            (rts, rid)
+            for rkey, rts, rid in right_rows
+            if rkey == key and rts <= lts
+        ]
+        if cands:
+            _, rid = max(cands)
+            out.append((key, lid, rid))
+    return sorted(out)
+
+
+@given(lefts=_side_strategy(12), rights=_side_strategy(8))
+@_SETTINGS
+def test_asof_matches_python_reference(spark, lefts, rights):
+    """J8 semantics pin: the union+window as-of equals a brute-force scan
+    on arbitrary event/dim sets — including equal timestamps across
+    sides, duplicate (key, ts) dim rows (id tiebreak), empty sides, and
+    left rows before the first dim row (dropped, never null-matched)."""
+    left_rows = [
+        (int(k), _BASE + timedelta(seconds=s), int(i))
+        for i, (k, s) in enumerate(lefts)
+    ]
+    right_rows = [
+        (int(k), _BASE + timedelta(seconds=s), int(i))
+        for i, (k, s) in enumerate(rights)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "key int, l_ts timestamp, l_id int"
+    ) if left_rows else spark.createDataFrame([], "key int, l_ts timestamp, l_id int")
+    right = spark.createDataFrame(
+        right_rows, "key int, r_ts timestamp, r_id int"
+    ) if right_rows else spark.createDataFrame([], "key int, r_ts timestamp, r_id int")
+
+    got = sorted(
+        (r["key"], r["l_id"], r["_asof_r_id"])
+        for r in asof_join(
+            left, right, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_cols=["r_id"], right_tiebreak="r_id",
+        )
+        .filter("_asof_r_id IS NOT NULL")
+        .collect()
+    )
+    expected = _python_asof(
+        [(k, ts, i) for k, ts, i in left_rows],
+        [(k, ts, i) for k, ts, i in right_rows],
+    )
+    assert got == expected
