@@ -74,3 +74,97 @@ def test_stream_and_batch_read_identical_timestamps(spark, sf_dir):
     # and the values are in the fixture's real epoch, not 1970
     mn = streamed.agg(F.min("ts").alias("m")).collect()[0]["m"]
     assert mn.year >= 2000, f"stream timestamps collapsed to {mn}"
+
+
+# ---- T6b: Spark 4 native stateful API (transformWithStateInPandas) ------------
+
+
+class _FakeValueState:
+    """Stand-in for the protobuf-backed ValueState: same get/exists/
+    update surface, plain Python storage (the injected-fake pattern the
+    MongoDB writer branch uses)."""
+
+    def __init__(self):
+        self._value = None
+
+    def exists(self):
+        return self._value is not None
+
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_t6b_processor_batch_equivalence():
+    """T6b law, runtime-independent: feeding a key's rows through
+    AccumulateProcessor in ANY micro-batch split yields the same end
+    state and final emission as one batch — the cross-batch
+    accumulation contract transformWithStateInPandas executes."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.streaming.stateful import (
+        AccumulateProcessor,
+    )
+
+    values = [1.5, 2.25, 3.0, 4.5, 0.75, 10.0]
+    splits = [
+        [values],                        # one batch
+        [values[:2], values[2:]],        # two micro-batches
+        [[v] for v in values],           # one row per batch
+    ]
+    finals = []
+    for batches in splits:
+        proc = AccumulateProcessor()
+        proc.init(_FakeHandle())
+        last = None
+        for batch in batches:
+            out = list(
+                proc.handleInputRows(
+                    (7,), iter([pd.DataFrame({"value": batch})]), None
+                )
+            )
+            assert len(out) == 1
+            last = out[0]
+        proc.close()
+        finals.append(
+            (int(last["user_id"][0]), int(last["n_events"][0]),
+             float(last["total_value"][0]))
+        )
+    assert finals[0] == finals[1] == finals[2]
+    assert finals[0] == (7, len(values), round(sum(values), 2))
+
+
+def test_t6b_end_to_end_when_protobuf_present(spark, sf_dir):
+    """Real transformWithStateInPandas run vs the batch aggregate —
+    executable only where protobuf (the v2 state wire format) ships."""
+    import pytest
+
+    from ssn_college_software_architecture_assignments__spark.streaming.stateful import (
+        HAS_PROTOBUF,
+        t6b_transform_with_state,
+    )
+
+    if not HAS_PROTOBUF:
+        pytest.skip("protobuf not installed — v2 state runtime unavailable")
+    got = t6b_transform_with_state(spark, sf_dir).collect()
+    expected = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in Catalog(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert {(r["user_id"], r["n_events"], r["total_value"]) for r in got} == expected
