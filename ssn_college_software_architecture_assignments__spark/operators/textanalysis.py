@@ -112,6 +112,116 @@ def x4b_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X4i — intra-document repetition profile -------------------------------------------
+
+# Run-length scan over the sorted token array: the count of the most
+# frequent element equals the longest run of equal adjacent elements
+# after sorting — O(n log n) per document and NO per-distinct-element
+# rescans (a transform(distinct, w -> count(filter(...))) shape is
+# O(distinct x n) per doc, quadratic on degenerate spam docs, which are
+# exactly the docs this filter exists to catch).
+def _mode_count_expr(arr: str) -> str:
+    return (
+        f"aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(acc.prev <=> x, acc.run + 1, 1), "
+        "'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+
+
+_X4I_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_distinct(w)) AS d,
+         CASE WHEN len(w) = 0 THEN 0
+              ELSE list_max(list_transform(list_distinct(w),
+                     u -> len(list_filter(w, x -> x = u)))) END AS mode_w,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1]) END AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(d AS BIGINT) AS n_distinct_words,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE 1.0 - CAST(d AS DOUBLE) / n END, 4)            AS word_rep_frac,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(mode_w AS DOUBLE) / n END, 4)             AS top_word_frac,
+       round(CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(bg),
+                    u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
+                  / len(bg) END, 4)                              AS top_bigram_frac
+FROM m
+"""
+
+
+@register("x4i_repetition_profile", oracle=_X4I_ORACLE, tags=("X4",))
+def x4i_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile — the Gopher-rule quality
+    signals (Rae et al. 2021, public: fraction of duplicate words, mass
+    of the most frequent word / bigram) that catch boilerplate and
+    degenerate spam before pre-training.
+
+    Scale shape: every column is a per-row JVM higher-order-function
+    expression (filter/transform/aggregate over the token array) — map
+    only, whole-stage codegen, zero shuffle, no Python. Mode counts come
+    from a run-length scan over the SORTED array (O(n log n) per doc,
+    bounded by doc length), not a per-distinct-element rescan, so a
+    degenerate 10M-token spam doc costs a sort, not a quadratic loop.
+    The DuckDB oracle uses the O(d x n) rescan form — fine at oracle
+    scale, and its independence from the engine's algorithm is the
+    point of an oracle."""
+    docs = Catalog(spark, sf_dir).documents
+    df = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("_w"),
+        )
+        .withColumn("_n", F.size("_w"))
+        .withColumn("_d", F.size(F.array_distinct("_w")))
+        .withColumn(
+            "_bg",
+            F.expr(
+                "IF(_n < 2, array(), transform(sequence(1, _n - 1), "
+                "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))))"
+            ),
+        )
+    )
+    n = F.col("_n").cast("double")
+    n_bg = F.size("_bg").cast("double")
+    return df.select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_words"),
+        F.col("_d").cast("long").alias("n_distinct_words"),
+        F.round(
+            F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("_d").cast("double") / n
+            ),
+            4,
+        ).alias("word_rep_frac"),
+        F.round(
+            F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+                F.expr(_mode_count_expr("_w")).cast("double") / n
+            ),
+            4,
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(F.size("_bg") == 0, F.lit(0.0)).otherwise(
+                F.expr(_mode_count_expr("_bg")).cast("double") / n_bg
+            ),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
 # X4c — quality scoring --------------------------------------------------------------
 
 _STOPWORDS = ("the", "a")

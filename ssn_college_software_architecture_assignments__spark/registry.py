@@ -126,6 +126,7 @@ _CHECK_PRIORITY = (
     # (Link/param/total hardening touches every REST-path query; x5c
     # gains a real demux dispatch; t6b is new).
     "t6b_transform_with_state",
+    "x4i_repetition_profile",
     "x5c_frame_sample",
     "s1d_oauth_refresh",
     "s2c_link_header_read",

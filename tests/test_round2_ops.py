@@ -245,3 +245,47 @@ def test_union_schema_drift_nullfills_by_name(spark, sf_dir):
     assert out.filter(
         (F.col("o_orderkey") % 2 == 1) & F.col("totalprice").isNotNull()
     ).count() == 0
+
+
+def test_repetition_profile_edge_cases(spark, tmp_path):
+    """x4i on handmade documents: empty text, single word, a degenerate
+    all-same-word spam doc, and a half-repeated doc — exact expectations
+    for every fraction, including the zero-denominator guards."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4i_repetition_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", 0),
+            (2, "hello", "en", 5),
+            (3, "spam spam spam spam", "en", 19),
+            (4, "a b a b c", "en", 9),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in x4i_repetition_profile(spark, sf_dir).collect()
+    }
+    empty = rows[1]
+    assert (empty["n_words"], empty["word_rep_frac"], empty["top_word_frac"],
+            empty["top_bigram_frac"]) == (0, 0.0, 0.0, 0.0)
+    single = rows[2]
+    assert (single["n_words"], single["n_distinct_words"]) == (1, 1)
+    assert (single["word_rep_frac"], single["top_word_frac"],
+            single["top_bigram_frac"]) == (0.0, 1.0, 0.0)
+    spam = rows[3]
+    assert (spam["n_words"], spam["n_distinct_words"]) == (4, 1)
+    assert spam["word_rep_frac"] == 0.75          # 1 - 1/4
+    assert spam["top_word_frac"] == 1.0
+    assert spam["top_bigram_frac"] == 1.0         # all bigrams "spam spam"
+    half = rows[4]
+    assert (half["n_words"], half["n_distinct_words"]) == (5, 3)
+    assert half["word_rep_frac"] == 0.4           # 1 - 3/5
+    assert half["top_word_frac"] == 0.4           # "a" twice of 5
+    assert half["top_bigram_frac"] == 0.5         # "a b" twice of 4
