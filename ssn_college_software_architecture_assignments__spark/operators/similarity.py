@@ -429,6 +429,90 @@ def x3c_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X3f — int8 embedding quantization --------------------------------------------
+
+_X3F_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, scale,
+         len(emb) AS n_dims,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+              ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(n_dims AS INT)                    AS n_dims,
+       round(scale, 6)                        AS scale_r,
+       CAST(list_sum(qv) AS BIGINT)           AS q_sum,
+       CAST(list_min(qv) AS INT)              AS q_min,
+       CAST(list_max(qv) AS INT)              AS q_max,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q
+"""
+
+
+@register("x3f_embedding_quantize", oracle=_X3F_ORACLE, tags=("X3",))
+def x3f_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x memory
+    reduction that makes a 100 TB ANN corpus fit executor RAM (float32
+    -> int8 with a per-vector scale = max|x| / 127, the absmax scheme
+    every public vector store and faiss-style index uses). Map-only JVM
+    higher-order functions, zero shuffle, no Python; zero vectors keep
+    scale 0 and quantize to all-zeros instead of dividing by zero.
+
+    The checked projection reduces the quantized array to INTEGER
+    invariants (sum, min, max, L1 mass) plus the rounded scale, so the
+    oracle comparison is exact — both engines perform the same float64
+    divide + half-away round on the same widened float32 values, and a
+    disagreement would surface as an off-by-one in q_sum/q_l1."""
+    emb = Catalog(spark, sf_dir).embeddings
+    d = _dvec(F.col("embedding"))
+    with_scale = emb.select(
+        "vec_id",
+        d.alias("_emb"),
+        (
+            F.array_max(F.transform(d, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("_scale"),
+    )
+    quantized = with_scale.select(
+        "vec_id",
+        "_scale",
+        F.size("_emb").alias("_n"),
+        F.when(
+            F.col("_scale") == 0.0,
+            F.transform(F.col("_emb"), lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(
+                F.col("_emb"),
+                lambda x: F.round(x / F.col("_scale")).cast("int"),
+            )
+        )
+        .alias("_q"),
+    )
+    return quantized.select(
+        "vec_id",
+        F.col("_n").cast("int").alias("n_dims"),
+        F.round("_scale", 6).alias("scale_r"),
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("_q").cast("int").alias("q_min"),
+        F.array_max("_q").cast("int").alias("q_max"),
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+    )
+
+
 # X3b2 — hyperplane-LSH bucketing with a FULL oracle ---------------------------
 #
 # x3b is rows-only because ANN semantics are approximate — but the bucket

@@ -127,6 +127,7 @@ _CHECK_PRIORITY = (
     # gains a real demux dispatch; t6b is new).
     "t6b_transform_with_state",
     "x4i_repetition_profile",
+    "x3f_embedding_quantize",
     "x5c_frame_sample",
     "s1d_oauth_refresh",
     "s2c_link_header_read",

@@ -136,3 +136,49 @@ def test_lsh_auto_params_scaling_law():
         assert pairs_per_vec <= tables * 8, f"n={n}: {pairs_per_vec:.0f} pairs/vec"
     # small corpora keep the proven defaults
     assert lsh_auto_params(190) == (4, 6)
+
+
+def test_quantize_exact_values_and_error_bound(spark, tmp_path):
+    """x3f on handmade vectors: exact quantized invariants, the zero-
+    vector guard (scale 0 -> all-zero codes, no division), and the
+    absmax-scheme law |x - q*scale| <= scale/2 on every component."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3f_embedding_quantize,
+    )
+
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0], "a"),
+        (2, [0.0, 0.0, 0.0, 0.0], "zero"),
+        (3, [-2.0, 2.0, 1.0, -1.0], "b"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in x3f_embedding_quantize(spark, sf_dir).collect()}
+
+    v1 = rows[1]  # scale = 1/127; q = round(x * 127)
+    assert v1["scale_r"] == round(1.0 / 127, 6)
+    assert (v1["q_min"], v1["q_max"]) == (-64, 127)      # round(-63.5) -> -64
+    assert v1["q_sum"] == 127 - 64 + 32 + 0
+    assert v1["q_l1"] == 127 + 64 + 32
+
+    zero = rows[2]
+    assert (zero["scale_r"], zero["q_sum"], zero["q_min"], zero["q_max"],
+            zero["q_l1"]) == (0.0, 0, 0, 0, 0)
+
+    v3 = rows[3]  # scale = 2/127; codes are +-127, +-64 (round(63.5)=64)
+    assert (v3["q_min"], v3["q_max"]) == (-127, 127)
+    assert v3["q_l1"] == 2 * (127 + 64)
+
+    # reconstruction-error law on the non-degenerate vectors
+    for vid, emb, _ in vecs:
+        if vid == 2:
+            continue
+        scale = max(abs(x) for x in emb) / 127.0
+        for x in emb:
+            q = round(x / scale)
+            assert abs(x - q * scale) <= scale / 2 + 1e-12
