@@ -459,6 +459,30 @@ FROM q
 """
 
 
+def _absmax_quantize(emb: DataFrame) -> DataFrame:
+    """Attach absmax-int8 quantization columns to an embeddings frame:
+    ``_scale`` (max|x| / 127, double) and ``_q`` (int codes; all zeros
+    for zero vectors). Map-only — shared by x3f (the quantize op) and
+    x3g (the quantized ANN screen)."""
+    d = _dvec(F.col("embedding"))
+    with_scale = emb.withColumn(
+        "_scale",
+        F.array_max(F.transform(d, lambda x: F.abs(x))) / F.lit(127.0),
+    ).withColumn("_emb", d)
+    return with_scale.withColumn(
+        "_q",
+        F.when(
+            F.col("_scale") == 0.0,
+            F.transform(F.col("_emb"), lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                F.col("_emb"),
+                lambda x: F.round(x / F.col("_scale")).cast("int"),
+            )
+        ),
+    ).drop("_emb")
+
+
 @register("x3f_embedding_quantize", oracle=_X3F_ORACLE, tags=("X3",))
 def x3f_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard 4x memory
@@ -474,29 +498,8 @@ def x3f_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide + half-away round on the same widened float32 values, and a
     disagreement would surface as an off-by-one in q_sum/q_l1."""
     emb = Catalog(spark, sf_dir).embeddings
-    d = _dvec(F.col("embedding"))
-    with_scale = emb.select(
-        "vec_id",
-        d.alias("_emb"),
-        (
-            F.array_max(F.transform(d, lambda x: F.abs(x))) / F.lit(127.0)
-        ).alias("_scale"),
-    )
-    quantized = with_scale.select(
-        "vec_id",
-        "_scale",
-        F.size("_emb").alias("_n"),
-        F.when(
-            F.col("_scale") == 0.0,
-            F.transform(F.col("_emb"), lambda x: F.lit(0)),
-        )
-        .otherwise(
-            F.transform(
-                F.col("_emb"),
-                lambda x: F.round(x / F.col("_scale")).cast("int"),
-            )
-        )
-        .alias("_q"),
+    quantized = _absmax_quantize(emb).withColumn(
+        "_n", F.size("embedding")
     )
     return quantized.select(
         "vec_id",
@@ -510,6 +513,105 @@ def x3f_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "_q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("q_l1"),
+    )
+
+
+# X3g — quantized ANN screen: integer dot products over int8 codes -------------
+
+_X3G_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+              ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT))
+         END AS qv
+  FROM s
+), n AS (
+  SELECT vec_id, qv,
+         list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qq
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id,
+         list_aggregate(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]), 'sum') AS idot,
+         a.qq AS aqq, b.qq AS bqq
+  FROM n a CROSS JOIN n b
+  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id AND b.qq > 0 AND a.qq > 0
+)
+SELECT q_id, vec_id, cos_q
+FROM (
+  SELECT q_id, vec_id,
+         round(idot / (sqrt(CAST(aqq AS DOUBLE)) * sqrt(CAST(bqq AS DOUBLE))), 4) AS cos_q,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round(idot / (sqrt(CAST(aqq AS DOUBLE)) * sqrt(CAST(bqq AS DOUBLE))), 4) DESC,
+                    vec_id
+         ) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("x3g_similarity_quantized", oracle=_X3G_ORACLE, tags=("X3",))
+def x3g_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors scored entirely on int8 codes — the screening leg
+    of a quantized ANN pipeline (quantize -> integer dot screen ->
+    optional float rescore of survivors). The per-vector absmax scales
+    CANCEL in the cosine ratio, so the score is a pure function of the
+    integer codes: idot / sqrt(qq_a * qq_b) — exact integer sums fed to
+    identical double math in both engines, no float-accumulation
+    divergence possible.
+
+    Scale shape mirrors x3: the 8 quantized queries broadcast, the
+    corpus never shuffles, and the per-pair work is an int dot product —
+    the 4x-smaller memory footprint and SIMD-friendly inner loop are
+    exactly why production vector stores screen on int8 before
+    rescoring. Ranking ties break on (rounded score, vec_id)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    quantized = _absmax_quantize(emb).select(
+        "vec_id",
+        "_q",
+        F.aggregate(
+            F.transform("_q", lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_qq"),
+    )
+    queries = quantized.filter(
+        (F.col("vec_id") < 8) & (F.col("_qq") > 0)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("_q").alias("_qa"),
+        F.col("_qq").alias("_aqq"),
+    )
+    candidates = ensure_min_partitions(quantized).filter(F.col("_qq") > 0)
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_qa", "_q", lambda a, b: (a * b).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / F.sqrt(F.col("_aqq").cast("double") * F.col("_qq").cast("double")),
+                4,
+            ).alias("cos_q"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_q").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_q")
     )
 
 

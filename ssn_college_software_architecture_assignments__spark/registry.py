@@ -128,6 +128,7 @@ _CHECK_PRIORITY = (
     "t6b_transform_with_state",
     "x4i_repetition_profile",
     "x3f_embedding_quantize",
+    "x3g_similarity_quantized",
     "x5c_frame_sample",
     "s1d_oauth_refresh",
     "s2c_link_header_read",

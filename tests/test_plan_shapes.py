@@ -57,6 +57,14 @@ def test_bruteforce_ann_broadcasts_queries_not_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_quantized_ann_broadcasts_queries_not_corpus(spark):
+    # same law as x3 for the int8 screen: the 8 quantized query vectors
+    # broadcast; the corpus side never shuffles for the scoring pass
+    plan = _plan(spark, "x3g_similarity_quantized")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_join_has_no_fact_side_exchange(spark):
     plan = _plan(spark, "j6_broadcast_join")
     assert "BroadcastHashJoin" in plan

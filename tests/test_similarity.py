@@ -182,3 +182,29 @@ def test_quantize_exact_values_and_error_bound(spark, tmp_path):
         for x in emb:
             q = round(x / scale)
             assert abs(x - q * scale) <= scale / 2 + 1e-12
+
+
+def test_quantized_screen_recall_vs_float_bruteforce(spark, sf_dir):
+    """x3g law: screening on int8 codes must preserve the float
+    brute-force ranking almost exactly on the fixture corpus — absmax
+    int8 error is ~0.4% of the max component, far below the ranking
+    gaps of random vectors. Gate: mean top-5 overlap >= 0.8 and top-1
+    agreement on >= 6 of 8 queries."""
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3g_similarity_quantized,
+    )
+
+    float_top = {}
+    for r in x3_similarity_bruteforce(spark, sf_dir).collect():
+        float_top.setdefault(r["q_id"], []).append(r["vec_id"])
+    quant_top = {}
+    for r in x3g_similarity_quantized(spark, sf_dir).collect():
+        quant_top.setdefault(r["q_id"], []).append(r["vec_id"])
+
+    assert set(quant_top) == set(float_top)
+    overlaps = [
+        len(set(float_top[q]) & set(quant_top[q])) / 5 for q in float_top
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+    top1_hits = sum(float_top[q][0] == quant_top[q][0] for q in float_top)
+    assert top1_hits >= 6, (top1_hits, float_top, quant_top)
