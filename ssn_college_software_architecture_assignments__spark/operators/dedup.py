@@ -434,38 +434,60 @@ GROUP BY id
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 16
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation with pointer jumping.
 
     ``nodes`` has column ``id``; ``edges`` has ``src``/``dst`` (undirected
-    — both directions are added here). Each round every node takes the min
-    of its own label and its neighbors' labels; converges to the component
-    minimum in <= diameter rounds. The convergence probe is a
+    — both directions are added here). Each round every node takes the
+    min of its own label and its neighbors' labels, then compresses one
+    indirection: label <- label(label). Plain propagation alone moves the
+    component minimum ONE hop per round — a chain longer than max_iter
+    hops would come back silently mislabeled (transitive near-dup chains
+    are exactly how such paths arise). The jump step collapses label
+    chains geometrically, so convergence is O(log n) rounds for any
+    topology, and 16 rounds cover any component that fits in storage.
+    If the loop still exits unconverged, this RAISES instead of
+    returning wrong labels. The convergence probe is a
     ``limit(1).count()`` action per round — the only driver-side data is
     that single number.
 
-    Scale: each round is one shuffle (groupBy ``src``) plus a key join;
-    ``localCheckpoint`` truncates lineage so plans stay flat across
-    rounds. Near-dup graphs have tiny diameters (dup clusters are
-    near-cliques), so rounds ~ 2-3 in practice. For adversarial
-    long-chain graphs at 100 TB, swap the loop body for the
-    large-star/small-star rounds of Kiveris et al. ("Connected Components
-    in MapReduce and Beyond") — O(log n) rounds, same per-round shape."""
+    Scale: each round is one shuffle (groupBy ``src``) plus two key
+    joins; ``localCheckpoint`` truncates lineage so plans stay flat
+    across rounds. Near-dup graphs have tiny diameters (dup clusters are
+    near-cliques), so rounds ~ 2-3 in practice; the same O(log n) bound
+    is what the large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") provides."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+            )
+        )
+        # pointer jump: labels are node ids, so label(label) is defined;
+        # one extra key join halves remaining chain length every round.
+        parent = propagated.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            propagated.join(parent, propagated["label"] == parent["_pid"], "left")
+            .select(
+                propagated["id"],
+                F.least(
+                    propagated["label"],
+                    F.coalesce(F.col("_plabel"), propagated["label"]),
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -479,7 +501,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "labels would be silently wrong; raise max_iter"
+        )
     return labels
 
 

@@ -186,3 +186,85 @@ def test_short_documents_never_crash_shingle_pipelines(spark):
     sigs = minhash_signatures(docs, "doc_id", "text")
     ids = {r["_id"] for r in sigs.collect()}
     assert ids == {3}
+
+
+# ---- connected components: property test vs union-find -----------------------
+
+
+def _union_find_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return sorted((v, comp_min[find(v)]) for v in range(n))
+
+
+def _spark_components(spark, n, edges):
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    if edges:
+        e = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    return sorted(
+        (r["id"], r["label"]) for r in connected_components(nodes, e).collect()
+    )
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Regression for the silent-mislabel hazard: a 60-node path has
+    diameter 59 > the 16-round budget, so 1-hop-per-round propagation
+    returned wrong labels with no error. Pointer jumping must resolve
+    it (and any storable component) within the budget: every node in
+    one path-component labels to 0."""
+    n = 60
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _spark_components(spark, n, edges)
+    assert got == [(v, 0) for v in range(n)]
+
+
+def test_connected_components_match_union_find(spark):
+    """Property: arbitrary small graphs (self-loops, duplicate and
+    reversed edges, isolated nodes) resolve to exactly the union-find
+    components with min-id canonical labels."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    n = 12
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=0,
+            max_size=18,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(edges):
+        assert _spark_components(spark, n, edges) == _union_find_components(
+            n, edges
+        )
+
+    run()
