@@ -223,3 +223,77 @@ def test_stream_watermark_drops_late_row_deterministically(spark, tmp_path):
     _write_batch(spark, src, 3, [(1, 4, t(60))])
     _run_session_stream(spark, src, ckpt, out_dir, f"{GAP_MIN} minutes")
     assert len(spark.read.parquet(out_dir).collect()) == len(final)
+
+
+# ---- W7 funnel: property test vs a sequential-scan reference ------------------
+
+
+def _python_funnels(rows, gap_min=30):
+    """Brute-force reference for w7 semantics: per user, scan events in
+    (ts, event_id) order keeping the latest view, the latest QUALIFYING
+    click (one within gap of the view that was most recent at the
+    click's position), and count purchases within gap of that click."""
+    by_user = {}
+    for eid, uid, etype, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    gap = timedelta(minutes=gap_min)
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        last_view = last_qclick = None
+        n = 0
+        for ts, _eid, etype in evs:
+            if etype == "view":
+                last_view = ts
+            elif etype == "click":
+                if last_view is not None and ts <= last_view + gap:
+                    last_qclick = ts
+            elif etype == "purchase":
+                if last_qclick is not None and ts <= last_qclick + gap:
+                    n += 1
+        if n:
+            out[uid] = n
+    return out
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 1),                             # user
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(0, 120),                           # minute offset
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(events=funnel_events)
+@SETTINGS
+def test_funnel_matches_sequential_reference(spark, events, tmp_path_factory):
+    """W7 semantics pin: the stacked conditional-last window funnel
+    equals a per-user sequential scan on arbitrary event sets — ties at
+    the same timestamp (broken by event_id in both), steps exactly at
+    the 30-minute boundary, and interleaved step types included."""
+    import os
+    import uuid
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w7_funnel_detect,
+    )
+
+    rows = [
+        (int(i), int(uid), etype, BASE + timedelta(minutes=m))
+        for i, (uid, etype, m) in enumerate(events)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("w7") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(eid, ts, uid, etype, 1.0, "{}") for eid, uid, etype, ts in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["user_id"]: r["n_funnels"]
+        for r in w7_funnel_detect(spark, sf_dir).collect()
+    }
+    assert got == _python_funnels(rows)
