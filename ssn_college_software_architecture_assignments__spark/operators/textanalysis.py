@@ -311,34 +311,46 @@ GROUP BY doc_id
 """
 
 
-@register("x4d2_winnowing", oracle=_X4D2_ORACLE, tags=("X4",))
-def x4d2_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (the rolling-hash dedup scheme): hash every
-    word 4-gram, slide a 5-shingle window, keep each window's minimum —
-    guaranteeing shared fingerprints for any sufficiently long shared
-    substring. Expressed relationally (posexplode + frame-window min, all
-    codegen) rather than per-row loops; hashes are md5-prefix STRINGS so
-    lexicographic min is identical across engines."""
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Selected winnowing fingerprints, one row per (doc_id, window
+    position): hash every word ``k``-gram, slide a ``window``-shingle
+    frame, keep each frame's minimum (Schleimer et al.'s guarantee:
+    any shared token run of length >= window + k - 1 produces at least
+    one shared selected fingerprint — property-tested in
+    tests/test_dedup.py). Expressed relationally (posexplode +
+    frame-window min, all codegen) rather than per-row loops; hashes
+    are md5-prefix STRINGS so lexicographic min is identical across
+    engines. Sub-``k``-token docs produce no rows."""
+    from pyspark.sql import Window as W
+
     from .dedup import token_shingles
 
-    docs = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
-    # token_shingles guards sub-4-token docs (empty array, not a
+    # token_shingles guards sub-k-token docs (empty array, not a
     # sequence(1,0) slice error); pos only orders the rolling window, so
     # its 0-based origin vs the oracle's 1-based series is immaterial.
     sh = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                token_shingles(toks, 4),
+                token_shingles(toks, k),
                 lambda s: F.substring(F.md5(s), 1, 16),
             )
         ).alias("pos", "fp"),
     )
-    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return sh.select("doc_id", F.min("fp").over(w).alias("sel"))
 
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
-    wmin = sh.select("doc_id", F.min("fp").over(w).alias("sel"))
+
+@register("x4d2_winnowing", oracle=_X4D2_ORACLE, tags=("X4",))
+def x4d2_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash dedup scheme) reduced to
+    per-doc invariants; the selection itself lives in
+    :func:`winnow_fingerprints`."""
+    docs = Catalog(spark, sf_dir).documents
+    wmin = winnow_fingerprints(docs)
     return wmin.groupBy("doc_id").agg(
         F.countDistinct("sel").cast("long").alias("n_fingerprints"),
         F.min("sel").alias("min_fp"),

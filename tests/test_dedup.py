@@ -268,3 +268,70 @@ def test_connected_components_match_union_find(spark):
         )
 
     run()
+
+
+# ---- winnowing: property test vs Python reference + the sharing guarantee ----
+
+
+def _python_winnow(tokens, k=4, window=5):
+    """Schleimer-style reference: md5-prefix each k-gram, take the min of
+    each window of `window` consecutive shingle hashes (tail windows
+    shrink, matching the frame spec); return the selected set."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set()
+    fps = [
+        hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:16]
+        for i in range(len(tokens) - k + 1)
+    ]
+    return {min(fps[i : i + window]) for i in range(len(fps))}
+
+
+def _spark_winnow_sets(spark, docs_rows):
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {}
+    for r in winnow_fingerprints(docs).collect():
+        out.setdefault(r["doc_id"], set()).add(r["sel"])
+    return out
+
+
+def test_winnowing_matches_python_reference_and_guarantee(spark):
+    """x4d2 semantics pin: the posexplode + frame-window-min selection
+    equals a per-doc Python reference on arbitrary token sequences, and
+    the winnowing guarantee holds — two docs sharing a token run of
+    >= window + k - 1 = 8 tokens share at least one fingerprint."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from("abcdef")
+    seqs = st.lists(tok, min_size=0, max_size=30)
+
+    @given(
+        a=seqs,
+        b=seqs,
+        shared=st.lists(tok, min_size=8, max_size=12),
+        cut_a=st.integers(0, 30),
+        cut_b=st.integers(0, 30),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(a, b, shared, cut_a, cut_b):
+        ta = a[: cut_a % (len(a) + 1)] + shared + a[cut_a % (len(a) + 1):]
+        tb = b[: cut_b % (len(b) + 1)] + shared + b[cut_b % (len(b) + 1):]
+        got = _spark_winnow_sets(
+            spark, [(1, " ".join(ta)), (2, " ".join(tb))]
+        )
+        assert got.get(1, set()) == _python_winnow(ta)
+        assert got.get(2, set()) == _python_winnow(tb)
+        # the guarantee: a shared 8-token run forces a shared fingerprint
+        assert got[1] & got[2], (ta, tb)
+
+    run()
