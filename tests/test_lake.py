@@ -121,3 +121,35 @@ def test_zorder_layout_clusters_both_dimensions(spark):
     avg_y = sum(r["max_y"] - r["min_y"] for r in stats) / len(stats)
     assert avg_user < 0.6 * g_user
     assert avg_y < 0.6 * g_y
+
+
+def test_morton_terms_match_independent_bit_interleave(spark):
+    """S16 gate the oracle cannot provide: _morton_terms is shared by the
+    Spark query AND its DuckDB oracle, so a formula bug would reproduce
+    identically on both sides and still pass the sweep. Compare against
+    an independent Python bit-interleave for exhaustive-ish (x, y)
+    coverage, and confirm bijectivity on the 8-bit domain."""
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        _morton_terms,
+    )
+
+    def py_morton(x, y):
+        m = 0
+        for i in range(8):
+            m |= ((x >> i) & 1) << (2 * i + 1)
+            m |= ((y >> i) & 1) << (2 * i)
+        return m
+
+    rnd = random.Random(16)
+    pairs = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    pairs += [(rnd.randrange(256), rnd.randrange(256)) for _ in range(64)]
+    df = spark.createDataFrame(pairs, "x int, y int").withColumn(
+        "morton", _morton_terms("x", "y", sql=False)
+    )
+    got = {(r["x"], r["y"]): r["morton"] for r in df.collect()}
+    for (x, y), m in got.items():
+        assert m == py_morton(x, y), (x, y, m)
+    # distinct pairs -> distinct codes on the 8-bit domain (bijectivity)
+    assert len(set(got.values())) == len(got)
