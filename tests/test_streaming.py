@@ -168,3 +168,43 @@ def test_t6b_end_to_end_when_protobuf_present(spark, sf_dir):
         .collect()
     }
     assert {(r["user_id"], r["n_events"], r["total_value"]) for r in got} == expected
+
+
+def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
+    """T5 law the single-batch test can't see: a duplicate that arrives
+    in a LATER micro-batch (redelivery after a source retry) must be
+    suppressed by dedup STATE carried across batches, not just within
+    one batch. Two parquet batches via maxFilesPerTrigger=1: batch 2
+    redelivers both batch-1 events and adds one new one; exactly the
+    three distinct event_ids survive."""
+    from datetime import datetime, timedelta
+
+    from ssn_college_software_architecture_assignments__spark.streaming.core import (
+        run_to_memory,
+    )
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp"
+    src = str(tmp_path / "src")
+    b1 = [(1, base), (2, base + timedelta(minutes=1))]
+    b2 = [(1, base), (2, base + timedelta(minutes=1)),
+          (3, base + timedelta(minutes=2))]
+    for n, rows in ((1, b1), (2, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/batch={n}")
+
+    from pyspark.sql.types import StructType
+
+    ev = (
+        spark.readStream.schema(StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/batch=*")
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    counted = deduped.groupBy().agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )
+    out = run_to_memory(counted, "complete").collect()
+    assert (out[0]["n"], out[0]["id_sum"]) == (3, 6)
