@@ -59,6 +59,13 @@ def asof_join(
     left/right already separate on ``_side``, so the tiebreak only
     disambiguates among right rows.
     """
+    if right_tiebreak is not None and right_tiebreak not in right.columns:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} is not a right-side column "
+            f"(right has: {right.columns}) — a typo here would otherwise "
+            "surface as an opaque AnalysisException, or silently sort on a "
+            "left column, far from this call site"
+        )
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ts", F.col(left_ts)
     )

@@ -155,24 +155,21 @@ GROUP BY t.doc_id
 """
 
 
-@register("x6d_decontamination", oracle=_X6D_ORACLE, tags=("X6", "X2"))
-def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    8-gram with the held-out benchmark set (stand-in: doc_id % 50 == 0).
-    Inverted-index shape — explode distinct 8-grams, equi-join on the
-    gram — so train docs sharing nothing with the benchmark never meet
-    it. The benchmark side is tiny by definition (eval sets are KBs-MBs
-    against a 100 TB corpus), so the join broadcasts and the corpus
-    NEVER shuffles. The join key is ``xxhash64(gram)``, not the gram
-    string: the broadcast table and per-row probe payload shrink ~6x for
-    a ~1e-10 false-flag rate — acceptable for a filter that errs toward
-    dropping. The DuckDB oracle joins on the raw strings; agreement of
-    the two forms at the gate's scale is itself evidence the hash
-    substitution is sound."""
+def contamination_report(docs: DataFrame, normalize: bool = False) -> DataFrame:
+    """Shared decontamination dataflow over a (doc_id, text) frame with a
+    doc_id % 50 == 0 benchmark stand-in: distinct 8-grams exploded,
+    hashed, equi-joined with the (broadcast) benchmark gram index. With
+    ``normalize=True`` the gram alphabet is case-folded and
+    punctuation/whitespace-collapsed FIRST, so trivial cosmetic edits
+    (case flips, inserted punctuation, doubled spaces) cannot smuggle a
+    contaminated document past the filter — the standard practice for
+    benchmark decontamination in public training-data pipelines."""
     from .dedup import token_shingles
 
-    docs = Catalog(spark, sf_dir).documents
-    toks = F.split("text", " ")
+    text: Column = F.col("text")
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    toks = F.split(text, " ")
     # hash INSIDE the per-doc transform: array_distinct, explode, and the
     # downstream join/agg all operate on 8-byte longs, never gram strings.
     # token_shingles guards sub-8-token documents (empty gram array, not a
@@ -194,4 +191,69 @@ def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gram_h").alias("n_shared_grams"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
+    )
+
+
+@register("x6d_decontamination", oracle=_X6D_ORACLE, tags=("X6", "X2"))
+def x6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the held-out benchmark set (stand-in: doc_id % 50 == 0).
+    Inverted-index shape — explode distinct 8-grams, equi-join on the
+    gram — so train docs sharing nothing with the benchmark never meet
+    it. The benchmark side is tiny by definition (eval sets are KBs-MBs
+    against a 100 TB corpus), so the join broadcasts and the corpus
+    NEVER shuffles. The join key is ``xxhash64(gram)``, not the gram
+    string: the broadcast table and per-row probe payload shrink ~6x for
+    a ~1e-10 false-flag rate — acceptable for a filter that errs toward
+    dropping. The DuckDB oracle joins on the raw strings; agreement of
+    the two forms at the gate's scale is itself evidence the hash
+    substitution is sound."""
+    return contamination_report(Catalog(spark, sf_dir).documents)
+
+
+# X6d2 — decontamination over NORMALIZED grams -------------------------------
+#
+# Raw-cased exact grams (x6d) let contaminated documents escape via
+# trivial edits: "The Answer Is 42." vs "the answer is 42" share zero raw
+# 8-grams. Public decontamination practice canonicalizes first —
+# lowercase, strip punctuation, collapse whitespace — then matches
+# n-grams over the normalized token stream. The oracle applies the same
+# canonicalization in DuckDB (regexp_replace needs the 'g' flag there;
+# Spark's replaces all matches by default).
+
+_X6D2_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 7),
+             i -> array_to_string(t[i:i+7], ' ')
+         ))) AS gram
+  FROM norm
+),
+bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+SELECT t.doc_id                        AS train_doc_id,
+       count(DISTINCT t.gram)          AS n_shared_grams,
+       count(DISTINCT b.bench_id)      AS n_benchmark_docs
+FROM train t JOIN bench b ON t.gram = b.gram
+GROUP BY t.doc_id
+"""
+
+
+@register("x6d2_decontamination_normalized", oracle=_X6D2_ORACLE, tags=("X6", "X2"))
+def x6d2_decontamination_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over CANONICALIZED 8-grams: lowercase,
+    collapse punctuation/whitespace runs to single spaces, then match —
+    so a case-flipped or re-punctuated copy of a benchmark document is
+    still flagged (pytest plants exactly that mangling in
+    tests/test_curation.py). Same inverted-index + broadcast-benchmark
+    shape as x6d: normalization is a map-side expression, the corpus
+    still never shuffles."""
+    return contamination_report(
+        Catalog(spark, sf_dir).documents, normalize=True
     )

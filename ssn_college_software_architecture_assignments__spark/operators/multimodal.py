@@ -327,8 +327,11 @@ def _try_demux_frames(buf: bytes):
     frame yields (frame_idx, frame_ts_ms, frame_bytes, status) with a
     BOUNDED raster prefix as the frame payload (fixed bytes per frame
     regardless of frame size, the 100 TB-safe output contract). Returns
-    None for unrecognized payloads (codec formats this container cannot
-    decode take the deterministic fallback)."""
+    None for unrecognized payloads — including TEXT that merely starts
+    with "P6" but never parses as a complete frame — so only genuine PPM
+    containers commit to the demux path; everything else takes the
+    deterministic SQL-expressible fallback (keeps x5c's oracle
+    data-independent)."""
     if not buf.startswith(b"P6"):
         return None
     frames = []
@@ -350,6 +353,10 @@ def _try_demux_frames(buf: bytes):
             )
             pos, idx = frame_end, idx + 1
     except ValueError as exc:
+        if idx == 0:
+            # Frame 0 never parsed: not a PPM container at all (e.g. text
+            # that happens to begin with "P6") — decline the demux path.
+            return None
         frames.append((idx, idx * 1000, b"", f"error: {exc}"))
     return frames
 

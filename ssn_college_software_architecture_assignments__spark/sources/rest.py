@@ -370,13 +370,14 @@ class RestDataSourceReader(DataSourceReader):
         if self.pagination == "link":
             return [LinkWalk()]
         first = self._get(self._page_url(1))
-        total = self._dig(first, self.total_path)
+        total = _advisory_int(self._dig(first, self.total_path))
         records = self._dig(first, self.data_path) or []
         if total is None:
-            # Unknown total: fall back to serial cursor-walk in one
-            # partition (can't parallelize an unprobeable cursor chain).
+            # Unknown (or non-numeric — the total is advisory) total: fall
+            # back to the serial PageRange walk in one partition (can't
+            # parallelize an unprobeable chain).
             return [PageRange(1, self.max_pages)]
-        n_pages = min(max(1, math.ceil(int(total) / self.page_size)), self.max_pages)
+        n_pages = min(max(1, math.ceil(total / self.page_size)), self.max_pages)
         step = max(1, self.pages_per_partition)
         return [
             PageRange(p, min(p + step, n_pages + 1))

@@ -101,3 +101,23 @@ def test_asof_matches_python_reference(spark, lefts, rights):
         [(k, ts, i) for k, ts, i in right_rows],
     )
     assert got == expected
+
+
+def test_asof_rejects_bad_tiebreak_column(spark):
+    """A typo'd (or left-only) right_tiebreak must fail fast with a clear
+    ValueError at the call site — not an opaque AnalysisException from
+    deep inside the window sort, or a silent sort on a left column."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _BASE, 10)], "key int, l_ts timestamp, l_id int"
+    )
+    right = spark.createDataFrame(
+        [(1, _BASE, 20)], "key int, r_ts timestamp, r_id int"
+    )
+    for bad in ("r_idd", "l_id"):  # typo; left-only column
+        with pytest.raises(ValueError, match="right_tiebreak"):
+            asof_join(
+                left, right, on="key", left_ts="l_ts", right_ts="r_ts",
+                right_cols=["r_id"], right_tiebreak=bad,
+            )

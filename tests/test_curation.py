@@ -65,3 +65,30 @@ def test_decontamination_never_flags_benchmark_docs(spark):
     rows = flagged.collect()
     assert all(r["train_doc_id"] % 50 != 0 for r in rows)
     assert all(r["n_shared_grams"] >= 1 and r["n_benchmark_docs"] >= 1 for r in rows)
+
+
+def test_normalized_decontamination_catches_case_mangled_copy(spark):
+    """The reason x6d2 exists: a benchmark passage smuggled into a train
+    doc with case flips, inserted punctuation, and doubled spaces shares
+    ZERO raw-cased 8-grams (x6d misses it) but must be flagged by the
+    normalized-gram variant."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        contamination_report,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    mangled = "The QUICK  brown fox, jumps over -- the LAZY dog near the River bank"
+    filler = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (50, passage),                       # benchmark doc (id % 50 == 0)
+            (51, f"{filler} {mangled}"),         # train doc w/ mangled copy
+            (52, " ".join(f"u{i}" for i in range(30))),  # clean train doc
+        ],
+        "doc_id long, text string",
+    )
+    raw = contamination_report(docs).collect()
+    assert raw == [], f"raw-gram variant unexpectedly flagged: {raw}"
+    norm = {r["train_doc_id"]: r for r in contamination_report(docs, normalize=True).collect()}
+    assert 51 in norm and norm[51]["n_benchmark_docs"] == 1
+    assert 52 not in norm

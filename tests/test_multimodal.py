@@ -254,3 +254,23 @@ def test_frame_sampler_demuxes_ppm_containers():
     bad = out[out.doc_id == 3].sort_values("frame_idx")
     assert list(bad.sample_status)[0] == "ok:ppm"      # frame 0 decoded
     assert list(bad.sample_status)[-1].startswith("error")
+
+
+def test_frame_sampler_p6_prefixed_text_takes_fallback():
+    """A document whose TEXT merely begins with "P6" is NOT a PPM
+    container: frame 0 never parses, so the kernel must take the
+    SQL-expressible fallback (what x5c's oracle models) — not emit a
+    single error row that would make the oracle data-dependent."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _try_demux_frames,
+        sample_frames_batch,
+    )
+
+    impostor = b"P6 engines are the best engines, according to this doc"
+    assert _try_demux_frames(impostor) is None
+    batch = pd.DataFrame({"doc_id": [42], "payload": [impostor]})
+    out = pd.concat(sample_frames_batch(iter([batch])))
+    assert set(out.sample_status) == {"stubbed"}
+    assert len(out) == (len(impostor) % 4) + 1  # the fallback's frame count

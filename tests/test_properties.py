@@ -65,6 +65,64 @@ def test_exact_dedup_unique_and_subset(spark, keys):
     assert set(out) == set(keys)
 
 
+def _distinct_shingles(tokens: list[str], k: int = 3) -> set[str]:
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+@given(seed=st.integers(0, 2**16), s_target=st.sampled_from([0.6, 0.8]))
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_banding_recall_bound(spark, seed, s_target):
+    """Banding recall law: a pair with true shingle-set Jaccard s becomes
+    an LSH candidate with probability 1-(1-s^r)^b (r rows per band, b
+    bands). Plant P pairs at controlled Jaccard — doc B shares doc A's
+    token prefix, so the EXACT per-pair Jaccard is computable in Python —
+    and assert the empirical recall is not significantly below the mean
+    theoretical catch-rate (4-sigma slack; a broken banding formula or a
+    band-hash that ignores part of the signature craters recall to ~0 and
+    fails this decisively, while the r5 quadratic all-pairs regression
+    could never be caught by correctness checks at all)."""
+    import random
+
+    num_hashes, bands = 16, 4
+    r = num_hashes // bands
+    rng = random.Random(seed)
+    n = 42  # tokens per doc
+    P = 60
+    rows, true_j = [], {}
+    for p in range(P):
+        # unique-per-pair vocabularies: cross-pair candidacy impossible
+        a_toks = [f"p{p}a{i}x{rng.randrange(1 << 30)}" for i in range(n)]
+        # prefix share sized for Jaccard ~ s_target: k-2 = 2*s*(n-2)/(1+s)
+        k = round(2 * s_target * (n - 2) / (1 + s_target)) + 2
+        b_toks = a_toks[:k] + [
+            f"p{p}b{i}x{rng.randrange(1 << 30)}" for i in range(k, n)
+        ]
+        sa, sb = _distinct_shingles(a_toks), _distinct_shingles(b_toks)
+        true_j[p] = len(sa & sb) / len(sa | sb)
+        rows.append((2 * p, " ".join(a_toks)))
+        rows.append((2 * p + 1, " ".join(b_toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=num_hashes)
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in minhash_candidate_pairs(
+            sigs, num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+    caught = sum((2 * p, 2 * p + 1) in got for p in range(P))
+    probs = [1 - (1 - true_j[p] ** r) ** bands for p in range(P)]
+    expected = sum(probs) / P
+    sigma = (sum(q * (1 - q) for q in probs) ** 0.5) / P
+    assert caught / P >= expected - 4 * sigma - 0.02, (
+        f"empirical recall {caught / P:.3f} below banding bound "
+        f"{expected:.3f} - 4*{sigma:.3f} (s_target={s_target})"
+    )
+
+
 @given(
     base=st.lists(clean_text.filter(lambda s: s.strip()), min_size=4, max_size=6),
 )

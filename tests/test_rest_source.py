@@ -392,6 +392,15 @@ def test_non_numeric_total_skips_cross_check(spark):
     ) as server:
         df = _read(spark, server, pagination="cursor", page_size=60)
         assert df.count() == len(RECORDS)
+    # Page mode (the default) probes the total to SIZE partitions: junk
+    # totals must fall back to the serial PageRange walk, not crash the
+    # planner with int(dict).
+    with MockApiServer(RECORDS, meta_total=weird) as server:
+        df = _read(spark, server, page_size=60)
+        assert df.count() == len(RECORDS)
+    with MockApiServer(RECORDS, meta_total=True) as server:  # bool != count
+        df = _read(spark, server, page_size=60)
+        assert df.count() == len(RECORDS)
 
 
 def test_oauth_client_credentials_with_midrun_refresh(spark, monkeypatch):

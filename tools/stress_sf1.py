@@ -72,7 +72,14 @@ def _latest_bench_path() -> str | None:
         for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
         if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
     ]
-    return max(cands, default=None)
+    # Order by the INTEGER round, not the path string: lexicographic max
+    # would pick BENCH_r9.json over BENCH_r10.json once rounds outgrow
+    # the zero-padded width.
+    return max(
+        cands,
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        default=None,
+    )
 
 
 def _load_latest_bench_times() -> dict[str, float]:
