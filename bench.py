@@ -49,23 +49,57 @@ def _force(df) -> int:
         return df.count()
 
 
-# Host-speed calibration: a fixed-size, data-independent, in-memory JVM
-# aggregation (no IO, no shuffle). Its wall-time tracks raw host/runtime
-# speed, so round-over-round drift becomes MEASURED instead of inferred
-# from uniform slowdowns across unchanged queries (the r3->r4 lesson).
-# CALIB_NOMINAL_SEC pins the round-5 host as the normalization reference:
-# value_normalized = value * (CALIB_NOMINAL_SEC / calib_sec) re-expresses
-# a total in round-5-host seconds, comparable across rounds.
+# Host-speed calibration, TWO dimensions: the queries split into
+# CPU-bound (expression/codegen-dominated) and shuffle-bound work, and
+# one host can drift on each independently (a loaded disk/page cache
+# moves shuffle spill speed without touching ALU throughput). So:
+#
+# - calib_cpu_sec: fixed-size, data-independent, in-memory JVM
+#   aggregation (no IO, no shuffle) — raw expression/codegen speed.
+#   Emitted also under its historical name calib_sec so older rounds'
+#   drift ratios keep parsing.
+# - calib_shuffle_sec: fixed-size groupBy over 1M keys (partial agg
+#   nearly pass-through, so ~all rows cross the exchange) — shuffle
+#   write/read + hash-agg speed.
+#
+# The *_NOMINAL_SEC constants pin the reference host per dimension
+# (cpu: round-5 host; shuffle: round-7 host, its first measurement);
+# value_normalized = value * (CPU nominal / measured cpu) re-expresses a
+# total in reference-host seconds. The shuffle factor is reported so the
+# round-over-round table can use the MATCHED normalizer per query class
+# instead of assuming all drift is CPU drift.
 CALIB_NOMINAL_SEC = 0.140
+CALIB_SHUFFLE_NOMINAL_SEC = 0.700
+
+
+def _min_of(n_runs: int, thunk) -> float:
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.time()
+        thunk()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
 
 
 def _calibrate(spark) -> float:
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        _force(spark.range(0, 50_000_000, 1, 8).selectExpr("sum(id * 2) AS s"))
-        best = min(best, time.time() - t0)
-    return round(best, 4)
+    return _min_of(
+        3,
+        lambda: _force(
+            spark.range(0, 50_000_000, 1, 8).selectExpr("sum(id * 2) AS s")
+        ),
+    )
+
+
+def _calibrate_shuffle(spark) -> float:
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4_000_000, 1, 16)
+        .groupBy((F.col("id") % 1_000_000).alias("k"))
+        .count()
+        .selectExpr("sum(count) AS s")
+    )
+    return _min_of(3, lambda: _force(df))
 
 
 def _fingerprint(spark) -> dict:
@@ -82,13 +116,17 @@ def _fingerprint(spark) -> dict:
                     break
     except OSError:
         pass
+    calib_cpu = _calibrate(spark)
     return {
         "pyspark": pyspark.__version__,
         "python": platform.python_version(),
         "cpu_model": cpu_model,
         "cpus": os.cpu_count(),
-        "calib_sec": _calibrate(spark),
+        "calib_sec": calib_cpu,  # historical name; == calib_cpu_sec
+        "calib_cpu_sec": calib_cpu,
+        "calib_shuffle_sec": _calibrate_shuffle(spark),
         "calib_nominal_sec": CALIB_NOMINAL_SEC,
+        "calib_shuffle_nominal_sec": CALIB_SHUFFLE_NOMINAL_SEC,
     }
 
 
@@ -155,9 +193,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "notes": (
             "value_normalized rescales the total by the fixed in-memory "
-            "calibration agg (fingerprint.calib_sec vs the pinned "
+            "CPU calibration agg (fingerprint.calib_cpu_sec vs the pinned "
             "calib_nominal_sec) so host/runtime drift is factored out of "
-            "round-over-round comparison; j11 stays split as j11_write "
+            "round-over-round comparison; calib_shuffle_sec measures "
+            "shuffle-path drift separately (matched normalizer for "
+            "shuffle-bound queries); j11 stays split as j11_write "
             "(one-off ingest) + j11_join (repeated no-Exchange SMJ leg)"
         ),
     }
@@ -165,8 +205,19 @@ def main() -> None:
     # Round-over-round continuity: compare against the newest BENCH_r*.json
     # so per-query regressions are visible in the bench line itself.
     import glob
+    import re
 
-    prior = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+    # Newest prior round by INTEGER round number (lexicographic sort would
+    # misorder r9 vs r10 once rounds outgrow the zero-padded width); the
+    # *_sf1 stress outputs never match the round pattern.
+    prior = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        ),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     if prior:
         try:
             with open(prior[-1], encoding="utf-8") as fh:
@@ -195,6 +246,10 @@ def main() -> None:
             prev_calib = prev_fp.get("calib_sec")
             if isinstance(prev_calib, (int, float)) and prev_calib > 0 and calib > 0:
                 out["calib_drift_vs_prev"] = round(calib / prev_calib, 3)
+            prev_shuf = prev_fp.get("calib_shuffle_sec")
+            shuf = fingerprint["calib_shuffle_sec"]
+            if isinstance(prev_shuf, (int, float)) and prev_shuf > 0 and shuf > 0:
+                out["calib_shuffle_drift_vs_prev"] = round(shuf / prev_shuf, 3)
         except (OSError, ValueError, KeyError, TypeError, AttributeError):
             pass
     print(json.dumps(out))

@@ -177,3 +177,133 @@ def a11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("order_month", "n_orders", "revenue")
+
+
+# A11b — the incremental path COMPOSED end-to-end: S14 CDC feed drives the
+# standing A11 rollup. The reference's "run the connector again" model
+# (/root/reference/README.md:12,28) means updates arrive as a new snapshot;
+# the engine-grade answer is: diff the snapshots (S14), fold ONLY the delta
+# into the standing aggregate (A11's monoid merge), and prove the folded
+# state equals a from-scratch recompute over the new generation. That
+# equality is the whole point — it shows the two incremental operators
+# compose without rescanning history.
+
+_A11B_ORACLE = """
+WITH gen1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice + 100.0, 2)
+              ELSE round(o_totalprice, 2) END AS totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, round(o_totalprice, 2), o_orderdate
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS order_month,
+       count(*)                    AS n_orders,
+       round(sum(totalprice), 2)   AS revenue
+FROM gen1
+GROUP BY 1
+"""
+
+
+@register("a11b_cdc_rollup_compose", oracle=_A11B_ORACLE, tags=("A11", "S14"))
+def a11b_cdc_rollup_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 -> A11 composed: the monthly revenue rollup stands on
+    generation 0; generation 1 arrives (same mutation recipe as
+    s14_snapshot_diff: every 10th order repriced +100, every 7th deleted,
+    a shifted copy of every 13th inserted); ``snapshot_diff`` emits the
+    O(changes) CDC feed, and each change row folds into the rollup as a
+    signed delta — insert adds (+1, +new_price) to its month, delete
+    subtracts (+/-1, old_price), update does both (net price delta). The
+    oracle recomputes the rollup from scratch over generation 1: the
+    folded standing state must match it to the cent, WITHOUT the Spark
+    side ever re-aggregating generation-0 history against generation 1.
+
+    Scale shape: standing state is O(months), the CDC diff is one
+    outer join on the order key (bucketable, see S14), and the fold is a
+    groupBy over O(changes) rows — the 100 TB nightly-delta pattern.
+    Months with all orders deleted net to (0, 0.0) and are dropped to
+    match the recompute, which cannot emit empty groups."""
+    from ..sources.sink import snapshot_diff
+
+    orders = Catalog(spark, sf_dir).orders
+    gen0 = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderdate",
+    )
+    gen1 = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.round(F.col("o_totalprice") + 100.0, 2),
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("totalprice"),
+            "o_orderdate",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+                "o_orderdate",
+            )
+        )
+    )
+
+    month = lambda c: F.date_format(F.trunc(c, "month"), "yyyy-MM-dd")  # noqa: E731
+
+    # Standing state: the rollup as it existed over generation 0.
+    standing = gen0.groupBy(month("o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("totalprice").alias("dsum"),
+    )
+
+    # CDC feed -> signed per-month deltas. orderdate rides through
+    # compare_cols so the fold knows each change's month; it never
+    # differs between generations, so it cannot create spurious updates.
+    cdc = snapshot_diff(
+        gen0, gen1, key_cols=["o_orderkey"],
+        compare_cols=["totalprice", "o_orderdate"],
+    )
+    minus_old = F.when(
+        F.col("change_type").isin("delete", "update"),
+        F.struct(
+            month("old_o_orderdate").alias("m"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("old_totalprice")).alias("dsum"),
+        ),
+    )
+    plus_new = F.when(
+        F.col("change_type").isin("insert", "update"),
+        F.struct(
+            month("new_o_orderdate").alias("m"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("new_totalprice").alias("dsum"),
+        ),
+    )
+    deltas = (
+        cdc.select(
+            F.explode(
+                F.filter(F.array(minus_old, plus_new), lambda s: s.isNotNull())
+            ).alias("d")
+        )
+        .select(
+            F.col("d.m").alias("order_month"),
+            F.col("d.dn").alias("dn"),
+            F.col("d.dsum").alias("dsum"),
+        )
+    )
+
+    return (
+        standing.unionByName(deltas)
+        .groupBy("order_month")
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.round(F.sum("dsum"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
