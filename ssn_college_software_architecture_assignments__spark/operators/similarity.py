@@ -571,7 +571,16 @@ def x3g_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles, and the per-pair work is an int dot product —
     the 4x-smaller memory footprint and SIMD-friendly inner loop are
     exactly why production vector stores screen on int8 before
-    rescoring. Ranking ties break on (rounded score, vec_id)."""
+    rescoring. Ranking ties break on (rounded score, vec_id).
+
+    Claimed error bound (property-tested in tests/test_similarity.py):
+    per-component absmax error is <= scale/2, so the dequantized vector
+    v̂ satisfies ||v - v̂||₂ <= scale·√d/2 and the quantized cosine is
+    within eps(a) + eps(b) of the float cosine, where
+    eps(v) = scale_v·√d / ||v||₂ (twice the normalized-difference
+    bound). Consequently the screen can only drop a true top-k neighbor
+    whose float score is within eps(dropped) + eps(kept) of a kept
+    vector's — the margin a float rescore of survivors needs to cover."""
     emb = Catalog(spark, sf_dir).embeddings
     quantized = _absmax_quantize(emb).select(
         "vec_id",

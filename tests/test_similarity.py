@@ -208,3 +208,124 @@ def test_quantized_screen_recall_vs_float_bruteforce(spark, sf_dir):
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
     top1_hits = sum(float_top[q][0] == quant_top[q][0] for q in float_top)
     assert top1_hits >= 6, (top1_hits, float_top, quant_top)
+
+
+# --- x3g screen-soundness law (hypothesis vs a Python int reference) --------
+#
+# Shared-formula risk: x3g's oracle performs the SAME quantize + integer
+# dot in DuckDB, so both sides could agree and both be wrong. The
+# independent check is mathematical: an exact-integer Python reference
+# verifies (a) Spark's int8 codes bit-for-bit, (b) the claimed cosine
+# error bound eps(v) = scale_v*sqrt(d)/||v||, and (c) the screen-
+# soundness consequence — a true top-k neighbor the int8 screen drops is
+# never better than a kept vector by more than the two vectors' bounds.
+
+def _py_absmax_quantize(vec32: list[float]) -> tuple[list[int], float]:
+    """Exact-integer reference for _absmax_quantize: absmax/127 scale,
+    round half AWAY FROM ZERO (Spark F.round == BigDecimal HALF_UP)."""
+    import math
+
+    s = max(abs(x) for x in vec32) / 127.0
+    if s == 0.0:
+        return [0] * len(vec32), 0.0
+    q = [
+        int(math.floor(abs(x / s) + 0.5)) * (1 if x >= 0 else -1)
+        for x in vec32
+    ]
+    return q, s
+
+
+def _py_cos(u: list[float], v: list[float]) -> float:
+    import math
+
+    uu = math.sqrt(sum(x * x for x in u))
+    vv = math.sqrt(sum(x * x for x in v))
+    return sum(a * b for a, b in zip(u, v)) / (uu * vv)
+
+
+def test_quantized_screen_soundness_law(spark):
+    """Hypothesis-driven: random float32 corpora; for every pair the
+    quantized cosine must sit within the claimed bound of the float
+    cosine, and any true top-k neighbor dropped by the int8 screen must
+    be within eps(dropped)+eps(kept) of the k-th kept vector — the
+    margin a float rescore needs. Spark's codes are cross-checked
+    against the Python reference on one example per run (one job; the
+    law itself is exact-integer Python, no Spark latency per example)."""
+    import math
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _absmax_quantize,
+    )
+
+    K = 3
+
+    @given(seed=st.integers(0, 2**32 - 1))
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def law(seed):
+        rng = np.random.default_rng(seed)
+        d = int(rng.integers(4, 17))
+        n = int(rng.integers(6, 15))
+        # mixed scales so absmax quantization error actually varies
+        corpus = (
+            rng.normal(0, 1, (n, d)) * rng.choice([0.01, 1.0, 50.0], (n, 1))
+        ).astype(np.float32)
+        vecs = [[float(x) for x in row] for row in corpus]
+        if any(all(x == 0.0 for x in v) for v in vecs):
+            return  # zero vectors are x3f's guard case, screened out in x3g
+        query, cands = vecs[0], list(enumerate(vecs[1:], start=1))
+
+        qq, sq = _py_absmax_quantize(query)
+        eps_q = sq * math.sqrt(d) / math.sqrt(sum(x * x for x in query))
+        scored = []
+        for i, v in cands:
+            qv, sv = _py_absmax_quantize(v)
+            idot = sum(a * b for a, b in zip(qq, qv))  # exact int math
+            nq = math.sqrt(sum(a * a for a in qq))
+            nv = math.sqrt(sum(a * a for a in qv))
+            if nq == 0 or nv == 0:
+                continue
+            cos_q = idot / (nq * nv)
+            cos_f = _py_cos(query, v)
+            eps_v = sv * math.sqrt(d) / math.sqrt(sum(x * x for x in v))
+            # (b) per-pair error bound
+            assert abs(cos_q - cos_f) <= eps_q + eps_v + 1e-9, (
+                seed, i, cos_q, cos_f, eps_q, eps_v
+            )
+            scored.append((i, cos_q, cos_f, eps_v))
+        if len(scored) <= K:
+            return
+        kept = sorted(scored, key=lambda t: -t[1])[:K]
+        true_top = sorted(scored, key=lambda t: -t[2])[:K]
+        kth = min(kept, key=lambda t: t[1])  # worst KEPT by quantized score
+        for t in true_top:
+            if t[0] in {x[0] for x in kept}:
+                continue
+            # (c) a dropped true neighbor is within the two bounds of
+            # the k-th kept vector's float score
+            assert t[2] <= kth[2] + t[3] + kth[3] + 1e-9, (
+                seed, t, kth, eps_q
+            )
+
+    law()
+
+    # (a) Spark's codes == Python reference, one representative frame
+    rng = np.random.default_rng(7)
+    corpus = (rng.normal(0, 1, (10, 8)) * 3.7).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: list(r["_q"]) for r in _absmax_quantize(df).collect()
+    }
+    for i, row in enumerate(corpus):
+        expect, _ = _py_absmax_quantize([float(x) for x in row])
+        assert got[i] == expect, (i, got[i], expect)
