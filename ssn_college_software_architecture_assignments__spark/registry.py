@@ -71,83 +71,34 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 6 that is the 36-id cohort whose last driver row is
-# r3 (S4-S6/S8/S10-S14/S16, A4/A5gs/A6pa/A9-A11, W7, U4, E2-regional,
-# F1-F3, T1-T6, X2b3, X3b2, X3c, X4b, X5/X5e/X5f, X6), the REST/
-# pagination family re-touched by the r6 Link/total hardening, the x5c
-# demux promotion, and the new t6b transformWithStateInPandas query.
-# Everything with r4/r5 evidence sits below the line, newest evidence
-# last; x2_minhash_near_dedup (guaranteed err:no_oracle — its
-# oracle-checked twin is x2g) stays at the bottom so it never burns a
-# driver slot. Names missing from the registry are ignored, and
-# registry names missing here sort after the listed ones, so this list
-# never breaks registration changes.
+# round. For round 7 (cohorts computed from CORRECTNESS_r01..r06): the
+# two never-evidenced r7 additions (a11b, x6d2), the five rows-only ids
+# (their weaker rows-only evidence is stalest of all — x2's row is r3;
+# this round also rewrote x2's pair expansion), the 39-id cohort whose
+# newest driver row is r4, and the queries whose source the r7 changes
+# touch (asof tiebreak validation -> j8; demux dispatch guard -> x5c;
+# page-mode advisory-total -> the REST readers). Everything with r5/r6
+# evidence sits below the line, stalest first. Names missing from the
+# registry are ignored, and registry names missing here sort after the
+# listed ones, so this list never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: last driver row is r3 (two runtime generations ago) —
-    # family representatives first so a shorter-than-50 walk still
-    # samples every family.
-    "s4_json_scan",
-    "s10_upsert_latest_wins",
-    "t1_tumbling_window",
-    "f1_pandas_udf",
-    "a4_approx_count_distinct",
-    "w7_funnel_detect",
-    "u4_union_schema_drift",
-    "e2_sql_regional_revenue",
-    "x2b3_simhash_full_oracle",
-    "x3b2_similarity_lsh_oracle",
-    "x4b_term_frequency",
-    "x5_multimodal_payload",
-    "x6_deterministic_split",
-    "s5_parquet_scan",
-    "s6_csv_scan",
-    "s8_validated_insert",
-    "s11_partitioned_lake",
-    "s12_compaction",
-    "s13_schema_evolution",
-    "s14_snapshot_diff",
-    "s16_zorder_layout",
-    "a5_grouping_sets",
-    "a6_percentile_approx",
-    "a9_key_skew_profile",
-    "a10_stats_agg",
-    "a11_incremental_rollup",
-    "f2_grouped_udaf",
-    "f3_udtf_expand",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermarked_agg",
-    "t5_streaming_dedup",
-    "t6_stateful_per_key",
-    "x3c_vector_features",
-    "x5e_ppm_decode",
-    "x5f_wav_decode",
-    # tier 1b: sources changed in round 6 — re-prove under the new code
-    # (Link/param/total hardening touches every REST-path query; x5c
-    # gains a real demux dispatch; t6b is new).
-    "t6b_transform_with_state",
-    "x4i_repetition_profile",
-    "x3f_embedding_quantize",
-    "x3g_similarity_quantized",
-    "x5c_frame_sample",
-    "s1d_oauth_refresh",
-    "s2c_link_header_read",
-    "s1_rest_source",
-    "s2_paginated_read",
-    "s2b_cursor_read",
-    "s3_rate_limited_read",
-    "s9b_rest_stream",
-    "s1b_rest_infer",
-    "s1c_rest_env_auth",
-    # tier 1c: next-stalest r4 ids fill the remaining slots
-    "s7_raw_sink_roundtrip",
-    "s7b_document_sink",
-    "s7c_document_writer",
-    # ---- ~50-query driver budget line ----
-    # below: last driver row in r4 — stalest first
+    # tier 1: new in round 7 — no driver evidence exists at all
+    "a11b_cdc_rollup_compose",
+    "x6d2_decontamination_normalized",
+    # tier 1b: rows-only ids — refresh their row-count evidence (x2's
+    # dates to r3, and its bucket-grouping rewrite lands this round)
+    "x2_minhash_near_dedup",
+    "x2b_simhash",
+    "x2b2_simhash_pairs",
+    "x2f_embedding_neardup_lsh",
+    "x3b_similarity_lsh",
+    # tier 1c: newest driver row is r4 — family representatives first so
+    # a shorter-than-50 walk still samples every family
+    "e1_etl_connector",
     "s8b_dq_report",
     "s15_quarantine_split",
-    "e1_etl_connector",
+    "s7b_document_sink",
+    "s7c_document_writer",
     "e2_sql_shipping_priority",
     "e2_sql_exists_priority",
     "e2_sql_scalar_subquery",
@@ -178,9 +129,18 @@ _CHECK_PRIORITY = (
     "x6b_sequence_packing",
     "x6c_mixture_sample",
     "x6d_decontamination",
-    # last driver row in r5 (freshest evidence)
+    # tier 1d: source touched by round-7 changes — re-prove under new code
+    "j8_asof_join",
+    "x5c_frame_sample",
+    "s1_rest_source",
+    "s2_paginated_read",
+    "s2b_cursor_read",
+    "s1b_rest_infer",
+    # tier 1e: stalest r5 ids fill the remaining slots
     "q1_pricing_summary",
     "j1_inner_equi_join",
+    # ---- ~50-query driver budget line ----
+    # below: last driver row in r5 — stalest first
     "j6_broadcast_join",
     "j10_salted_skew_join",
     "w6_sessionize",
@@ -228,13 +188,52 @@ _CHECK_PRIORITY = (
     "f_hash_family",
     "f_conditional_family",
     "x1_exact_dedup",
-    "j8_asof_join",
-    # rows-only by design (no SQL oracle; property/recall-tested)
-    "x2b_simhash",
-    "x2b2_simhash_pairs",
-    "x2f_embedding_neardup_lsh",
-    "x3b_similarity_lsh",
-    "x2_minhash_near_dedup",
+    # last driver row in r6 (freshest evidence)
+    "s4_json_scan",
+    "s10_upsert_latest_wins",
+    "t1_tumbling_window",
+    "f1_pandas_udf",
+    "a4_approx_count_distinct",
+    "w7_funnel_detect",
+    "u4_union_schema_drift",
+    "e2_sql_regional_revenue",
+    "x2b3_simhash_full_oracle",
+    "x3b2_similarity_lsh_oracle",
+    "x4b_term_frequency",
+    "x5_multimodal_payload",
+    "x6_deterministic_split",
+    "s5_parquet_scan",
+    "s6_csv_scan",
+    "s7_raw_sink_roundtrip",
+    "s8_validated_insert",
+    "s11_partitioned_lake",
+    "s12_compaction",
+    "s13_schema_evolution",
+    "s14_snapshot_diff",
+    "s16_zorder_layout",
+    "a5_grouping_sets",
+    "a6_percentile_approx",
+    "a9_key_skew_profile",
+    "a10_stats_agg",
+    "a11_incremental_rollup",
+    "f2_grouped_udaf",
+    "f3_udtf_expand",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_watermarked_agg",
+    "t5_streaming_dedup",
+    "t6_stateful_per_key",
+    "x3c_vector_features",
+    "x3f_embedding_quantize",
+    "x3g_similarity_quantized",
+    "x4i_repetition_profile",
+    "x5e_ppm_decode",
+    "x5f_wav_decode",
+    "s1c_rest_env_auth",
+    "s1d_oauth_refresh",
+    "s2c_link_header_read",
+    "s3_rate_limited_read",
+    "s9b_rest_stream",
 )
 
 
