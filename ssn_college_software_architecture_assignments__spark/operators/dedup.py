@@ -225,7 +225,8 @@ def minhash_candidate_pairs(
               round(aggregate(
                       zip_with(ms[i].minhash, ms[j].minhash,
                                (x, y) -> CAST(x = y AS INT)),
-                      0, (acc, v) -> acc + v) / {float(num_hashes)}, 4)))))
+                      0, (acc, v) -> acc + v)
+                    / CAST({num_hashes} AS DOUBLE), 4)))))
         """
     )
     return (
@@ -931,3 +932,156 @@ def x2b3_simhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_X2B3_BITS)
     )
     return votes.select("doc_id", sig.alias("simhash60"))
+
+
+# X2i — LSH screen -> exact-Jaccard rescore, composed with a FULL oracle ------
+#
+# The production near-dedup pipeline is screen-then-rescore: LSH banding
+# proposes candidates, the FREE signature-estimate Jaccard (the
+# signatures already exist) screens them, and the expensive exact
+# shingle-set Jaccard is computed ONLY for survivors. This query is that
+# composition end-to-end with every stage exact-value checkable: md5-
+# derived 60-bit hashes (see x2g) so DuckDB reproduces signatures; band
+# buckets compare by band CONTENT in the oracle (the band hash is just
+# an equality fingerprint, so collision classes are identical either
+# way); the 0.5 screen keeps pairs with >= 4 of 8 matching hashes — a
+# real cut above the >= 1-band floor every candidate clears by
+# construction.
+
+_X2I_EST_MIN = 0.5
+
+_X2I_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM docs
+),
+sigs AS (
+  SELECT doc_id,
+         min(CAST('0x' || substr(md5('0:' || shingle), 1, 15) AS BIGINT)) AS mh_0,
+         min(CAST('0x' || substr(md5('1:' || shingle), 1, 15) AS BIGINT)) AS mh_1,
+         min(CAST('0x' || substr(md5('2:' || shingle), 1, 15) AS BIGINT)) AS mh_2,
+         min(CAST('0x' || substr(md5('3:' || shingle), 1, 15) AS BIGINT)) AS mh_3,
+         min(CAST('0x' || substr(md5('4:' || shingle), 1, 15) AS BIGINT)) AS mh_4,
+         min(CAST('0x' || substr(md5('5:' || shingle), 1, 15) AS BIGINT)) AS mh_5,
+         min(CAST('0x' || substr(md5('6:' || shingle), 1, 15) AS BIGINT)) AS mh_6,
+         min(CAST('0x' || substr(md5('7:' || shingle), 1, 15) AS BIGINT)) AS mh_7
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, CAST(mh_0 AS VARCHAR) || ':' || CAST(mh_1 AS VARCHAR) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh_2 AS VARCHAR) || ':' || CAST(mh_3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh_4 AS VARCHAR) || ':' || CAST(mh_5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh_6 AS VARCHAR) || ':' || CAST(mh_7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         (CAST(sa.mh_0 = sb.mh_0 AS INT) + CAST(sa.mh_1 = sb.mh_1 AS INT)
+        + CAST(sa.mh_2 = sb.mh_2 AS INT) + CAST(sa.mh_3 = sb.mh_3 AS INT)
+        + CAST(sa.mh_4 = sb.mh_4 AS INT) + CAST(sa.mh_5 = sb.mh_5 AS INT)
+        + CAST(sa.mh_6 = sb.mh_6 AS INT) + CAST(sa.mh_7 = sb.mh_7 AS INT)
+         ) / 8.0 AS est
+  FROM pairs p
+  JOIN sigs sa ON p.id_a = sa.doc_id
+  JOIN sigs sb ON p.id_b = sb.doc_id
+),
+surv AS (SELECT * FROM est WHERE est >= 0.5),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s.id_a, s.id_b, count(*) AS n_common
+  FROM surv s
+  JOIN sh a ON a.doc_id = s.id_a
+  JOIN sh b ON b.doc_id = s.id_b AND b.shingle = a.shingle
+  GROUP BY s.id_a, s.id_b
+)
+SELECT s.id_a, s.id_b,
+       round(s.est, 4) AS est_jaccard,
+       round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+             / (ca.n + cb.n - coalesce(c.n_common, 0)), 4) AS jaccard
+FROM surv s
+LEFT JOIN common c ON c.id_a = s.id_a AND c.id_b = s.id_b
+JOIN counts ca ON ca.doc_id = s.id_a
+JOIN counts cb ON cb.doc_id = s.id_b
+"""
+
+
+@register("x2i_lsh_exact_rescore", oracle=_X2I_ORACLE, tags=("X2",))
+def x2i_lsh_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-then-rescore near-dedup composed end-to-end: MinHash
+    signatures (8 md5-derived permutation hashes — exact-value
+    reproducible in DuckDB, see x2g) -> LSH banding (bucket-grouped pair
+    expansion, see minhash_candidate_pairs) -> signature-estimate screen
+    (est >= 0.5, i.e. >= 4 of 8 hashes agree; FREE, the signatures are
+    already in hand) -> exact shingle-set Jaccard for SURVIVORS ONLY.
+
+    The scale shape is the point: candidate generation never leaves
+    signature space, and the expensive exact rescore — a shingle-level
+    equi-join — runs against a survivor set that is broadcast-small by
+    construction (the screen bounds it), so the corpus shingle table
+    never shuffles for the rescore. Restricted to doc_id < 200 so the
+    DuckDB twin (which brute-forces the same 8 md5s per shingle) stays
+    cheap; the Spark dataflow is the 100 TB one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_shingles(toks, 3))).alias("shingle"),
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5h60(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"mh_{s}")
+            for s in range(_X2G_HASHES)
+        ]
+    )
+    sig_arr = sigs.select(
+        F.col("doc_id").alias("_id"),
+        F.array(*[f"mh_{s}" for s in range(_X2G_HASHES)]).alias("minhash"),
+    )
+    surv = minhash_candidate_pairs(
+        sig_arr, num_hashes=_X2G_HASHES, bands=_X2G_BANDS
+    ).filter(F.col("est_jaccard") >= _X2I_EST_MIN)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        F.broadcast(surv.select("id_a", "id_b"))
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_common = F.coalesce("n_common", F.lit(0))
+    return (
+        surv.join(common, ["id_a", "id_b"], "left")
+        .join(
+            counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round(
+                n_common / (F.col("n_a") + F.col("n_b") - n_common), 4
+            ).alias("jaccard"),
+        )
+    )
