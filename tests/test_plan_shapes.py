@@ -49,6 +49,30 @@ def test_embedding_lsh_is_never_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_rescore_broadcasts_survivors_not_corpus(spark):
+    """x2i's scale claim: the exact-Jaccard rescore joins the corpus
+    shingle table against the BROADCAST survivor set — never all-pairs,
+    and the pair expansion stays bucket-grouped (no self-join of the
+    signature subtree)."""
+    plan = _plan(spark, "x2i_lsh_exact_rescore")
+    assert "BroadcastExchange" in plan, "survivor set must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pair_expansion_scans_documents_once(spark):
+    """The r7 rewrite's reason to exist: the band self-join planned the
+    shingle-explode + min-agg signature pass twice (two parquet scans);
+    bucket-grouped expansion must keep it to ONE documents scan."""
+    import re
+
+    plan = _plan(spark, "x2_minhash_near_dedup")
+    # formatted explain prints each node once in the tree and once in the
+    # details; the "(N) Scan parquet" detail header counts distinct nodes
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
+
+
 def test_bruteforce_ann_broadcasts_queries_not_corpus(spark):
     # brute force IS all-pairs by definition — but the broadcast side
     # must be the 8 query vectors, never the corpus
