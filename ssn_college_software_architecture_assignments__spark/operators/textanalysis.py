@@ -628,3 +628,57 @@ def x4h_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 7
         ).alias("had_phone"),
     )
+
+
+# X4j — unigram log-probability quality score (corpus-statistic LM) -----------
+#
+# The classic corpus-LM quality filter from public LLM data pipelines:
+# score each document by the mean log-probability of its tokens under
+# the corpus's own unigram distribution. Boilerplate and word-soup score
+# near the corpus mean; documents dominated by rare tokens (OCR noise,
+# junk encodings) fall far below it. Fully relational — the "model" IS a
+# token-frequency table — so the oracle is the same algebra in DuckDB.
+
+_X4J_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM toks)
+SELECT doc_id,
+       count(*)                                   AS n_tokens,
+       round(avg(ln(CAST(n AS DOUBLE) / t)), 4)   AS avg_logprob
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("x4j_unigram_logprob", oracle=_X4J_ORACLE, tags=("X4",))
+def x4j_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring by mean unigram log-probability under the corpus's
+    own token distribution — the self-supervised LM filter public
+    training pipelines run before heavier models. Dataflow: explode
+    tokens (one scan), hash-aggregate the vocabulary (map-side combine;
+    the shuffle carries (token, count), never documents), join tokens
+    back to their frequencies on the token key (inverted-index shape —
+    an equi-join a 100 TB corpus shuffles once on the token, exactly like
+    x6d's gram join but with the corpus-wide table on both sides), then
+    one per-doc mean. The scalar corpus total rides along as a 1-row
+    broadcast cross join. No Python anywhere; log/avg are codegen'd."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("t"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

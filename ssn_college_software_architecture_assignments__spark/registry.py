@@ -86,6 +86,7 @@ _CHECK_PRIORITY = (
     "a11b_cdc_rollup_compose",
     "x6d2_decontamination_normalized",
     "x2i_lsh_exact_rescore",
+    "x4j_unigram_logprob",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",
