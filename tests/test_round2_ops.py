@@ -289,3 +289,42 @@ def test_repetition_profile_edge_cases(spark, tmp_path):
     assert half["word_rep_frac"] == 0.4           # 1 - 3/5
     assert half["top_word_frac"] == 0.4           # "a" twice of 5
     assert half["top_bigram_frac"] == 0.5         # "a b" twice of 4
+
+
+def test_unigram_logprob_orders_junk_below_common_text(spark, tmp_path):
+    """x4j semantic pin on a handmade corpus: a document of corpus-common
+    tokens must outscore a document of singleton junk tokens; identical
+    documents score identically; and the exact value is reproducible in
+    closed form (every token's probability is count/total)."""
+    import math
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4j_unigram_logprob,
+    )
+
+    # corpus: "the" x 7, "cat" x 2, junk singletons j1..j3; 12 tokens total
+    docs = [
+        (1, "the cat the"),      # common tokens
+        (2, "the cat the"),      # identical twin
+        (3, "j1 j2 j3"),         # junk singletons
+        (4, "the the the"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["doc_id"]: r for r in x4j_unigram_logprob(spark, sf_dir).collect()}
+
+    total = 12
+    counts = {"the": 7, "cat": 2, "j1": 1, "j2": 1, "j3": 1}
+    def expected(text):
+        toks = text.split(" ")
+        return round(sum(math.log(counts[t] / total) for t in toks) / len(toks), 4)
+
+    for did, text in docs:
+        assert rows[did]["n_tokens"] == 3
+        assert rows[did]["avg_logprob"] == expected(text), (did, rows[did])
+    assert rows[1]["avg_logprob"] == rows[2]["avg_logprob"]
+    assert rows[3]["avg_logprob"] < rows[1]["avg_logprob"] < rows[4]["avg_logprob"]
