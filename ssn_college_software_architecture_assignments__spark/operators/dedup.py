@@ -183,7 +183,18 @@ def minhash_candidate_pairs(
     count per bucket is identical in both forms (quadratic in bucket
     size — tiny by LSH design: a bucket only fills when signatures
     collide on a whole band), so this is a pure plan win, not a
-    semantics trade. Measured ~2x faster on the sf0.1 corpus.
+    semantics trade. Plan-gated to one documents scan in
+    tests/test_plan_shapes.py.
+
+    Mega-bucket caveat (both forms share the quadratic PAIR count; this
+    form additionally materializes each bucket as one aggregation row):
+    a document duplicated millions of times verbatim puts all copies in
+    one bucket. At 100 TB the production pipeline collapses
+    exact-duplicate SIGNATURES first — identical signatures are exact
+    dups (X1's job), carried as (representative, count) so banding only
+    ever sees unique signatures — which bounds bucket rows at the cost
+    of one extra hash-agg; neither formulation survives skipping that
+    step, because the pair explosion itself is the quadratic term.
     """
     rows_per_band = num_hashes // bands
     band_hashes = F.array(
