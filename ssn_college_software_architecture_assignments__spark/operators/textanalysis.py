@@ -682,3 +682,130 @@ def x4j_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# X4k — TF-IDF scoring (smooth idf) -------------------------------------------
+#
+# The companion to x4b's raw TF/DF table: weight each (doc, term) pair
+# by tf * (ln((N + 1) / (df + 1)) + 1) — the smoothed idf used by public
+# sklearn-style vectorizers, which never divides by zero and keeps
+# corpus-wide terms at weight ~tf. The output is the top-50 weighted
+# pairs, the "most characteristic term occurrences" view a curation
+# pipeline uses to spot template/boilerplate clusters.
+
+_X4K_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf,
+       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, term
+LIMIT 50
+"""
+
+
+@register("x4k_tfidf", oracle=_X4K_ORACLE, tags=("X4",))
+def x4k_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smooth idf (ln((N+1)/(df+1)) + 1), top-50 pairs.
+
+    Dataflow mirrors x4j's inverted-index shape: one explode scan ->
+    (doc, term) hash-aggregate (map-side combine) -> term-keyed df
+    aggregate over the ALREADY-collapsed tf table (the shuffle carries
+    one row per distinct (doc, term), never raw token occurrences) ->
+    equi-join tf back to df on the term key -> global top-50 via
+    TakeOrderedAndProject (no full sort materializes). The doc count N
+    rides along as a 1-row broadcast. At 100 TB both join sides are
+    term-keyed aggregates — the join reuses the df shuffle's
+    partitioning, and the final top-k is per-partition heaps + a
+    driver-side merge of 50-row heads, never a global sort."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf")
+        * (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ),
+        4,
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(50)
+    )
+
+
+# X4l — corpus n-gram statistics (top trigrams) -------------------------------
+#
+# Corpus-wide n-gram frequency tables are the raw material for
+# boilerplate mining, decontamination gram choice, and tokenizer
+# training sanity checks. Trigrams are built INSIDE the token array with
+# a higher-order transform (no self-join of an exploded token table,
+# which would shuffle the corpus twice), then exploded once and
+# hash-aggregated.
+
+_X4L_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 3 THEN []
+                ELSE list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END)
+           AS trigram
+  FROM t
+)
+SELECT trigram,
+       count(*)                 AS n_occurrences,
+       count(DISTINCT doc_id)   AS n_docs
+FROM g
+GROUP BY trigram
+ORDER BY n_occurrences DESC, trigram
+LIMIT 25
+"""
+
+
+@register("x4l_trigram_stats", oracle=_X4L_ORACLE, tags=("X4",))
+def x4l_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus trigrams with occurrence and document counts.
+
+    The trigram list is built per-document with transform over the token
+    array (pure codegen, no shuffle), exploded once, then aggregated in
+    two stages like x4b: (trigram, doc_id) partial counts first, so the
+    distinct-doc count never plans a distinct-expand and the wide
+    shuffle carries one row per (trigram, doc) — bounded by document
+    length, not corpus size. Final top-25 is TakeOrderedAndProject."""
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    trigrams = F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    g = docs.select("doc_id", F.explode(trigrams).alias("trigram"))
+    per_doc = g.groupBy("trigram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("trigram")
+        .agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(25)
+    )

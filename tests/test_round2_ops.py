@@ -328,3 +328,75 @@ def test_unigram_logprob_orders_junk_below_common_text(spark, tmp_path):
         assert rows[did]["avg_logprob"] == expected(text), (did, rows[did])
     assert rows[1]["avg_logprob"] == rows[2]["avg_logprob"]
     assert rows[3]["avg_logprob"] < rows[1]["avg_logprob"] < rows[4]["avg_logprob"]
+
+
+def test_tfidf_closed_form(spark, tmp_path):
+    """x4k semantic pin: smooth-idf TF-IDF on a handmade corpus checked
+    in closed form — a rare repeated term outranks a ubiquitous frequent
+    term, and every emitted weight equals tf * (ln((N+1)/(df+1)) + 1)."""
+    import math
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4k_tfidf,
+    )
+
+    docs = [
+        (1, "zebra zebra common"),
+        (2, "common common common"),
+        (3, "common apple"),
+        (4, "common banana apple"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = x4k_tfidf(spark, sf_dir).collect()
+
+    n_docs, df = 4, {"common": 4, "zebra": 1, "apple": 2, "banana": 1}
+    def expected(tf, term):
+        return round(tf * (math.log((n_docs + 1) / (df[term] + 1)) + 1), 4)
+
+    for r in rows:
+        assert r["tfidf"] == expected(r["tf"], r["term"]), r
+    # rare-but-repeated beats ubiquitous-and-frequent
+    assert (rows[0]["doc_id"], rows[0]["term"]) == (1, "zebra")
+    assert (rows[1]["doc_id"], rows[1]["term"]) == (2, "common")
+    # ubiquitous term's idf collapses to exactly 1.0 (ln(5/5) + 1)
+    common = [r for r in rows if r["term"] == "common"]
+    assert all(r["tfidf"] == float(r["tf"]) for r in common)
+
+
+def test_trigram_stats_closed_form(spark, tmp_path):
+    """x4l semantic pin: trigram occurrence/document counts on a
+    handmade corpus with repeated, short (<3 tokens), empty, and
+    double-spaced documents — exact counts and deterministic tie order."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4l_trigram_stats,
+    )
+
+    docs = [
+        (1, "a b c a b c"),   # "a b c" x2, "b c a", "c a b"
+        (2, "a b c"),
+        (3, "x y"),           # too short: no trigrams
+        (4, ""),
+        (5, "a  b c d"),      # empty token filtered: "a b c", "b c d"
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["trigram"], r["n_occurrences"], r["n_docs"])
+        for r in x4l_trigram_stats(spark, sf_dir).collect()
+    ]
+    assert got == [
+        ("a b c", 4, 3),
+        ("b c a", 1, 1),
+        ("b c d", 1, 1),
+        ("c a b", 1, 1),
+    ]
