@@ -257,3 +257,131 @@ def x6d2_decontamination_normalized(spark: SparkSession, sf_dir: str) -> DataFra
     return contamination_report(
         Catalog(spark, sf_dir).documents, normalize=True
     )
+
+
+# X6e — domain mixture reweighting --------------------------------------------
+#
+# The planning step BEFORE x6c's mixture sampling: given a declared
+# per-source priority, compute each source's actual corpus share, its
+# target share (priority / total priority over the sources actually
+# present), and the sampling weight (target / actual) a downstream
+# sampler or repeat-epoch scheduler applies. Weight > 1 means the source
+# is under-represented (upsample / extra epochs); < 1 means downsample.
+
+_X6E_PRIORITY_SQL = "CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END"
+
+_X6E_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         count(*)                               AS n_docs,
+         max({_X6E_PRIORITY_SQL})               AS priority
+  FROM documents
+  GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT)                                        AS n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)        AS actual_frac,
+       round(priority / CAST(sum(priority) OVER () AS DOUBLE), 6)    AS target_frac,
+       round((priority / CAST(sum(priority) OVER () AS DOUBLE))
+             / (n_docs / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)    AS weight
+FROM per_src
+ORDER BY source
+"""
+
+
+@register("x6e_mixture_reweight", oracle=_X6E_ORACLE, tags=("X6",))
+def x6e_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights to hit a declared target mixture.
+
+    One hash-aggregate over the corpus (map-side combine; the shuffle
+    carries one row per source) collapses 100 TB to a sources-sized
+    table; the share/weight math then runs as unpartitioned windows over
+    that TINY aggregate — a single-task stage over ~dozens of rows by
+    construction, which is exactly where a global window is safe. The
+    priority is a declared CASE expression, so the whole query stays
+    relational and the oracle is the same algebra."""
+    docs = Catalog(spark, sf_dir).documents
+    priority = (
+        F.when(F.col("source") == "src0", 4)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(priority).alias("priority"),
+    )
+    w_all = W.partitionBy()
+    actual = F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double")
+    target = F.col("priority") / F.sum("priority").over(w_all).cast("double")
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(actual, 6).alias("actual_frac"),
+        F.round(target, 6).alias("target_frac"),
+        F.round(target / actual, 4).alias("weight"),
+    ).orderBy("source")
+
+
+# X6f — token-length histogram (power-of-two bins) ----------------------------
+#
+# The corpus shape report a packing/budgeting stage starts from: how
+# many documents and tokens live at each length scale. Bins are
+# power-of-two token-length ranges; the bin id is computed with exact
+# integer arithmetic (length of the binary representation of
+# n_tokens + 1) rather than floor(log2(...)), so no float-boundary
+# disagreement between engines can move a document across bins.
+
+_X6F_ORACLE = """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         length(bin(CAST(n_tokens + 1 AS BIGINT))) - 1 AS bin_id
+  FROM t
+)
+SELECT CAST(bin_id AS BIGINT)                          AS bin_id,
+       CAST(power(2, bin_id) AS BIGINT) - 1            AS lo_tokens,
+       CAST(power(2, bin_id + 1) AS BIGINT) - 2        AS hi_tokens,
+       count(*)                                        AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)                   AS total_tokens,
+       round(sum(n_tokens) / CAST(sum(sum(n_tokens)) OVER () AS DOUBLE), 6)
+                                                       AS token_share
+FROM b
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+@register("x6f_length_histogram", oracle=_X6F_ORACLE, tags=("X6",))
+def x6f_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document/token histogram over power-of-two token-length bins.
+
+    Map-only binning (split/size/bin are all codegen'd; no Python), one
+    hash-aggregate whose shuffle carries one row per bin (~60 bins max
+    for any corpus — 2^60 tokens is beyond 100 TB), then the share
+    window runs over that bins-sized table in a single task. The bin
+    id via binary-string length is exact integer math in both engines;
+    floor(log2(x)) would ride on libm rounding at bin edges."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    b = docs.select(
+        n_tokens.alias("n_tokens"),
+        (F.length(F.bin(n_tokens + F.lit(1))) - F.lit(1)).alias("bin_id"),
+    )
+    agg = b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    share = F.col("total_tokens") / F.sum("total_tokens").over(
+        W.partitionBy()
+    ).cast("double")
+    return agg.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (F.pow(F.lit(2.0), F.col("bin_id")).cast("long") - F.lit(1)).alias("lo_tokens"),
+        (F.pow(F.lit(2.0), F.col("bin_id") + F.lit(1)).cast("long") - F.lit(2)).alias("hi_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(share, 6).alias("token_share"),
+    ).orderBy("bin_id")

@@ -92,3 +92,66 @@ def test_normalized_decontamination_catches_case_mangled_copy(spark):
     norm = {r["train_doc_id"]: r for r in contamination_report(docs, normalize=True).collect()}
     assert 51 in norm and norm[51]["n_benchmark_docs"] == 1
     assert 52 not in norm
+
+
+def test_mixture_reweight_closed_form(spark, tmp_path):
+    """x6e on a handmade skewed corpus: priorities src0=4/src1=2/else=1,
+    weights checked in closed form, and the invariant that
+    sum(actual_frac * weight) reconstructs the target distribution."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6e_mixture_reweight,
+    )
+
+    rows = (
+        [(i, "t", "src0") for i in range(10)]
+        + [(100 + i, "t", "src1") for i in range(5)]
+        + [(200 + i, "t", "src2") for i in range(85)]
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in x6e_mixture_reweight(spark, sf_dir).collect()}
+
+    # priorities: 4 + 2 + 1 = 7; actuals: 0.10 / 0.05 / 0.85
+    assert got["src0"]["n_docs"] == 10
+    assert got["src0"]["actual_frac"] == 0.1
+    assert got["src0"]["target_frac"] == round(4 / 7, 6)
+    assert got["src0"]["weight"] == round((4 / 7) / 0.10, 4)   # upsample 5.7x
+    assert got["src1"]["weight"] == round((2 / 7) / 0.05, 4)
+    assert got["src2"]["weight"] == round((1 / 7) / 0.85, 4)   # downsample
+    assert got["src2"]["weight"] < 1.0 < got["src0"]["weight"]
+
+
+def test_length_histogram_bins_are_exact(spark, tmp_path):
+    """x6f bin edges on handmade lengths: documents with 1, 2, 3, 6, 7
+    and 14 tokens land in bins [1,2], [3,6], [7,14] (n+1 in [2^b,
+    2^(b+1))), and token shares sum to 1."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6f_length_histogram,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    lengths = [1, 2, 3, 6, 7, 14]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, words(n)) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["bin_id"]: r for r in x6f_length_histogram(spark, sf_dir).collect()}
+
+    assert sorted(got) == [1, 2, 3]
+    assert (got[1]["lo_tokens"], got[1]["hi_tokens"]) == (1, 2)
+    assert (got[2]["lo_tokens"], got[2]["hi_tokens"]) == (3, 6)
+    assert (got[3]["lo_tokens"], got[3]["hi_tokens"]) == (7, 14)
+    assert [got[b]["n_docs"] for b in (1, 2, 3)] == [2, 2, 2]
+    assert [got[b]["total_tokens"] for b in (1, 2, 3)] == [3, 9, 21]
+    assert abs(sum(got[b]["token_share"] for b in got) - 1.0) < 1e-6
