@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
-from .similarity import _dvec, cosine
+from .similarity import _dvec, cosine, l2_norm
 
 # X1 — exact dedup ------------------------------------------------------------
 
@@ -1096,3 +1096,162 @@ def x2i_lsh_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# X2j — SemDeDup-style semantic dedup (cluster, then intra-cluster cosine) ----
+#
+# The public SemDeDup recipe: coarse-cluster the embedding space, then
+# look for semantic duplicates ONLY inside each cluster — pairwise
+# cosine is confined to cluster-sized groups, never the full corpus.
+# This composes x3d's cell-assignment stage with x2d's exact-cosine
+# verdict stage. Output is the per-cell top-3 closest pairs with the
+# dedup verdict at tau = 0.9, i.e. the ranked candidate list a curation
+# run reviews (and a downstream filter consumes via the flag) — emitting
+# candidates keeps the query informative even on corpora with no true
+# duplicates, while the verdict column pins the drop semantics.
+
+_X2J_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+vc AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         list_aggregate(list_transform(list_zip(v.emb, c.cemb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(v.emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.cemb, x -> x*x), 'sum'))) AS cos
+  FROM v CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT vec_id, emb, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS dup_id,
+         list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.emb, x -> x*x), 'sum'))) AS cos
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT CAST(cell AS BIGINT) AS cell, keep_id, dup_id,
+       round(cos, 4) AS cos_sim,
+       cos >= 0.9    AS is_semantic_dup
+FROM (
+  SELECT cell, keep_id, dup_id, cos,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY round(cos, 4) DESC, keep_id, dup_id) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+def semantic_dup_candidates(
+    emb: DataFrame, centroids: DataFrame, top_per_cell: int = 3, tau: float = 0.9
+) -> DataFrame:
+    """Shared SemDeDup dataflow: assign each vector of ``emb``
+    (vec_id, emb) to its nearest centroid of ``centroids``
+    (cent_id, cemb) by cosine, then rank within-cell pairs by exact
+    cosine and emit the closest ``top_per_cell`` with the
+    ``is_semantic_dup`` verdict at ``tau``.
+
+    Cell-grouped pair expansion deliberately, NOT a cell self-join: a
+    self-join of the assignment subtree plans the broadcast centroid
+    rank TWICE (two corpus scans, two BNLJs — same pathology
+    minhash_candidate_pairs documents for band buckets), while
+    groupBy(cell) + in-cell HOF expansion computes the assignment ONCE
+    and does pairwise cosine, the top-k sort, and the slice inside the
+    aggregation row — one corpus shuffle (on the cell id), no window.
+    Per-vector norms are precomputed before grouping so each pair costs
+    one dot product. Pairwise work is quadratic in CELL size only; the
+    mega-bucket caveat and its exact-dup-collapse prefix from
+    minhash_candidate_pairs apply unchanged. Zero-norm vectors get a
+    null cosine (excluded by ranking) in both engines."""
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("cent_cos", cosine(F.col("emb"), F.col("cemb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cent_id").alias("cell"),
+            "vec_id",
+            "emb",
+            l2_norm(F.col("emb")).alias("nrm"),
+        )
+    )
+    grouped = (
+        cells.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # i<j expansion (array_sort on struct(vec_id, ...) guarantees
+    # keep_id < dup_id), exact cosine per pair, comparator sort on
+    # (rounded cos desc, keep_id, dup_id), then the top-k slice — all
+    # inside one nested higher-order expression per cell.
+    pair_expr = F.expr(
+        f"""
+        slice(
+          array_sort(
+            flatten(transform(sequence(0, size(ms) - 2), i ->
+              transform(sequence(i + 1, size(ms) - 1), j ->
+                named_struct(
+                  'keep_id', ms[i].vec_id,
+                  'dup_id', ms[j].vec_id,
+                  'cos',
+                  aggregate(zip_with(ms[i].emb, ms[j].emb, (x, y) -> x * y),
+                            0D, (acc, v) -> acc + v)
+                  / (ms[i].nrm * ms[j].nrm))))),
+            (l, r) -> CASE
+              WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
+              WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
+              WHEN l.keep_id < r.keep_id THEN -1
+              WHEN l.keep_id > r.keep_id THEN 1
+              WHEN l.dup_id < r.dup_id THEN -1
+              WHEN l.dup_id > r.dup_id THEN 1
+              ELSE 0 END),
+          1, {top_per_cell})
+        """
+    )
+    return (
+        grouped.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.explode(pair_expr).alias("p"),
+        )
+        .select(
+            "cell",
+            F.col("p.keep_id").alias("keep_id"),
+            F.col("p.dup_id").alias("dup_id"),
+            F.round("p.cos", 4).alias("cos_sim"),
+            (F.col("p.cos") >= F.lit(tau)).alias("is_semantic_dup"),
+        )
+    )
+
+
+@register("x2j_semantic_dedup", oracle=_X2J_ORACLE, tags=("X2", "X3"))
+def x2j_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 16 deterministic coarse
+    centroids (vec_id < 16, the x3d convention — production trains them
+    with MLlib KMeans), nearest-centroid cell assignment, then per-cell
+    top-3 closest pairs with the cos >= 0.9 duplicate verdict.
+
+    Scale: centroid assignment is a broadcast nested loop over K rows
+    (the corpus never shuffles for it — map-side rank over K
+    candidates); the only corpus shuffle is the equi-join + window on
+    the cell id, and pairwise cosine is confined to single cells. At
+    100 TB, K grows to ~sqrt(n) so cells stay bounded, and oversized
+    cells split recursively — the dataflow is unchanged."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    return semantic_dup_candidates(vecs, centroids)

@@ -335,3 +335,55 @@ def test_winnowing_matches_python_reference_and_guarantee(spark):
         assert got[1] & got[2], (ta, tb)
 
     run()
+
+
+def test_semantic_dedup_surfaces_planted_duplicate(spark, tmp_path):
+    """x2j on a handmade embedding table: a planted near-identical pair
+    (cos ~ 1) must land in the same cell, rank first there, and carry
+    is_semantic_dup = true; orthogonal fillers must not be flagged."""
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2j_semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+
+    def noisy(base, eps):
+        return [v + rng.uniform(-eps, eps) for v in base]
+
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    # 16 centroid slots (vec_id < 16): spread, axis-aligned-ish
+    for i in range(16):
+        vec = [0.0] * dim
+        vec[i % dim] = 1.0 if i < dim else -1.0
+        rows.append((i, [float(v) for v in noisy(vec, 0.05)], 0))
+    # planted duplicate pair, far from centroid slots
+    rows.append((100, [float(v) for v in base], 1))
+    rows.append((101, [float(v) for v in noisy(base, 1e-4)], 1))
+    # unrelated fillers
+    for i in range(102, 112):
+        rows.append((i, [float(rng.uniform(-1, 1)) for _ in range(dim)], 2))
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = x2j_semantic_dedup(spark, sf_dir).collect()
+    planted = [r for r in out if (r["keep_id"], r["dup_id"]) == (100, 101)]
+    assert len(planted) == 1, out
+    assert planted[0]["is_semantic_dup"] is True
+    assert planted[0]["cos_sim"] > 0.99
+    # rank 1 in its cell: no other pair in that cell scores higher
+    cell = planted[0]["cell"]
+    top = [r for r in out if r["cell"] == cell][0]
+    assert (top["keep_id"], top["dup_id"]) == (100, 101)
+    # nothing else crosses the 0.9 bar
+    assert all(
+        not r["is_semantic_dup"] for r in out if (r["keep_id"], r["dup_id"]) != (100, 101)
+    )

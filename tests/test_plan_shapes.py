@@ -126,3 +126,18 @@ def test_salting_spreads_hot_key_across_partitions(spark):
         "_salt", F.pmod(F.xxhash64("key", "row_id"), F.lit(S)).cast("int")
     )
     assert hot_partition_spread(salted, ["key", "_salt"]) >= S - 2
+
+
+def test_semantic_dedup_confines_pairwise_to_cells(spark):
+    """x2j's scale claim: the only all-pairs structure is the broadcast
+    nested loop against the K=16 centroid table; the corpus-vs-corpus
+    pair join must be an equi-join on the cell id (never a cartesian or
+    a corpus-side broadcast nested loop)."""
+    plan = _plan(spark, "x2j_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, "centroid side must broadcast"
+    # exactly the one centroid-assignment BNLJ appears in the tree;
+    # the pair join itself is cell-keyed (SMJ/SHJ), so a second BNLJ
+    # would mean the pairwise stage escaped the cell confinement.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
