@@ -385,3 +385,50 @@ def x6f_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").cast("long").alias("total_tokens"),
         F.round(share, 6).alias("token_share"),
     ).orderBy("bin_id")
+
+
+# X6g — deterministic per-source uniform sample -------------------------------
+#
+# The balanced-audit sample: k documents per source, chosen by ranking
+# on the portable multiplicative hash so the pick is (a) uniform-ish,
+# (b) bit-for-bit reproducible in any engine, and (c) stable per
+# document — unlike rand()-based sampling, a given doc's membership
+# only changes if a doc with a smaller hash arrives in its source.
+# Multiplication by an odd constant is a bijection mod 2^64, so
+# distinct doc ids never collide on the sort key; doc_id remains a
+# pinned tiebreak anyway.
+
+_X6G_HASH_SQL = "(doc_id * 2654435761) % 4294967296"
+
+_X6G_ORACLE = f"""
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_X6G_HASH_SQL}, doc_id) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+"""
+
+
+@register("x6g_per_source_sample", oracle=_X6G_ORACLE, tags=("X6",))
+def x6g_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 documents per source by hash-order rank. One shuffle on the
+    source key; the rank is a window over hash order. At 100 TB the
+    window's per-source sort is the cost center, so the production form
+    prepends a hash-range pre-filter (keep hash < threshold chosen so
+    ~10k survivors per source remain — a map-only 1000x shrink) before
+    this exact dataflow; the pre-filter is an upper-bound guess
+    validated by the per-source survivor count, falling back to the
+    unfiltered window for sources that under-shoot k."""
+    docs = Catalog(spark, sf_dir).documents
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )

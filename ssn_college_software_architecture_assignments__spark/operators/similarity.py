@@ -706,3 +706,64 @@ def x3b2_similarity_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", F.col("vec_id").alias("cand_id"))
         .agg(F.count("*").alias("n_collisions"))
     )
+
+
+# X3h — ANN recall evaluation (IVF vs exact) ----------------------------------
+#
+# The evaluation harness an ANN deployment runs continuously: measure
+# recall@k of the approximate index against exact brute force on a held
+# -out query set. Both sides already exist as registered queries (x3
+# exact, x3d IVF); this op joins their neighbor sets per query and
+# reports hits / recall. At 100 TB the exact side runs on a SAMPLE of
+# queries (it is the expensive leg by design) — the dataflow here is
+# that sampled audit, not a full-corpus re-rank.
+
+_X3H_ORACLE = f"""
+WITH bf AS ({_X3_ORACLE}),
+ivf AS ({_X3D_ORACLE}),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hits
+  FROM bf JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+  GROUP BY bf.q_id
+),
+truth AS (SELECT q_id, count(*) AS n_true FROM bf GROUP BY q_id)
+SELECT t.q_id,
+       t.n_true,
+       coalesce(h.n_hits, 0)                              AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(t.n_true AS DOUBLE), 4) AS recall_at_k
+FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
+ORDER BY t.q_id
+"""
+
+
+@register("x3h_ann_recall_eval", oracle=_X3H_ORACLE, tags=("X3",))
+def x3h_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF index (x3d) against exact brute
+    force (x3): join the two top-k sets on (q_id, vec_id), count hits,
+    divide by the truth-set size. Composes the two registered queries
+    verbatim — any change to either propagates to the audit — and the
+    oracle composes their oracle SQL the same way, so the comparison
+    chain stays airtight. Both legs broadcast the 8-query side; the
+    final join/aggregate runs over k rows per query."""
+    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    ivf = x3d_similarity_ivf(spark, sf_dir).select("q_id", "vec_id")
+    truth = bf.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        bf.join(ivf, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )

@@ -155,3 +155,38 @@ def test_length_histogram_bins_are_exact(spark, tmp_path):
     assert [got[b]["n_docs"] for b in (1, 2, 3)] == [2, 2, 2]
     assert [got[b]["total_tokens"] for b in (1, 2, 3)] == [3, 9, 21]
     assert abs(sum(got[b]["token_share"] for b in got) - 1.0) < 1e-6
+
+
+def test_per_source_sample_is_stable_under_growth(spark, tmp_path):
+    """x6g's membership law: adding a HIGH-hash document leaves the
+    sample untouched; adding the LOWEST-hash document pushes exactly the
+    previous rank-5 pick out. Hash order is precomputed in Python with
+    the same multiplicative hash."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6g_per_source_sample,
+    )
+
+    def h(doc_id):
+        return (doc_id * 2654435761) % 4294967296
+
+    base_ids = list(range(1, 11))                      # one source, 10 docs
+    order = sorted(base_ids, key=lambda i: (h(i), i))
+    top5 = set(order[:5])
+    hi_id = max(range(100, 400), key=lambda i: h(i))   # hashes above everything
+    lo_id = min(range(100, 400), key=lambda i: h(i))
+    assert h(hi_id) > max(h(i) for i in base_ids)
+    assert h(lo_id) < min(h(i) for i in base_ids)
+
+    def run(ids, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        spark.createDataFrame(
+            [(i, "t", "s") for i in ids], "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        return {r["doc_id"] for r in x6g_per_source_sample(spark, d).collect()}
+
+    assert run(base_ids, "a") == top5
+    assert run(base_ids + [hi_id], "b") == top5              # unchanged
+    assert run(base_ids + [lo_id], "c") == {lo_id} | set(order[:4])

@@ -329,3 +329,30 @@ def test_quantized_screen_soundness_law(spark):
     for i, row in enumerate(corpus):
         expect, _ = _py_absmax_quantize([float(x) for x in row])
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_ann_recall_eval_matches_independent_recount(spark, sf_dir):
+    """x3h's recall must equal a Python recount over the two legs it
+    claims to compare (collected independently), and obey bounds."""
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3_similarity_bruteforce,
+        x3d_similarity_ivf,
+        x3h_ann_recall_eval,
+    )
+
+    bf = {}
+    for r in x3_similarity_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in x3d_similarity_ivf(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    got = {r["q_id"]: r for r in x3h_ann_recall_eval(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(bf)
+    for q_id, truth in bf.items():
+        row = got[q_id]
+        expect_hits = len(truth & ivf.get(q_id, set()))
+        assert row["n_true"] == len(truth) == 5
+        assert row["n_hits"] == expect_hits, (q_id, row)
+        assert row["recall_at_k"] == round(expect_hits / 5.0, 4)
+        assert 0.0 <= row["recall_at_k"] <= 1.0
