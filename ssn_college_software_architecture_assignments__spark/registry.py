@@ -87,6 +87,13 @@ _CHECK_PRIORITY = (
     "x6d2_decontamination_normalized",
     "x2i_lsh_exact_rescore",
     "x4j_unigram_logprob",
+    "x4k_tfidf",
+    "x4l_trigram_stats",
+    "x6e_mixture_reweight",
+    "x6f_length_histogram",
+    "x6g_per_source_sample",
+    "x2j_semantic_dedup",
+    "x3h_ann_recall_eval",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",
