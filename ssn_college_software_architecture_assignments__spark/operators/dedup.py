@@ -1132,6 +1132,7 @@ cells AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
     FROM vc
   ) WHERE rn = 1
+    AND list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0
 ),
 pairs AS (
   SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS dup_id,
@@ -1171,22 +1172,22 @@ def semantic_dup_candidates(
     Per-vector norms are precomputed before grouping so each pair costs
     one dot product. Pairwise work is quadratic in CELL size only; the
     mega-bucket caveat and its exact-dup-collapse prefix from
-    minhash_candidate_pairs apply unchanged. Zero-norm vectors get a
-    null cosine (excluded by ranking) in both engines."""
+    minhash_candidate_pairs apply unchanged. Zero-norm vectors are
+    dropped before pairing (their cosine is undefined; leaving them in
+    would make the null sort placement engine-dependent)."""
     w_assign = W.partitionBy("vec_id").orderBy(
         F.col("cent_cos").desc(), F.col("cent_id")
     )
+    # zero-norm guards run BEFORE any cosine: under ANSI mode the
+    # divide would throw, and a zero vector has no defined neighbor.
+    emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
+    centroids = centroids.filter(l2_norm(F.col("cemb")) > 0)
     cells = (
         emb.crossJoin(F.broadcast(centroids))
         .withColumn("cent_cos", cosine(F.col("emb"), F.col("cemb")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select(
-            F.col("cent_id").alias("cell"),
-            "vec_id",
-            "emb",
-            l2_norm(F.col("emb")).alias("nrm"),
-        )
+        .select(F.col("cent_id").alias("cell"), "vec_id", "emb", "nrm")
     )
     grouped = (
         cells.groupBy("cell")

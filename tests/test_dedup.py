@@ -367,6 +367,8 @@ def test_semantic_dedup_surfaces_planted_duplicate(spark, tmp_path):
     # unrelated fillers
     for i in range(102, 112):
         rows.append((i, [float(rng.uniform(-1, 1)) for _ in range(dim)], 2))
+    # zero vector: undefined cosine — must be dropped, not ranked
+    rows.append((120, [0.0] * dim, 3))
 
     sf_dir = str(tmp_path / "sf")
     os.makedirs(sf_dir)
@@ -387,3 +389,5 @@ def test_semantic_dedup_surfaces_planted_duplicate(spark, tmp_path):
     assert all(
         not r["is_semantic_dup"] for r in out if (r["keep_id"], r["dup_id"]) != (100, 101)
     )
+    # the zero vector never appears on either side of a pair
+    assert all(120 not in (r["keep_id"], r["dup_id"]) for r in out)
