@@ -157,3 +157,35 @@ def e2_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and O(|lineitem|^2) at 100 TB). The part filter broadcasts."""
     Catalog(spark, sf_dir).register_views(("lineitem", "part"))
     return spark.sql(_Q17_SQL)
+
+
+# E2e — TPC-H Q18-style large-quantity customers (HAVING + IN subquery) ---------
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("e2_sql_large_quantity", oracle=_Q18_SQL, tags=("E2",))
+def e2_sql_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-subquery over a grouped HAVING filter —
+    the remaining classic subquery form the E2 surface hadn't exercised
+    (Q4 covers EXISTS, Q17 the scalar subquery). Catalyst rewrites the
+    IN to a left-semi join against the aggregated keys; the aggregate
+    side shuffles once on l_orderkey and the semi join prunes lineitem
+    before the wide 3-table join, so the expensive join only sees
+    qualifying orders. Same SQL text is the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)

@@ -94,6 +94,7 @@ _CHECK_PRIORITY = (
     "x6g_per_source_sample",
     "x2j_semantic_dedup",
     "x3h_ann_recall_eval",
+    "e2_sql_large_quantity",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",
