@@ -670,7 +670,9 @@ def x4j_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    # corpus token total WITHOUT a third explode pass: sum of per-doc
+    # token-array sizes is the same number, map-only + scalar agg.
+    total = docs.agg(F.sum(F.size(F.split("text", " "))).alias("t"))
     return (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
@@ -718,10 +720,23 @@ def x4k_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct (doc, term), never raw token occurrences) ->
     equi-join tf back to df on the term key -> global top-50 via
     TakeOrderedAndProject (no full sort materializes). The doc count N
-    rides along as a 1-row broadcast. At 100 TB both join sides are
-    term-keyed aggregates — the join reuses the df shuffle's
-    partitioning, and the final top-k is per-partition heaps + a
-    driver-side merge of 50-row heads, never a global sort."""
+    rides along as a 1-row broadcast (computed from a column-pruned
+    count scan — no explode).
+
+    The tf subtree IS planned twice (once as the join's probe side, once
+    feeding df) — measured, and kept deliberately: AQE's exchange reuse
+    does not fire on this fork (verified on the executed plan), and
+    every single-pass alternative funnels a stopword's rows through one
+    task — df-as-window over term partitions buffers n_docs rows for a
+    corpus-wide term, per-term collect_list materializes the same as one
+    row, and a forced repartition("term") reuse point gets collapsed
+    into the df aggregate's own exchange. Recomputing the explode +
+    map-combined aggregate is embarrassingly parallel with uniform keys
+    (doc_id spreads stopwords), which is the property that actually
+    survives 100 TB; a production pipeline that runs TF-IDF repeatedly
+    writes the tf table once (the j11 amortized-ingest pattern) instead.
+    The final top-k is per-partition heaps + a driver-side merge of
+    50-row heads, never a global sort."""
     docs = Catalog(spark, sf_dir).documents
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
