@@ -746,23 +746,26 @@ def x3h_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain stays airtight. Both legs broadcast the 8-query side; the
     final join/aggregate runs over k rows per query."""
     bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
-    ivf = x3d_similarity_ivf(spark, sf_dir).select("q_id", "vec_id")
-    truth = bf.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
-    hits = (
-        bf.join(ivf, ["q_id", "vec_id"])
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    ivf = x3d_similarity_ivf(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
     )
+    # ONE pass over the expensive exact leg: left-join the (tiny) IVF
+    # result as a hit marker, then a single per-query aggregate counts
+    # truth rows and hits together — a separate truth/hits pair would
+    # plan the whole brute-force subtree twice (measured; no AQE reuse).
     return (
-        truth.join(hits, "q_id", "left")
+        bf.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hits"),
+        )
         .select(
             "q_id",
             "n_true",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_hits",
             F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                / F.col("n_true").cast("double"),
-                4,
+                F.col("n_hits") / F.col("n_true").cast("double"), 4
             ).alias("recall_at_k"),
         )
         .orderBy("q_id")
