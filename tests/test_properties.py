@@ -211,3 +211,88 @@ def test_text_pipeline_survives_arbitrary_unicode(spark, texts):
         if i in by_id or twin in by_id:
             assert by_id.get(i) == by_id.get(twin)
         assert sims[i] == sims[twin]
+
+
+def test_length_histogram_bin_law_exhaustive(spark, tmp_path):
+    """x6f bin-id law, exhaustively for every token length 0..4097 (all
+    power-of-two edges through 2^12): the engine's binary-string bin id
+    must equal Python's (n+1).bit_length()-1, every doc must satisfy
+    lo_tokens <= n <= hi_tokens for its bin, and per-bin doc counts must
+    reproduce the Python recount. One Spark job, not one per example."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6f_length_histogram,
+    )
+
+    lengths = list(range(4098))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    # n tokens <=> n-1 spaces; 0 words is unreachable (split('') = ['']),
+    # so doc i carries i+1 tokens — covers every length 1..4098.
+    spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(i + 1))) for i in lengths],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["bin_id"]: r for r in x6f_length_histogram(spark, sf_dir).collect()}
+
+    expect_docs: dict[int, int] = {}
+    for i in lengths:
+        n = i + 1
+        b = (n + 1).bit_length() - 1
+        expect_docs[b] = expect_docs.get(b, 0) + 1
+    assert sorted(got) == sorted(expect_docs)
+    for b, row in got.items():
+        assert row["n_docs"] == expect_docs[b], b
+        assert row["lo_tokens"] == 2**b - 1
+        assert row["hi_tokens"] == 2 ** (b + 1) - 2
+    # containment: every length lands inside its bin's [lo, hi]
+    for i in lengths:
+        n = i + 1
+        b = (n + 1).bit_length() - 1
+        assert got[b]["lo_tokens"] <= n <= got[b]["hi_tokens"], n
+
+
+def test_tfidf_matches_python_reference_on_random_corpus(spark, tmp_path):
+    """x4k vs an independent Python recompute on a seeded random corpus
+    (120 docs over a 40-word vocabulary with skewed frequencies): the
+    full top-50 list — pairs, weights, and order — must agree."""
+    import math
+    import os
+    import random
+    from collections import Counter
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4k_tfidf,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    weights = [1.0 / (i + 1) for i in range(40)]          # Zipf-ish skew
+    docs = {
+        d: rng.choices(vocab, weights=weights, k=rng.randint(1, 30))
+        for d in range(120)
+    }
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    n_docs = len(docs)
+    df_counts = Counter(t for toks in docs.values() for t in set(toks))
+    ref = []
+    for d, toks in docs.items():
+        for t, tf in Counter(toks).items():
+            w = round(tf * (math.log((n_docs + 1) / (df_counts[t] + 1)) + 1), 4)
+            ref.append((w, d, t, tf))
+    ref.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = [(d, t, tf, w) for w, d, t, tf in ref[:50]]
+
+    got = [
+        (r["doc_id"], r["term"], r["tf"], r["tfidf"])
+        for r in x4k_tfidf(spark, sf_dir).collect()
+    ]
+    assert got == expect
