@@ -1256,3 +1256,54 @@ def x2j_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     return semantic_dup_candidates(vecs, centroids)
+
+
+# X1c — dedup rate report by source -------------------------------------------
+#
+# The observability face of X1: before deleting anything, a curation run
+# reports how duplicated each source is — the number a data-sourcing
+# team acts on (a 40%-dup crawl gets re-scoped; a 2%-dup corpus just
+# gets deduped). Two-stage aggregate like x4b: (source, fingerprint)
+# partial counts first, so the distinct-fingerprint count never plans a
+# distinct-expand and the wide shuffle carries one row per distinct
+# (source, fingerprint).
+
+_X1C_ORACLE = """
+WITH f AS (
+  SELECT source, md5(text) AS fp, count(*) AS n
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT)                          AS n_docs,
+       count(*)                                        AS n_unique,
+       CAST(sum(n) - count(*) AS BIGINT)               AS n_dup_docs,
+       round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_frac
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x1c_dedup_rate_by_source", oracle=_X1C_ORACLE, tags=("X1",))
+def x1c_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (docs, uniques, dup fraction).
+    Map-side md5 + two map-combined hash aggregates; output is
+    sources-sized. The same dataflow at 100 TB: the only wide shuffle
+    carries (source, fingerprint) partials, uniformly keyed by the
+    fingerprint."""
+    docs = Catalog(spark, sf_dir).documents
+    f = docs.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )

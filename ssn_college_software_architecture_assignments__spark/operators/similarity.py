@@ -770,3 +770,107 @@ def x3h_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# X3i — dimension-ablation recall (Matryoshka-style truncation audit) ---------
+#
+# The storage/latency question an embedding pipeline answers before
+# shipping truncated vectors: if we keep only the first 16 of 64
+# dimensions (4x smaller index), how much of the exact top-k survives?
+# Same audit skeleton as x3h, but the approximate leg is brute force
+# over TRUNCATED vectors rather than an index — isolating the cost of
+# the representation, not the search structure.
+
+_X3I_TRUNC_SQL = """
+  SELECT t.q_id, t.vec_id FROM (
+    SELECT q.q_id, v.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(
+               list_aggregate(list_transform(list_zip(q.emb, v.emb), p -> p[1] * p[2]), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.emb, x -> x*x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(v.emb, x -> x*x), 'sum'))), 4) DESC,
+               v.vec_id) AS rn
+    FROM (
+      SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      WHERE list_aggregate(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
+    ) v
+    JOIN (
+      SELECT vec_id AS q_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      WHERE vec_id < 8
+        AND list_aggregate(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
+    ) q ON v.vec_id <> q.q_id
+  ) t WHERE t.rn <= 5
+"""
+
+_X3I_ORACLE = f"""
+WITH bf AS ({_X3_ORACLE}),
+trunc AS ({_X3I_TRUNC_SQL})
+SELECT bf.q_id,
+       count(*)            AS n_true,
+       count(t.vec_id)     AS n_hits,
+       round(count(t.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall_at_k
+FROM bf LEFT JOIN trunc t ON bf.q_id = t.q_id AND bf.vec_id = t.vec_id
+GROUP BY bf.q_id
+ORDER BY bf.q_id
+"""
+
+
+@register("x3i_dim_truncation_recall", oracle=_X3I_ORACLE, tags=("X3",))
+def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of 16-dim-truncated cosine search against the full
+    64-dim exact top-5. Both legs broadcast the 8 queries and stream the
+    corpus map-side (no corpus shuffle); the truncated leg's payload is
+    4x smaller, which is the production win being audited. Zero-norm
+    truncations are filtered on both sides before any divide (ANSI).
+    One pass over each leg — the hit marker joins into a single
+    per-query aggregate, the x3h shape."""
+    emb = Catalog(spark, sf_dir).embeddings
+    sliced = F.slice(_dvec("embedding"), 1, 16)
+    vecs = (
+        emb.select("vec_id", sliced.alias("emb"), l2_norm(sliced).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            sliced.alias("q_emb"),
+            l2_norm(sliced).alias("q_nrm"),
+        )
+        .filter(F.col("q_nrm") > 0)
+    )
+    scored = (
+        ensure_min_partitions(vecs)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.round("cos", 4).desc(), F.col("vec_id"))
+    trunc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    return (
+        bf.join(trunc, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_true",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_true").cast("double"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )

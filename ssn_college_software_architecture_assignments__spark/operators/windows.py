@@ -324,3 +324,56 @@ def w7_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_funnels"))
     )
+
+
+# W8 — time-RANGE frame (trailing-interval aggregate) -------------------------
+#
+# The frame family W3 deliberately avoided: a RANGE frame over TIME, the
+# "per-user trailing-hour load" query. W3's note stands — ns-vs-µs
+# precision could move frame edges — so the frame is defined on
+# whole-second epoch integers in BOTH engines (floor of the µs-truncated
+# timestamp): integer-keyed RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+# is bit-identical everywhere, and peers (equal seconds) are whole-frame
+# members by RANGE semantics in both engines.
+
+_W8_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 2) AS trail_1h_sum,
+       count(*)         OVER w     AS trail_1h_cnt
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("w8_time_range_window", oracle=_W8_ORACLE, tags=("W3",))
+def w8_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour sum/count via an integer-second RANGE
+    frame. One shuffle on user_id, one sort per partition; the frame
+    slides by value, so a burst of events inside an hour aggregates
+    without self-joining events to events (the O(n^2)-per-user shape
+    a range join would give). At 100 TB the partition key refines to
+    (user_id, day) with a seeded overlap read, keeping any one user's
+    history out of a single task."""
+    ev = Catalog(spark, sf_dir).events
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trail_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_1h_cnt"),
+    )

@@ -95,6 +95,9 @@ _CHECK_PRIORITY = (
     "x2j_semantic_dedup",
     "x3h_ann_recall_eval",
     "e2_sql_large_quantity",
+    "x1c_dedup_rate_by_source",
+    "w8_time_range_window",
+    "x3i_dim_truncation_recall",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -400,3 +400,109 @@ def test_trigram_stats_closed_form(spark, tmp_path):
         ("b c d", 1, 1),
         ("c a b", 1, 1),
     ]
+
+
+def test_dedup_rate_by_source_closed_form(spark, tmp_path):
+    """x1c on a handmade corpus: srcA has 4 docs over 2 distinct texts
+    (dup_frac 0.5), srcB is all unique, srcC is one text 3 times."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x1c_dedup_rate_by_source,
+    )
+
+    rows = [
+        (1, "aa", "srcA"), (2, "aa", "srcA"), (3, "bb", "srcA"), (4, "bb", "srcA"),
+        (5, "u1", "srcB"), (6, "u2", "srcB"),
+        (7, "cc", "srcC"), (8, "cc", "srcC"), (9, "cc", "srcC"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in x1c_dedup_rate_by_source(spark, sf_dir).collect()}
+
+    assert (got["srcA"]["n_docs"], got["srcA"]["n_unique"], got["srcA"]["n_dup_docs"]) == (4, 2, 2)
+    assert got["srcA"]["dup_frac"] == 0.5
+    assert (got["srcB"]["n_docs"], got["srcB"]["n_unique"], got["srcB"]["dup_frac"]) == (2, 2, 0.0)
+    assert (got["srcC"]["n_docs"], got["srcC"]["n_unique"]) == (3, 1)
+    assert got["srcC"]["dup_frac"] == round(1 - 1 / 3, 6)
+
+
+def test_time_range_window_boundary_semantics(spark, tmp_path):
+    """w8 frame edges on handmade events: an event exactly 3600s earlier
+    IS in the trailing-hour frame (RANGE is inclusive), 3601s is not;
+    same-second peers are whole-frame members for each other."""
+    import datetime as dt
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w8_time_range_window,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, at(0),    7, "e", 1.0, "{}"),
+        (2, at(3600), 7, "e", 2.0, "{}"),   # exactly 1h after ev1 -> includes ev1
+        (3, at(7201), 7, "e", 4.0, "{}"),   # 3601s after ev2 -> excludes ev2
+        (4, at(7201), 7, "e", 8.0, "{}"),   # same-second peer of ev3
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_id"]: r for r in w8_time_range_window(spark, sf_dir).collect()}
+
+    assert (got[1]["trail_1h_sum"], got[1]["trail_1h_cnt"]) == (1.0, 1)
+    assert (got[2]["trail_1h_sum"], got[2]["trail_1h_cnt"]) == (3.0, 2)   # 1+2
+    # peers at the same second see each other (RANGE frame semantics)
+    assert (got[3]["trail_1h_sum"], got[3]["trail_1h_cnt"]) == (12.0, 2)  # 4+8
+    assert (got[4]["trail_1h_sum"], got[4]["trail_1h_cnt"]) == (12.0, 2)
+
+
+def test_dim_truncation_recall_matches_numpy_recount(spark, sf_dir):
+    """x3i vs an independent numpy recount: truncated-16-dim top-5 and
+    full-dim top-5 recomputed from the raw parquet with the same
+    rounding/tiebreak, recall compared per query."""
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3i_dim_truncation_recall,
+    )
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def topk(dims):
+        out = {}
+        for q in [i for i in emb if i < 8]:
+            qv = emb[q][:dims]
+            scored = []
+            for v, x in emb.items():
+                if v == q:
+                    continue
+                xv = x[:dims]
+                na, nb = np.sqrt(qv @ qv), np.sqrt(xv @ xv)
+                if na == 0 or nb == 0:
+                    continue
+                scored.append((round(float(qv @ xv / (na * nb)), 4), v))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = {v for _, v in scored[:5]}
+        return out
+
+    full, trunc = topk(64), topk(16)
+    got = {r["q_id"]: r for r in x3i_dim_truncation_recall(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(full)
+    for q in full:
+        hits = len(full[q] & trunc[q])
+        assert got[q]["n_true"] == 5
+        assert got[q]["n_hits"] == hits, (q, got[q], full[q], trunc[q])
+        assert got[q]["recall_at_k"] == round(hits / 5, 4)
