@@ -828,14 +828,41 @@ def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """A real RIFF/WAV parser: validates the RIFF container, walks the
-    chunk list to find ``fmt `` and ``data``, decodes the PCM plane with
-    numpy. No library beyond numpy + struct."""
+def _parse_wav_pcm(buf: bytes):
+    """RIFF/WAV chunk walk shared by the decode and profile kernels:
+    validates the container, finds ``fmt ``/``data``, returns
+    (rate, channels, bits, samples int16 ndarray). Raises ValueError on
+    any malformation — callers map that to an error row."""
     import struct
 
     import numpy as np
 
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        chunk = buf[pos + 8 : pos + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("unsupported encoding")
+    return rate, channels, bits, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """A real RIFF/WAV parser: validates the RIFF container, walks the
+    chunk list to find ``fmt `` and ``data``, decodes the PCM plane with
+    numpy. No library beyond numpy + struct."""
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "sample_rate", "channels", "bits_per_sample",
@@ -844,26 +871,7 @@ def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             try:
-                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE container")
-                pos, fmt, data = 12, None, None
-                while pos + 8 <= len(buf):
-                    cid = buf[pos : pos + 4]
-                    (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-                    chunk = buf[pos + 8 : pos + 8 + clen]
-                    if len(chunk) != clen:
-                        raise ValueError(f"truncated {cid!r} chunk")
-                    if cid == b"fmt ":
-                        fmt = struct.unpack("<HHIIHH", chunk[:16])
-                    elif cid == b"data":
-                        data = chunk
-                    pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-                if fmt is None or data is None:
-                    raise ValueError("missing fmt/data chunk")
-                audio_fmt, channels, rate, _, _, bits = fmt
-                if audio_fmt != 1 or bits != 16:
-                    raise ValueError("unsupported encoding")
-                samples = np.frombuffer(data, dtype="<i2")
+                rate, channels, bits, samples = _parse_wav_pcm(buf)
                 n = samples.size // channels
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)
@@ -915,3 +923,100 @@ def x5f_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_wav_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(decode_wav_batch, WAV_DECODE_SCHEMA)
+
+
+# X5i — audio feature extraction: windowed RMS + zero-crossing profile ---------
+#
+# The per-window energy/zero-crossing profile is the first feature pass
+# of any audio curation pipeline (silence trimming, speech/noise
+# screening). Windows are 80 samples (10 ms at 8 kHz); RMS and crossing
+# counts are integer-exact up to the final sqrt (|s| < 2^11, <= 80
+# samples per window — sums fit float64 exactly), so the SQL oracle
+# reproduces every value from the closed-form sample formula.
+
+AUDIO_PROFILE_SCHEMA = (
+    "doc_id long, window_idx int, win_n long, rms double, "
+    "zero_crossings long, profile_status string"
+)
+
+_AUDIO_WIN = 80
+
+
+def audio_rms_profile_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched window profiler over real WAV payloads: parse via
+    the shared RIFF walk, then vectorized per-window RMS and strict
+    sign-change counts (numpy int64 — int16 squares would overflow)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "window_idx", "win_n", "rms",
+            "zero_crossings", "profile_status",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                _, channels, _, samples = _parse_wav_pcm(bytes(payload))
+                v = samples.astype(np.int64)[:: channels]  # first channel
+                for w0 in range(0, v.size, _AUDIO_WIN):
+                    win = v[w0 : w0 + _AUDIO_WIN]
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w0 // _AUDIO_WIN)
+                    out["win_n"].append(int(win.size))
+                    out["rms"].append(
+                        round(float(np.sqrt((win * win).mean())), 4)
+                    )
+                    out["zero_crossings"].append(
+                        int(np.count_nonzero(win[:-1] * win[1:] < 0))
+                    )
+                    out["profile_status"].append("ok")
+            except ValueError as exc:
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(-1)
+                out["win_n"].append(0)
+                out["rms"].append(0.0)
+                out["zero_crossings"].append(0)
+                out["profile_status"].append(f"error: {exc}")
+        yield pd.DataFrame(out)
+
+
+_X5I_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 160 + doc_id % 41 AS n FROM documents
+),
+s AS (
+  SELECT d.doc_id, g.i,
+         (d.doc_id * 17 + g.i * 7) % 4096 - 2048 AS v
+  FROM dims d, LATERAL (SELECT unnest(range(d.n)) AS i) g
+),
+s2 AS (
+  SELECT doc_id, i, v, i // 80 AS w,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(w AS INT)                                   AS window_idx,
+       count(*)                                         AS win_n,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4)       AS rms,
+       CAST(coalesce(sum(CASE WHEN i % 80 <> 0 AND pv * v < 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings,
+       'ok'                                             AS profile_status
+FROM s2
+GROUP BY doc_id, w
+ORDER BY doc_id, window_idx
+"""
+
+
+@register("x5i_audio_rms_profile", oracle=_X5I_ORACLE, tags=("X5",))
+def x5i_audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy profile over REAL WAV payloads: encode
+    (deterministic PCM), then one mapInPandas pass that parses the RIFF
+    container and emits per-10ms-window RMS + zero-crossing counts.
+    Same Arrow plumbing an MFCC/VAD pipeline would use; binary payloads
+    never leave executors, output is windows-per-doc (bounded rows, tiny
+    columns). The oracle recomputes every window from the closed-form
+    sample values, pairing adjacent samples with lag() for crossings."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_wav_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(audio_rms_profile_batch, AUDIO_PROFILE_SCHEMA)

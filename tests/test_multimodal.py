@@ -274,3 +274,42 @@ def test_frame_sampler_p6_prefixed_text_takes_fallback():
     out = pd.concat(sample_frames_batch(iter([batch])))
     assert set(out.sample_status) == {"stubbed"}
     assert len(out) == (len(impostor) % 4) + 1  # the fallback's frame count
+
+
+def test_audio_rms_profile_closed_form_and_error_row():
+    """x5i kernel law on a handmade WAV: constant-amplitude alternating
+    samples give RMS == amplitude and a crossing at every adjacent pair;
+    a silent window gives RMS 0; a malformed payload yields exactly one
+    error row, not an exception."""
+    import struct
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _AUDIO_WIN,
+        audio_rms_profile_batch,
+    )
+
+    def wav(samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # window 0: +500/-500 alternating; window 1: 40 zeros (partial)
+    samples = [500 if i % 2 == 0 else -500 for i in range(_AUDIO_WIN)] + [0] * 40
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [wav(samples), b"JUNKJUNKJUNK"]}
+    )
+    out = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
+
+    w0 = out[(out.doc_id == 1) & (out.window_idx == 0)].iloc[0]
+    assert w0["rms"] == 500.0
+    assert w0["zero_crossings"] == _AUDIO_WIN - 1
+    assert w0["win_n"] == _AUDIO_WIN
+    w1 = out[(out.doc_id == 1) & (out.window_idx == 1)].iloc[0]
+    assert (w1["rms"], w1["zero_crossings"], w1["win_n"]) == (0.0, 0, 40)
+    err = out[out.doc_id == 2]
+    assert len(err) == 1
+    assert err.iloc[0]["profile_status"].startswith("error:")
