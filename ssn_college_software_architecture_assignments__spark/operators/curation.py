@@ -432,3 +432,60 @@ def x6g_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
         .orderBy("source", "sample_rank")
     )
+
+
+# X6h — packing efficiency report ---------------------------------------------
+#
+# The audit over x6b's output: how well do the packed chunks use the
+# 2048-token budget? Mean fill, under-full tail, and overflow chunks
+# (a document that STARTS inside the budget may run past it — x6b
+# assigns by start offset) are the numbers that decide whether the
+# packer needs document splitting or a smarter bin-packing pass.
+
+_X6H_ORACLE = f"""
+WITH packed AS ({_X6B_ORACLE}),
+chunks AS (
+  SELECT source, chunk_id, sum(n_tokens) AS fill, count(*) AS n_docs
+  FROM packed GROUP BY source, chunk_id
+)
+SELECT source,
+       count(*)                                        AS n_chunks,
+       CAST(sum(fill) AS BIGINT)                       AS total_tokens,
+       round(avg(CAST(fill AS DOUBLE)) / 2048.0, 4)    AS mean_fill_frac,
+       CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       round(avg(CAST(n_docs AS DOUBLE)), 4)           AS avg_docs_per_chunk
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x6h_packing_efficiency", oracle=_X6H_ORACLE, tags=("X6",))
+def x6h_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing-efficiency audit composed directly over the
+    registered x6b packer (any change to the packer propagates here, and
+    the oracle composes x6b's SQL the same way). Two map-combined
+    aggregates collapse chunks then sources — output is sources-sized,
+    and the only wide shuffle is x6b's own window partition."""
+    packed = x6b_sequence_packing(spark, sf_dir)
+    chunks = packed.groupBy("source", "chunk_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("fill").cast("long").alias("total_tokens"),
+            F.round(F.avg(F.col("fill").cast("double")) / 2048.0, 4).alias(
+                "mean_fill_frac"
+            ),
+            F.sum(F.when(F.col("fill") > 2048, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overflow"),
+            F.round(F.avg(F.col("n_docs").cast("double")), 4).alias(
+                "avg_docs_per_chunk"
+            ),
+        )
+        .orderBy("source")
+    )

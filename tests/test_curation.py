@@ -190,3 +190,42 @@ def test_per_source_sample_is_stable_under_growth(spark, tmp_path):
     assert run(base_ids, "a") == top5
     assert run(base_ids + [hi_id], "b") == top5              # unchanged
     assert run(base_ids + [lo_id], "c") == {lo_id} | set(order[:4])
+
+
+def test_packing_efficiency_closed_form(spark, tmp_path):
+    """x6h on handmade docs: one source packs exactly two chunks — a
+    full 2048 chunk and an overflowing one (doc starts at offset 2048+
+    ... no: starts inside, runs past) — checked against hand-computed
+    fills."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6h_packing_efficiency,
+    )
+
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    # doc order by doc_id: 1000, 1000, 1048 -> chunk0 holds all three?
+    # cum starts: 0, 1000, 2000 -> chunk0: docs 1,2 (fill 2000) + doc3
+    # starts at 2000 (<2048) so chunk0 fill = 3048 (overflow); doc4
+    # starts at 3048 -> chunk1, fill 100.
+    rows = [
+        (1, words(1000), "sA"),
+        (2, words(1000), "sA"),
+        (3, words(1048), "sA"),
+        (4, words(100), "sA"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in x6h_packing_efficiency(spark, sf_dir).collect()}
+
+    r = got["sA"]
+    assert r["n_chunks"] == 2
+    assert r["total_tokens"] == 3148
+    assert r["n_overflow"] == 1                     # chunk0 fill 3048
+    assert r["mean_fill_frac"] == round(((3048 + 100) / 2) / 2048.0, 4)
+    assert r["avg_docs_per_chunk"] == 2.0           # 3 docs + 1 doc
