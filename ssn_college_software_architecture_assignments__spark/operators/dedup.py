@@ -1307,3 +1307,61 @@ def x1c_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X2k — quality-aware dedup manifest ------------------------------------------
+#
+# The decision x2e's min-id canonical deliberately punts: WHICH copy of
+# a near-dup cluster to keep. Public curation practice keeps the
+# highest-QUALITY member, not the lowest id — so this composes x2e's
+# connected components with x4c's quality score and emits the manifest
+# a materializer consumes: every doc, its cluster, its quality, and the
+# keep verdict (argmax distinct_ratio, min doc_id on ties). Both legs
+# are registered queries; the oracle composes their SQL verbatim, so
+# the manifest can never drift from the operators it composes.
+
+from .textanalysis import _X4C_ORACLE as _X4C_ORACLE_REF  # noqa: E402
+
+_X2K_ORACLE = f"""
+WITH clusters AS ({_X2E_ORACLE}),
+quality AS ({_X4C_ORACLE_REF}),
+m AS (
+  SELECT c.doc_id, c.cluster_id, q.distinct_ratio,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.distinct_ratio DESC, c.doc_id) AS rn,
+         count(*)    OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id,
+       distinct_ratio            AS quality,
+       rn = 1                    AS keep,
+       CAST(n_members AS BIGINT) AS n_members
+FROM m
+"""
+
+
+@register("x2k_quality_dedup_manifest", oracle=_X2K_ORACLE, tags=("X2", "X4"))
+def x2k_quality_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-quality dedup manifest over the x2e cluster slice:
+    join cluster labels to x4c's quality features, rank members within
+    each cluster by lexical diversity (doc_id tiebreak), keep rank 1.
+    One join on doc_id + one window on cluster_id; cluster sizes are
+    bounded by the dup-group size, so the window partitions stay tiny
+    at any corpus scale (the mega-cluster caveat and exact-dup
+    pre-collapse from minhash_candidate_pairs apply here too)."""
+    clusters = x2e_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    from .textanalysis import x4c_quality_score
+
+    quality = x4c_quality_score(spark, sf_dir).select("doc_id", "distinct_ratio")
+    m = clusters.join(quality, "doc_id")
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.col("distinct_ratio").desc(), "doc_id"
+    )
+    w_all = W.partitionBy("cluster_id")
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        F.col("distinct_ratio").alias("quality"),
+        (F.row_number().over(w_rank) == 1).alias("keep"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_members"),
+    )

@@ -391,3 +391,39 @@ def test_semantic_dedup_surfaces_planted_duplicate(spark, tmp_path):
     )
     # the zero vector never appears on either side of a pair
     assert all(120 not in (r["keep_id"], r["dup_id"]) for r in out)
+
+
+def test_quality_manifest_keeps_best_not_lowest_id(spark, tmp_path):
+    """x2k's reason to exist: when a cluster's highest-quality member is
+    NOT the lowest id, the keep verdict goes to quality (x2e's min-id
+    canonical would pick the other doc). Exactly one keep per cluster."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2k_quality_dedup_manifest,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # doc 1: same token SET as doc 2 (Jaccard 1.0) but word-soup
+        # repeats -> LOWER distinct_ratio than doc 2
+        (1, base + " alpha alpha beta beta", "en", 60),
+        (2, base, "en", 47),
+        (3, "unrelated solitary content here", "en", 31),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in x2k_quality_dedup_manifest(spark, sf_dir).collect()}
+
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1   # min-id label
+    assert got[1]["n_members"] == got[2]["n_members"] == 2
+    assert got[2]["keep"] is True and got[1]["keep"] is False  # quality wins
+    assert got[2]["quality"] > got[1]["quality"]
+    assert got[3]["keep"] is True and got[3]["n_members"] == 1
+    by_cluster = {}
+    for r in got.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["keep"])
+    assert all(sum(ks) == 1 for ks in by_cluster.values())
