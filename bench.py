@@ -40,6 +40,26 @@ HEADLINE = [
 # one-off bucketed ingest, "j11_join" the repeated shuffle-free join.
 
 
+def latest_bench_record_path(repo_root: str = REPO_ROOT) -> str | None:
+    """Newest driver bench record (BENCH_rN.json) by INTEGER round
+    number — lexicographic max would misorder r9 vs r10 once rounds
+    outgrow the zero-padded width. The *_sf1 stress outputs never match
+    the pattern. Single source of truth for bench.py's round-over-round
+    delta and tools/stress_sf1.py's TIMING-SUSPECT cross-check."""
+    import glob
+    import re
+
+    return max(
+        (
+            p
+            for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        ),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        default=None,
+    )
+
+
 def _force(df) -> int:
     # noop sink executes the whole plan without materializing on the driver.
     try:
@@ -204,23 +224,10 @@ def main() -> None:
 
     # Round-over-round continuity: compare against the newest BENCH_r*.json
     # so per-query regressions are visible in the bench line itself.
-    import glob
-    import re
-
-    # Newest prior round by INTEGER round number (lexicographic sort would
-    # misorder r9 vs r10 once rounds outgrow the zero-padded width); the
-    # *_sf1 stress outputs never match the round pattern.
-    prior = sorted(
-        (
-            p
-            for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
-            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
-        ),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    prior = latest_bench_record_path()
     if prior:
         try:
-            with open(prior[-1], encoding="utf-8") as fh:
+            with open(prior, encoding="utf-8") as fh:
                 prev = json.load(fh)
             # The driver wraps the bench line under "parsed". Guard every
             # shape assumption: a corrupted/hand-edited prior file must
@@ -229,7 +236,7 @@ def main() -> None:
                 raise ValueError("prior bench file is not a JSON object")
             prev_q = prev.get("parsed", prev)
             prev_q = prev_q.get("queries", {}) if isinstance(prev_q, dict) else {}
-            out["prev_round"] = os.path.basename(prior[-1])
+            out["prev_round"] = os.path.basename(prior)
             out["delta_vs_prev"] = {
                 n: round(per_query[n] - prev_q[n], 3)
                 for n in per_query

@@ -29,12 +29,21 @@ from ..registry import register
 
 def split_bucket(id_col: str | Column) -> Column:
     """Deterministic pseudo-uniform bucket 0-99 from an integer id,
-    reproducible in any engine with 64-bit integer arithmetic."""
+    reproducible in any engine with 64-bit integer arithmetic.
+
+    The id is reduced mod 2^31 BEFORE the multiply: the raw product
+    ``id * 2654435761`` exceeds int64 for ids >= ~3.47e9, where Spark's
+    non-ANSI arithmetic silently wraps while DuckDB raises a BIGINT
+    overflow — the two engines would disagree exactly when the corpus
+    gets big. (2^31 - 1) * 2654435761 < 2^63 keeps every engine in
+    exact-integer territory; the odd constant is still a bijection on
+    the reduced domain, and values for ids < 2^31 are unchanged."""
     col = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (col * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    reduced = col % F.lit(2147483648)
+    return (reduced * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
 
 
-_BUCKET_SQL = "(doc_id * 2654435761) % 4294967296 % 100"
+_BUCKET_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100"
 
 
 # X6a — reproducible train/val/test split ------------------------------------
@@ -394,11 +403,11 @@ def x6f_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (b) bit-for-bit reproducible in any engine, and (c) stable per
 # document — unlike rand()-based sampling, a given doc's membership
 # only changes if a doc with a smaller hash arrives in its source.
-# Multiplication by an odd constant is a bijection mod 2^64, so
-# distinct doc ids never collide on the sort key; doc_id remains a
-# pinned tiebreak anyway.
+# Multiplication by an odd constant is injective on the 31-bit-reduced
+# domain (see split_bucket's overflow note), so sort-key collisions need
+# ids 2^31 apart; doc_id remains a pinned tiebreak anyway.
 
-_X6G_HASH_SQL = "(doc_id * 2654435761) % 4294967296"
+_X6G_HASH_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
 _X6G_ORACLE = f"""
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
@@ -424,7 +433,9 @@ def x6g_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated by the per-source survivor count, falling back to the
     unfiltered window for sources that under-shoot k."""
     docs = Catalog(spark, sf_dir).documents
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # same 31-bit-reduced multiplicative hash as split_bucket (see its
+    # overflow note), kept at full 32-bit resolution for ranking
+    h = (F.col("doc_id") % F.lit(2147483648) * F.lit(2654435761)) % F.lit(4294967296)
     w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))

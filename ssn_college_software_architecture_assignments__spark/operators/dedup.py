@@ -1163,31 +1163,56 @@ def semantic_dup_candidates(
     ``is_semantic_dup`` verdict at ``tau``.
 
     Cell-grouped pair expansion deliberately, NOT a cell self-join: a
-    self-join of the assignment subtree plans the broadcast centroid
-    rank TWICE (two corpus scans, two BNLJs — same pathology
-    minhash_candidate_pairs documents for band buckets), while
-    groupBy(cell) + in-cell HOF expansion computes the assignment ONCE
-    and does pairwise cosine, the top-k sort, and the slice inside the
-    aggregation row — one corpus shuffle (on the cell id), no window.
+    self-join of the assignment subtree plans the whole assignment
+    TWICE (two corpus scans — same pathology minhash_candidate_pairs
+    documents for band buckets), while groupBy(cell) + in-cell HOF
+    expansion computes the assignment ONCE and does pairwise cosine,
+    the top-k sort, and the slice inside the aggregation row — one
+    corpus shuffle (on the cell id), no window anywhere: the
+    assignment itself is a per-row argmax fold over the broadcast
+    centroid array, not a row_number over the n*K crossJoin (which
+    would Exchange+sort 16x-inflated corpus rows).
     Per-vector norms are precomputed before grouping so each pair costs
     one dot product. Pairwise work is quadratic in CELL size only; the
     mega-bucket caveat and its exact-dup-collapse prefix from
     minhash_candidate_pairs apply unchanged. Zero-norm vectors are
     dropped before pairing (their cosine is undefined; leaving them in
     would make the null sort placement engine-dependent)."""
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id")
-    )
     # zero-norm guards run BEFORE any cosine: under ANSI mode the
     # divide would throw, and a zero vector has no defined neighbor.
     emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
     centroids = centroids.filter(l2_norm(F.col("cemb")) > 0)
+    # MAP-SIDE nearest-centroid assignment: the K centroids collapse to a
+    # single array row, broadcast, and each vector folds an argmax over
+    # it in one per-row expression — no n*K window (a row_number over
+    # the crossJoin would Exchange+sort 16x-inflated corpus rows, the
+    # shuffle this operator's scale story forbids). The fold's strict
+    # (cos, cent_id) comparison makes the pick independent of
+    # collect_list's nondeterministic array order.
+    cent_arr = centroids.select(
+        F.struct(
+            F.col("cent_id"),
+            F.col("cemb"),
+            l2_norm(F.col("cemb")).alias("cnrm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    assign_expr = F.expr(
+        """
+        aggregate(
+          transform(cents, c -> named_struct(
+            'cid', c.cent_id,
+            'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm))),
+          named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
+          (acc, s) -> IF(s.cos > acc.bcos OR (s.cos = acc.bcos AND s.cid < acc.bid),
+                         named_struct('bid', s.cid, 'bcos', s.cos), acc),
+          acc -> acc.bid)
+        """
+    )
     cells = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("cent_cos", cosine(F.col("emb"), F.col("cemb")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("cent_id").alias("cell"), "vec_id", "emb", "nrm")
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(assign_expr.alias("cell"), "vec_id", "emb", "nrm")
+        .filter(F.col("cell") >= 0)
     )
     grouped = (
         cells.groupBy("cell")
@@ -1244,10 +1269,11 @@ def x2j_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with MLlib KMeans), nearest-centroid cell assignment, then per-cell
     top-3 closest pairs with the cos >= 0.9 duplicate verdict.
 
-    Scale: centroid assignment is a broadcast nested loop over K rows
-    (the corpus never shuffles for it — map-side rank over K
-    candidates); the only corpus shuffle is the equi-join + window on
-    the cell id, and pairwise cosine is confined to single cells. At
+    Scale: centroid assignment is a per-row argmax fold over the
+    broadcast centroid array — genuinely map-side, the corpus never
+    shuffles for it (plan-gated: no Window node anywhere,
+    tests/test_plan_shapes.py); the ONLY corpus shuffle is the groupBy
+    on the cell id, and pairwise cosine is confined to single cells. At
     100 TB, K grows to ~sqrt(n) so cells stay bounded, and oversized
     cells split recursively — the dataflow is unchanged."""
     emb = Catalog(spark, sf_dir).embeddings

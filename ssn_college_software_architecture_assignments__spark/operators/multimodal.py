@@ -856,6 +856,11 @@ def _parse_wav_pcm(buf: bytes):
     audio_fmt, channels, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError("unsupported encoding")
+    if channels < 1 or rate < 1:
+        # a zero here would turn into ZeroDivisionError (n // channels,
+        # duration / rate) in callers, killing the task instead of
+        # yielding an error row — reject it as the malformation it is
+        raise ValueError("invalid fmt chunk: zero channels or sample rate")
     return rate, channels, bits, np.frombuffer(data, dtype="<i2")
 
 

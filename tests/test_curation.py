@@ -169,7 +169,7 @@ def test_per_source_sample_is_stable_under_growth(spark, tmp_path):
     )
 
     def h(doc_id):
-        return (doc_id * 2654435761) % 4294967296
+        return (doc_id % 2147483648) * 2654435761 % 4294967296
 
     base_ids = list(range(1, 11))                      # one source, 10 docs
     order = sorted(base_ids, key=lambda i: (h(i), i))
@@ -229,3 +229,45 @@ def test_packing_efficiency_closed_form(spark, tmp_path):
     assert r["n_overflow"] == 1                     # chunk0 fill 3048
     assert r["mean_fill_frac"] == round(((3048 + 100) / 2) / 2048.0, 4)
     assert r["avg_docs_per_chunk"] == 2.0           # 3 docs + 1 doc
+
+
+def test_split_hash_survives_huge_doc_ids(spark, tmp_path):
+    """Overflow regression: ids past ~3.47e9 used to overflow int64 in
+    the raw multiplicative hash (Spark wraps, DuckDB errors). The
+    31-bit-reduced form must agree with the Python reference for ids up
+    to 2^62 and keep buckets in [0, 100)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6_deterministic_split,
+    )
+
+    ids = [1, 2**31 - 1, 2**31, 5_000_000_000, 2**40 + 7, 2**62 + 3]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["bucket"] for r in x6_deterministic_split(spark, sf_dir).collect()}
+
+    for i in ids:
+        expect = (i % 2147483648) * 2654435761 % 4294967296 % 100
+        assert got[i] == expect, i
+        assert 0 <= got[i] < 100
+
+    # DuckDB evaluates the same SQL expression without overflow
+    import duckdb
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _BUCKET_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    for doc_id, bucket in con.execute(
+        f"SELECT doc_id, {_BUCKET_SQL} FROM documents"
+    ).fetchall():
+        assert bucket == got[doc_id]

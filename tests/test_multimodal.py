@@ -313,3 +313,32 @@ def test_audio_rms_profile_closed_form_and_error_row():
     err = out[out.doc_id == 2]
     assert len(err) == 1
     assert err.iloc[0]["profile_status"].startswith("error:")
+
+
+def test_wav_parser_rejects_zero_channels_and_rate():
+    """A structurally valid WAV declaring channels=0 or rate=0 must come
+    back as an error row from BOTH wav kernels, never a
+    ZeroDivisionError that kills the task."""
+    import struct
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        audio_rms_profile_batch,
+        decode_wav_batch,
+    )
+
+    def wav_with_fmt(channels, rate):
+        data = struct.pack("<4h", 1, 2, 3, 4)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [wav_with_fmt(0, 8000), wav_with_fmt(1, 0)]}
+    )
+    decoded = pd.concat(list(decode_wav_batch(iter([pdf]))))
+    assert list(decoded["decode_status"].str.startswith("error:")) == [True, True]
+    profiled = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
+    assert list(profiled["profile_status"].str.startswith("error:")) == [True, True]

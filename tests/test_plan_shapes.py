@@ -136,8 +136,11 @@ def test_semantic_dedup_confines_pairwise_to_cells(spark):
     plan = _plan(spark, "x2j_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan, "centroid side must broadcast"
-    # exactly the one centroid-assignment BNLJ appears in the tree;
-    # the pair join itself is cell-keyed (SMJ/SHJ), so a second BNLJ
-    # would mean the pairwise stage escaped the cell confinement.
+    # exactly the one centroid-array BNLJ appears in the tree; a second
+    # BNLJ would mean the pairwise stage escaped the cell confinement.
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
+    # the r7 map-side-assignment claim: no Window anywhere (assignment is
+    # a per-row argmax fold, top-k happens inside the cell aggregation),
+    # so the only corpus shuffle is the groupBy on the cell id.
+    assert "Window" not in tree

@@ -63,23 +63,12 @@ BENCH_AGREEMENT_FACTOR = 2.0
 
 def _latest_bench_path() -> str | None:
     """Newest round bench record (BENCH_rNN.json, not the *_sf1 stress
-    outputs) — the cross-check reference for sf0.1 timings."""
-    import glob
-    import re
+    outputs) — the cross-check reference for sf0.1 timings. Delegates to
+    bench.latest_bench_record_path so the integer-round ordering rule
+    lives in exactly one place."""
+    import bench
 
-    cands = [
-        p
-        for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
-        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
-    ]
-    # Order by the INTEGER round, not the path string: lexicographic max
-    # would pick BENCH_r9.json over BENCH_r10.json once rounds outgrow
-    # the zero-padded width.
-    return max(
-        cands,
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        default=None,
-    )
+    return bench.latest_bench_record_path(REPO_ROOT)
 
 
 def _load_latest_bench_times() -> dict[str, float]:
