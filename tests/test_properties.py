@@ -296,3 +296,45 @@ def test_tfidf_matches_python_reference_on_random_corpus(spark, tmp_path):
         for r in x4k_tfidf(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_time_range_window_matches_python_reference(spark, tmp_path):
+    """w8 vs an independent Python recount on a seeded random event
+    stream (3 users, bursty second-granularity timestamps with
+    duplicates): per-event trailing-1h sum and count must agree exactly,
+    including RANGE peer semantics for same-second events."""
+    import datetime as dt
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w8_time_range_window,
+    )
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for eid in range(300):
+        user = rng.randint(1, 3)
+        # bursty: clusters of events, frequently sharing exact seconds
+        sec = rng.randint(0, 50) * 600 + rng.choice([0, 0, 1, 7, 3600, 3601])
+        rows.append((eid, base + dt.timedelta(seconds=sec), user,
+                     "e", float(rng.randint(1, 9)), "{}"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_id"]: r for r in w8_time_range_window(spark, sf_dir).collect()}
+
+    epoch = lambda t: int(t.timestamp())  # noqa: E731
+    for eid, ts, user, _, value, _ in rows:
+        peers = [
+            (v, e)
+            for e, t, u, _, v, _ in rows
+            if u == user and epoch(ts) - 3600 <= epoch(t) <= epoch(ts)
+        ]
+        expect_sum = round(sum(v for v, _ in peers), 2)
+        assert got[eid]["trail_1h_cnt"] == len(peers), eid
+        assert got[eid]["trail_1h_sum"] == expect_sum, eid
