@@ -824,3 +824,64 @@ def x4l_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "trigram")
         .limit(25)
     )
+
+
+# X4n — quality-decile stratification -----------------------------------------
+#
+# The threshold-selection report behind every "keep the top X% by
+# quality" curation decision: rank documents by lexical diversity,
+# split into deciles, and report each decile's doc/token mass and score
+# range — read it to see how much data a given quality cut keeps and
+# what it throws away. Composes x4c's score; ntile over a pinned
+# (score, doc_id) order is deterministic in both engines.
+
+_X4N_ORACLE = f"""
+WITH q AS ({_X4C_ORACLE}),
+d AS (
+  SELECT doc_id, n_tokens, distinct_ratio,
+         ntile(10) OVER (ORDER BY distinct_ratio DESC, doc_id) AS decile
+  FROM q
+)
+SELECT CAST(decile AS INT)                       AS decile,
+       count(*)                                  AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)             AS total_tokens,
+       round(min(distinct_ratio), 4)             AS min_score,
+       round(max(distinct_ratio), 4)             AS max_score
+FROM d
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("x4n_quality_deciles", oracle=_X4N_ORACLE, tags=("X4",))
+def x4n_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile stratification composed over x4c's score: ntile(10)
+    on (distinct_ratio DESC, doc_id), then per-decile doc count, token
+    mass, and score range — decile 1 is the best tenth, so "keep the top
+    30% by quality" reads straight off the cumulative rows.
+
+    The unpartitioned ntile is the honest local form; at 100 TB the
+    same report computes WITHOUT a global sort from approx quantile
+    boundaries (A6's percentile_approx, mergeable sketches) + a map-only
+    bucket assignment — exact boundaries are not the point of a
+    threshold-selection report. The aggregate after the ntile carries
+    ten rows."""
+    q = x4c_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_ratio"
+    )
+    from pyspark.sql import Window as W
+
+    decile = F.ntile(10).over(
+        W.orderBy(F.col("distinct_ratio").desc(), "doc_id")
+    )
+    return (
+        q.select("doc_id", "n_tokens", "distinct_ratio", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.min("distinct_ratio"), 4).alias("min_score"),
+            F.round(F.max("distinct_ratio"), 4).alias("max_score"),
+        )
+        .orderBy("decile")
+    )

@@ -101,6 +101,7 @@ _CHECK_PRIORITY = (
     "x5i_audio_rms_profile",
     "x6h_packing_efficiency",
     "x2k_quality_dedup_manifest",
+    "x4n_quality_deciles",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -506,3 +506,21 @@ def test_dim_truncation_recall_matches_numpy_recount(spark, sf_dir):
         assert got[q]["n_true"] == 5
         assert got[q]["n_hits"] == hits, (q, got[q], full[q], trunc[q])
         assert got[q]["recall_at_k"] == round(hits / 5, 4)
+
+
+def test_quality_deciles_partition_the_corpus(spark, sf_dir):
+    """x4n invariants on the real fixture: deciles 1..10 each present,
+    doc counts sum to the corpus, sizes differ by at most 1 (ntile law),
+    score ranges are non-overlapping and descending (decile 1 = best)."""
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4n_quality_deciles,
+    )
+
+    rows = x4n_quality_deciles(spark, sf_dir).collect()
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert sum(sizes) == n_docs_total
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_score"] >= b["max_score"]  # descending, non-overlapping
