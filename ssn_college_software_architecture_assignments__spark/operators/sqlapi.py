@@ -189,3 +189,35 @@ def e2_sql_large_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying orders. Same SQL text is the DuckDB oracle verbatim."""
     Catalog(spark, sf_dir).register_views(("customer", "orders", "lineitem"))
     return spark.sql(_Q18_SQL)
+
+
+# E2f — TPC-H Q10-style returned-item revenue ----------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1994-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("e2_sql_returned_revenue", oracle=_Q10_SQL, tags=("E2",))
+def e2_sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the returned-items loss report — which customers
+    sent the most revenue back last quarter. Four-table star with both
+    date bounds and the returnflag predicate pushed to the scans, the
+    tiny nation dim broadcast, and the top-20 via TakeOrderedAndProject.
+    Same SQL text is the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(
+        ("customer", "orders", "lineitem", "nation")
+    )
+    return spark.sql(_Q10_SQL)
