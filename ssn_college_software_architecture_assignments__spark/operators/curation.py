@@ -27,23 +27,34 @@ from ..registry import register
 # Shared: portable deterministic bucket in [0, 100) --------------------------
 
 
-def split_bucket(id_col: str | Column) -> Column:
-    """Deterministic pseudo-uniform bucket 0-99 from an integer id,
-    reproducible in any engine with 64-bit integer arithmetic.
+def split_hash(id_col: str | Column) -> Column:
+    """Full-resolution (32-bit) portable multiplicative hash of an
+    integer id, reproducible in any engine with 64-bit integer
+    arithmetic. THE single definition — split_bucket, the mixture
+    sampler, and x6g's rank key all derive from it (the matching SQL is
+    ``_HASH_SQL``), so the formula can never drift between sites.
 
     The id is reduced mod 2^31 BEFORE the multiply: the raw product
     ``id * 2654435761`` exceeds int64 for ids >= ~3.47e9, where Spark's
     non-ANSI arithmetic silently wraps while DuckDB raises a BIGINT
     overflow — the two engines would disagree exactly when the corpus
     gets big. (2^31 - 1) * 2654435761 < 2^63 keeps every engine in
-    exact-integer territory; the odd constant is still a bijection on
+    exact-integer territory; the odd constant is still injective on
     the reduced domain, and values for ids < 2^31 are unchanged."""
     col = F.col(id_col) if isinstance(id_col, str) else id_col
     reduced = col % F.lit(2147483648)
-    return (reduced * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    return (reduced * F.lit(2654435761)) % F.lit(4294967296)
 
 
-_BUCKET_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100"
+_HASH_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+
+
+def split_bucket(id_col: str | Column) -> Column:
+    """Deterministic pseudo-uniform bucket 0-99 (``split_hash`` % 100)."""
+    return split_hash(id_col) % F.lit(100)
+
+
+_BUCKET_SQL = f"{_HASH_SQL} % 100"
 
 
 # X6a — reproducible train/val/test split ------------------------------------
@@ -407,7 +418,7 @@ def x6f_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # domain (see split_bucket's overflow note), so sort-key collisions need
 # ids 2^31 apart; doc_id remains a pinned tiebreak anyway.
 
-_X6G_HASH_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+_X6G_HASH_SQL = _HASH_SQL
 
 _X6G_ORACLE = f"""
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
@@ -433,9 +444,7 @@ def x6g_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated by the per-source survivor count, falling back to the
     unfiltered window for sources that under-shoot k."""
     docs = Catalog(spark, sf_dir).documents
-    # same 31-bit-reduced multiplicative hash as split_bucket (see its
-    # overflow note), kept at full 32-bit resolution for ranking
-    h = (F.col("doc_id") % F.lit(2147483648) * F.lit(2654435761)) % F.lit(4294967296)
+    h = split_hash("doc_id")
     w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))

@@ -744,16 +744,14 @@ JOIN sigs sb ON p.id_b = sb.doc_id
 """
 
 
-@register("x2g_minhash_full_oracle", oracle=_X2G_ORACLE, tags=("X2",))
-def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup with EVERY stage exact-value oracle-checked
-    (8 md5-derived permutation hashes, 4 bands of 2). Same physical shape
-    as the xxhash64 flagship: shingle explode + map-side partial min-agg
-    (shuffle carries 8 longs per doc, never shingles), band-hash bucket
-    self-join (never all-pairs). Restricted to doc_id < 200 so the DuckDB
-    twin (which must brute-force the same 8 md5s per shingle) stays cheap;
-    the Spark side's shape is the 100 TB one."""
-    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+def _md5_shingle_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """THE md5-twin signature pipeline, shared by x2g and x2i (both
+    docstrings claim they run the same signatures — sharing the code is
+    what makes the claim structural): distinct 3-token shingles
+    exploded, then 8 md5-derived 60-bit permutation min-hashes per doc.
+    Returns (shingles, signatures); callers reuse the shingle table for
+    exact rescoring so any change to the scheme (hash count, shingle
+    width, bit derivation) lands in one place."""
     toks = F.split("text", " ")
     sh = docs.select(
         "doc_id",
@@ -767,6 +765,20 @@ def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_X2G_HASHES)
         ]
     )
+    return sh, sigs
+
+
+@register("x2g_minhash_full_oracle", oracle=_X2G_ORACLE, tags=("X2",))
+def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with EVERY stage exact-value oracle-checked
+    (8 md5-derived permutation hashes, 4 bands of 2). Same physical shape
+    as the xxhash64 flagship: shingle explode + map-side partial min-agg
+    (shuffle carries 8 longs per doc, never shingles), band-hash bucket
+    self-join (never all-pairs). Restricted to doc_id < 200 so the DuckDB
+    twin (which must brute-force the same 8 md5s per shingle) stays cheap;
+    the Spark side's shape is the 100 TB one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    _, sigs = _md5_shingle_signatures(docs)
     rows_per_band = _X2G_HASHES // _X2G_BANDS
     band_hashes = F.array(
         *[
@@ -1046,19 +1058,7 @@ def x2i_lsh_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (which brute-forces the same 8 md5s per shingle) stays
     cheap; the Spark dataflow is the 100 TB one."""
     docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
-    toks = F.split("text", " ")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(token_shingles(toks, 3))).alias("shingle"),
-    )
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                _md5h60(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-            ).alias(f"mh_{s}")
-            for s in range(_X2G_HASHES)
-        ]
-    )
+    sh, sigs = _md5_shingle_signatures(docs)
     sig_arr = sigs.select(
         F.col("doc_id").alias("_id"),
         F.array(*[f"mh_{s}" for s in range(_X2G_HASHES)]).alias("minhash"),

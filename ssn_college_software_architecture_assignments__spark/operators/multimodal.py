@@ -847,6 +847,11 @@ def _parse_wav_pcm(buf: bytes):
         if len(chunk) != clen:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if clen < 16:
+                # struct.unpack on a short buffer raises struct.error,
+                # which is NOT a ValueError — it would escape callers'
+                # error-row handling and kill the task
+                raise ValueError(f"fmt chunk too short ({clen} bytes)")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             data = chunk
@@ -964,18 +969,28 @@ def audio_rms_profile_batch(
             try:
                 _, channels, _, samples = _parse_wav_pcm(bytes(payload))
                 v = samples.astype(np.int64)[:: channels]  # first channel
-                for w0 in range(0, v.size, _AUDIO_WIN):
-                    win = v[w0 : w0 + _AUDIO_WIN]
-                    out["doc_id"].append(doc_id)
-                    out["window_idx"].append(w0 // _AUDIO_WIN)
-                    out["win_n"].append(int(win.size))
-                    out["rms"].append(
-                        round(float(np.sqrt((win * win).mean())), 4)
-                    )
-                    out["zero_crossings"].append(
-                        int(np.count_nonzero(win[:-1] * win[1:] < 0))
-                    )
-                    out["profile_status"].append("ok")
+                # whole-array numpy, no per-window Python loop: pad the
+                # tail window with zeros (zeros add nothing to a square
+                # sum and cannot create a strict sign change), reshape
+                # to (n_windows, 80), reduce along axis 1.
+                n_win = -(-v.size // _AUDIO_WIN) if v.size else 0
+                win_n = np.full(n_win, _AUDIO_WIN, dtype=np.int64)
+                if n_win:
+                    tail = v.size - (n_win - 1) * _AUDIO_WIN
+                    win_n[-1] = tail
+                padded = np.zeros(n_win * _AUDIO_WIN, dtype=np.int64)
+                padded[: v.size] = v
+                w = padded.reshape(n_win, _AUDIO_WIN)
+                rms = np.round(
+                    np.sqrt((w * w).sum(axis=1) / win_n.astype(np.float64)), 4
+                )
+                zc = (w[:, :-1] * w[:, 1:] < 0).sum(axis=1)
+                out["doc_id"].extend([doc_id] * n_win)
+                out["window_idx"].extend(range(n_win))
+                out["win_n"].extend(int(x) for x in win_n)
+                out["rms"].extend(float(x) for x in rms)
+                out["zero_crossings"].extend(int(x) for x in zc)
+                out["profile_status"].extend(["ok"] * n_win)
             except ValueError as exc:
                 out["doc_id"].append(doc_id)
                 out["window_idx"].append(-1)

@@ -746,15 +746,20 @@ def x3h_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain stays airtight. Both legs broadcast the 8-query side; the
     final join/aggregate runs over k rows per query."""
     bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
-    ivf = x3d_similarity_ivf(spark, sf_dir).select(
-        "q_id", "vec_id", F.lit(1).alias("hit")
-    )
-    # ONE pass over the expensive exact leg: left-join the (tiny) IVF
-    # result as a hit marker, then a single per-query aggregate counts
-    # truth rows and hits together — a separate truth/hits pair would
-    # plan the whole brute-force subtree twice (measured; no AQE reuse).
+    ivf = x3d_similarity_ivf(spark, sf_dir).select("q_id", "vec_id")
+    return recall_report(bf, ivf)
+
+
+def recall_report(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k, shared by the x3h and x3i audits (both are
+    'the x3h shape' — sharing the code keeps the semantics from
+    drifting): left-join the approx leg as a hit marker onto the exact
+    truth set, then ONE per-query aggregate counts truth rows and hits
+    together — a separate truth/hits aggregate pair would plan the
+    whole expensive truth subtree twice (measured; no AQE reuse)."""
+    marked = approx.select("q_id", "vec_id", F.lit(1).alias("hit"))
     return (
-        bf.join(ivf, ["q_id", "vec_id"], "left")
+        truth.join(marked, ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count(F.lit(1)).alias("n_true"),
@@ -854,23 +859,7 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+        .select("q_id", "vec_id")
     )
     bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
-    return (
-        bf.join(trunc, ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("hit").alias("n_hits"),
-        )
-        .select(
-            "q_id",
-            "n_true",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_true").cast("double"), 4).alias(
-                "recall_at_k"
-            ),
-        )
-        .orderBy("q_id")
-    )
+    return recall_report(bf, trunc)

@@ -342,3 +342,28 @@ def test_wav_parser_rejects_zero_channels_and_rate():
     assert list(decoded["decode_status"].str.startswith("error:")) == [True, True]
     profiled = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
     assert list(profiled["profile_status"].str.startswith("error:")) == [True, True]
+
+
+def test_wav_parser_rejects_short_fmt_chunk():
+    """A fmt chunk shorter than 16 bytes must surface as an error ROW:
+    struct.unpack would raise struct.error, which is not a ValueError
+    and would escape the kernels' error handling."""
+    import struct
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        audio_rms_profile_batch,
+        decode_wav_batch,
+    )
+
+    short_fmt = struct.pack("<HH", 1, 1)  # 4 bytes, not 16
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    decoded = pd.concat(list(decode_wav_batch(iter([pdf]))))
+    assert decoded.iloc[0]["decode_status"].startswith("error:")
+    profiled = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
+    assert profiled.iloc[0]["profile_status"].startswith("error:")
