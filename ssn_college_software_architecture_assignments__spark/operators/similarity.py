@@ -863,3 +863,105 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
     return recall_report(bf, trunc)
+
+
+# X3j — product quantization (PQ) codes ---------------------------------------
+#
+# The third compression scheme beside absmax-int8 (x3f) and the IVF
+# coarse index (x3d): split each 64-dim vector into 4 blocks of 16,
+# quantize each block to its nearest of 16 per-block codebook entries,
+# store 4 small codes (64 dims -> 4 bytes, a 64x shrink) — the
+# FAISS-style memory-bound ANN layout. Codebooks here follow the x3d
+# determinism convention (entries = the first 16 corpus vectors, sliced
+# per block; production trains them with k-means): the dataflow —
+# broadcast codebook, per-row per-block argmin, map-only — is the
+# production one.
+
+_PQ_BLOCKS, _PQ_BLOCK_DIM, _PQ_K = 4, 16, 16
+
+_X3J_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cent AS (
+  SELECT c.vec_id AS cent_id, g.b,
+         c.emb[g.b * {_PQ_BLOCK_DIM} + 1 : (g.b + 1) * {_PQ_BLOCK_DIM}] AS cvec
+  FROM (SELECT vec_id, emb FROM e WHERE vec_id < {_PQ_K}) c,
+       LATERAL (SELECT unnest(range({_PQ_BLOCKS})) AS b) g
+),
+dists AS (
+  SELECT v.vec_id, cent.b, cent.cent_id,
+         list_aggregate(list_transform(
+           list_zip(v.emb[cent.b * {_PQ_BLOCK_DIM} + 1 : (cent.b + 1) * {_PQ_BLOCK_DIM}],
+                    cent.cvec),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d
+  FROM e v CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, b, cent_id AS code, d FROM (
+    SELECT vec_id, b, cent_id, d,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN b = 0 THEN code END) AS INT) AS code_0,
+       CAST(max(CASE WHEN b = 1 THEN code END) AS INT) AS code_1,
+       CAST(max(CASE WHEN b = 2 THEN code END) AS INT) AS code_2,
+       CAST(max(CASE WHEN b = 3 THEN code END) AS INT) AS code_3,
+       round(sum(d), 4)                                AS recon_err
+FROM best
+GROUP BY vec_id
+"""
+
+
+@register("x3j_pq_codes", oracle=_X3J_ORACLE, tags=("X3",))
+def x3j_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every vector: per-block nearest-codebook-entry codes
+    plus the total reconstruction error (sum of per-block squared L2
+    residuals).
+
+    Scale shape: the 16-entry codebook collapses to ONE broadcast array
+    row and each vector folds a per-block argmin over it — map-only,
+    zero shuffle, no window (the x2j assignment pattern; a row_number
+    over the n*K crossJoin would shuffle K-inflated corpus rows). The
+    fold's strict (distance, cent_id) comparison makes every code
+    independent of collect_list's nondeterministic array order."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    cent_arr = (
+        vecs.filter(F.col("vec_id") < _PQ_K)
+        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+    def block_best(b: int) -> F.Column:
+        lo = b * _PQ_BLOCK_DIM + 1
+        return F.expr(
+            f"""
+            aggregate(
+              transform(cents, c -> named_struct(
+                'cid', c.cent_id,
+                'd', aggregate(
+                       zip_with(slice(emb, {lo}, {_PQ_BLOCK_DIM}),
+                                slice(c.cemb, {lo}, {_PQ_BLOCK_DIM}),
+                                (x, y) -> (x - y) * (x - y)),
+                       0D, (acc, v) -> acc + v))),
+              named_struct('bid', CAST(-1 AS BIGINT), 'bd', CAST('Infinity' AS DOUBLE)),
+              (acc, s) -> IF(s.d < acc.bd OR (s.d = acc.bd AND s.cid < acc.bid),
+                             named_struct('bid', s.cid, 'bd', s.d), acc))
+            """
+        )
+
+    coded = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        *[block_best(b).alias(f"_b{b}") for b in range(_PQ_BLOCKS)],
+    )
+    return coded.select(
+        "vec_id",
+        *[F.col(f"_b{b}.bid").cast("int").alias(f"code_{b}") for b in range(_PQ_BLOCKS)],
+        F.round(
+            sum(F.col(f"_b{b}.bd") for b in range(_PQ_BLOCKS)), 4
+        ).alias("recon_err"),
+    )

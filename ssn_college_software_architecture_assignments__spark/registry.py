@@ -103,6 +103,7 @@ _CHECK_PRIORITY = (
     "x2k_quality_dedup_manifest",
     "x4n_quality_deciles",
     "e2_sql_returned_revenue",
+    "x3j_pq_codes",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

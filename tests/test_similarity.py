@@ -356,3 +356,58 @@ def test_ann_recall_eval_matches_independent_recount(spark, sf_dir):
         assert row["n_hits"] == expect_hits, (q_id, row)
         assert row["recall_at_k"] == round(expect_hits / 5.0, 4)
         assert 0.0 <= row["recall_at_k"] <= 1.0
+
+
+def test_pq_codes_self_and_composite_encoding(spark, tmp_path):
+    """x3j laws on a handmade table: every codebook vector (vec_id < 16)
+    encodes to its own id in all 4 blocks with recon_err 0; a composite
+    vector stitched from different codebook entries per block gets
+    exactly those per-block codes (err 0); a perturbed vector matches a
+    Python argmin recount."""
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3j_pq_codes,
+    )
+
+    rng = random.Random(5)
+    cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(16)]
+    rows = [(i, [float(v) for v in cents[i]], 0) for i in range(16)]
+    perm = [3, 7, 0, 12]
+    composite = [
+        cents[perm[b]][b * 16 + i] for b in range(4) for i in range(16)
+    ]
+    rows.append((100, [float(v) for v in composite], 1))
+    noisy = [v + rng.uniform(-0.05, 0.05) for v in cents[5]]
+    rows.append((101, [float(v) for v in noisy], 1))
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in x3j_pq_codes(spark, sf_dir).collect()}
+
+    for i in range(16):
+        r = got[i]
+        assert [r[f"code_{b}"] for b in range(4)] == [i] * 4, r
+        assert r["recon_err"] == 0.0
+    comp = got[100]
+    assert [comp[f"code_{b}"] for b in range(4)] == perm
+    assert comp["recon_err"] == 0.0
+
+    # Python recount for the noisy vector (float32 round-trip like parquet)
+    import numpy as np
+
+    store = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    expect_codes, expect_err = [], 0.0
+    for b in range(4):
+        sl = slice(b * 16, (b + 1) * 16)
+        dists = [(float(((store[101][sl] - store[j][sl]) ** 2).sum()), j) for j in range(16)]
+        d, j = min(dists)
+        expect_codes.append(j)
+        expect_err += d
+    nz = got[101]
+    assert [nz[f"code_{b}"] for b in range(4)] == expect_codes
+    assert abs(nz["recon_err"] - round(expect_err, 4)) <= 1e-3
