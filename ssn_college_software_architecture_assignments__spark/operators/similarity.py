@@ -965,3 +965,188 @@ def x3j_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(f"_b{b}.bd") for b in range(_PQ_BLOCKS)), 4
         ).alias("recon_err"),
     )
+
+
+# X3k — ADC (asymmetric distance computation) top-k over PQ codes -------------
+#
+# The search half of the PQ story: queries stay full-precision, the
+# corpus is only its 4-byte x3j codes. Per query, precompute a 4x16
+# distance table (squared L2 from each query block to each codebook
+# block entry); a corpus vector's approximate distance is then 4 table
+# lookups + 3 adds — no float vector math per candidate at all. This is
+# the FAISS IndexPQ search kernel re-expressed as DataFrame ops: the
+# distance tables ride the broadcast (8 queries x 4 blocks x 16 doubles),
+# the corpus streams map-side as codes.
+
+_X3K_ORACLE = f"""
+WITH codes AS ({_X3J_ORACLE}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cent AS (
+  SELECT c.vec_id AS cent_id, g.b,
+         c.emb[g.b * {_PQ_BLOCK_DIM} + 1 : (g.b + 1) * {_PQ_BLOCK_DIM}] AS cvec
+  FROM (SELECT vec_id, emb FROM e WHERE vec_id < {_PQ_K}) c,
+       LATERAL (SELECT unnest(range({_PQ_BLOCKS})) AS b) g
+),
+dt AS (
+  SELECT q.vec_id AS q_id, cent.b, cent.cent_id,
+         list_aggregate(list_transform(
+           list_zip(q.emb[cent.b * {_PQ_BLOCK_DIM} + 1 : (cent.b + 1) * {_PQ_BLOCK_DIM}],
+                    cent.cvec),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d
+  FROM (SELECT vec_id, emb FROM e WHERE vec_id < 8) q CROSS JOIN cent
+),
+scored AS (
+  SELECT t0.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+  FROM codes c
+  JOIN dt t0 ON t0.b = 0 AND t0.cent_id = c.code_0
+  JOIN dt t1 ON t1.b = 1 AND t1.cent_id = c.code_1 AND t1.q_id = t0.q_id
+  JOIN dt t2 ON t2.b = 2 AND t2.cent_id = c.code_2 AND t2.q_id = t0.q_id
+  JOIN dt t3 ON t3.b = 3 AND t3.cent_id = c.code_3 AND t3.q_id = t0.q_id
+  WHERE c.vec_id <> t0.q_id
+)
+SELECT q_id, vec_id, round(adc, 4) AS adc_dist
+FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(adc, 4), vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("x3k_pq_adc_topk", oracle=_X3K_ORACLE, tags=("X3",))
+def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest corpus vectors per query by PQ asymmetric distance:
+    the corpus side is ONLY the x3j codes (composed verbatim — the
+    encoder and the searcher can never drift apart), the query side
+    precomputes per-block distance tables against the sorted codebook,
+    and scoring is pure table lookups (``element_at`` per block + adds).
+
+    Scale shape: codebook and per-query tables both broadcast; the
+    corpus streams through map-side as 4-byte codes — at 100 TB the
+    scored payload is 64x smaller than the float vectors, which is the
+    entire point of PQ. ``array_sort`` on the (cent_id-keyed) struct
+    array pins table order so lookups are collect_list-order-proof.
+    The per-block fold order matches the oracle's list_aggregate
+    exactly, so distances agree bit-for-bit at rounding precision."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    cent_arr = (
+        vecs.filter(F.col("vec_id") < _PQ_K)
+        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+    def dist_table(b: int) -> F.Column:
+        lo = b * _PQ_BLOCK_DIM + 1
+        return F.expr(
+            f"""
+            transform(array_sort(cents), c ->
+              aggregate(
+                zip_with(slice(q_emb, {lo}, {_PQ_BLOCK_DIM}),
+                         slice(c.cemb, {lo}, {_PQ_BLOCK_DIM}),
+                         (x, y) -> (x - y) * (x - y)),
+                0D, (acc, v) -> acc + v))
+            """
+        )
+
+    qtab = (
+        vecs.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select("q_id", *[dist_table(b).alias(f"dt_{b}") for b in range(_PQ_BLOCKS)])
+    )
+    codes = x3j_pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code_{b}" for b in range(_PQ_BLOCKS)]
+    )
+    adc = sum(
+        F.element_at(F.col(f"dt_{b}"), F.col(f"code_{b}") + 1)
+        for b in range(_PQ_BLOCKS)
+    )
+    scored = (
+        ensure_min_partitions(codes)
+        .crossJoin(F.broadcast(qtab))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.round("adc", 4).asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("adc", 4).alias("adc_dist"))
+    )
+
+
+# X3l — PQ recall audit (ADC top-5 vs exact L2 top-5) -------------------------
+#
+# Closes the PQ loop the way x3h closes IVF's: how much of the TRUE
+# nearest-neighbor set survives searching 4-byte codes instead of
+# 256-byte vectors? Truth here is exact squared-L2 top-5 (the metric ADC
+# approximates — cosine truth would conflate metric choice with
+# quantization loss).
+
+_X3L_EXACT_SQL = """
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_aggregate(list_transform(
+                        list_zip(q.emb, c.emb),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 4),
+               c.vec_id) AS rn
+    FROM (SELECT vec_id AS q_id, emb FROM e2 WHERE vec_id < 8) q
+    CROSS JOIN e2 c
+    WHERE c.vec_id <> q.q_id
+  ) WHERE rn <= 5
+"""
+
+_X3L_ORACLE = f"""
+WITH adc AS ({_X3K_ORACLE}),
+e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+exact AS ({_X3L_EXACT_SQL})
+SELECT exact.q_id,
+       count(*)                AS n_true,
+       count(a.vec_id)         AS n_hits,
+       round(count(a.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall_at_k
+FROM exact LEFT JOIN adc a ON exact.q_id = a.q_id AND exact.vec_id = a.vec_id
+GROUP BY exact.q_id
+ORDER BY exact.q_id
+"""
+
+
+@register("x3l_pq_recall", oracle=_X3L_ORACLE, tags=("X3",))
+def x3l_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of ADC-over-PQ-codes (x3k, composed verbatim)
+    against exact squared-L2 top-5 over the full vectors. Same
+    recall_report skeleton as x3h/x3i; the exact leg broadcasts the 8
+    queries and streams the corpus map-side, mirroring x3's shape with
+    the L2 metric."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        ensure_min_partitions(vecs)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sqdist.alias("d"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.round("d", 4).asc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id")
+    )
+    adc = x3k_pq_adc_topk(spark, sf_dir).select("q_id", "vec_id")
+    return recall_report(exact, adc)

@@ -144,3 +144,12 @@ def test_semantic_dedup_confines_pairwise_to_cells(spark):
     # a per-row argmax fold, top-k happens inside the cell aggregation),
     # so the only corpus shuffle is the groupBy on the cell id.
     assert "Window" not in tree
+
+
+def test_pq_adc_broadcasts_tables_not_corpus(spark):
+    """x3k's scale claim: the per-query distance tables (and the
+    codebook feeding them) broadcast; the corpus streams through as
+    codes with no corpus-side hash Exchange before the scoring join."""
+    plan = _plan(spark, "x3k_pq_adc_topk")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

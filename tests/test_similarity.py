@@ -411,3 +411,86 @@ def test_pq_codes_self_and_composite_encoding(spark, tmp_path):
     nz = got[101]
     assert [nz[f"code_{b}"] for b in range(4)] == expect_codes
     assert abs(nz["recon_err"] - round(expect_err, 4)) <= 1e-3
+
+
+def test_pq_adc_matches_python_reference(spark, tmp_path):
+    """x3k law on a handmade table: full PQ pipeline (codes -> per-query
+    distance tables -> ADC top-5) recounted in plain Python/NumPy. Also
+    pins the ADC invariant that the approximate distance equals the sum
+    of table lookups for the vector's own codes — so a codebook vector
+    at ADC distance 0 from itself is excluded, and composite vectors
+    land where the table arithmetic says they must."""
+    import os
+    import random
+
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3k_pq_adc_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(40)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, [float(v) for v in vec], m) for i, vec, m in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    store = {
+        i: np.array(vec, dtype=np.float32).astype(np.float64)
+        for i, vec, _ in rows
+    }
+    # Python reference: codes, then ADC
+    codes = {}
+    for vid, v in store.items():
+        codes[vid] = []
+        for b in range(4):
+            sl = slice(b * 16, (b + 1) * 16)
+            dists = [
+                (float(((v[sl] - store[j][sl]) ** 2).sum()), j)
+                for j in range(16)
+            ]
+            codes[vid].append(min(dists)[1])
+    expect = {}
+    for q in range(8):
+        dt = [
+            [
+                float(((store[q][b * 16 : (b + 1) * 16]
+                        - store[j][b * 16 : (b + 1) * 16]) ** 2).sum())
+                for j in range(16)
+            ]
+            for b in range(4)
+        ]
+        scored = sorted(
+            (round(sum(dt[b][codes[v][b]] for b in range(4)), 4), v)
+            for v in store
+            if v != q
+        )
+        expect[q] = scored[:5]
+
+    got = x3k_pq_adc_topk(spark, sf_dir).collect()
+    assert len(got) == 40
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["adc_dist"], r["vec_id"]))
+    for q in range(8):
+        assert sorted(by_q[q]) == expect[q], (q, sorted(by_q[q]), expect[q])
+
+
+def test_pq_recall_bounds_and_self_consistency(spark, sf_dir):
+    """x3l sanity on the fixture: one row per query, n_true == 5,
+    0 <= n_hits <= 5, recall is their exact ratio."""
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3l_pq_recall,
+    )
+
+    rows = x3l_pq_recall(spark, sf_dir).collect()
+    assert sorted(r["q_id"] for r in rows) == list(range(8))
+    for r in rows:
+        assert r["n_true"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 4)
