@@ -509,3 +509,133 @@ def x6h_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6i — end-to-end corpus funnel ----------------------------------------------
+#
+# The report a curation run actually ships: starting from every train
+# candidate (the non-benchmark universe, x6d's doc_id % 50 convention),
+# how many documents survive exact dedup (x1), then the quality gate
+# (x4c), then normalized decontamination (x6d2) — and how the clean
+# survivors land across the x6 train/val/test split, with their token
+# budget. Every stage is a REGISTERED query composed verbatim (the x2k
+# pattern, extended to four operators): changing any stage propagates
+# here, and the oracle composes the four stages' SQL the same way, so
+# the funnel can never drift from the operators it summarizes.
+
+from .dedup import _X1_ORACLE as _X1_ORACLE_REF  # noqa: E402
+from .textanalysis import _X4C_ORACLE as _X4C_ORACLE_REF  # noqa: E402
+
+_X6I_ORACLE = f"""
+WITH dedup AS ({_X1_ORACLE_REF}),
+quality AS ({_X4C_ORACLE_REF}),
+contam AS ({_X6D2_ORACLE}),
+sp AS ({_X6_ORACLE}),
+train AS (
+  SELECT doc_id, source, md5(text) AS fingerprint
+  FROM documents WHERE doc_id % 50 <> 0
+),
+staged AS (
+  SELECT t.source,
+         (t.doc_id = dd.keep_doc_id)        AS is_unique,
+         q.passes_quality                   AS passes_quality,
+         (c.train_doc_id IS NOT NULL)       AS contaminated,
+         sp.split                           AS split,
+         q.n_tokens                         AS n_tokens
+  FROM train t
+  JOIN dedup dd ON t.fingerprint = dd.fingerprint
+  JOIN quality q ON t.doc_id = q.doc_id
+  LEFT JOIN contam c ON t.doc_id = c.train_doc_id
+  JOIN sp ON t.doc_id = sp.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                       AS n_docs,
+       CAST(count(*) FILTER (WHERE is_unique) AS BIGINT)              AS n_unique,
+       CAST(count(*) FILTER (WHERE is_unique AND passes_quality)
+            AS BIGINT)                                                AS n_quality,
+       CAST(count(*) FILTER (WHERE is_unique AND passes_quality
+                               AND NOT contaminated) AS BIGINT)       AS n_clean,
+       CAST(count(*) FILTER (WHERE is_unique AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'train') AS BIGINT)        AS n_train,
+       CAST(count(*) FILTER (WHERE is_unique AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'val') AS BIGINT)          AS n_val,
+       CAST(count(*) FILTER (WHERE is_unique AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'test') AS BIGINT)         AS n_test,
+       CAST(coalesce(sum(n_tokens) FILTER (WHERE is_unique
+                               AND passes_quality
+                               AND NOT contaminated), 0) AS BIGINT)   AS n_tokens_clean
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x6i_corpus_funnel", oracle=_X6I_ORACLE, tags=("X6", "X1", "X4"))
+def x6i_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel over the train-candidate universe:
+    raw count -> exact-dedup survivors (doc IS its fingerprint group's
+    keeper, so a copy of a benchmark doc is dropped here too) ->
+    quality-gate survivors -> decontaminated survivors, plus the clean
+    set's split distribution and token budget.
+
+    Scale shape: quality and split are map-only per-doc expressions;
+    dedup adds one uniform-key fingerprint hash-agg joined back on
+    fingerprint; decontamination keeps x6d2's broadcast-benchmark shape
+    (corpus never shuffles for it); the remaining joins are uniform
+    doc_id equi-joins and the final aggregate is sources-sized with
+    map-side partials. No stage is quadratic; nothing collects."""
+    from .dedup import x1_exact_dedup
+    from .textanalysis import x4c_quality_score
+
+    docs = Catalog(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    dd = x1_exact_dedup(spark, sf_dir).select("fingerprint", "keep_doc_id")
+    quality = x4c_quality_score(spark, sf_dir).select(
+        "doc_id", "passes_quality", "n_tokens"
+    )
+    contam = x6d2_decontamination_normalized(spark, sf_dir).select(
+        F.col("train_doc_id").alias("doc_id"), F.lit(True).alias("flagged")
+    )
+    sp = x6_deterministic_split(spark, sf_dir).select("doc_id", "split")
+    staged = (
+        train.join(dd, "fingerprint")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "source",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_unique"),
+            "passes_quality",
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("contaminated"),
+            "split",
+            "n_tokens",
+        )
+    )
+    clean = (
+        F.col("is_unique") & F.col("passes_quality") & ~F.col("contaminated")
+    )
+
+    def cnt(cond) -> Column:
+        return F.count(F.when(cond, 1))
+
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(F.col("is_unique")).alias("n_unique"),
+            cnt(F.col("is_unique") & F.col("passes_quality")).alias("n_quality"),
+            cnt(clean).alias("n_clean"),
+            cnt(clean & (F.col("split") == "train")).alias("n_train"),
+            cnt(clean & (F.col("split") == "val")).alias("n_val"),
+            cnt(clean & (F.col("split") == "test")).alias("n_test"),
+            F.coalesce(F.sum(F.when(clean, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+        .orderBy("source")
+    )

@@ -271,3 +271,53 @@ def test_split_hash_survives_huge_doc_ids(spark, tmp_path):
         f"SELECT doc_id, {_BUCKET_SQL} FROM documents"
     ).fetchall():
         assert bucket == got[doc_id]
+
+
+def test_corpus_funnel_planted_stages(spark, tmp_path):
+    """x6i funnel on a handmade corpus where every stage has exactly one
+    planted casualty: a duplicate (dropped by dedup), a train copy of a
+    benchmark doc (also dropped by dedup — its fingerprint keeper is
+    the benchmark doc), a repetition doc and a short doc (dropped by the
+    quality gate), and a case-mangled benchmark copy (dropped by
+    decontamination). The single clean survivor's split and token count
+    come out in the report."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6i_corpus_funnel,
+    )
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    good = " ".join(f"word{i}" for i in range(25))
+    spam = " ".join(["spam"] * 25)
+    mangled = (
+        "ALPHA Bravo, CHARLIE delta! Echo Foxtrot GOLF hotel India Juliet "
+        + " ".join(f"filler{i}" for i in range(15))
+    )
+    short = "one two three"
+    rows = [
+        (0, bench, "en", "s"),     # benchmark (doc_id % 50 == 0): not in universe
+        (1, good, "en", "s"),      # clean survivor (bucket 61 -> train)
+        (2, good, "en", "s"),      # exact dup of 1: dedup drops it
+        (3, spam, "en", "s"),      # fails quality (distinct tokens <= 5)
+        (4, mangled, "en", "s"),   # passes quality, flagged by x6d2
+        (5, short, "en", "s"),     # fails quality (< 20 tokens)
+        (6, bench, "en", "s"),     # train copy of the benchmark: dedup drops it
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows_out = x6i_corpus_funnel(spark, sf_dir).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["source"] == "s"
+    assert r["n_docs"] == 6          # ids 1-6 (benchmark 0 excluded)
+    assert r["n_unique"] == 4        # 2 and 6 lose to their keepers
+    assert r["n_quality"] == 2       # 1 and 4 (3: repetition, 5: short)
+    assert r["n_clean"] == 1         # 4 is contaminated
+    assert (r["n_train"], r["n_val"], r["n_test"]) == (1, 0, 0)
+    assert r["n_tokens_clean"] == 25
