@@ -885,3 +885,111 @@ def x4n_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# X4m — source vocabulary overlap ---------------------------------------------
+#
+# The corpus-diversity question behind mixture design (x6c/x6e): how
+# much do two sources' vocabularies actually overlap? Near-identical
+# vocabularies mean the sources are redundant; near-disjoint ones mean
+# dropping a source loses coverage. Computed as pairwise Jaccard over
+# each source's distinct-token set. Scale shape: the corpus collapses
+# to distinct (token, source) rows FIRST (one uniform-key hash-agg —
+# output is bounded by vocabulary x sources, millions of rows at 100 TB,
+# not corpus-sized); per-token source lists are then bounded by the
+# number of sources (~dozens), so the i<j in-list pair expansion (the
+# x2j bucket idiom — no self-join, the subtree is computed once) emits
+# at most sources^2/2 rows per token.
+
+_X4M_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+),
+sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+tok AS (SELECT token, list_sort(list(source)) AS srcs FROM vocab GROUP BY token),
+inter AS (
+  SELECT p.srcs[1] AS src_a, p.srcs[2] AS src_b, count(*) AS n_shared
+  FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(srcs) - 1),
+             i -> list_transform(generate_series(i + 1, len(srcs)),
+                    j -> [srcs[i], srcs[j]])))) AS srcs
+    FROM tok
+  ) p
+  GROUP BY p.srcs[1], p.srcs[2]
+)
+SELECT i.src_a, i.src_b,
+       CAST(sa.n AS BIGINT)       AS n_vocab_a,
+       CAST(sb.n AS BIGINT)       AS n_vocab_b,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       round(i.n_shared / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+ORDER BY i.src_a, i.src_b
+"""
+
+
+@register("x4m_source_vocab_overlap", oracle=_X4M_ORACLE, tags=("X4",))
+def x4m_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap between source vocabularies, computed in
+    ONE pass over the corpus: distinct (source, token) pairs, per-token
+    sorted source list, then i<=j HOF pair expansion inside the list —
+    the DIAGONAL rows (i == j) are each source's vocabulary size, so the
+    same sources^2-sized aggregate carries both the intersections and
+    the sizes, and two windows over that tiny table attach n_vocab_a/b
+    without ever re-planning the corpus subtree (a separate sizes
+    aggregate joined back plans the expensive distinct THREE times —
+    verified on the physical plan; this form scans documents once).
+    Pairs sharing zero tokens don't appear — both engines agree on that
+    convention by construction."""
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = (
+        ensure_min_partitions(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    tok = vocab.groupBy("token").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(0, size(srcs) - 1), i ->
+          transform(sequence(i, size(srcs) - 1), j ->
+            named_struct('src_a', srcs[i], 'src_b', srcs[j]))))
+        """
+    )
+    agg = (
+        tok.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    diag = F.when(F.col("src_a") == F.col("src_b"), F.col("n_pair"))
+    sized = agg.select(
+        "src_a",
+        "src_b",
+        "n_pair",
+        F.max(diag).over(W.partitionBy("src_a")).alias("n_vocab_a"),
+        F.max(diag).over(W.partitionBy("src_b")).alias("n_vocab_b"),
+    )
+    return (
+        sized.filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_vocab_a").cast("long").alias("n_vocab_a"),
+            F.col("n_vocab_b").cast("long").alias("n_vocab_b"),
+            F.col("n_pair").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_pair")
+                / (F.col("n_vocab_a") + F.col("n_vocab_b") - F.col("n_pair")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -107,6 +107,7 @@ _CHECK_PRIORITY = (
     "x3k_pq_adc_topk",
     "x3l_pq_recall",
     "x6i_corpus_funnel",
+    "x4m_source_vocab_overlap",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -153,3 +153,14 @@ def test_pq_adc_broadcasts_tables_not_corpus(spark):
     plan = _plan(spark, "x3k_pq_adc_topk")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_overlap_scans_documents_once(spark):
+    """x4m's one-pass claim: the diagonal-pair trick means the corpus
+    distinct subtree is planned once — a separate sizes aggregate
+    joined back would scan documents three times."""
+    import re
+
+    plan = _plan(spark, "x4m_source_vocab_overlap")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans

@@ -1,0 +1,37 @@
+"""Closed-form tests for text-analysis operators (X4 family)."""
+
+from __future__ import annotations
+
+
+def test_source_vocab_overlap_closed_form(spark, tmp_path):
+    """x4m on a handmade corpus: src0 vocab {a,b,c,d}, src1 {c,d,e,f},
+    src2 {x,y}. Exactly one pair row appears (src0,src1) with
+    intersection 2, union 6, Jaccard 1/3 — zero-overlap pairs are
+    absent by convention, and vocab sizes count DISTINCT tokens across
+    a source's documents (dup tokens planted to prove it)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4m_source_vocab_overlap,
+    )
+
+    rows = [
+        (1, "a b c", "en", "src0"),
+        (2, "c d a a", "en", "src0"),   # dup tokens + cross-doc repeat
+        (3, "c d e", "en", "src1"),
+        (4, "e f", "en", "src1"),
+        (5, "x y x", "en", "src2"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = x4m_source_vocab_overlap(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("src0", "src1")
+    assert (r["n_vocab_a"], r["n_vocab_b"], r["n_shared"]) == (4, 4, 2)
+    assert r["jaccard"] == round(2 / 6, 4)
