@@ -879,6 +879,36 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_BLOCKS, _PQ_BLOCK_DIM, _PQ_K = 4, 16, 16
 
+
+def _pq_codebook(vecs: DataFrame) -> DataFrame:
+    """THE single definition of the PQ codebook: one broadcast-able row
+    holding the (cent_id, vector) structs of the vec_id < _PQ_K corpus
+    entries. Both the encoder (x3j) and the searcher (x3k) build from
+    this — a second site would let the pair drift onto different
+    codebooks with nothing failing loudly."""
+    return (
+        vecs.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+
+def _pq_block_sqdist_sql(a: str, b: str, blk: int) -> str:
+    """Squared-L2 fold over 16-dim block ``blk`` of two array columns as
+    a SQL fragment — same left-to-right fold order as the oracle's
+    list_aggregate, and the single site for the distance law the
+    encoder's argmin and the searcher's tables share."""
+    lo = blk * _PQ_BLOCK_DIM + 1
+    return (
+        f"aggregate(zip_with(slice({a}, {lo}, {_PQ_BLOCK_DIM}), "
+        f"slice({b}, {lo}, {_PQ_BLOCK_DIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+
 _X3J_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -930,24 +960,15 @@ def x3j_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of collect_list's nondeterministic array order."""
     emb = Catalog(spark, sf_dir).embeddings
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
-    cent_arr = (
-        vecs.filter(F.col("vec_id") < _PQ_K)
-        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-    )
+    cent_arr = _pq_codebook(vecs)
 
     def block_best(b: int) -> F.Column:
-        lo = b * _PQ_BLOCK_DIM + 1
         return F.expr(
             f"""
             aggregate(
               transform(cents, c -> named_struct(
                 'cid', c.cent_id,
-                'd', aggregate(
-                       zip_with(slice(emb, {lo}, {_PQ_BLOCK_DIM}),
-                                slice(c.cemb, {lo}, {_PQ_BLOCK_DIM}),
-                                (x, y) -> (x - y) * (x - y)),
-                       0D, (acc, v) -> acc + v))),
+                'd', {_pq_block_sqdist_sql("emb", "c.cemb", b)})),
               named_struct('bid', CAST(-1 AS BIGINT), 'bd', CAST('Infinity' AS DOUBLE)),
               (acc, s) -> IF(s.d < acc.bd OR (s.d = acc.bd AND s.cid < acc.bid),
                              named_struct('bid', s.cid, 'bd', s.d), acc))
@@ -1019,36 +1040,30 @@ FROM (
 @register("x3k_pq_adc_topk", oracle=_X3K_ORACLE, tags=("X3",))
 def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 nearest corpus vectors per query by PQ asymmetric distance:
-    the corpus side is ONLY the x3j codes (composed verbatim — the
-    encoder and the searcher can never drift apart), the query side
-    precomputes per-block distance tables against the sorted codebook,
-    and scoring is pure table lookups (``element_at`` per block + adds).
+    the corpus side is ONLY the x3j codes (and the codebook is the
+    shared ``_pq_codebook`` — encoder and searcher can never drift
+    apart), the query side precomputes per-block distance tables
+    against it, and scoring is pure table lookups (``element_at`` per
+    block + adds).
 
     Scale shape: codebook and per-query tables both broadcast; the
     corpus streams through map-side as 4-byte codes — at 100 TB the
     scored payload is 64x smaller than the float vectors, which is the
-    entire point of PQ. ``array_sort`` on the (cent_id-keyed) struct
-    array pins table order so lookups are collect_list-order-proof.
+    entire point of PQ. Each table is a ``map_from_entries`` map KEYED
+    BY cent_id, so lookups stay correct even if the codebook ids are
+    non-contiguous (a positional array lookup would silently read the
+    wrong slot there) and a code with no codebook entry fails loudly.
     The per-block fold order matches the oracle's list_aggregate
     exactly, so distances agree bit-for-bit at rounding precision."""
     emb = Catalog(spark, sf_dir).embeddings
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
-    cent_arr = (
-        vecs.filter(F.col("vec_id") < _PQ_K)
-        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-    )
+    cent_arr = _pq_codebook(vecs)
 
     def dist_table(b: int) -> F.Column:
-        lo = b * _PQ_BLOCK_DIM + 1
         return F.expr(
             f"""
-            transform(array_sort(cents), c ->
-              aggregate(
-                zip_with(slice(q_emb, {lo}, {_PQ_BLOCK_DIM}),
-                         slice(c.cemb, {lo}, {_PQ_BLOCK_DIM}),
-                         (x, y) -> (x - y) * (x - y)),
-                0D, (acc, v) -> acc + v))
+            map_from_entries(transform(cents, c ->
+              struct(c.cent_id, {_pq_block_sqdist_sql("q_emb", "c.cemb", b)})))
             """
         )
 
@@ -1062,7 +1077,7 @@ def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[f"code_{b}" for b in range(_PQ_BLOCKS)]
     )
     adc = sum(
-        F.element_at(F.col(f"dt_{b}"), F.col(f"code_{b}") + 1)
+        F.element_at(F.col(f"dt_{b}"), F.col(f"code_{b}").cast("bigint"))
         for b in range(_PQ_BLOCKS)
     )
     scored = (

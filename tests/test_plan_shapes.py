@@ -147,12 +147,19 @@ def test_semantic_dedup_confines_pairwise_to_cells(spark):
 
 
 def test_pq_adc_broadcasts_tables_not_corpus(spark):
-    """x3k's scale claim: the per-query distance tables (and the
-    codebook feeding them) broadcast; the corpus streams through as
-    codes with no corpus-side hash Exchange before the scoring join."""
+    """x3k's scale claim: every join in the plan is a broadcast form —
+    the per-query distance tables and the codebook ride BroadcastExchange
+    into BroadcastNestedLoopJoins, and no join ever degrades to a
+    shuffled form (SortMergeJoin / ShuffledHashJoin / CartesianProduct),
+    which is what losing a broadcast hint would produce. The corpus-side
+    Exchanges that remain are the fixture-only round-robin spread and
+    the post-scoring window partitioning, not a pre-join corpus
+    shuffle."""
     plan = _plan(spark, "x3k_pq_adc_topk")
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
 
 
 def test_vocab_overlap_scans_documents_once(spark):

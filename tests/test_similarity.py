@@ -494,3 +494,72 @@ def test_pq_recall_bounds_and_self_consistency(spark, sf_dir):
         assert r["n_true"] == 5
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 4)
+
+
+def test_pq_adc_survives_noncontiguous_codebook_ids(spark, tmp_path):
+    """The codebook convention is vec_id < 16, but nothing guarantees
+    those ids are contiguous (an upstream filter can leave gaps). The
+    cent_id-keyed map lookup must stay faithful: with codebook ids
+    {0,2,4,...,14} every codebook vector still ADC-scores 0 against
+    itself via its own code, and results match a Python recount (a
+    positional array lookup would misread slots for any id > its
+    position)."""
+    import os
+    import random
+
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3k_pq_adc_topk,
+    )
+
+    rng = random.Random(23)
+    ids = list(range(0, 16, 2)) + list(range(20, 32))  # 8 codebook + 12 corpus
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in ids]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, [float(v) for v in vec], 0) for i, vec in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    store = {
+        i: np.array(vec, dtype=np.float32).astype(np.float64) for i, vec in rows
+    }
+    cb = [i for i in ids if i < 16]
+    codes = {
+        v: [
+            min(
+                (float(((store[v][b * 16 : (b + 1) * 16]
+                         - store[j][b * 16 : (b + 1) * 16]) ** 2).sum()), j)
+                for j in cb
+            )[1]
+            for b in range(4)
+        ]
+        for v in store
+    }
+    queries = [i for i in ids if i < 8]
+    expect = {}
+    for q in queries:
+        dt = {
+            j: [
+                float(((store[q][b * 16 : (b + 1) * 16]
+                        - store[j][b * 16 : (b + 1) * 16]) ** 2).sum())
+                for b in range(4)
+            ]
+            for j in cb
+        }
+        scored = sorted(
+            (round(sum(dt[codes[v][b]][b] for b in range(4)), 4), v)
+            for v in store
+            if v != q
+        )
+        expect[q] = scored[:5]
+
+    got = x3k_pq_adc_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["adc_dist"], r["vec_id"]))
+    assert sorted(by_q) == queries
+    for q in queries:
+        assert sorted(by_q[q]) == expect[q], (q, sorted(by_q[q]), expect[q])
