@@ -221,3 +221,53 @@ def e2_sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer", "orders", "lineitem", "nation")
     )
     return spark.sql(_Q10_SQL)
+
+
+# E2g — TPC-H Q14-style promo revenue share ------------------------------------
+
+_Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@register("e2_sql_promo_revenue", oracle=_Q14_SQL, tags=("E2",))
+def e2_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: market-response ratio — the share of one month's
+    revenue that came from promo-typed parts, as a ratio of two
+    conditional aggregates in one pass (no second scan, no subquery:
+    the CASE folds into the same partial aggregation). The part dim
+    broadcasts; both shipdate bounds push into the lineitem scan so the
+    join only sees the month. Same SQL text is the DuckDB oracle
+    verbatim."""
+    Catalog(spark, sf_dir).register_views(("lineitem", "part"))
+    return spark.sql(_Q14_SQL)
+
+
+# E2h — TPC-H Q19-style disjunctive bracket revenue ----------------------------
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#9'  AND p_size BETWEEN 1  AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+"""
+
+
+@register("e2_sql_bracket_revenue", oracle=_Q19_SQL, tags=("E2",))
+def e2_sql_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under DISJUNCTIVE cross-table predicate
+    brackets (brand x size x quantity), the classic optimizer test for
+    OR-of-ANDs spanning a join: the common join key stays an equi-join,
+    per-side conjuncts (p_brand/p_size on part, l_quantity on lineitem)
+    are derivable for pushdown, and the residual OR evaluates post-join.
+    Same SQL text is the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
