@@ -486,13 +486,32 @@ def encode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _parse_ppm_raster(buf: bytes):
+    """THE single P6 parse used by every PPM kernel (decode, resize,
+    channel stats): validate magic + maxval, extract dims, return
+    (w, h, raster) with the raster as a flat uint8 array whose length is
+    verified against the header. Raises ValueError on any malformation —
+    callers turn that into their error row."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, whitespace-separated width/height, maxval
+    parts = buf.split(b"\n", 3)
+    w, h = (int(t) for t in parts[1].split())
+    if int(parts[2]) != 255:
+        raise ValueError("unsupported maxval")
+    raster = np.frombuffer(parts[3], dtype=np.uint8)
+    if raster.size != w * h * 3:
+        raise ValueError("truncated raster")
+    return w, h, raster
+
+
 def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """A real PPM (P6) parser: reads the Netpbm header, slices the raw
     RGB plane, reduces it with numpy. This is the actual shape of a
     production decode kernel — header parse, dimension extraction,
     vectorized pixel math — with no library beyond numpy."""
-    import numpy as np
-
     for pdf in batches:
         out = {
             "doc_id": [], "width": [], "height": [], "channels": [],
@@ -501,17 +520,7 @@ def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             try:
-                if not buf.startswith(b"P6"):
-                    raise ValueError("not a P6 PPM")
-                # header = magic, whitespace-separated width/height/maxval
-                parts = buf.split(b"\n", 3)
-                w, h = (int(t) for t in parts[1].split())
-                maxval = int(parts[2])
-                if maxval != 255:
-                    raise ValueError("unsupported maxval")
-                raster = np.frombuffer(parts[3], dtype=np.uint8)
-                if raster.size != w * h * 3:
-                    raise ValueError("truncated raster")
+                w, h, raster = _parse_ppm_raster(buf)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(3)
@@ -596,13 +605,7 @@ def resize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             try:
-                if not buf.startswith(b"P6"):
-                    raise ValueError("not a P6 PPM")
-                parts = buf.split(b"\n", 3)
-                w, h = (int(t) for t in parts[1].split())
-                raster = np.frombuffer(parts[3], dtype=np.uint8)
-                if raster.size != w * h * 3:
-                    raise ValueError("truncated raster")
+                w, h, raster = _parse_ppm_raster(buf)
                 img = raster.reshape(h, w, 3)
                 rows = (np.arange(_RESIZE_H) * h) // _RESIZE_H
                 cols = (np.arange(_RESIZE_W) * w) // _RESIZE_W
@@ -1040,3 +1043,83 @@ def x5i_audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_wav_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(audio_rms_profile_batch, AUDIO_PROFILE_SCHEMA)
+
+
+# X5j — per-channel image statistics over real PPM payloads -------------------
+#
+# The normalization-stats pass a vision pipeline runs before training:
+# per-channel mean and range over the decoded raster (the numbers that
+# become a dataset's channel-mean/std normalization constants, and the
+# outlier signal for dead/saturated-channel detection). Same real-decode
+# posture as x5e/x5g: deterministic P6 payloads, the shared
+# _parse_ppm_raster, numpy per-channel reduction — the exact kernel a
+# JPEG corpus would run with a codec swapped in.
+
+IMG_CHANNEL_SCHEMA = (
+    "doc_id long, channel int, n_values long, mean_val double, "
+    "min_val int, max_val int"
+)
+
+
+def channel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-channel stats: reshape the interleaved RGB raster to
+    (pixels, 3) and reduce each column — vectorized, three tiny output
+    rows per image regardless of its size (the 100 TB-safe contract)."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "channel": [], "n_values": [], "mean_val": [],
+            "min_val": [], "max_val": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            try:
+                w, h, raster = _parse_ppm_raster(buf)
+            except ValueError:
+                continue  # only generated P6s reach this kernel
+            px = raster.reshape(-1, 3)
+            for c in range(3):
+                ch = px[:, c]
+                out["doc_id"].append(doc_id)
+                out["channel"].append(c)
+                out["n_values"].append(int(ch.size))
+                out["mean_val"].append(round(float(ch.mean()), 4))
+                out["min_val"].append(int(ch.min()))
+                out["max_val"].append(int(ch.max()))
+        yield pd.DataFrame(out)
+
+
+_X5J_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, c.i AS channel,
+         (d.doc_id * 31 + p.i * 3 + c.i) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w * d.h)) AS i) p,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+)
+SELECT doc_id,
+       CAST(channel AS INT)      AS channel,
+       CAST(count(*) AS BIGINT)  AS n_values,
+       round(avg(v), 4)          AS mean_val,
+       CAST(min(v) AS INT)       AS min_val,
+       CAST(max(v) AS INT)       AS max_val
+FROM px
+GROUP BY doc_id, channel
+"""
+
+
+@register("x5j_image_channel_stats", oracle=_X5J_ORACLE, tags=("X5",))
+def x5j_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel normalization statistics over REAL decoded images:
+    deterministic P6 payloads (x5e's encode kernel), the shared P6
+    parser, then a per-channel numpy reduction inside one mapInPandas
+    stage — three rows per image. Binary payloads never leave the
+    executors; the oracle predicts every channel's count/mean/extremes
+    arithmetically from doc_id (channel c samples the pixel stream at
+    stride 3 offset c)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(channel_stats_batch, IMG_CHANNEL_SCHEMA)

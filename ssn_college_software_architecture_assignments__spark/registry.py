@@ -110,6 +110,7 @@ _CHECK_PRIORITY = (
     "x4m_source_vocab_overlap",
     "e2_sql_promo_revenue",
     "e2_sql_bracket_revenue",
+    "x5j_image_channel_stats",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -367,3 +367,31 @@ def test_wav_parser_rejects_short_fmt_chunk():
     assert decoded.iloc[0]["decode_status"].startswith("error:")
     profiled = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
     assert profiled.iloc[0]["profile_status"].startswith("error:")
+
+
+def test_channel_stats_closed_form(spark, tmp_path):
+    """x5j per-channel law on one handmade doc_id: channel c of doc d
+    samples (d*31 + p*3 + c) % 256 over p in range(w*h) — recount the
+    mean/min/max in Python for doc_id 7 (w=11, h=4) and compare."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        x5j_image_channel_stats,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(7, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    w, h = 4 + 7 % 13, 4 + 7 % 7
+    rows = {r["channel"]: r for r in x5j_image_channel_stats(spark, sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for c in range(3):
+        vals = [(7 * 31 + p * 3 + c) % 256 for p in range(w * h)]
+        r = rows[c]
+        assert r["n_values"] == w * h
+        assert r["mean_val"] == round(sum(vals) / len(vals), 4)
+        assert (r["min_val"], r["max_val"]) == (min(vals), max(vals))
