@@ -909,6 +909,43 @@ def _pq_block_sqdist_sql(a: str, b: str, blk: int) -> str:
         f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
     )
 
+
+def _pq_full_sqdist_sql(a: str, b: str) -> str:
+    """Full-vector squared L2 as the SUM OF THE FOUR BLOCK FOLDS (not one
+    64-term fold): float addition is non-associative, so the coarse
+    quantizer and the ADC tables must group terms identically for cell
+    argmins and distances to agree bit-for-bit with the oracle, which
+    mirrors this same block grouping."""
+    return " + ".join(
+        _pq_block_sqdist_sql(a, b, blk) for blk in range(_PQ_BLOCKS)
+    )
+
+
+def _pq_argmin_sql(dist_sql: str) -> str:
+    """Argmin fold over the broadcast codebook: strict (distance,
+    cent_id) comparison, so the result is independent of collect_list's
+    nondeterministic array order. Returns a struct with fields ``bid``
+    (winning cent_id) and ``bd`` (its distance). Single site shared by
+    the per-block encoder (x3j) and the coarse quantizer (x3m)."""
+    return f"""
+        aggregate(
+          transform(cents, c -> named_struct('cid', c.cent_id, 'd', {dist_sql})),
+          named_struct('bid', CAST(-1 AS BIGINT), 'bd', CAST('Infinity' AS DOUBLE)),
+          (acc, s) -> IF(s.d < acc.bd OR (s.d = acc.bd AND s.cid < acc.bid),
+                         named_struct('bid', s.cid, 'bd', s.d), acc))
+    """
+
+
+def _pq_dist_table_sql(q_col: str, blk: int) -> str:
+    """Per-block ADC distance table: a map KEYED BY cent_id from the
+    broadcast codebook to the block's squared L2 against ``q_col``.
+    Single site shared by the flat searcher (x3k) and IVF-PQ (x3m)."""
+    return (
+        f"map_from_entries(transform(cents, c -> "
+        f"struct(c.cent_id, {_pq_block_sqdist_sql(q_col, 'c.cemb', blk)})))"
+    )
+
+
 _X3J_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -963,17 +1000,7 @@ def x3j_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_arr = _pq_codebook(vecs)
 
     def block_best(b: int) -> F.Column:
-        return F.expr(
-            f"""
-            aggregate(
-              transform(cents, c -> named_struct(
-                'cid', c.cent_id,
-                'd', {_pq_block_sqdist_sql("emb", "c.cemb", b)})),
-              named_struct('bid', CAST(-1 AS BIGINT), 'bd', CAST('Infinity' AS DOUBLE)),
-              (acc, s) -> IF(s.d < acc.bd OR (s.d = acc.bd AND s.cid < acc.bid),
-                             named_struct('bid', s.cid, 'bd', s.d), acc))
-            """
-        )
+        return F.expr(_pq_argmin_sql(_pq_block_sqdist_sql("emb", "c.cemb", b)))
 
     coded = vecs.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id",
@@ -1059,19 +1086,17 @@ def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     cent_arr = _pq_codebook(vecs)
 
-    def dist_table(b: int) -> F.Column:
-        return F.expr(
-            f"""
-            map_from_entries(transform(cents, c ->
-              struct(c.cent_id, {_pq_block_sqdist_sql("q_emb", "c.cemb", b)})))
-            """
-        )
-
     qtab = (
         vecs.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
         .crossJoin(F.broadcast(cent_arr))
-        .select("q_id", *[dist_table(b).alias(f"dt_{b}") for b in range(_PQ_BLOCKS)])
+        .select(
+            "q_id",
+            *[
+                F.expr(_pq_dist_table_sql("q_emb", b)).alias(f"dt_{b}")
+                for b in range(_PQ_BLOCKS)
+            ],
+        )
     )
     codes = x3j_pq_codes(spark, sf_dir).select(
         "vec_id", *[f"code_{b}" for b in range(_PQ_BLOCKS)]
@@ -1165,3 +1190,181 @@ def x3l_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = x3k_pq_adc_topk(spark, sf_dir).select("q_id", "vec_id")
     return recall_report(exact, adc)
+
+
+# X3m — IVF-PQ search (coarse cells + ADC over codes) -------------------------
+#
+# The composition FAISS ships as IndexIVFPQ (no-residual variant): the
+# coarse quantizer restricts each query to its nprobe nearest cells and
+# ADC scores only the 4-byte codes inside them — sublinear probe AND
+# 64x-compressed scoring in one index. The coarse quantizer here is the
+# same deterministic 16-entry codebook at full width (cell = argmin
+# full-vector L2), and every distance is built from the same single-site
+# block folds as x3j/x3k, so encoder, coarse quantizer, and searcher
+# cannot drift; the oracle composes x3j's SQL verbatim for the codes.
+
+_PQ_NPROBE = 2
+
+
+def _duck_block_sqdist(a: str, b: str, blk: int) -> str:
+    lo, hi = blk * _PQ_BLOCK_DIM + 1, (blk + 1) * _PQ_BLOCK_DIM
+    return (
+        f"list_aggregate(list_transform(list_zip({a}[{lo}:{hi}], {b}[{lo}:{hi}]), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+
+
+def _duck_full_sqdist(a: str, b: str) -> str:
+    # block-grouped to match _pq_full_sqdist_sql's float addition order
+    return " + ".join(
+        _duck_block_sqdist(a, b, blk) for blk in range(_PQ_BLOCKS)
+    )
+
+
+_X3M_ORACLE = f"""
+WITH codes AS ({_X3J_ORACLE}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < {_PQ_K}),
+cent AS (
+  SELECT cb.cent_id, g.b,
+         cb.cemb[g.b * {_PQ_BLOCK_DIM} + 1 : (g.b + 1) * {_PQ_BLOCK_DIM}] AS cvec
+  FROM cb, LATERAL (SELECT unnest(range({_PQ_BLOCKS})) AS b) g
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, cb.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_duck_full_sqdist("v.emb", "cb.cemb")}, cb.cent_id) AS rn
+    FROM e v CROSS JOIN cb
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT q_id, cent_id AS cell FROM (
+    SELECT q.vec_id AS q_id, cb.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_duck_full_sqdist("q.emb", "cb.cemb")}, cb.cent_id) AS rn
+    FROM (SELECT vec_id, emb FROM e WHERE vec_id < 8) q CROSS JOIN cb
+  ) WHERE rn <= {_PQ_NPROBE}
+),
+dt AS (
+  SELECT q.vec_id AS q_id, cent.b, cent.cent_id,
+         list_aggregate(list_transform(
+           list_zip(q.emb[cent.b * {_PQ_BLOCK_DIM} + 1 : (cent.b + 1) * {_PQ_BLOCK_DIM}],
+                    cent.cvec),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d
+  FROM (SELECT vec_id, emb FROM e WHERE vec_id < 8) q CROSS JOIN cent
+),
+scored AS (
+  SELECT p.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+  FROM codes c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN probe p  ON p.cell = cl.cell
+  JOIN dt t0 ON t0.q_id = p.q_id AND t0.b = 0 AND t0.cent_id = c.code_0
+  JOIN dt t1 ON t1.q_id = p.q_id AND t1.b = 1 AND t1.cent_id = c.code_1
+  JOIN dt t2 ON t2.q_id = p.q_id AND t2.b = 2 AND t2.cent_id = c.code_2
+  JOIN dt t3 ON t3.q_id = p.q_id AND t3.b = 3 AND t3.cent_id = c.code_3
+  WHERE c.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, round(adc, 4) AS adc_dist
+FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(adc, 4), vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("x3m_pq_ivf_search", oracle=_X3M_ORACLE, tags=("X3",))
+def x3m_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: each query ADC-scores only the PQ codes inside its
+    nprobe=2 nearest coarse cells — the sublinear-probe, 64x-compressed
+    search a billion-vector deployment actually runs.
+
+    Scale shape: the ingest is ONE fused map-only corpus pass emitting
+    (cell, codes) per vector against the broadcast codebook (composing
+    x3j's codes via a vec_id join would shuffle the corpus; FAISS
+    likewise encodes at add() time). The probe table — nprobe cells x
+    per-query cent_id-keyed distance maps — broadcasts, and the scoring
+    join is a cell equi-join, so each query's work is ~nprobe/K of the
+    corpus and the corpus itself never shuffles before scoring. Cell
+    and code argmins, and all distances, come from the same single-site
+    block-fold helpers as x3j/x3k (float addition grouped identically
+    to the oracle — non-associativity would otherwise flip argmin
+    ties); the oracle composes x3j's SQL verbatim for the codes leg."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    cent_arr = _pq_codebook(vecs)
+
+    assigned = (
+        ensure_min_partitions(vecs)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            F.expr(
+                _pq_argmin_sql(_pq_full_sqdist_sql("emb", "c.cemb"))
+            ).alias("_cell"),
+            *[
+                F.expr(
+                    _pq_argmin_sql(_pq_block_sqdist_sql("emb", "c.cemb", b))
+                ).alias(f"_b{b}")
+                for b in range(_PQ_BLOCKS)
+            ],
+        )
+        .select(
+            "vec_id",
+            F.col("_cell.bid").alias("cell"),
+            *[
+                F.col(f"_b{b}.bid").cast("int").alias(f"code_{b}")
+                for b in range(_PQ_BLOCKS)
+            ],
+        )
+    )
+
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    cent_rows = cent_arr.select(F.explode("cents").alias("c")).select(
+        F.col("c.cent_id").alias("cent_id"), F.col("c.cemb").alias("cemb")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cent_rows))
+        .withColumn("d", F.expr(_pq_full_sqdist_sql("q_emb", "cemb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= _PQ_NPROBE)
+        .select("q_id", F.col("cent_id").alias("cell"))
+    )
+    qtab = (
+        queries.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "q_id",
+            *[
+                F.expr(_pq_dist_table_sql("q_emb", b)).alias(f"dt_{b}")
+                for b in range(_PQ_BLOCKS)
+            ],
+        )
+    )
+    probe_tab = probe.join(qtab, "q_id")
+
+    adc = sum(
+        F.element_at(F.col(f"dt_{b}"), F.col(f"code_{b}").cast("bigint"))
+        for b in range(_PQ_BLOCKS)
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_tab), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.round("adc", 4).asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("adc", 4).alias("adc_dist"))
+    )

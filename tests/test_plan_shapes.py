@@ -171,3 +171,14 @@ def test_vocab_overlap_scans_documents_once(spark):
     plan = _plan(spark, "x4m_source_vocab_overlap")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
+
+
+def test_pq_ivf_search_never_shuffles_corpus_joins(spark):
+    """x3m's scale claim: the ingest is one fused map pass against the
+    broadcast codebook and the scoring join is a broadcast cell
+    equi-join — no join in the plan may degrade to a shuffled form."""
+    plan = _plan(spark, "x3m_pq_ivf_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad

@@ -563,3 +563,63 @@ def test_pq_adc_survives_noncontiguous_codebook_ids(spark, tmp_path):
     assert sorted(by_q) == queries
     for q in queries:
         assert sorted(by_q[q]) == expect[q], (q, sorted(by_q[q]), expect[q])
+
+
+def test_pq_ivf_search_matches_python_reference(spark, tmp_path):
+    """x3m law on a handmade table: the full IVF-PQ pipeline (coarse
+    cell assignment, per-block codes, nprobe=2 probe, ADC over the
+    probed cells' codes, top-5) recounted in plain Python/NumPy with
+    block-grouped float addition — the same grouping the operator and
+    its oracle share."""
+    import os
+    import random
+
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3m_pq_ivf_search,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(48)]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, [float(v) for v in vec], 0) for i, vec in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    store = {
+        i: np.array(vec, dtype=np.float32).astype(np.float64) for i, vec in rows
+    }
+
+    def block_d(a, b, blk):
+        sl = slice(blk * 16, (blk + 1) * 16)
+        return float(((store[a][sl] - store[b][sl]) ** 2).sum())
+
+    def full_d(a, b):
+        return sum(block_d(a, b, blk) for blk in range(4))
+
+    cb = list(range(16))
+    cells = {v: min((full_d(v, j), j) for j in cb)[1] for v in store}
+    codes = {
+        v: [min((block_d(v, j, b), j) for j in cb)[1] for b in range(4)]
+        for v in store
+    }
+    expect = {}
+    for q in range(8):
+        probed = {j for _, j in sorted((full_d(q, j), j) for j in cb)[:2]}
+        cand = [v for v in store if v != q and cells[v] in probed]
+        scored = sorted(
+            (round(sum(block_d(q, codes[v][b], b) for b in range(4)), 4), v)
+            for v in cand
+        )
+        expect[q] = scored[:5]
+
+    got = x3m_pq_ivf_search(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["adc_dist"], r["vec_id"]))
+    assert sorted(by_q) == [q for q in range(8) if expect[q]]
+    for q in by_q:
+        assert sorted(by_q[q]) == expect[q], (q, sorted(by_q[q]), expect[q])
