@@ -72,15 +72,18 @@ _loaded = False
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
 # round. For round 7 (cohorts computed from CORRECTNESS_r01..r06): the
-# two never-evidenced r7 additions (a11b, x6d2), the five rows-only ids
-# (their weaker rows-only evidence is stalest of all — x2's row is r3;
-# this round also rewrote x2's pair expansion), the 39-id cohort whose
-# newest driver row is r4, and the queries whose source the r7 changes
-# touch (asof tiebreak validation -> j8; demux dispatch guard -> x5c;
-# page-mode advisory-total -> the REST readers). Everything with r5/r6
-# evidence sits below the line, stalest first. Names missing from the
-# registry are ignored, and registry names missing here sort after the
-# listed ones, so this list never breaks registration changes.
+# 29 never-evidenced r7 additions (tier 1 — the audit/report
+# compositions, the PQ family through IVF-PQ, the corpus funnel, the
+# vocab overlap, the Q14/Q18/Q10/Q19 SQL shapes, the image/audio
+# profiles), the five rows-only ids (their weaker rows-only evidence is
+# stalest of all — x2's row is r3; this round also rewrote x2's pair
+# expansion), the 39-id cohort whose newest driver row is r4, and the
+# queries whose source the r7 changes touch (asof tiebreak validation
+# -> j8; demux dispatch guard -> x5c; page-mode advisory-total -> the
+# REST readers). Everything with r5/r6 evidence sits below the line,
+# stalest first. Names missing from the registry are ignored, and
+# registry names missing here sort after the listed ones, so this list
+# never breaks registration changes.
 _CHECK_PRIORITY = (
     # tier 1: new in round 7 — no driver evidence exists at all
     "a11b_cdc_rollup_compose",
