@@ -1391,3 +1391,144 @@ def x2k_quality_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w_rank) == 1).alias("keep"),
         F.count(F.lit(1)).over(w_all).cast("long").alias("n_members"),
     )
+
+
+# X2m — near-dup threshold sweep ----------------------------------------------
+#
+# The tuning report behind every Jaccard cutoff choice (x2c's 0.8, the
+# LSH banding target): how many pairs and how many documents does each
+# candidate threshold capture? Computed over the same restricted slice
+# and token-set Jaccard as x2c, but as a CURVE — one row per threshold —
+# so the cutoff is picked from data, not folklore. One corpus scan via
+# the x4m diagonal-pair idiom: group postings by token, expand i<=j doc
+# pairs inside each posting list, and the DIAGONAL rows (a,a) of the
+# same aggregate are each doc's distinct-token count, attached back
+# with two windows over the tiny pair table — no posting self-join, no
+# second scan for sizes.
+
+_X2M_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+_X2M_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id < 40
+),
+post AS (
+  SELECT tok, lang, list_sort(list(doc_id)) AS ids
+  FROM toks GROUP BY tok, lang
+),
+agg AS (
+  SELECT p.ids[1] AS id_a, p.ids[2] AS id_b, count(*) AS n_common
+  FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(ids)),
+             i -> list_transform(generate_series(i, len(ids)),
+                    j -> [ids[i], ids[j]])))) AS ids
+    FROM post
+  ) p
+  GROUP BY p.ids[1], p.ids[2]
+),
+sized AS (
+  SELECT id_a, id_b, n_common,
+         max(CASE WHEN id_a = id_b THEN n_common END)
+           OVER (PARTITION BY id_a) AS na,
+         max(CASE WHEN id_a = id_b THEN n_common END)
+           OVER (PARTITION BY id_b) AS nb
+  FROM agg
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jac
+  FROM sized WHERE id_a < id_b
+),
+sweep AS (
+  SELECT t.threshold, p.id_a, p.id_b
+  FROM pairs p,
+       (SELECT unnest([{", ".join(str(t) for t in _X2M_THRESHOLDS)}]) AS threshold) t
+  WHERE p.jac >= t.threshold
+),
+ends AS (
+  SELECT threshold, id_a AS doc FROM sweep
+  UNION ALL
+  SELECT threshold, id_b AS doc FROM sweep
+)
+SELECT CAST(threshold AS DOUBLE)        AS threshold,
+       CAST(count(*) // 2 AS BIGINT)    AS n_pairs,
+       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+FROM ends
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+@register("x2m_threshold_sweep", oracle=_X2M_ORACLE, tags=("X2",))
+def x2m_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-and-docs-captured curve over candidate Jaccard thresholds
+    (0.5-0.9), exact token-set Jaccard on the x2c slice. The posting
+    lists are bounded by the slice's doc count here; at corpus scale the
+    same sweep runs over the LSH candidate pairs instead (the curve's
+    job — pick the cutoff — is identical), so the pair expansion is
+    never all-pairs. Thresholds with zero qualifying pairs are absent
+    by convention on both sides."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).distinct()
+    post = toks.groupBy("tok", "lang").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(0, size(ids) - 1), i ->
+          transform(sequence(i, size(ids) - 1), j ->
+            named_struct('id_a', ids[i], 'id_b', ids[j]))))
+        """
+    )
+    agg = (
+        post.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    diag = F.when(F.col("id_a") == F.col("id_b"), F.col("n_common"))
+    sized = agg.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.max(diag).over(W.partitionBy("id_a")).alias("na"),
+        F.max(diag).over(W.partitionBy("id_b")).alias("nb"),
+    )
+    pairs = sized.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jac"),
+    )
+    sweep = pairs.select(
+        "id_a",
+        "id_b",
+        "jac",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _X2M_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("jac") >= F.col("threshold"))
+    # endpoints via explode, NOT a union of two selects — a union
+    # duplicates the whole sweep lineage and plans the scan twice
+    ends = sweep.select(
+        "threshold", F.explode(F.array("id_a", "id_b")).alias("doc")
+    )
+    return (
+        ends.groupBy("threshold")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .select(
+            F.col("threshold").cast("double").alias("threshold"),
+            "n_pairs",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

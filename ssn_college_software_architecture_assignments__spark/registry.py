@@ -115,6 +115,7 @@ _CHECK_PRIORITY = (
     "e2_sql_bracket_revenue",
     "x5j_image_channel_stats",
     "x3m_pq_ivf_search",
+    "x2m_threshold_sweep",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -427,3 +427,42 @@ def test_quality_manifest_keeps_best_not_lowest_id(spark, tmp_path):
     for r in got.values():
         by_cluster.setdefault(r["cluster_id"], []).append(r["keep"])
     assert all(sum(ks) == 1 for ks in by_cluster.values())
+
+
+def test_threshold_sweep_closed_form(spark, tmp_path):
+    """x2m curve on a handmade corpus: pairs (1,2)=0.6, (2,3)=0.6,
+    (1,3)=1.0 within lang 'en'; doc 4 shares nothing; doc 5 duplicates
+    doc 1's text in another lang and must NOT pair (the lang guard).
+    Expected curve: 3 pairs/3 docs at 0.5 and 0.6, then 1 pair/2 docs
+    at 0.7-0.9."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2m_threshold_sweep,
+    )
+
+    rows = [
+        (1, "a b c d", "en", "s"),
+        (2, "a b c e", "en", "s"),
+        (3, "a b c d", "en", "s"),
+        (4, "x y", "en", "s"),
+        (5, "a b c d", "fr", "s"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["threshold"]: (r["n_pairs"], r["n_docs"])
+        for r in x2m_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert got == {
+        0.5: (3, 3),
+        0.6: (3, 3),
+        0.7: (1, 2),
+        0.8: (1, 2),
+        0.9: (1, 2),
+    }, got

@@ -182,3 +182,14 @@ def test_pq_ivf_search_never_shuffles_corpus_joins(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_threshold_sweep_scans_documents_once(spark):
+    """x2m's one-pass claim: posting-list pair expansion with the
+    diagonal carrying doc token counts — a posting self-join plus a
+    separate sizes aggregate would scan documents three times."""
+    import re
+
+    plan = _plan(spark, "x2m_threshold_sweep")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
