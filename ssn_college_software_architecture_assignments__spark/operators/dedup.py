@@ -1410,7 +1410,7 @@ _X2M_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 _X2M_ORACLE = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents WHERE doc_id < 40
 ),
 post AS (
@@ -1470,11 +1470,14 @@ def x2m_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs. Thresholds with zero qualifying pairs are absent
     by convention on both sides."""
     docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 40)
+    # array_distinct already makes (doc_id, lang, tok) unique — a
+    # .distinct() here would add a full shuffle of the exploded tokens,
+    # the largest intermediate, for nothing
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    ).distinct()
+    )
     post = toks.groupBy("tok", "lang").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )

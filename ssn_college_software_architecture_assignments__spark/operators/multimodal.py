@@ -498,6 +498,10 @@ def _parse_ppm_raster(buf: bytes):
         raise ValueError("not a P6 PPM")
     # header = magic, whitespace-separated width/height, maxval
     parts = buf.split(b"\n", 3)
+    if len(parts) < 4:
+        # keep the ValueError contract: a truncated header would
+        # otherwise surface as IndexError and escape callers' handlers
+        raise ValueError("truncated header")
     w, h = (int(t) for t in parts[1].split())
     if int(parts[2]) != 255:
         raise ValueError("unsupported maxval")
@@ -1057,34 +1061,46 @@ def x5i_audio_rms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMG_CHANNEL_SCHEMA = (
     "doc_id long, channel int, n_values long, mean_val double, "
-    "min_val int, max_val int"
+    "min_val int, max_val int, stat_status string"
 )
 
 
 def channel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-channel stats: reshape the interleaved RGB raster to
     (pixels, 3) and reduce each column — vectorized, three tiny output
-    rows per image regardless of its size (the 100 TB-safe contract)."""
+    rows per image regardless of its size (the 100 TB-safe contract).
+    A malformed payload yields ONE visible error row (channel -1) —
+    the decode/resize kernels' convention; silently dropping the doc
+    would make an oracle mismatch undiagnosable."""
     for pdf in batches:
         out = {
             "doc_id": [], "channel": [], "n_values": [], "mean_val": [],
-            "min_val": [], "max_val": [],
+            "min_val": [], "max_val": [], "stat_status": [],
         }
+
+        def emit(doc_id, channel, n, mean, lo, hi, status):
+            out["doc_id"].append(doc_id)
+            out["channel"].append(channel)
+            out["n_values"].append(n)
+            out["mean_val"].append(mean)
+            out["min_val"].append(lo)
+            out["max_val"].append(hi)
+            out["stat_status"].append(status)
+
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             try:
                 w, h, raster = _parse_ppm_raster(buf)
-            except ValueError:
-                continue  # only generated P6s reach this kernel
+            except ValueError as exc:
+                emit(doc_id, -1, 0, 0.0, 0, 0, f"error: {exc}")
+                continue
             px = raster.reshape(-1, 3)
             for c in range(3):
                 ch = px[:, c]
-                out["doc_id"].append(doc_id)
-                out["channel"].append(c)
-                out["n_values"].append(int(ch.size))
-                out["mean_val"].append(round(float(ch.mean()), 4))
-                out["min_val"].append(int(ch.min()))
-                out["max_val"].append(int(ch.max()))
+                emit(
+                    doc_id, c, int(ch.size), round(float(ch.mean()), 4),
+                    int(ch.min()), int(ch.max()), "ok",
+                )
         yield pd.DataFrame(out)
 
 
@@ -1105,7 +1121,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT)  AS n_values,
        round(avg(v), 4)          AS mean_val,
        CAST(min(v) AS INT)       AS min_val,
-       CAST(max(v) AS INT)       AS max_val
+       CAST(max(v) AS INT)       AS max_val,
+       'ok'                      AS stat_status
 FROM px
 GROUP BY doc_id, channel
 """

@@ -1298,26 +1298,51 @@ def x3m_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     cent_arr = _pq_codebook(vecs)
 
+    # One fold computes cell AND codes: the transform materializes each
+    # codebook entry's 4 block distances ONCE, and the fold's five
+    # argmins read those fields — five separate argmin expressions would
+    # each re-evaluate the 16x4 block folds (Catalyst cannot CSE across
+    # lambda scopes), doubling the distance math in the ingest hot path.
+    # The cell distance is d0+d1+d2+d3, the same block grouping as
+    # _pq_full_sqdist_sql / the oracle.
+    dists = ", ".join(
+        f"'d{b}', {_pq_block_sqdist_sql('emb', 'c.cemb', b)}"
+        for b in range(_PQ_BLOCKS)
+    )
+    full = " + ".join(f"s.d{b}" for b in range(_PQ_BLOCKS))
+    init = ", ".join(
+        f"'{k}', named_struct('bid', CAST(-1 AS BIGINT), "
+        f"'bd', CAST('Infinity' AS DOUBLE))"
+        for k in ["cell"] + [f"a{b}" for b in range(_PQ_BLOCKS)]
+    )
+
+    def pick(key: str, d: str) -> str:
+        return (
+            f"'{key}', IF({d} < acc.{key}.bd OR ({d} = acc.{key}.bd "
+            f"AND s.cid < acc.{key}.bid), "
+            f"named_struct('bid', s.cid, 'bd', {d}), acc.{key})"
+        )
+
+    steps = ", ".join(
+        [pick("cell", full)] + [pick(f"a{b}", f"s.d{b}") for b in range(_PQ_BLOCKS)]
+    )
+    ingest_expr = F.expr(
+        f"""
+        aggregate(
+          transform(cents, c -> named_struct('cid', c.cent_id, {dists})),
+          named_struct({init}),
+          (acc, s) -> named_struct({steps}))
+        """
+    )
     assigned = (
         ensure_min_partitions(vecs)
         .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", ingest_expr.alias("_r"))
         .select(
             "vec_id",
-            F.expr(
-                _pq_argmin_sql(_pq_full_sqdist_sql("emb", "c.cemb"))
-            ).alias("_cell"),
+            F.col("_r.cell.bid").alias("cell"),
             *[
-                F.expr(
-                    _pq_argmin_sql(_pq_block_sqdist_sql("emb", "c.cemb", b))
-                ).alias(f"_b{b}")
-                for b in range(_PQ_BLOCKS)
-            ],
-        )
-        .select(
-            "vec_id",
-            F.col("_cell.bid").alias("cell"),
-            *[
-                F.col(f"_b{b}.bid").cast("int").alias(f"code_{b}")
+                F.col(f"_r.a{b}.bid").cast("int").alias(f"code_{b}")
                 for b in range(_PQ_BLOCKS)
             ],
         )
@@ -1351,7 +1376,9 @@ def x3m_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    probe_tab = probe.join(qtab, "q_id")
+    # both sides are query-sized; the explicit hint pins the plan so the
+    # no-shuffled-join gate can't flip on auto-broadcast estimation
+    probe_tab = probe.join(F.broadcast(qtab), "q_id")
 
     adc = sum(
         F.element_at(F.col(f"dt_{b}"), F.col(f"code_{b}").cast("bigint"))

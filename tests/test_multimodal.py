@@ -395,3 +395,30 @@ def test_channel_stats_closed_form(spark, tmp_path):
         assert r["n_values"] == w * h
         assert r["mean_val"] == round(sum(vals) / len(vals), 4)
         assert (r["min_val"], r["max_val"]) == (min(vals), max(vals))
+
+
+def test_channel_stats_malformed_payload_yields_error_row():
+    """Kernel contract: a payload that fails the P6 parse — including a
+    header truncated before the raster, which must surface as ValueError
+    not IndexError — produces one visible channel=-1 error row instead
+    of silently vanishing."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _ppm_bytes,
+        channel_stats_batch,
+    )
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [b"P6\n11 4\n255", _ppm_bytes(2), b"not an image"],
+        }
+    )
+    out = pd.concat(list(channel_stats_batch(iter([batch]))))
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert list(by_doc[1]["channel"]) == [-1]
+    assert by_doc[1]["stat_status"].iloc[0].startswith("error:")
+    assert list(by_doc[2]["channel"]) == [0, 1, 2]
+    assert set(by_doc[2]["stat_status"]) == {"ok"}
+    assert list(by_doc[3]["channel"]) == [-1]
