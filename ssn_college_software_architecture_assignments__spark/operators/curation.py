@@ -639,3 +639,77 @@ def x6i_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6j — dedup-aware mixture reweighting ---------------------------------------
+#
+# The correction x6e's raw-count weights silently need: a source whose
+# volume is mostly exact duplicates contributes far fewer EFFECTIVE
+# documents than its row count claims, so weights computed on raw
+# shares over-sample it after dedup runs. This recomputes the x6e
+# weight against each source's unique-fingerprint share (x1's md5
+# fingerprint law) next to the raw-share weight, so the mixture planner
+# sees both and the dup penalty is explicit.
+
+_X6J_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         count(*)                    AS n_docs,
+         count(DISTINCT md5(text))   AS n_unique,
+         max({_X6E_PRIORITY_SQL})    AS priority
+  FROM documents
+  GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT)                                      AS n_docs,
+       CAST(n_unique AS BIGINT)                                    AS n_unique,
+       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)      AS raw_frac,
+       round(n_unique / CAST(sum(n_unique) OVER () AS DOUBLE), 6)  AS effective_frac,
+       round(priority / CAST(sum(priority) OVER () AS DOUBLE), 6)  AS target_frac,
+       round((priority / CAST(sum(priority) OVER () AS DOUBLE))
+             / (n_docs / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)  AS weight_raw,
+       round((priority / CAST(sum(priority) OVER () AS DOUBLE))
+             / (n_unique / CAST(sum(n_unique) OVER () AS DOUBLE)), 4) AS weight_effective
+FROM per_src
+ORDER BY source
+"""
+
+
+@register("x6j_dedup_aware_mixture", oracle=_X6J_ORACLE, tags=("X6", "X1"))
+def x6j_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights against BOTH the raw share and the
+    unique-fingerprint (post-dedup effective) share, same declared
+    priority as x6e. One hash-aggregate collapses the corpus to a
+    sources-sized table — the distinct-fingerprint count shuffles
+    (source, fingerprint) partials on the uniform fingerprint key, the
+    x1c shape — and the share/weight math runs as unpartitioned windows
+    over that tiny aggregate (single-task-safe by construction, the x6e
+    argument)."""
+    docs = Catalog(spark, sf_dir).documents
+    priority = (
+        F.when(F.col("source") == "src0", 4)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.max(priority).alias("priority"),
+    )
+    w_all = W.partitionBy()
+    raw = F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double")
+    eff = F.col("n_unique") / F.sum("n_unique").over(w_all).cast("double")
+    target = F.col("priority") / F.sum("priority").over(w_all).cast("double")
+    return (
+        per_src.select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.round(raw, 6).alias("raw_frac"),
+            F.round(eff, 6).alias("effective_frac"),
+            F.round(target, 6).alias("target_frac"),
+            F.round(target / raw, 4).alias("weight_raw"),
+            F.round(target / eff, 4).alias("weight_effective"),
+        )
+        .orderBy("source")
+    )

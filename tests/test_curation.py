@@ -321,3 +321,38 @@ def test_corpus_funnel_planted_stages(spark, tmp_path):
     assert r["n_clean"] == 1         # 4 is contaminated
     assert (r["n_train"], r["n_val"], r["n_test"]) == (1, 0, 0)
     assert r["n_tokens_clean"] == 25
+
+
+def test_dedup_aware_mixture_closed_form(spark, tmp_path):
+    """x6j on a handmade corpus: src0 has 10 docs but only 2 unique
+    texts, src2 has 10 all-unique docs. Raw shares treat them equally;
+    effective shares must shift weight onto the dup-heavy source
+    (weight_effective > weight_raw for src0, < for src2), with every
+    number matching the closed form."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6j_dedup_aware_mixture,
+    )
+
+    rows = [(i, f"dup {i % 2}", "en", "src0") for i in range(10)] + [
+        (100 + i, f"unique text {i}", "en", "src2") for i in range(10)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["source"]: r for r in x6j_dedup_aware_mixture(spark, sf_dir).collect()}
+    # priorities: src0=4, src2=1 -> targets 0.8 / 0.2
+    s0, s2 = got["src0"], got["src2"]
+    assert (s0["n_docs"], s0["n_unique"]) == (10, 2)
+    assert (s2["n_docs"], s2["n_unique"]) == (10, 10)
+    assert s0["raw_frac"] == 0.5 and s0["effective_frac"] == round(2 / 12, 6)
+    assert s0["weight_raw"] == round(0.8 / 0.5, 4)
+    assert s0["weight_effective"] == round(0.8 / (2 / 12), 4)
+    assert s2["weight_effective"] == round(0.2 / (10 / 12), 4)
+    assert s0["weight_effective"] > s0["weight_raw"]
+    assert s2["weight_effective"] < s2["weight_raw"]
