@@ -993,3 +993,53 @@ def x4m_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# X4e2 — language-ID confusion matrix -----------------------------------------
+#
+# The evaluation every classifier in the pipeline owes its operators:
+# how does the x4e marker heuristic's guess line up against the labeled
+# lang? One row per (labeled, guessed) cell with count and the labeled
+# language's recall share — the table that decides whether the
+# heuristic is good enough to gate training data, and per-language
+# where it fails. Composes the registered x4e verbatim (and the oracle
+# composes its generated SQL), so the audit tracks the classifier.
+
+_X4E2_ORACLE = f"""
+WITH pred AS ({_lang_id_oracle()})
+SELECT labeled_lang, guessed_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang)
+             AS DOUBLE), 4) AS labeled_share
+FROM pred
+GROUP BY labeled_lang, guessed_lang
+ORDER BY labeled_lang, guessed_lang
+"""
+
+
+@register("x4e2_lang_confusion", oracle=_X4E2_ORACLE, tags=("X4",))
+def x4e2_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over x4e's predictions: per (labeled_lang,
+    guessed_lang) document count and the share of the labeled language
+    it represents (the diagonal cell's share IS per-language recall).
+    One aggregate over x4e's map-only scoring pass, then a window over
+    the languages^2-sized cell table — nothing here grows with the
+    corpus except the one count shuffle."""
+    from pyspark.sql import Window as W
+
+    pred = x4e_lang_id(spark, sf_dir).select("labeled_lang", "guessed_lang")
+    cells = pred.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(
+        W.partitionBy("labeled_lang")
+    ).cast("double")
+    return (
+        cells.select(
+            "labeled_lang",
+            "guessed_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(share, 4).alias("labeled_share"),
+        )
+        .orderBy("labeled_lang", "guessed_lang")
+    )

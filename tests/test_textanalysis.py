@@ -35,3 +35,38 @@ def test_source_vocab_overlap_closed_form(spark, tmp_path):
     assert (r["src_a"], r["src_b"]) == ("src0", "src1")
     assert (r["n_vocab_a"], r["n_vocab_b"], r["n_shared"]) == (4, 4, 2)
     assert r["jaccard"] == round(2 / 6, 4)
+
+
+def test_lang_confusion_closed_form(spark, tmp_path):
+    """x4e2 cells on a handmade corpus: 2 'en'-labeled docs guessed en,
+    1 'en'-labeled doc with French markers guessed fr, 1 'fr'-labeled
+    doc with no markers guessed und. labeled_share is exact per labeled
+    language; the en diagonal share (= recall) is 2/3."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4e2_lang_confusion,
+    )
+
+    rows = [
+        (1, "the cat and dog", "en", "s"),
+        (2, "house of the king", "en", "s"),
+        (3, "le chien et le chat", "en", "s"),   # mislabeled: french text
+        (4, "xyzzy plugh", "fr", "s"),           # no markers -> und
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["labeled_lang"], r["guessed_lang"]): (r["n_docs"], r["labeled_share"])
+        for r in x4e2_lang_confusion(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("en", "en"): (2, round(2 / 3, 4)),
+        ("en", "fr"): (1, round(1 / 3, 4)),
+        ("fr", "und"): (1, 1.0),
+    }, got
