@@ -363,3 +363,89 @@ def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the physical plan has no Exchange below the SortMergeJoin."""
     j11_write_bucketed_tables(spark, sf_dir)
     return j11_join_bucketed(spark)
+
+
+# J12 — interval join via grid bucketing --------------------------------------
+#
+# The non-equi join J7 can't scale: there, one side is O(1) rows and
+# broadcasts, so the inequality runs as a nested loop. When BOTH sides
+# are big (event windows x event instants), the nested loop is O(n*m)
+# and the broadcast impossible — the standard fix is a TIME GRID: chop
+# each interval into the fixed-width cells it covers, map each instant
+# to its one cell, equi-join on the cell id, and re-check the exact
+# predicate. The join becomes a plain shuffle equi-join (both sides
+# big, both partitioned by cell), cost ~ cells-per-interval x rows,
+# never all-pairs. Each qualifying (window, instant) pair meets in
+# exactly ONE cell (the instant's), so the grid introduces no
+# duplicates and needs no dedup pass. The oracle deliberately uses the
+# naive range join — agreement IS the proof that the grid rewrite is
+# semantics-preserving.
+
+_J12_WINDOW_US = 300_000_000  # 5-minute windows on a 5-minute grid
+
+_J12_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+a AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS s_us
+  FROM e WHERE event_type = 'error'
+),
+b AS (
+  SELECT event_id AS click_id, epoch_us(ts) AS c_us
+  FROM e WHERE event_type = 'click'
+),
+joined AS (
+  SELECT a.err_id, b.c_us - a.s_us AS gap_us
+  FROM a JOIN b ON b.c_us >= a.s_us AND b.c_us < a.s_us + {_J12_WINDOW_US}
+)
+SELECT err_id,
+       CAST(count(*) AS BIGINT)        AS n_clicks,
+       round(min(gap_us) / 1e6, 3)     AS first_click_gap_sec
+FROM joined
+GROUP BY err_id
+ORDER BY err_id
+"""
+
+
+@register("j12_interval_grid_join", oracle=_J12_ORACLE, tags=("J7", "J12"))
+def j12_interval_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside the 5-minute window after each error event,
+    joined on a time grid: windows explode to their (at most two)
+    covering cells, instants map to their one cell, and the join is a
+    pure equi-join on the cell id with the exact range predicate
+    re-checked after — the scalable form of a both-sides-big interval
+    join (plan-gated: no nested loop, no cartesian). Cell math is
+    integer (``DIV``) on unix microseconds, so no float boundary can
+    misplace an event; windows with zero clicks are absent by
+    convention on both sides."""
+    e = Catalog(spark, sf_dir).events.select("event_id", "ts", "event_type")
+    g = _J12_WINDOW_US
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("s_us")
+    )
+    a_cells = a.select(
+        "err_id",
+        "s_us",
+        F.explode(
+            F.expr(f"sequence(s_us DIV {g}, (s_us + {g} - 1) DIV {g})")
+        ).alias("cell"),
+    )
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) DIV {g}").alias("cell"),
+    )
+    joined = a_cells.join(b, "cell").filter(
+        (F.col("c_us") >= F.col("s_us")) & (F.col("c_us") < F.col("s_us") + g)
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.min(F.col("c_us") - F.col("s_us")) / 1e6, 3).alias(
+                "first_click_gap_sec"
+            ),
+        )
+        .orderBy("err_id")
+    )

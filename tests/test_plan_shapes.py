@@ -193,3 +193,12 @@ def test_threshold_sweep_scans_documents_once(spark):
     plan = _plan(spark, "x2m_threshold_sweep")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
+
+
+def test_interval_grid_join_is_equi_not_nested_loop(spark):
+    """j12's reason to exist: the both-sides-big interval join must plan
+    as a hash/merge EQUI-join on the grid cell — a nested loop or
+    cartesian means the grid rewrite regressed to all-pairs."""
+    plan = _plan(spark, "j12_interval_grid_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -524,3 +524,46 @@ def test_quality_deciles_partition_the_corpus(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a["min_score"] >= b["max_score"]  # descending, non-overlapping
+
+
+def test_interval_grid_join_boundary_law(spark, tmp_path):
+    """j12 on handmade events: an error at t0=1000s (window [1000,1300),
+    spanning grid cells 3 and 4) catches clicks at +10s and +299.999999s
+    but NOT at +300s (exclusive end), not before t0, and a clickless
+    error window is absent. The +299.999999s click lives in the window's
+    SECOND grid cell — reaching it proves the window exploded to both
+    cells."""
+    import datetime
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.joins import (
+        j12_interval_grid_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, at(1000), 1, "error", 0.0, "{}"),
+        (2, at(1010), 1, "click", 0.0, "{}"),          # +10s: in
+        (3, at(1299.999999), 1, "click", 0.0, "{}"),   # cell 4, in
+        (4, at(1300), 1, "click", 0.0, "{}"),          # +300s: out
+        (5, at(999), 1, "click", 0.0, "{}"),           # before: out
+        (6, at(5000), 1, "error", 0.0, "{}"),          # no clicks: absent
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = j12_interval_grid_join(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["err_id"] == 1
+    assert r["n_clicks"] == 2
+    assert r["first_click_gap_sec"] == 10.0
