@@ -427,3 +427,62 @@ def a10_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skewness_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurtosis_qty"),
     )
+
+
+# A12 — mergeable-sketch rollup (HLL union across groups) ---------------------
+
+_A12_ORACLE = """
+WITH per AS (
+  SELECT event_type AS grp, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT 'TOTAL' AS grp, count(DISTINCT user_id) AS exact_users FROM events
+)
+SELECT grp, exact_users, TRUE AS within_bound
+FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+ORDER BY grp
+"""
+
+
+@register("a12_hll_sketch_rollup", oracle=_A12_ORACLE, tags=("A4",))
+def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches THE 100 TB distinct-count
+    answer, exercised explicitly: per-group Datasketches HLL sketches
+    (``hll_sketch_agg``) are MERGED with ``hll_union_agg`` into the
+    global estimate — no rescan of the data, the two-level aggregation
+    a 1000-executor rollup performs. Emits each group's exact count
+    plus a boolean asserting the (per-group AND merged) estimates sit
+    within the sketch error bound, the a4 oracle contract; the exact
+    legs exist only as oracle scaffolding — production keeps the
+    sketch path alone (one scan, mergeable partials)."""
+    ev = Catalog(spark, sf_dir).events
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.1 * exact
+    )
+    per_rows = per.select(
+        F.col("event_type").alias("grp"),
+        "exact_users",
+        bound(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    total_exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    total_row = (
+        merged.crossJoin(total_exact)
+        .select(
+            F.lit("TOTAL").alias("grp"),
+            "exact_users",
+            bound(
+                F.hll_sketch_estimate("sk"), F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+    return per_rows.unionAll(total_row).orderBy("grp")

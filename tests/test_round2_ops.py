@@ -567,3 +567,42 @@ def test_interval_grid_join_boundary_law(spark, tmp_path):
     assert r["err_id"] == 1
     assert r["n_clicks"] == 2
     assert r["first_click_gap_sec"] == 10.0
+
+
+def test_hll_sketch_rollup_merge_law(spark, tmp_path):
+    """a12 on handmade events: exact per-type and TOTAL distinct counts
+    are known (overlapping user sets, so the total is NOT the sum of
+    per-type counts — merging sketches must deduplicate across groups),
+    and every bound boolean holds at these tiny cardinalities where the
+    sketch is near-exact."""
+    import datetime
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a12_hll_sketch_rollup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # clicks from users 0-9; errors from users 5-14 -> total distinct 15
+    for i in range(10):
+        rows.append((i, base, i, "click", 0.0, "{}"))
+    for i in range(10):
+        rows.append((100 + i, base, 5 + i, "error", 0.0, "{}"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["grp"]: (r["exact_users"], r["within_bound"])
+        for r in a12_hll_sketch_rollup(spark, sf_dir).collect()
+    }
+    assert got == {
+        "click": (10, True),
+        "error": (10, True),
+        "TOTAL": (15, True),
+    }, got
