@@ -768,17 +768,11 @@ def _md5_shingle_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sh, sigs
 
 
-@register("x2g_minhash_full_oracle", oracle=_X2G_ORACLE, tags=("X2",))
-def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup with EVERY stage exact-value oracle-checked
-    (8 md5-derived permutation hashes, 4 bands of 2). Same physical shape
-    as the xxhash64 flagship: shingle explode + map-side partial min-agg
-    (shuffle carries 8 longs per doc, never shingles), band-hash bucket
-    self-join (never all-pairs). Restricted to doc_id < 200 so the DuckDB
-    twin (which must brute-force the same 8 md5s per shingle) stays cheap;
-    the Spark side's shape is the 100 TB one."""
-    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
-    _, sigs = _md5_shingle_signatures(docs)
+def _md5_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from md5 signature columns —
+    THE single banding law shared by the x2g self-join and the x2n
+    batch-vs-corpus index probe, so the two sides of an incremental
+    probe can never band differently."""
     rows_per_band = _X2G_HASHES // _X2G_BANDS
     band_hashes = F.array(
         *[
@@ -794,9 +788,23 @@ def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_X2G_BANDS)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+
+
+@register("x2g_minhash_full_oracle", oracle=_X2G_ORACLE, tags=("X2",))
+def x2g_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with EVERY stage exact-value oracle-checked
+    (8 md5-derived permutation hashes, 4 bands of 2). Same physical shape
+    as the xxhash64 flagship: shingle explode + map-side partial min-agg
+    (shuffle carries 8 longs per doc, never shingles), band-hash bucket
+    self-join (never all-pairs). Restricted to doc_id < 200 so the DuckDB
+    twin (which must brute-force the same 8 md5s per shingle) stays cheap;
+    the Spark side's shape is the 100 TB one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    _, sigs = _md5_shingle_signatures(docs)
+    banded = _md5_banded(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -1534,4 +1542,154 @@ def x2m_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
         .orderBy("threshold")
+    )
+
+
+# X2n — incremental NEAR dedup (new batch vs corpus LSH index) ----------------
+#
+# x1b's admission test for near-duplicates: a new batch is screened
+# against the EXISTING corpus without ever joining corpus-vs-corpus —
+# batch band hashes probe the corpus band index (an equi-join whose
+# left side is batch-sized), candidates are scored by signature-
+# estimate Jaccard, and a batch doc is admitted only when no corpus
+# neighbor reaches the threshold. Same md5 signature/banding law as
+# x2g (shared single-site helpers), so the index and the probe can
+# never disagree. At 100 TB the corpus band index and signatures are
+# precomputed artifacts (built once at ingest, the x1b fingerprint
+# analog); recomputing them here keeps the registry query
+# self-contained.
+
+_X2N_THRESHOLD = 0.5
+
+
+def _x2n_sigs_sql(pred: str) -> str:
+    mins = ",\n         ".join(
+        f"min(CAST('0x' || substr(md5('{s}:' || shingle), 1, 15) AS BIGINT)) AS mh_{s}"
+        for s in range(_X2G_HASHES)
+    )
+    return f"""
+  SELECT doc_id,
+         {mins}
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE doc_id < 200 AND {pred})
+  ) GROUP BY doc_id"""
+
+
+def _x2n_banded_sql(name: str) -> str:
+    rows_per_band = _X2G_HASHES // _X2G_BANDS
+    parts = []
+    for b in range(_X2G_BANDS):
+        cols = " || ':' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"CAST('0x' || substr(md5({cols}), 1, 15) AS BIGINT) AS band_hash "
+            f"FROM {name}"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+_X2N_MATCHES = " + ".join(
+    f"CAST(sb.mh_{s} = sc.mh_{s} AS INT)" for s in range(_X2G_HASHES)
+)
+
+_X2N_ORACLE = f"""
+WITH sigs_c AS ({_x2n_sigs_sql("doc_id % 10 <> 0")}),
+sigs_b AS ({_x2n_sigs_sql("doc_id % 10 = 0")}),
+banded_c AS ({_x2n_banded_sql("sigs_c")}),
+banded_b AS ({_x2n_banded_sql("sigs_b")}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM banded_b b JOIN banded_c c
+    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+),
+scored AS (
+  SELECT cand.batch_id, round(({_X2N_MATCHES}) / {_X2G_HASHES}.0, 4) AS est
+  FROM cand
+  JOIN sigs_b sb ON cand.batch_id = sb.doc_id
+  JOIN sigs_c sc ON cand.corpus_id = sc.doc_id
+),
+agg AS (
+  SELECT batch_id, count(*) AS n_candidates, max(est) AS max_est
+  FROM scored GROUP BY batch_id
+)
+SELECT s.doc_id AS batch_doc_id,
+       CAST(coalesce(a.n_candidates, 0) AS BIGINT)          AS n_candidates,
+       round(coalesce(a.max_est, 0.0), 4)                   AS max_est_jaccard,
+       (a.max_est IS NULL OR a.max_est < {_X2N_THRESHOLD})  AS admit
+FROM sigs_b s LEFT JOIN agg a ON s.doc_id = a.batch_id
+ORDER BY batch_doc_id
+"""
+
+
+@register("x2n_incremental_near_dedup", oracle=_X2N_ORACLE, tags=("X2", "X1"))
+def x2n_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission report for a new batch against the corpus LSH index:
+    per batch doc, its banding candidate count, the best signature-
+    estimate Jaccard against any corpus doc, and the admit verdict
+    (no neighbor at est >= 0.5). The batch side probes the corpus band
+    index with a plain equi-join — the corpus NEVER self-joins and the
+    join's output is candidate pairs, ~batch-sized by LSH design.
+    Batch docs too short to shingle (< 3 tokens) have no signature and
+    are out of scope on both engines (the sigs roster)."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    _, sigs_c = _md5_shingle_signatures(docs.filter(F.col("doc_id") % 10 != 0))
+    _, sigs_b = _md5_shingle_signatures(docs.filter(F.col("doc_id") % 10 == 0))
+    cand = (
+        _md5_banded(sigs_b)
+        .withColumnRenamed("doc_id", "batch_id")
+        .join(
+            _md5_banded(sigs_c).withColumnRenamed("doc_id", "corpus_id"),
+            ["band_idx", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    sb = sigs_b.select(
+        F.col("doc_id").alias("batch_id"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_X2G_HASHES)],
+    )
+    sc_ = sigs_c.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh_{s}").alias(f"c_{s}") for s in range(_X2G_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"b_{s}") == F.col(f"c_{s}")).cast("int")
+        for s in range(_X2G_HASHES)
+    )
+    scored = (
+        cand.join(sb, "batch_id")
+        .join(sc_, "corpus_id")
+        .select(
+            "batch_id",
+            F.round(matches / float(_X2G_HASHES), 4).alias("est"),
+        )
+    )
+    agg = scored.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("est").alias("max_est"),
+    )
+    roster = sigs_b.select(F.col("doc_id").alias("batch_id"))
+    return (
+        roster.join(agg, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("batch_doc_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.round(F.coalesce(F.col("max_est"), F.lit(0.0)), 4).alias(
+                "max_est_jaccard"
+            ),
+            (
+                F.col("max_est").isNull()
+                | (F.col("max_est") < _X2N_THRESHOLD)
+            ).alias("admit"),
+        )
+        .orderBy("batch_doc_id")
     )

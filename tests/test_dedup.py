@@ -466,3 +466,39 @@ def test_threshold_sweep_closed_form(spark, tmp_path):
         0.8: (1, 2),
         0.9: (1, 2),
     }, got
+
+
+def test_incremental_near_dedup_admission(spark, tmp_path):
+    """x2n on a handmade corpus: a batch doc that duplicates a corpus
+    doc's text collides on every band (est 1.0) and is rejected; an
+    unrelated batch doc shares no shingles, finds no candidate, and is
+    admitted; a too-short batch doc (< 3 tokens) is out of scope."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2n_incremental_near_dedup,
+    )
+
+    t_corpus = "the quick brown fox jumps over the lazy dog tonight"
+    t_other = "completely different words about gardening and rare tulips"
+    rows = [
+        (1, t_corpus, "en", "s"),    # corpus (1 % 10 != 0)
+        (2, t_other + " extra", "en", "s"),
+        (10, t_corpus, "en", "s"),   # batch: duplicate of corpus doc 1
+        (20, "unrelated sentence mentioning spacecraft telemetry formats", "en", "s"),
+        (30, "too short", "en", "s"),  # < 3 tokens: no signature
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["batch_doc_id"]: r for r in x2n_incremental_near_dedup(spark, sf_dir).collect()}
+    assert sorted(got) == [10, 20]
+    dup, fresh = got[10], got[20]
+    assert dup["max_est_jaccard"] == 1.0 and dup["admit"] is False
+    assert dup["n_candidates"] >= 1
+    assert fresh["n_candidates"] == 0
+    assert fresh["max_est_jaccard"] == 0.0 and fresh["admit"] is True

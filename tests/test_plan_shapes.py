@@ -202,3 +202,11 @@ def test_interval_grid_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "j12_interval_grid_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_near_dedup_probes_index_never_self_joins(spark):
+    """x2n's scale claim: the batch probes the corpus band index via an
+    equi-join — no all-pairs structure anywhere."""
+    plan = _plan(spark, "x2n_incremental_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
