@@ -694,37 +694,55 @@ def _md5h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-_X2G_ORACLE = """
-WITH docs AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(t) - 2, 0) + 1),
-           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-  FROM docs
-),
-sigs AS (
+# DuckDB-side md5 signature/banding law, generated from the SAME
+# constants as the Spark helpers below and composed by BOTH the x2g
+# self-join oracle and the x2n index-probe oracle — one SQL site, so a
+# scheme change (hash count, shingle width, truncation, separator)
+# cannot leave one oracle behind.
+
+
+def _md5_sigs_sql(pred: str) -> str:
+    mins = ",\n         ".join(
+        f"min(CAST('0x' || substr(md5('{s}:' || shingle), 1, 15) AS BIGINT)) AS mh_{s}"
+        for s in range(_X2G_HASHES)
+    )
+    return f"""
   SELECT doc_id,
-         min(CAST('0x' || substr(md5('0:' || shingle), 1, 15) AS BIGINT)) AS mh_0,
-         min(CAST('0x' || substr(md5('1:' || shingle), 1, 15) AS BIGINT)) AS mh_1,
-         min(CAST('0x' || substr(md5('2:' || shingle), 1, 15) AS BIGINT)) AS mh_2,
-         min(CAST('0x' || substr(md5('3:' || shingle), 1, 15) AS BIGINT)) AS mh_3,
-         min(CAST('0x' || substr(md5('4:' || shingle), 1, 15) AS BIGINT)) AS mh_4,
-         min(CAST('0x' || substr(md5('5:' || shingle), 1, 15) AS BIGINT)) AS mh_5,
-         min(CAST('0x' || substr(md5('6:' || shingle), 1, 15) AS BIGINT)) AS mh_6,
-         min(CAST('0x' || substr(md5('7:' || shingle), 1, 15) AS BIGINT)) AS mh_7
-  FROM sh GROUP BY doc_id
-),
-banded AS (
-  SELECT doc_id, 0 AS band_idx, CAST('0x' || substr(md5(CAST(mh_0 AS VARCHAR) || ':' || CAST(mh_1 AS VARCHAR)), 1, 15) AS BIGINT) AS band_hash FROM sigs
-  UNION ALL
-  SELECT doc_id, 1, CAST('0x' || substr(md5(CAST(mh_2 AS VARCHAR) || ':' || CAST(mh_3 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
-  UNION ALL
-  SELECT doc_id, 2, CAST('0x' || substr(md5(CAST(mh_4 AS VARCHAR) || ':' || CAST(mh_5 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
-  UNION ALL
-  SELECT doc_id, 3, CAST('0x' || substr(md5(CAST(mh_6 AS VARCHAR) || ':' || CAST(mh_7 AS VARCHAR)), 1, 15) AS BIGINT) FROM sigs
-),
+         {mins}
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE doc_id < 200 AND {pred})
+  ) GROUP BY doc_id"""
+
+
+def _md5_banded_sql(name: str) -> str:
+    rows_per_band = _X2G_HASHES // _X2G_BANDS
+    parts = []
+    for b in range(_X2G_BANDS):
+        cols = " || ':' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"CAST('0x' || substr(md5({cols}), 1, 15) AS BIGINT) AS band_hash "
+            f"FROM {name}"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+def _md5_matches_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.mh_{s} = {b}.mh_{s} AS INT)" for s in range(_X2G_HASHES)
+    )
+
+
+_X2G_ORACLE = f"""
+WITH sigs AS ({_md5_sigs_sql("TRUE")}),
+banded AS ({_md5_banded_sql("sigs")}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a
@@ -733,11 +751,7 @@ pairs AS (
    AND a.doc_id < b.doc_id
 )
 SELECT p.id_a, p.id_b,
-       round((CAST(sa.mh_0 = sb.mh_0 AS INT) + CAST(sa.mh_1 = sb.mh_1 AS INT)
-            + CAST(sa.mh_2 = sb.mh_2 AS INT) + CAST(sa.mh_3 = sb.mh_3 AS INT)
-            + CAST(sa.mh_4 = sb.mh_4 AS INT) + CAST(sa.mh_5 = sb.mh_5 AS INT)
-            + CAST(sa.mh_6 = sb.mh_6 AS INT) + CAST(sa.mh_7 = sb.mh_7 AS INT)
-             ) / 8.0, 4) AS est_jaccard
+       round(({_md5_matches_sql("sa", "sb")}) / {_X2G_HASHES}.0, 4) AS est_jaccard
 FROM pairs p
 JOIN sigs sa ON p.id_a = sa.doc_id
 JOIN sigs sb ON p.id_b = sb.doc_id
@@ -1561,56 +1575,18 @@ def x2m_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X2N_THRESHOLD = 0.5
 
-
-def _x2n_sigs_sql(pred: str) -> str:
-    mins = ",\n         ".join(
-        f"min(CAST('0x' || substr(md5('{s}:' || shingle), 1, 15) AS BIGINT)) AS mh_{s}"
-        for s in range(_X2G_HASHES)
-    )
-    return f"""
-  SELECT doc_id,
-         {mins}
-  FROM (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, greatest(len(t) - 2, 0) + 1),
-             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-          WHERE doc_id < 200 AND {pred})
-  ) GROUP BY doc_id"""
-
-
-def _x2n_banded_sql(name: str) -> str:
-    rows_per_band = _X2G_HASHES // _X2G_BANDS
-    parts = []
-    for b in range(_X2G_BANDS):
-        cols = " || ':' || ".join(
-            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
-            for r in range(rows_per_band)
-        )
-        parts.append(
-            f"SELECT doc_id, {b} AS band_idx, "
-            f"CAST('0x' || substr(md5({cols}), 1, 15) AS BIGINT) AS band_hash "
-            f"FROM {name}"
-        )
-    return "\n  UNION ALL\n  ".join(parts)
-
-
-_X2N_MATCHES = " + ".join(
-    f"CAST(sb.mh_{s} = sc.mh_{s} AS INT)" for s in range(_X2G_HASHES)
-)
-
 _X2N_ORACLE = f"""
-WITH sigs_c AS ({_x2n_sigs_sql("doc_id % 10 <> 0")}),
-sigs_b AS ({_x2n_sigs_sql("doc_id % 10 = 0")}),
-banded_c AS ({_x2n_banded_sql("sigs_c")}),
-banded_b AS ({_x2n_banded_sql("sigs_b")}),
+WITH sigs_c AS ({_md5_sigs_sql("doc_id % 10 <> 0")}),
+sigs_b AS ({_md5_sigs_sql("doc_id % 10 = 0")}),
+banded_c AS ({_md5_banded_sql("sigs_c")}),
+banded_b AS ({_md5_banded_sql("sigs_b")}),
 cand AS (
   SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
   FROM banded_b b JOIN banded_c c
     ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
 ),
 scored AS (
-  SELECT cand.batch_id, round(({_X2N_MATCHES}) / {_X2G_HASHES}.0, 4) AS est
+  SELECT cand.batch_id, round(({_md5_matches_sql("sb", "sc")}) / {_X2G_HASHES}.0, 4) AS est
   FROM cand
   JOIN sigs_b sb ON cand.batch_id = sb.doc_id
   JOIN sigs_c sc ON cand.corpus_id = sc.doc_id
@@ -1637,7 +1613,13 @@ def x2n_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index with a plain equi-join — the corpus NEVER self-joins and the
     join's output is candidate pairs, ~batch-sized by LSH design.
     Batch docs too short to shingle (< 3 tokens) have no signature and
-    are out of scope on both engines (the sigs roster)."""
+    are out of scope on both engines (the sigs roster).
+
+    Two signature passes (corpus, batch) is deliberate: deriving both
+    as filters of ONE signature DataFrame would still plan the
+    shingle+min-agg subtree twice (two branches of a lazy lineage),
+    while costing the scans their pushed-down doc_id predicates — the
+    real single-pass fix at scale is the materialized index above."""
     docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
     _, sigs_c = _md5_shingle_signatures(docs.filter(F.col("doc_id") % 10 != 0))
     _, sigs_b = _md5_shingle_signatures(docs.filter(F.col("doc_id") % 10 == 0))

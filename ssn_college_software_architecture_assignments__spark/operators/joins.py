@@ -408,7 +408,7 @@ ORDER BY err_id
 """
 
 
-@register("j12_interval_grid_join", oracle=_J12_ORACLE, tags=("J7", "J12"))
+@register("j12_interval_grid_join", oracle=_J12_ORACLE, tags=("J7",))
 def j12_interval_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks landing inside the 5-minute window after each error event,
     joined on a time grid: windows explode to their (at most two)
