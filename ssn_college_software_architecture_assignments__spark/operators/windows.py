@@ -377,3 +377,81 @@ def w8_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("trail_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trail_1h_cnt"),
     )
+
+
+# W9 — rolling z-score anomaly detection --------------------------------------
+
+_W9_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+w AS (
+  SELECT user_id, event_id, value,
+         sum(value)         OVER fr AS s,
+         sum(value * value) OVER fr AS sq,
+         count(*)           OVER fr AS n
+  FROM t
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, event_id, value,
+         s / n                         AS mean,
+         (sq - s * s / n) / (n - 1)    AS var
+  FROM w WHERE n = 5
+)
+SELECT user_id, event_id, value,
+       round(mean, 4)                         AS baseline_mean,
+       round((value - mean) / sqrt(var), 2)   AS zscore
+FROM z
+WHERE var > 0 AND abs((value - mean) / sqrt(var)) > 2
+ORDER BY user_id, event_id
+"""
+
+
+@register("w9_rolling_zscore_anomaly", oracle=_W9_ORACLE, tags=("W3",))
+def w9_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly flags: each event's value is z-scored against
+    its OWN trailing baseline (the 5 prior events, current row
+    excluded) and reported when |z| > 2 — the streaming-adjacent outlier
+    screen a telemetry pipeline runs per entity.
+
+    Moments come from windowed sum and sum-of-squares, NOT the builtin
+    stddev: both engines then derive mean/variance from the same two
+    frame sums instead of each running its own (differently-ordered)
+    variance recurrence, keeping the oracle agreement at rounding
+    precision. One shuffle on user_id, one sort per partition; the
+    ROWS frame is O(1) state per row. Warm-up rows (< 5 priors) are
+    out of scope by the n = 5 guard; var = 0 baselines (constant
+    history) cannot flag."""
+    ev = Catalog(spark, sf_dir).events
+    t = ev.select("user_id", "event_id", "value", "ts")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    w = t.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum("value").over(fr).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(fr).alias("sq"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    ).filter(F.col("n") == 5)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.filter((var > 0) & (F.abs(z) > 2))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(mean, 4).alias("baseline_mean"),
+            F.round(z, 2).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -606,3 +606,43 @@ def test_hll_sketch_rollup_merge_law(spark, tmp_path):
         "error": (10, True),
         "TOTAL": (15, True),
     }, got
+
+
+def test_rolling_zscore_closed_form(spark, tmp_path):
+    """w9 on a handmade stream: 5 warm-up values {10,10,10,10,14} for
+    user 1, then a spike of 30 (z vs mean 10.8, var 3.2 -> z = 10.73,
+    flagged) and a normal 11 (z = 0.11, not flagged); the first five
+    rows lack a full baseline and are out of scope. A second user with
+    a CONSTANT history then any value must never flag (var = 0
+    guard)."""
+    import datetime
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w9_rolling_zscore_anomaly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    vals_u1 = [10.0, 10.0, 10.0, 10.0, 14.0, 30.0, 11.0]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals_u1)
+    ] + [
+        (100 + i, base + datetime.timedelta(minutes=i), 2, "view", 5.0, "{}")
+        for i in range(6)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = w9_rolling_zscore_anomaly(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_id"], r["event_id"]) == (1, 5)
+    # baseline: mean 10.8, sample var 3.2 -> z = (30 - 10.8)/sqrt(3.2)
+    assert r["baseline_mean"] == 10.8
+    assert r["zscore"] == round((30 - 10.8) / (3.2 ** 0.5), 2)
