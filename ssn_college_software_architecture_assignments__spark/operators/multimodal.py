@@ -1140,3 +1140,102 @@ def x5j_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(channel_stats_batch, IMG_CHANNEL_SCHEMA)
+
+
+# X5k — scene-change profile over the PPM video container ---------------------
+#
+# The keyframe/cut-detection pass a video curation pipeline runs first:
+# demux the container, normalize every frame to a common raster (the
+# x5g 8x6 nearest-neighbor law — consecutive frames may differ in
+# dims), and score each frame by mean absolute pixel difference against
+# its predecessor. High-diff frames are cuts/keyframes; near-zero runs
+# are static content a sampler can drop. Payloads, demux walk, parse,
+# and resample all reuse the module's existing single-site pieces.
+
+SCENE_SCHEMA = "doc_id long, frame_idx int, mean_abs_diff double"
+
+_X5K_ORACLE = """
+WITH frames AS (
+  SELECT d.doc_id, f.i AS frame_idx,
+         4 + (d.doc_id + f.i) % 13 AS w,
+         4 + (d.doc_id + f.i) % 7  AS h
+  FROM documents d,
+       LATERAL (SELECT unnest(range(2 + d.doc_id % 4)) AS i) f
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx, ty.i AS ty, tx.i AS tx, c.i AS c,
+         ((fr.doc_id + fr.frame_idx) * 31
+          + (((ty.i * fr.h) // 6) * fr.w + ((tx.i * fr.w) // 8)) * 3
+          + c.i) % 256 AS v
+  FROM frames fr,
+       LATERAL (SELECT unnest(range(6)) AS i) ty,
+       LATERAL (SELECT unnest(range(8)) AS i) tx,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+)
+SELECT a.doc_id,
+       CAST(a.frame_idx AS INT)        AS frame_idx,
+       round(avg(abs(a.v - b.v)), 4)   AS mean_abs_diff
+FROM px a JOIN px b
+  ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx - 1
+ AND a.ty = b.ty AND a.tx = b.tx AND a.c = b.c
+GROUP BY a.doc_id, a.frame_idx
+ORDER BY a.doc_id, frame_idx
+"""
+
+
+def scene_change_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Walk the concatenated-PPM container, resample every frame to the
+    8x6 target with the x5g floor-mapping law, and emit one row per
+    consecutive-frame pair with the mean absolute difference. Output is
+    frames-per-doc rows with three tiny columns regardless of frame
+    size — the bounded-output contract all X5 kernels keep."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "mean_abs_diff": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos = 0
+            resized = []
+            while pos < len(buf):
+                nl3 = buf.index(b"\n", buf.index(b"\n", buf.index(b"\n", pos) + 1) + 1)
+                w, h, raster = _parse_ppm_raster(
+                    buf[pos : nl3 + 1 + _frame_raster_len(buf, pos)]
+                )
+                img = raster.reshape(h, w, 3)
+                rows = (np.arange(6) * h) // 6
+                cols = (np.arange(8) * w) // 8
+                resized.append(img[rows][:, cols].astype(np.int64))
+                pos = nl3 + 1 + w * h * 3
+            for f in range(1, len(resized)):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(f)
+                out["mean_abs_diff"].append(
+                    round(float(np.abs(resized[f] - resized[f - 1]).mean()), 4)
+                )
+        yield pd.DataFrame(out)
+
+
+def _frame_raster_len(buf: bytes, pos: int) -> int:
+    """Byte length of the raster of the P6 frame starting at ``pos``
+    (from its own header), so the frame slice handed to the shared
+    parser is exactly one frame."""
+    nl1 = buf.index(b"\n", pos)
+    nl2 = buf.index(b"\n", nl1 + 1)
+    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+    return w * h * 3
+
+
+@register("x5k_scene_change", oracle=_X5K_ORACLE, tags=("X5",))
+def x5k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame scene-change scores over REAL demuxed PPM video
+    payloads: one Arrow-batched mapInPandas pass demuxes, resamples
+    each frame to the common 8x6 raster (frames differ in dims by
+    construction), and scores consecutive-frame mean absolute
+    difference. The oracle predicts every score arithmetically from
+    doc_id via the same floor-mapping resample law x5g pins."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_ppm_video_batch, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(scene_change_batch, SCENE_SCHEMA)

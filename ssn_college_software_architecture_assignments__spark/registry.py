@@ -72,7 +72,7 @@ _loaded = False
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
 # round. For round 7 (cohorts computed from CORRECTNESS_r01..r06): the
-# 36 never-evidenced r7 additions (tier 1 — the audit/report
+# 37 never-evidenced r7 additions (tier 1 — the audit/report
 # compositions, the PQ family through IVF-PQ, the corpus funnel, the
 # vocab overlap, the Q14/Q18/Q10/Q19 SQL shapes, the image/audio
 # profiles), the five rows-only ids (their weaker rows-only evidence is
@@ -122,6 +122,7 @@ _CHECK_PRIORITY = (
     "a12_hll_sketch_rollup",
     "x2n_incremental_near_dedup",
     "w9_rolling_zscore_anomaly",
+    "x5k_scene_change",
     # tier 1b: rows-only ids — refresh their row-count evidence (x2's
     # dates to r3, and its bucket-grouping rewrite lands this round)
     "x2_minhash_near_dedup",

@@ -422,3 +422,43 @@ def test_channel_stats_malformed_payload_yields_error_row():
     assert list(by_doc[2]["channel"]) == [0, 1, 2]
     assert set(by_doc[2]["stat_status"]) == {"ok"}
     assert list(by_doc[3]["channel"]) == [-1]
+
+
+def test_scene_change_matches_python_recount(spark, tmp_path):
+    """x5k law for doc_id 7 (5 frames): every consecutive-frame mean
+    abs diff matches an independent Python recount that resamples each
+    frame with the floor-mapping law and diffs the 8x6x3 rasters."""
+    import os
+
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        x5k_scene_change,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(7, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def resized(seed):
+        w, h = 4 + seed % 13, 4 + seed % 7
+        img = np.array(
+            [(seed * 31 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
+        ).reshape(h, w, 3)
+        rows = (np.arange(6) * h) // 6
+        cols = (np.arange(8) * w) // 8
+        return img[rows][:, cols]
+
+    n_frames = 2 + 7 % 4  # 5 frames, seeds 7..11
+    expect = {
+        f: round(float(np.abs(resized(7 + f) - resized(7 + f - 1)).mean()), 4)
+        for f in range(1, n_frames)
+    }
+    got = {
+        r["frame_idx"]: r["mean_abs_diff"]
+        for r in x5k_scene_change(spark, sf_dir).collect()
+    }
+    assert got == expect, (got, expect)
