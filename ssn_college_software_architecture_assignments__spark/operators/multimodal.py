@@ -1149,10 +1149,14 @@ def x5j_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x5g 8x6 nearest-neighbor law — consecutive frames may differ in
 # dims), and score each frame by mean absolute pixel difference against
 # its predecessor. High-diff frames are cuts/keyframes; near-zero runs
-# are static content a sampler can drop. Payloads, demux walk, parse,
-# and resample all reuse the module's existing single-site pieces.
+# are static content a sampler can drop. Payloads, the per-frame parse,
+# and the resample law reuse the module's single-site pieces; the
+# container walk (_iter_ppm_frames) scans each frame header once and
+# hands exact frame slices to the shared parser.
 
-SCENE_SCHEMA = "doc_id long, frame_idx int, mean_abs_diff double"
+SCENE_SCHEMA = (
+    "doc_id long, frame_idx int, mean_abs_diff double, scene_status string"
+)
 
 _X5K_ORACLE = """
 WITH frames AS (
@@ -1174,7 +1178,8 @@ px AS (
 )
 SELECT a.doc_id,
        CAST(a.frame_idx AS INT)        AS frame_idx,
-       round(avg(abs(a.v - b.v)), 4)   AS mean_abs_diff
+       round(avg(abs(a.v - b.v)), 4)   AS mean_abs_diff,
+       'ok'                            AS scene_status
 FROM px a JOIN px b
   ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx - 1
  AND a.ty = b.ty AND a.tx = b.tx AND a.c = b.c
@@ -1183,47 +1188,67 @@ ORDER BY a.doc_id, frame_idx
 """
 
 
+def _iter_ppm_frames(buf: bytes):
+    """Yield each P6 frame of a concatenated-PPM container as an exact
+    byte slice, scanning every frame header ONCE (three newline scans +
+    one dims parse per frame). Raises ValueError on any malformation —
+    the same contract as _parse_ppm_raster, so callers handle both with
+    one except clause."""
+    pos = 0
+    while pos < len(buf):
+        try:
+            nl1 = buf.index(b"\n", pos)
+            nl2 = buf.index(b"\n", nl1 + 1)
+            nl3 = buf.index(b"\n", nl2 + 1)
+        except ValueError as exc:  # no such newline: truncated header
+            raise ValueError("truncated header") from exc
+        w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+        end = nl3 + 1 + w * h * 3
+        if end > len(buf):
+            raise ValueError("truncated frame")
+        yield buf[pos:end]
+        pos = end
+
+
 def scene_change_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Walk the concatenated-PPM container, resample every frame to the
     8x6 target with the x5g floor-mapping law, and emit one row per
     consecutive-frame pair with the mean absolute difference. Output is
-    frames-per-doc rows with three tiny columns regardless of frame
-    size — the bounded-output contract all X5 kernels keep."""
+    frames-per-doc rows with tiny columns regardless of frame size —
+    the bounded-output contract all X5 kernels keep — and a malformed
+    payload yields ONE visible frame_idx=-1 error row (the module's
+    error-row convention), never a batch-killing exception."""
     import numpy as np
 
     for pdf in batches:
-        out = {"doc_id": [], "frame_idx": [], "mean_abs_diff": []}
+        out = {
+            "doc_id": [], "frame_idx": [], "mean_abs_diff": [],
+            "scene_status": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
-            pos = 0
-            resized = []
-            while pos < len(buf):
-                nl3 = buf.index(b"\n", buf.index(b"\n", buf.index(b"\n", pos) + 1) + 1)
-                w, h, raster = _parse_ppm_raster(
-                    buf[pos : nl3 + 1 + _frame_raster_len(buf, pos)]
-                )
-                img = raster.reshape(h, w, 3)
-                rows = (np.arange(6) * h) // 6
-                cols = (np.arange(8) * w) // 8
-                resized.append(img[rows][:, cols].astype(np.int64))
-                pos = nl3 + 1 + w * h * 3
+            try:
+                resized = []
+                for frame in _iter_ppm_frames(buf):
+                    w, h, raster = _parse_ppm_raster(frame)
+                    img = raster.reshape(h, w, 3)
+                    rows = (np.arange(6) * h) // 6
+                    cols = (np.arange(8) * w) // 8
+                    resized.append(img[rows][:, cols].astype(np.int64))
+            except ValueError as exc:
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(-1)
+                out["mean_abs_diff"].append(0.0)
+                out["scene_status"].append(f"error: {exc}")
+                continue
             for f in range(1, len(resized)):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(f)
                 out["mean_abs_diff"].append(
                     round(float(np.abs(resized[f] - resized[f - 1]).mean()), 4)
                 )
+                out["scene_status"].append("ok")
         yield pd.DataFrame(out)
-
-
-def _frame_raster_len(buf: bytes, pos: int) -> int:
-    """Byte length of the raster of the P6 frame starting at ``pos``
-    (from its own header), so the frame slice handed to the shared
-    parser is exactly one frame."""
-    nl1 = buf.index(b"\n", pos)
-    nl2 = buf.index(b"\n", nl1 + 1)
-    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-    return w * h * 3
 
 
 @register("x5k_scene_change", oracle=_X5K_ORACLE, tags=("X5",))

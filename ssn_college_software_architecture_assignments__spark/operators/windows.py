@@ -399,12 +399,21 @@ z AS (
          s / n                         AS mean,
          (sq - s * s / n) / (n - 1)    AS var
   FROM w WHERE n = 5
+),
+zz AS (
+  -- CASE guards the sqrt: a constant window's variance can round to a
+  -- tiny NEGATIVE float, and DuckDB errors on sqrt(<0); a bare
+  -- conjunction (var > 0 AND ... sqrt(var) ...) would depend on
+  -- unguaranteed AND evaluation order
+  SELECT user_id, event_id, value, mean,
+         CASE WHEN var > 0 THEN (value - mean) / sqrt(var) END AS zval
+  FROM z
 )
 SELECT user_id, event_id, value,
-       round(mean, 4)                         AS baseline_mean,
-       round((value - mean) / sqrt(var), 2)   AS zscore
-FROM z
-WHERE var > 0 AND abs((value - mean) / sqrt(var)) > 2
+       round(mean, 4) AS baseline_mean,
+       round(zval, 2) AS zscore
+FROM zz
+WHERE zval IS NOT NULL AND abs(zval) > 2
 ORDER BY user_id, event_id
 """
 

@@ -462,3 +462,30 @@ def test_scene_change_matches_python_recount(spark, tmp_path):
         for r in x5k_scene_change(spark, sf_dir).collect()
     }
     assert got == expect, (got, expect)
+
+
+def test_scene_change_malformed_payload_yields_error_row():
+    """Kernel contract: a malformed container (truncated header or
+    truncated frame bytes) produces one visible frame_idx=-1 error row
+    instead of killing the batch."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _ppm_video_bytes,
+        scene_change_batch,
+    )
+
+    good = _ppm_video_bytes(3)
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [b"P6\n4 4\n255", good, good[:-5]],
+        }
+    )
+    out = pd.concat(list(scene_change_batch(iter([batch]))))
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert list(by_doc[1]["frame_idx"]) == [-1]
+    assert by_doc[1]["scene_status"].iloc[0].startswith("error:")
+    assert set(by_doc[2]["scene_status"]) == {"ok"}
+    assert len(by_doc[2]) == (2 + 3 % 4) - 1
+    assert list(by_doc[3]["frame_idx"]) == [-1]

@@ -610,11 +610,12 @@ def test_hll_sketch_rollup_merge_law(spark, tmp_path):
 
 def test_rolling_zscore_closed_form(spark, tmp_path):
     """w9 on a handmade stream: 5 warm-up values {10,10,10,10,14} for
-    user 1, then a spike of 30 (z vs mean 10.8, var 3.2 -> z = 10.73,
-    flagged) and a normal 11 (z = 0.11, not flagged); the first five
-    rows lack a full baseline and are out of scope. A second user with
-    a CONSTANT history then any value must never flag (var = 0
-    guard)."""
+    user 1, then a spike of 30 (baseline mean 10.8, sample var 3.2 ->
+    z = 10.73, flagged) and an 11 whose own trailing window is
+    {10,10,10,14,30} (mean 14.8, var 75.2 -> z = -0.44, not flagged);
+    the first five rows lack a full baseline and are out of scope. A
+    second user with a CONSTANT history then any value must never flag
+    (var <= 0 guard)."""
     import datetime
     import os
 
