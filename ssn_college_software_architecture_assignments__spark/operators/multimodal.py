@@ -507,7 +507,10 @@ def _parse_ppm_raster(buf: bytes):
         raise ValueError("unsupported maxval")
     raster = np.frombuffer(parts[3], dtype=np.uint8)
     if raster.size != w * h * 3:
-        raise ValueError("truncated raster")
+        # distinguish short from oversized: trailing bytes usually mean a
+        # concatenated-frames payload fed to a single-image kernel
+        kind = "truncated" if raster.size < w * h * 3 else "oversized"
+        raise ValueError(f"{kind} raster: {raster.size} bytes != {w * h * 3}")
     return w, h, raster
 
 
@@ -981,10 +984,19 @@ def audio_rms_profile_batch(
                 # sum and cannot create a strict sign change), reshape
                 # to (n_windows, 80), reduce along axis 1.
                 n_win = -(-v.size // _AUDIO_WIN) if v.size else 0
+                if n_win == 0:
+                    # structurally valid WAV with an empty data chunk:
+                    # keep the one-visible-row-per-payload contract the
+                    # error path and the other X5 kernels hold
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(-1)
+                    out["win_n"].append(0)
+                    out["rms"].append(0.0)
+                    out["zero_crossings"].append(0)
+                    out["profile_status"].append("empty")
+                    continue
                 win_n = np.full(n_win, _AUDIO_WIN, dtype=np.int64)
-                if n_win:
-                    tail = v.size - (n_win - 1) * _AUDIO_WIN
-                    win_n[-1] = tail
+                win_n[-1] = v.size - (n_win - 1) * _AUDIO_WIN
                 padded = np.zeros(n_win * _AUDIO_WIN, dtype=np.int64)
                 padded[: v.size] = v
                 w = padded.reshape(n_win, _AUDIO_WIN)

@@ -193,9 +193,9 @@ def test_per_source_sample_is_stable_under_growth(spark, tmp_path):
 
 
 def test_packing_efficiency_closed_form(spark, tmp_path):
-    """x6h on handmade docs: one source packs exactly two chunks — a
-    full 2048 chunk and an overflowing one (doc starts at offset 2048+
-    ... no: starts inside, runs past) — checked against hand-computed
+    """x6h on handmade docs: one source packs exactly two chunks — an
+    overflowing first chunk (doc3 starts inside the 2048 budget and runs
+    past it) and a nearly-empty second — checked against hand-computed
     fills."""
     import os
 
@@ -206,10 +206,10 @@ def test_packing_efficiency_closed_form(spark, tmp_path):
     def words(n):
         return " ".join("w" for _ in range(n))
 
-    # doc order by doc_id: 1000, 1000, 1048 -> chunk0 holds all three?
-    # cum starts: 0, 1000, 2000 -> chunk0: docs 1,2 (fill 2000) + doc3
-    # starts at 2000 (<2048) so chunk0 fill = 3048 (overflow); doc4
-    # starts at 3048 -> chunk1, fill 100.
+    # doc lengths in doc_id order: 1000, 1000, 1048, 100. Cumulative
+    # start offsets: 0, 1000, 2000, 3048. A doc joins the chunk its
+    # start falls in, so doc3 (start 2000 < 2048) lands in chunk0 and
+    # overflows it to fill 3048; doc4 (start 3048) opens chunk1, fill 100.
     rows = [
         (1, words(1000), "sA"),
         (2, words(1000), "sA"),

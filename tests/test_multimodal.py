@@ -315,6 +315,53 @@ def test_audio_rms_profile_closed_form_and_error_row():
     assert err.iloc[0]["profile_status"].startswith("error:")
 
 
+def test_audio_profile_empty_data_chunk_emits_status_row():
+    """One-visible-row-per-payload contract: a structurally valid WAV
+    whose data chunk holds zero samples must surface as a single
+    'empty' status row, not silently vanish from the output."""
+    import struct
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        audio_rms_profile_batch,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    empty_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [empty_wav]})
+    out = pd.concat(list(audio_rms_profile_batch(iter([pdf]))))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["window_idx"], row["win_n"], row["profile_status"]) == (
+        -1,
+        0,
+        "empty",
+    )
+
+
+def test_ppm_parser_distinguishes_oversized_raster():
+    """Trailing bytes after w*h*3 (e.g. concatenated frames fed to a
+    single-image kernel) must report 'oversized', not 'truncated'."""
+    import numpy as np
+    import pytest
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _parse_ppm_raster,
+    )
+
+    raster = bytes(np.zeros(2 * 2 * 3, dtype=np.uint8))
+    good = b"P6\n2 2\n255\n" + raster
+    assert _parse_ppm_raster(good)[0:2] == (2, 2)
+    with pytest.raises(ValueError, match="oversized"):
+        _parse_ppm_raster(good + b"XTRA")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm_raster(good[:-2])
+
+
 def test_wav_parser_rejects_zero_channels_and_rate():
     """A structurally valid WAV declaring channels=0 or rate=0 must come
     back as an error row from BOTH wav kernels, never a
