@@ -860,12 +860,11 @@ def x4n_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, and score range — decile 1 is the best tenth, so "keep the top
     30% by quality" reads straight off the cumulative rows.
 
-    The unpartitioned ntile is the honest local form; at 100 TB the
-    same report computes WITHOUT a global sort from approx quantile
-    boundaries (A6's percentile_approx, mergeable sketches) + a map-only
-    bucket assignment — exact boundaries are not the point of a
-    threshold-selection report. The aggregate after the ntile carries
-    ten rows."""
+    The unpartitioned ntile is the honest local form (exact N/10 split
+    with doc_id tie-breaking needs the global total order); the
+    registered 100 TB twin is x4n2_quality_deciles_scalable (broadcast
+    quantile cutpoints, value-based deciles, no Window node,
+    plan-gated). The aggregate after the ntile carries ten rows."""
     q = x4c_quality_score(spark, sf_dir).select(
         "doc_id", "n_tokens", "distinct_ratio"
     )
@@ -876,6 +875,69 @@ def x4n_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         q.select("doc_id", "n_tokens", "distinct_ratio", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.min("distinct_ratio"), 4).alias("min_score"),
+            F.round(F.max("distinct_ratio"), 4).alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+# X4n2 — scale-safe quality deciles (no Window node) --------------------------
+#
+# x4n's 100 TB form, as its docstring promises: decile boundaries from
+# broadcast quantile cutpoints (functions.bucketing) instead of a
+# single-partition ntile(10). Value-based law: deciles come from the
+# score DISTRIBUTION (ties share a decile; counts near-N/10, not
+# exactly N/10) — the honest distributed semantics for a
+# threshold-selection report. Decile 1 is still the best tenth:
+# ascending cutpoints at p=0.1..0.9, then decile = 11 - ascending
+# bucket.
+
+_X4N2_PROBS = tuple(k / 10 for k in range(1, 10))
+
+
+def _x4n2_oracle() -> str:
+    from ..functions.bucketing import bucket_sql, cuts_sql
+
+    return f"""
+WITH q AS ({_X4C_ORACLE}),
+cuts AS (SELECT {cuts_sql('distinct_ratio', _X4N2_PROBS)} AS cuts FROM q),
+d AS (
+  SELECT n_tokens, distinct_ratio,
+         11 - {bucket_sql('distinct_ratio')} AS decile
+  FROM q, cuts
+)
+SELECT CAST(decile AS INT)                       AS decile,
+       count(*)                                  AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)             AS total_tokens,
+       round(min(distinct_ratio), 4)             AS min_score,
+       round(max(distinct_ratio), 4)             AS max_score
+FROM d
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("x4n2_quality_deciles_scalable", oracle=_x4n2_oracle(), tags=("X4",))
+def x4n2_quality_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile stratification with NO global window: nine
+    quantile cutpoints of x4c's distinct_ratio in one aggregate,
+    broadcast back, map-side decile assignment, ten-row report. The
+    score subtree is planned twice (cutpoints + assignment) — at scale a
+    pipeline persists the score column between the passes; what this
+    entry pins is the shuffle-free SHAPE (plan-gated: no Window node)."""
+    from ..functions.bucketing import with_range_bucket
+
+    q = x4c_quality_score(spark, sf_dir).select(
+        "n_tokens", "distinct_ratio"
+    )
+    d = with_range_bucket(q, "distinct_ratio", _X4N2_PROBS, out="asc_bucket")
+    return (
+        d.withColumn("decile", (F.lit(11) - F.col("asc_bucket")).cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

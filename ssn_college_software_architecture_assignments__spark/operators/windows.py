@@ -140,8 +140,9 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 @register("w4_ntile_percent_rank", oracle=_W4_ORACLE, tags=("W4",))
 def w4_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global distribution bucketing. Deliberately a single-partition
-    window here; the 100 TB variant buckets via approx quantile cutpoints
-    broadcast back (no global sort)."""
+    window here — the exact ntile/rank law needs the global total order;
+    the registered 100 TB twin is w4b_quartile_cutpoints (broadcast
+    quantile cutpoints, no Window node, plan-gated)."""
     orders = Catalog(spark, sf_dir).orders
     w = W.orderBy("o_totalprice", "o_orderkey")
     return orders.select(
@@ -150,6 +151,44 @@ def w4_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# W4b — scale-safe quartile bucketing (no Window node) -----------------------
+#
+# The twin W4's docstring promises: quartile assignment from broadcast
+# quantile cutpoints instead of a single-partition ntile. Value-based
+# law (ties share a bucket; per-bucket counts are near-N/4, not exactly
+# N/4) — the HONEST distributed semantics, since splitting equal values
+# across buckets requires a global total order. The full per-order
+# assignment is oracle-checked row-for-row, which transitively proves
+# cutpoint equality between the engines.
+
+_W4B_PROBS = (0.25, 0.5, 0.75)
+
+
+def _w4b_oracle() -> str:
+    from ..functions.bucketing import bucket_sql, cuts_sql
+
+    return f"""
+WITH cuts AS (SELECT {cuts_sql('o_totalprice', _W4B_PROBS)} AS cuts FROM orders)
+SELECT o_orderkey, {bucket_sql('o_totalprice')} AS quartile
+FROM orders, cuts
+"""
+
+
+@register("w4b_quartile_cutpoints", oracle=_w4b_oracle(), tags=("W4",))
+def w4b_quartile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4's 100 TB form: one aggregate computes the exact-at-this-scale
+    quartile cutpoints (``functions.bucketing``: percentile_approx with
+    rank error < 1 row == DuckDB quantile_disc), broadcasts the 1-row
+    fold, and assigns buckets map-side — NO Window node anywhere in the
+    plan (plan-gated), so no single-reducer sort of the orders table."""
+    from ..functions.bucketing import with_range_bucket
+
+    orders = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+    return with_range_bucket(
+        orders, "o_totalprice", _W4B_PROBS, out="quartile"
+    ).select("o_orderkey", "quartile")
 
 
 # W5 — first / last value ------------------------------------------------------------------

@@ -71,75 +71,29 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 7 (cohorts computed from CORRECTNESS_r01..r06): the
-# 37 never-evidenced r7 additions (tier 1 — the audit/report
-# compositions, the PQ family through IVF-PQ, the corpus funnel, the
-# vocab overlap, the Q14/Q18/Q10/Q19 SQL shapes, the image/audio
-# profiles), the five rows-only ids (their weaker rows-only evidence is
-# stalest of all — x2's row is r3; this round also rewrote x2's pair
-# expansion), the 39-id cohort whose newest driver row is r4, and the
-# queries whose source the r7 changes touch (asof tiebreak validation
-# -> j8; demux dispatch guard -> x5c; page-mode advisory-total -> the
-# REST readers). Everything with r5/r6 evidence sits below the line,
-# stalest first. Names missing from the registry are ignored, and
+# round. For round 8 (cohorts computed from CORRECTNESS_r01..r07): the
+# round-8 additions (tier 1), the 27-id cohort whose newest driver row
+# is r4 (tier 2 — r7's VERDICT queued them explicitly), the queries
+# whose source the round-8 changes touch (tier 3 — the PPM raster
+# message, the audio empty-row contract, the twins' originals), and
+# the r7 tier-1d/1e ids that missed that round's 50-slot budget plus
+# the stalest r5 ids (tier 4). Everything else sits below the line,
+# stalest evidence first. Names missing from the registry are ignored, and
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: new in round 7 — no driver evidence exists at all
-    "a11b_cdc_rollup_compose",
-    "x6d2_decontamination_normalized",
-    "x2i_lsh_exact_rescore",
-    "x4j_unigram_logprob",
-    "x4k_tfidf",
-    "x4l_trigram_stats",
-    "x6e_mixture_reweight",
-    "x6f_length_histogram",
-    "x6g_per_source_sample",
-    "x2j_semantic_dedup",
-    "x3h_ann_recall_eval",
-    "e2_sql_large_quantity",
-    "x1c_dedup_rate_by_source",
-    "w8_time_range_window",
-    "x3i_dim_truncation_recall",
-    "x5i_audio_rms_profile",
-    "x6h_packing_efficiency",
-    "x2k_quality_dedup_manifest",
-    "x4n_quality_deciles",
-    "e2_sql_returned_revenue",
-    "x3j_pq_codes",
-    "x3k_pq_adc_topk",
-    "x3l_pq_recall",
-    "x6i_corpus_funnel",
-    "x4m_source_vocab_overlap",
-    "e2_sql_promo_revenue",
-    "e2_sql_bracket_revenue",
-    "x5j_image_channel_stats",
-    "x3m_pq_ivf_search",
-    "x2m_threshold_sweep",
-    "x6j_dedup_aware_mixture",
-    "x4e2_lang_confusion",
-    "j12_interval_grid_join",
-    "a12_hll_sketch_rollup",
-    "x2n_incremental_near_dedup",
-    "w9_rolling_zscore_anomaly",
-    "x5k_scene_change",
-    # tier 1b: rows-only ids — refresh their row-count evidence (x2's
-    # dates to r3, and its bucket-grouping rewrite lands this round)
-    "x2_minhash_near_dedup",
-    "x2b_simhash",
-    "x2b2_simhash_pairs",
-    "x2f_embedding_neardup_lsh",
-    "x3b_similarity_lsh",
-    # tier 1c: newest driver row is r4 — family representatives first so
-    # a shorter-than-50 walk still samples every family
-    "e1_etl_connector",
-    "s8b_dq_report",
-    "s15_quarantine_split",
-    "s7b_document_sink",
-    "s7c_document_writer",
-    "e2_sql_shipping_priority",
-    "e2_sql_exists_priority",
-    "e2_sql_scalar_subquery",
+    # tier 1: new in round 8 — no driver evidence exists at all (the
+    # three scale-safe global-ranking twins, paragraph near-dedup, the
+    # incremental admission funnel, the Q21-shape SQL entry; names
+    # registered later this round are ignored until they exist)
+    "w4b_quartile_cutpoints",
+    "x4n2_quality_deciles_scalable",
+    "s16b_zorder_layout_scalable",
+    "x2p_paragraph_near_dedup",
+    "x6k_incremental_admission_funnel",
+    "e2_sql_waiting_orders",
+    # tier 2: the 27-id cohort whose newest driver row is r4 — queued
+    # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",
     "t7_incremental_sink",
     "t8_stream_static_join",
@@ -167,20 +121,29 @@ _CHECK_PRIORITY = (
     "x6b_sequence_packing",
     "x6c_mixture_sample",
     "x6d_decontamination",
-    # tier 1d: source touched by round-7 changes — re-prove under new code
-    "j8_asof_join",
+    # tier 3: source touched by round-8 changes (PPM parser message,
+    # audio empty-row contract, twin-pointer docstrings) — re-prove
+    "x5i_audio_rms_profile",
+    "x5e_ppm_decode",
+    "x5j_image_channel_stats",
+    "x5k_scene_change",
     "x5c_frame_sample",
+    "w4_ntile_percent_rank",
+    "x4n_quality_deciles",
+    "s16_zorder_layout",
+    # tier 4: queued in r7's tier 1d/1e but missed the 50-slot budget,
+    # plus the stalest r5 ids — fills the ~50-slot line
+    "j8_asof_join",
     "s1_rest_source",
     "s2_paginated_read",
     "s2b_cursor_read",
     "s1b_rest_infer",
-    # tier 1e: stalest r5 ids fill the remaining slots
     "q1_pricing_summary",
     "j1_inner_equi_join",
-    # ---- ~50-query driver budget line ----
-    # below: last driver row in r5 — stalest first
     "j6_broadcast_join",
     "j10_salted_skew_join",
+    # ---- ~50-query driver budget line ----
+    # below: stalest first (r5 evidence, then r6, then r7-evidenced last)
     "w6_sessionize",
     "a2_groupby_agg",
     "o3_top_k_per_group",
@@ -205,7 +168,6 @@ _CHECK_PRIORITY = (
     "w1b_rank_dense_rank",
     "w2_lag_lead",
     "w3_running_agg",
-    "w4_ntile_percent_rank",
     "w5_first_last_value",
     "o1_order_by",
     "o2_limit_topn",
@@ -226,7 +188,6 @@ _CHECK_PRIORITY = (
     "f_hash_family",
     "f_conditional_family",
     "x1_exact_dedup",
-    # last driver row in r6 (freshest evidence)
     "s4_json_scan",
     "s10_upsert_latest_wins",
     "t1_tumbling_window",
@@ -248,7 +209,6 @@ _CHECK_PRIORITY = (
     "s12_compaction",
     "s13_schema_evolution",
     "s14_snapshot_diff",
-    "s16_zorder_layout",
     "a5_grouping_sets",
     "a6_percentile_approx",
     "a9_key_skew_profile",
@@ -265,13 +225,58 @@ _CHECK_PRIORITY = (
     "x3f_embedding_quantize",
     "x3g_similarity_quantized",
     "x4i_repetition_profile",
-    "x5e_ppm_decode",
     "x5f_wav_decode",
     "s1c_rest_env_auth",
     "s1d_oauth_refresh",
     "s2c_link_header_read",
     "s3_rate_limited_read",
     "s9b_rest_stream",
+    "a11b_cdc_rollup_compose",
+    "x6d2_decontamination_normalized",
+    "x2i_lsh_exact_rescore",
+    "x4j_unigram_logprob",
+    "x4k_tfidf",
+    "x4l_trigram_stats",
+    "x6e_mixture_reweight",
+    "x6f_length_histogram",
+    "x6g_per_source_sample",
+    "x2j_semantic_dedup",
+    "x3h_ann_recall_eval",
+    "e2_sql_large_quantity",
+    "x1c_dedup_rate_by_source",
+    "w8_time_range_window",
+    "x3i_dim_truncation_recall",
+    "x6h_packing_efficiency",
+    "x2k_quality_dedup_manifest",
+    "e2_sql_returned_revenue",
+    "x3j_pq_codes",
+    "x3k_pq_adc_topk",
+    "x3l_pq_recall",
+    "x6i_corpus_funnel",
+    "x4m_source_vocab_overlap",
+    "e2_sql_promo_revenue",
+    "e2_sql_bracket_revenue",
+    "x3m_pq_ivf_search",
+    "x2m_threshold_sweep",
+    "x6j_dedup_aware_mixture",
+    "x4e2_lang_confusion",
+    "j12_interval_grid_join",
+    "a12_hll_sketch_rollup",
+    "x2n_incremental_near_dedup",
+    "w9_rolling_zscore_anomaly",
+    "x2_minhash_near_dedup",
+    "x2b_simhash",
+    "x2b2_simhash_pairs",
+    "x2f_embedding_neardup_lsh",
+    "x3b_similarity_lsh",
+    "e1_etl_connector",
+    "s8b_dq_report",
+    "s15_quarantine_split",
+    "s7b_document_sink",
+    "s7c_document_writer",
+    "e2_sql_shipping_priority",
+    "e2_sql_exists_priority",
+    "e2_sql_scalar_subquery",
 )
 
 

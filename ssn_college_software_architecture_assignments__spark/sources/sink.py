@@ -780,9 +780,9 @@ def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistics a scan consults to prune files on either predicate.
     The JVM-side key is a 16-term codegen'd integer expression. Locally
     the file cut uses one global row_number for a deterministic oracle;
-    at 100 TB the same layout comes from ``repartitionByRange(morton)``
-    + ``sortWithinPartitions``, which clusters identically with no
-    global window (noted vs `spark.write.option("maxRecordsPerFile")`)."""
+    the registered 100 TB twin is s16b_zorder_layout_scalable
+    (range-bucketed ranking + prefix offsets — provably identical file
+    ids, same oracle, no single-partition window, plan-gated)."""
     events = Catalog(spark, sf_dir).events
     from pyspark.sql import Window as W
 
@@ -798,6 +798,89 @@ def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(W.orderBy("morton", "event_id")) - 1)
             / _S16_ROWS_PER_FILE
         ).cast("long").alias("file_id"),
+    )
+    return filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+# S16b — scale-safe z-order file assignment (no single-partition window) -----
+#
+# S16's 100 TB form, as its docstring promises: instead of one global
+# row_number over the morton order, cut the morton RANGE into buckets
+# from broadcast quantile cutpoints (functions.bucketing — the same
+# machinery as w4b), rank WITHIN buckets (a window partitioned 32 ways,
+# shuffle spread across the cluster), and stitch the global rank back
+# with per-bucket prefix offsets from a 32-row broadcast triangular
+# join. The final file ids are IDENTICAL to the global-row_number form
+# no matter where the bucket boundaries fall — equal mortons always
+# share a bucket (strict-> cutpoint law), so concatenating buckets in
+# id order reproduces the exact global (morton, event_id) order and the
+# offsets absorb all boundary placement — which is why this entry can
+# reuse S16's oracle verbatim. The bucketed subtree is planned twice
+# (ranking branch + bucket-count branch, each re-planning the cutpoint
+# aggregate — Catalyst does not share subtrees); a real relayout job
+# persists the 4-int-column bucketed projection between passes.
+
+_S16B_BUCKETS = 32  # cluster-parallelism knob; file ids are invariant to it
+
+
+@register("s16b_zorder_layout_scalable", oracle=_S16_ORACLE, tags=("S16",))
+def s16b_zorder_layout_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.bucketing import with_range_bucket
+
+    events = Catalog(spark, sf_dir).events
+    keyed = events.select(
+        "user_id",
+        (F.col("event_id") % 256).alias("y"),
+        "event_id",
+    ).withColumn("morton", _morton_terms("user_id", "y", sql=False))
+
+    probs = [k / _S16B_BUCKETS for k in range(1, _S16B_BUCKETS)]
+    b = with_range_bucket(keyed, "morton", probs, out="bucket")
+
+    ranked = b.withColumn(
+        "rn", F.row_number().over(W.partitionBy("bucket").orderBy("morton", "event_id"))
+    )
+
+    # Per-bucket prefix offsets as a single 1-row fold (the
+    # aggregations.py:479 idiom): collect the <=32 (bucket, cnt) rows
+    # into one sorted array, prefix-sum it with a HOF (O(B^2) on B<=32
+    # elements, driver never involved), explode back. One plan for the
+    # whole offsets side instead of a triangular self-join that would
+    # re-plan the counts subtree twice.
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    bc = counts.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("bc")
+    )
+    offsets = bc.select(
+        F.explode(
+            F.transform(
+                "bc",
+                lambda s, i: F.struct(
+                    s["bucket"].alias("bucket"),
+                    F.aggregate(
+                        F.slice("bc", F.lit(1), i),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["cnt"],
+                    ).alias("off"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.bucket", "o.off")
+
+    filed = ranked.join(F.broadcast(offsets), "bucket").select(
+        "user_id",
+        "y",
+        ((F.col("off") + F.col("rn") - 1) / _S16_ROWS_PER_FILE)
+        .cast("long")
+        .alias("file_id"),
     )
     return filed.groupBy("file_id").agg(
         F.count("*").alias("n_rows"),

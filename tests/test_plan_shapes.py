@@ -210,3 +210,58 @@ def test_incremental_near_dedup_probes_index_never_self_joins(spark):
     plan = _plan(spark, "x2n_incremental_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _global_window_args(plan: str) -> list[str]:
+    """Arguments lines of Window nodes with NO partition spec (the
+    single-partition scale-killer). A partitioned Window's Arguments has
+    three bracket groups ([exprs], [partition], [order]); a global one
+    has only two — verified on w4 (global) vs s16b/w1 (partitioned)."""
+    import re
+
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Window\b", line.strip()):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                s = lines[j].strip()
+                if s.startswith("Arguments:"):
+                    if len(s.split("], [")) < 3:
+                        bad.append(s)
+                    break
+    return bad
+
+
+def test_quartile_cutpoints_has_no_window_at_all(spark):
+    """w4b's reason to exist: quartile assignment from broadcast
+    quantile cutpoints — no Window node anywhere, cutpoint fold
+    broadcasts back."""
+    plan = _plan(spark, "w4b_quartile_cutpoints")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan, "cutpoint fold must broadcast"
+
+
+def test_quality_deciles_scalable_has_no_window_at_all(spark):
+    """x4n2: decile stratification without the global ntile — no Window
+    node anywhere in the plan."""
+    plan = _plan(spark, "x4n2_quality_deciles_scalable")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan, "cutpoint fold must broadcast"
+
+
+def test_zorder_scalable_never_windows_on_a_single_partition(spark):
+    """s16b: ranking happens INSIDE morton-range buckets — every Window
+    node must carry a partition spec (the global-sort form is exactly
+    what this twin replaces), and the offsets stitch must broadcast."""
+    plan = _plan(spark, "s16b_zorder_layout_scalable")
+    assert "Window" in plan, "bucket-local ranking should be a Window"
+    assert _global_window_args(plan) == []
+    assert "BroadcastExchange" in plan
+
+
+def test_global_window_detector_catches_w4(spark):
+    """Self-test of the detector: the deliberate single-partition w4
+    MUST trip it — if Spark's plan text format changes, this fails
+    first, not the real gates silently passing."""
+    plan = _plan(spark, "w4_ntile_percent_rank")
+    assert len(_global_window_args(plan)) == 1
