@@ -701,7 +701,10 @@ def _md5h60(col: Column) -> Column:
 # cannot leave one oracle behind.
 
 
-def _md5_sigs_sql(pred: str) -> str:
+def _md5_sigs_sql(pred: str, relation: str = "documents") -> str:
+    """``relation`` is any SQL relation exposing (doc_id, text) — the
+    documents table for x2g/x2n, the synthesized paragraph table
+    (para_id AS doc_id) for x2p."""
     mins = ",\n         ".join(
         f"min(CAST('0x' || substr(md5('{s}:' || shingle), 1, 15) AS BIGINT)) AS mh_{s}"
         for s in range(_X2G_HASHES)
@@ -713,8 +716,8 @@ def _md5_sigs_sql(pred: str) -> str:
     SELECT doc_id, unnest(list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),
              i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-          WHERE doc_id < 200 AND {pred})
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {relation}
+          WHERE {pred})
   ) GROUP BY doc_id"""
 
 
@@ -741,7 +744,7 @@ def _md5_matches_sql(a: str, b: str) -> str:
 
 
 _X2G_ORACLE = f"""
-WITH sigs AS ({_md5_sigs_sql("TRUE")}),
+WITH sigs AS ({_md5_sigs_sql("doc_id < 200")}),
 banded AS ({_md5_banded_sql("sigs")}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1576,8 +1579,8 @@ def x2m_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X2N_THRESHOLD = 0.5
 
 _X2N_ORACLE = f"""
-WITH sigs_c AS ({_md5_sigs_sql("doc_id % 10 <> 0")}),
-sigs_b AS ({_md5_sigs_sql("doc_id % 10 = 0")}),
+WITH sigs_c AS ({_md5_sigs_sql("doc_id < 200 AND doc_id % 10 <> 0")}),
+sigs_b AS ({_md5_sigs_sql("doc_id < 200 AND doc_id % 10 = 0")}),
 banded_c AS ({_md5_banded_sql("sigs_c")}),
 banded_b AS ({_md5_banded_sql("sigs_b")}),
 cand AS (
@@ -1674,4 +1677,188 @@ def x2n_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("admit"),
         )
         .orderBy("batch_doc_id")
+    )
+
+
+# X2p — paragraph-level near-dedup (boilerplate mass per source) ---------------
+#
+# The pass public LLM pipelines run BETWEEN exact dedup and doc-level
+# near-dedup: boilerplate (nav headers, license blocks, footers) repeats
+# across documents at paragraph granularity, invisible to whole-document
+# MinHash because the surrounding text differs. Explode documents into
+# paragraphs, MinHash-LSH each paragraph with THE shared md5-twin scheme
+# (_md5_shingle_signatures/_md5_banded — any change to hash count,
+# shingle width, or banding lands in one place for x2g/x2n/x2p alike),
+# keep cross-DOCUMENT candidate pairs only, and report per source how
+# much token mass sits in duplicated paragraphs — the number a curation
+# run uses to decide whether a source needs a boilerplate-strip pass.
+#
+# The fixture corpus has no newlines, so paragraphs are synthesized
+# deterministically in both engines: fixed 16-token chunks, with a
+# 16-token boilerplate header prepended to every 10th document (the
+# planted cross-document duplicate — exactly the nav-header shape).
+# Scale shape: identical to x2 — signatures via map-side partial min-agg
+# (the shuffle carries 8 longs per paragraph, never shingles), banding
+# equi-join never all-pairs (plan-gated), and the dup roster joins back
+# by paragraph id. Paragraph count is ~docs x 5, so every stage scales
+# linearly with corpus size.
+
+_X2P_WIDTH = 16
+_X2P_IDMUL = 64  # max paragraphs per doc (text <= 553 chars => < 64 chunks)
+_X2P_THRESHOLD = 0.5
+_X2P_BOILER = (
+    "nav home about contact privacy terms copyright all rights reserved "
+    "subscribe newsletter follow share login search"
+)
+
+_X2P_PARAS_SQL = f"""
+  SELECT doc_id, source, i AS para_idx,
+         doc_id * {_X2P_IDMUL} + i AS para_id,
+         array_to_string(t[i*{_X2P_WIDTH}+1 : i*{_X2P_WIDTH}+{_X2P_WIDTH}], ' ') AS text,
+         len(t[i*{_X2P_WIDTH}+1 : i*{_X2P_WIDTH}+{_X2P_WIDTH}]) AS n_tok
+  FROM (
+    SELECT doc_id, source,
+           string_split(CASE WHEN doc_id % 10 = 0
+                             THEN '{_X2P_BOILER} ' || text
+                             ELSE text END, ' ') AS t
+    FROM documents WHERE doc_id < 200
+  ), LATERAL (SELECT unnest(range(0, CAST(ceil(len(t) / {_X2P_WIDTH}.0) AS INT))) AS i)
+  WHERE len(t[i*{_X2P_WIDTH}+1 : i*{_X2P_WIDTH}+{_X2P_WIDTH}]) >= 3"""
+
+_X2P_ORACLE = f"""
+WITH paras AS ({_X2P_PARAS_SQL}),
+sigs AS ({_md5_sigs_sql("TRUE", "(SELECT para_id AS doc_id, text FROM paras)")}),
+banded AS ({_md5_banded_sql("sigs")}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+   AND a.doc_id // {_X2P_IDMUL} <> b.doc_id // {_X2P_IDMUL}
+),
+scored AS (
+  SELECT id_a, id_b
+  FROM pairs p
+  JOIN sigs sa ON p.id_a = sa.doc_id
+  JOIN sigs sb ON p.id_b = sb.doc_id
+  WHERE ({_md5_matches_sql("sa", "sb")}) / {_X2G_HASHES}.0 >= {_X2P_THRESHOLD}
+),
+dups AS (
+  SELECT DISTINCT pid FROM (
+    SELECT unnest([id_a, id_b]) AS pid FROM scored
+  )
+)
+SELECT p.source,
+       count(*)                                             AS n_paras,
+       CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_dup_paras,
+       round(CAST(sum(CASE WHEN d.pid IS NOT NULL THEN p.n_tok ELSE 0 END) AS DOUBLE)
+             / CAST(sum(p.n_tok) AS DOUBLE), 4)             AS dup_token_frac
+FROM paras p LEFT JOIN dups d ON p.para_id = d.pid
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+def _x2p_paragraphs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, para_idx, para_id, text, n_tok) — deterministic
+    16-token chunking with the planted boilerplate header; the Spark
+    half of _X2P_PARAS_SQL's law."""
+    boosted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(_X2P_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split("text", " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(_X2P_WIDTH))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _X2P_WIDTH + 1, _X2P_WIDTH)),
+    )
+    return (
+        boosted.select(
+            "doc_id",
+            "source",
+            F.posexplode(chunks).alias("para_idx", "text"),
+        )
+        .withColumn("para_id", F.col("doc_id") * _X2P_IDMUL + F.col("para_idx"))
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+        .filter(F.col("n_tok") >= 3)
+    )
+
+
+@register("x2p_paragraph_near_dedup", oracle=_X2P_ORACLE, tags=("X2",))
+def x2p_paragraph_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-paragraph mass per source (boilerplate
+    screen): paragraph MinHash signatures -> LSH banding (equi-join,
+    never all-pairs) -> signature-estimate filter at 0.5 -> token-mass
+    rollup. Doc_id < 200 keeps the DuckDB twin's brute-force md5 cost
+    bounded; the Spark shape is the 100 TB one."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    paras = _x2p_paragraphs(docs)
+    _, sigs = _md5_shingle_signatures(
+        paras.select(F.col("para_id").alias("doc_id"), "text")
+    )
+    banded = _md5_banded(sigs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.floor(F.col("a.doc_id") / _X2P_IDMUL)
+                != F.floor(F.col("b.doc_id") / _X2P_IDMUL)
+            ),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_X2G_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_X2G_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"a_{s}") == F.col(f"b_{s}")).cast("int")
+        for s in range(_X2G_HASHES)
+    )
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(matches / F.lit(float(_X2G_HASHES)) >= _X2P_THRESHOLD)
+    )
+    # one select exploding both endpoints — a union of two selects of
+    # the scored subtree would plan (and run) the whole LSH chain twice
+    dups = scored.select(
+        F.explode(F.array("id_a", "id_b")).alias("pid")
+    ).distinct()
+    return (
+        paras.join(dups, paras["para_id"] == dups["pid"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("pid").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_dup_paras"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pid").isNotNull(), F.col("n_tok")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_tok").cast("double"),
+                4,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("source")
     )

@@ -502,3 +502,44 @@ def test_incremental_near_dedup_admission(spark, tmp_path):
     assert dup["n_candidates"] >= 1
     assert fresh["n_candidates"] == 0
     assert fresh["max_est_jaccard"] == 0.0 and fresh["admit"] is True
+
+
+def test_paragraph_near_dedup_finds_planted_boilerplate(spark, tmp_path):
+    """x2p law on a handmade corpus: docs 0 and 10 (the %10==0 cohort)
+    get the boilerplate header prepended — their FIRST paragraphs are
+    identical across documents while every other paragraph uses a
+    disjoint vocabulary. Exactly those two paragraphs must flag, each
+    attributed to its own source."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2P_WIDTH,
+        x2p_paragraph_near_dedup,
+    )
+
+    def body(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    rows = [
+        (0, body("a", 2 * _X2P_WIDTH), "en", "srcA"),   # boiler + 2 paras
+        (10, body("b", 2 * _X2P_WIDTH), "en", "srcB"),  # boiler + 2 paras
+        (3, body("c", 3 * _X2P_WIDTH), "en", "srcA"),   # 3 paras, no boiler
+        (7, body("d", _X2P_WIDTH), "en", "srcC"),       # 1 para, no boiler
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["source"]: r for r in x2p_paragraph_near_dedup(spark, sf_dir).collect()}
+    assert sorted(got) == ["srcA", "srcB", "srcC"]
+    # srcA: doc0 has 3 paras (boiler + 2), doc3 has 3 -> 6; only doc0's
+    # boiler para is duplicated (vs doc10's)
+    assert got["srcA"]["n_paras"] == 6
+    assert got["srcA"]["n_dup_paras"] == 1
+    assert got["srcA"]["dup_token_frac"] == round(_X2P_WIDTH / (6 * _X2P_WIDTH), 4)
+    assert got["srcB"]["n_paras"] == 3
+    assert got["srcB"]["n_dup_paras"] == 1
+    assert got["srcC"]["n_dup_paras"] == 0

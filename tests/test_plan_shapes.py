@@ -265,3 +265,11 @@ def test_global_window_detector_catches_w4(spark):
     first, not the real gates silently passing."""
     plan = _plan(spark, "w4_ntile_percent_rank")
     assert len(_global_window_args(plan)) == 1
+
+
+def test_paragraph_near_dedup_is_never_all_pairs(spark):
+    """x2p: paragraph-level LSH banding must stay an equi-join — same
+    gate as the doc-level x2 family."""
+    plan = _plan(spark, "x2p_paragraph_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
