@@ -271,3 +271,54 @@ def e2_sql_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same SQL text is the DuckDB oracle verbatim."""
     Catalog(spark, sf_dir).register_views(("lineitem", "part"))
     return spark.sql(_Q19_SQL)
+
+
+# E2j — TPC-H Q21-style waiting orders (correlated EXISTS + NOT EXISTS) --------
+#
+# The hardest remaining TPC-H subquery shape: TWO correlated subqueries
+# against the SAME fact table at different aliases — an EXISTS (some
+# other supplier contributed to the order) and a NOT EXISTS (no OTHER
+# supplier was late on it) — then a group-by over the surviving
+# suppliers. Catalyst decorrelates both: the EXISTS becomes a left-semi
+# join and the NOT EXISTS a left-anti join on l_orderkey with the
+# non-equal-supplier / lateness conjuncts as join conditions, so the
+# fact table is never driven row-at-a-time. The fixture lineitem has no
+# l_receiptdate/l_commitdate, so "late" is a fixed shipdate cutoff —
+# the decorrelation structure, which is what this entry exercises, is
+# unchanged. LIKE-filtered nation dim broadcast-joins (Q21's nation
+# predicate adapted to the synthetic names).
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name LIKE 'NATION_1%'
+  AND l1.l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > TIMESTAMP '1999-06-30 00:00:00')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("e2_sql_waiting_orders", oracle=_Q21_SQL, tags=("E2",))
+def e2_sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. Same SQL text is the DuckDB oracle
+    verbatim; the plan gate asserts the correlated subqueries
+    decorrelate into semi/anti joins (no per-row subquery execution)."""
+    Catalog(spark, sf_dir).register_views(
+        ("supplier", "lineitem", "orders", "nation")
+    )
+    return spark.sql(_Q21_SQL)

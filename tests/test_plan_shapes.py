@@ -273,3 +273,13 @@ def test_paragraph_near_dedup_is_never_all_pairs(spark):
     plan = _plan(spark, "x2p_paragraph_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_orders_decorrelates_to_semi_and_anti_joins(spark):
+    """e2_sql_waiting_orders (Q21 shape): both correlated subqueries
+    must decorrelate — a LeftSemi for the EXISTS, a LeftAnti for the
+    NOT EXISTS — never per-row subquery execution or a cartesian."""
+    plan = _plan(spark, "e2_sql_waiting_orders")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
