@@ -713,3 +713,130 @@ def x6j_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6k — incremental admission funnel (the daily-ingest delta report) -----------
+#
+# The end-to-end story a DAILY ingest run ships, composing the
+# incremental and batch layers: the new batch's x2n near-dup admission
+# verdicts against the standing corpus LSH index, then the admitted
+# documents flowing through the SAME registered gates the full-corpus
+# funnel (x6i) uses — x4c quality, x6d2 normalized decontamination, x6
+# deterministic split — into a per-source DELTA report. Every leg is a
+# registered query composed verbatim, and the oracle nests the legs'
+# SQL as CTEs, so the delta funnel can never drift from either the
+# admission operator or the batch gates. Benchmark-member ids
+# (doc_id % 50 == 0) are excluded from the batch universe: a pipeline
+# does not ingest its own eval sets.
+#
+# Scale shape: x2n's probe is batch-sized against the band index
+# (corpus never self-joins, gated); quality and split are map-only;
+# decontamination keeps the broadcast-benchmark shape; the remaining
+# joins are batch-sized doc_id equi-joins and the aggregate is
+# sources-sized.
+
+from .dedup import _X2N_ORACLE as _X2N_ORACLE_REF  # noqa: E402
+
+_X6K_ORACLE = f"""
+WITH adm AS ({_X2N_ORACLE_REF}),
+quality AS ({_X4C_ORACLE_REF}),
+contam AS ({_X6D2_ORACLE}),
+sp AS ({_X6_ORACLE}),
+staged AS (
+  SELECT d.source,
+         a.admit                           AS admitted,
+         q.passes_quality                  AS passes_quality,
+         (c.train_doc_id IS NOT NULL)      AS contaminated,
+         sp.split                          AS split,
+         q.n_tokens                        AS n_tokens
+  FROM adm a
+  JOIN documents d ON a.batch_doc_id = d.doc_id
+  JOIN quality q   ON a.batch_doc_id = q.doc_id
+  LEFT JOIN contam c ON a.batch_doc_id = c.train_doc_id
+  JOIN sp          ON a.batch_doc_id = sp.doc_id
+  WHERE a.batch_doc_id % 50 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                      AS n_batch,
+       CAST(count(*) FILTER (WHERE admitted) AS BIGINT)              AS n_admitted,
+       CAST(count(*) FILTER (WHERE admitted AND passes_quality)
+            AS BIGINT)                                               AS n_quality,
+       CAST(count(*) FILTER (WHERE admitted AND passes_quality
+                               AND NOT contaminated) AS BIGINT)      AS n_clean,
+       CAST(count(*) FILTER (WHERE admitted AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'train') AS BIGINT)       AS n_train,
+       CAST(count(*) FILTER (WHERE admitted AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'val') AS BIGINT)         AS n_val,
+       CAST(count(*) FILTER (WHERE admitted AND passes_quality
+                               AND NOT contaminated
+                               AND split = 'test') AS BIGINT)        AS n_test,
+       CAST(coalesce(sum(n_tokens) FILTER (WHERE admitted
+                               AND passes_quality
+                               AND NOT contaminated), 0) AS BIGINT)  AS n_tokens_clean
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x6k_incremental_admission_funnel", oracle=_X6K_ORACLE, tags=("X6", "X2", "X4"))
+def x6k_incremental_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source delta funnel for a new batch: x2n admission verdict
+    (not a near-dup of the standing corpus) -> x4c quality gate -> x6d2
+    normalized decontamination -> x6 split assignment, with the clean
+    delta's token budget. All four legs are the registered operators
+    themselves; this query only stitches and aggregates."""
+    from .dedup import x2n_incremental_near_dedup
+    from .textanalysis import x4c_quality_score
+
+    adm = x2n_incremental_near_dedup(spark, sf_dir).select(
+        F.col("batch_doc_id").alias("doc_id"), "admit"
+    )
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    quality = x4c_quality_score(spark, sf_dir).select(
+        "doc_id", "passes_quality", "n_tokens"
+    )
+    contam = x6d2_decontamination_normalized(spark, sf_dir).select(
+        F.col("train_doc_id").alias("doc_id"), F.lit(True).alias("flagged")
+    )
+    sp = x6_deterministic_split(spark, sf_dir).select("doc_id", "split")
+    staged = (
+        adm.filter(F.col("doc_id") % 50 != 0)
+        .join(docs, "doc_id")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "source",
+            F.col("admit").alias("admitted"),
+            "passes_quality",
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("contaminated"),
+            "split",
+            "n_tokens",
+        )
+    )
+    clean = (
+        F.col("admitted") & F.col("passes_quality") & ~F.col("contaminated")
+    )
+
+    def cnt(cond) -> Column:
+        return F.count(F.when(cond, 1))
+
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            cnt(F.col("admitted")).alias("n_admitted"),
+            cnt(F.col("admitted") & F.col("passes_quality")).alias("n_quality"),
+            cnt(clean).alias("n_clean"),
+            cnt(clean & (F.col("split") == "train")).alias("n_train"),
+            cnt(clean & (F.col("split") == "val")).alias("n_val"),
+            cnt(clean & (F.col("split") == "test")).alias("n_test"),
+            F.coalesce(F.sum(F.when(clean, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+        .orderBy("source")
+    )

@@ -356,3 +356,20 @@ def test_dedup_aware_mixture_closed_form(spark, tmp_path):
     assert s2["weight_effective"] == round(0.2 / (10 / 12), 4)
     assert s0["weight_effective"] > s0["weight_raw"]
     assert s2["weight_effective"] < s2["weight_raw"]
+
+
+def test_incremental_admission_funnel_is_monotone(spark):
+    """x6k funnel law on the fixture: 16 batch docs (ids %10==0, <200,
+    minus the 4 benchmark members), each stage a subset of the previous,
+    and the split counts partition the clean set."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6k_incremental_admission_funnel,
+    )
+
+    rows = x6k_incremental_admission_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_batch"] for r in rows) == 16
+    for r in rows:
+        assert r["n_batch"] >= r["n_admitted"] >= r["n_quality"] >= r["n_clean"]
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_clean"]
+        if r["n_clean"] == 0:
+            assert r["n_tokens_clean"] == 0
