@@ -338,3 +338,84 @@ def test_time_range_window_matches_python_reference(spark, tmp_path):
         expect_sum = round(sum(v for v, _ in peers), 2)
         assert got[eid]["trail_1h_cnt"] == len(peers), eid
         assert got[eid]["trail_1h_sum"] == expect_sum, eid
+
+
+@given(
+    g=st.integers(1, 10**7),
+    s=st.integers(0, 10**13),
+    c=st.integers(0, 10**13),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_grid_cell_law(g, s, c):
+    """j12's cell math, pure Python (no Spark — cheap, so hundreds of
+    examples): a window [s, s+g) on grid width g covers at most two
+    cells (exactly two unless s is grid-aligned), an instant maps to
+    exactly one cell, and the equi-join-plus-recheck is COMPLETE — any
+    instant inside the window has its cell in the window's covering
+    set, so no matching pair can be missed by the grid rewrite. Spark's
+    DIV on nonnegative longs is floor division (Python //)."""
+    cover = list(range(s // g, (s + g - 1) // g + 1))
+    assert 1 <= len(cover) <= 2
+    assert (len(cover) == 1) == (s % g == 0)
+    inside = s <= c < s + g
+    if inside:
+        assert c // g in cover
+    # and the recheck removes every false cell-mate:
+    assert inside == ((c // g in cover) and s <= c < s + g)
+
+
+def test_interval_grid_join_matches_python_reference(spark, tmp_path):
+    """j12 end-to-end vs an independent Python naive range join on a
+    seeded random event stream (millisecond-granularity timestamps so
+    gap_sec has exactly 3 decimals — no rounding ambiguity), including
+    exact boundary hits: a click AT the error instant (gap 0, counted)
+    and one at s+g (excluded)."""
+    import datetime as dt
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.joins import (
+        _J12_WINDOW_US,
+        j12_interval_grid_join,
+    )
+
+    g = _J12_WINDOW_US
+    rng = random.Random(7)
+    base_us = 1_700_000_000_000_000  # well inside timestamp range
+    errs = {
+        eid: base_us + rng.randrange(0, 20 * g // 1000) * 1000
+        for eid in range(40)
+    }
+    clicks = {
+        1000 + i: base_us + rng.randrange(0, 20 * g // 1000) * 1000
+        for i in range(400)
+    }
+    # planted boundaries on error 0: exact start hit, last-inside, first-outside
+    clicks[2000] = errs[0]
+    clicks[2001] = errs[0] + g - 1000
+    clicks[2002] = errs[0] + g
+
+    def ts(us):
+        return dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+    rows = [(eid, ts(us), 1, "error", 0.0, "{}") for eid, us in errs.items()]
+    rows += [(cid, ts(us), 1, "click", 0.0, "{}") for cid, us in clicks.items()]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    ref = {}
+    for eid, s in errs.items():
+        gaps = [c - s for c in clicks.values() if s <= c < s + g]
+        if gaps:
+            ref[eid] = (len(gaps), round(min(gaps) / 1e6, 3))
+
+    got = {
+        r["err_id"]: (r["n_clicks"], r["first_click_gap_sec"])
+        for r in j12_interval_grid_join(spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert got[0][1] == 0.0  # the exact-start boundary click counted
