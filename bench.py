@@ -91,6 +91,35 @@ def _force(df) -> int:
 CALIB_NOMINAL_SEC = 0.140
 CALIB_SHUFFLE_NOMINAL_SEC = 0.700
 
+# Per-query drift class: which calibration dimension dominates each
+# headline query's runtime, so value_normalized applies the MATCHED
+# factor per query instead of assuming all host drift is CPU drift
+# (the r6<->r7 flip-flop: a shuffle/IO-slow host over-corrected
+# CPU-bound queries and vice versa). Classification rationale:
+# "cpu" = expression/codegen/hashing dominated, exchanges carry little
+# (map-side combine, broadcast, or map-only); "shuffle" = an exchange,
+# sort, state store, or write materializes table-sized data.
+QUERY_CLASS = {
+    "q1_pricing_summary": "cpu",        # scan + map-combined agg
+    "j1_inner_equi_join": "shuffle",    # table x table SMJ exchange
+    "j6_broadcast_join": "cpu",         # broadcast probe, no fact exchange
+    "j8_asof_join": "shuffle",          # union + window shuffle on key
+    "a8_pivot": "shuffle",              # groupBy exchange
+    "w1_row_number_latest": "shuffle",  # window shuffle on user_id
+    "o3_top_k_per_group": "shuffle",    # window group-limit exchange
+    "x1_exact_dedup": "shuffle",        # fingerprint hash-agg exchange
+    "x2_minhash_near_dedup": "cpu",     # per-shingle hashing dominates;
+                                        # exchange carries 8 longs/doc
+    "x3_similarity_bruteforce": "cpu",  # map-side dot products
+    "x4b_term_frequency": "cpu",        # explode + map-combined token agg
+    "x4f_corpus_curation": "cpu",       # map-only HOF expressions
+    "t1_tumbling_window": "shuffle",    # micro-batch state store + commit
+    "x1b_incremental_dedup": "shuffle", # anti-join exchange
+    "x6d_decontamination": "cpu",       # gram hashing; corpus never shuffles
+    "j11_write": "shuffle",             # bucketed sort + file write IO
+    "j11_join": "cpu",                  # no-Exchange SMJ: scan + merge
+}
+
 
 def _min_of(n_runs: int, thunk) -> float:
     best = float("inf")
@@ -198,27 +227,50 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Drift-normalized total: what this run would cost on the pinned
-    # reference host (calib_sec == CALIB_NOMINAL_SEC). Guard against a
-    # degenerate calibration (0 would mean the clock failed).
+    # reference host, with the MATCHED calibration factor per query
+    # class (QUERY_CLASS above). Guard against a degenerate calibration
+    # (0 would mean the clock failed). Unlisted queries (someone edits
+    # HEADLINE without classifying) normalize as cpu — the historical
+    # behavior — so the total stays comparable rather than crashing.
     calib = fingerprint["calib_sec"]
-    normalized = round(total * (CALIB_NOMINAL_SEC / calib), 3) if calib > 0 else None
+    shuf = fingerprint["calib_shuffle_sec"]
+    if calib > 0 and shuf > 0:
+        factor = {
+            "cpu": CALIB_NOMINAL_SEC / calib,
+            "shuffle": CALIB_SHUFFLE_NOMINAL_SEC / shuf,
+        }
+        normalized = round(
+            sum(
+                t * factor[QUERY_CLASS.get(n, "cpu")]
+                for n, t in per_query.items()
+            ),
+            3,
+        )
+        # the old single-factor series, kept so r<=7 records stay readable
+        normalized_cpu_only = round(total * factor["cpu"], 3)
+    else:
+        normalized = normalized_cpu_only = None
 
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "value_normalized": normalized,
+        "value_normalized_cpu_only": normalized_cpu_only,
+        "query_class": {n: QUERY_CLASS.get(n, "cpu") for n in per_query},
         "fingerprint": fingerprint,
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "notes": (
-            "value_normalized rescales the total by the fixed in-memory "
-            "CPU calibration agg (fingerprint.calib_cpu_sec vs the pinned "
-            "calib_nominal_sec) so host/runtime drift is factored out of "
-            "round-over-round comparison; calib_shuffle_sec measures "
-            "shuffle-path drift separately (matched normalizer for "
-            "shuffle-bound queries); j11 stays split as j11_write "
-            "(one-off ingest) + j11_join (repeated no-Exchange SMJ leg)"
+            "value_normalized applies the MATCHED per-class calibration "
+            "factor to each query (query_class: cpu-bound queries scale "
+            "by calib_nominal_sec/calib_cpu_sec, shuffle-bound by "
+            "calib_shuffle_nominal_sec/calib_shuffle_sec) and sums — the "
+            "honest round-over-round series from r8 on; "
+            "value_normalized_cpu_only keeps the r<=7 single-factor "
+            "series for continuity with older records; j11 stays split "
+            "as j11_write (one-off ingest) + j11_join (repeated "
+            "no-Exchange SMJ leg)"
         ),
     }
 
