@@ -6,14 +6,19 @@ the named scale-killer of SURVEY.md §2.5's W4 family. The scalable twin
 is a two-pass shape with no Window node at all:
 
 1. ONE aggregate computes the cutpoints: ``percentile_approx(col,
-   probs, 1e8)``. Below 1e8 rows the sketch's rank error is < 1 row, so
-   the result is the EXACT nearest-rank quantile — the value at rank
-   ``ceil(p * n)`` — which is precisely DuckDB's ``quantile_disc``
-   (verified empirically for n in {7, 10, 11, 100, 101}; both engines
-   return a member value, so equality is bit-exact, no interpolation).
-   Past 1e8 rows the same plan degrades gracefully to approximate
-   cutpoints — acceptable for threshold-selection reports, which is the
-   point of the twin.
+   probs, accuracy)``. The accuracy knob is an EXACTNESS-vs-MEMORY
+   dial: the sketch's rank error is n/accuracy rows, but its retained
+   size also grows toward O(min(n, accuracy)) tuples (little
+   compression is possible while the error budget is under one row).
+   The default here (1e8) buys EXACT nearest-rank quantiles — the
+   value at rank ``ceil(p * n)``, which is precisely DuckDB's
+   ``quantile_disc`` (verified empirically; both engines return a
+   member value, so equality is bit-exact, no interpolation) — at
+   every test/oracle scale this repo runs, where the sketch cost is
+   trivial. A genuine 100 TB run passes accuracy ~1e4..1e5 instead:
+   per-partition sketches stay KB-sized and mergeable, cutpoints land
+   within 0.01% rank — far inside what a threshold-selection report
+   needs — and the plan is otherwise identical.
 2. The 1-row cutpoint fold broadcasts back and a map-side HOF counts
    cutpoints strictly below each value: ``bucket = 1 + sum(v > cut)``.
    No shuffle touches the table beyond the aggregate's partial-agg
@@ -37,15 +42,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # percentile_approx accuracy: rank error <= n / accuracy, so the result
-# is exact (error < 1 row) for inputs up to 1e8 rows.
+# is exact (error < 1 row) for inputs up to 1e8 rows — at the cost of
+# the sketch retaining up to O(min(n, accuracy)) tuples (see module
+# docstring). The exact-mode default serves the oracle contract at test
+# scales; cluster jobs pass a smaller accuracy explicitly.
 EXACT_ACCURACY = 100_000_000
 
 
-def quantile_cuts(df: DataFrame, col: str, probs: Sequence[float]) -> DataFrame:
+def quantile_cuts(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    accuracy: int = EXACT_ACCURACY,
+) -> DataFrame:
     """1-row DataFrame with array column ``cuts``: the nearest-rank
-    quantiles of ``df[col]`` at ``probs`` (exact below 1e8 rows)."""
+    quantiles of ``df[col]`` at ``probs`` (exact while rows <
+    ``accuracy``; sketch-approximate — and sketch-SIZED — beyond)."""
     return df.agg(
-        F.percentile_approx(col, list(probs), EXACT_ACCURACY).alias("cuts")
+        F.percentile_approx(col, list(probs), accuracy).alias("cuts")
     )
 
 
@@ -64,12 +78,18 @@ def bucket_col(value: Column | str, cuts: Column | str = "cuts") -> Column:
 
 
 def with_range_bucket(
-    df: DataFrame, col: str, probs: Sequence[float], out: str = "bucket"
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    out: str = "bucket",
+    accuracy: int = EXACT_ACCURACY,
 ) -> DataFrame:
     """``df`` + an ``out`` int column bucketing ``col`` by the quantile
     cutpoints at ``probs`` (len(probs)+1 buckets, 1-based). Broadcast
     join of the 1-row fold; no Window, no table-sized shuffle."""
-    cuts = quantile_cuts(df, col, probs).select(F.col("cuts").alias("__cuts"))
+    cuts = quantile_cuts(df, col, probs, accuracy).select(
+        F.col("cuts").alias("__cuts")
+    )
     return (
         df.crossJoin(F.broadcast(cuts))
         .withColumn(out, bucket_col(col, "__cuts"))

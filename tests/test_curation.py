@@ -358,7 +358,7 @@ def test_dedup_aware_mixture_closed_form(spark, tmp_path):
     assert s2["weight_effective"] < s2["weight_raw"]
 
 
-def test_incremental_admission_funnel_is_monotone(spark):
+def test_incremental_admission_funnel_is_monotone(spark, sf_dir):
     """x6k funnel law on the fixture: 16 batch docs (ids %10==0, <200,
     minus the 4 benchmark members), each stage a subset of the previous,
     and the split counts partition the clean set."""
@@ -366,7 +366,7 @@ def test_incremental_admission_funnel_is_monotone(spark):
         x6k_incremental_admission_funnel,
     )
 
-    rows = x6k_incremental_admission_funnel(spark, "/root/testdata/sf0.001").collect()
+    rows = x6k_incremental_admission_funnel(spark, sf_dir).collect()
     assert sum(r["n_batch"] for r in rows) == 16
     for r in rows:
         assert r["n_batch"] >= r["n_admitted"] >= r["n_quality"] >= r["n_clean"]
