@@ -322,3 +322,72 @@ def e2_sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier", "lineitem", "orders", "nation")
     )
     return spark.sql(_Q21_SQL)
+
+
+# E2k — TPC-H Q13-style customer order distribution (outer-join histogram) -----
+#
+# The one TPC-H shape whose AGGREGATE feeds another aggregate: a LEFT
+# OUTER join with a join-condition filter (the filter must live in the
+# ON clause — in WHERE it would silently turn the join inner and drop
+# zero-order customers), a per-customer count, then a histogram over
+# those counts. Exercises outer-join null handling (count(o_orderkey)
+# skips nulls so no-order customers land in bucket 0) and double
+# aggregation.
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("e2_sql_order_distribution", oracle=_Q13_SQL, tags=("E2",))
+def e2_sql_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
+    orders, including the zero bucket. Same SQL text is the DuckDB
+    oracle verbatim. Both aggregations are partial+final; the second
+    one's input is customer-sized, the histogram is |distinct counts|
+    rows."""
+    Catalog(spark, sf_dir).register_views(("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+# E2l — TPC-H Q22-style dormant high-balance customers -------------------------
+#
+# The remaining distinctive Q22 ingredients: an UNCORRELATED scalar
+# subquery (global positive-balance average, computed once and
+# broadcast into the filter) combined with a correlated NOT EXISTS
+# (decorrelated to a left-anti join on o_custkey). The fixture's
+# customers all have at least one order, so the anti-join predicate is
+# "no URGENT order" — the decorrelation structure Q22 exercises is
+# unchanged.
+
+_Q22_SQL = """
+SELECT n_name AS cntry,
+       CAST(count(*) AS BIGINT)       AS numcust,
+       round(sum(c_acctbal), 2)       AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("e2_sql_dormant_customers", oracle=_Q22_SQL, tags=("E2",))
+def e2_sql_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by nation. Same SQL text is the DuckDB oracle
+    verbatim; the scalar subquery plans as a one-row broadcast
+    (Subquery scalar-subquery reuse), the NOT EXISTS as a left-anti
+    join."""
+    Catalog(spark, sf_dir).register_views(("customer", "orders", "nation"))
+    return spark.sql(_Q22_SQL)

@@ -92,6 +92,8 @@ _CHECK_PRIORITY = (
     "x2p_paragraph_near_dedup",
     "x6k_incremental_admission_funnel",
     "e2_sql_waiting_orders",
+    "e2_sql_order_distribution",
+    "e2_sql_dormant_customers",
     # tier 2: the 27-id cohort whose newest driver row is r4 — queued
     # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",

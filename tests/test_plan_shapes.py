@@ -283,3 +283,12 @@ def test_waiting_orders_decorrelates_to_semi_and_anti_joins(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dormant_customers_plans_anti_join_and_scalar_broadcast(spark):
+    """e2_sql_dormant_customers (Q22 shape): the NOT EXISTS must
+    decorrelate to a LeftAnti join and the scalar average must not
+    trigger a cartesian."""
+    plan = _plan(spark, "e2_sql_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
