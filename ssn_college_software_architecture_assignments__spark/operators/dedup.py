@@ -1862,3 +1862,87 @@ def x2p_paragraph_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X2q — duplicated n-gram mass (exact-substring duplication diagnostic) --------
+#
+# The corpus-level statistic behind exact-SUBSTRING dedup (the
+# suffix-array approach of "Deduplicating Training Data Makes Language
+# Models Better"): what fraction of each source's 8-gram OCCURRENCES is
+# text that appears elsewhere in the corpus (>= 2 total occurrences,
+# anywhere)? High duplicated-gram mass on a source means verbatim
+# repetition that doc- and paragraph-level dedup (x1/x2p) missed —
+# templated spans, quotes, mirrored passages — and tells the operator
+# whether a substring-level pass would pay for itself. Occurrences, not
+# distinct grams: the report weighs mass the way a training run sees it.
+#
+# Scale shape: occurrences collapse FIRST to distinct (gram, source)
+# rows with counts (one hash-agg on the 60-bit md5 gram key — output
+# bounded by vocabulary x sources, not corpus size), corpus totals come
+# from a window partitioned by the gram key over that collapsed table
+# (state per partition bounded by the source count), and the final
+# aggregate is sources-sized. The gram key is the md5-60bit law shared
+# with the x2g family, applied IDENTICALLY in the oracle, so even a
+# (cosmically unlikely) hash collision cannot break agreement.
+
+_X2Q_K = 8
+
+_X2Q_ORACLE = f"""
+WITH occ AS (
+  SELECT source,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {_X2Q_K - 1}, 0) + 1),
+             i -> array_to_string(t[i:i+{_X2Q_K - 1}], ' ')
+           )) AS gram
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+  )
+),
+g1 AS (SELECT gh, source, count(*) AS occ FROM occ GROUP BY gh, source),
+g2 AS (
+  SELECT source, occ,
+         sum(occ) OVER (PARTITION BY gh) AS tot
+  FROM g1
+)
+SELECT source,
+       CAST(sum(occ) AS BIGINT)                                 AS n_occurrences,
+       CAST(coalesce(sum(occ) FILTER (WHERE tot >= 2), 0)
+            AS BIGINT)                                          AS n_dup_occurrences,
+       round(CAST(coalesce(sum(occ) FILTER (WHERE tot >= 2), 0) AS DOUBLE)
+             / CAST(sum(occ) AS DOUBLE), 4)                     AS dup_mass_frac
+FROM g2
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x2q_duplicated_gram_mass", oracle=_X2Q_ORACLE, tags=("X2", "X4"))
+def x2q_duplicated_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fraction of 8-gram occurrences whose text occurs >= 2
+    times corpus-wide — the pay-for-itself signal for a substring-level
+    dedup pass. Occurrence counting, two-stage: per-(gram, source)
+    counts, then corpus totals attached by a gram-partitioned window
+    over the collapsed table (never the raw occurrences)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    occ = docs.select(
+        "source",
+        F.explode(token_shingles(toks, _X2Q_K)).alias("gram"),
+    ).select("source", _md5h60(F.col("gram")).alias("gh"))
+    g1 = occ.groupBy("gh", "source").agg(F.count(F.lit(1)).alias("occ"))
+    tot = F.sum("occ").over(W.partitionBy("gh"))
+    g2 = g1.select("source", "occ", tot.alias("tot"))
+    dup = F.when(F.col("tot") >= 2, F.col("occ")).otherwise(0)
+    return (
+        g2.groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.sum(dup).cast("long").alias("n_dup_occurrences"),
+            F.round(
+                F.sum(dup).cast("double") / F.sum("occ").cast("double"), 4
+            ).alias("dup_mass_frac"),
+        )
+        .orderBy("source")
+    )

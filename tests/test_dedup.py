@@ -543,3 +543,35 @@ def test_paragraph_near_dedup_finds_planted_boilerplate(spark, tmp_path):
     assert got["srcB"]["n_paras"] == 3
     assert got["srcB"]["n_dup_paras"] == 1
     assert got["srcC"]["n_dup_paras"] == 0
+
+
+def test_duplicated_gram_mass_closed_form(spark, tmp_path):
+    """x2q on a handmade corpus: doc A and doc B (different sources)
+    share one verbatim 10-token span (3 duplicated 8-gram positions
+    each); doc C is all-unique. Fractions checked in closed form."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2q_duplicated_gram_mass,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))          # 10 shared tokens
+    a = span + " " + " ".join(f"a{i}" for i in range(10))  # 20 tokens
+    b = span + " " + " ".join(f"b{i}" for i in range(10))  # 20 tokens
+    c = " ".join(f"c{i}" for i in range(20))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(1, a, "sA"), (2, b, "sB"), (3, c, "sC")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["source"]: r for r in x2q_duplicated_gram_mass(spark, sf_dir).collect()}
+    # 20 tokens -> 13 8-gram positions per doc; the shared span covers
+    # positions 1..3 (grams fully inside the first 10 tokens)
+    assert got["sA"]["n_occurrences"] == 13
+    assert got["sA"]["n_dup_occurrences"] == 3
+    assert got["sA"]["dup_mass_frac"] == round(3 / 13, 4)
+    assert got["sB"]["n_dup_occurrences"] == 3
+    assert got["sC"]["n_dup_occurrences"] == 0
+    assert got["sC"]["dup_mass_frac"] == 0.0
