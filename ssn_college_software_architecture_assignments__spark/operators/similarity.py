@@ -1026,7 +1026,10 @@ def x3j_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distance tables ride the broadcast (8 queries x 4 blocks x 16 doubles),
 # the corpus streams map-side as codes.
 
-_X3K_ORACLE = f"""
+def _x3k_oracle_sql(k: int) -> str:
+    """The ADC search law at shortlist size ``k`` — k=5 is the
+    registered x3k; x3n composes k=20 as its refine shortlist."""
+    return f"""
 WITH codes AS ({_X3J_ORACLE}),
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1060,8 +1063,11 @@ FROM (
   SELECT q_id, vec_id, adc,
          row_number() OVER (PARTITION BY q_id ORDER BY round(adc, 4), vec_id) AS rn
   FROM scored
-) WHERE rn <= 5
+) WHERE rn <= {k}
 """
+
+
+_X3K_ORACLE = _x3k_oracle_sql(5)
 
 
 @register("x3k_pq_adc_topk", oracle=_X3K_ORACLE, tags=("X3",))
@@ -1082,6 +1088,14 @@ def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong slot there) and a code with no codebook entry fails loudly.
     The per-block fold order matches the oracle's list_aggregate
     exactly, so distances agree bit-for-bit at rounding precision."""
+    return _pq_adc_topk(spark, sf_dir, k=5)
+
+
+def _pq_adc_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """THE ADC search kernel at shortlist size ``k`` (the Spark half of
+    ``_x3k_oracle_sql``): k=5 is the registered x3k, k=20 feeds x3n's
+    exact-rescore refine stage. One implementation so the search and
+    refine entries can never score differently."""
     emb = Catalog(spark, sf_dir).embeddings
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     cent_arr = _pq_codebook(vecs)
@@ -1114,7 +1128,7 @@ def x3k_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.round("adc", 4).asc(), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", F.round("adc", 4).alias("adc_dist"))
     )
 
@@ -1394,4 +1408,85 @@ def x3m_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", F.round("adc", 4).alias("adc_dist"))
+    )
+
+
+# X3n — PQ search with exact refine (FAISS IndexRefineFlat) -------------------
+#
+# The production PQ deployment pattern x3l's recall numbers motivate:
+# ADC over 4-byte codes SHORTLISTS (top-20 per query), then only the
+# shortlist's full-precision vectors are fetched and exact-rescored to
+# produce the final top-5 — recall close to exact search at ~shortlist/n
+# of its vector-fetch cost. The shortlist leg IS the registered x3k
+# kernel (shared `_pq_adc_topk` / `_x3k_oracle_sql`, k=20), and the
+# exact distance uses the same zip-fold law x3l's truth leg uses, so
+# neither stage can drift from the operators it composes.
+
+_X3N_SHORTLIST = 20
+
+_X3N_ORACLE = f"""
+WITH shortlist AS ({_x3k_oracle_sql(_X3N_SHORTLIST)}),
+e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+refined AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_aggregate(list_transform(
+           list_zip(q.emb, c.emb),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 4) AS exact_dist
+  FROM shortlist s
+  JOIN e2 c ON s.vec_id = c.vec_id
+  JOIN (SELECT vec_id AS q_id, emb FROM e2 WHERE vec_id < 8) q
+    ON s.q_id = q.q_id
+)
+SELECT q_id, vec_id, exact_dist
+FROM (
+  SELECT q_id, vec_id, exact_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY exact_dist, vec_id) AS rn
+  FROM refined
+) WHERE rn <= 5
+"""
+
+
+@register("x3n_pq_refine_topk", oracle=_X3N_ORACLE, tags=("X3",))
+def x3n_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final top-5 per query after exact squared-L2 rescoring of the
+    ADC top-20 shortlist.
+
+    Scale shape: the shortlist is queries x 20 rows — broadcast-small
+    by construction — so the full-vector fetch is a broadcast join
+    PROBING the corpus (the corpus is never shuffled or re-scored
+    wholesale; only shortlist members pay the 256-byte vector read),
+    the query vectors ride a second tiny broadcast, and the rescore
+    window partitions by q_id over <=20 rows per query. The exact
+    fold groups identically to the oracle's list_aggregate (x3l's
+    proven law), so distances agree at rounding precision."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    shortlist = _pq_adc_topk(spark, sf_dir, k=_X3N_SHORTLIST).select(
+        "q_id", "vec_id"
+    )
+    qv = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = F.round(
+        F.aggregate(
+            F.zip_with("q_emb", "emb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    refined = (
+        vecs.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", exact.alias("exact_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy("exact_dist", "vec_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "exact_dist")
     )

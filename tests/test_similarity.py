@@ -623,3 +623,45 @@ def test_pq_ivf_search_matches_python_reference(spark, tmp_path):
     assert sorted(by_q) == [q for q in range(8) if expect[q]]
     for q in by_q:
         assert sorted(by_q[q]) == expect[q], (q, sorted(by_q[q]), expect[q])
+
+
+def test_pq_refine_recall_dominates_adc_recall(spark, sf_dir):
+    """The theorem that justifies x3n's existence: any true top-5
+    neighbor that made the ADC shortlist is NECESSARILY in the exact
+    top-5 of that shortlist (its exact distance is globally top-5), and
+    the ADC top-5 is a subset of the top-20 shortlist — so per query,
+    refine recall@5 >= plain ADC recall@5. Checked on the fixture
+    against exact squared-L2 truth computed in Python."""
+    from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3k_pq_adc_topk,
+        x3n_pq_refine_topk,
+    )
+
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in Catalog(spark, sf_dir).embeddings.collect()
+    }
+
+    def sqd(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    truth = {}
+    for q in range(8):
+        d = sorted(
+            (round(sqd(embs[q], v), 4), vid)
+            for vid, v in embs.items()
+            if vid != q
+        )
+        truth[q] = {vid for _, vid in d[:5]}
+
+    adc = {}
+    for r in x3k_pq_adc_topk(spark, sf_dir).collect():
+        adc.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ref = {}
+    for r in x3n_pq_refine_topk(spark, sf_dir).collect():
+        ref.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    for q in range(8):
+        assert len(ref[q]) == 5 and len(adc[q]) == 5
+        assert len(ref[q] & truth[q]) >= len(adc[q] & truth[q]), q
