@@ -1276,3 +1276,115 @@ def x5k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm_video_batch, "doc_id long, payload binary"
     )
     return payloads.mapInPandas(scene_change_batch, SCENE_SCHEMA)
+
+
+# X5l — silence trimming over real WAV payloads -------------------------------
+#
+# The first edit an audio-curation pipeline makes: find how much leading
+# and trailing silence a clip carries and how much signal survives the
+# trim. Payloads here plant deterministic silence — lead = doc_id % 4
+# and trail = doc_id % 3 whole 80-sample windows of zeros around the
+# x5i-style signal span of n = 160 + doc_id % 41 samples — so the
+# closed-form law is exact: because the lead span is window-aligned and
+# total length is lead*80 + n + trail*80, the clip profiles to
+# lead + ceil(n/80) + trail windows of which exactly the first `lead`
+# and last `trail` are all-zero (the last signal window absorbs any
+# partial trailing zeros and stays active). The Spark side proves the
+# whole kernel chain — WAV byte encode, RIFF parse, windowed RMS,
+# per-doc aggregation — against that law; the oracle derives it from
+# doc_id arithmetic alone.
+
+def _wav_bytes_with_silence(doc_id: int) -> bytes:
+    import struct
+
+    lead = (doc_id % 4) * _AUDIO_WIN
+    trail = (doc_id % 3) * _AUDIO_WIN
+    n = 160 + doc_id % 41
+    samples = (
+        [0] * lead
+        + [((doc_id * 17 + i * 7) % 4096) - 2048 for i in range(n)]
+        + [0] * trail
+    )
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_silence_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(_wav_bytes_with_silence),
+            }
+        )
+
+
+_X5L_ORACLE = """
+WITH law AS (
+  SELECT doc_id,
+         doc_id % 4                                        AS lead,
+         doc_id % 3                                        AS trail,
+         CAST(ceil((160 + doc_id % 41) / 80.0) AS BIGINT)  AS active
+  FROM documents
+)
+SELECT doc_id,
+       lead + active + trail                   AS n_windows,
+       lead                                    AS lead_trim,
+       trail                                   AS trail_trim,
+       active                                  AS kept_windows,
+       round(active * 80 / 8000.0, 4)          AS kept_sec
+FROM law
+ORDER BY doc_id
+"""
+
+
+@register("x5l_audio_silence_trim", oracle=_X5L_ORACLE, tags=("X5",))
+def x5l_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip silence-trim report from the REAL kernel chain: encode
+    the silence-planted WAV, parse and window-profile it (the shared
+    x5i RMS kernel), then aggregate per doc — window count, all-zero
+    lead/trail window runs (rms == 0 is exact for all-zero int windows;
+    no float threshold involved), surviving windows and seconds.
+
+    Scale shape: two Arrow-batched map-only kernels then one hash-agg
+    keyed by doc_id; profile rows are bounded per clip and payload
+    bytes never leave the executors."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_wav_silence_batch, "doc_id long, payload binary"
+    )
+    prof = payloads.mapInPandas(audio_rms_profile_batch, AUDIO_PROFILE_SCHEMA)
+    active_idx = F.when(F.col("rms") > 0.0, F.col("window_idx"))
+    return (
+        prof.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.min(active_idx).alias("_first"),
+            F.max(active_idx).alias("_last"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("_first"), F.col("n_windows")).cast("long").alias("lead_trim"),
+            (
+                F.col("n_windows")
+                - 1
+                - F.coalesce(F.col("_last"), F.lit(-1))
+            ).cast("long").alias("trail_trim"),
+            F.coalesce(
+                F.col("_last") - F.col("_first") + 1, F.lit(0)
+            ).cast("long").alias("kept_windows"),
+            F.round(
+                F.coalesce(F.col("_last") - F.col("_first") + 1, F.lit(0))
+                * _AUDIO_WIN
+                / float(_WAV_RATE),
+                4,
+            ).alias("kept_sec"),
+        )
+        .orderBy("doc_id")
+    )

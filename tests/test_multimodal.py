@@ -536,3 +536,26 @@ def test_scene_change_malformed_payload_yields_error_row():
     assert set(by_doc[2]["scene_status"]) == {"ok"}
     assert len(by_doc[2]) == (2 + 3 % 4) - 1
     assert list(by_doc[3]["frame_idx"]) == [-1]
+
+
+def test_silence_planted_wav_profiles_to_exact_zero_windows():
+    """x5l's encoder law at the kernel level: doc 7 plants 3 leading and
+    1 trailing all-zero window around a 167-sample signal span, so the
+    profile shows rms == 0.0 exactly on windows 0-2 and 6, and nonzero
+    on the 3 signal windows."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        audio_rms_profile_batch,
+        encode_wav_silence_batch,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [7]})
+    payloads = pd.concat(list(encode_wav_silence_batch(iter([pdf]))))
+    prof = pd.concat(list(audio_rms_profile_batch(iter([payloads]))))
+    assert list(prof["window_idx"]) == list(range(7))
+    assert all(prof["profile_status"] == "ok")
+    rms = list(prof["rms"])
+    assert rms[0] == rms[1] == rms[2] == 0.0
+    assert rms[6] == 0.0
+    assert all(r > 0 for r in rms[3:6])
