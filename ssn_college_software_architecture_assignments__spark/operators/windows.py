@@ -1,10 +1,10 @@
-"""Window-function operators (SURVEY.md §2.5, W1-W5).
+"""Window-function operators (SURVEY.md §2.5, W1-W10).
 
 All windows partition by a real key (user_id) so state is bounded per
 partition; the one global window (W4, distribution bucketing over orders)
-is documented as a deliberate single-partition sort — at 100 TB you'd
-replace it with `approx_percentile`-based bucketing or a range-partitioned
-two-pass rank.
+is a deliberate single-partition sort whose registered 100 TB twin is
+w4b_quartile_cutpoints (`functions/bucketing.py` broadcast cutpoints,
+no Window node, plan-gated).
 
 Ordering note: ``events.ts`` is nanosecond in parquet and microsecond in
 Spark, so every ORDER BY carries ``event_id`` as the final tiebreaker and
@@ -502,4 +502,74 @@ def w9_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 2).alias("zscore"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+# W10 — truncated EWMA (exponentially weighted moving average) ----------------
+#
+# The smoothing pass between plain moving averages (w3) and anomaly
+# baselines (w9): each event's value blended with its trailing history
+# under exponential decay. The truncated form (last 8 events, weights
+# renormalized) keeps it a pure frame computation: both engines collect
+# the ROWS frame in order and run the IDENTICAL Horner fold
+# (acc*a + x — left fold; Spark's 0.0 init and DuckDB list_reduce's
+# first-element init coincide because 0*a + x0 == x0), so every
+# multiply-add happens in the same sequence and the values agree
+# bit-for-bit at rounding precision. One shuffle on user_id; O(frame)
+# state per row.
+
+_W10_DECAY = 0.75
+_W10_SPAN = 8
+
+_W10_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id
+                           ROWS BETWEEN {_W10_SPAN - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM events
+)
+SELECT user_id, event_id, value,
+       CAST(len(vals) AS INT) AS n_frame,
+       round(list_reduce(vals, (acc, x) -> acc * {_W10_DECAY} + x)
+             / list_reduce(list_transform(vals, x -> CAST(1 AS DOUBLE)),
+                           (acc, x) -> acc * {_W10_DECAY} + x), 4) AS ewma
+FROM e
+"""
+
+
+@register("w10_ewma", oracle=_W10_ORACLE, tags=("W3",))
+def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA (decay 0.75 over the trailing 8 events,
+    weights renormalized so early events with short history are unbiased).
+    The frame's collect_list is ordered by the window's ORDER BY, and
+    the Horner fold groups float operations identically to the oracle's
+    list_reduce."""
+    ev = Catalog(spark, sf_dir).events
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_W10_SPAN - 1), W.currentRow)
+    )
+    a = F.lit(_W10_DECAY)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.collect_list("value").over(fr).alias("vals"),
+    )
+    horner = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc * a + x
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.size("vals").cast("int").alias("n_frame"),
+        F.round(
+            horner(F.col("vals"))
+            / horner(F.transform("vals", lambda x: F.lit(1.0))),
+            4,
+        ).alias("ewma"),
     )

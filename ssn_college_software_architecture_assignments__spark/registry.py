@@ -97,6 +97,7 @@ _CHECK_PRIORITY = (
     "x2q_duplicated_gram_mass",
     "x3n_pq_refine_topk",
     "x5l_audio_silence_trim",
+    "w10_ewma",
     # tier 2: the 27-id cohort whose newest driver row is r4 — queued
     # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",

@@ -419,3 +419,51 @@ def test_interval_grid_join_matches_python_reference(spark, tmp_path):
     }
     assert got == ref
     assert got[0][1] == 0.0  # the exact-start boundary click counted
+
+
+def test_ewma_matches_python_reference(spark, tmp_path):
+    """w10 vs an independent Python recompute on a seeded random event
+    stream: per-event truncated renormalized EWMA (decay 0.75, span 8)
+    must agree exactly, including the short-history warm-up rows."""
+    import datetime as dt
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        _W10_DECAY,
+        _W10_SPAN,
+        w10_ewma,
+    )
+
+    rng = random.Random(21)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for eid in range(200):
+        rows.append((eid, base + dt.timedelta(seconds=eid * 37 % 997),
+                     rng.randint(1, 4), "e", float(rng.randint(1, 99)), "{}"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    by_user: dict[int, list[tuple]] = {}
+    for eid, ts, uid, _, v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - _W10_SPAN + 1): i + 1]]
+            num = den = 0.0
+            for v in frame:
+                num = num * _W10_DECAY + v
+                den = den * _W10_DECAY + 1.0
+            expect[evs[i][1]] = (len(frame), round(num / den, 4))
+
+    got = {
+        r["event_id"]: (r["n_frame"], r["ewma"])
+        for r in w10_ewma(spark, sf_dir).collect()
+    }
+    assert got == expect
