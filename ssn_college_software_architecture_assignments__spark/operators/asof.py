@@ -146,3 +146,83 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("purchase_value"),
         )
     )
+
+
+# J8b — as-of join with a tolerance bound (pandas merge_asof tolerance) -------
+#
+# The production variant every enrichment pipeline eventually needs:
+# "most recent state, but only if it is FRESH ENOUGH" — a signup older
+# than the tolerance must not enrich the purchase (stale-state joins
+# are a real correctness bug class). Left-outer semantics: every
+# purchase survives, out-of-tolerance or missing matches come back
+# NULL. Same single union+window pass as j8 (the nearest prior match
+# is by definition the only candidate that can be inside the window,
+# so the tolerance check is a map-side post-filter on the filled
+# timestamp — no extra join, no inequality blowup); the ORACLE
+# deliberately uses the naive range inequality join + per-purchase
+# argmax, so agreement proves the rewrite (the j12 pattern).
+
+_J8B_TOL_US = 86_400_000_000  # 24 hours
+
+_J8B_ORACLE = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup'),
+cand AS (
+  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY s.ts DESC, s.event_id DESC) AS rn
+  FROM p JOIN s ON p.user_id = s.user_id
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '24 hours'
+)
+SELECT p.user_id,
+       p.event_id          AS purchase_id,
+       c.signup_id         AS asof_signup_id,
+       round(p.value, 2)   AS purchase_value
+FROM p LEFT JOIN (SELECT purchase_id, signup_id FROM cand WHERE rn = 1) c
+  ON p.event_id = c.purchase_id
+"""
+
+
+@register("j8b_asof_join_tolerance", oracle=_J8B_ORACLE, tags=("J8",))
+def j8b_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment bounded to 24h freshness: the nearest prior
+    signup per purchase, nulled when older than the tolerance (it is
+    the nearest candidate, so no earlier one could qualify either —
+    which is what makes the tolerance a pure post-filter on the j8
+    union+window plan)."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        right_cols=["signup_id", "s_ts"],
+        right_tiebreak="signup_id",
+    )
+    fresh = (
+        F.col("_asof_s_ts").isNotNull()
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("_asof_s_ts")
+            <= _J8B_TOL_US
+        )
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.when(fresh, F.col("_asof_signup_id")).alias("asof_signup_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -121,3 +121,45 @@ def test_asof_rejects_bad_tiebreak_column(spark):
                 left, right, on="key", left_ts="l_ts", right_ts="r_ts",
                 right_cols=["r_id"], right_tiebreak=bad,
             )
+
+
+def test_asof_tolerance_boundary_is_inclusive(spark, tmp_path):
+    """j8b law on planted events: a signup EXACTLY 24h before the
+    purchase matches (inclusive bound); one microsecond older comes
+    back NULL; a user with no signup at all survives with NULL."""
+    import datetime as dt
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.asof import (
+        j8b_asof_join_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    day = dt.timedelta(hours=24)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: signup exactly 24h before purchase -> matches
+        (10, t0 - day, 1, "signup", 0.0, "{}"),
+        (11, t0, 1, "purchase", 5.0, "{}"),
+        # user 2: signup 24h + 1us before purchase -> NULL
+        (20, t0 - day - us, 2, "signup", 0.0, "{}"),
+        (21, t0, 2, "purchase", 7.0, "{}"),
+        # user 3: purchase with no signup -> NULL, row still present
+        (31, t0, 3, "purchase", 9.0, "{}"),
+        # user 4: two signups at the same ts -> highest id wins
+        (40, t0 - us, 4, "signup", 0.0, "{}"),
+        (41, t0 - us, 4, "signup", 0.0, "{}"),
+        (42, t0, 4, "purchase", 3.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["purchase_id"]: r["asof_signup_id"]
+        for r in j8b_asof_join_tolerance(spark, sf_dir).collect()
+    }
+    assert got == {11: 10, 21: None, 31: None, 42: 41}
