@@ -840,3 +840,69 @@ def x6k_incremental_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+# X6l — training-shard manifest ------------------------------------------------
+#
+# The closing step of a curation run: documents land in fixed shard
+# buckets per split, and the run ships a MANIFEST the training loader
+# (and tomorrow's rerun) can verify shards against — counts, token
+# budget, and an order-insensitive content checksum per shard. Shard
+# assignment reuses the portable split hash (divided past the split
+# digits so shard and split stay independent), so a document's shard —
+# like its split — never moves when the corpus grows. The checksum is
+# bit_xor over per-doc 60-bit md5 fingerprints: commutative (partition
+# order cannot change it), exact-integer in both engines, and any
+# single-document change flips it.
+
+_X6L_SHARDS = 8
+_X6L_SHARD_SQL = f"({_HASH_SQL} // 100) % {_X6L_SHARDS}"
+
+_X6L_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END                     AS split,
+         CAST({_X6L_SHARD_SQL} AS BIGINT)          AS shard_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+  FROM documents
+)
+SELECT split, shard_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       bit_xor(fp)                   AS content_xor
+FROM d
+GROUP BY split, shard_id
+ORDER BY split, shard_id
+"""
+
+
+@register("x6l_shard_manifest", oracle=_X6L_ORACLE, tags=("X6", "X1"))
+def x6l_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, shard) manifest: doc count, token budget, and the
+    xor-of-fingerprints checksum a loader verifies before training.
+    Map-only assignment (hash arithmetic + split CASE) followed by one
+    sources*shards-sized hash-agg — zero joins, zero windows; the
+    shard key is uniform by construction so no reducer can hotspot."""
+    from ..operators.dedup import _md5h60
+
+    docs = Catalog(spark, sf_dir).documents
+    b = split_bucket("doc_id")
+    shard = (split_hash("doc_id") / 100).cast("long") % _X6L_SHARDS
+    d = docs.select(
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        shard.cast("long").alias("shard_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        _md5h60(F.col("text")).alias("fp"),
+    )
+    return (
+        d.groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.bit_xor("fp").alias("content_xor"),
+        )
+        .orderBy("split", "shard_id")
+    )

@@ -373,3 +373,43 @@ def test_incremental_admission_funnel_is_monotone(spark, sf_dir):
         assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_clean"]
         if r["n_clean"] == 0:
             assert r["n_tokens_clean"] == 0
+
+
+def test_shard_manifest_checksum_detects_single_doc_change(spark, tmp_path):
+    """x6l laws: (a) the manifest fully partitions the corpus, (b) a
+    one-character edit to ONE document flips exactly that shard's
+    checksum and nothing else, (c) adding a new document leaves every
+    other (split, shard) cell's checksum untouched (stable assignment)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6l_shard_manifest,
+    )
+
+    def write(rows, sub):
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        return d
+
+    base = [(i, f"doc number {i} body", "s") for i in range(60)]
+    m0 = {(r["split"], r["shard_id"]): r for r in
+          x6l_shard_manifest(spark, write(base, "a")).collect()}
+    assert sum(r["n_docs"] for r in m0.values()) == 60
+
+    edited = [(i, t + ("!" if i == 7 else ""), s) for i, t, s in base]
+    m1 = {(r["split"], r["shard_id"]): r for r in
+          x6l_shard_manifest(spark, write(edited, "b")).collect()}
+    assert m0.keys() == m1.keys()
+    changed = [k for k in m0 if m0[k]["content_xor"] != m1[k]["content_xor"]]
+    assert len(changed) == 1
+    assert m1[changed[0]]["n_docs"] == m0[changed[0]]["n_docs"]
+
+    grown = base + [(1000, "a brand new document", "s")]
+    m2 = {(r["split"], r["shard_id"]): r for r in
+          x6l_shard_manifest(spark, write(grown, "c")).collect()}
+    moved = [k for k in m0 if k in m2 and m0[k]["content_xor"] != m2[k]["content_xor"]]
+    assert len(moved) <= 1  # only the new doc's own cell may differ
+    assert sum(r["n_docs"] for r in m2.values()) == 61
