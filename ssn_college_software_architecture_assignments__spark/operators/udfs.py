@@ -2,9 +2,11 @@
 
 The reference's Transform stage is arbitrary Python
 (/root/reference/README.md:22,54); in this engine arbitrary Python enters
-through exactly three doors, all Arrow-batched (never row-at-a-time):
+through exactly four doors, all Arrow-batched (never row-at-a-time):
 
 - F1 scalar: ``@pandas_udf`` — vectorized columnar kernels;
+- F1-iter: SCALAR_ITER ``@pandas_udf`` — same, with per-partition
+  initialization amortized across batches (f4);
 - F2 aggregate: ``applyInPandas`` over grouped data;
 - F3 table: Python UDTF (one record -> many records — the page->records
   expansion, README.md:12).
@@ -13,6 +15,8 @@ Every kernel here is deterministic so the oracle can replay it in SQL.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 
@@ -123,3 +127,43 @@ def f3_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token FROM _f3_docs, "
         "LATERAL expand_tokens(doc_id, text) t"
     )
+
+
+# F4 — iterator pandas UDF (amortized per-partition initialization) -----------
+
+
+_F4_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)
+       - CAST(len(list_filter(string_split(text, ' '),
+                              x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_kept
+FROM documents
+"""
+
+
+@register("f4_iter_udf", oracle=_F4_ORACLE, tags=("F1",))
+def f4_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Python door: SCALAR_ITER pandas UDF. The generator
+    body runs ONCE per partition — expensive setup (here a compiled
+    stopword regex standing in for a tokenizer/model load) happens
+    before the batch loop and amortizes across every Arrow batch,
+    instead of per batch (plain pandas_udf) or per row (legacy UDF).
+    This is the shape a real tokenizer-count or model-scoring stage
+    takes; the kernel itself (non-stopword token count) is
+    deterministic so the oracle replays it in SQL."""
+    import re
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def kept_tokens(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        stop = re.compile(r"^(the|a)$")  # per-partition init, amortized
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(
+                    1 for tok in t.split(" ") if not stop.match(tok)
+                )
+            ).astype("int64")
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", kept_tokens("text").alias("n_kept"))

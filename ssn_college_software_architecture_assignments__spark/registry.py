@@ -100,6 +100,7 @@ _CHECK_PRIORITY = (
     "w10_ewma",
     "j8b_asof_join_tolerance",
     "x6l_shard_manifest",
+    "f4_iter_udf",
     # tier 2: the 27-id cohort whose newest driver row is r4 — queued
     # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",
