@@ -48,7 +48,11 @@ def asof_join(
     (ts, side[, tiebreak]) per key — right rows sort before left rows at
     equal timestamps so equality matches — then forward-fill right
     columns with ``last(ignorenulls=True)`` and keep only left rows.
-    Inner semantics: left rows with no prior right row are dropped.
+    LEFT-OUTER semantics: every left row survives; the filled
+    ``_asof_*`` columns are NULL when no prior right row exists.
+    Callers wanting inner semantics filter the fill themselves (j8
+    does); j8b load-bearingly relies on the outer behavior for its
+    tolerance NULLs — do not "tighten" this helper to drop rows.
 
     ``right_tiebreak`` names a right-side column (usually its id) used as
     the final window sort key: when two right rows share (key, ts), the

@@ -1289,10 +1289,15 @@ def x5k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total length is lead*80 + n + trail*80, the clip profiles to
 # lead + ceil(n/80) + trail windows of which exactly the first `lead`
 # and last `trail` are all-zero (the last signal window absorbs any
-# partial trailing zeros and stays active). The Spark side proves the
-# whole kernel chain — WAV byte encode, RIFF parse, windowed RMS,
-# per-doc aggregation — against that law; the oracle derives it from
-# doc_id arithmetic alone.
+# partial trailing zeros and stays active). That invariant requires a
+# signal sample to NEVER be zero — the x5i formula ((...) % 4096) -
+# 2048 CAN hit zero, and a doc_id whose final 1-sample signal window
+# lands on it (first such: 47520, reachable at sf1 via the stress
+# corpus's offset doc_ids) would profile that window silent and break
+# the law — so the signal range here is [1, 4095]. The Spark side
+# proves the whole kernel chain — WAV byte encode, RIFF parse,
+# windowed RMS, per-doc aggregation — against that law; the oracle
+# derives it from doc_id arithmetic alone.
 
 def _wav_bytes_with_silence(doc_id: int) -> bytes:
     import struct
@@ -1302,7 +1307,7 @@ def _wav_bytes_with_silence(doc_id: int) -> bytes:
     n = 160 + doc_id % 41
     samples = (
         [0] * lead
-        + [((doc_id * 17 + i * 7) % 4096) - 2048 for i in range(n)]
+        + [1 + ((doc_id * 17 + i * 7) % 4095) for i in range(n)]
         + [0] * trail
     )
     data = struct.pack(f"<{len(samples)}h", *samples)

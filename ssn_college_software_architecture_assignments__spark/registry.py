@@ -82,10 +82,11 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: new in round 8 — no driver evidence exists at all (the
-    # three scale-safe global-ranking twins, paragraph near-dedup, the
-    # incremental admission funnel, the Q21-shape SQL entry; names
-    # registered later this round are ignored until they exist)
+    # tier 1: the 17 round-8 additions — no driver evidence exists at
+    # all (the three scale-safe global-ranking twins, paragraph
+    # near-dedup + duplicated-gram mass, the incremental admission
+    # funnel + shard manifest, the Q21/Q13/Q22 SQL shapes, PQ refine,
+    # silence trim, EWMA, tolerance as-of, the iterator UDF)
     "w4b_quartile_cutpoints",
     "x4n2_quality_deciles_scalable",
     "s16b_zorder_layout_scalable",
