@@ -1946,3 +1946,119 @@ def x2q_duplicated_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X2r — cross-source verbatim-span flow (who copies whom) ---------------------
+#
+# x2q says how MUCH of each source is duplicated text; this says WHERE
+# it flows: for every source pair, the count of distinct 8-grams both
+# contain verbatim and the Jaccard overlap of their gram sets — the
+# matrix that separates "mirror site" pairs (high overlap -> dedup them
+# jointly, or drop one source) from sources that merely share idioms.
+# The whole-document version of this matrix is vacuous on corpora
+# without cross-source exact dups (this fixture has none), which is
+# precisely why the production diagnostic runs at span granularity.
+#
+# Scale shape: x4m's one-pass diagonal-pair idiom on the 60-bit md5
+# gram key (the shuffle carries 8-byte keys, never gram text): distinct
+# (source, gram-hash) rows, per-hash sorted source list (bounded by the
+# source count), i<=j in-list HOF expansion where the DIAGONAL carries
+# each source's gram-set size — one corpus scan, one sources^2-sized
+# aggregate, two windows over that tiny table.
+
+_X2R_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {_X2Q_K - 1}, 0) + 1),
+             i -> array_to_string(t[i:i+{_X2Q_K - 1}], ' ')
+           )) AS gram
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+  )
+),
+tok AS (SELECT gh, list_sort(list(source)) AS srcs FROM g GROUP BY gh),
+pairs AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, len(srcs)),
+           i -> list_transform(generate_series(i, len(srcs)),
+                  j -> {{'src_a': srcs[i], 'src_b': srcs[j]}})))) AS p
+  FROM tok
+),
+agg AS (
+  SELECT p.src_a AS src_a, p.src_b AS src_b, count(*) AS n_pair FROM pairs
+  GROUP BY p.src_a, p.src_b
+),
+sized AS (
+  SELECT src_a, src_b, n_pair,
+         max(CASE WHEN src_a = src_b THEN n_pair END)
+           OVER (PARTITION BY src_a) AS n_grams_a,
+         max(CASE WHEN src_a = src_b THEN n_pair END)
+           OVER (PARTITION BY src_b) AS n_grams_b
+  FROM agg
+)
+SELECT src_a, src_b,
+       CAST(n_grams_a AS BIGINT) AS n_grams_a,
+       CAST(n_grams_b AS BIGINT) AS n_grams_b,
+       CAST(n_pair AS BIGINT)    AS n_shared,
+       round(n_pair / CAST(n_grams_a + n_grams_b - n_pair AS DOUBLE), 4)
+                                 AS jaccard
+FROM sized
+WHERE src_a < src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("x2r_cross_source_gram_flow", oracle=_X2R_ORACLE, tags=("X2", "X4"))
+def x2r_cross_source_gram_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source pair: distinct verbatim 8-grams shared and the Jaccard
+    overlap of the two gram sets. Pairs sharing nothing don't appear
+    (both engines agree by construction)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    g = (
+        ensure_min_partitions(docs)
+        .select("source", F.explode(token_shingles(toks, _X2Q_K)).alias("gram"))
+        .select("source", _md5h60(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    tok = g.groupBy("gh").agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(0, size(srcs) - 1), i ->
+          transform(sequence(i, size(srcs) - 1), j ->
+            named_struct('src_a', srcs[i], 'src_b', srcs[j]))))
+        """
+    )
+    agg = (
+        tok.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    diag = F.when(F.col("src_a") == F.col("src_b"), F.col("n_pair"))
+    sized = agg.select(
+        "src_a",
+        "src_b",
+        "n_pair",
+        F.max(diag).over(W.partitionBy("src_a")).alias("n_grams_a"),
+        F.max(diag).over(W.partitionBy("src_b")).alias("n_grams_b"),
+    )
+    return (
+        sized.filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.col("n_pair").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_pair")
+                / (
+                    F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_pair")
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -575,3 +575,33 @@ def test_duplicated_gram_mass_closed_form(spark, tmp_path):
     assert got["sB"]["n_dup_occurrences"] == 3
     assert got["sC"]["n_dup_occurrences"] == 0
     assert got["sC"]["dup_mass_frac"] == 0.0
+
+
+def test_cross_source_gram_flow_finds_planted_mirror(spark, tmp_path):
+    """x2r on a handmade corpus: srcA and srcB share one verbatim
+    10-token span (3 distinct 8-grams); srcC shares nothing, so no
+    (A,C)/(B,C) rows exist."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2r_cross_source_gram_flow,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    a = span + " " + " ".join(f"a{i}" for i in range(10))   # 13 grams
+    b = span + " " + " ".join(f"b{i}" for i in range(10))   # 13 grams
+    c = " ".join(f"c{i}" for i in range(20))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(1, a, "srcA"), (2, b, "srcB"), (3, c, "srcC")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = x2r_cross_source_gram_flow(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("srcA", "srcB")
+    assert r["n_shared"] == 3
+    assert r["n_grams_a"] == r["n_grams_b"] == 13
+    assert r["jaccard"] == round(3 / (13 + 13 - 3), 4)

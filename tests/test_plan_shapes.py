@@ -292,3 +292,14 @@ def test_dormant_customers_plans_anti_join_and_scalar_broadcast(spark):
     plan = _plan(spark, "e2_sql_dormant_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cross_source_gram_flow_scans_documents_once(spark):
+    """x2r's one-pass claim: the diagonal-pair trick carries gram-set
+    sizes in the same aggregate as the intersections — a sizes
+    aggregate joined back would re-plan the distinct-gram subtree."""
+    import re
+
+    plan = _plan(spark, "x2r_cross_source_gram_flow")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
