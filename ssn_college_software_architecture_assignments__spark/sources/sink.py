@@ -889,3 +889,94 @@ def s16b_zorder_layout_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# S17 — write-audit-publish (staged atomic promotion) --------------------------
+#
+# The lake-write discipline table formats call WAP: a load never lands
+# directly in the serving path. It stages to a scratch directory, an
+# AUDIT validates the staged files themselves (read-back count vs the
+# observed write count, key non-null, key uniqueness), and only a fully
+# green audit PUBLISHES — one atomic directory rename, so readers see
+# the old table or the whole new one, never a half-written load. A red
+# audit leaves the staging directory in place for forensics and
+# publishes nothing.
+
+
+def write_audit_publish(
+    df: DataFrame, key: str, base: str
+) -> dict:
+    """Stage ``df`` under ``base/staging``, audit the STAGED files, and
+    atomically rename to ``base/published`` when green. Returns the
+    audit report. The audit reads what was actually written (not the
+    input lineage) — the whole point is to catch what the write path
+    lost. The count expectation comes from ``observe()`` metrics on the
+    write job itself, so no second pass over the input runs."""
+    spark = df.sparkSession
+    staging, published = f"{base}/staging", f"{base}/published"
+    obs = Observation("s17_write")
+    df.observe(obs, F.count(F.lit(1)).alias("n_written")).write.mode(
+        "error"
+    ).parquet(staging)
+    expected = obs.get["n_written"]
+
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n_staged"),
+        F.count(key).alias("n_nonnull_keys"),
+        F.countDistinct(key).alias("n_distinct_keys"),
+    ).collect()[0]
+    checks_passed = bool(
+        audit["n_staged"] == expected
+        and audit["n_nonnull_keys"] == audit["n_staged"]
+        and audit["n_distinct_keys"] == audit["n_staged"]
+    )
+    if checks_passed:
+        os.rename(staging, published)
+    return {
+        "n_expected": int(expected),
+        "n_staged": int(audit["n_staged"]),
+        "n_distinct_keys": int(audit["n_distinct_keys"]),
+        "checks_passed": checks_passed,
+        "published": checks_passed and os.path.isdir(published),
+    }
+
+
+_S17_ORACLE = """
+SELECT CAST(count(*) AS BIGINT)                 AS n_staged,
+       CAST(count(DISTINCT doc_id) AS BIGINT)   AS n_distinct_keys,
+       TRUE                                     AS checks_passed,
+       TRUE                                     AS published,
+       CAST(count(*) AS BIGINT)                 AS n_readable
+FROM documents
+"""
+
+
+@register("s17_write_audit_publish", oracle=_S17_ORACLE, tags=("S11", "S8"))
+def s17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP round trip on the documents table: stage, audit (count /
+    non-null key / unique key against the write job's own observe()
+    metric), atomic publish, then COUNT WHAT A READER SEES at the
+    published path. The red-audit leg (duplicate keys -> no publish,
+    staging preserved) is pinned in tests/test_lake.py."""
+    docs = Catalog(spark, sf_dir).documents
+    base = tempfile.mkdtemp(prefix="ssn_wap_")
+    report = write_audit_publish(docs, "doc_id", base)
+    n_readable = (
+        spark.read.parquet(f"{base}/published").count()
+        if report["published"]
+        else 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                report["n_staged"],
+                report["n_distinct_keys"],
+                report["checks_passed"],
+                report["published"],
+                n_readable,
+            )
+        ],
+        "n_staged long, n_distinct_keys long, checks_passed boolean, "
+        "published boolean, n_readable long",
+    )

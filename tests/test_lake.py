@@ -153,3 +153,33 @@ def test_morton_terms_match_independent_bit_interleave(spark):
         assert m == py_morton(x, y), (x, y, m)
     # distinct pairs -> distinct codes on the 8-bit domain (bijectivity)
     assert len(set(got.values())) == len(got)
+
+
+def test_wap_red_audit_blocks_publish_and_keeps_staging(spark, tmp_path):
+    """s17's failure leg: a staged load with a DUPLICATE key must fail
+    the audit, publish nothing, and leave the staging directory intact
+    for forensics; a clean load publishes atomically."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        write_audit_publish,
+    )
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, v string")
+    dup = clean.unionAll(
+        spark.createDataFrame([(2, "b2")], "doc_id long, v string")
+    )
+
+    good = str(tmp_path / "good")
+    r1 = write_audit_publish(clean, "doc_id", good)
+    assert r1["checks_passed"] and r1["published"]
+    assert os.path.isdir(f"{good}/published")
+    assert not os.path.isdir(f"{good}/staging")
+    assert spark.read.parquet(f"{good}/published").count() == 2
+
+    bad = str(tmp_path / "bad")
+    r2 = write_audit_publish(dup, "doc_id", bad)
+    assert not r2["checks_passed"] and not r2["published"]
+    assert not os.path.isdir(f"{bad}/published")
+    assert os.path.isdir(f"{bad}/staging")      # preserved for forensics
+    assert r2["n_staged"] == 3 and r2["n_distinct_keys"] == 2
