@@ -486,3 +486,107 @@ def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_rows.unionAll(total_row).orderBy("grp")
+
+
+# A13 — heavy hitters via partition-local Misra-Gries screen ------------------
+#
+# The third sketch family next to HLL (a4/a12) and KLL (a6): frequent
+# items. The distributed form: each partition emits ONLY the tokens
+# whose local count exceeds N_p/(K+1) — the Misra-Gries survivor set,
+# provably at most K items per partition with no sort — plus one marker
+# row carrying the partition's total. By pigeonhole, any token with
+# GLOBAL frequency > N/(K+1) must exceed the threshold in at least one
+# partition, so the union of survivors is a guaranteed superset of the
+# true heavy hitters; joining exact counts back over that tiny
+# broadcast set and re-applying the global threshold yields EXACTLY
+# the true heavy-hitter set — deterministic for every partitioning,
+# which is what makes a full-value oracle possible for a sketch
+# algorithm. Scale shape: the screen is map-only (Arrow-batched,
+# bounded K+1 rows out per partition); the only corpus-wide work after
+# it is one broadcast-semi-joined count over the candidates.
+
+_A13_K = 31  # heavy hitter := freq > N / (K+1) = N/32
+
+
+def _mg_screen(batches):
+    """Per-partition Misra-Gries survivor screen: exact local counts
+    folded across Arrow batches (vocabulary-bounded state), then emit
+    survivors + a total marker. The iterator form means the fold state
+    lives once per PARTITION, not per batch."""
+    from collections import Counter
+
+    import pandas as pd
+
+    counts: Counter = Counter()
+    total = 0
+    for pdf in batches:
+        vc = pdf["token"].value_counts()
+        counts.update(vc.to_dict())
+        total += int(vc.sum())
+    survivors = [
+        (tok, int(c), False)
+        for tok, c in counts.items()
+        if c * (_A13_K + 1) > total
+    ]
+    survivors.append((None, total, True))
+    yield pd.DataFrame(
+        {
+            "token": [s[0] for s in survivors],
+            "cnt": [s[1] for s in survivors],
+            "is_total": [s[2] for s in survivors],
+        }
+    )
+
+
+_A13_ORACLE = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+n AS (SELECT count(*) AS n FROM t)
+SELECT token,
+       count(*)                                  AS n_occurrences,
+       round(count(*) / CAST(n.n AS DOUBLE), 6)  AS freq_frac
+FROM t, n
+GROUP BY token, n.n
+HAVING count(*) * {_A13_K + 1} > n.n
+ORDER BY token
+"""
+
+
+@register("a13_heavy_hitters", oracle=_A13_ORACLE, tags=("A4", "X4"))
+def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokens occurring more than N/32 of the time, found by the
+    map-only Misra-Gries screen + exact-count confirmation over the
+    broadcast candidate set. The pigeonhole superset guarantee (and its
+    independence from partitioning) is pinned by a hypothesis property
+    test against adversarial splits."""
+    from ..catalog import ensure_min_partitions
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = ensure_min_partitions(docs).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    screened = toks.mapInPandas(
+        _mg_screen, "token string, cnt long, is_total boolean"
+    )
+    candidates = (
+        screened.filter(~F.col("is_total")).select("token").distinct()
+    )
+    total = screened.filter(F.col("is_total")).agg(
+        F.sum("cnt").alias("n")
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * (_A13_K + 1) > F.col("n"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n").cast("double"), 6).alias(
+                "freq_frac"
+            ),
+        )
+        .orderBy("token")
+    )

@@ -467,3 +467,77 @@ def test_ewma_matches_python_reference(spark, tmp_path):
         for r in w10_ewma(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+@given(seed=st.integers(0, 2**16), n_parts=st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_screen_superset_guarantee(seed, n_parts):
+    """a13's pigeonhole law, pure Python over adversarial partitionings:
+    for ANY split of the stream, every token with global frequency
+    > N/(K+1) exceeds the local threshold in at least one partition —
+    so the distributed screen's candidate union is always a superset of
+    the true heavy hitters and the final exact filter is
+    partitioning-independent."""
+    import random
+    from collections import Counter
+
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        _A13_K,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(rng.randint(2, 40))]
+    weights = [rng.random() ** 3 + 0.001 for _ in vocab]  # skewed
+    stream = rng.choices(vocab, weights=weights, k=rng.randint(50, 600))
+    parts = [[] for _ in range(n_parts)]
+    for tok in stream:
+        parts[rng.randrange(n_parts)].append(tok)
+
+    n = len(stream)
+    global_counts = Counter(stream)
+    heavy = {t for t, c in global_counts.items() if c * (_A13_K + 1) > n}
+
+    survivors = set()
+    for p in parts:
+        local = Counter(p)
+        total = len(p)
+        survivors |= {
+            t for t, c in local.items() if c * (_A13_K + 1) > total
+        }
+        # MG bound: at most K survivors per partition
+        assert (
+            len([t for t, c in local.items() if c * (_A13_K + 1) > total])
+            <= _A13_K
+        )
+    assert heavy <= survivors
+
+
+def test_heavy_hitters_closed_form(spark, tmp_path):
+    """a13 end-to-end on a handmade corpus: one token holds 40% of all
+    occurrences, one exactly at the N/32 boundary (excluded — strict
+    >), the rest far below."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a13_heavy_hitters,
+    )
+
+    # N = 320 tokens total: 'hot' x 128, 'edge' x 10 (= N/32, excluded),
+    # 'warm' x 11 (> N/32, included), 171 singletons
+    toks = ["hot"] * 128 + ["edge"] * 10 + ["warm"] * 11 + [
+        f"u{i}" for i in range(171)
+    ]
+    docs, chunk = [], 32
+    for i in range(0, len(toks), chunk):
+        docs.append((i // chunk, " ".join(toks[i : i + chunk]), "s"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["token"]: r for r in a13_heavy_hitters(spark, sf_dir).collect()}
+    assert sorted(got) == ["hot", "warm"]
+    assert got["hot"]["n_occurrences"] == 128
+    assert got["hot"]["freq_frac"] == round(128 / 320, 6)
+    assert got["warm"]["n_occurrences"] == 11
