@@ -1105,3 +1105,86 @@ def x4e2_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "guessed_lang")
     )
+
+
+# X4o — per-source token entropy (corpus diversity) ---------------------------
+#
+# The information-theoretic companion to x4m's vocabulary overlap: a
+# source whose token distribution has low Shannon entropy is templated/
+# repetitive text regardless of its vocabulary SIZE, and normalized
+# entropy (H / log2(V)) separates "small vocabulary" from "skewed
+# usage". Float determinism: a groupBy SUM of float terms would be
+# partition-order dependent, so both engines instead collect the
+# per-source (token, count) list, SORT it by token, and run the
+# identical sequential fold over the sorted terms — the established
+# Horner-law trick (w10), applied to entropy. Per-source state is
+# vocabulary-bounded (the corpus collapses to (source, token) counts
+# first — one uniform-key hash-agg, the only corpus-wide shuffle).
+
+_X4O_ORACLE = """
+WITH tc AS (
+  SELECT source, token, count(*) AS cnt FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY source, token
+),
+per AS (
+  SELECT source,
+         list_sort(list({'token': token, 'cnt': cnt})) AS l,
+         sum(cnt) AS n
+  FROM tc GROUP BY source
+),
+h AS (
+  SELECT source, n, len(l) AS v,
+         -list_reduce(list_transform(l,
+             x -> (x.cnt / CAST(n AS DOUBLE)) * log2(x.cnt / CAST(n AS DOUBLE))),
+           (a, b) -> a + b) AS ent
+  FROM per
+)
+SELECT source,
+       CAST(n AS BIGINT)     AS n_tokens,
+       CAST(v AS BIGINT)     AS n_distinct,
+       round(ent, 4)         AS entropy_bits,
+       CASE WHEN v > 1 THEN round(ent / log2(CAST(v AS DOUBLE)), 4) END
+                             AS entropy_norm
+FROM h
+ORDER BY source
+"""
+
+
+@register("x4o_token_entropy", oracle=_X4O_ORACLE, tags=("X4",))
+def x4o_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's token distribution plus
+    the log2(V)-normalized form. The fold runs over the token-sorted
+    count list so every float operation happens in the same sequence in
+    both engines."""
+    docs = Catalog(spark, sf_dir).documents
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = tc.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("token", "cnt"))).alias("l"),
+        F.sum("cnt").alias("n"),
+    )
+    terms = F.transform(
+        "l",
+        lambda x: (x["cnt"] / F.col("n"))
+        * F.log2(x["cnt"] / F.col("n")),
+    )
+    h = per.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("l").cast("long").alias("n_distinct"),
+        (-F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)).alias("ent"),
+    )
+    return h.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.round("ent", 4).alias("entropy_bits"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("ent") / F.log2(F.col("n_distinct").cast("double")), 4),
+        ).alias("entropy_norm"),
+    ).orderBy("source")

@@ -70,3 +70,35 @@ def test_lang_confusion_closed_form(spark, tmp_path):
         ("en", "fr"): (1, round(1 / 3, 4)),
         ("fr", "und"): (1, 1.0),
     }, got
+
+
+def test_token_entropy_closed_form(spark, tmp_path):
+    """x4o laws on handmade sources: a uniform 4-token source has
+    entropy exactly 2 bits (norm 1.0); a constant source has entropy 0;
+    a skewed 2-token source matches the hand-computed H."""
+    import math
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4o_token_entropy,
+    )
+
+    rows = [
+        (1, "a b c d a b c d", "uniform"),        # 4 tokens x2 each
+        (2, "x x x x x x", "constant"),           # single token
+        (3, "y y y z", "skewed"),                 # p = [0.75, 0.25]
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["source"]: r for r in x4o_token_entropy(spark, sf_dir).collect()}
+    assert got["uniform"]["entropy_bits"] == 2.0
+    assert got["uniform"]["entropy_norm"] == 1.0
+    assert got["constant"]["entropy_bits"] == 0.0
+    assert got["constant"]["entropy_norm"] is None   # log2(1) guard
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got["skewed"]["entropy_bits"] == round(h, 4)
+    assert got["skewed"]["n_tokens"] == 4 and got["skewed"]["n_distinct"] == 2
