@@ -501,9 +501,10 @@ def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast set and re-applying the global threshold yields EXACTLY
 # the true heavy-hitter set — deterministic for every partitioning,
 # which is what makes a full-value oracle possible for a sketch
-# algorithm. Scale shape: the screen is map-only (Arrow-batched,
-# bounded K+1 rows out per partition); the only corpus-wide work after
-# it is one broadcast-semi-joined count over the candidates.
+# algorithm. Scale shape: the screen is map-only (Arrow-batched, at
+# most K rows out per partition) and runs ONCE; after it the corpus
+# pays one broadcast-semi-joined count over the candidates plus a
+# column-pruned no-explode scan for the token total.
 
 _A13_K = 31  # heavy hitter := freq > N / (K+1) = N/32
 
@@ -511,8 +512,8 @@ _A13_K = 31  # heavy hitter := freq > N / (K+1) = N/32
 def _mg_screen(batches):
     """Per-partition Misra-Gries survivor screen: exact local counts
     folded across Arrow batches (vocabulary-bounded state), then emit
-    survivors + a total marker. The iterator form means the fold state
-    lives once per PARTITION, not per batch."""
+    only the survivors. The iterator form means the fold state lives
+    once per PARTITION, not per batch."""
     from collections import Counter
 
     import pandas as pd
@@ -524,18 +525,9 @@ def _mg_screen(batches):
         counts.update(vc.to_dict())
         total += int(vc.sum())
     survivors = [
-        (tok, int(c), False)
-        for tok, c in counts.items()
-        if c * (_A13_K + 1) > total
+        tok for tok, c in counts.items() if c * (_A13_K + 1) > total
     ]
-    survivors.append((None, total, True))
-    yield pd.DataFrame(
-        {
-            "token": [s[0] for s in survivors],
-            "cnt": [s[1] for s in survivors],
-            "is_total": [s[2] for s in survivors],
-        }
-    )
+    yield pd.DataFrame({"token": survivors})
 
 
 _A13_ORACLE = f"""
@@ -564,14 +556,14 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = ensure_min_partitions(docs).select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    screened = toks.mapInPandas(
-        _mg_screen, "token string, cnt long, is_total boolean"
-    )
-    candidates = (
-        screened.filter(~F.col("is_total")).select("token").distinct()
-    )
-    total = screened.filter(F.col("is_total")).agg(
-        F.sum("cnt").alias("n")
+    # The screen DataFrame is referenced exactly once — a second
+    # reference (e.g. deriving N from marker rows inside it) would make
+    # Catalyst plan and EXECUTE the whole explode+screen pass twice
+    # (subtrees are never shared). N instead comes from a column-pruned
+    # scan with no explode: sum of per-document token counts.
+    candidates = toks.mapInPandas(_mg_screen, "token string").distinct()
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n")
     )
     exact = (
         toks.join(F.broadcast(candidates), "token")

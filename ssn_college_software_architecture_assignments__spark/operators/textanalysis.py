@@ -1143,12 +1143,15 @@ h AS (
 SELECT source,
        CAST(n AS BIGINT)     AS n_tokens,
        CAST(v AS BIGINT)     AS n_distinct,
-       round(ent, 4)         AS entropy_bits,
+       round(ent + 0.0, 4)   AS entropy_bits,
        CASE WHEN v > 1 THEN round(ent / log2(CAST(v AS DOUBLE)), 4) END
                              AS entropy_norm
 FROM h
 ORDER BY source
 """
+# The `+ 0.0` absorbs IEEE negative zero: a single-token source folds to
+# ent = -(+0.0) = -0.0, which DuckDB's round() preserves while Spark's
+# BigDecimal round normalizes to +0.0 — repr-level oracle mismatch.
 
 
 @register("x4o_token_entropy", oracle=_X4O_ORACLE, tags=("X4",))

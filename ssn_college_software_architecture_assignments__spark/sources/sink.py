@@ -907,11 +907,19 @@ def write_audit_publish(
     df: DataFrame, key: str, base: str
 ) -> dict:
     """Stage ``df`` under ``base/staging``, audit the STAGED files, and
-    atomically rename to ``base/published`` when green. Returns the
-    audit report. The audit reads what was actually written (not the
-    input lineage) — the whole point is to catch what the write path
-    lost. The count expectation comes from ``observe()`` metrics on the
-    write job itself, so no second pass over the input runs."""
+    promote to ``base/published`` when green. Returns the audit report.
+    The audit reads what was actually written (not the input lineage) —
+    the whole point is to catch what the write path lost. The count
+    expectation comes from ``observe()`` metrics on the write job
+    itself, so no second pass over the input runs.
+
+    Repeat loads into the same ``base`` are supported: an existing
+    published table is renamed aside to ``published_prev`` (replacing
+    any older one) before the new staging renames in. Each rename is
+    atomic, so a reader never sees a half-written table, but the swap
+    itself is two renames — the brief window where ``published`` is
+    absent is the cost of doing this on a plain filesystem (a table
+    format's metadata pointer swap removes it)."""
     spark = df.sparkSession
     staging, published = f"{base}/staging", f"{base}/published"
     obs = Observation("s17_write")
@@ -932,6 +940,12 @@ def write_audit_publish(
         and audit["n_distinct_keys"] == audit["n_staged"]
     )
     if checks_passed:
+        if os.path.isdir(published):
+            import shutil
+
+            prev = f"{base}/published_prev"
+            shutil.rmtree(prev, ignore_errors=True)
+            os.rename(published, prev)
         os.rename(staging, published)
     return {
         "n_expected": int(expected),

@@ -183,3 +183,19 @@ def test_wap_red_audit_blocks_publish_and_keeps_staging(spark, tmp_path):
     assert not os.path.isdir(f"{bad}/published")
     assert os.path.isdir(f"{bad}/staging")      # preserved for forensics
     assert r2["n_staged"] == 3 and r2["n_distinct_keys"] == 2
+
+
+def test_wap_repeat_load_replaces_published(spark, tmp_path):
+    """A second green load into the SAME base must publish (old table
+    renamed aside, new one promoted) instead of crashing on rename."""
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        write_audit_publish,
+    )
+
+    base = str(tmp_path / "serving")
+    v1 = spark.createDataFrame([(1, "a")], "doc_id long, v string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, v string")
+    assert write_audit_publish(v1, "doc_id", base)["published"]
+    assert write_audit_publish(v2, "doc_id", base)["published"]
+    assert spark.read.parquet(f"{base}/published").count() == 2
+    assert spark.read.parquet(f"{base}/published_prev").count() == 1

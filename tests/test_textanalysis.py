@@ -102,3 +102,20 @@ def test_token_entropy_closed_form(spark, tmp_path):
     h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert got["skewed"]["entropy_bits"] == round(h, 4)
     assert got["skewed"]["n_tokens"] == 4 and got["skewed"]["n_distinct"] == 2
+
+    # repr-level oracle agreement on the zero-entropy edge: DuckDB's
+    # fold yields -0.0 there and the comparator is repr-based, so the
+    # oracle must normalize it (the `+ 0.0` in _X4O_ORACLE)
+    import duckdb
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        _X4O_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    du = {r[0]: r for r in con.execute(_X4O_ORACLE).fetchall()}
+    assert repr(float(du["constant"][3])) == "0.0"   # not '-0.0'
