@@ -277,7 +277,10 @@ def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3d — IVF (inverted-file) ANN: coarse quantize -> probe nearest cells ----------
 
 
-_X3D_ORACLE = """
+def _x3d_oracle_sql(nprobe: int) -> str:
+    """The IVF search law at probe width ``nprobe`` — 2 is the
+    registered x3d; x3p sweeps 1/2/4 for the tuning curve."""
+    return f"""
 WITH c AS (
   SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
   FROM embeddings WHERE vec_id < 16
@@ -316,7 +319,7 @@ probe AS (
     SELECT q_id, qemb, cent_id,
            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rn
     FROM qc
-  ) WHERE rn <= 2
+  ) WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT p.q_id, cl.vec_id,
@@ -334,6 +337,9 @@ SELECT q_id, vec_id, round(cos_sim, 4) AS cos_sim FROM (
 """
 
 
+_X3D_ORACLE = _x3d_oracle_sql(2)
+
+
 @register("x3d_similarity_ivf", oracle=_X3D_ORACLE, tags=("X3",))
 def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every vector to its nearest coarse centroid (the
@@ -346,6 +352,14 @@ def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus never shuffles on anything wider than its cell id;
     centroid assignment is a broadcast nested loop over K=16 rows, and the
     candidate join per query touches ~2/16 of the corpus."""
+    return _ivf_topk(spark, sf_dir, nprobe=2)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """THE IVF search kernel at probe width ``nprobe`` (the Spark half
+    of ``_x3d_oracle_sql``): nprobe=2 is the registered x3d; x3p sweeps
+    1/2/4. One implementation so the search and its tuning curve can
+    never score differently."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
@@ -364,7 +378,7 @@ def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", F.col("cent_id").alias("cell"))
     )
 
-    # queries probe their nprobe=2 nearest cells
+    # queries probe their nprobe nearest cells
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
     )
@@ -377,7 +391,7 @@ def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("q_id").orderBy(F.col("cent_dist").asc(), F.col("cent_id"))
             ),
         )
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_emb", F.col("cent_id").alias("cell"))
     )
 
@@ -1489,4 +1503,94 @@ def x3n_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "exact_dist")
+    )
+
+
+# X3p — IVF nprobe tuning curve (recall-vs-probe-width sweep) -----------------
+#
+# x2m's counterpart for ANN: before an operator pins nprobe, they run
+# the sweep — recall@5 against exact truth at each candidate probe
+# width — and pick the knee. Each leg IS the registered x3d kernel
+# (shared `_ivf_topk` / `_x3d_oracle_sql`), the truth leg IS x3's
+# brute-force oracle, so the curve can never drift from the operators
+# it tunes. Recall is monotone nondecreasing in nprobe by construction
+# (wider probes only ADD candidate cells) — pytest-pinned.
+#
+# Scale shape: the ivf legs union FIRST (tagged by nprobe) and join the
+# truth set ONCE, so the brute-force side — the expensive leg — is
+# planned twice (hits + truth count), not once per probe width; the
+# legs share nothing Catalyst can reuse, which is the audit's cost and
+# the reason production runs it on a query SAMPLE.
+
+_X3P_PROBES = (1, 2, 4)
+
+
+def _x3p_oracle() -> str:
+    legs = ",\n".join(
+        f"i{p} AS ({_x3d_oracle_sql(p)})" for p in _X3P_PROBES
+    )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {p} AS nprobe, q_id, vec_id FROM i{p}" for p in _X3P_PROBES
+    )
+    values = ", ".join(f"({p})" for p in _X3P_PROBES)
+    return f"""
+WITH bf AS ({_X3_ORACLE}),
+{legs},
+u AS (
+  {union}
+),
+hits AS (
+  SELECT u.nprobe, count(*) AS n_hits
+  FROM u JOIN bf ON u.q_id = bf.q_id AND u.vec_id = bf.vec_id
+  GROUP BY u.nprobe
+),
+truth AS (SELECT count(*) AS n_true FROM bf)
+SELECT CAST(p.nprobe AS INT)              AS nprobe,
+       CAST(t.n_true AS BIGINT)           AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(t.n_true AS DOUBLE), 4) AS recall
+FROM (VALUES {values}) p(nprobe)
+LEFT JOIN hits h ON p.nprobe = h.nprobe
+CROSS JOIN truth t
+ORDER BY p.nprobe
+"""
+
+
+@register("x3p_ivf_nprobe_sweep", oracle=_x3p_oracle(), tags=("X3",))
+def x3p_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF search at nprobe in {1, 2, 4} against exact
+    brute-force truth — the tuning curve behind the nprobe knob."""
+    from functools import reduce
+
+    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    legs = [
+        _ivf_topk(spark, sf_dir, nprobe=p)
+        .select("q_id", "vec_id")
+        .withColumn("nprobe", F.lit(p))
+        for p in _X3P_PROBES
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), legs)
+    hits = (
+        u.join(bf, ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    truth = bf.agg(F.count(F.lit(1)).alias("n_true"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _X3P_PROBES], "nprobe int"
+    )
+    return (
+        probes.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
     )

@@ -665,3 +665,29 @@ def test_pq_refine_recall_dominates_adc_recall(spark, sf_dir):
     for q in range(8):
         assert len(ref[q]) == 5 and len(adc[q]) == 5
         assert len(ref[q] & truth[q]) >= len(adc[q] & truth[q]), q
+
+
+def test_nprobe_sweep_recall_is_monotone(spark, sf_dir):
+    """x3p law: widening the probe only ADDS candidate cells, so
+    recall@5 is nondecreasing in nprobe, and at nprobe == K (all 16
+    cells probed) IVF degenerates to exact search with recall 1.0."""
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _ivf_topk,
+        x3_similarity_bruteforce,
+        x3p_ivf_nprobe_sweep,
+    )
+
+    rows = {r["nprobe"]: r for r in x3p_ivf_nprobe_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["recall"] <= rows[2]["recall"] <= rows[4]["recall"]
+    assert all(r["n_true"] == 40 for r in rows.values())  # 8 queries x 5
+
+    bf = {
+        (r["q_id"], r["vec_id"])
+        for r in x3_similarity_bruteforce(spark, sf_dir).collect()
+    }
+    full = {
+        (r["q_id"], r["vec_id"])
+        for r in _ivf_topk(spark, sf_dir, nprobe=16).collect()
+    }
+    assert full == bf
