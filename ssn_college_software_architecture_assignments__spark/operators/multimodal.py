@@ -1393,3 +1393,116 @@ def x5l_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X5m — perceptual-hash image dedup (dHash) -----------------------------------
+#
+# The bridge between the multimodal and dedup families: byte-exact
+# image dedup (x1-style checksums) misses re-encoded/resampled copies,
+# so image pipelines dedup on a PERCEPTUAL hash. dHash here: decode,
+# collapse to sum-gray (r+g+b — integer-exact, no luma rounding),
+# nearest-neighbor resample to 9x8 (the x5g floor-mapping arithmetic),
+# then one bit per adjacent-horizontal comparison (gray[y,x] >
+# gray[y,x+1]) -> a 64-bit hash serialized as 16 hex chars (8 row
+# bytes — avoids int64 sign issues entirely). Images sharing a dhash
+# group into near-duplicate clusters. The oracle re-derives every bit
+# arithmetically from the deterministic payload generator, so the
+# whole chain — encode, parse, gray, resample, compare, serialize,
+# group — is value-checked.
+#
+# Scale shape: one Arrow map pass per image (bounded 16-char output per
+# payload, bytes never leave executors) + one uniform-key hash-agg on
+# the dhash. Clustering is EXACT hash equality — no pairwise stage at
+# all, which is what makes perceptual-hash dedup the cheap first pass
+# before any embedding-based image similarity.
+
+_DHASH_W, _DHASH_H = 9, 8
+
+DHASH_SCHEMA = "doc_id long, dhash string, hash_status string"
+
+
+def dhash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "dhash": [], "hash_status": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, raster = _parse_ppm_raster(bytes(payload))
+                gray = (
+                    raster.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+                )
+                sy = (np.arange(_DHASH_H) * h) // _DHASH_H
+                sx = (np.arange(_DHASH_W) * w) // _DHASH_W
+                g = gray[sy][:, sx]                    # 8 x 9
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # 8 x 8
+                row_bytes = (bits << np.arange(8)).sum(axis=1)
+                out["doc_id"].append(doc_id)
+                out["dhash"].append("".join(f"{b:02x}" for b in row_bytes))
+                out["hash_status"].append("ok")
+            except ValueError as exc:
+                out["doc_id"].append(doc_id)
+                out["dhash"].append(None)
+                out["hash_status"].append(f"error: {exc}")
+        yield pd.DataFrame(out)
+
+
+def _x5m_gray_sql(c: int) -> str:
+    return (
+        f"(d.doc_id * 31 + (((ty.i * d.h) // {_DHASH_H}) * d.w"
+        f" + ((tx.i * d.w) // {_DHASH_W})) * 3 + {c}) % 256"
+    )
+
+
+_X5M_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+),
+g AS (
+  SELECT d.doc_id, ty.i AS y, tx.i AS x,
+         {_x5m_gray_sql(0)} + {_x5m_gray_sql(1)} + {_x5m_gray_sql(2)} AS gray
+  FROM dims d,
+       LATERAL (SELECT unnest(range({_DHASH_H})) AS i) ty,
+       LATERAL (SELECT unnest(range({_DHASH_W})) AS i) tx
+),
+bits AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < {_DHASH_W - 1}
+),
+rowbytes AS (
+  SELECT doc_id, y, sum(bit * (1 << x)) AS byte
+  FROM bits GROUP BY doc_id, y
+),
+hashes AS (
+  SELECT doc_id,
+         string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY y) AS dhash
+  FROM rowbytes GROUP BY doc_id
+)
+SELECT dhash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM hashes
+GROUP BY dhash
+ORDER BY dhash
+"""
+
+
+@register("x5m_image_phash_dedup", oracle=_X5M_ORACLE, tags=("X5", "X2"))
+def x5m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image clusters by dHash over real decoded PPM
+    payloads: per distinct hash, the cluster size and its representative
+    (lowest doc_id — the keeper a dedup pass retains)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    hashed = payloads.mapInPandas(dhash_ppm_batch, DHASH_SCHEMA)
+    return (
+        hashed.filter(F.col("hash_status") == "ok")
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("dhash")
+    )

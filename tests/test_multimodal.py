@@ -559,3 +559,41 @@ def test_silence_planted_wav_profiles_to_exact_zero_windows():
     assert rms[0] == rms[1] == rms[2] == 0.0
     assert rms[6] == 0.0
     assert all(r > 0 for r in rms[3:6])
+
+
+def test_dhash_invariant_to_resize_and_brightness():
+    """The property that makes dHash a PERCEPTUAL hash: a 2x upscaled
+    copy and a brightness-shifted copy of an image hash identically to
+    the original (byte-exact checksums would treat all three as
+    distinct), while an unrelated image differs; malformed payloads
+    yield an error row."""
+    import numpy as np
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        dhash_ppm_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(40, 200, size=(16, 18, 3), dtype=np.uint8)
+
+    def ppm(img):
+        h, w, _ = img.shape
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    up = base.repeat(2, axis=0).repeat(2, axis=1)       # 2x nearest upscale
+    bright = (base.astype(np.int16) + 20).clip(0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(16, 18, 3), dtype=np.uint8)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "payload": [ppm(base), ppm(up), ppm(bright), ppm(other), b"P6 junk"],
+        }
+    )
+    out = pd.concat(list(dhash_ppm_batch(iter([pdf])))).set_index("doc_id")
+    assert out.loc[1, "hash_status"] == "ok" and len(out.loc[1, "dhash"]) == 16
+    assert out.loc[2, "dhash"] == out.loc[1, "dhash"]      # resize-invariant
+    assert out.loc[3, "dhash"] == out.loc[1, "dhash"]      # brightness-invariant
+    assert out.loc[4, "dhash"] != out.loc[1, "dhash"]
+    assert out.loc[5, "hash_status"].startswith("error:")
