@@ -1506,3 +1506,151 @@ def x5m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dhash")
     )
+
+
+# X5n — gain-invariant audio fingerprint dedup --------------------------------
+#
+# x5m's audio twin: re-encoded or re-mastered copies of a clip differ
+# byte-wise but share their ENERGY SHAPE, so audio pipelines dedup on a
+# fingerprint built from it. Fingerprint here: per-80-sample window
+# energies, one bit per adjacent comparison (E_w > E_{w+1}), packed to
+# hex. A uniform gain scales every energy by gain^2 and flips no
+# comparison — so the planted corpus (groups of 5 clips sharing a seed,
+# each at gain 1..5) clusters by group, which the pytest pins along
+# with the gain-invariance law itself. Amplitudes stay < 200*5 so no
+# int16 clipping can break the scaling argument. The oracle re-derives
+# every bit from the seed arithmetic alone (gain provably cancels, so
+# it never appears in the SQL).
+#
+# Scale shape: one Arrow map pass per clip (bounded hex output), one
+# uniform-key hash-agg on the fingerprint — exact equality clustering,
+# no pairwise stage (the x5m posture, for audio).
+
+_X5N_WIN = 80
+
+
+def _wav_bytes_grouped(doc_id: int) -> bytes:
+    """Deterministic WAV where doc groups of 5 share a seed and differ
+    only by an integer gain — byte-distinct, fingerprint-identical."""
+    import struct
+
+    seed = (doc_id // 5) * 5
+    gain = 1 + doc_id % 5
+    n = 2400 + seed % 801
+    samples = [
+        (((seed * 17 + i * 7) % 400) - 200) * gain for i in range(n)
+    ]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_grouped_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(_wav_bytes_grouped),
+            }
+        )
+
+
+AUDIO_FP_SCHEMA = "doc_id long, fingerprint string, fp_status string"
+
+
+def audio_fingerprint_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "fingerprint": [], "fp_status": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                _, channels, _, samples = _parse_wav_pcm(bytes(payload))
+                v = samples.astype(np.int64)[:: channels]
+                n_win = v.size // _X5N_WIN  # full windows only
+                if n_win < 2:
+                    raise ValueError("too short to fingerprint")
+                w = v[: n_win * _X5N_WIN].reshape(n_win, _X5N_WIN)
+                e = (w * w).sum(axis=1)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                nbytes = -(-bits.size // 8)
+                packed = np.zeros(nbytes, dtype=np.int64)
+                for j, b in enumerate(bits):
+                    packed[j // 8] += int(b) << (j % 8)
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(
+                    "".join(f"{b:02x}" for b in packed)
+                )
+                out["fp_status"].append("ok")
+            except ValueError as exc:
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(None)
+                out["fp_status"].append(f"error: {exc}")
+        yield pd.DataFrame(out)
+
+
+_X5N_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id // 5) * 5 AS seed,
+         2400 + ((doc_id // 5) * 5) % 801 AS n
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, g.i // {_X5N_WIN} AS w,
+         ((d.seed * 17 + g.i * 7) % 400) - 200 AS v
+  FROM dims d, LATERAL (SELECT unnest(range((d.n // {_X5N_WIN}) * {_X5N_WIN})) AS i) g
+),
+e AS (
+  SELECT doc_id, w, sum(CAST(v AS BIGINT) * v) AS energy
+  FROM s GROUP BY doc_id, w
+),
+bits AS (
+  SELECT a.doc_id, a.w AS j,
+         CASE WHEN a.energy > b.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+),
+bytes AS (
+  SELECT doc_id, j // 8 AS byte_idx,
+         sum(bit * (1 << (j % 8))) AS byte
+  FROM bits GROUP BY doc_id, j // 8
+),
+fps AS (
+  SELECT doc_id,
+         string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY byte_idx)
+           AS fingerprint
+  FROM bytes GROUP BY doc_id
+)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT)     AS n_clips,
+       CAST(min(doc_id) AS BIGINT)  AS min_doc_id
+FROM fps
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
+@register("x5n_audio_fingerprint_dedup", oracle=_X5N_ORACLE, tags=("X5", "X2"))
+def x5n_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio clusters by energy-shape fingerprint over
+    real WAV payloads (groups of 5 gain-variants planted per seed):
+    per distinct fingerprint, the cluster size and its keeper."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(
+        encode_wav_grouped_batch, "doc_id long, payload binary"
+    )
+    fps = payloads.mapInPandas(audio_fingerprint_batch, AUDIO_FP_SCHEMA)
+    return (
+        fps.filter(F.col("fp_status") == "ok")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )

@@ -112,3 +112,58 @@ def u4_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_a.unionByName(gen_b, allowMissingColumns=True).select(
         "o_orderkey", "totalprice", "priority"
     )
+
+
+# U5 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) ---------------
+
+_U5_ORACLE = """
+WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10),
+b AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 5),
+ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+ix AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+exg AS (SELECT l_returnflag, l_linestatus, count(*) AS n_except FROM ex GROUP BY 1, 2),
+ixg AS (SELECT l_returnflag, l_linestatus, count(*) AS n_intersect FROM ix GROUP BY 1, 2)
+SELECT coalesce(exg.l_returnflag, ixg.l_returnflag)  AS l_returnflag,
+       coalesce(exg.l_linestatus, ixg.l_linestatus)  AS l_linestatus,
+       CAST(coalesce(n_except, 0) AS BIGINT)         AS n_except,
+       CAST(coalesce(n_intersect, 0) AS BIGINT)      AS n_intersect
+FROM exg FULL JOIN ixg
+  ON exg.l_returnflag = ixg.l_returnflag AND exg.l_linestatus = ixg.l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("u5_bag_setops", oracle=_U5_ORACLE, tags=("U2", "U3"))
+def u5_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET semantics next to U2/U3's set semantics: EXCEPT ALL
+    subtracts multiplicities (a row appearing 7x in A and 4x in B
+    survives 3x) and INTERSECT ALL keeps min(multiplicity) — the
+    bag algebra batch reconciliation actually needs (set-DISTINCT
+    forms silently collapse duplicate records, hiding volume
+    discrepancies). Verified here by bag-differencing two overlapping
+    lineitem slices and counting the surviving multiplicities per key.
+    Both operators plan as aggregate+generate (sum of signed/min
+    counts, then replicate) — one shuffle on the row key, no sort."""
+    li = Catalog(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_quantity") < 10).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") < 5).select("l_returnflag", "l_linestatus")
+    exg = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_except"))
+    )
+    ixg = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    return (
+        exg.join(ixg, ["l_returnflag", "l_linestatus"], "full")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.coalesce("n_except", F.lit(0)).cast("long").alias("n_except"),
+            F.coalesce("n_intersect", F.lit(0)).cast("long").alias("n_intersect"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -82,12 +82,12 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 23 round-8 additions — no driver evidence exists at
+    # tier 1: the 25 round-8 additions — no driver evidence exists at
     # all (the three scale-safe global-ranking twins, paragraph
     # near-dedup + duplicated-gram mass, the incremental admission
     # funnel + shard manifest, the Q21/Q13/Q22 SQL shapes, PQ refine,
     # silence trim, EWMA, tolerance as-of, the iterator UDF, the
-    # cross-source gram-flow matrix, write-audit-publish, MG heavy hitters, token entropy, nprobe sweep, image perceptual-hash dedup)
+    # cross-source gram-flow matrix, write-audit-publish, MG heavy hitters, token entropy, nprobe sweep, image/audio perceptual-fingerprint dedup, bag setops)
     "w4b_quartile_cutpoints",
     "x4n2_quality_deciles_scalable",
     "s16b_zorder_layout_scalable",
@@ -109,6 +109,8 @@ _CHECK_PRIORITY = (
     "x4o_token_entropy",
     "x3p_ivf_nprobe_sweep",
     "x5m_image_phash_dedup",
+    "x5n_audio_fingerprint_dedup",
+    "u5_bag_setops",
     # tier 2: the 27-id cohort whose newest driver row is r4 — queued
     # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",

@@ -597,3 +597,44 @@ def test_dhash_invariant_to_resize_and_brightness():
     assert out.loc[3, "dhash"] == out.loc[1, "dhash"]      # brightness-invariant
     assert out.loc[4, "dhash"] != out.loc[1, "dhash"]
     assert out.loc[5, "hash_status"].startswith("error:")
+
+
+def test_audio_fingerprint_gain_invariance_and_clusters(spark, tmp_path):
+    """x5n laws: (a) kernel-level — every gain variant of a clip
+    fingerprints identically to its gain-1 base, and scaling an
+    arbitrary clip by 3 never changes its fingerprint; (b) operator
+    level — cluster sizes equal the multiplicities of the distinct base
+    fingerprints."""
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _wav_bytes_grouped,
+        audio_fingerprint_batch,
+        x5n_audio_fingerprint_dedup,
+    )
+
+    ids = list(range(10))
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [_wav_bytes_grouped(i) for i in ids]}
+    )
+    fp = {
+        r.doc_id: r.fingerprint
+        for r in pd.concat(list(audio_fingerprint_batch(iter([pdf])))).itertuples()
+    }
+    for i in ids:
+        assert fp[i] == fp[(i // 5) * 5], i          # gain invariance
+
+    base_counts = Counter(fp.values())
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, "t", "s") for i in ids], "doc_id long, text string, source string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["fingerprint"]: r["n_clips"]
+        for r in x5n_audio_fingerprint_dedup(spark, sf_dir).collect()
+    }
+    assert got == dict(base_counts)
