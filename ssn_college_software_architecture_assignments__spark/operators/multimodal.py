@@ -814,18 +814,24 @@ WAV_DECODE_SCHEMA = (
 _WAV_RATE = 8000
 
 
-def _wav_bytes(doc_id: int) -> bytes:
-    """Deterministic mono 16-bit PCM WAV whose sample values derive from
-    doc_id only, so an SQL oracle can predict every decode output."""
+def _pack_wav(samples: list[int]) -> bytes:
+    """THE mono 16-bit PCM RIFF/WAV container packer shared by every
+    deterministic WAV generator (x5f/x5i, x5l silence, x5n groups) — a
+    header change lands in one place or the generators diverge."""
     import struct
 
-    n = 160 + doc_id % 41
-    samples = [((doc_id * 17 + i * 7) % 4096) - 2048 for i in range(n)]
-    data = struct.pack(f"<{n}h", *samples)
+    data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV whose sample values derive from
+    doc_id only, so an SQL oracle can predict every decode output."""
+    n = 160 + doc_id % 41
+    return _pack_wav([((doc_id * 17 + i * 7) % 4096) - 2048 for i in range(n)])
 
 
 def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1300,21 +1306,14 @@ def x5k_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives it from doc_id arithmetic alone.
 
 def _wav_bytes_with_silence(doc_id: int) -> bytes:
-    import struct
-
     lead = (doc_id % 4) * _AUDIO_WIN
     trail = (doc_id % 3) * _AUDIO_WIN
     n = 160 + doc_id % 41
-    samples = (
+    return _pack_wav(
         [0] * lead
         + [1 + ((doc_id * 17 + i * 7) % 4095) for i in range(n)]
         + [0] * trail
     )
-    data = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_silence_batch(
@@ -1532,19 +1531,12 @@ _X5N_WIN = 80
 def _wav_bytes_grouped(doc_id: int) -> bytes:
     """Deterministic WAV where doc groups of 5 share a seed and differ
     only by an integer gain — byte-distinct, fingerprint-identical."""
-    import struct
-
     seed = (doc_id // 5) * 5
     gain = 1 + doc_id % 5
     n = 2400 + seed % 801
-    samples = [
-        (((seed * 17 + i * 7) % 400) - 200) * gain for i in range(n)
-    ]
-    data = struct.pack(f"<{n}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _pack_wav(
+        [(((seed * 17 + i * 7) % 400) - 200) * gain for i in range(n)]
+    )
 
 
 def encode_wav_grouped_batch(
@@ -1580,9 +1572,9 @@ def audio_fingerprint_batch(
                 e = (w * w).sum(axis=1)
                 bits = (e[:-1] > e[1:]).astype(np.int64)
                 nbytes = -(-bits.size // 8)
-                packed = np.zeros(nbytes, dtype=np.int64)
-                for j, b in enumerate(bits):
-                    packed[j // 8] += int(b) << (j % 8)
+                padded = np.zeros(nbytes * 8, dtype=np.int64)
+                padded[: bits.size] = bits
+                packed = (padded.reshape(-1, 8) << np.arange(8)).sum(axis=1)
                 out["doc_id"].append(doc_id)
                 out["fingerprint"].append(
                     "".join(f"{b:02x}" for b in packed)

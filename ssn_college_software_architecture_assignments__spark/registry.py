@@ -82,7 +82,7 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 25 round-8 additions — no driver evidence exists at
+    # tier 1: the 23 round-8 additions — no driver evidence exists at
     # all (the three scale-safe global-ranking twins, paragraph
     # near-dedup + duplicated-gram mass, the incremental admission
     # funnel + shard manifest, the Q21/Q13/Q22 SQL shapes, PQ refine,

@@ -647,3 +647,40 @@ def test_rolling_zscore_closed_form(spark, tmp_path):
     # baseline: mean 10.8, sample var 3.2 -> z = (30 - 10.8)/sqrt(3.2)
     assert r["baseline_mean"] == 10.8
     assert r["zscore"] == round((30 - 10.8) / (3.2 ** 0.5), 2)
+
+
+def test_bag_setops_multiset_law(spark, tmp_path):
+    """u5's multiset law on handmade multiplicities: a row appearing 7x
+    in A and 4x in B survives EXCEPT ALL 3x and INTERSECT ALL 4x; a row
+    only in A keeps its full count; a row only in B contributes an
+    except-count of 0 via the intersect side (absent entirely when in
+    neither output)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.setops import (
+        u5_bag_setops,
+    )
+
+    # encode multiplicities through l_quantity thresholds: <10 = A, <5 = B
+    rows = []
+    def add(flag, status, n_a_only, n_both):
+        # n_both rows with qty 1 (in A and B), n_a_only rows qty 7 (A only)
+        for _ in range(n_both):
+            rows.append((flag, status, 1.0))
+        for _ in range(n_a_only):
+            rows.append((flag, status, 7.0))
+
+    add("R", "X", n_a_only=3, n_both=4)   # A:7, B:4 -> except 3, intersect 4
+    add("N", "Y", n_a_only=2, n_both=0)   # A-only: except 2, intersect 0
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, f, s, q) for i, (f, s, q) in enumerate(rows)],
+        "l_orderkey long, l_returnflag string, l_linestatus string, l_quantity double",
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_except"], r["n_intersect"])
+        for r in u5_bag_setops(spark, sf_dir).collect()
+    }
+    assert got == {("R", "X"): (3, 4), ("N", "Y"): (2, 0)}
