@@ -493,8 +493,9 @@ def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The third sketch family next to HLL (a4/a12) and KLL (a6): frequent
 # items. The distributed form: each partition emits ONLY the tokens
 # whose local count exceeds N_p/(K+1) — the Misra-Gries survivor set,
-# provably at most K items per partition with no sort — plus one marker
-# row carrying the partition's total. By pigeonhole, any token with
+# provably at most K items per partition with no sort, and nothing
+# else; the global token total N comes from a separate column-pruned
+# no-explode scan (see the in-function comment). By pigeonhole, any token with
 # GLOBAL frequency > N/(K+1) must exceed the threshold in at least one
 # partition, so the union of survivors is a guaranteed superset of the
 # true heavy hitters; joining exact counts back over that tiny

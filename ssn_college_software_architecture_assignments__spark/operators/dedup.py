@@ -1704,7 +1704,13 @@ def x2n_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linearly with corpus size.
 
 _X2P_WIDTH = 16
-_X2P_IDMUL = 64  # max paragraphs per doc (text <= 553 chars => < 64 chunks)
+# Max paragraphs per doc baked into the para_id packing (doc_id*IDMUL +
+# idx). 1024 chunks = 16k tokens per document — far above any fixture —
+# and the Spark side ENFORCES it with assert_true so a longer document
+# fails loudly in both engines' comparison instead of silently aliasing
+# para_ids across documents (which the oracle could not catch, since
+# both engines would alias identically).
+_X2P_IDMUL = 1024
 _X2P_THRESHOLD = 0.5
 _X2P_BOILER = (
     "nav home about contact privacy terms copyright all rights reserved "
@@ -1787,7 +1793,20 @@ def _x2p_paragraphs(docs: DataFrame) -> DataFrame:
             "source",
             F.posexplode(chunks).alias("para_idx", "text"),
         )
-        .withColumn("para_id", F.col("doc_id") * _X2P_IDMUL + F.col("para_idx"))
+        .withColumn(
+            "para_id",
+            # assert_true returns NULL (and raises on violation), so the
+            # guard rides along as a no-op addend in the packing column.
+            F.col("doc_id") * _X2P_IDMUL
+            + F.col("para_idx")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("para_idx") < _X2P_IDMUL,
+                    F.lit(f"x2p: document exceeds {_X2P_IDMUL} paragraphs"),
+                ).cast("long"),
+                F.lit(0),
+            ),
+        )
         .withColumn("n_tok", F.size(F.split("text", " ")))
         .filter(F.col("n_tok") >= 3)
     )

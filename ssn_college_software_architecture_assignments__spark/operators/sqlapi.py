@@ -295,7 +295,7 @@ JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
 JOIN orders   ON o_orderkey = l1.l_orderkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE o_orderstatus = 'F'
-  AND n_name LIKE 'NATION_1%'
+  AND n_name LIKE 'NATION!_1%' ESCAPE '!'
   AND l1.l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
   AND EXISTS (
         SELECT 1 FROM lineitem l2

@@ -529,6 +529,7 @@ WITH e AS (
                            ROWS BETWEEN {_W10_SPAN - 1} PRECEDING AND CURRENT ROW)
            AS vals
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT user_id, event_id, value,
        CAST(len(vals) AS INT) AS n_frame,
@@ -545,8 +546,12 @@ def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights renormalized so early events with short history are unbiased).
     The frame's collect_list is ordered by the window's ORDER BY, and
     the Horner fold groups float operations identically to the oracle's
-    list_reduce."""
-    ev = Catalog(spark, sf_dir).events
+    list_reduce. NULL values are filtered out identically in both
+    engines BEFORE the window (Spark collect_list drops NULLs while
+    DuckDB list() keeps them — the explicit filter makes the frame
+    contents engine-independent rather than relying on the fixture
+    never emitting NULLs)."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     fr = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

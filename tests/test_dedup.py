@@ -545,6 +545,35 @@ def test_paragraph_near_dedup_finds_planted_boilerplate(spark, tmp_path):
     assert got["srcC"]["n_dup_paras"] == 0
 
 
+def test_paragraph_id_packing_guard_fires_on_overlong_doc(spark, tmp_path):
+    """x2p's para_id packing (doc_id*IDMUL + idx) silently aliases
+    para_ids across documents if a document ever exceeds IDMUL
+    paragraphs — identically in BOTH engines, so the oracle could never
+    catch it. The Spark side therefore carries an assert_true guard;
+    this pins that a >IDMUL-paragraph document fails loudly instead of
+    corrupting cross-document exclusion."""
+    import os
+
+    import pytest
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2P_IDMUL,
+        _X2P_WIDTH,
+        x2p_paragraph_near_dedup,
+    )
+
+    monster = " ".join(f"w{i}" for i in range((_X2P_IDMUL + 1) * _X2P_WIDTH))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(1, monster, "en", "srcA", len(monster))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    with pytest.raises(Exception, match="exceeds"):
+        x2p_paragraph_near_dedup(spark, sf_dir).collect()
+
+
 def test_duplicated_gram_mass_closed_form(spark, tmp_path):
     """x2q on a handmade corpus: doc A and doc B (different sources)
     share one verbatim 10-token span (3 duplicated 8-gram positions
