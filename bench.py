@@ -251,16 +251,28 @@ def main() -> None:
     else:
         normalized = normalized_cpu_only = None
 
+    # The driver records only the TAIL of the printed line; round 8's
+    # record lost value/value_normalized to that truncation (the verbose
+    # notes/query_class pushed them off the front -> parsed: null). So
+    # the PRINTED line is kept minimal — verbose diagnostics (query
+    # classes, per-query deltas vs the prior round, calibration drift,
+    # the full notes) go to BENCH_DETAIL.json next to this script — and
+    # the headline fields sit at the END of the object so any future
+    # truncation eats diagnostics first, not the grade.
     out = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "value_normalized": normalized,
-        "value_normalized_cpu_only": normalized_cpu_only,
-        "query_class": {n: QUERY_CLASS.get(n, "cpu") for n in per_query},
-        "fingerprint": fingerprint,
         "queries": per_query,
+        "fingerprint": fingerprint,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "notes": "per-class matched normalization; detail in BENCH_DETAIL.json",
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "value_normalized_cpu_only": normalized_cpu_only,
+        "value_normalized": normalized,
+        "value": total,
+    }
+
+    detail = {
+        "query_class": {n: QUERY_CLASS.get(n, "cpu") for n in per_query},
         "notes": (
             "value_normalized applies the MATCHED per-class calibration "
             "factor to each query (query_class: cpu-bound queries scale "
@@ -272,10 +284,11 @@ def main() -> None:
             "as j11_write (one-off ingest) + j11_join (repeated "
             "no-Exchange SMJ leg)"
         ),
+        **out,
     }
 
     # Round-over-round continuity: compare against the newest BENCH_r*.json
-    # so per-query regressions are visible in the bench line itself.
+    # so per-query regressions are visible in the detail record.
     prior = latest_bench_record_path()
     if prior:
         try:
@@ -288,8 +301,8 @@ def main() -> None:
                 raise ValueError("prior bench file is not a JSON object")
             prev_q = prev.get("parsed", prev)
             prev_q = prev_q.get("queries", {}) if isinstance(prev_q, dict) else {}
-            out["prev_round"] = os.path.basename(prior)
-            out["delta_vs_prev"] = {
+            detail["prev_round"] = os.path.basename(prior)
+            detail["delta_vs_prev"] = {
                 n: round(per_query[n] - prev_q[n], 3)
                 for n in per_query
                 if isinstance(prev_q.get(n), (int, float))
@@ -304,13 +317,21 @@ def main() -> None:
             )
             prev_calib = prev_fp.get("calib_sec")
             if isinstance(prev_calib, (int, float)) and prev_calib > 0 and calib > 0:
-                out["calib_drift_vs_prev"] = round(calib / prev_calib, 3)
+                detail["calib_drift_vs_prev"] = round(calib / prev_calib, 3)
             prev_shuf = prev_fp.get("calib_shuffle_sec")
             shuf = fingerprint["calib_shuffle_sec"]
             if isinstance(prev_shuf, (int, float)) and prev_shuf > 0 and shuf > 0:
-                out["calib_shuffle_drift_vs_prev"] = round(shuf / prev_shuf, 3)
+                detail["calib_shuffle_drift_vs_prev"] = round(shuf / prev_shuf, 3)
         except (OSError, ValueError, KeyError, TypeError, AttributeError):
             pass
+    try:
+        with open(
+            os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not kill the bench line
     print(json.dumps(out))
 
 

@@ -70,10 +70,17 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
-def run_sweep(spark, sf: str, names: list[str], qs, oracles) -> dict:
+def run_sweep(spark, sf: str, names: list[str], qs, oracles, repeat=False) -> dict:
     """Run the oracle diff for ``names`` at scale dir ``sf``; returns a
     result dict: {"pass": n, "fail": n, "rows_only": n, "failures": [...],
-    "queries": {name: "pass"|"fail"|"rows-only"}, "elapsed_sec": s}."""
+    "queries": {name: "pass"|"fail"|"rows-only"}, "elapsed_sec": s}.
+
+    ``repeat=True`` executes every Spark query a SECOND time in the same
+    session and demands identical normalized values run-to-run — the
+    determinism gate (round-8 verdict task 4). Oracle agreement alone can
+    mask nondeterminism (unstable sort ties, partition-order float sums)
+    when the flaky side happens to land on the oracle's answer once;
+    same-session repetition catches exactly that class."""
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf}/{t}.parquet"
@@ -95,6 +102,21 @@ def run_sweep(spark, sf: str, names: list[str], qs, oracles) -> dict:
             statuses[name] = "fail"
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        if repeat:
+            try:
+                spark_pdf2 = qs[name](spark, sf).toPandas()
+            except Exception as exc:
+                n_fail += 1
+                failures.append(name)
+                statuses[name] = "fail"
+                print(f"FAIL  {name}: spark error on repeat run: {exc}")
+                continue
+            if normalize(spark_pdf) != normalize(spark_pdf2):
+                n_fail += 1
+                failures.append(name)
+                statuses[name] = "nondeterministic"
+                print(f"FAIL  {name}: NONDETERMINISTIC (run1 != run2 values)")
+                continue
         if name not in oracles:
             n_rows_only += 1
             statuses[name] = "rows-only"
@@ -167,6 +189,12 @@ def main() -> int:
         help="artifact path for --both (repo-root relative)",
     )
     ap.add_argument("--rows-only-ok", action="store_true")
+    ap.add_argument(
+        "--repeat",
+        action="store_true",
+        help="run every Spark query twice and fail on any run-to-run "
+        "value difference (same-session determinism gate)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -179,15 +207,18 @@ def main() -> int:
     names = args.names or sorted(qs)
 
     if not args.both:
-        result = run_sweep(spark, args.sf, names, qs, oracles)
+        result = run_sweep(spark, args.sf, names, qs, oracles, repeat=args.repeat)
         return 1 if result["fail"] else 0
 
     results = {}
     for sf in BOTH_SCALES:
         print(f"\n===== sweep at {sf} =====")
-        results[os.path.basename(sf)] = run_sweep(spark, sf, names, qs, oracles)
+        results[os.path.basename(sf)] = run_sweep(
+            spark, sf, names, qs, oracles, repeat=args.repeat
+        )
     artifact = {
-        "tool": "check_oracle --both",
+        "tool": "check_oracle --both" + (" --repeat" if args.repeat else ""),
+        "repeat": args.repeat,
         "n_queries": len(names),
         "scales": results,
         "all_green": all(r["fail"] == 0 for r in results.values()),
