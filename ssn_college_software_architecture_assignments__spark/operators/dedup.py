@@ -2081,3 +2081,202 @@ def x2r_cross_source_gram_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# X2s — exact-substring span dedup (gram-run approximation of the
+# suffix-array method) --------------------------------------------------------
+#
+# The pass x2q's diagnostic exists to justify: actually REMOVE the
+# duplicated substrings. Public method: "Deduplicating Training Data
+# Makes Language Models Better" (Lee et al. 2022) builds a suffix array
+# and deletes every >=50-token substring that appears twice in the
+# corpus; here the same semantics are approximated at token-8-gram
+# granularity, which is what keeps the operator a pure DataFrame
+# pipeline: a token position is span-covered iff it lies inside a run of
+# >= _X2S_NMIN consecutive gram positions whose gram text occurs >= 2
+# times corpus-wide (so marked substrings are >= NMIN+K-1 = 12 tokens).
+# Each document emits its span count, removed-token mass, and the md5 of
+# the TRIMMED text — the hash pins every byte of the rewritten corpus
+# across engines without shipping document text through the comparator.
+#
+# The corpus is the x2p boilerplate-boosted one (every 10th document gets
+# the 16-token nav header prepended, identically in both engines) so the
+# planted cross-document duplicate exercises the span machinery
+# deterministically at every scale; natural corpus repeats flag too.
+#
+# Scale shape (the round-8 verdict's prescription): gram corpus
+# frequencies attach to occurrences via ONE gram-partitioned window
+# (single corpus scan, shuffle carries (doc_id, pos, gh) = 3 longs per
+# gram — never gram text, never an all-pairs stage); everything after
+# the tot>=2 filter is DUPLICATED-MASS sized, grouped per document
+# (run grouping, interval merge = two doc-partitioned windows over
+# span-sized data); the trim rejoins documents by doc_id once. Total:
+# two documents scans (gram pass + trim join), plan-gated.
+
+_X2S_NMIN = 5  # min run length in grams => min marked span = 12 tokens
+
+_X2S_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, source,
+         string_split(CASE WHEN doc_id % 10 = 0
+                           THEN '{_X2P_BOILER} ' || text ELSE text END, ' ') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, u.pos AS pos,
+         count(*) OVER (PARTITION BY u.gh) AS tot
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - {_X2Q_K - 1}, 0) + 1),
+             i -> {{'pos': i - 1,
+                    'gh': CAST('0x' || substr(md5(array_to_string(t[i:i+{_X2Q_K - 1}], ' ')), 1, 15) AS BIGINT)}})) AS u
+    FROM docs2
+  )
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM occ WHERE tot >= 2
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_X2Q_K - 1} AS e
+  FROM runs GROUP BY doc_id, isl
+  HAVING count(*) >= {_X2S_NMIN}
+),
+m1 AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM spans
+),
+m2 AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl2
+  FROM m1
+),
+miv AS (SELECT doc_id, min(s) AS ms, max(e) AS me FROM m2 GROUP BY doc_id, isl2),
+ivs AS (
+  SELECT doc_id, list({{'ms': ms, 'me': me}}) AS iv,
+         sum(me - ms + 1) AS n_removed, count(*) AS n_spans
+  FROM miv GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(len(t) AS BIGINT) AS n_tok,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       round((len(t) - coalesce(n_removed, 0)) / CAST(len(t) AS DOUBLE), 4)
+         AS keep_frac,
+       md5(coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t) + 1),
+             i -> len(list_filter(coalesce(iv, []),
+                    v -> i - 1 >= v.ms AND i - 1 <= v.me)) = 0),
+           i -> t[i]), ' '), '')) AS trimmed_md5
+FROM docs2 d LEFT JOIN ivs ON d.doc_id = ivs.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("x2s_substring_span_dedup", oracle=_X2S_ORACLE, tags=("X2",))
+def x2s_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: maximal duplicated substring spans (runs of >=5
+    consecutive 8-grams with corpus frequency >= 2) marked, merged, and
+    REMOVED — emitting span count, removed-token mass, and the md5 of
+    the trimmed text (the hash is the cross-engine proof that both
+    engines rewrote every document identically, byte for byte)."""
+    docs = Catalog(spark, sf_dir).documents
+    boosted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit(_X2P_BOILER + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    docs2 = ensure_min_partitions(docs).select(
+        "doc_id", "source", F.split(boosted, " ").alias("t")
+    )
+
+    occ = docs2.select(
+        "doc_id",
+        F.posexplode(token_shingles(F.col("t"), _X2Q_K)).alias("pos", "gram"),
+    ).select("doc_id", "pos", _md5h60(F.col("gram")).alias("gh"))
+    # Corpus frequency rides along each occurrence via ONE window over
+    # the gram key — no second corpus scan, no join against a derived
+    # dup-gram set (a twice-referenced subtree would be PLANNED twice).
+    tot = F.count(F.lit(1)).over(W.partitionBy("gh"))
+    dup_occ = occ.select("doc_id", "pos", tot.alias("tot")).filter(
+        F.col("tot") >= 2
+    )
+
+    runs = dup_occ.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("isl"),
+    )
+    spans = (
+        runs.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (_X2Q_K - 1)).alias("e"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= _X2S_NMIN)
+    )
+
+    prev_e = F.max("e").over(
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    m1 = spans.select("doc_id", "s", "e", prev_e.alias("prev_e"))
+    new_isl = F.when(
+        F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+    ).otherwise(0)
+    m2 = m1.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(new_isl)
+        .over(
+            W.partitionBy("doc_id")
+            .orderBy("s")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("isl2"),
+    )
+    miv = m2.groupBy("doc_id", "isl2").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    ivs = miv.groupBy("doc_id").agg(
+        F.collect_list(F.struct("ms", "me")).alias("iv"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("n_removed"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+    iv0 = F.coalesce(
+        F.col("iv"), F.array().cast("array<struct<ms:bigint,me:bigint>>")
+    )
+    keep = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            iv0, lambda v: (i >= v["ms"]) & (i <= v["me"])
+        ),
+    )
+    n_tok = F.size("t").cast("long")
+    n_removed = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return (
+        docs2.join(ivs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tok"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            n_removed.alias("n_removed_tokens"),
+            F.round(
+                (n_tok - n_removed) / n_tok.cast("double"), 4
+            ).alias("keep_frac"),
+            F.md5(F.concat_ws(" ", keep)).alias("trimmed_md5"),
+        )
+        .orderBy("doc_id")
+    )

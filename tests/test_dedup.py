@@ -634,3 +634,52 @@ def test_cross_source_gram_flow_finds_planted_mirror(spark, tmp_path):
     assert r["n_shared"] == 3
     assert r["n_grams_a"] == r["n_grams_b"] == 13
     assert r["jaccard"] == round(3 / (13 + 13 - 3), 4)
+
+
+def test_substring_span_dedup_removes_planted_spans(spark, tmp_path):
+    """x2s law on a handmade corpus: a 20-token block A shared by docs
+    1 and 4, a 20-token block B shared by docs 2 and 4, where doc 4 is
+    A and B OVERLAPPED (B's first 4 tokens are A's last 4) — so doc 1
+    loses exactly A, doc 2 exactly B, doc 4 merges the two overlapping
+    spans into one interval covering its whole text, and doc 3 (unique
+    vocabulary) is untouched. Trimmed text is pinned byte-for-byte via
+    md5."""
+    import hashlib
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2s_substring_span_dedup,
+    )
+
+    s = [f"s{i}" for i in range(36)]
+    A, B = s[0:20], s[16:36]
+    doc1 = ["a0", "a1", "a2"] + A + ["a3", "a4", "a5"]
+    doc2 = B + ["b0", "b1", "b2"]
+    doc3 = [f"c{i}" for i in range(20)]
+    doc4 = s
+    rows = [(1, doc1), (2, doc2), (3, doc3), (4, doc4)]
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, " ".join(t), "en", f"src{i}", len(" ".join(t))) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    md5 = lambda toks: hashlib.md5(" ".join(toks).encode()).hexdigest()  # noqa: E731
+    got = {r["doc_id"]: r for r in x2s_substring_span_dedup(spark, sf_dir).collect()}
+
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["n_removed_tokens"] == 20
+    assert got[1]["trimmed_md5"] == md5(["a0", "a1", "a2", "a3", "a4", "a5"])
+    assert got[2]["n_removed_tokens"] == 20
+    assert got[2]["trimmed_md5"] == md5(["b0", "b1", "b2"])
+    assert got[3]["n_dup_spans"] == 0
+    assert got[3]["n_removed_tokens"] == 0
+    assert got[3]["keep_frac"] == 1.0
+    assert got[3]["trimmed_md5"] == md5(doc3)
+    # doc 4: two overlapping spans MERGE to one interval = the whole doc
+    assert got[4]["n_dup_spans"] == 1
+    assert got[4]["n_removed_tokens"] == 36
+    assert got[4]["keep_frac"] == 0.0
+    assert got[4]["trimmed_md5"] == md5([])

@@ -303,3 +303,18 @@ def test_cross_source_gram_flow_scans_documents_once(spark):
     plan = _plan(spark, "x2r_cross_source_gram_flow")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
+
+
+def test_substring_span_dedup_two_scans_no_all_pairs(spark):
+    """x2s: gram corpus frequencies attach via a gram-partitioned
+    window over a SINGLE corpus scan (a join against a derived
+    dup-gram set would plan the explode subtree twice), and the trim
+    rejoins documents exactly once — two parquet scans total, never a
+    pairwise stage."""
+    import re
+
+    plan = _plan(spark, "x2s_substring_span_dedup")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
