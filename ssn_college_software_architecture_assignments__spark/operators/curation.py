@@ -906,3 +906,117 @@ def x6l_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard_id")
     )
+
+
+# X6m — DSIR-style importance-weighted resampling ------------------------------
+#
+# The public importance-resampling selection step (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"),
+# expressed with unigram LMs and a DETERMINISTIC Gumbel key so the whole
+# pass has a full-value oracle:
+#
+# - target domain  = the corpus's 'en' stratum (DSIR's target corpus,
+#   proxied in-corpus so the fixture carries both distributions);
+# - importance     log w(d) = log p_target(d) - log p_corpus(d) under
+#   Laplace-smoothed unigram LMs sharing the corpus vocabulary V
+#   (p(tok) = (n+1)/(T+V)), which factorizes into a per-token
+#   ln(n_t+1) - ln(n_c+1) sum plus a closed-form length term —
+#   exactly x4j's inverted-index algebra with a second count column;
+# - resampling     DSIR's Gumbel top-k, derandomized: the Gumbel noise
+#   -ln(-ln(u)) draws u from the portable split hash ((h+0.5)/2^32, the
+#   x6a/x6c/x6l law), and selection is THRESHOLDED (key > tau) rather
+#   than globally ranked — per-doc, map-only, and growth-stable (a new
+#   document never flips an old one's verdict), where a top-k would
+#   need a global ranking stage and re-decide everything each ingest.
+#
+# Scale shape: one explode scan -> vocabulary hash-agg with a
+# conditional target count (map-side combine; shuffle carries (token,
+# n_c, n_t)) -> token-keyed join back (the x4j/x6d inverted-index
+# shape, one corpus shuffle on the token key) -> per-doc aggregate ->
+# 1-row broadcast of the LM normalizers -> map-only Gumbel + verdict.
+
+_X6M_TAU = 1.0
+
+_X6M_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS nc,
+         count(*) FILTER (WHERE lang = 'en') AS nt
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(nc) AS DOUBLE) AS tc, CAST(sum(nt) AS DOUBLE) AS tt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+),
+per AS (
+  SELECT t.doc_id, t.source, t.lang, count(*) AS n_tokens,
+         sum(ln(nt + 1.0) - ln(nc + 1.0)) AS s
+  FROM toks t JOIN vocab USING (tok)
+  GROUP BY t.doc_id, t.source, t.lang
+)
+SELECT doc_id, source, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(s + n_tokens * (ln(tc + v) - ln(tt + v)), 4) + 0.0 AS log_ratio,
+       round(-ln(-ln(((({_HASH_SQL}) + 0.5) / 4294967296))), 4) + 0.0 AS gumbel,
+       (s + n_tokens * (ln(tc + v) - ln(tt + v)))
+         - ln(-ln(((({_HASH_SQL}) + 0.5) / 4294967296))) > {_X6M_TAU}
+         AS accept
+FROM per CROSS JOIN tot
+ORDER BY doc_id
+"""
+
+
+@register("x6m_importance_resample", oracle=_X6M_ORACLE, tags=("X6", "X4"))
+def x6m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style selection: per-document target-vs-corpus unigram
+    log-likelihood ratio plus a deterministic Gumbel key from the
+    portable split hash; accept iff log_ratio + gumbel > tau. The
+    accept column uses the UNROUNDED key in both engines."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    tot = vocab.agg(
+        F.sum("nc").cast("double").alias("tc"),
+        F.sum("nt").cast("double").alias("tt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    per = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(F.col("nt") + 1.0) - F.log(F.col("nc") + 1.0)
+            ).alias("s"),
+        )
+    )
+    length_term = F.col("n_tokens") * (
+        F.log(F.col("tc") + F.col("v")) - F.log(F.col("tt") + F.col("v"))
+    )
+    log_ratio = F.col("s") + length_term
+    u = (split_hash("doc_id") + 0.5) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            # + 0.0 collapses IEEE -0.0 to 0.0 identically on both
+            # engines (a doc whose ratio rounds to zero from below)
+            (F.round(log_ratio, 4) + 0.0).alias("log_ratio"),
+            (F.round(gumbel, 4) + 0.0).alias("gumbel"),
+            (log_ratio + gumbel > _X6M_TAU).alias("accept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -413,3 +413,63 @@ def test_shard_manifest_checksum_detects_single_doc_change(spark, tmp_path):
     moved = [k for k in m0 if k in m2 and m0[k]["content_xor"] != m2[k]["content_xor"]]
     assert len(moved) <= 1  # only the new doc's own cell may differ
     assert sum(r["n_docs"] for r in m2.values()) == 61
+
+
+def test_importance_resample_matches_closed_form_law(spark, tmp_path):
+    """x6m law on a handmade corpus, recomputed in pure Python: the
+    Laplace-smoothed unigram log-ratio (shared corpus vocab V), the
+    portable-hash Gumbel key, and the threshold verdict must all match
+    the closed-form values; target-vocabulary docs must outscore
+    off-target docs (the reweighting direction DSIR exists for)."""
+    import math
+    import os
+    from collections import Counter
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6M_TAU,
+        x6m_importance_resample,
+    )
+
+    rows = [
+        (1, "alpha alpha beta", "en", "s1"),
+        (2, "alpha beta beta", "en", "s1"),
+        (3, "xi upsilon zeta", "de", "s2"),
+        (4, "xi xi upsilon", "zh", "s2"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # closed-form reference
+    nc: Counter = Counter()
+    nt: Counter = Counter()
+    for _i, t, lang, _s in rows:
+        for tok in t.split():
+            nc[tok] += 1
+            if lang == "en":
+                nt[tok] += 1
+    tc, tt, v = sum(nc.values()), sum(nt.values()), len(nc)
+
+    def log_ratio(text):
+        return sum(
+            math.log((nt[tok] + 1) / (tt + v)) - math.log((nc[tok] + 1) / (tc + v))
+            for tok in text.split()
+        )
+
+    def gumbel(doc_id):
+        h = ((doc_id % 2147483648) * 2654435761) % 4294967296
+        return -math.log(-math.log((h + 0.5) / 4294967296))
+
+    got = {r["doc_id"]: r for r in x6m_importance_resample(spark, sf_dir).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    for i, t, _lang, _s in rows:
+        assert got[i]["log_ratio"] == round(log_ratio(t), 4), i
+        assert got[i]["gumbel"] == round(gumbel(i), 4), i
+        assert got[i]["accept"] == (log_ratio(t) + gumbel(i) > _X6M_TAU), i
+    # reweighting direction: every target-vocab doc beats every off-target doc
+    assert min(got[1]["log_ratio"], got[2]["log_ratio"]) > max(
+        got[3]["log_ratio"], got[4]["log_ratio"]
+    )
