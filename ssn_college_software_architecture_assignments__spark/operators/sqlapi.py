@@ -391,3 +391,43 @@ def e2_sql_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     Catalog(spark, sf_dir).register_views(("customer", "orders", "nation"))
     return spark.sql(_Q22_SQL)
+
+
+# E2m — TPC-H Q15-style top supplier (aggregating CTE referenced twice) --------
+#
+# The one remaining distinctive TPC-H structure (round-8 verdict task
+# 6): a grouped derived table referenced TWICE — once joined for its
+# rows, once reduced to a scalar max — i.e. a scalar subquery over an
+# aggregating view. Catalyst plans the CTE into both consumers (no
+# automatic sharing), evaluates the scalar branch as a one-row subquery
+# broadcast, and equi-joins supplier against the grouped fact side; no
+# correlated execution anywhere. Revenue is rounded to 4 INSIDE the CTE
+# so the twice-planned float aggregations (whose partial-sum orders may
+# legitimately differ plan-to-plan) compare on a stable value, and the
+# max-equality predicate is exact in both engines.
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("e2_sql_top_supplier", oracle=_Q15_SQL, tags=("E2",))
+def e2_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarter-revenue view per supplier, then the
+    supplier(s) achieving the view's maximum. Same SQL text is the
+    DuckDB oracle verbatim; exercises the CTE-referenced-twice /
+    scalar-subquery-over-grouped-table Catalyst path no other E2 entry
+    touches."""
+    Catalog(spark, sf_dir).register_views(("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)

@@ -318,3 +318,13 @@ def test_substring_span_dedup_two_scans_no_all_pairs(spark):
     assert len(scans) == 2, scans
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_scalar_subquery_never_nested_loop(spark):
+    """e2_sql_top_supplier (Q15 shape): the max-revenue comparison must
+    plan as a scalar subquery (one-row broadcast into the predicate),
+    never a nested-loop/cartesian against the revenue view."""
+    plan = _plan(spark, "e2_sql_top_supplier")
+    assert "Subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
