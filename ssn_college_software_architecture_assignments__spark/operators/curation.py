@@ -1020,3 +1020,211 @@ def x6m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X6b2 — best-fit-decreasing sequence packing ----------------------------------
+#
+# x6b packs by running offset in doc_id order (documents may straddle
+# chunk boundaries); public training pipelines that refuse to split
+# documents pack BEST-FIT-DECREASING instead: sort items by size
+# descending, place each into the FULLEST bin it still fits (ties ->
+# lowest bin id), else open a new bin. BFD is a sequential greedy — the
+# trick that keeps a full-value oracle is the w10/x4o engine-identical
+# FOLD law, with the state encoded as a LIST<LIST<BIGINT>> (element 1 =
+# bin loads, elements 2.. = [doc_id, bin, tokens] assignments) because
+# DuckDB 1.0's list_reduce mis-folds STRUCT accumulators (verified:
+# struct state sees the initial acc at every step; list state folds
+# correctly). Both engines run the same branch algebra: feasible set =
+# filter(loads, b -> b + s <= cap), chosen bin = first position of
+# max(feasible), so every tie resolves identically.
+#
+# Scale shape: one shuffle groups docs per source; each group folds
+# O(n_docs * n_bins) entirely inside a JVM/vectorized HOF (no Python).
+# Per-group state is the group's assignment list — at 100 TB the key
+# becomes (source, split_bucket) exactly as x6b documents, bounding
+# every group, and bins stay private to their group (bin packing is
+# per-shard in production packers for the same reason).
+
+_X6B2_CAP = 2048
+
+_X6B2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lst AS (
+  SELECT source,
+         [[CAST([] AS BIGINT[])]] ||
+         list([[-n_tokens, doc_id]] ORDER BY n_tokens DESC, doc_id) AS l
+  FROM t GROUP BY source
+),
+folded AS (
+  SELECT source,
+         list_reduce(l, (acc, x) ->
+           CASE WHEN len(list_filter(acc[1], b -> b - x[1][1] <= {_X6B2_CAP})) = 0
+           THEN list_concat(list_concat([list_append(acc[1], -x[1][1])], acc[2:]),
+                            [[x[1][2], CAST(len(acc[1]) AS BIGINT), -x[1][1]]])
+           ELSE list_concat(list_concat(
+                  [list_transform(range(1, len(acc[1]) + 1),
+                     i -> CASE WHEN i = list_position(acc[1],
+                                 list_max(list_filter(acc[1], b -> b - x[1][1] <= {_X6B2_CAP})))
+                               THEN acc[1][i] - x[1][1] ELSE acc[1][i] END)],
+                  acc[2:]),
+                  [[x[1][2], CAST(list_position(acc[1],
+                     list_max(list_filter(acc[1], b -> b - x[1][1] <= {_X6B2_CAP}))) - 1 AS BIGINT),
+                    -x[1][1]]])
+           END) AS st
+  FROM lst
+)
+SELECT source, u[1] AS doc_id, u[3] AS n_tokens, u[2] AS bin_id
+FROM (SELECT source, unnest(st[2:]) AS u FROM folded)
+ORDER BY source, doc_id
+"""
+
+
+@register("x6b2_bfd_packing", oracle=_X6B2_ORACLE, tags=("X6",))
+def x6b2_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing bin packing of documents into 2048-token
+    bins, per source: each document lands in the fullest feasible bin
+    (no straddling, unlike x6b). The Spark fold (F.aggregate) and the
+    oracle's list_reduce run the identical branch algebra, so every
+    greedy decision — including ties — matches bin for bin."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    lst = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.array(-F.col("n_tokens"), F.col("doc_id")))
+            ).alias("l")
+        )
+    )
+
+    cap = F.lit(_X6B2_CAP)
+
+    def merge(acc, x):
+        bins = F.element_at(acc, 1)
+        s = -F.element_at(x, 1)
+        d = F.element_at(x, 2)
+        feas = F.filter(bins, lambda b: b + s <= cap)
+        rest = F.slice(acc, 2, F.greatest(F.size(acc) - 1, F.lit(0)))
+        new_bin = F.concat(
+            F.array(F.concat(bins, F.array(s))),
+            rest,
+            F.array(F.array(d, F.size(bins).cast("long"), s)),
+        )
+        pos = F.array_position(bins, F.array_max(feas))
+        upd = F.transform(
+            F.sequence(F.lit(1), F.size(bins)),
+            lambda i: F.when(
+                i.cast("long") == pos, F.element_at(bins, i) + s
+            ).otherwise(F.element_at(bins, i)),
+        )
+        best = F.concat(
+            F.array(upd), rest, F.array(F.array(d, pos - 1, s))
+        )
+        return F.when(F.size(feas) == 0, new_bin).otherwise(best)
+
+    init = F.expr("array(cast(array() as array<bigint>))")
+    folded = lst.select(
+        "source", F.aggregate("l", init, merge).alias("st")
+    )
+    asg = folded.select(
+        "source",
+        F.explode(
+            F.slice(F.col("st"), 2, F.greatest(F.size("st") - 1, F.lit(0)))
+        ).alias("u"),
+    )
+    return asg.select(
+        "source",
+        F.element_at("u", 1).alias("doc_id"),
+        F.element_at("u", 3).alias("n_tokens"),
+        F.element_at("u", 2).alias("bin_id"),
+    ).orderBy("source", "doc_id")
+
+
+# X6h2 — packing-strategy comparison (x6b sequence vs x6b2 BFD) ----------------
+#
+# The decision table x6b2 exists to produce: per source, chunk/bin
+# counts and mean fill for the straddling sequence packer (x6b — may
+# overflow 2048, docs keep arrival order) against best-fit-decreasing
+# (x6b2 — hard cap, reordered). Both legs compose the REGISTERED
+# operators (and the oracle composes their SQL verbatim), so any packer
+# change propagates. Aggregates are (source x chunks)-sized.
+
+_X6H2_ORACLE = f"""
+WITH packed AS ({_X6B_ORACLE}),
+chunks AS (
+  SELECT source, chunk_id, sum(n_tokens) AS fill
+  FROM packed GROUP BY source, chunk_id
+),
+seq AS (
+  SELECT source, count(*) AS n_seq,
+         round(avg(CAST(fill AS DOUBLE)) / 2048.0, 4) AS fill_seq
+  FROM chunks GROUP BY source
+),
+bfd_asg AS ({_X6B2_ORACLE}),
+bins AS (
+  SELECT source, bin_id, sum(n_tokens) AS fill
+  FROM bfd_asg GROUP BY source, bin_id
+),
+bfd AS (
+  SELECT source, count(*) AS n_bfd,
+         round(avg(CAST(fill AS DOUBLE)) / 2048.0, 4) AS fill_bfd
+  FROM bins GROUP BY source
+)
+SELECT source,
+       CAST(n_seq AS BIGINT)  AS n_chunks_seq,
+       fill_seq               AS mean_fill_seq,
+       CAST(n_bfd AS BIGINT)  AS n_bins_bfd,
+       fill_bfd               AS mean_fill_bfd,
+       CAST(n_bfd - n_seq AS BIGINT) AS bin_delta
+FROM seq JOIN bfd USING (source)
+ORDER BY source
+"""
+
+
+@register("x6h2_packing_comparison", oracle=_X6H2_ORACLE, tags=("X6",))
+def x6h2_packing_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing scoreboard: straddling sequence packer (x6b)
+    vs best-fit-decreasing bins (x6b2), counts and mean fill side by
+    side. bin_delta > 0 is the price BFD pays for never splitting a
+    document across the 2048 cap."""
+    seq = (
+        x6b_sequence_packing(spark, sf_dir)
+        .groupBy("source", "chunk_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.round(F.avg(F.col("fill").cast("double")) / 2048.0, 4).alias(
+                "fill_seq"
+            ),
+        )
+    )
+    bfd = (
+        x6b2_bfd_packing(spark, sf_dir)
+        .groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bfd"),
+            F.round(F.avg(F.col("fill").cast("double")) / 2048.0, 4).alias(
+                "fill_bfd"
+            ),
+        )
+    )
+    return (
+        seq.join(bfd, "source")
+        .select(
+            "source",
+            F.col("n_seq").cast("long").alias("n_chunks_seq"),
+            F.col("fill_seq").alias("mean_fill_seq"),
+            F.col("n_bfd").cast("long").alias("n_bins_bfd"),
+            F.col("fill_bfd").alias("mean_fill_bfd"),
+            (F.col("n_bfd") - F.col("n_seq")).cast("long").alias("bin_delta"),
+        )
+        .orderBy("source")
+    )

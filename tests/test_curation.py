@@ -473,3 +473,65 @@ def test_importance_resample_matches_closed_form_law(spark, tmp_path):
     assert min(got[1]["log_ratio"], got[2]["log_ratio"]) > max(
         got[3]["log_ratio"], got[4]["log_ratio"]
     )
+
+
+def test_bfd_packing_matches_reference_and_beats_first_fit(spark, tmp_path):
+    """x6b2 law: assignments on a handmade item set must equal a pure
+    Python best-fit-decreasing reference decision-for-decision, and the
+    classic improvement law must hold — BFD never uses more bins than
+    first-fit in arrival order (here it strictly beats it: the crafted
+    sizes make id-order first-fit strand capacity)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6B2_CAP,
+        x6b2_bfd_packing,
+    )
+
+    # the classic FF-vs-FFD instance scaled to cap 2048: three 819s then
+    # three 1229s. Id-order first-fit opens 4 bins (819+819 blocks the
+    # 1229s); BFD places the 1229s first and closes every bin at exactly
+    # 1229+819 = 2048 — 3 bins.
+    sizes = {1: 819, 2: 819, 3: 819, 4: 1229, 5: 1229, 6: 1229}
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n)), "en", "s1") for i, n in sizes.items()]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def bfd_reference(items, cap):
+        bins, out = [], {}
+        for d, s in sorted(items.items(), key=lambda kv: (-kv[1], kv[0])):
+            feas = [b for b, load in enumerate(bins) if load + s <= cap]
+            if feas:
+                best = max(feas, key=lambda b: (bins[b], -b))
+                # ties -> lowest index: pick first bin achieving max load
+                best = min(
+                    (b for b in feas if bins[b] == max(bins[b2] for b2 in feas))
+                )
+                bins[best] += s
+                out[d] = best
+            else:
+                bins.append(s)
+                out[d] = len(bins) - 1
+        return out, bins
+
+    def first_fit_by_id(items, cap):
+        bins = []
+        for _d, s in sorted(items.items()):
+            for b in range(len(bins)):
+                if bins[b] + s <= cap:
+                    bins[b] += s
+                    break
+            else:
+                bins.append(s)
+        return bins
+
+    expect, ref_bins = bfd_reference(sizes, _X6B2_CAP)
+    got = {r["doc_id"]: r["bin_id"] for r in x6b2_bfd_packing(spark, sf_dir).collect()}
+    assert got == expect
+    n_ff = len(first_fit_by_id(sizes, _X6B2_CAP))
+    assert len(ref_bins) < n_ff  # the crafted instance: 3 vs 4
+    assert len(set(got.values())) == len(ref_bins)
