@@ -431,3 +431,102 @@ def e2_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches."""
     Catalog(spark, sf_dir).register_views(("supplier", "lineitem"))
     return spark.sql(_Q15_SQL)
+
+
+# E2n — TPC-H Q6-style forecasting revenue change (pure scan-filter-agg) -------
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("e2_sql_forecast_revenue", oracle=_Q6_SQL, tags=("E2",))
+def e2_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown probe — no join at
+    all, three range predicates that must reach the parquet scan and a
+    single map-combined aggregate. The E2 surface's floor: if this plan
+    ever grows an exchange beyond the final 1-row agg, pushdown broke."""
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+# E2o — TPC-H Q7-style volume shipping (dual-role dimension join) --------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("e2_sql_volume_shipping", oracle=_Q7_SQL, tags=("E2",))
+def e2_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension table (nation) joined twice in
+    different roles (supplier's vs customer's), with a disjunctive
+    cross-role predicate that cannot be pushed to either scan alone.
+    Exercises alias-scoped dual joins — a Catalyst path no other E2
+    entry touches. Both nation sides broadcast; the year extraction
+    is CAST to BIGINT so both engines agree on the grouping type."""
+    Catalog(spark, sf_dir).register_views(
+        ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    return spark.sql(_Q7_SQL)
+
+
+# E2p — TPC-H Q8-style national market share (CASE-in-aggregate ratio) ---------
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("e2_sql_market_share", oracle=_Q8_SQL, tags=("E2",))
+def e2_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional PROMO
+    revenue per order year — an 8-table star with nation again in two
+    roles (customer's region membership, supplier's identity) and the
+    share computed as a CASE-guarded conditional sum over the SAME
+    aggregate pass (one shuffle, not two). The denominator is nonzero
+    whenever a group exists, so ANSI division is safe by construction."""
+    Catalog(spark, sf_dir).register_views(
+        ("part", "lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    return spark.sql(_Q8_SQL)

@@ -328,3 +328,14 @@ def test_top_supplier_scalar_subquery_never_nested_loop(spark):
     assert "Subquery" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates_to_scan(spark):
+    """e2_sql_forecast_revenue (Q6 shape) is the pushdown floor: every
+    range predicate must reach the parquet scan, and the only plan
+    nodes above it are the two-phase 1-row aggregate (no join, no wide
+    exchange)."""
+    plan = _plan(spark, "e2_sql_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"PushedFilters: [" in plan and col in plan.split("PushedFilters: [")[1].split("]")[0], col
+    assert "Join" not in plan
