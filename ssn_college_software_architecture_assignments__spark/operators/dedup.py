@@ -2280,3 +2280,51 @@ def x2s_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X2s2 — per-source removed-token mass (the span-dedup scoreboard) -------------
+#
+# The number the round-8 verdict asked the span pass to deliver: per
+# source, how much token mass the substring dedup removes — read
+# side-by-side with x2q's dup_mass_frac (the diagnostic ceiling) it
+# shows how much of the measured duplication the >=12-token span rule
+# actually captures. Composes the REGISTERED x2s verbatim (operator and
+# oracle alike); the rollup itself is sources-sized.
+
+_X2S2_ORACLE = f"""
+WITH span AS ({_X2S_ORACLE})
+SELECT source,
+       CAST(count(*) AS BIGINT)                       AS n_docs,
+       CAST(sum(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_docs_trimmed,
+       CAST(sum(n_tok) AS BIGINT)                     AS n_tokens,
+       CAST(sum(n_removed_tokens) AS BIGINT)          AS n_removed_tokens,
+       round(sum(n_removed_tokens) / CAST(sum(n_tok) AS DOUBLE), 4)
+                                                      AS removed_frac
+FROM span
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x2s2_span_dedup_by_source", oracle=_X2S2_ORACLE, tags=("X2",))
+def x2s2_span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of x2s: documents touched, token mass removed,
+    and the removed fraction — the payoff report for the substring
+    pass."""
+    span = x2s_substring_span_dedup(spark, sf_dir)
+    return (
+        span.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_trimmed"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+            F.round(
+                F.sum("n_removed_tokens") / F.sum("n_tok").cast("double"), 4
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )

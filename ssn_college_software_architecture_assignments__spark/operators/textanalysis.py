@@ -8,7 +8,7 @@ billions of documents, with zero Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog, ensure_min_partitions
@@ -1191,3 +1191,78 @@ def x4o_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ent") / F.log2(F.col("n_distinct").cast("double")), 4),
         ).alias("entropy_norm"),
     ).orderBy("source")
+
+
+# X4p — per-source Zipf rank-frequency fit -------------------------------------
+#
+# The corpus-health diagnostic public pipelines run on every new source:
+# natural language follows Zipf's law (token frequency ~ rank^-s with
+# s ~ 1); machine-generated spam, template farms, and encoding junk bend
+# the rank-frequency curve. Fit ln(freq) ~ ln(rank) per source by least
+# squares over each source's top-256 tokens and report slope, intercept
+# and R^2 — both engines use their built-in regr_* aggregates, which
+# compute the same closed-form moments.
+#
+# Scale shape: token counts collapse to (source, token) via hash-agg
+# (vocabulary-bounded), ranking is a window PARTITIONED BY source (never
+# global), the fit sees <= 256 rows per source, and the output is
+# sources-sized. Ties rank deterministically by (freq DESC, token).
+
+_X4P_TOPK = 256
+
+_X4P_ORACLE = f"""
+WITH tf AS (
+  SELECT source, tok, count(*) AS freq
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rnk
+  FROM tf
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                              AS n_fit,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+                                                             AS zipf_slope,
+       round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+                                                             AS zipf_intercept,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+                                                             AS r2
+FROM ranked
+WHERE rnk <= {_X4P_TOPK}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x4p_zipf_fit", oracle=_X4P_ORACLE, tags=("X4",))
+def x4p_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares Zipf fit per source: slope/intercept/R^2 of
+    ln(freq) against ln(rank) over the top-256 tokens. A healthy
+    natural-language source fits a steep near-linear curve; flat or
+    kinked fits flag synthetic/template text."""
+    docs = Catalog(spark, sf_dir).documents
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("freq").desc(), "tok")
+    )
+    ranked = tf.select("source", "freq", rnk.alias("rnk")).filter(
+        F.col("rnk") <= _X4P_TOPK
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fit"),
+            F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+            F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+            F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+        )
+        .orderBy("source")
+    )

@@ -119,3 +119,29 @@ def test_token_entropy_closed_form(spark, tmp_path):
     )
     du = {r[0]: r for r in con.execute(_X4O_ORACLE).fetchall()}
     assert repr(float(du["constant"][3])) == "0.0"   # not '-0.0'
+
+
+def test_zipf_fit_recovers_exact_power_law(spark, tmp_path):
+    """x4p law: a corpus whose token frequencies are EXACTLY C*rank^-1
+    (12, 6, 4, 3 at ranks 1..4) must fit slope -1, intercept ln(12),
+    R^2 = 1 — the regr_* moments reduced to a known closed form."""
+    import math
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4p_zipf_fit,
+    )
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(1, text, "en", "s1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    [row] = x4p_zipf_fit(spark, sf_dir).collect()
+    assert row["n_fit"] == 4
+    assert row["zipf_slope"] == -1.0
+    assert row["zipf_intercept"] == round(math.log(12.0), 4)
+    assert row["r2"] == 1.0
