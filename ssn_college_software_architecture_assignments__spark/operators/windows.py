@@ -578,3 +578,75 @@ def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewma"),
     )
+
+
+# W11 — cumulative distinct users (first-seen rewrite) ------------------------
+#
+# The growth-dashboard query that is a scale trap when written naively:
+# COUNT(DISTINCT user) OVER an ever-growing window holds every user id
+# in window state. The public rewrite: a user contributes to the
+# cumulative count exactly once — on their FIRST day — so min(day) per
+# user (one hash-agg, map-side combined), a days-sized new-user count,
+# and a running sum over the DATE-grain table give the same number with
+# bounded state. The only unpartitioned window runs over one row per
+# calendar day — cardinality bounded by the calendar (30 rows/month,
+# ~3.7k rows/decade), not by data volume, which is the documented
+# exception to the no-global-window rule (w4b's cutpoint trick exists
+# for tables that GROW with the corpus; this one cannot).
+
+_W11_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS active_users
+  FROM events GROUP BY 1
+),
+nu AS (SELECT d0 AS day, count(*) AS new_users FROM fs GROUP BY d0)
+SELECT strftime(daily.day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT)                 AS n_events,
+       CAST(active_users AS BIGINT)             AS active_users,
+       CAST(coalesce(new_users, 0) AS BIGINT)   AS new_users,
+       CAST(sum(coalesce(new_users, 0))
+              OVER (ORDER BY daily.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                                AS cum_users
+FROM daily LEFT JOIN nu ON daily.day = nu.day
+ORDER BY day
+"""
+
+
+@register("w11_cumulative_distinct", oracle=_W11_ORACLE, tags=("W3", "A3"))
+def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity with an all-time cumulative distinct-user count,
+    via the first-seen rewrite (no distinct-over-window state): events
+    aggregate to days, users aggregate to their first day, and the
+    running sum walks the calendar-bounded date table."""
+    ev = Catalog(spark, sf_dir).events
+    day = F.to_date("ts")
+    fs = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("active_users"),
+    )
+    nu = fs.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    cum = F.sum(F.coalesce(F.col("new_users"), F.lit(0))).over(
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        daily.join(nu, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("long")
+            .alias("new_users"),
+            cum.cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
