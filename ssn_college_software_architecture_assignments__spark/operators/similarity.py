@@ -1594,3 +1594,129 @@ def x3p_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# X3q — Matryoshka (truncated-dimension) shortlist + full-dim rescore ----------
+#
+# The public MRL adaptive-retrieval recipe (Kusupati et al. 2022,
+# "Matryoshka Representation Learning"): score cheaply with a PREFIX of
+# the embedding dimensions (MRL trains prefixes to be usable
+# representations), shortlist, then rerank the shortlist with the full
+# vector. The same funnel as x3n's PQ refine, with dimension truncation
+# as the compression axis instead of codebook quantization — the two
+# compose the engine's "cheap screen, exact finish" family.
+#
+# Scale shape: the streaming pass computes PREFIX cosines only (16 of
+# 64 dims -> 4x fewer multiplies on the corpus scan); the shuffle
+# carries (q_id, vec_id, score) triples, never vectors; the shortlist
+# (n_queries x 20 ids) broadcast-joins back to the corpus for exact
+# rescoring, so full vectors are only touched for shortlisted rows.
+
+_X3Q_PRE_DIM = 16
+_X3Q_SHORTLIST = 20
+_X3Q_K = 5
+
+
+def _x3q_oracle_sql(pre_dim: int) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pre AS (
+  SELECT q.q_id, c.vec_id, q.q_emb, c.emb,
+         list_aggregate(list_transform(list_zip(q.q_emb[1:{pre_dim}], c.emb[1:{pre_dim}]),
+                                       p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q.q_emb[1:{pre_dim}], x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.emb[1:{pre_dim}], x -> x*x), 'sum')))
+           AS pre_cos
+  FROM q CROSS JOIN c
+  WHERE q.q_id <> c.vec_id
+),
+short AS (
+  SELECT q_id, vec_id, q_emb, emb
+  FROM (
+    SELECT q_id, vec_id, q_emb, emb,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(pre_cos, 4) DESC, vec_id) AS rn
+    FROM pre
+  ) WHERE rn <= {_X3Q_SHORTLIST}
+),
+exact AS (
+  SELECT q_id, vec_id,
+         list_aggregate(list_transform(list_zip(q_emb, emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q_emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM short
+)
+SELECT q_id, vec_id, round(cos_sim, 4) AS cos_sim
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos_sim, 4) DESC, vec_id) AS rn
+  FROM exact
+) WHERE rn <= {_X3Q_K}
+"""
+
+
+_X3Q_ORACLE = _x3q_oracle_sql(_X3Q_PRE_DIM)
+
+
+def _mrl_topk(spark: SparkSession, sf_dir: str, pre_dim: int) -> DataFrame:
+    """MRL funnel parameterized on the prefix width (pre_dim = full
+    dimension degenerates to exact brute force — the pinned law)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
+    )
+    candidates = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    pre = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(
+                F.slice(F.col("q_emb"), 1, pre_dim),
+                F.slice(F.col("emb"), 1, pre_dim),
+            ).alias("pre_cos"),
+        )
+    )
+    w_pre = W.partitionBy("q_id").orderBy(
+        F.round("pre_cos", 4).desc(), F.col("vec_id")
+    )
+    short = (
+        pre.withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= _X3Q_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    rescored = (
+        candidates.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim")
+        )
+    )
+    w_ex = W.partitionBy("q_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col("vec_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= _X3Q_K)
+        .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register("x3q_mrl_refine_topk", oracle=_X3Q_ORACLE, tags=("X3",))
+def x3q_mrl_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors via the Matryoshka funnel: 16-dim prefix cosine
+    shortlists 20 candidates per query, exact 64-dim cosine reranks.
+    pre_dim = 64 provably degenerates to x3's exact answer
+    (pytest-pinned)."""
+    return _mrl_topk(spark, sf_dir, _X3Q_PRE_DIM)
