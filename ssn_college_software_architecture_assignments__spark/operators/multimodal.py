@@ -1646,3 +1646,100 @@ def x5n_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fingerprint")
     )
+
+
+# X5o — ViT-style patch grid extraction (image -> patch token rows) ------------
+#
+# The preprocessing step every vision-transformer training pipeline runs:
+# tile each image into non-overlapping PxP patches (incomplete edge
+# rows/columns cropped, exactly as ViT's patchify does) and emit one row
+# per patch with its per-channel means — the patch-token table a
+# downstream embedder consumes. Runs on the x5e PPM kernel, so every
+# output value is arithmetically predictable from doc_id: pixel (x, y,
+# c) of doc d is (d*31 + ((y*w + x)*3 + c)) % 256, and a patch mean
+# averages 4 such values per channel (means of 4 integers are exact
+# quarters — no float ambiguity at round(4)).
+#
+# Scale shape: encode and patchify are BOTH map-only Arrow stages
+# (payloads never shuffle, never reach the driver); the output fans out
+# ~(w/2)*(h/2) bounded rows per image. The numpy patch reduction is the
+# production idiom: reshape (h, w, 3) -> (H2, 2, W2, 2, 3), mean over
+# the in-patch axes — one vectorized pass, no Python pixel loops.
+
+_X5O_P = 2  # patch edge; fixture images are 4..16 x 4..10
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def patchify_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    p = _X5O_P
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, raster = _parse_ppm_raster(bytes(payload))
+            except ValueError:
+                continue  # malformed images contribute no patches
+            h2, w2 = h // p, w // p
+            if h2 == 0 or w2 == 0:
+                continue
+            img = raster.reshape(h, w, 3)[: h2 * p, : w2 * p, :]
+            means = img.reshape(h2, p, w2, p, 3).mean(axis=(1, 3))
+            for pr in range(h2):
+                for pc in range(w2):
+                    rows["doc_id"].append(doc_id)
+                    rows["patch_row"].append(pr)
+                    rows["patch_col"].append(pc)
+                    rows["mean_r"].append(round(float(means[pr, pc, 0]), 4))
+                    rows["mean_g"].append(round(float(means[pr, pc, 1]), 4))
+                    rows["mean_b"].append(round(float(means[pr, pc, 2]), 4))
+        yield pd.DataFrame(rows)
+
+
+_X5O_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, w, pr.i AS patch_row, pc.i AS patch_col
+  FROM dims,
+       LATERAL (SELECT unnest(range(h // {_X5O_P})) AS i) pr,
+       LATERAL (SELECT unnest(range(w // {_X5O_P})) AS i) pc
+)
+SELECT doc_id,
+       CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       round(list_aggregate(list_transform(range({_X5O_P * _X5O_P}),
+         k -> CAST((doc_id * 31 + (((patch_row * {_X5O_P} + k // {_X5O_P}) * w
+                + patch_col * {_X5O_P} + k % {_X5O_P}) * 3 + 0)) % 256 AS DOUBLE)),
+         'avg'), 4) AS mean_r,
+       round(list_aggregate(list_transform(range({_X5O_P * _X5O_P}),
+         k -> CAST((doc_id * 31 + (((patch_row * {_X5O_P} + k // {_X5O_P}) * w
+                + patch_col * {_X5O_P} + k % {_X5O_P}) * 3 + 1)) % 256 AS DOUBLE)),
+         'avg'), 4) AS mean_g,
+       round(list_aggregate(list_transform(range({_X5O_P * _X5O_P}),
+         k -> CAST((doc_id * 31 + (((patch_row * {_X5O_P} + k // {_X5O_P}) * w
+                + patch_col * {_X5O_P} + k % {_X5O_P}) * 3 + 2)) % 256 AS DOUBLE)),
+         'avg'), 4) AS mean_b
+FROM grid
+ORDER BY doc_id, patch_row, patch_col
+"""
+
+
+@register("x5o_image_patchify", oracle=_X5O_ORACLE, tags=("X5",))
+def x5o_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per 2x2 image patch with per-channel means — the ViT
+    patchify stage over the x5e PPM kernel (incomplete edges cropped,
+    as ViT does). Every patch mean is oracle-predicted from the pixel
+    formula; the kernel computes them with the single vectorized numpy
+    reshape/mean a production patchifier uses."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(patchify_ppm_batch, PATCH_SCHEMA)

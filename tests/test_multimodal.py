@@ -638,3 +638,34 @@ def test_audio_fingerprint_gain_invariance_and_clusters(spark, tmp_path):
         for r in x5n_audio_fingerprint_dedup(spark, sf_dir).collect()
     }
     assert got == dict(base_counts)
+
+
+def test_patchify_matches_numpy_reference_and_crops_edges(spark, sf_dir):
+    """x5o law: per-channel patch means recomputed independently (parse
+    the PPM bytes, reshape, mean) must match row for row, and each doc
+    must emit exactly (h//2)*(w//2) patches — odd edge rows/columns
+    cropped, never averaged into a partial patch."""
+    import numpy as np
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _parse_ppm_raster,
+        _ppm_bytes,
+        x5o_image_patchify,
+    )
+
+    got = {}
+    for r in x5o_image_patchify(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], {})[(r["patch_row"], r["patch_col"])] = (
+            r["mean_r"], r["mean_g"], r["mean_b"]
+        )
+
+    for doc_id in (0, 5, 17):
+        w, h, raster = _parse_ppm_raster(_ppm_bytes(doc_id))
+        h2, w2 = h // 2, w // 2
+        assert len(got[doc_id]) == h2 * w2
+        img = raster.reshape(h, w, 3)[: h2 * 2, : w2 * 2, :]
+        means = img.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
+        for pr in range(h2):
+            for pc in range(w2):
+                expect = tuple(round(float(means[pr, pc, c]), 4) for c in range(3))
+                assert got[doc_id][(pr, pc)] == expect
