@@ -82,37 +82,105 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 23 round-8 additions — no driver evidence exists at
-    # all (the three scale-safe global-ranking twins, paragraph
-    # near-dedup + duplicated-gram mass, the incremental admission
-    # funnel + shard manifest, the Q21/Q13/Q22 SQL shapes, PQ refine,
-    # silence trim, EWMA, tolerance as-of, the iterator UDF, the
-    # cross-source gram-flow matrix, write-audit-publish, MG heavy hitters, token entropy, nprobe sweep, image/audio perceptual-fingerprint dedup, bag setops)
+    # tier 1: the 13 round-9 additions — no driver evidence exists
+    # (substring span dedup + its per-source rollup, DSIR importance
+    # resampling, BFD packing + the packing scoreboard, the
+    # Q15/Q6/Q7/Q8 SQL shapes, the Zipf fit, cumulative distinct
+    # users, the MRL refine funnel, image patchify)
+    "x2s_substring_span_dedup",
+    "x2s2_span_dedup_by_source",
+    "x6m_importance_resample",
+    "x6b2_bfd_packing",
+    "x6h2_packing_comparison",
+    "e2_sql_top_supplier",
+    "e2_sql_forecast_revenue",
+    "e2_sql_volume_shipping",
+    "e2_sql_market_share",
+    "x4p_zipf_fit",
+    "w11_cumulative_distinct",
+    "x3q_mrl_refine_topk",
+    "x5o_image_patchify",
+    # tier 2: the 50-id cohort whose newest driver row is r5 — the
+    # oldest evidence tier; r8's VERDICT queued them for r9's slots.
+    # 13 + 50 > the ~50-slot budget, so ~13 of these roll to r10
+    # (they stay ahead of everything younger).
+    "a1_count_validate",
+    "a2_groupby_agg",
+    "a3_distinct",
+    "a5_cube",
+    "a5_rollup",
+    "a6_percentiles",
+    "a7_collect_agg",
+    "a8_pivot",
+    "f_array_family",
+    "f_conditional_family",
+    "f_datetime_family",
+    "f_hash_family",
+    "f_json_family",
+    "f_math_family",
+    "f_string_family",
+    "f_struct_family",
+    "j10_salted_skew_join",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_full_outer_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_broadcast_join",
+    "j7_range_join",
+    "j8_asof_join",
+    "j9_cross_join",
+    "o1_order_by",
+    "o2_limit_topn",
+    "o3_top_k_per_group",
+    "p1_project",
+    "p2_filter",
+    "p3_drop_empty",
+    "p4_null_fill",
+    "p5_type_cast",
+    "p6_field_sanitize",
+    "p6b_sanitize_generic",
+    "p7_flatten",
+    "q1_pricing_summary",
+    "u1_union_all",
+    "u2_intersect",
+    "u3_except",
+    "w1_row_number_latest",
+    "w1b_rank_dense_rank",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_ntile_percent_rank",
+    "w5_first_last_value",
+    "w6_sessionize",
+    "x1_exact_dedup",
+    "x3_similarity_bruteforce",
+    # tier 3: source touched by round-9 changes (w10 null filter,
+    # x2p id-packing guard, Q21 LIKE escape, a13 comment) — re-prove
+    "w10_ewma",
+    "x2p_paragraph_near_dedup",
+    "e2_sql_waiting_orders",
+    "a13_heavy_hitters",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder in prior stalest-first order (r6, then r7, then r8)
     "w4b_quartile_cutpoints",
     "x4n2_quality_deciles_scalable",
     "s16b_zorder_layout_scalable",
-    "x2p_paragraph_near_dedup",
     "x6k_incremental_admission_funnel",
-    "e2_sql_waiting_orders",
     "e2_sql_order_distribution",
     "e2_sql_dormant_customers",
     "x2q_duplicated_gram_mass",
     "x3n_pq_refine_topk",
     "x5l_audio_silence_trim",
-    "w10_ewma",
     "j8b_asof_join_tolerance",
     "x6l_shard_manifest",
     "f4_iter_udf",
     "x2r_cross_source_gram_flow",
     "s17_write_audit_publish",
-    "a13_heavy_hitters",
     "x4o_token_entropy",
     "x3p_ivf_nprobe_sweep",
     "x5m_image_phash_dedup",
     "x5n_audio_fingerprint_dedup",
     "u5_bag_setops",
-    # tier 2: the 27-id cohort whose newest driver row is r4 — queued
-    # since r7 (it listed them as tier 1c); they MUST fill r8's slots
     "j11_bucketed_join",
     "t7_incremental_sink",
     "t8_stream_static_join",
@@ -140,73 +208,17 @@ _CHECK_PRIORITY = (
     "x6b_sequence_packing",
     "x6c_mixture_sample",
     "x6d_decontamination",
-    # tier 3: source touched by round-8 changes (PPM parser message,
-    # audio empty-row contract, twin-pointer docstrings) — re-prove
     "x5i_audio_rms_profile",
     "x5e_ppm_decode",
     "x5j_image_channel_stats",
     "x5k_scene_change",
     "x5c_frame_sample",
-    "w4_ntile_percent_rank",
     "x4n_quality_deciles",
     "s16_zorder_layout",
-    # tier 4: queued in r7's tier 1d/1e but missed the 50-slot budget,
-    # plus the stalest r5 ids — fills the ~50-slot line
-    "j8_asof_join",
     "s1_rest_source",
     "s2_paginated_read",
     "s2b_cursor_read",
     "s1b_rest_infer",
-    "q1_pricing_summary",
-    "j1_inner_equi_join",
-    "j6_broadcast_join",
-    "j10_salted_skew_join",
-    # ---- ~50-query driver budget line ----
-    # below: stalest first (r5 evidence, then r6, then r7-evidenced last)
-    "w6_sessionize",
-    "a2_groupby_agg",
-    "o3_top_k_per_group",
-    "p1_project",
-    "u1_union_all",
-    "f_string_family",
-    "x3_similarity_bruteforce",
-    "j2_left_outer_join",
-    "j3_full_outer_join",
-    "j4_semi_join",
-    "j5_anti_join",
-    "j7_range_join",
-    "j9_cross_join",
-    "a1_count_validate",
-    "a3_distinct",
-    "a5_cube",
-    "a5_rollup",
-    "a6_percentiles",
-    "a7_collect_agg",
-    "a8_pivot",
-    "w1_row_number_latest",
-    "w1b_rank_dense_rank",
-    "w2_lag_lead",
-    "w3_running_agg",
-    "w5_first_last_value",
-    "o1_order_by",
-    "o2_limit_topn",
-    "p2_filter",
-    "p3_drop_empty",
-    "p4_null_fill",
-    "p5_type_cast",
-    "p6_field_sanitize",
-    "p6b_sanitize_generic",
-    "p7_flatten",
-    "u2_intersect",
-    "u3_except",
-    "f_datetime_family",
-    "f_math_family",
-    "f_array_family",
-    "f_struct_family",
-    "f_json_family",
-    "f_hash_family",
-    "f_conditional_family",
-    "x1_exact_dedup",
     "s4_json_scan",
     "s10_upsert_latest_wins",
     "t1_tumbling_window",
