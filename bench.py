@@ -273,7 +273,9 @@ def main() -> None:
 
     detail = {
         "query_class": {n: QUERY_CLASS.get(n, "cpu") for n in per_query},
-        "notes": (
+        # NB: keyed notes_detail, NOT notes — the **out splat below also
+        # carries a (short) notes field and later keys would win.
+        "notes_detail": (
             "value_normalized applies the MATCHED per-class calibration "
             "factor to each query (query_class: cpu-bound queries scale "
             "by calib_nominal_sec/calib_cpu_sec, shuffle-bound by "

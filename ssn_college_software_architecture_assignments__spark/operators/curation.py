@@ -929,11 +929,16 @@ def x6l_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   document never flips an old one's verdict), where a top-k would
 #   need a global ranking stage and re-decide everything each ingest.
 #
-# Scale shape: one explode scan -> vocabulary hash-agg with a
-# conditional target count (map-side combine; shuffle carries (token,
-# n_c, n_t)) -> token-keyed join back (the x4j/x6d inverted-index
-# shape, one corpus shuffle on the token key) -> per-doc aggregate ->
-# 1-row broadcast of the LM normalizers -> map-only Gumbel + verdict.
+# Scale shape: vocabulary hash-agg with a conditional target count
+# (map-side combine; shuffle carries (token, n_c, n_t)) -> token-keyed
+# join back (the x4j/x6d inverted-index shape, one corpus shuffle on
+# the token key) -> per-doc aggregate -> 1-row broadcast of the LM
+# normalizers -> map-only Gumbel + verdict. Catalyst plans the token
+# explode THREE times (vocab, the join probe, and the normalizer agg
+# re-derives vocab — no subtree sharing), exactly x4j's documented
+# shape; a production run at 100 TB would persist the vocab table once
+# and reuse it. The 3-scan shape is plan-gated so it cannot silently
+# grow worse.
 
 _X6M_TAU = 1.0
 

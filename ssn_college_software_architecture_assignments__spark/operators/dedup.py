@@ -1717,6 +1717,19 @@ _X2P_BOILER = (
     "subscribe newsletter follow share login search"
 )
 
+# THE single boilerplate-boost law (x2p paragraphs AND x2s spans plant
+# their cross-document duplicate with it — one site in each engine, so
+# the modulus/separator can never drift between the two fixtures).
+_BOOST_SQL = f"CASE WHEN doc_id % 10 = 0 THEN '{_X2P_BOILER} ' || text ELSE text END"
+
+
+def _boosted_text() -> Column:
+    """Spark half of _BOOST_SQL."""
+    return F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit(_X2P_BOILER + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+
 _X2P_PARAS_SQL = f"""
   SELECT doc_id, source, i AS para_idx,
          doc_id * {_X2P_IDMUL} + i AS para_id,
@@ -1724,9 +1737,7 @@ _X2P_PARAS_SQL = f"""
          len(t[i*{_X2P_WIDTH}+1 : i*{_X2P_WIDTH}+{_X2P_WIDTH}]) AS n_tok
   FROM (
     SELECT doc_id, source,
-           string_split(CASE WHEN doc_id % 10 = 0
-                             THEN '{_X2P_BOILER} ' || text
-                             ELSE text END, ' ') AS t
+           string_split({_BOOST_SQL}, ' ') AS t
     FROM documents WHERE doc_id < 200
   ), LATERAL (SELECT unnest(range(0, CAST(ceil(len(t) / {_X2P_WIDTH}.0) AS INT))) AS i)
   WHERE len(t[i*{_X2P_WIDTH}+1 : i*{_X2P_WIDTH}+{_X2P_WIDTH}]) >= 3"""
@@ -1771,16 +1782,7 @@ def _x2p_paragraphs(docs: DataFrame) -> DataFrame:
     """(doc_id, source, para_idx, para_id, text, n_tok) — deterministic
     16-token chunking with the planted boilerplate header; the Spark
     half of _X2P_PARAS_SQL's law."""
-    boosted = docs.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(F.lit(_X2P_BOILER + " "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    boosted = docs.select("doc_id", "source", _boosted_text().alias("text"))
     toks = F.split("text", " ")
     n_paras = F.ceil(F.size(toks) / F.lit(float(_X2P_WIDTH))).cast("int")
     chunks = F.transform(
@@ -2118,8 +2120,7 @@ _X2S_NMIN = 5  # min run length in grams => min marked span = 12 tokens
 _X2S_ORACLE = f"""
 WITH docs2 AS (
   SELECT doc_id, source,
-         string_split(CASE WHEN doc_id % 10 = 0
-                           THEN '{_X2P_BOILER} ' || text ELSE text END, ' ') AS t
+         string_split({_BOOST_SQL}, ' ') AS t
   FROM documents
 ),
 occ AS (
@@ -2186,12 +2187,8 @@ def x2s_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trimmed text (the hash is the cross-engine proof that both
     engines rewrote every document identically, byte for byte)."""
     docs = Catalog(spark, sf_dir).documents
-    boosted = F.when(
-        F.col("doc_id") % 10 == 0,
-        F.concat(F.lit(_X2P_BOILER + " "), F.col("text")),
-    ).otherwise(F.col("text"))
     docs2 = ensure_min_partitions(docs).select(
-        "doc_id", "source", F.split(boosted, " ").alias("t")
+        "doc_id", "source", F.split(_boosted_text(), " ").alias("t")
     )
 
     occ = docs2.select(

@@ -506,7 +506,6 @@ def test_bfd_packing_matches_reference_and_beats_first_fit(spark, tmp_path):
         for d, s in sorted(items.items(), key=lambda kv: (-kv[1], kv[0])):
             feas = [b for b, load in enumerate(bins) if load + s <= cap]
             if feas:
-                best = max(feas, key=lambda b: (bins[b], -b))
                 # ties -> lowest index: pick first bin achieving max load
                 best = min(
                     (b for b in feas if bins[b] == max(bins[b2] for b2 in feas))

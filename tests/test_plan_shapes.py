@@ -339,3 +339,41 @@ def test_forecast_revenue_pushes_all_predicates_to_scan(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert f"PushedFilters: [" in plan and col in plan.split("PushedFilters: [")[1].split("]")[0], col
     assert "Join" not in plan
+
+
+def test_importance_resample_plan_shape(spark):
+    """x6m: three parquet scans (vocab, join probe, normalizer — the
+    documented no-subtree-sharing shape; a production run persists
+    vocab), the only nested-loop is the 1-row normalizer broadcast,
+    and never a cartesian."""
+    import re
+
+    plan = _plan(spark, "x6m_importance_resample")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 3, scans
+    assert "CartesianProduct" not in plan
+
+
+def test_bfd_packing_single_scan_single_shuffle(spark):
+    """x6b2: the greedy fold happens inside a JVM HOF after ONE
+    per-source grouping — one parquet scan, no join of any kind."""
+    import re
+
+    plan = _plan(spark, "x6b2_bfd_packing")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
+    assert "Join" not in plan
+
+
+def test_mrl_refine_plan_shape(spark):
+    """x3q: four scans (queries + corpus for the prefix pass, corpus +
+    queries again for the rescore — the funnel's two stages), broadcast
+    shortlist/queries only (the nested-loop is the deliberate
+    8-query-row broadcast, as in x3), never a cartesian."""
+    import re
+
+    plan = _plan(spark, "x3q_mrl_refine_topk")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 4, scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

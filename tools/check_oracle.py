@@ -73,7 +73,9 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 def run_sweep(spark, sf: str, names: list[str], qs, oracles, repeat=False) -> dict:
     """Run the oracle diff for ``names`` at scale dir ``sf``; returns a
     result dict: {"pass": n, "fail": n, "rows_only": n, "failures": [...],
-    "queries": {name: "pass"|"fail"|"rows-only"}, "elapsed_sec": s}.
+    "queries": {name: "pass"|"fail"|"rows-only"|"nondeterministic"},
+    "elapsed_sec": s} — the fourth status only appears under ``repeat``
+    and counts into ``fail``/``failures``.
 
     ``repeat=True`` executes every Spark query a SECOND time in the same
     session and demands identical normalized values run-to-run — the
