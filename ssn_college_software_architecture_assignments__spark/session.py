@@ -39,6 +39,47 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+_PKG_SHIPPED_TO_WORKERS = False
+
+
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    mapInPandas / pandas_udf kernels defined at module level are pickled
+    BY REFERENCE (cloudpickle), so workers must be able to import this
+    package. A driver process that merely did ``sys.path.insert`` from a
+    foreign cwd satisfies the DRIVER import but not the workers (the
+    runtime sys.path edit never reaches PYTHONPATH, and local-mode
+    workers inherit only the JVM's env). Shipping the package once via
+    ``addPyFile`` closes that gap; skipped when the repo root is already
+    worker-visible (PYTHONPATH or cwd), which covers every in-repo
+    entry point (tests, bench, check_oracle). Never allowed to fail a
+    query — any error degrades to the historical behavior."""
+    global _PKG_SHIPPED_TO_WORKERS
+    if _PKG_SHIPPED_TO_WORKERS:
+        return
+    _PKG_SHIPPED_TO_WORKERS = True
+    try:
+        import os
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        worker_paths = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if root in worker_paths or os.getcwd() == root:
+            return
+        zip_base = os.path.join(
+            tempfile.mkdtemp(prefix="ssn_spark_pkg_"), "ssn_spark_pkg"
+        )
+        archive = shutil.make_archive(
+            zip_base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
+        )
+        spark.sparkContext.addPyFile(archive)
+    except Exception:
+        pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
@@ -52,6 +93,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # Some confs may be static in exotic deployments; never fail
             # a query over a tuning knob.
             pass
+    _ship_package_to_workers(spark)
     return spark
 
 
