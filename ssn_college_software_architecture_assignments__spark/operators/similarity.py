@@ -1720,3 +1720,120 @@ def x3q_mrl_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_dim = 64 provably degenerates to x3's exact answer
     (pytest-pinned)."""
     return _mrl_topk(spark, sf_dir, _X3Q_PRE_DIM)
+
+
+# X3r — k-means Lloyd step (the centroid trainer behind IVF and SemDeDup) ------
+#
+# x3d (IVF cells) and x2j (SemDeDup clusters) both consume centroids;
+# this operator is the step that PRODUCES them: one Lloyd iteration —
+# assign every vector to its nearest centroid (squared L2), then move
+# each centroid to the mean of its members. Deterministic everywhere a
+# k-means implementation is usually random: init = the vec_id < K
+# vectors (k-means|| init would be seeded sampling; same dataflow),
+# distance ties -> smallest centroid id, and the distance fold runs
+# left-to-right over dimensions in BOTH engines (Spark F.aggregate ==
+# DuckDB list_reduce, the w10 law), so argmin decisions are bit-exact
+# across engines — only the new-centroid means need rounding.
+#
+# Scale shape: K centroids broadcast; assignment is map-side (one
+# corpus scan, no vector ever shuffles for scoring); the update explodes
+# assigned vectors to (cluster, dim, value) and hash-aggregates — the
+# shuffle carries one partial sum per (cluster, dim) per partition
+# (map-side combine), i.e. K x 64 rows, not the corpus. Iterating =
+# re-running with the emitted centroids; each step is this same plan.
+
+_X3R_K = 8
+
+_X3R_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {_X3R_K}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, c.cid, v.emb,
+         list_reduce(list_transform(list_zip(v.emb, c.cvec),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, x) -> a + x) AS dist
+  FROM v CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT vec_id, cid, emb,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT cid, u.i AS dim_idx, avg(u.val) AS newv,
+         count(*) AS n_members
+  FROM (
+    SELECT cid,
+           unnest(list_transform(range(1, len(emb) + 1),
+                                 i -> {{'i': i - 1, 'val': emb[i]}})) AS u
+    FROM a
+  )
+  GROUP BY cid, u.i
+)
+SELECT m.cid AS cluster_id,
+       CAST(m.dim_idx AS INT)        AS dim_idx,
+       CAST(m.n_members AS BIGINT)   AS n_members,
+       round(c.cvec[m.dim_idx + 1], 4) + 0.0 AS old_val,
+       round(m.newv, 4) + 0.0        AS new_val
+FROM m JOIN c ON m.cid = c.cid
+ORDER BY cluster_id, dim_idx
+"""
+
+
+@register("x3r_kmeans_step", oracle=_X3R_ORACLE, tags=("X3",))
+def x3r_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embedding corpus: per (cluster,
+    dimension), member count plus old and updated centroid coordinate.
+    Assignment argmins are bit-exact across engines (ordered distance
+    fold); only the means round."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cent = emb.filter(F.col("vec_id") < _X3R_K).select(
+        F.col("vec_id").alias("cid"), _dvec("embedding").alias("cvec")
+    )
+    v = ensure_min_partitions(emb).select("vec_id", _dvec("embedding").alias("emb"))
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "emb", dist.alias("dist")
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "emb")
+    )
+    # member count rides in the SAME (cluster, dim) aggregate — every
+    # dimension row of a cluster counts each member exactly once, so a
+    # separate count would only re-plan the whole assignment subtree
+    # (Catalyst shares nothing; this is what keeps the plan at 3 scans).
+    m = (
+        assigned.select("cid", F.posexplode("emb").alias("dim_idx", "val"))
+        .groupBy("cid", "dim_idx")
+        .agg(F.avg("val").alias("newv"), F.count(F.lit(1)).alias("n_members"))
+    )
+    return (
+        m.join(F.broadcast(cent), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.col("n_members").cast("long").alias("n_members"),
+            # + 0.0 collapses IEEE -0.0 (a coordinate rounding to zero
+            # from below) identically on both engines
+            (F.round(F.element_at("cvec", F.col("dim_idx") + 1), 4) + 0.0).alias(
+                "old_val"
+            ),
+            (F.round("newv", 4) + 0.0).alias("new_val"),
+        )
+        .orderBy("cluster_id", "dim_idx")
+    )

@@ -377,3 +377,17 @@ def test_mrl_refine_plan_shape(spark):
     assert len(scans) == 4, scans
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_kmeans_step_three_scans_broadcast_centroids(spark):
+    """x3r: assignment scores against BROADCAST centroids (map-side, no
+    vector shuffle for scoring) and the member count rides in the same
+    (cluster, dim) aggregate — three parquet scans total (corpus +
+    centroids twice), never a cartesian."""
+    import re
+
+    plan = _plan(spark, "x3r_kmeans_step")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 3, scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

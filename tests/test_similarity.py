@@ -744,3 +744,54 @@ def test_mrl_truncated_shortlist_subset_and_recall(spark, sf_dir):
     # of 500 would hit ~0.01) without pretending untrained vectors
     # deliver trained-prefix recall.
     assert hits / len(exact) >= 0.25
+
+
+def test_kmeans_step_matches_hand_computed_lloyd_update(spark, tmp_path):
+    """x3r law on a handmade corpus: 8 unit-vector centroids, two extra
+    members with obvious nearest centroids, and one vector EQUIDISTANT
+    between centroids 2 and 3 (must break to the smaller id). The
+    updated coordinates are hand-computed means."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3r_kmeans_step,
+    )
+
+    def unit(d, scale=1.0):
+        v = [0.0] * 64
+        v[d] = scale
+        return v
+
+    rows = [(i, unit(i), 0) for i in range(8)]          # centroids = e_i
+    rows.append((8, unit(0, 0.9), 0))                    # -> cluster 0
+    rows.append((9, unit(1, 0.8), 0))                    # -> cluster 1
+    tie = [0.0] * 64
+    tie[2] = 0.5
+    tie[3] = 0.5
+    rows.append((10, tie, 0))                            # equidistant 2/3 -> 2
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = {}
+    for r in x3r_kmeans_step(spark, sf_dir).collect():
+        out.setdefault(r["cluster_id"], {})[r["dim_idx"]] = r
+    assert sorted(out) == list(range(8))
+
+    members = {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}
+    for cid, n in members.items():
+        assert out[cid][0]["n_members"] == n, cid
+    # cluster 0: mean of e0 and 0.9*e0 at dim 0
+    assert out[0][0]["new_val"] == round((1.0 + 0.9) / 2, 4)
+    # cluster 1: mean of e1 and 0.8*e1 at dim 1
+    assert out[1][1]["new_val"] == round((1.0 + 0.8) / 2, 4)
+    # tie vector joined cluster 2: dims 2 and 3 move to the member means
+    assert out[2][2]["new_val"] == round((1.0 + 0.5) / 2, 4)
+    assert out[2][3]["new_val"] == round((0.0 + 0.5) / 2, 4)
+    # untouched singleton clusters keep their coordinates exactly
+    for cid in (3, 4, 5, 6, 7):
+        for d in (0, cid):
+            assert out[cid][d]["new_val"] == out[cid][d]["old_val"]
