@@ -588,11 +588,14 @@ def snapshot_diff(
     )
 
 
-_S14_ORACLE = """
-WITH gen0 AS (
+# Generation SQL fragments shared by the s14 diff oracle and the s18
+# apply oracle (the round-trip law needs gen1 verbatim as its target).
+_S14_GEN0_SQL = """
   SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority AS priority
   FROM orders
-), gen1 AS (
+"""
+
+_S14_GEN1_SQL = """
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice + 100.0, 2)
               ELSE round(o_totalprice, 2) END AS totalprice,
@@ -601,7 +604,10 @@ WITH gen0 AS (
   UNION ALL
   SELECT o_orderkey + 100000000, round(o_totalprice, 2), o_orderpriority
   FROM orders WHERE o_orderkey % 13 = 0
-)
+"""
+
+_S14_ORACLE = f"""
+WITH gen0 AS ({_S14_GEN0_SQL}), gen1 AS ({_S14_GEN1_SQL})
 SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
        CASE WHEN o.o_orderkey IS NULL THEN 'insert'
             WHEN n.o_orderkey IS NULL THEN 'delete'
@@ -614,16 +620,12 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
            WHEN n.o_orderkey IS NULL THEN 'delete'
            WHEN o.totalprice IS DISTINCT FROM n.totalprice
              OR o.priority  IS DISTINCT FROM n.priority THEN 'update' END IS NOT NULL
-"""
+"""  # noqa: E501
 
 
-@register("s14_snapshot_diff", oracle=_S14_ORACLE, tags=("S14",))
-def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot CDC: generation 1 reprices every 10th order (+100.00,
-    additive so both engines round identically), drops every 7th, and
-    inserts a shifted copy of every 13th; the diff must emit exactly the
-    insert/update/delete rows and nothing else."""
-    orders = Catalog(spark, sf_dir).orders
+def _s14_generations(orders: DataFrame):
+    """The two deterministic snapshot generations the s14/s18 pair is
+    checked on (Spark half of _S14_GEN0_SQL/_S14_GEN1_SQL)."""
     gen0 = orders.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),
@@ -649,9 +651,67 @@ def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return gen0, gen1
+
+
+@register("s14_snapshot_diff", oracle=_S14_ORACLE, tags=("S14",))
+def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: generation 1 reprices every 10th order (+100.00,
+    additive so both engines round identically), drops every 7th, and
+    inserts a shifted copy of every 13th; the diff must emit exactly the
+    insert/update/delete rows and nothing else."""
+    orders = Catalog(spark, sf_dir).orders
+    gen0, gen1 = _s14_generations(orders)
     return snapshot_diff(
         gen0, gen1, key_cols=["o_orderkey"], compare_cols=["totalprice", "priority"]
     )
+
+
+# S18 — CDC apply (merge a snapshot diff into a base table) --------------------
+
+
+def cdc_apply(
+    base: DataFrame, delta: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Apply a ``snapshot_diff`` delta to its base snapshot: delete rows
+    whose key carries a delete, replace updated rows with their new
+    values, append inserts. The merge is one anti-join (base minus every
+    touched key) plus a union of the delta's insert/update rows — both
+    O(changes) on the delta side, so at 100 TB the expensive side is a
+    single key-partitioned anti-join against a small broadcastable
+    delta, never a rewrite-the-table scan-and-compare.
+
+    Law (pytest + oracle-pinned): cdc_apply(A, snapshot_diff(A, B)) == B
+    for every (A, B) — the diff/apply pair is a lossless round trip."""
+    touched = delta.select(*key_cols)
+    survivors = base.join(touched, key_cols, "left_anti")
+    incoming = delta.filter(F.col("change_type") != "delete").select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )
+    return survivors.unionByName(incoming)
+
+
+_S18_ORACLE = f"""
+SELECT o_orderkey, totalprice, priority FROM ({_S14_GEN1_SQL})
+ORDER BY o_orderkey
+"""
+
+
+@register("s18_cdc_apply", oracle=_S18_ORACLE, tags=("S14", "S10"))
+def s18_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-trip proof for the CDC pair: apply s14's diff to
+    generation 0 and emit the reconstruction; the oracle is generation
+    1's definition VERBATIM, so any row the merge loses, duplicates, or
+    mis-values breaks the comparison."""
+    orders = Catalog(spark, sf_dir).orders
+    gen0, gen1 = _s14_generations(orders)
+    delta = snapshot_diff(
+        gen0, gen1, key_cols=["o_orderkey"], compare_cols=["totalprice", "priority"]
+    )
+    return cdc_apply(
+        gen0, delta, key_cols=["o_orderkey"], compare_cols=["totalprice", "priority"]
+    ).orderBy("o_orderkey")
 
 
 # S15 — quarantine split (error-handling contract) -----------------------------

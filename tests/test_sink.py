@@ -277,3 +277,44 @@ def test_mongodb_connector_roundtrip_jar_present(spark, tmp_path, sf_dir):
         .load()
     )
     assert back.count() == region.count()
+
+
+def test_cdc_apply_round_trip_reconstructs_target(spark):
+    """s18 law on a handmade pair exercising every change type at once:
+    apply(A, diff(A, B)) must equal B exactly, and the no-op diff
+    apply(A, diff(A, A)) must equal A (empty delta, nothing touched)."""
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2"), (3, 30.0, "p3"), (4, None, "p4")],
+        "k long, price double, prio string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10.0, "p1"),      # unchanged
+            (2, 25.0, "p2"),      # update (value)
+            (4, 40.0, "p4"),      # update (NULL -> value)
+            (5, 50.0, "p5"),      # insert          (3 deleted)
+        ],
+        "k long, price double, prio string",
+    )
+    keys, cols = ["k"], ["price", "prio"]
+
+    delta = snapshot_diff(a, b, keys, cols)
+    got = {
+        r["k"]: (r["price"], r["prio"])
+        for r in cdc_apply(a, delta, keys, cols).collect()
+    }
+    want = {r["k"]: (r["price"], r["prio"]) for r in b.collect()}
+    assert got == want
+
+    noop = snapshot_diff(a, a, keys, cols)
+    assert noop.count() == 0
+    same = {
+        r["k"]: (r["price"], r["prio"])
+        for r in cdc_apply(a, noop, keys, cols).collect()
+    }
+    assert same == {r["k"]: (r["price"], r["prio"]) for r in a.collect()}
