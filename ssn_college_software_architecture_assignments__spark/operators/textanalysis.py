@@ -1266,3 +1266,70 @@ def x4p_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X4q — Flesch reading-ease scoring --------------------------------------------
+#
+# The classic readability filter (Flesch 1948; the Kincaid variant is the
+# same three counts): 206.835 - 1.015*(words/sentences) -
+# 84.6*(syllables/words). Public LLM pipelines bucket documents on it to
+# drop both word-soup (too "hard") and SEO keyword-stuffing (too "easy").
+# Syllables use the standard deterministic approximation — maximal vowel
+# groups [aeiouy]+ over the lowered text — and sentences count [.!?]+
+# runs (floor 1), so every number is a regex count both engines compute
+# identically. Map-only: zero shuffles, scales by construction.
+
+_X4Q_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       floor((206.835
+             - 1.015 * (len(string_split(text, ' '))
+                        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+             - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 100) / 100
+         AS flesch
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("x4q_readability", oracle=_X4Q_ORACLE, tags=("X4",))
+def x4q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from three regex counts (words,
+    [.!?]+ sentence runs floored at 1, [aeiouy]+ vowel-group
+    syllables). Every count is a JVM regexp_extract_all — no Python, no
+    shuffle."""
+    docs = Catalog(spark, sf_dir).documents
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        # floor(x*100)/100, NOT round(,2): the unrounded doubles are
+        # bit-identical across engines (same IEEE op sequence), but the
+        # engines' round() disagree on exact .xx5 boundaries (hit at
+        # sf0.1: 85.165 -> 85.16 vs 85.17); floor of the identical
+        # double is deterministic in both.
+        (
+            F.floor(
+                (
+                    F.lit(206.835)
+                    - 1.015 * (n_words / n_sent.cast("double"))
+                    - 84.6 * (n_syl / n_words.cast("double"))
+                )
+                * 100
+            )
+            / 100
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -145,3 +145,32 @@ def test_zipf_fit_recovers_exact_power_law(spark, tmp_path):
     assert row["zipf_slope"] == -1.0
     assert row["zipf_intercept"] == round(math.log(12.0), 4)
     assert row["r2"] == 1.0
+
+
+def test_readability_closed_form_counts_and_score(spark, tmp_path):
+    """x4q law on a handmade sentence pair: 6 words, 2 sentence runs,
+    9 vowel-group syllables -> Flesch 206.835 - 1.015*3 - 84.6*1.5 =
+    76.89 (exact at the floor(x*100)/100 law); a punctuation-free doc
+    floors sentences at 1."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4q_readability,
+    )
+
+    rows = [
+        (1, "Hello world. How are you today?"),
+        (2, "no punctuation here at all"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in x4q_readability(spark, sf_dir).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 9)
+    assert r1["flesch"] == 76.89
+    assert got[2]["n_sentences"] == 1
