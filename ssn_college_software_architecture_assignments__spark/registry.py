@@ -82,11 +82,12 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 13 round-9 additions — no driver evidence exists
+    # tier 1: the 16 round-9 additions — no driver evidence exists
     # (substring span dedup + its per-source rollup, DSIR importance
     # resampling, BFD packing + the packing scoreboard, the
     # Q15/Q6/Q7/Q8 SQL shapes, the Zipf fit, cumulative distinct
-    # users, the MRL refine funnel, image patchify)
+    # users, the MRL refine funnel, image patchify, the k-means Lloyd
+    # step, CDC apply, Flesch readability)
     "x2s_substring_span_dedup",
     "x2s2_span_dedup_by_source",
     "x6m_importance_resample",
@@ -100,6 +101,9 @@ _CHECK_PRIORITY = (
     "w11_cumulative_distinct",
     "x3q_mrl_refine_topk",
     "x5o_image_patchify",
+    "x3r_kmeans_step",
+    "s18_cdc_apply",
+    "x4q_readability",
     # tier 2: the 50-id cohort whose newest driver row is r5 — the
     # oldest evidence tier; r8's VERDICT queued them for r9's slots.
     # 13 + 50 > the ~50-slot budget, so ~13 of these roll to r10
