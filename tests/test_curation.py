@@ -534,3 +534,63 @@ def test_bfd_packing_matches_reference_and_beats_first_fit(spark, tmp_path):
     n_ff = len(first_fit_by_id(sizes, _X6B2_CAP))
     assert len(ref_bins) < n_ff  # the crafted instance: 3 vs 4
     assert len(set(got.values())) == len(ref_bins)
+
+
+def test_bfd_packing_matches_python_reference_on_random_sizes(spark, tmp_path):
+    """x6b2 vs the pure-Python BFD reference on a seeded random item
+    set across two sources, including oversized items (> cap, forced
+    singleton bins) and exact-fit ties — every assignment must match
+    decision-for-decision."""
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6B2_CAP,
+        x6b2_bfd_packing,
+    )
+
+    rng = random.Random(99)
+    sizes = {}
+    doc_id = 1
+    for src in ("sA", "sB"):
+        for _ in range(40):
+            sizes[doc_id] = (src, rng.randrange(1, 2300))  # some > cap
+            doc_id += 1
+    # planted exact-fit tie pair: two bins at the same load
+    sizes[doc_id] = ("sA", 1024); sizes[doc_id + 1] = ("sA", 1024)
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)), "en", src)
+        for i, (src, n) in sizes.items()
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def bfd(items, cap):
+        bins, out = [], {}
+        for d, s in sorted(items.items(), key=lambda kv: (-kv[1], kv[0])):
+            feas = [b for b in range(len(bins)) if bins[b] + s <= cap]
+            if feas:
+                top = max(bins[b] for b in feas)
+                best = min(b for b in feas if bins[b] == top)
+                bins[best] += s
+                out[d] = best
+            else:
+                bins.append(s)
+                out[d] = len(bins) - 1
+        return out
+
+    expect = {}
+    for src in ("sA", "sB"):
+        per = {i: n for i, (s, n) in sizes.items() if s == src}
+        expect.update(bfd(per, _X6B2_CAP))
+
+    got = {r["doc_id"]: r["bin_id"] for r in x6b2_bfd_packing(spark, sf_dir).collect()}
+    assert got == expect
+    # sanity: oversized items existed and bin counts were nontrivial
+    assert any(n > _X6B2_CAP for _s, n in sizes.values())
+    assert len(set(got.values())) > 5

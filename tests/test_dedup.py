@@ -683,3 +683,104 @@ def test_substring_span_dedup_removes_planted_spans(spark, tmp_path):
     assert got[4]["n_removed_tokens"] == 36
     assert got[4]["keep_frac"] == 0.0
     assert got[4]["trimmed_md5"] == md5([])
+
+
+def test_substring_span_dedup_matches_python_reference_on_random_corpus(
+    spark, tmp_path
+):
+    """x2s vs an independent pure-Python implementation of the law on a
+    seeded random corpus with a SMALL vocabulary (so natural duplicated
+    grams and runs arise organically, not just the planted boiler):
+    every column of every doc row must match, including the trimmed-text
+    md5."""
+    import hashlib
+    import os
+    import random
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2P_BOILER,
+        _X2Q_K,
+        _X2S_NMIN,
+        x2s_substring_span_dedup,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab -> natural repeats
+    docs = {}
+    for doc_id in range(60):
+        n = rng.randrange(5, 80)
+        docs[doc_id] = [rng.choice(vocab) for _ in range(n)]
+    # two verbatim long blocks shared across docs (guaranteed spans)
+    block = [rng.choice(vocab) for _ in range(25)]
+    docs[3] = docs[3][:10] + block + docs[3][10:]
+    docs[7] = block + docs[7][:5]
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (i, " ".join(t), "en", f"src{i % 4}", len(" ".join(t)))
+            for i, t in docs.items()
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # pure-Python reference of the registered law
+    boosted = {
+        i: (_X2P_BOILER.split() + t if i % 10 == 0 else list(t))
+        for i, t in docs.items()
+    }
+    from collections import Counter
+
+    freq: Counter = Counter()
+    for t in boosted.values():
+        for p in range(len(t) - _X2Q_K + 1):
+            freq[" ".join(t[p : p + _X2Q_K])] += 1
+
+    expect = {}
+    for i, t in boosted.items():
+        dup_pos = [
+            p
+            for p in range(len(t) - _X2Q_K + 1)
+            if freq[" ".join(t[p : p + _X2Q_K])] >= 2
+        ]
+        runs, start = [], None
+        for idx, p in enumerate(dup_pos):
+            if start is None:
+                start = p
+            nxt = dup_pos[idx + 1] if idx + 1 < len(dup_pos) else None
+            if nxt != p + 1:
+                runs.append((start, p))
+                start = None
+        spans = [
+            (s, e + _X2Q_K - 1) for s, e in runs if e - s + 1 >= _X2S_NMIN
+        ]
+        merged = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        removed = {p for s, e in merged for p in range(s, e + 1)}
+        kept = [tok for p, tok in enumerate(t) if p not in removed]
+        expect[i] = (
+            len(t),
+            len(merged),
+            len(removed),
+            round((len(t) - len(removed)) / len(t), 4),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["n_dup_spans"],
+            r["n_removed_tokens"],
+            r["keep_frac"],
+            r["trimmed_md5"],
+        )
+        for r in x2s_substring_span_dedup(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # sanity: the corpus genuinely exercised the machinery
+    assert sum(1 for v in expect.values() if v[1] > 0) >= 3
