@@ -1743,3 +1743,96 @@ def x5o_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(patchify_ppm_batch, PATCH_SCHEMA)
+
+
+# X5p — audio downsampling (decimate-by-2 with anti-alias averaging) -----------
+#
+# The resample step audio-training pipelines run before feature
+# extraction (48k -> 16k etc.), at the codec-free kernel scale this
+# fixture supports: halve the rate by averaging non-overlapping sample
+# pairs (the simplest anti-aliasing FIR, box filter of width 2), odd
+# tail sample dropped. The averaged value floors (floor((a+b)/2.0)) —
+# floor of an exact small-integer double is bit-identical in numpy,
+# Spark and DuckDB, unlike integer division whose negative-operand
+# semantics differ between engines (Spark DIV truncates toward zero,
+# Python // floors). Output pins the decimated signal exactly: the
+# integer sample sum (order-free, exact) plus its RMS (sum of < 2^53
+# integer squares is exact in double regardless of order).
+#
+# Scale shape: map-only Arrow pass over payloads (never shuffled, never
+# on the driver); output is one stats row per clip.
+
+DECIMATE_SCHEMA = (
+    "doc_id long, n_samples_in long, n_samples_out long, "
+    "out_sum long, out_rms double, decode_status string"
+)
+
+
+def decimate_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples_in", "n_samples_out", "out_sum",
+            "out_rms", "decode_status",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                _rate, _ch, _bits, samples = _parse_wav_pcm(bytes(payload))
+                s = samples.astype(np.int64)
+                k = s.size // 2
+                dec = np.floor((s[0 : 2 * k : 2] + s[1 : 2 * k : 2]) / 2.0).astype(
+                    np.int64
+                )
+                out["n_samples_in"].append(int(s.size))
+                out["n_samples_out"].append(int(k))
+                out["out_sum"].append(int(dec.sum()))
+                out["out_rms"].append(
+                    round(float(np.sqrt((dec.astype(np.float64) ** 2).mean())), 4)
+                    if k
+                    else 0.0
+                )
+                out["decode_status"].append("ok")
+            except ValueError as exc:
+                out["n_samples_in"].append(0)
+                out["n_samples_out"].append(0)
+                out["out_sum"].append(0)
+                out["out_rms"].append(0.0)
+                out["decode_status"].append(f"error: {exc}")
+            out["doc_id"].append(doc_id)
+        yield pd.DataFrame(out)
+
+
+_X5P_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 160 + doc_id % 41 AS n FROM documents
+),
+pairs AS (
+  SELECT d.doc_id, d.n,
+         CAST(floor((((d.doc_id * 17 + (2 * g.i) * 7) % 4096 - 2048)
+                   + ((d.doc_id * 17 + (2 * g.i + 1) * 7) % 4096 - 2048)) / 2.0)
+              AS BIGINT) AS m
+  FROM dims d, LATERAL (SELECT unnest(range(d.n // 2)) AS i) g
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT)           AS n_samples_in,
+       CAST(count(*) AS BIGINT)         AS n_samples_out,
+       CAST(sum(m) AS BIGINT)           AS out_sum,
+       round(sqrt(avg(CAST(m AS DOUBLE) * m)), 4) AS out_rms,
+       'ok'                             AS decode_status
+FROM pairs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("x5p_audio_decimate", oracle=_X5P_ORACLE, tags=("X5",))
+def x5p_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate-by-2 resampling of the x5f WAV clips: pairwise box-filter
+    averages (floored), odd tails dropped; every output is arithmetically
+    predicted by the oracle (exact integer sum + exact-double RMS)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_wav_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(decimate_wav_batch, DECIMATE_SCHEMA).orderBy(
+        "doc_id"
+    )

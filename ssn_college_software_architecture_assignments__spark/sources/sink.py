@@ -1054,3 +1054,60 @@ def s17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_staged long, n_distinct_keys long, checks_passed boolean, "
         "published boolean, n_readable long",
     )
+
+
+# S19 — dynamic partition overwrite (the daily-rerun correction pattern) -------
+#
+# The lake operation s11's layout exists to enable: a connector re-run
+# reprocesses ONE ingest day and must replace exactly that partition —
+# static overwrite mode would TRUNCATE the whole table first (the
+# classic lost-lake incident), dynamic mode replaces only partitions the
+# incoming frame touches. Exercised end-to-end: land 30 days, overwrite
+# day 2024-01-05 with corrected values (doubled), read back and
+# aggregate; every other day must survive byte-for-byte (the pytest
+# additionally pins the untouched partitions' files). The mode is set
+# as a WRITER option, not session conf, so nothing leaks into other
+# queries. At 100 TB: rewrite cost is O(one day), not O(table).
+
+_S19_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN value * 2 ELSE value END), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s19_dynamic_partition_overwrite", oracle=_S19_ORACLE, tags=("S11",))
+def s19_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the date-partitioned lake, re-run one day with corrected
+    (doubled) values through a dynamic-mode overwrite, and aggregate the
+    readback — the oracle is the corrected corpus, so a truncating
+    (static-mode) overwrite or a double-landed day both break it."""
+    events = Catalog(spark, sf_dir).events
+    base = tempfile.mkdtemp(prefix="ssn_dyn_overwrite_")
+    lake_path = f"{base}/events_lake"
+    dated = events.withColumn("event_date", F.to_date("ts"))
+    dated.write.partitionBy("event_date").mode("overwrite").parquet(lake_path)
+
+    corrected = dated.filter(F.col("event_date") == "2024-01-05").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.partitionBy("event_date")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(lake_path)
+    )
+
+    lake = spark.read.parquet(lake_path)
+    return (
+        lake.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -669,3 +669,49 @@ def test_patchify_matches_numpy_reference_and_crops_edges(spark, sf_dir):
             for pc in range(w2):
                 expect = tuple(round(float(means[pr, pc, c]), 4) for c in range(3))
                 assert got[doc_id][(pr, pc)] == expect
+
+
+def test_audio_decimate_floor_law_on_negative_pairs(spark, tmp_path):
+    """x5p law on handmade PCM including the sign-sensitive case: the
+    pair (-3, 0) must average to floor(-1.5) = -2 (NOT truncate to -1),
+    and an odd trailing sample is dropped."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        x5p_audio_decimate,
+    )
+
+    # doc_id=0: n = 160 + 0%41 = 160 samples from the fixture formula;
+    # verify against a direct python mirror, including negatives.
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(0, "t", "en", "s1", 1), (7, "t", "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    import math
+
+    def mirror(doc_id):
+        n = 160 + doc_id % 41
+        v = [((doc_id * 17 + i * 7) % 4096) - 2048 for i in range(n)]
+        dec = [math.floor((v[2 * i] + v[2 * i + 1]) / 2.0) for i in range(n // 2)]
+        rms = round(math.sqrt(sum(m * m for m in dec) / len(dec)), 4)
+        return n, n // 2, sum(dec), rms
+
+    got = {r["doc_id"]: r for r in x5p_audio_decimate(spark, sf_dir).collect()}
+    for doc_id in (0, 7):
+        n, k, s, rms = mirror(doc_id)
+        r = got[doc_id]
+        assert (r["n_samples_in"], r["n_samples_out"]) == (n, k)
+        assert r["out_sum"] == s
+        assert r["out_rms"] == rms
+        assert r["decode_status"] == "ok"
+    # the fixture formula really does produce negative-sum pairs
+    assert any(
+        ((0 * 17 + 2 * i * 7) % 4096 - 2048) + ((0 * 17 + (2 * i + 1) * 7) % 4096 - 2048) < 0
+        for i in range(80)
+    )
+    # doc 7: n = 167 is odd -> one sample dropped
+    assert got[7]["n_samples_in"] == 167
+    assert got[7]["n_samples_out"] == 83

@@ -318,3 +318,57 @@ def test_cdc_apply_round_trip_reconstructs_target(spark):
         for r in cdc_apply(a, noop, keys, cols).collect()
     }
     assert same == {r["k"]: (r["price"], r["prio"]) for r in a.collect()}
+
+
+def test_dynamic_partition_overwrite_touches_only_target_day(spark, tmp_path):
+    """s19 mechanism: after a dynamic-mode overwrite of one partition,
+    every OTHER partition's parquet files are bit-identical (not
+    rewritten), the target day carries the corrected rows — and the
+    static-mode hazard is real: the same write without the option
+    truncates the whole lake down to the one incoming partition."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(30)],
+        "event_id long, event_date string, value double",
+    )
+
+    def land(path):
+        src.write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    def file_hashes(path):
+        return {
+            os.path.relpath(p, path): hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(f"{path}/event_date=*/*.parquet")
+        }
+
+    lake = str(tmp_path / "lake_dyn")
+    land(lake)
+    before = file_hashes(lake)
+    fixed = src.filter(F.col("event_date") == "2024-01-02").withColumn(
+        "value", F.col("value") * 10
+    )
+    (
+        fixed.write.partitionBy("event_date").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(lake)
+    )
+    after = file_hashes(lake)
+    untouched_before = {k: v for k, v in before.items() if "2024-01-02" not in k}
+    untouched_after = {k: v for k, v in after.items() if "2024-01-02" not in k}
+    assert untouched_before == untouched_after  # other days not rewritten
+    got = spark.read.parquet(lake)
+    assert got.filter(F.col("event_date") == "2024-01-02").agg(
+        F.sum("value")
+    ).first()[0] == sum(i * 10.0 for i in range(30) if i % 3 == 1)
+    assert got.count() == 30
+
+    # the hazard the dynamic mode exists to prevent:
+    lake2 = str(tmp_path / "lake_static")
+    land(lake2)
+    fixed2 = src.filter(F.col("event_date") == "2024-01-02")
+    fixed2.write.partitionBy("event_date").mode("overwrite").parquet(lake2)
+    assert spark.read.parquet(lake2).count() == 10  # 20 rows silently gone
