@@ -230,3 +230,117 @@ def j8b_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("_asof_signup_id")).alias("asof_signup_id"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+# J8c — nearest-direction as-of join (pandas merge_asof direction='nearest') ---
+#
+# The third merge_asof direction: attach the CLOSEST right row in either
+# time direction. Scalable form: the backward match comes from the j8
+# union+window pass unchanged, the forward match from the SAME helper on
+# a negated time axis (first-at-or-after == last-at-or-before under
+# t -> -t), and a map-side argmin picks the nearer of the two
+# candidates. Tie laws, identical in the oracle: equal distances prefer
+# the backward match (pandas' rule); equal timestamps within a side use
+# j8's id tiebreaks (backward: highest id; forward: lowest id — the
+# negated axis flips the sign of the tiebreak column to preserve this).
+# Still two shuffles total (one per direction), never an inequality
+# join; the oracle runs the naive all-candidates argmin, so agreement
+# proves the two-pass rewrite.
+
+_J8C_ORACLE = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup'),
+cand AS (
+  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+         abs(epoch_us(p.ts) - epoch_us(s.ts)) AS gap_us,
+         CASE WHEN s.ts <= p.ts THEN 'backward' ELSE 'forward' END AS direction,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)),
+                    CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END,
+                    CASE WHEN s.ts <= p.ts THEN -s.event_id ELSE s.event_id END
+         ) AS rn
+  FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.signup_id AS nearest_signup_id,
+       c.direction AS direction,
+       c.gap_us    AS gap_us
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON p.event_id = c.purchase_id
+ORDER BY purchase_id
+"""
+
+
+@register("j8c_asof_join_nearest", oracle=_J8C_ORACLE, tags=("J8",))
+def j8c_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the temporally CLOSEST signup in either
+    direction, with the winning direction and the exact microsecond
+    gap. Left-outer: purchases with no signup at all keep NULLs."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+
+    back = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        right_cols=["signup_id", "s_ts"],
+        right_tiebreak="signup_id",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "p_ts",
+        F.col("_asof_signup_id").alias("b_id"),
+        F.col("_asof_s_ts").alias("b_ts"),
+    )
+
+    p_neg = purchases.withColumn("p_neg", -F.unix_micros("p_ts"))
+    s_neg = signups.withColumn("s_neg", -F.unix_micros("s_ts")).withColumn(
+        "neg_id", -F.col("signup_id")
+    )
+    fwd = asof_join(
+        p_neg,
+        s_neg,
+        on="user_id",
+        left_ts="p_neg",
+        right_ts="s_neg",
+        right_cols=["signup_id", "s_ts"],
+        right_tiebreak="neg_id",
+    ).select(
+        "purchase_id",
+        F.col("_asof_signup_id").alias("f_id"),
+        F.col("_asof_s_ts").alias("f_ts"),
+    )
+
+    j = back.join(fwd, "purchase_id", "left")
+    d_back = F.unix_micros("p_ts") - F.unix_micros("b_ts")
+    d_fwd = F.unix_micros("f_ts") - F.unix_micros("p_ts")
+    use_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (d_back <= d_fwd)
+    )
+    nearest_id = F.when(use_back, F.col("b_id")).otherwise(F.col("f_id"))
+    direction = F.when(use_back, F.lit("backward")).when(
+        F.col("f_id").isNotNull(), F.lit("forward")
+    )
+    gap = F.when(use_back, d_back).when(F.col("f_id").isNotNull(), d_fwd)
+    return j.select(
+        "user_id",
+        "purchase_id",
+        nearest_id.alias("nearest_signup_id"),
+        direction.alias("direction"),
+        gap.cast("long").alias("gap_us"),
+    ).orderBy("purchase_id")

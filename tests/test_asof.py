@@ -163,3 +163,54 @@ def test_asof_tolerance_boundary_is_inclusive(spark, tmp_path):
         for r in j8b_asof_join_tolerance(spark, sf_dir).collect()
     }
     assert got == {11: 10, 21: None, 31: None, 42: 41}
+
+
+def test_nearest_asof_tie_and_direction_laws(spark, tmp_path):
+    """j8c laws on a handmade event stream: equal-distance ties prefer
+    the backward match, a forward-only user matches forward, a
+    signup-free user keeps NULLs, and gaps are exact microseconds."""
+    import datetime as dt
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.asof import (
+        j8c_asof_join_nearest,
+    )
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: signup at 100 and 300; purchase at 200 -> equidistant
+        # (100s each) -> backward (signup_id 11) must win
+        (11, ts(100), 1, "signup", 0.0, ""),
+        (12, ts(300), 1, "signup", 0.0, ""),
+        (13, ts(200), 1, "purchase", 9.0, ""),
+        # user 2: only a FUTURE signup; purchase matches forward
+        (21, ts(500), 2, "signup", 0.0, ""),
+        (22, ts(450), 2, "purchase", 9.0, ""),
+        # user 3: no signup at all
+        (31, ts(700), 3, "purchase", 9.0, ""),
+        # user 4: strictly nearer forward signup must beat farther backward
+        (41, ts(0), 4, "signup", 0.0, ""),
+        (42, ts(1000), 4, "signup", 0.0, ""),
+        (43, ts(990), 4, "purchase", 9.0, ""),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {r["purchase_id"]: r for r in j8c_asof_join_nearest(spark, sf_dir).collect()}
+    assert got[13]["nearest_signup_id"] == 11
+    assert got[13]["direction"] == "backward"
+    assert got[13]["gap_us"] == 100_000_000
+    assert got[22]["nearest_signup_id"] == 21
+    assert got[22]["direction"] == "forward"
+    assert got[22]["gap_us"] == 50_000_000
+    assert got[31]["nearest_signup_id"] is None
+    assert got[31]["direction"] is None
+    assert got[31]["gap_us"] is None
+    assert got[43]["nearest_signup_id"] == 42
+    assert got[43]["direction"] == "forward"
+    assert got[43]["gap_us"] == 10_000_000
