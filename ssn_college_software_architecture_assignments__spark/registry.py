@@ -82,12 +82,13 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 16 round-9 additions — no driver evidence exists
+    # tier 1: the 19 round-9 additions — no driver evidence exists
     # (substring span dedup + its per-source rollup, DSIR importance
     # resampling, BFD packing + the packing scoreboard, the
     # Q15/Q6/Q7/Q8 SQL shapes, the Zipf fit, cumulative distinct
     # users, the MRL refine funnel, image patchify, the k-means Lloyd
-    # step, CDC apply, Flesch readability)
+    # step, CDC apply, Flesch readability, audio decimation, dynamic
+    # partition overwrite, the nearest-direction as-of join)
     "x2s_substring_span_dedup",
     "x2s2_span_dedup_by_source",
     "x6m_importance_resample",
@@ -104,6 +105,9 @@ _CHECK_PRIORITY = (
     "x3r_kmeans_step",
     "s18_cdc_apply",
     "x4q_readability",
+    "x5p_audio_decimate",
+    "s19_dynamic_partition_overwrite",
+    "j8c_asof_join_nearest",
     # tier 2: the 50-id cohort whose newest driver row is r5 — the
     # oldest evidence tier; r8's VERDICT queued them for r9's slots.
     # 13 + 50 > the ~50-slot budget, so ~13 of these roll to r10
