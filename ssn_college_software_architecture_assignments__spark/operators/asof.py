@@ -243,9 +243,12 @@ def j8b_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the backward match (pandas' rule); equal timestamps within a side use
 # j8's id tiebreaks (backward: highest id; forward: lowest id — the
 # negated axis flips the sign of the tiebreak column to preserve this).
-# Still two shuffles total (one per direction), never an inequality
-# join; the oracle runs the naive all-candidates argmin, so agreement
-# proves the two-pass rewrite.
+# Cost model: one key-partitioned union+window shuffle per direction,
+# plus the purchase_id-keyed join that combines the two candidate
+# frames and the final output sort — never an inequality join, and
+# every stage is keyed on a real column (no single-partition step);
+# the oracle runs the naive all-candidates argmin, so agreement proves
+# the two-pass rewrite.
 
 _J8C_ORACLE = """
 WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

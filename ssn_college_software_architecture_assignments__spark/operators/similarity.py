@@ -1735,12 +1735,19 @@ def x3q_mrl_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB list_reduce, the w10 law), so argmin decisions are bit-exact
 # across engines — only the new-centroid means need rounding.
 #
-# Scale shape: K centroids broadcast; assignment is map-side (one
-# corpus scan, no vector ever shuffles for scoring); the update explodes
-# assigned vectors to (cluster, dim, value) and hash-aggregates — the
-# shuffle carries one partial sum per (cluster, dim) per partition
-# (map-side combine), i.e. K x 64 rows, not the corpus. Iterating =
-# re-running with the emitted centroids; each step is this same plan.
+# Scale shape: the K centroids collapse to ONE broadcast row (a
+# cid-sorted array of (cid, cvec) structs) and assignment is a
+# PER-VECTOR FOLD over that array — genuinely map-side: one corpus
+# scan, no Window, no per-vector shuffle (the first cut of this
+# operator ranked a crossJoin-expanded (vector x centroid) table with
+# a vec_id-partitioned window, which hash-shuffled every embedding
+# once; the fold keeps strict-< argmin so the FIRST (= smallest cid,
+# the sort order) wins ties, matching the oracle's ORDER BY dist, cid).
+# The update explodes assigned vectors to (cluster, dim, value) and
+# hash-aggregates — the only shuffle, carrying one partial sum per
+# (cluster, dim) per partition (map-side combine), i.e. K x 64 rows.
+# Iterating = re-running with the emitted centroids; same plan each
+# step. Plan-gated: no Window node, no cartesian, 3 scans.
 
 _X3R_K = 8
 
@@ -1798,20 +1805,33 @@ def x3r_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _X3R_K).select(
         F.col("vec_id").alias("cid"), _dvec("embedding").alias("cvec")
     )
+    # one broadcastable row: centroids as a cid-sorted struct array
+    cent_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
     v = ensure_min_partitions(emb).select("vec_id", _dvec("embedding").alias("emb"))
-    dist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    def sqdist(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # strict-< argmin fold: ties keep the earlier (smaller-cid) entry
+    argmin = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("best_d"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, c: F.when(
+            sqdist(c["cvec"]) < acc["best_d"],
+            F.struct(sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")),
+        ).otherwise(acc),
     )
-    d = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", "emb", dist.alias("dist")
-    )
-    w = W.partitionBy("vec_id").orderBy("dist", "cid")
     assigned = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "emb")
+        v.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "emb", argmin["cid"].alias("cid"))
     )
     # member count rides in the SAME (cluster, dim) aggregate — every
     # dimension row of a cluster counts each member exactly once, so a

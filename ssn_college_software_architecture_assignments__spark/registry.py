@@ -110,7 +110,7 @@ _CHECK_PRIORITY = (
     "j8c_asof_join_nearest",
     # tier 2: the 50-id cohort whose newest driver row is r5 — the
     # oldest evidence tier; r8's VERDICT queued them for r9's slots.
-    # 13 + 50 > the ~50-slot budget, so ~13 of these roll to r10
+    # 19 + 50 > the ~50-slot budget, so ~19 of these roll to r10
     # (they stay ahead of everything younger).
     "a1_count_validate",
     "a2_groupby_agg",

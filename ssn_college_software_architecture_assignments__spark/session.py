@@ -39,7 +39,7 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-_PKG_SHIPPED_TO_WORKERS = False
+_PKG_SHIPPED_APP_IDS: set[str] = set()
 
 
 def _ship_package_to_workers(spark: SparkSession) -> None:
@@ -54,12 +54,15 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
     ``addPyFile`` closes that gap; skipped when the repo root is already
     worker-visible (PYTHONPATH or cwd), which covers every in-repo
     entry point (tests, bench, check_oracle). Never allowed to fail a
-    query — any error degrades to the historical behavior."""
-    global _PKG_SHIPPED_TO_WORKERS
-    if _PKG_SHIPPED_TO_WORKERS:
-        return
-    _PKG_SHIPPED_TO_WORKERS = True
+    query — any error degrades to the historical behavior. Keyed on the
+    applicationId, not a process flag: a driver that stops its session
+    and builds a new one needs the zip shipped AGAIN (addPyFile state
+    dies with the context)."""
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _PKG_SHIPPED_APP_IDS:
+            return
+        _PKG_SHIPPED_APP_IDS.add(app_id)
         import os
         import shutil
         import tempfile

@@ -682,9 +682,15 @@ def cdc_apply(
     delta, never a rewrite-the-table scan-and-compare.
 
     Law (pytest + oracle-pinned): cdc_apply(A, snapshot_diff(A, B)) == B
-    for every (A, B) — the diff/apply pair is a lossless round trip."""
-    touched = delta.select(*key_cols)
-    survivors = base.join(touched, key_cols, "left_anti")
+    for every (A, B) — the diff/apply pair is a lossless round trip.
+    The anti-join matches keys NULL-SAFELY, exactly as snapshot_diff
+    does — a plain equality would never drop a NULL-key base row, so a
+    NULL-key update would duplicate instead of replace."""
+    touched = delta.select(
+        *[F.col(k).alias(f"_tk_{k}") for k in key_cols]
+    )
+    cond = [base[k].eqNullSafe(touched[f"_tk_{k}"]) for k in key_cols]
+    survivors = base.join(touched, cond, "left_anti")
     incoming = delta.filter(F.col("change_type") != "delete").select(
         *key_cols,
         *[F.col(f"new_{c}").alias(c) for c in compare_cols],

@@ -380,14 +380,16 @@ def test_mrl_refine_plan_shape(spark):
 
 
 def test_kmeans_step_three_scans_broadcast_centroids(spark):
-    """x3r: assignment scores against BROADCAST centroids (map-side, no
-    vector shuffle for scoring) and the member count rides in the same
-    (cluster, dim) aggregate — three parquet scans total (corpus +
-    centroids twice), never a cartesian."""
+    """x3r: assignment is a per-vector FOLD over the one-row broadcast
+    centroid array — NO Window node anywhere (the review-caught first
+    cut ranked a crossJoin expansion with a vec_id window, shuffling
+    every embedding), three parquet scans total (corpus + centroids
+    twice), never a cartesian."""
     import re
 
     plan = _plan(spark, "x3r_kmeans_step")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 3, scans
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan

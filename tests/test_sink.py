@@ -319,6 +319,13 @@ def test_cdc_apply_round_trip_reconstructs_target(spark):
     }
     assert same == {r["k"]: (r["price"], r["prio"]) for r in a.collect()}
 
+    # NULL-key round trip (review-caught): the anti-join must match the
+    # NULL key null-safely or the update would duplicate the row
+    an = spark.createDataFrame([(None, 10.0, "p")], "k long, price double, prio string")
+    bn = spark.createDataFrame([(None, 20.0, "p")], "k long, price double, prio string")
+    out = cdc_apply(an, snapshot_diff(an, bn, keys, cols), keys, cols).collect()
+    assert [(r["k"], r["price"]) for r in out] == [(None, 20.0)]
+
 
 def test_dynamic_partition_overwrite_touches_only_target_day(spark, tmp_path):
     """s19 mechanism: after a dynamic-mode overwrite of one partition,
