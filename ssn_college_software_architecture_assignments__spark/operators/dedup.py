@@ -2325,3 +2325,144 @@ def x2s2_span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X2v — containment rescore (asymmetric near-SUPERSET detection) ----------------
+#
+# Symmetric Jaccard misses the quote-expansion / page-plus-boilerplate
+# case: when document B contains all of A plus more, J(A,B) =
+# |A|/|A u B| can sit far below any dedup threshold while
+# containment(A, B) = |A n B|/|A| is ~1 (Broder's containment measure —
+# the quantity behind "is this doc subsumed by another"). This operator
+# rescans the banding candidates with BOTH directed containments next to
+# Jaccard and flags pairs where one side is >= 90% contained. The
+# fixture plants the asymmetric shape deterministically in both engines:
+# every odd doc_id < 120 absorbs its even neighbor's full text (so
+# shingles(even) is a near-subset of shingles(odd)).
+#
+# Scale shape: x2i's exactly — candidates never leave signature space
+# (banding equi-join, no est screen: containment pairs are precisely the
+# ones a high estimate threshold would drop), and the exact shingle
+# intersection joins only the BROADCAST survivor pair set. Banding
+# recall on asymmetric pairs is genuinely partial (P[band] = J^2 — the
+# known weakness containment-specific indexes exist to fix); the
+# operator reports what the index surfaces, which both engines compute
+# identically.
+
+_X2V_DOCS_SQL = """
+  SELECT a.doc_id AS doc_id,
+         CASE WHEN a.doc_id % 2 = 1 AND b.text IS NOT NULL
+              THEN b.text || ' ' || a.text ELSE a.text END AS text
+  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+  WHERE a.doc_id < 120"""
+
+_X2V_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({_X2V_DOCS_SQL}))
+),
+sigs AS ({_md5_sigs_sql("TRUE", f"({_X2V_DOCS_SQL})")}),
+banded AS ({_md5_banded_sql("sigs")}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a AS id_a, p.id_b AS id_b,
+       CAST(ca.n AS BIGINT) AS n_shingles_a,
+       CAST(cb.n AS BIGINT) AS n_shingles_b,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(c.n_common, 0)
+             / CAST(ca.n + cb.n - coalesce(c.n_common, 0) AS DOUBLE), 4) AS jaccard,
+       round(coalesce(c.n_common, 0) / CAST(ca.n AS DOUBLE), 4) AS containment_a,
+       round(coalesce(c.n_common, 0) / CAST(cb.n AS DOUBLE), 4) AS containment_b,
+       greatest(coalesce(c.n_common, 0) / CAST(ca.n AS DOUBLE),
+                coalesce(c.n_common, 0) / CAST(cb.n AS DOUBLE)) >= 0.9
+         AS is_containment_dup
+FROM pairs p
+LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+JOIN counts ca ON ca.doc_id = p.id_a
+JOIN counts cb ON cb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("x2v_containment_rescore", oracle=_X2V_ORACLE, tags=("X2",))
+def x2v_containment_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding candidates rescored with DIRECTED containment alongside
+    Jaccard — the near-superset detector. The verdict flags pairs where
+    either side is >= 90% contained in the other (the unrounded ratio,
+    identical in both engines)."""
+    base = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 120)
+    nbr = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("nbr_text")
+    )
+    docs2 = (
+        base.join(nbr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 2 == 1) & F.col("nbr_text").isNotNull(),
+                F.concat(F.col("nbr_text"), F.lit(" "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    sh, sigs = _md5_shingle_signatures(docs2)
+    sig_arr = sigs.select(
+        F.col("doc_id").alias("_id"),
+        F.array(*[f"mh_{s}" for s in range(_X2G_HASHES)]).alias("minhash"),
+    )
+    pairs = minhash_candidate_pairs(
+        sig_arr, num_hashes=_X2G_HASHES, bands=_X2G_BANDS
+    ).select("id_a", "id_b")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        F.broadcast(pairs)
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.coalesce("n_common", F.lit(0))
+    cont_a = nc / F.col("n_a").cast("double")
+    cont_b = nc / F.col("n_b").cast("double")
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(
+            counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_shingles_a"),
+            F.col("n_b").cast("long").alias("n_shingles_b"),
+            nc.cast("long").alias("n_common"),
+            F.round(nc / (F.col("n_a") + F.col("n_b") - nc).cast("double"), 4).alias(
+                "jaccard"
+            ),
+            F.round(cont_a, 4).alias("containment_a"),
+            F.round(cont_b, 4).alias("containment_b"),
+            (F.greatest(cont_a, cont_b) >= 0.9).alias("is_containment_dup"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -784,3 +784,44 @@ def test_substring_span_dedup_matches_python_reference_on_random_corpus(
     assert got == expect
     # sanity: the corpus genuinely exercised the machinery
     assert sum(1 for v in expect.values() if v[1] > 0) >= 3
+
+
+def test_containment_rescore_flags_subset_pair(spark, tmp_path):
+    """x2v law on a handmade pair: the operator's own corpus transform
+    makes doc 1 absorb doc 0's text, so shingles(doc0) is a strict
+    subset of shingles(doc1) — containment_a must be exactly 1.0 while
+    Jaccard sits below 1, and the pair flags as a containment dup. An
+    unrelated doc pair (disjoint vocabulary) must not pair at all."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2v_containment_rescore,
+    )
+
+    a_text = " ".join(f"a{i}" for i in range(20))
+    rows = [
+        (0, a_text, "en", "s1"),
+        (1, "tail0 tail1", "en", "s1"),         # becomes a_text + tails
+        (2, " ".join(f"c{i}" for i in range(20)), "en", "s2"),
+        (3, " ".join(f"d{i}" for i in range(20)), "en", "s2"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = {(r["id_a"], r["id_b"]): r for r in x2v_containment_rescore(spark, sf_dir).collect()}
+    assert (0, 1) in out, out
+    r = out[(0, 1)]
+    assert r["n_shingles_a"] == 18            # 20 tokens -> 18 tri-shingles
+    assert r["n_shingles_b"] == 20            # 22 tokens -> 20
+    assert r["n_common"] == 18
+    assert r["containment_a"] == 1.0
+    assert r["jaccard"] == 0.9
+    assert r["is_containment_dup"] is True
+    # disjoint-vocabulary docs never band together (doc 3 absorbs doc 2,
+    # but (2,3) flags too — that's the transform; what must NOT appear
+    # is any pair across the two vocabularies)
+    assert all({p[0], p[1]} <= {0, 1} or {p[0], p[1]} <= {2, 3} for p in out)

@@ -393,3 +393,13 @@ def test_kmeans_step_three_scans_broadcast_centroids(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_containment_rescore_is_never_all_pairs(spark):
+    """x2v: same discipline as the whole x2 family — banding equi-join
+    for candidates, broadcast survivor set for the exact intersection,
+    never a pairwise corpus stage."""
+    plan = _plan(spark, "x2v_containment_rescore")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
