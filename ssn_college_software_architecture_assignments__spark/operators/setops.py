@@ -167,3 +167,45 @@ def u5_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# U6 — NOT IN vs NOT EXISTS under NULLs (the three-valued-logic trap) ----------
+#
+# The SQL-semantics operator every migration guide warns about: NOT IN
+# against a subquery CONTAINING A NULL returns zero rows (x <> NULL is
+# UNKNOWN, so no row can prove membership-absence), while the
+# NOT EXISTS form keeps matching. An engine claiming ANSI semantics must
+# reproduce BOTH behaviors exactly — Spark plans the NOT IN as a
+# null-aware anti-join (a dedicated join path), DuckDB as a
+# mark join; the oracle is the same SQL verbatim so the two engines'
+# three-valued logic is compared result-for-result. The probe injects
+# NULLs deterministically (negative-balance customers) into the
+# subquery; customers are a dim table, so both legs broadcast at scale.
+
+_U6_SQL = """
+SELECT 'not_in' AS method, count(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'not_exists' AS method, count(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND (CASE WHEN c.c_acctbal < 0 THEN NULL ELSE c.c_custkey END) = o.o_custkey
+)
+ORDER BY method
+"""
+
+
+@register("u6_not_in_null_semantics", oracle=_U6_SQL, tags=("U3", "E2"))
+def u6_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS over a NULL-bearing subquery, side by side:
+    the NOT IN leg must collapse to zero the moment any NULL enters the
+    list (three-valued logic), the NOT EXISTS leg must keep its
+    matches. Same SQL text is the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(("orders", "customer"))
+    return spark.sql(_U6_SQL)

@@ -684,3 +684,20 @@ def test_bag_setops_multiset_law(spark, tmp_path):
         for r in u5_bag_setops(spark, sf_dir).collect()
     }
     assert got == {("R", "X"): (3, 4), ("N", "Y"): (2, 0)}
+
+
+def test_not_in_null_semantics_collapse_law(spark):
+    """u6: with NULLs present in the subquery list, the NOT IN leg MUST
+    return zero rows (three-valued logic) while NOT EXISTS keeps its
+    matches — on the fixture both branches are non-degenerate (the
+    segment exists and has negative-balance customers)."""
+    from ssn_college_software_architecture_assignments__spark.registry import all_queries
+
+    rows = {
+        r["method"]: r["n_orders"]
+        for r in all_queries()["u6_not_in_null_semantics"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["not_in"] == 0
+    assert rows["not_exists"] > 0
