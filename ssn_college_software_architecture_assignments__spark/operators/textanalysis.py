@@ -1333,3 +1333,89 @@ def x4q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+# X4s — bigram-LM log-probability scoring (the KenLM-filter shape) -------------
+#
+# x4j scores documents under the corpus UNIGRAM distribution; the
+# public production filter (CCNet/KenLM style) scores under an n-gram
+# LM. This is the bigram step of that ladder, fully relational so the
+# oracle is the same algebra: p(w | prev) = (c(prev w) + 1) /
+# (ctx(prev) + V) with Laplace smoothing, where c() is the corpus
+# bigram count, ctx(prev) the count of prev AS A CONTEXT (first element
+# of a bigram — NOT the raw unigram count, so probabilities per context
+# sum to 1 exactly), and V the corpus unigram vocabulary. Per document:
+# the mean log-probability over its bigram occurrences. Documents with
+# fewer than 2 tokens have no bigrams and are absent — identically in
+# both engines.
+#
+# Scale shape: bigram occurrences collapse to corpus counts via two
+# hash-aggs (map-side combined; shuffles carry (bigram, count) and
+# (context, count), both vocabulary-bounded), occurrences join back on
+# the bigram key then the context key — x4j's inverted-index shape run
+# twice — and V rides a 1-row broadcast. No Python anywhere.
+
+_X4S_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {'prev': t[i], 'cur': t[i + 1]})) AS b
+  FROM toks
+),
+occ AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+c2 AS (SELECT prev, cur, count(*) AS n2 FROM occ GROUP BY prev, cur),
+c1 AS (SELECT prev, count(*) AS n1 FROM occ GROUP BY prev),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((n2 + 1.0) / (n1 + v))), 4) AS avg_logprob
+FROM occ o
+JOIN c2 ON o.prev = c2.prev AND o.cur = c2.cur
+JOIN c1 ON o.prev = c1.prev
+CROSS JOIN vocab
+GROUP BY o.doc_id
+ORDER BY o.doc_id
+"""
+
+
+@register("x4s_bigram_logprob", oracle=_X4S_ORACLE, tags=("X4",))
+def x4s_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    Laplace-smoothed bigram LM — x4j's quality filter upgraded one
+    n-gram order, still pure DataFrame algebra."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS prev, "
+                "element_at(split(text, ' '), i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    c2 = occ.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = occ.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").cast("double").alias("v")
+    )
+    return (
+        occ.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v")))), 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -174,3 +174,51 @@ def test_readability_closed_form_counts_and_score(spark, tmp_path):
     assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 9)
     assert r1["flesch"] == 76.89
     assert got[2]["n_sentences"] == 1
+
+
+def test_bigram_logprob_closed_form_and_normalization(spark, tmp_path):
+    """x4s law on a handmade corpus, recomputed in pure Python — and the
+    reason ctx() (not raw unigram counts) is the denominator: for any
+    context, sum over the whole vocabulary of (c2+1)/(ctx+V) is exactly
+    1, a genuine conditional distribution."""
+    import math
+    import os
+    from collections import Counter
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4s_bigram_logprob,
+    )
+
+    rows = [(1, "a b a b c"), (2, "b c a"), (3, "solo")]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    bigrams = {}
+    for i, t in rows:
+        w = t.split()
+        vocab.update(w)
+        bigrams[i] = list(zip(w, w[1:]))
+        for p, c in bigrams[i]:
+            c2[(p, c)] += 1
+            c1[p] += 1
+    v = len(vocab)
+
+    def lp(p, c):
+        return math.log((c2[(p, c)] + 1.0) / (c1[p] + v))
+
+    got = {r["doc_id"]: r for r in x4s_bigram_logprob(spark, sf_dir).collect()}
+    assert sorted(got) == [1, 2]  # doc 3 has no bigrams -> absent
+    for i in (1, 2):
+        ref = sum(lp(p, c) for p, c in bigrams[i]) / len(bigrams[i])
+        assert got[i]["n_bigrams"] == len(bigrams[i])
+        assert got[i]["avg_logprob"] == round(ref, 4)
+    # normalization identity for context 'a' (2 occurrences as context)
+    total = sum((c2[("a", w)] + 1.0) / (c1["a"] + v) for w in vocab)
+    assert abs(total - 1.0) < 1e-12
