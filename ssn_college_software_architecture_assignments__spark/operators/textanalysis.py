@@ -1391,13 +1391,18 @@ def x4s_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram order, still pure DataFrame algebra."""
     docs = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
+    # the token_shingles guard class: sequence(1, 0) is DESCENDING in
+    # Spark, so a 1-token document would index past the array — guard to
+    # an empty bigram list (matching DuckDB range(1, 1) = empty)
     occ = docs.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
                 "transform(sequence(1, size(split(text, ' ')) - 1), "
                 "i -> struct(element_at(split(text, ' '), i) AS prev, "
-                "element_at(split(text, ' '), i + 1) AS cur))"
+                "element_at(split(text, ' '), i + 1) AS cur)) "
+                "ELSE array() END"
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
