@@ -650,3 +650,76 @@ def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# W12 — retention cohort matrix (first-seen week x activity week) --------------
+#
+# The growth-analytics staple built on w11's first-seen rewrite: users
+# cohort by the ISO week of their first event; each later week they are
+# active increments that (cohort, offset) cell; retention = cell /
+# cohort size. Offset-0 retention is 1.0 by construction (every user is
+# active in their own first week), which doubles as a built-in sanity
+# row. Both engines truncate weeks to the ISO Monday (Spark
+# date_trunc('week') == DuckDB date_trunc('week')) and the offset is an
+# exact integer day-difference / 7.
+#
+# Scale shape: first-seen per user (hash-agg, map-side combined),
+# distinct (user, week) activity (hash-agg), ONE user-keyed join, a
+# (cohorts x offsets)-sized aggregate, and cohort sizes read off the
+# offset-0 cells with a window over that tiny matrix — no
+# distinct-over-window state anywhere.
+
+_W12_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events
+),
+fs AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id),
+cell AS (
+  SELECT fs.cohort, CAST((wk.week - fs.cohort) / 7 AS BIGINT) AS week_offset,
+         count(*) AS n_active
+  FROM wk JOIN fs ON wk.user_id = fs.user_id
+  GROUP BY fs.cohort, (wk.week - fs.cohort) / 7
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+       round(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort) AS DOUBLE), 4) AS retention
+FROM cell
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("w12_retention_cohorts", oracle=_W12_ORACLE, tags=("W3", "A3"))
+def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: per (first-seen cohort week, week
+    offset), active users and the retention fraction against the
+    cohort's size."""
+    ev = Catalog(spark, sf_dir).events
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    wk = ev.select("user_id", week.alias("week")).distinct()
+    fs = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    cell = (
+        wk.join(fs, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort"))
+    return cell.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        size.cast("long").alias("cohort_size"),
+        F.round(F.col("n_active") / size.cast("double"), 4).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")

@@ -701,3 +701,51 @@ def test_not_in_null_semantics_collapse_law(spark):
     }
     assert rows["not_in"] == 0
     assert rows["not_exists"] > 0
+
+
+def test_retention_cohorts_closed_form(spark, tmp_path):
+    """w12 law on a handmade event log: two cohorts with hand-traced
+    activity weeks; offset-0 retention is exactly 1.0 and later cells
+    match the planted user movements."""
+    import datetime as dt
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w12_retention_cohorts,
+    )
+
+    mon0 = dt.datetime(2024, 1, 1)  # a Monday
+    def at(week, dow=2):
+        return mon0 + dt.timedelta(weeks=week, days=dow)
+
+    rows = [
+        # cohort week0: users 1, 2, 3
+        (1, at(0), 1), (2, at(0), 2), (3, at(0), 3),
+        # week1: users 1 and 2 return
+        (4, at(1), 1), (5, at(1), 2),
+        # week2: only user 1
+        (6, at(2), 1),
+        # cohort week1: user 9 first seen
+        (7, at(1), 9),
+        # week3: user 9 returns (offset 2 for its cohort)
+        (8, at(3), 9),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(e, ts, u, "click", 1.0, "") for e, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in w12_retention_cohorts(spark, sf_dir).collect()
+    }
+    w0, w1 = "2024-01-01", "2024-01-08"
+    assert got[(w0, 0)]["n_active"] == 3 and got[(w0, 0)]["retention"] == 1.0
+    assert got[(w0, 1)]["n_active"] == 2 and got[(w0, 1)]["retention"] == round(2 / 3, 4)
+    assert got[(w0, 2)]["n_active"] == 1 and got[(w0, 2)]["retention"] == round(1 / 3, 4)
+    assert got[(w1, 0)]["n_active"] == 1
+    assert got[(w1, 2)]["n_active"] == 1 and got[(w1, 2)]["retention"] == 1.0
+    assert (w1, 1) not in got  # user 9 skipped a week -> no cell
+    assert all(r["cohort_size"] == got[(r["cohort_week"], 0)]["n_active"] for r in got.values())
