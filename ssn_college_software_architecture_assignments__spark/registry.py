@@ -82,14 +82,15 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 21 round-9 additions — no driver evidence exists
+    # tier 1: the 23 round-9 additions — no driver evidence exists
     # (substring span dedup + its per-source rollup, DSIR importance
     # resampling, BFD packing + the packing scoreboard, the
     # Q15/Q6/Q7/Q8 SQL shapes, the Zipf fit, cumulative distinct
     # users, the MRL refine funnel, image patchify, the k-means Lloyd
     # step, CDC apply, Flesch readability, audio decimation, dynamic
     # partition overwrite, the nearest-direction as-of join, containment
-    # rescore, the NOT IN null-semantics probe)
+    # rescore, the NOT IN null-semantics probe, bigram-LM scoring,
+    # retention cohorts)
     "x2s_substring_span_dedup",
     "x2s2_span_dedup_by_source",
     "x6m_importance_resample",
@@ -111,9 +112,11 @@ _CHECK_PRIORITY = (
     "j8c_asof_join_nearest",
     "x2v_containment_rescore",
     "u6_not_in_null_semantics",
+    "x4s_bigram_logprob",
+    "w12_retention_cohorts",
     # tier 2: the 50-id cohort whose newest driver row is r5 — the
     # oldest evidence tier; r8's VERDICT queued them for r9's slots.
-    # 21 + 50 > the ~50-slot budget, so ~21 of these roll to r10
+    # 23 + 50 > the ~50-slot budget, so ~23 of these roll to r10
     # (they stay ahead of everything younger).
     "a1_count_validate",
     "a2_groupby_agg",
