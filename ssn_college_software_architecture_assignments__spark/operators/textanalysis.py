@@ -1393,19 +1393,25 @@ def x4s_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     # the token_shingles guard class: sequence(1, 0) is DESCENDING in
     # Spark, so a 1-token document would index past the array — guard to
-    # an empty bigram list (matching DuckDB range(1, 1) = empty)
-    occ = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS prev, "
-                "element_at(split(text, ' '), i + 1) AS cur)) "
-                "ELSE array() END"
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    # an empty bigram list (matching DuckDB range(1, 1) = empty). The
+    # token array binds ONCE (column t) so the tokenization rule has a
+    # single site shared with the vocab scan below.
+    occ = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS prev, "
+                    "element_at(t, i + 1) AS cur)) "
+                    "ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
     c2 = occ.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
     c1 = occ.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
     vocab = docs.select(F.explode(toks).alias("tok")).agg(

@@ -687,8 +687,8 @@ SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
        CAST(n_active AS BIGINT) AS n_active,
        CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
               OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
-       round(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
-              OVER (PARTITION BY cohort) AS DOUBLE), 4) AS retention
+       floor(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort) AS DOUBLE) * 10000) / 10000 AS retention
 FROM cell
 ORDER BY cohort_week, week_offset
 """
@@ -721,5 +721,11 @@ def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         F.col("n_active").cast("long").alias("n_active"),
         size.cast("long").alias("cohort_size"),
-        F.round(F.col("n_active") / size.cast("double"), 4).alias("retention"),
+        # floor(x*1e4)/1e4, not round(,4): n_active/cohort_size ratios
+        # can land exactly on .xxxx5 decimals where the engines' round()
+        # laws diverge (the x4q lesson); floor of the identical double
+        # is deterministic in both.
+        (F.floor(F.col("n_active") / size.cast("double") * 10000) / 10000).alias(
+            "retention"
+        ),
     ).orderBy("cohort_week", "week_offset")

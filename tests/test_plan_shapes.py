@@ -214,9 +214,15 @@ def test_incremental_near_dedup_probes_index_never_self_joins(spark):
 
 def _global_window_args(plan: str) -> list[str]:
     """Arguments lines of Window nodes with NO partition spec (the
-    single-partition scale-killer). A partitioned Window's Arguments has
-    three bracket groups ([exprs], [partition], [order]); a global one
-    has only two — verified on w4 (global) vs s16b/w1 (partitioned)."""
+    single-partition scale-killer). A fully-specified partitioned
+    Window's Arguments has three bracket groups ([exprs], [partition],
+    [order]); EMPTY trailing groups are omitted from the text, so two
+    groups is ambiguous: partitioned-without-ORDER (safe — w12's matrix
+    window) or ordered-without-partition (the hazard — w4). Content
+    tells them apart: an order list's entries carry ASC/DESC, a
+    partition list's never do. Verified on w4 (global, trips) vs
+    s16b/w1 (partitioned+ordered) vs w12 (partitioned, orderless —
+    must NOT trip)."""
     import re
 
     lines = plan.splitlines()
@@ -226,7 +232,12 @@ def _global_window_args(plan: str) -> list[str]:
             for j in range(i + 1, min(i + 6, len(lines))):
                 s = lines[j].strip()
                 if s.startswith("Arguments:"):
-                    if len(s.split("], [")) < 3:
+                    groups = s.split("], [")
+                    if len(groups) < 3 and (
+                        len(groups) < 2
+                        or " ASC" in groups[-1]
+                        or " DESC" in groups[-1]
+                    ):
                         bad.append(s)
                     break
     return bad
@@ -403,3 +414,37 @@ def test_containment_rescore_is_never_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_not_in_probe_plans_hash_anti_joins(spark):
+    """u6: BOTH legs must plan as broadcast-hash LeftAnti joins (the
+    NOT IN leg through Spark's null-aware anti-join optimization) —
+    never a nested-loop over orders x customer, which is the silent
+    O(n*m) fallback if that optimization is disabled."""
+    plan = _plan(spark, "u6_not_in_null_semantics")
+    assert plan.count("BroadcastHashJoin LeftAnti") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_plan_shape(spark):
+    """x4s: four parquet scans (occ is planned thrice — c2, c1, the
+    probe — plus vocab; the documented no-sharing shape, persisted at
+    production scale), the only nested-loop is the 1-row vocab
+    broadcast, never a cartesian or sort-merge join."""
+    import re
+
+    plan = _plan(spark, "x4s_bigram_logprob")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 4, scans
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_cohorts_no_global_window(spark):
+    """w12: the only window walks the (cohorts x offsets) matrix
+    PARTITIONED BY cohort — the global-window detector must find
+    nothing, and the user-keyed join must not degenerate."""
+    plan = _plan(spark, "w12_retention_cohorts")
+    assert len(_global_window_args(plan)) == 0
+    assert "CartesianProduct" not in plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+from tests.conftest import SF_DIR_001
 from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
     a10_stats_agg,
 )
@@ -696,7 +697,7 @@ def test_not_in_null_semantics_collapse_law(spark):
     rows = {
         r["method"]: r["n_orders"]
         for r in all_queries()["u6_not_in_null_semantics"](
-            spark, "/root/testdata/sf0.001"
+            spark, SF_DIR_001
         ).collect()
     }
     assert rows["not_in"] == 0
@@ -743,8 +744,8 @@ def test_retention_cohorts_closed_form(spark, tmp_path):
     }
     w0, w1 = "2024-01-01", "2024-01-08"
     assert got[(w0, 0)]["n_active"] == 3 and got[(w0, 0)]["retention"] == 1.0
-    assert got[(w0, 1)]["n_active"] == 2 and got[(w0, 1)]["retention"] == round(2 / 3, 4)
-    assert got[(w0, 2)]["n_active"] == 1 and got[(w0, 2)]["retention"] == round(1 / 3, 4)
+    assert got[(w0, 1)]["n_active"] == 2 and got[(w0, 1)]["retention"] == 0.6666
+    assert got[(w0, 2)]["n_active"] == 1 and got[(w0, 2)]["retention"] == 0.3333
     assert got[(w1, 0)]["n_active"] == 1
     assert got[(w1, 2)]["n_active"] == 1 and got[(w1, 2)]["retention"] == 1.0
     assert (w1, 1) not in got  # user 9 skipped a week -> no cell
