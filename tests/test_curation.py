@@ -594,3 +594,40 @@ def test_bfd_packing_matches_python_reference_on_random_sizes(spark, tmp_path):
     # sanity: oversized items existed and bin counts were nontrivial
     assert any(n > _X6B2_CAP for _s, n in sizes.values())
     assert len(set(got.values())) > 5
+
+
+def test_packing_scoreboard_agrees_with_both_packers(spark):
+    """x6h2 integration law: the scoreboard's bin/chunk counts must
+    equal what the two registered packers actually produce on the same
+    fixture — a drifted composition (e.g. a stale CTE) would disagree."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6b2_bfd_packing,
+        x6b_sequence_packing,
+        x6h2_packing_comparison,
+    )
+    from tests.conftest import SF_DIR_001
+
+    sb = {r["source"]: r for r in x6h2_packing_comparison(spark, SF_DIR_001).collect()}
+    seq = (
+        x6b_sequence_packing(spark, SF_DIR_001)
+        .select("source", "chunk_id")
+        .distinct()
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    bfd = (
+        x6b2_bfd_packing(spark, SF_DIR_001)
+        .select("source", "bin_id")
+        .distinct()
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    for r in seq:
+        assert sb[r["source"]]["n_chunks_seq"] == r["count"], r["source"]
+    for r in bfd:
+        assert sb[r["source"]]["n_bins_bfd"] == r["count"], r["source"]
+    assert all(
+        r["bin_delta"] == r["n_bins_bfd"] - r["n_chunks_seq"] for r in sb.values()
+    )

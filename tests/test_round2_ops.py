@@ -750,3 +750,24 @@ def test_retention_cohorts_closed_form(spark, tmp_path):
     assert got[(w1, 2)]["n_active"] == 1 and got[(w1, 2)]["retention"] == 1.0
     assert (w1, 1) not in got  # user 9 skipped a week -> no cell
     assert all(r["cohort_size"] == got[(r["cohort_week"], 0)]["n_active"] for r in got.values())
+
+
+def test_retention_cohort_sizes_sum_to_total_distinct_users(spark):
+    """Cross-operator law: w12's cohort sizes partition the user base —
+    summing them must equal w11's final cumulative distinct-user count
+    on the same fixture (every user belongs to exactly one first-seen
+    cohort)."""
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w11_cumulative_distinct,
+        w12_retention_cohorts,
+    )
+
+    cohorts = {
+        r["cohort_week"]: r["cohort_size"]
+        for r in w12_retention_cohorts(spark, SF_DIR_001).collect()
+        if r["week_offset"] == 0
+    }
+    final_cum = max(
+        r["cum_users"] for r in w11_cumulative_distinct(spark, SF_DIR_001).collect()
+    )
+    assert sum(cohorts.values()) == final_cum
