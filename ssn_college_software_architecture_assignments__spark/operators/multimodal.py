@@ -1670,7 +1670,7 @@ _X5O_P = 2  # patch edge; fixture images are 4..16 x 4..10
 
 PATCH_SCHEMA = (
     "doc_id long, patch_row int, patch_col int, "
-    "mean_r double, mean_g double, mean_b double"
+    "mean_r double, mean_g double, mean_b double, decode_status string"
 )
 
 
@@ -1680,26 +1680,43 @@ def patchify_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     p = _X5O_P
     for pdf in batches:
         rows = {k: [] for k in (
-            "doc_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b"
+            "doc_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b",
+            "decode_status",
         )}
+
+        def emit(doc_id, pr, pc, r, g, b, status):
+            rows["doc_id"].append(doc_id)
+            rows["patch_row"].append(pr)
+            rows["patch_col"].append(pc)
+            rows["mean_r"].append(r)
+            rows["mean_g"].append(g)
+            rows["mean_b"].append(b)
+            rows["decode_status"].append(status)
+
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 w, h, raster = _parse_ppm_raster(bytes(payload))
-            except ValueError:
-                continue  # malformed images contribute no patches
+            except ValueError as exc:
+                # a malformed payload emits ONE labeled sentinel row (the
+                # x5p decode_status contract) instead of silently vanishing:
+                # a decode regression shows up as attributable error rows,
+                # not an opaque row-count mismatch against the oracle
+                emit(doc_id, -1, -1, 0.0, 0.0, 0.0, f"error: {exc}")
+                continue
             h2, w2 = h // p, w // p
             if h2 == 0 or w2 == 0:
-                continue
+                continue  # smaller than one patch: crops to nothing (defined)
             img = raster.reshape(h, w, 3)[: h2 * p, : w2 * p, :]
             means = img.reshape(h2, p, w2, p, 3).mean(axis=(1, 3))
             for pr in range(h2):
                 for pc in range(w2):
-                    rows["doc_id"].append(doc_id)
-                    rows["patch_row"].append(pr)
-                    rows["patch_col"].append(pc)
-                    rows["mean_r"].append(round(float(means[pr, pc, 0]), 4))
-                    rows["mean_g"].append(round(float(means[pr, pc, 1]), 4))
-                    rows["mean_b"].append(round(float(means[pr, pc, 2]), 4))
+                    emit(
+                        doc_id, pr, pc,
+                        round(float(means[pr, pc, 0]), 4),
+                        round(float(means[pr, pc, 1]), 4),
+                        round(float(means[pr, pc, 2]), 4),
+                        "ok",
+                    )
         yield pd.DataFrame(rows)
 
 
@@ -1727,7 +1744,8 @@ SELECT doc_id,
        round(list_aggregate(list_transform(range({_X5O_P * _X5O_P}),
          k -> CAST((doc_id * 31 + (((patch_row * {_X5O_P} + k // {_X5O_P}) * w
                 + patch_col * {_X5O_P} + k % {_X5O_P}) * 3 + 2)) % 256 AS DOUBLE)),
-         'avg'), 4) AS mean_b
+         'avg'), 4) AS mean_b,
+       'ok' AS decode_status
 FROM grid
 ORDER BY doc_id, patch_row, patch_col
 """
@@ -1739,7 +1757,10 @@ def x5o_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     patchify stage over the x5e PPM kernel (incomplete edges cropped,
     as ViT does). Every patch mean is oracle-predicted from the pixel
     formula; the kernel computes them with the single vectorized numpy
-    reshape/mean a production patchifier uses."""
+    reshape/mean a production patchifier uses. Malformed payloads emit
+    a labeled decode_status sentinel row (patch_row = -1) rather than
+    vanishing, so a decode regression is attributable — the oracle
+    predicts every fixture image decodes, hence 'ok' everywhere."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(patchify_ppm_batch, PATCH_SCHEMA)

@@ -1741,8 +1741,9 @@ def x3q_mrl_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan, no Window, no per-vector shuffle (the first cut of this
 # operator ranked a crossJoin-expanded (vector x centroid) table with
 # a vec_id-partitioned window, which hash-shuffled every embedding
-# once; the fold keeps strict-< argmin so the FIRST (= smallest cid,
-# the sort order) wins ties, matching the oracle's ORDER BY dist, cid).
+# once; array_min over (dist, cid) structs computes each distance once
+# and breaks ties toward the smaller cid, matching the oracle's
+# ORDER BY dist, cid).
 # The update explodes assigned vectors to (cluster, dim, value) and
 # hash-aggregates — the only shuffle, carrying one partial sum per
 # (cluster, dim) per partition (map-side combine), i.e. K x 64 rows.
@@ -1818,16 +1819,20 @@ def x3r_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    # strict-< argmin fold: ties keep the earlier (smaller-cid) entry
-    argmin = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(float("inf")).alias("best_d"), F.lit(-1).cast("long").alias("cid")
-        ),
-        lambda acc, c: F.when(
-            sqdist(c["cvec"]) < acc["best_d"],
-            F.struct(sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")),
-        ).otherwise(acc),
+    # argmin = array_min over (dist, cid) structs: the distance is
+    # computed ONCE per centroid (F.transform binds it into the struct;
+    # the first cut re-evaluated sqdist in both the WHEN predicate and
+    # the result struct, doubling the O(vectors*K*dims) flop count of
+    # the assignment stage). Struct ordering compares dist first, then
+    # cid, so ties go to the smallest cid — exactly the oracle's
+    # ORDER BY dist, cid and the old strict-< first-wins fold.
+    argmin = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")
+            ),
+        )
     )
     assigned = (
         v.crossJoin(F.broadcast(cent_row))

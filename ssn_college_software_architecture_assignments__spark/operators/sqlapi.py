@@ -436,7 +436,7 @@ def e2_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2n — TPC-H Q6-style forecasting revenue change (pure scan-filter-agg) -------
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(round(sum(l_extendedprice * l_discount), 6), 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -450,7 +450,11 @@ def e2_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: the pure predicate-pushdown probe — no join at
     all, three range predicates that must reach the parquet scan and a
     single map-combined aggregate. The E2 surface's floor: if this plan
-    ever grows an exchange beyond the final 1-row agg, pushdown broke."""
+    ever grows an exchange beyond the final 1-row agg, pushdown broke.
+    The sum rounds in two stages (6dp then 2dp) so a partial-sum
+    ordering difference between engines cannot straddle a 2dp rounding
+    boundary — the drift would have to land on an exact .xx5000 at 6dp
+    first (the Q15-trick class of mitigation)."""
     Catalog(spark, sf_dir).register_views(("lineitem",))
     return spark.sql(_Q6_SQL)
 
@@ -458,7 +462,7 @@ def e2_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2o — TPC-H Q7-style volume shipping (dual-role dimension join) --------------
 
 _Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, round(round(sum(volume), 6), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -486,7 +490,9 @@ def e2_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-role predicate that cannot be pushed to either scan alone.
     Exercises alias-scoped dual joins — a Catalyst path no other E2
     entry touches. Both nation sides broadcast; the year extraction
-    is CAST to BIGINT so both engines agree on the grouping type."""
+    is CAST to BIGINT so both engines agree on the grouping type.
+    Two-stage rounding (6dp then 2dp) keeps per-group float sums off
+    2dp rounding boundaries under cross-engine summation-order drift."""
     Catalog(spark, sf_dir).register_views(
         ("supplier", "lineitem", "orders", "customer", "nation")
     )
@@ -497,8 +503,8 @@ def e2_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       floor(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                   / sum(volume), 8) * 10000) / 10000 AS mkt_share
 FROM (
   SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -525,7 +531,10 @@ def e2_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     roles (customer's region membership, supplier's identity) and the
     share computed as a CASE-guarded conditional sum over the SAME
     aggregate pass (one shuffle, not two). The denominator is nonzero
-    whenever a group exists, so ANSI division is safe by construction."""
+    whenever a group exists, so ANSI division is safe by construction.
+    The share is an unbounded ratio, so it takes the x4q/w12 floor law
+    (floor(x*1e4)/1e4 after an 8dp snap) instead of round(,4): engine
+    round() laws diverge on exact .xxxx5 doubles."""
     Catalog(spark, sf_dir).register_views(
         ("part", "lineitem", "orders", "customer", "nation", "region", "supplier")
     )

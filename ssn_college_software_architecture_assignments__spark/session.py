@@ -62,15 +62,20 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
         app_id = spark.sparkContext.applicationId
         if app_id in _PKG_SHIPPED_APP_IDS:
             return
-        _PKG_SHIPPED_APP_IDS.add(app_id)
         import os
         import shutil
         import tempfile
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        root = os.path.dirname(pkg_dir)
-        worker_paths = os.environ.get("PYTHONPATH", "").split(os.pathsep)
-        if root in worker_paths or os.getcwd() == root:
+        root = os.path.normpath(os.path.dirname(pkg_dir))
+        worker_paths = [
+            os.path.normpath(p)
+            for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p
+        ]
+        if root in worker_paths or os.path.normpath(os.getcwd()) == root:
+            # already worker-visible — remember so repeat calls stay cheap
+            _PKG_SHIPPED_APP_IDS.add(app_id)
             return
         zip_base = os.path.join(
             tempfile.mkdtemp(prefix="ssn_spark_pkg_"), "ssn_spark_pkg"
@@ -79,6 +84,9 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
             zip_base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
         )
         spark.sparkContext.addPyFile(archive)
+        # only a SUCCESSFUL ship disables retries: a transient failure
+        # (full tmpdir, fs error) must not permanently skip shipping
+        _PKG_SHIPPED_APP_IDS.add(app_id)
     except Exception:
         pass
 

@@ -671,6 +671,31 @@ def test_patchify_matches_numpy_reference_and_crops_edges(spark, sf_dir):
                 assert got[doc_id][(pr, pc)] == expect
 
 
+def test_patchify_malformed_payload_emits_sentinel_row():
+    """x5o decode contract (matches x5p): a malformed payload must
+    surface as ONE labeled sentinel row (patch_row = -1, decode_status
+    'error: ...'), never a silent skip — a decode regression is then
+    attributable instead of an opaque row-count mismatch."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _ppm_bytes,
+        patchify_ppm_batch,
+    )
+
+    batch = pd.DataFrame(
+        {"doc_id": [3, 4], "payload": [b"NOT A PPM", _ppm_bytes(4)]}
+    )
+    out = pd.concat(list(patchify_ppm_batch(iter([batch]))))
+    bad = out[out["doc_id"] == 3]
+    assert len(bad) == 1
+    assert int(bad.iloc[0]["patch_row"]) == -1
+    assert int(bad.iloc[0]["patch_col"]) == -1
+    assert bad.iloc[0]["decode_status"].startswith("error:")
+    good = out[out["doc_id"] == 4]
+    assert len(good) > 0 and (good["decode_status"] == "ok").all()
+
+
 def test_audio_decimate_floor_law_on_negative_pairs(spark, tmp_path):
     """x5p law on handmade PCM including the sign-sensitive case: the
     pair (-3, 0) must average to floor(-1.5) = -2 (NOT truncate to -1),
