@@ -539,3 +539,210 @@ def e2_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("part", "lineitem", "orders", "customer", "nation", "region", "supplier")
     )
     return spark.sql(_Q8_SQL)
+
+
+# E2q — TPC-H Q20-style promising parts (IN-subquery nested in an IN-subquery) -
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40
+  )
+ORDER BY s_suppkey
+"""
+
+
+@register("e2_sql_promising_parts", oracle=_Q20_SQL, tags=("E2",))
+def e2_sql_promising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the last distinctive decorrelation structure —
+    an IN-subquery (suppliers who moved enough of the flagged parts in
+    the half-year) whose body itself contains another IN-subquery (the
+    flagged parts) plus a grouped HAVING. Catalyst must collapse the
+    whole chain into a semi-join stack: part-name semi-join under the
+    lineitem aggregate, that aggregate semi-joined against supplier —
+    no correlated re-execution anywhere (gate pins no nested-loop and
+    >= 2 LeftSemi joins). The reference lake has no partsupp table, so
+    the availability predicate becomes the grouped half-year quantity
+    HAVING — structurally the same nested-IN + agg chain as pristine
+    Q20. Same SQL text is the DuckDB oracle verbatim; integer-sum
+    HAVING, so no float-boundary hazard."""
+    Catalog(spark, sf_dir).register_views(("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20_SQL)
+
+
+# E2r — TPC-H Q2-style minimum-cost supplier (correlated scalar min subquery) --
+
+_Q2_SQL = """
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(l_extendedprice, 2) AS min_price
+FROM part, lineitem, supplier, nation
+WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey
+  AND p_size = 7 AND p_type = 'PROMO'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+@register("e2_sql_min_cost_supplier", oracle=_Q2_SQL, tags=("E2",))
+def e2_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier rows that
+    achieve the minimum price, expressed as a correlated scalar-min
+    subquery compared for EQUALITY inside a 4-table join (pristine Q2's
+    min supplycost; price stands in because the lake has no partsupp).
+    Distinct from Q17 (correlated avg feeding an inequality + single
+    fact table): here the subquery must decorrelate into a grouped min
+    that joins back into a multi-table plan, ties preserved. The
+    equality compares a STORED parquet value against a min of stored
+    values — no arithmetic, so exact in both engines. Same SQL text is
+    the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(("part", "lineitem", "supplier", "nation"))
+    return spark.sql(_Q2_SQL)
+
+
+# E2s — TPC-H Q9-style product-type profit (5-way join + derived measure) ------
+
+_Q9_SQL = """
+SELECT n_name AS nation, o_year, round(round(sum(amount), 6), 2) AS sum_profit
+FROM (
+  SELECT n_name, CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.5 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+@register("e2_sql_product_profit", oracle=_Q9_SQL, tags=("E2",))
+def e2_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over the widest join
+    in the suite — lineitem against part, supplier, nation AND orders
+    simultaneously (5 tables, 4 join keys), with a contains-LIKE part
+    filter that prunes the fact side only through the part join, and a
+    derived profit measure combining columns of three tables (retail
+    cost stands in for the absent partsupp supplycost). All dimension
+    sides broadcast; the single shuffle is the (nation, year) agg.
+    Two-stage rounding (6dp then 2dp) keeps per-group float sums off
+    2dp boundaries under cross-engine summation-order drift."""
+    Catalog(spark, sf_dir).register_views(
+        ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    return spark.sql(_Q9_SQL)
+
+
+# E2t — TPC-H Q11-style important stock (HAVING vs scalar subquery over agg) ---
+
+_Q11_SQL = """
+SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2')
+GROUP BY l_partkey
+HAVING round(sum(l_extendedprice * l_quantity), 6) > (
+  SELECT round(3.0 * avg(part_value), 6) FROM (
+    SELECT sum(l_extendedprice * l_quantity) AS part_value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+    GROUP BY l_partkey
+  ) pv
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@register("e2_sql_important_stock", oracle=_Q11_SQL, tags=("E2",))
+def e2_sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value filtered by a HAVING
+    whose right side is a scalar subquery over a SECOND full
+    aggregation of the same joined fact — the group-vs-global-statistic
+    structure no other E2 entry has. Pristine Q11 thresholds against
+    fraction * total, which degenerates as the corpus grows (total
+    scales with rows, per-part value doesn't); the threshold here is
+    3x the average per-part value — scale-invariant by construction,
+    so the query stays non-degenerate at any sf. Both comparison sides
+    round at 6dp so summation-order drift cannot straddle the
+    threshold. Same SQL text is the DuckDB oracle verbatim."""
+    Catalog(spark, sf_dir).register_views(("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)
+
+
+# E2u — TPC-H Q12-style late-shipment priority classes (date-arith join filter) -
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL '60' DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("e2_sql_priority_shipping", oracle=_Q12_SQL, tags=("E2",))
+def e2_sql_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments classified into high/low
+    priority CASE-counts per group. The distinctive piece is the
+    CROSS-TABLE date-arithmetic predicate (shipdate vs orderdate +
+    INTERVAL '60' DAY) that cannot push to either scan alone and must
+    evaluate inside the join — the interval-literal Catalyst path no
+    other E2 entry touches (receipt/commit dates don't exist in this
+    lake; ship-vs-order lateness is the same structure). Counts are
+    integers — no float hazard. Same SQL text is the DuckDB oracle
+    verbatim; both engines parse INTERVAL '60' DAY identically."""
+    Catalog(spark, sf_dir).register_views(("orders", "lineitem"))
+    return spark.sql(_Q12_SQL)
+
+
+# E2v — TPC-H Q16-style supplier counts (grouped COUNT DISTINCT + NOT IN) ------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < -900.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("e2_sql_supplier_part_counts", oracle=_Q16_SQL, tags=("E2",))
+def e2_sql_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket with three anti-predicates on the dimension and a
+    NOT IN exclusion subquery on the fact's supplier key (pristine
+    Q16's complaint-supplier exclusion, keyed on acctbal here since
+    supplier comments don't exist). Exercises grouped COUNT(DISTINCT)
+    — a two-phase distinct-then-count aggregate — stacked on an
+    anti-join, which no other E2 entry combines. s_suppkey is
+    non-null by construction, so the NOT IN is the plain anti-join
+    face (u6 probes the null face). Integer counts — no float hazard.
+    Same SQL text is the DuckDB oracle verbatim; ORDER BY carries the
+    full grouping key so ties cannot reorder."""
+    Catalog(spark, sf_dir).register_views(("part", "lineitem", "supplier"))
+    return spark.sql(_Q16_SQL)

@@ -448,3 +448,28 @@ def test_retention_cohorts_no_global_window(spark):
     plan = _plan(spark, "w12_retention_cohorts")
     assert len(_global_window_args(plan)) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_promising_parts_is_a_semi_join_stack(spark):
+    """e2_sql_promising_parts (Q20 shape): the nested IN-subqueries
+    must decorrelate into a semi-join STACK — the part-name IN as a
+    LeftSemi under the lineitem aggregate, and the grouped HAVING
+    result as a LeftSemi against supplier — never a correlated
+    nested-loop or cartesian re-execution, with the date range and
+    name prefix pushed to the scans."""
+    plan = _plan(spark, "e2_sql_promising_parts")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters: [")
+    assert any("l_shipdate" in seg.split("]")[0] for seg in pushed[1:])
+    assert any("StringStartsWith(p_name" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_supplier_part_counts_excludes_via_anti_join(spark):
+    """e2_sql_supplier_part_counts (Q16 shape): the NOT IN exclusion
+    (non-null key side) must plan as a broadcast anti-join feeding the
+    grouped COUNT DISTINCT — never a nested-loop per fact row."""
+    plan = _plan(spark, "e2_sql_supplier_part_counts")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
