@@ -2179,6 +2179,22 @@ ORDER BY d.doc_id
 """
 
 
+def _x2s_docs_and_occ(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared x2s/x2s3 front end: boosted-token documents plus the
+    (doc_id, pos, gh) gram-occurrence table."""
+    docs = Catalog(spark, sf_dir).documents
+    docs2 = ensure_min_partitions(docs).select(
+        "doc_id", "source", F.split(_boosted_text(), " ").alias("t")
+    )
+    occ = docs2.select(
+        "doc_id",
+        F.posexplode(token_shingles(F.col("t"), _X2Q_K)).alias("pos", "gram"),
+    ).select("doc_id", "pos", _md5h60(F.col("gram")).alias("gh"))
+    return docs2, occ
+
+
 @register("x2s_substring_span_dedup", oracle=_X2S_ORACLE, tags=("X2",))
 def x2s_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: maximal duplicated substring spans (runs of >=5
@@ -2186,23 +2202,24 @@ def x2s_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     REMOVED — emitting span count, removed-token mass, and the md5 of
     the trimmed text (the hash is the cross-engine proof that both
     engines rewrote every document identically, byte for byte)."""
-    docs = Catalog(spark, sf_dir).documents
-    docs2 = ensure_min_partitions(docs).select(
-        "doc_id", "source", F.split(_boosted_text(), " ").alias("t")
-    )
-
-    occ = docs2.select(
-        "doc_id",
-        F.posexplode(token_shingles(F.col("t"), _X2Q_K)).alias("pos", "gram"),
-    ).select("doc_id", "pos", _md5h60(F.col("gram")).alias("gh"))
+    docs2, occ = _x2s_docs_and_occ(spark, sf_dir)
     # Corpus frequency rides along each occurrence via ONE window over
     # the gram key — no second corpus scan, no join against a derived
     # dup-gram set (a twice-referenced subtree would be PLANNED twice).
+    # The trade: every occurrence of a gram lands in ONE window task
+    # (no partial aggregation) — x2s3 is the map-combined twin that
+    # bounds the hot-gram task at production scale.
     tot = F.count(F.lit(1)).over(W.partitionBy("gh"))
     dup_occ = occ.select("doc_id", "pos", tot.alias("tot")).filter(
         F.col("tot") >= 2
     )
+    return _x2s_trim(docs2, dup_occ)
 
+
+def _x2s_trim(docs2: DataFrame, dup_occ: DataFrame) -> DataFrame:
+    """Shared x2s/x2s3 back end: duplicated-gram occurrences -> runs ->
+    merged intervals -> trimmed documents. Input data is
+    duplicated-mass sized; every window below is doc-partitioned."""
     runs = dup_occ.select(
         "doc_id",
         "pos",
@@ -2325,6 +2342,49 @@ def x2s2_span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X2s3 — span dedup, map-combined gram-count twin (the 100 TB shape) -----------
+#
+# Same semantics and the same oracle text as x2s (the s16/s16b identity
+# pattern: one algorithm, two physical shapes, byte-identical output —
+# trimmed_md5 equality across the pair is pytest-pinned). The difference
+# is WHERE the gram corpus frequency comes from:
+#
+#   x2s : count(*) OVER (PARTITION BY gh)  — one corpus scan, but every
+#         occurrence of a gram is shuffled to that gram's single window
+#         task with NO partial aggregation. A pathological boilerplate
+#         gram (think a site-wide nav header at 100 TB) concentrates its
+#         full occurrence stream in one task.
+#   x2s3: groupBy(gh).count() + equi-join — the count runs as
+#         partial+final HashAggregate (map-side combine bounds the hot
+#         gram's final task to ONE ROW per upstream partition), and the
+#         occurrence stream itself is never key-shuffled when the
+#         dup-gram set broadcasts; if it grows past broadcast range the
+#         equi-join is AQE-skew-splittable (OptimizeSkewedJoin can
+#         replicate the build side across probe splits), which a window
+#         never is.
+#
+# Cost: the occ subtree is referenced twice (count + probe), so
+# Catalyst plans it twice — 3 documents scans vs x2s's 2 (gate-pinned;
+# a production run persists occ, same note as x6m/x4s).
+
+
+@register("x2s3_span_dedup_mapcombine", oracle=_X2S_ORACLE, tags=("X2",))
+def x2s3_span_dedup_mapcombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2s's scale-safe twin: gram corpus frequencies via map-combined
+    groupBy(gh).count() + equi-join instead of a gram-partitioned
+    window, bounding the hot-gram task at 100x. Identical output —
+    same oracle SQL verbatim, trimmed_md5 byte-identical to x2s."""
+    docs2, occ = _x2s_docs_and_occ(spark, sf_dir)
+    dup_grams = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .filter(F.col("tot") >= 2)
+        .select("gh")
+    )
+    dup_occ = occ.join(dup_grams, "gh").select("doc_id", "pos")
+    return _x2s_trim(docs2, dup_occ)
 
 
 # X2v — containment rescore (asymmetric near-SUPERSET detection) ----------------

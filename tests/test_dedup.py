@@ -825,3 +825,24 @@ def test_containment_rescore_flags_subset_pair(spark, tmp_path):
     # but (2,3) flags too — that's the transform; what must NOT appear
     # is any pair across the two vocabularies)
     assert all({p[0], p[1]} <= {0, 1} or {p[0], p[1]} <= {2, 3} for p in out)
+
+
+def test_x2s3_mapcombine_twin_is_byte_identical_to_x2s(spark):
+    """x2s3 identity law (the s16/s16b pattern): the map-combined
+    gram-count twin must produce the EXACT rows of the window-attach
+    x2s at every document — including trimmed_md5 byte-for-byte, the
+    strongest equality the pair can state."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2s3_span_dedup_mapcombine,
+        x2s_substring_span_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r for r in x2s_substring_span_dedup(spark, sf).collect()}
+    b = {r["doc_id"]: r for r in x2s3_span_dedup_mapcombine(spark, sf).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    trimmed = 0
+    for k in a:
+        assert a[k] == b[k], (a[k], b[k])
+        trimmed += int(a[k]["n_dup_spans"] > 0)
+    assert trimmed > 0, "fixture must exercise the span machinery"

@@ -473,3 +473,20 @@ def test_supplier_part_counts_excludes_via_anti_join(spark):
     plan = _plan(spark, "e2_sql_supplier_part_counts")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_mapcombine_twin_plan_shape(spark):
+    """x2s3: the gram-frequency attach must be a map-combined
+    partial+final HashAggregate on gh plus an equi-join — NOT a
+    gram-partitioned window (x2s's shape, whose hot-gram task has no
+    partial aggregation). Exactly the 3 doc-partitioned windows of the
+    run/merge stage remain, and the occ-planned-twice cost is pinned at
+    3 documents scans (a production run persists occ)."""
+    import re
+
+    plan = _plan(spark, "x2s3_span_dedup_mapcombine")
+    assert "partial_count" in plan, "gram count must map-side combine"
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
