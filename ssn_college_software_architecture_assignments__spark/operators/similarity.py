@@ -1862,3 +1862,179 @@ def x3r_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "dim_idx")
     )
+
+
+# X3r2 — k-means TRAINING loop (Lloyd iterated; per-step inertia) --------------
+#
+# x3r is one Lloyd step; the centroids IVF (x3d) and SemDeDup (x2j)
+# consume come from a training LOOP. x3r2 iterates the x3r kernel a
+# fixed _X3R2_STEPS times: a driver loop in which each step is ONE
+# distributed job (broadcast current centroids -> map-side argmin
+# assignment -> per-(cluster, dim) partial+final aggregate), and the
+# only thing ever collected per step is the K x dims centroid table
+# itself — the same broadcastable set the next step ships back out.
+# Per-step inertia (sum of assigned squared distances) rides in the
+# same aggregate (sum(best_d) grouped by (cid, dim) is the per-cluster
+# inertia at any single dim), so no second pass over the corpus.
+#
+# Cross-engine composition: new centroids round at 4dp INSIDE each
+# engine before feeding the next step (F.round is HALF_UP like the
+# SQL round; Python round() is banker's — rounding must happen in the
+# engines, never in the driver), so both engines iterate from
+# bit-identical centroid doubles; argmin folds are bit-exact (ordered
+# zip_with/list_zip accumulation, the x3r law) and inertia snaps at
+# 2dp. Empty clusters keep their previous centroid (n_members = 0,
+# inertia 0.0) identically on both sides. The oracle composes the x3r
+# SQL step _X3R2_STEPS times as a CTE chain — the naive re-statement
+# of the same algorithm.
+#
+# Lloyd's law, pytest-pinned: per-step total inertia is monotone
+# non-increasing (J(assign_t, cent_t) >= J(assign_t, cent_{t+1}) >=
+# J(assign_{t+1}, cent_{t+1})); 4dp centroid snapping perturbs means
+# by <= 5e-5 per coordinate, orders below the per-step descent at
+# this step count.
+
+_X3R2_STEPS = 3
+
+
+def _x3r2_oracle() -> str:
+    parts = [
+        f"""WITH c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {_X3R_K}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)"""
+    ]
+    for t in range(1, _X3R2_STEPS + 1):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, cid, emb, dist FROM (
+    SELECT v.vec_id, c.cid, v.emb,
+           list_reduce(list_transform(list_zip(v.emb, c.cvec),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (a, x) -> a + x) AS dist,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_reduce(list_transform(list_zip(v.emb, c.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c.cid) AS rn
+    FROM v CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cid, count(*) AS n_members, round(sum(dist), 2) + 0.0 AS inertia
+  FROM a{t} GROUP BY cid
+),
+c{t} AS (
+  SELECT p.cid, coalesce(nv.cvec, p.cvec) AS cvec
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid, list(newv ORDER BY dim_idx) AS cvec FROM (
+      SELECT cid, u.i AS dim_idx, round(avg(u.val), 4) + 0.0 AS newv
+      FROM (
+        SELECT cid,
+               unnest(list_transform(range(1, len(emb) + 1),
+                                     i -> {{'i': i - 1, 'val': emb[i]}})) AS u
+        FROM a{t}
+      ) GROUP BY cid, u.i
+    ) GROUP BY cid
+  ) nv ON p.cid = nv.cid
+)"""
+        )
+    selects = [
+        f"""SELECT {t} AS step, p.cid AS cluster_id,
+       CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
+       coalesce(s.inertia, 0.0) AS inertia
+FROM c{t - 1} p LEFT JOIN s{t} s ON p.cid = s.cid"""
+        for t in range(1, _X3R2_STEPS + 1)
+    ]
+    return (
+        "".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY step, cluster_id"
+    )
+
+
+_X3R2_ORACLE = _x3r2_oracle()
+
+
+@register("x3r2_kmeans_train", oracle=_X3R2_ORACLE, tags=("X3",))
+def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step Lloyd training loop over the embedding corpus: per
+    (step, cluster), member count and inertia contribution. Each step
+    is one distributed job; only the K x dims centroid table is ever
+    collected. Inertia is monotone non-increasing across steps
+    (pytest-pinned Lloyd law)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    init = (
+        emb.filter(F.col("vec_id") < _X3R_K)
+        .select(F.col("vec_id").alias("cid"), _dvec("embedding").alias("cvec"))
+        .collect()
+    )
+    cent: dict[int, list[float]] = {r["cid"]: list(r["cvec"]) for r in init}
+    v = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+
+    def sqdist(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    stats: list[tuple[int, int, int, float]] = []
+    for step in range(1, _X3R2_STEPS + 1):
+        cent_df = spark.createDataFrame(
+            sorted(cent.items()), "cid long, cvec array<double>"
+        )
+        cent_row = cent_df.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+        )
+        am = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")
+                ),
+            )
+        )
+        assigned = v.crossJoin(F.broadcast(cent_row)).select(
+            "vec_id", "emb", am.alias("a")
+        )
+        # ONE aggregate carries the next centroids AND the step stats:
+        # per (cid, dim), the rounded mean, the member count, and the
+        # cluster's inertia (sum(best_d) repeats identically at every
+        # dim of a cluster — each member contributes once per dim).
+        # Rounding happens IN Spark (HALF_UP) before the collect.
+        m = (
+            assigned.select(
+                F.col("a.cid").alias("cid"),
+                F.col("a.best_d").alias("best_d"),
+                F.posexplode("emb").alias("dim_idx", "val"),
+            )
+            .groupBy("cid", "dim_idx")
+            .agg(
+                (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("newv"),
+                F.count(F.lit(1)).alias("n_members"),
+                (F.round(F.sum("best_d"), 2) + F.lit(0.0)).alias("inertia"),
+            )
+        )
+        rows = m.collect()  # K x dims — the broadcastable centroid set
+        newc: dict[int, dict[int, float]] = {}
+        seen: dict[int, tuple[int, float]] = {}
+        for r in rows:
+            newc.setdefault(r["cid"], {})[r["dim_idx"]] = r["newv"]
+            seen[r["cid"]] = (r["n_members"], r["inertia"])
+        for cid in sorted(cent):
+            n, inertia = seen.get(cid, (0, 0.0))
+            stats.append((step, cid, n, inertia))
+            if cid in newc:
+                dims = newc[cid]
+                cent[cid] = [dims[i] for i in range(len(dims))]
+    return spark.createDataFrame(
+        stats, "step int, cluster_id long, n_members long, inertia double"
+    ).orderBy("step", "cluster_id")

@@ -795,3 +795,43 @@ def test_kmeans_step_matches_hand_computed_lloyd_update(spark, tmp_path):
     for cid in (3, 4, 5, 6, 7):
         for d in (0, cid):
             assert out[cid][d]["new_val"] == out[cid][d]["old_val"]
+
+
+def test_x3r2_inertia_monotone_and_step1_matches_x3r(spark, sf_dir):
+    """x3r2 Lloyd laws: (1) per-step TOTAL inertia is monotone
+    non-increasing (the convergence guarantee the training loop
+    exists for); (2) every vector is assigned every step (member
+    counts sum to the corpus size); (3) step 1 is exactly one x3r
+    step from the same init, so per-cluster member counts agree with
+    the registered single-step operator."""
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _X3R2_STEPS,
+        x3r2_kmeans_train,
+        x3r_kmeans_step,
+    )
+
+    rows = x3r2_kmeans_train(spark, sf_dir).collect()
+    n_vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    by_step: dict[int, list] = {}
+    for r in rows:
+        by_step.setdefault(r["step"], []).append(r)
+    assert sorted(by_step) == list(range(1, _X3R2_STEPS + 1))
+    totals = []
+    for step in sorted(by_step):
+        assert sum(r["n_members"] for r in by_step[step]) == n_vecs
+        totals.append(sum(r["inertia"] for r in by_step[step]))
+    assert all(a >= b for a, b in zip(totals, totals[1:])), totals
+    assert totals[0] > 0
+
+    single = x3r_kmeans_step(spark, sf_dir).collect()
+    x3r_members = {
+        (r["cluster_id"], r["n_members"]) for r in single
+    }
+    step1_members = {
+        (r["cluster_id"], r["n_members"])
+        for r in by_step[1]
+        if r["n_members"] > 0
+    }
+    assert step1_members == x3r_members
