@@ -1117,3 +1117,160 @@ def s19_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# S20 — incremental lake maintenance: CDC apply scoped to touched partitions ---
+#
+# The daily merge a real lake actually runs, composed from the two
+# halves shipped in round 9: s18's cdc_apply (the O(changes) merge)
+# routed through s19's dynamic partition overwrite (the O(touched-day)
+# rewrite). The key property is the SCOPE: the merge reads and rewrites
+# ONLY the partitions the delta touches — base rows of untouched
+# partitions are neither read (broadcast semi-join on the partition key
+# triggers dynamic partition pruning at the scan) nor rewritten
+# (dynamic overwrite replaces only partitions present in the incoming
+# frame; the untouched-files-bit-identical law is pytest-pinned).
+# At 100 TB: a day's corrections cost O(changed partitions), never a
+# table rewrite — THE reason lakes partition by ingest date.
+#
+# Caveat (documented, not hit here): if a delta deletes EVERY row of a
+# partition, the merged frame contains no rows for it and dynamic
+# overwrite leaves the stale partition in place — a production run
+# follows with an explicit drop of now-empty touched partitions.
+
+
+def cdc_apply_partitioned(
+    spark: SparkSession,
+    lake_path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    part_col: str,
+) -> DataFrame:
+    """Scope s18's cdc_apply to the partitions ``delta`` touches: the
+    merged frame contains exactly the touched partitions' post-merge
+    rows, ready for a dynamic-mode overwrite. ``part_col`` must be one
+    of ``compare_cols`` (the delta carries old_/new_ values for it, so
+    deletes route to their OLD partition and moves touch both)."""
+    touched = (
+        delta.select(
+            F.coalesce(F.col(f"new_{part_col}"), F.col(f"old_{part_col}")).alias(
+                part_col
+            )
+        )
+        .unionByName(
+            delta.select(
+                F.coalesce(
+                    F.col(f"old_{part_col}"), F.col(f"new_{part_col}")
+                ).alias(part_col)
+            )
+        )
+        .distinct()
+    )
+    base = spark.read.parquet(lake_path)
+    scoped = base.join(F.broadcast(touched), part_col, "semi")
+    return cdc_apply(scoped, delta, key_cols=key_cols, compare_cols=compare_cols)
+
+
+_S20_GEN1_SQL = """
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         CASE WHEN strftime(o_orderdate, '%Y-%m') = '1996-03'
+              THEN round(o_totalprice + 100.0, 2)
+              ELSE round(o_totalprice, 2) END AS totalprice,
+         o_orderpriority AS priority
+  FROM orders
+  WHERE NOT (strftime(o_orderdate, '%Y-%m') = '1996-07' AND o_orderkey % 7 = 0)
+  UNION ALL
+  SELECT o_orderkey + 100000000,
+         strftime(o_orderdate, '%Y-%m'),
+         round(o_totalprice, 2),
+         o_orderpriority
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y-%m') = '1996-11' AND o_orderkey % 13 = 0
+"""
+
+_S20_ORACLE = f"""
+SELECT order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(totalprice), 2) AS total_value
+FROM ({_S20_GEN1_SQL})
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
+def _s20_generations(orders: DataFrame):
+    """Month-partitioned generations: gen1 reprices every 1996-03 order
+    (+100.00, additive so both engines round identically), drops every
+    7th key of 1996-07, inserts shifted copies of every 13th key of
+    1996-11 — so the diff touches exactly three months of the lake."""
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    gen0 = orders.select(
+        "o_orderkey",
+        month.alias("order_month"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    gen1 = (
+        orders.filter(~((month == "1996-07") & (F.col("o_orderkey") % 7 == 0)))
+        .select(
+            "o_orderkey",
+            month.alias("order_month"),
+            F.when(
+                month == "1996-03", F.round(F.col("o_totalprice") + 100.0, 2)
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .unionByName(
+            orders.filter(
+                (month == "1996-11") & (F.col("o_orderkey") % 13 == 0)
+            ).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                month.alias("order_month"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    )
+    return gen0, gen1
+
+
+@register("s20_incremental_lake_merge", oracle=_S20_ORACLE, tags=("S11", "S14"))
+def s20_incremental_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental maintenance: land gen0 month-partitioned,
+    diff gen0 -> gen1, merge the delta back via the partition-scoped
+    cdc_apply + dynamic overwrite, then aggregate the FULL readback per
+    month. The oracle is gen1's definition verbatim-aggregated, so a
+    lost delete, a double-applied insert, a truncated untouched month,
+    or a stale touched month all break the comparison."""
+    orders = Catalog(spark, sf_dir).orders
+    gen0, gen1 = _s20_generations(orders)
+    base = tempfile.mkdtemp(prefix="ssn_lake_merge_")
+    lake_path = f"{base}/orders_lake"
+    gen0.write.partitionBy("order_month").mode("overwrite").parquet(lake_path)
+
+    cols = ["order_month", "totalprice", "priority"]
+    delta = snapshot_diff(gen0, gen1, key_cols=["o_orderkey"], compare_cols=cols)
+    merged = cdc_apply_partitioned(
+        spark, lake_path, delta,
+        key_cols=["o_orderkey"], compare_cols=cols, part_col="order_month",
+    )
+    (
+        merged.write.partitionBy("order_month")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(lake_path)
+    )
+
+    lake = spark.read.parquet(lake_path)
+    return (
+        lake.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("order_month")
+    )

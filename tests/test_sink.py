@@ -379,3 +379,71 @@ def test_dynamic_partition_overwrite_touches_only_target_day(spark, tmp_path):
     fixed2 = src.filter(F.col("event_date") == "2024-01-02")
     fixed2.write.partitionBy("event_date").mode("overwrite").parquet(lake2)
     assert spark.read.parquet(lake2).count() == 10  # 20 rows silently gone
+
+
+def test_s20_merge_rewrites_only_touched_partitions(spark, sf_dir):
+    """s20 mechanism: the partition-scoped CDC merge leaves every
+    untouched month's parquet files bit-identical on disk, rewrites
+    exactly the three months the delta touches, and the merged lake
+    equals gen1 row-for-row (the diff/apply round-trip law, now
+    through the partitioned writer)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.catalog import (
+        Catalog,
+    )
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        _s20_generations,
+        cdc_apply_partitioned,
+        snapshot_diff,
+    )
+
+    orders = Catalog(spark, sf_dir).orders
+    gen0, gen1 = _s20_generations(orders)
+    base = tempfile.mkdtemp(prefix="ssn_s20_test_")
+    lake = f"{base}/lake"
+    gen0.write.partitionBy("order_month").mode("overwrite").parquet(lake)
+
+    def file_hashes(path):
+        return {
+            os.path.relpath(p, path): hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(f"{path}/order_month=*/*.parquet")
+        }
+
+    before = file_hashes(lake)
+    cols = ["order_month", "totalprice", "priority"]
+    delta = snapshot_diff(gen0, gen1, key_cols=["o_orderkey"], compare_cols=cols)
+    merged = cdc_apply_partitioned(
+        spark, lake, delta, key_cols=["o_orderkey"], compare_cols=cols,
+        part_col="order_month",
+    )
+    (
+        merged.write.partitionBy("order_month").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(lake)
+    )
+    after = file_hashes(lake)
+
+    touched = ("1996-03", "1996-07", "1996-11")
+    untouched_before = {
+        k: v for k, v in before.items()
+        if not any(m in k for m in touched)
+    }
+    untouched_after = {
+        k: v for k, v in after.items()
+        if not any(m in k for m in touched)
+    }
+    assert untouched_before == untouched_after
+    assert untouched_before, "fixture must have untouched months"
+    for m in touched:
+        assert any(m in k for k in after), m
+
+    cols_all = ["o_orderkey", "order_month", "totalprice", "priority"]
+    got = spark.read.parquet(lake).select(*cols_all)
+    want = gen1.select(*cols_all)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
