@@ -1233,3 +1233,132 @@ def x6h2_packing_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X4t — FineWeb-style quality ENSEMBLE (declared-weight mixture of filters) ----
+#
+# Every public pre-training pipeline (FineWeb, Gopher/MassiveText, DSIR)
+# ships not one filter but a weighted mixture; this operator is that
+# mixture over five REGISTERED signals, composed verbatim (the x2k/x6i
+# pattern — operator and oracle alike re-use the registered stages, so
+# the ensemble can never drift from the filters it combines):
+#
+#   x4c  distinct_ratio, stopword_ratio (lexical diversity / naturalness)
+#   x4i  top_word_frac, top_bigram_frac (Gopher repetition rules)
+#   x4q  flesch                         (readability)
+#   x4s  avg_logprob                    (corpus bigram-LM fluency;
+#                                        bigram-less docs take _X4T_LP_FILL)
+#   x6m  log_ratio                      (DSIR target-vs-corpus importance)
+#
+# Bit-exactness across engines: the ensemble consumes ONLY the rounded
+# columns the registered stages emit, and both engines combine them with
+# the identical left-associated expression tree — so the unrounded score
+# is bit-identical and the keep cutoff (score > 0, passes_quality) is
+# drift-free; the EMITTED score additionally takes the floor law
+# (unbounded quantity). Scale shape: five map-heavy stages joined on
+# doc_id — the join keys are unique per stage, so AQE plans plain
+# shuffle-hash joins; at 100 TB the stages pipeline per-document with no
+# stage materializing more than its signal columns.
+
+_X4T_WEIGHTS = (
+    ("distinct_ratio", 2.0),
+    ("top_word_frac", -3.0),
+    ("top_bigram_frac", -2.0),
+    ("stopword_ratio", 1.0),
+    ("flesch", 0.01),
+    ("avg_logprob", 0.2),
+    ("log_ratio", 0.05),
+)
+_X4T_CUTOFF = 0.0
+_X4T_LP_FILL = -10.0
+
+from .textanalysis import (  # noqa: E402
+    _X4I_ORACLE as _X4I_ORACLE_REF,
+    _X4Q_ORACLE as _X4Q_ORACLE_REF,
+    _X4S_ORACLE as _X4S_ORACLE_REF,
+)
+
+_X4T_SCORE_SQL = (
+    "2.0*c.distinct_ratio + -3.0*r.top_word_frac + -2.0*r.top_bigram_frac"
+    " + 1.0*c.stopword_ratio + 0.01*q.flesch"
+    f" + 0.2*coalesce(s.avg_logprob, {_X4T_LP_FILL})"
+    " + 0.05*m.log_ratio"
+)
+
+_X4T_ORACLE = f"""
+WITH c AS ({_X4C_ORACLE_REF}),
+r AS ({_X4I_ORACLE_REF}),
+q AS ({_X4Q_ORACLE_REF}),
+s AS ({_X4S_ORACLE_REF}),
+m AS ({_X6M_ORACLE})
+SELECT c.doc_id,
+       c.n_tokens,
+       floor(({_X4T_SCORE_SQL}) * 10000) / 10000 AS score,
+       (c.passes_quality AND ({_X4T_SCORE_SQL}) > {_X4T_CUTOFF}) AS keep
+FROM c
+JOIN r ON c.doc_id = r.doc_id
+JOIN q ON c.doc_id = q.doc_id
+LEFT JOIN s ON c.doc_id = s.doc_id
+JOIN m ON c.doc_id = m.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@register("x4t_quality_ensemble", oracle=_X4T_ORACLE, tags=("X4", "X6"))
+def x4t_quality_ensemble(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    cutoff: float = _X4T_CUTOFF,
+) -> DataFrame:
+    """Declared-weight quality ensemble over five registered signals
+    with a keep verdict (score > cutoff AND the x4c hard gate). The
+    ``weights`` override exists for the sensitivity pytest — the
+    registered entry always runs the declared defaults."""
+    from .textanalysis import (
+        x4c_quality_score,
+        x4i_repetition_profile,
+        x4q_readability,
+        x4s_bigram_logprob,
+    )
+
+    w = dict(_X4T_WEIGHTS)
+    if weights:
+        w.update(weights)
+    c = x4c_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
+        "passes_quality",
+    )
+    r = x4i_repetition_profile(spark, sf_dir).select(
+        "doc_id", "top_word_frac", "top_bigram_frac"
+    )
+    q = x4q_readability(spark, sf_dir).select("doc_id", "flesch")
+    s = x4s_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    m = x6m_importance_resample(spark, sf_dir).select("doc_id", "log_ratio")
+    j = (
+        c.join(r, "doc_id")
+        .join(q, "doc_id")
+        .join(s, "doc_id", "left")
+        .join(m, "doc_id")
+    )
+    signals = {
+        "distinct_ratio": F.col("distinct_ratio"),
+        "top_word_frac": F.col("top_word_frac"),
+        "top_bigram_frac": F.col("top_bigram_frac"),
+        "stopword_ratio": F.col("stopword_ratio"),
+        "flesch": F.col("flesch"),
+        "avg_logprob": F.coalesce(F.col("avg_logprob"), F.lit(_X4T_LP_FILL)),
+        "log_ratio": F.col("log_ratio"),
+    }
+    # fixed _X4T_WEIGHTS iteration order = the oracle's left-associated
+    # sum, so the unrounded double is bit-identical across engines
+    score = None
+    for name, _default in _X4T_WEIGHTS:
+        term = F.lit(w[name]) * signals[name]
+        score = term if score is None else score + term
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(score * 10000) / 10000).alias("score"),
+        (F.col("passes_quality") & (score > F.lit(cutoff))).alias("keep"),
+    ).orderBy("doc_id")

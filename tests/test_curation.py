@@ -631,3 +631,43 @@ def test_packing_scoreboard_agrees_with_both_packers(spark):
     assert all(
         r["bin_delta"] == r["n_bins_bfd"] - r["n_chunks_seq"] for r in sb.values()
     )
+
+
+def test_x4t_ensemble_weights_are_load_bearing(spark, sf_dir):
+    """x4t sensitivity law: the keep verdict must actually depend on
+    the declared weights — zeroing the repetition penalties admits at
+    least one document the full ensemble rejects, and the hard x4c
+    gate survives any weighting (no weights can admit a doc that fails
+    passes_quality). Also pins a healthy mixture: the default ensemble
+    neither keeps everything nor rejects everything."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x4t_quality_ensemble,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4c_quality_score,
+    )
+
+    full = {r["doc_id"]: r["keep"] for r in
+            x4t_quality_ensemble(spark, sf_dir).collect()}
+    n_keep = sum(full.values())
+    assert 0 < n_keep < len(full), (n_keep, len(full))
+
+    norep = {r["doc_id"]: r["keep"] for r in
+             x4t_quality_ensemble(
+                 spark, sf_dir,
+                 weights={"top_word_frac": 0.0, "top_bigram_frac": 0.0},
+             ).collect()}
+    admitted = [d for d in full if norep[d] and not full[d]]
+    assert admitted, "repetition penalties must reject something"
+    assert not [d for d in full if full[d] and not norep[d]], (
+        "dropping a penalty can only admit, never reject"
+    )
+
+    gate = {r["doc_id"]: r["passes_quality"] for r in
+            x4c_quality_score(spark, sf_dir).collect()}
+    lax = {r["doc_id"]: r["keep"] for r in
+           x4t_quality_ensemble(
+               spark, sf_dir, cutoff=-1000.0
+           ).collect()}
+    assert all(gate[d] for d, k in lax.items() if k)
+    assert any(not k for k in lax.values()) == any(not g for g in gate.values())
