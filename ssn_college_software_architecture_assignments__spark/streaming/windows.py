@@ -335,3 +335,64 @@ def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "purchase_ts",
     )
+
+
+# T10 — streaming cumulative distinct users (first-seen state) -------------------
+#
+# The streaming face of w11's first-seen rewrite — the "run the
+# connector again" growth dashboard kept fresh incrementally instead of
+# recomputed per day. The scale trap is identical to batch: streaming
+# COUNT(DISTINCT user) state grows per-EVENT; the rewrite's streaming
+# state is ONE (user, first-day) row per user (groupBy(user).min(day) —
+# the same bounded keyed state a streaming dedup holds), updated in
+# place as micro-batches arrive regardless of arrival order (min is
+# order-insensitive, so late or out-of-order events can never corrupt a
+# user's first day — a dropDuplicates-based face WOULD depend on
+# arrival order). The day-grain rollup and running sum happen batch-side
+# over the days-sized readback (w11's documented calendar-bounded
+# exception). At 100 TB: state O(users), per-batch work O(batch).
+
+_T10_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+nu AS (SELECT d0, count(*) AS new_users FROM fs GROUP BY d0)
+SELECT strftime(d0, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM nu
+ORDER BY day
+"""
+
+
+@register("t10_streaming_cumulative_distinct", oracle=_T10_ORACLE, tags=("T6",))
+def t10_streaming_cumulative_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct users computed by a REAL streaming job with
+    first-seen keyed state (one row per user), then rolled up to days
+    with a calendar-bounded running sum; the oracle is the batch
+    first-seen rewrite — the T-family batch-stream equivalence check."""
+    from pyspark.sql import Window as W
+
+    ev = stream_events(spark, sf_dir)
+    first_seen = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("d0"))
+    )
+    out = run_to_memory(first_seen, "complete")
+    nu = out.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    return (
+        nu.select(
+            F.date_format("d0", "yyyy-MM-dd").alias("day"),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users")
+            .over(W.orderBy("d0").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("cum_users"),
+        )
+        .orderBy("day")
+    )

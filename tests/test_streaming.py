@@ -208,3 +208,35 @@ def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
     )
     out = run_to_memory(counted, "complete").collect()
     assert (out[0]["n"], out[0]["id_sum"]) == (3, 6)
+
+
+def test_t10_matches_w11_batch_face(spark, sf_dir):
+    """t10/w11 cross-operator law: the streaming first-seen state must
+    reproduce the batch first-seen rewrite exactly — same new-user days,
+    same per-day new_users, and the same cumulative count wherever both
+    emit a day (w11 additionally emits zero-new-user active days, whose
+    cum must equal the last preceding t10 value)."""
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w11_cumulative_distinct,
+    )
+    from ssn_college_software_architecture_assignments__spark.streaming.windows import (
+        t10_streaming_cumulative_distinct,
+    )
+
+    t10 = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in t10_streaming_cumulative_distinct(spark, sf_dir).collect()
+    }
+    w11 = w11_cumulative_distinct(spark, sf_dir).collect()
+    assert t10, "fixture must produce at least one day"
+    seen_days = set()
+    running = 0
+    for r in sorted(w11, key=lambda r: r["day"]):
+        if r["new_users"] > 0:
+            assert r["day"] in t10, r["day"]
+            assert t10[r["day"]] == (r["new_users"], r["cum_users"])
+            seen_days.add(r["day"])
+            running = r["cum_users"]
+        else:
+            assert r["cum_users"] == running
+    assert seen_days == set(t10)
