@@ -583,3 +583,121 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# A14 — Count-Min Sketch frequency estimation ---------------------------------
+#
+# The fourth sketch family: point-frequency estimates (Cormode &
+# Muthukrishnan 2005). d=4 rows of w=16 counters — w is sized BELOW
+# the fixture's 31-token vocabulary so bucket collisions genuinely
+# occur and the min-of-rows estimate does real work; every token
+# increments one counter per row (bucket = portable 60-bit md5 hash of
+# "token#row" mod w — the engines share the hash, so the SKETCH ITSELF
+# is cross-engine identical, not just its guarantees), and the
+# estimate for a token is the MIN of its d counters. CMS never
+# underestimates (every counter the token touches holds its true count
+# plus non-negative collision mass), so est >= true is a hard law —
+# emitted as a column and pytest-pinned alongside the eps-delta bound.
+#
+# Scale shape: the sketch build is ONE map-side-combined
+# groupBy(row,bucket).count() whose result is d*w rows
+# regardless of corpus size — the mergeable-partials property that
+# makes CMS the 100 TB frequency answer (partition sketches ADD). The
+# probe side joins the term list being asked about (here the fixture's
+# bounded vocabulary; in production whatever watchlist the user
+# supplies) against the broadcast d*w-row sketch — the sketch itself
+# never holds full-vocab state, which is its entire reason to exist.
+
+_A14_D = 4  # sketch rows (independent hash functions)
+_A14_W = 16  # counters per row (< fixture vocab => real collisions)
+
+
+def _a14_bucket_sql(tok: str, row: str) -> str:
+    """DuckDB bucket expression from the same md5-60bit law as Spark."""
+    return (
+        f"CAST('0x' || substr(md5({tok} || '#' || CAST({row} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {_A14_W}"
+    )
+
+
+_A14_ORACLE = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+occ AS (
+  SELECT token, r.row AS row, {_a14_bucket_sql('token', 'r.row')} AS bucket
+  FROM t CROSS JOIN (SELECT unnest(range({_A14_D})) AS row) r
+),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt
+  FROM occ GROUP BY row, bucket
+),
+truth AS (
+  SELECT token, count(*) AS true_n FROM t GROUP BY token
+),
+probes AS (SELECT token, true_n FROM truth),
+est AS (
+  SELECT p.token, p.true_n, min(s.cnt) AS est_n
+  FROM probes p
+  CROSS JOIN (SELECT unnest(range({_A14_D})) AS row) r
+  JOIN sketch s
+    ON s.row = r.row AND s.bucket = {_a14_bucket_sql('p.token', 'r.row')}
+  GROUP BY p.token, p.true_n
+)
+SELECT token,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       est_n >= true_n AS never_under
+FROM est
+ORDER BY token
+"""
+
+
+@register("a14_countmin_sketch", oracle=_A14_ORACLE, tags=("A4", "X4"))
+def a14_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the probe vocabulary:
+    true count, sketch estimate, and the never-underestimates law.
+    The 4x16 sketch (deliberately collision-heavy) is bit-identical
+    across engines (shared portable hash), so the estimates — not just
+    their bounds — oracle-compare exactly."""
+    from ..catalog import ensure_min_partitions
+
+    from .dedup import _md5h60
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = ensure_min_partitions(docs).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = F.sequence(F.lit(0), F.lit(_A14_D - 1))
+
+    def bucket(tok, row):
+        return F.pmod(
+            _md5h60(F.concat(tok, F.lit("#"), row.cast("string"))),
+            F.lit(_A14_W),
+        )
+
+    # ONE explode carries all d rows; each occurrence contributes once
+    # per row, so count(*) per (row, bucket) IS that row's counter
+    occ = toks.select(
+        "token", F.explode(rows).alias("row")
+    ).select("row", bucket(F.col("token"), F.col("row")).alias("bucket"))
+    sketch = occ.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth
+    probe_rows = probes.select(
+        "token", "true_n", F.explode(rows).alias("row")
+    ).select(
+        "token", "true_n", "row",
+        bucket(F.col("token"), F.col("row")).alias("bucket"),
+    )
+    est = (
+        probe_rows.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.col("true_n")).alias("never_under"),
+    ).orderBy("token")

@@ -2038,3 +2038,69 @@ def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "step int, cluster_id long, n_members long, inertia double"
     ).orderBy("step", "cluster_id")
+
+
+# X3s — radius (range) similarity search ----------------------------------------
+#
+# The other half of the ANN API surface: top-k answers "the k nearest",
+# radius search answers "EVERYTHING within tau" — the form dedup
+# admission (x2d/x2j), contamination screens, and density estimates
+# actually consume, where the answer size is data-dependent. Same
+# dataflow as x3: the 8 query vectors broadcast, the corpus side does
+# all the scoring map-side, and the tau filter runs INSIDE the scan
+# stage — so the shuffle (the final sort) carries only matches, which
+# is the entire point of a radius query at 100 TB (a top-k would
+# shuffle k rows per query regardless of density; a radius query
+# shuffles exactly the neighborhood mass). The >= tau comparison uses
+# the raw fold on both engines — ordered zip accumulation is bit-exact
+# cross-engine (the w10/x3r law), so the cut cannot straddle.
+
+_X3S_TAU = 0.3
+
+_X3S_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT q_id, vec_id, round(cos_sim, 4) AS cos_sim
+FROM (
+  SELECT q.q_id, c.vec_id,
+         list_aggregate(list_transform(list_zip(q.q_emb, c.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q.q_emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.q_id <> c.vec_id
+)
+WHERE cos_sim >= {_X3S_TAU}
+ORDER BY q_id, vec_id
+"""
+
+
+@register("x3s_radius_search", oracle=_X3S_ORACLE, tags=("X3",))
+def x3s_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors with cosine >= tau of each query vector —
+    exact radius search, the data-dependent-answer ANN form. Matches
+    only cross the shuffle; the tau cut is bit-exact across engines."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
+    )
+    candidates = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    return (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _X3S_TAU)
+        .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+        .orderBy("q_id", "vec_id")
+    )

@@ -729,3 +729,65 @@ def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     ).orderBy("cohort_week", "week_offset")
+
+
+# W13 — rolling 7-day distinct users (explode-contribution rewrite) ------------
+#
+# The trailing-window sibling of w11's all-time count — and a distinct
+# scale trap of its own: COUNT(DISTINCT user) OVER (ORDER BY day RANGE
+# 6 PRECEDING) keeps a full user set in every window's state and Spark
+# refuses DISTINCT in window frames anyway. The public rewrite: a user
+# active on day d is a member of exactly the 7 windows ending d..d+6,
+# so distinct (user, day) activity explodes to its 7 TARGET days (a
+# fixed x7 fan-out of the already-day-deduped table, NOT of raw
+# events), re-dedupes on (user, target) — a user active several days
+# inside one window still counts once — and hash-aggregates. Every
+# stage is a bounded-key shuffle with map-side combine; no per-window
+# user-set state exists anywhere. Emitted days are the days with
+# actual activity (dashboard semantics; trailing windows of silent
+# days would extend the frame, not the fixture).
+
+_W13_DAYS = 7
+
+_W13_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT DISTINCT user_id, ud.day + CAST(o.i AS INT) AS target
+  FROM ud CROSS JOIN (SELECT unnest(range({_W13_DAYS})) AS i) o
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS rolling_users
+FROM days d JOIN contrib c ON c.target = d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
+
+@register("w13_rolling_distinct_users", oracle=_W13_ORACLE, tags=("W3", "A3"))
+def w13_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, per active day —
+    via the explode-contribution rewrite (day-deduped activity fans
+    out to its 7 target windows; no distinct-over-window state)."""
+    ev = Catalog(spark, sf_dir).events
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_W13_DAYS - 1))
+        ).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("target"))
+    return (
+        days.join(contrib, days["day"] == contrib["target"])
+        .groupBy(days["day"].alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_users"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "rolling_users")
+        .orderBy("day")
+    )

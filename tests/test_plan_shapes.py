@@ -490,3 +490,14 @@ def test_span_dedup_mapcombine_twin_plan_shape(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_sketch_build_is_map_combined(spark):
+    """a14: the sketch build must be a partial+final HashAggregate
+    (partition sketches ADD — the mergeable-partials property), the
+    probe join must broadcast the d*w-row sketch, and nothing plans
+    all-pairs."""
+    plan = _plan(spark, "a14_countmin_sketch")
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -771,3 +771,39 @@ def test_retention_cohort_sizes_sum_to_total_distinct_users(spark):
         r["cum_users"] for r in w11_cumulative_distinct(spark, SF_DIR_001).collect()
     )
     assert sum(cohorts.values()) == final_cum
+
+
+def test_w13_rolling_window_laws(spark):
+    """w13 laws at sf0.001: (1) a brute-force Python recomputation of
+    the trailing 7-day distinct count agrees on every active day;
+    (2) the rolling count dominates the single-day active count and
+    never exceeds w11's cumulative total (frame-nesting sandwich)."""
+    import datetime
+
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        _W13_DAYS,
+        w11_cumulative_distinct,
+        w13_rolling_distinct_users,
+    )
+
+    got = {
+        r["day"]: r["rolling_users"]
+        for r in w13_rolling_distinct_users(spark, SF_DIR_001).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR_001}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    activity = {(r["user_id"], r["ts"].date()) for r in ev}
+    days = sorted({d for _, d in activity})
+    for d in days:
+        lo = d - datetime.timedelta(days=_W13_DAYS - 1)
+        brute = len({u for (u, ad) in activity if lo <= ad <= d})
+        assert got[d.isoformat()] == brute, d
+    assert set(got) == {d.isoformat() for d in days}
+
+    w11 = {
+        r["day"]: r for r in w11_cumulative_distinct(spark, SF_DIR_001).collect()
+    }
+    for day, n in got.items():
+        assert n >= w11[day]["active_users"]
+        assert n <= w11[day]["cum_users"]
