@@ -1362,3 +1362,121 @@ def x4t_quality_ensemble(
         (F.floor(score * 10000) / 10000).alias("score"),
         (F.col("passes_quality") & (score > F.lit(cutoff))).alias("keep"),
     ).orderBy("doc_id")
+
+
+# X6n — temperature-scaled mixture sampling (data-DERIVED rates) ---------------
+#
+# x6c samples with DECLARED per-stratum rates and x6e computes weights
+# toward a declared target mixture; x6n closes the loop with the public
+# multilingual recipe (mBERT / XLM-R exponent sampling): the target
+# share of source s is n_s^alpha / sum(n^alpha) with alpha = 0.5 — a
+# temperature that flattens the source distribution, upweighting
+# low-resource sources relative to their natural share — under a total
+# token budget of half the corpus, capped at keep-everything (an
+# acceptance sampler can only downsample; rate 1.0 = the cap).
+#
+# Determinism contract: the per-source rate is rounded at 6dp INSIDE
+# both engines before the per-document threshold test
+# (split_hash(doc) < rate * 2^32, the x6c/x6 portable-hash family), so
+# both engines accept the exact same document set. Scale shape: one
+# map-combined hash-agg collapses the corpus to a sources-sized table,
+# the rate math runs over that tiny frame crossed with a 1-row
+# broadcast total, and the acceptance pass is a broadcast equi-join on
+# source + a map-side filter — the corpus subtree is planned twice
+# (rates + acceptance; persist the per-doc token counts in production,
+# the x6m note).
+
+_X6N_ALPHA_SQL = "sqrt"  # alpha = 0.5 == sqrt, bit-exact in both engines
+_X6N_BUDGET_FRAC = 0.5
+
+_X6N_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+         sum(n_tokens) AS grand
+  FROM per
+),
+rates AS (
+  SELECT source, n_docs, n_tokens,
+         round(least(1.0,
+           ({_X6N_BUDGET_FRAC} * grand)
+             * (sqrt(CAST(n_tokens AS DOUBLE)) / z) / n_tokens), 6) AS rate
+  FROM per CROSS JOIN tot
+),
+acc AS (
+  SELECT d.source, count(*) AS n_accepted, sum(n_tok) AS tokens_accepted
+  FROM d JOIN rates USING (source)
+  WHERE ({_HASH_SQL}) < rate * 4294967296
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT)                        AS n_docs,
+       CAST(r.n_tokens AS BIGINT)                      AS n_tokens,
+       r.rate                                          AS rate,
+       CAST(coalesce(a.n_accepted, 0) AS BIGINT)       AS n_accepted,
+       CAST(coalesce(a.tokens_accepted, 0) AS BIGINT)  AS tokens_accepted
+FROM rates r LEFT JOIN acc a ON r.source = a.source
+ORDER BY r.source
+"""
+
+
+@register("x6n_temperature_mixture", oracle=_X6N_ORACLE, tags=("X6",))
+def x6n_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponent (temperature) sampling: per-source acceptance rates
+    derived from n_tokens^0.5 shares under a half-corpus token budget,
+    then actually applied per document with the portable hash — the
+    multilingual-recipe sampler with its realized per-source yield."""
+    docs = Catalog(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum("n_tokens").alias("grand"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.lit(_X6N_BUDGET_FRAC) * F.col("grand"))
+            * (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"))
+            / F.col("n_tokens"),
+        ),
+        6,
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", rate.alias("rate")
+    )
+    acc = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(split_hash("doc_id") < F.col("rate") * F.lit(4294967296.0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_accepted"),
+            F.sum("n_tok").alias("tokens_accepted"),
+        )
+    )
+    return (
+        rates.join(acc, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "rate",
+            F.coalesce(F.col("n_accepted"), F.lit(0))
+            .cast("long")
+            .alias("n_accepted"),
+            F.coalesce(F.col("tokens_accepted"), F.lit(0))
+            .cast("long")
+            .alias("tokens_accepted"),
+        )
+        .orderBy("source")
+    )

@@ -1857,3 +1857,102 @@ def x5p_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decimate_wav_batch, DECIMATE_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# X5q — per-channel intensity histogram + entropy ------------------------------
+#
+# The image-statistics pass a multimodal curation pipeline runs right
+# after decode (exposure/contrast screens, near-constant-image drops):
+# per (image, channel), a 4-bin intensity histogram and its Shannon
+# entropy. Runs over the x5e PPM kernel as a real Arrow decode pass
+# (payloads never leave executors, one row per channel out); every bin
+# count is oracle-predicted from the deterministic pixel formula, the
+# x5o pattern. Malformed payloads emit the labeled decode_status
+# sentinel row (channel = -1), the x5p/x5o contract. Entropy folds the
+# ascending-bin -p*ln(p) terms in the same order in both engines.
+
+_X5Q_BINS = 4  # intensity quartiles: value >> 6
+
+_X5Q_SCHEMA = (
+    "doc_id long, channel int, bin0 long, bin1 long, bin2 long, bin3 long, "
+    "entropy double, decode_status string"
+)
+
+
+def histogram_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow pass: P6 payload -> per-channel 4-bin histogram + entropy."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "channel", "bin0", "bin1", "bin2", "bin3",
+            "entropy", "decode_status",
+        )}
+
+        def emit(doc_id, ch, bins, ent, status):
+            rows["doc_id"].append(doc_id)
+            rows["channel"].append(ch)
+            for b in range(_X5Q_BINS):
+                rows[f"bin{b}"].append(int(bins[b]))
+            rows["entropy"].append(ent)
+            rows["decode_status"].append(status)
+
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, raster = _parse_ppm_raster(bytes(payload))
+            except ValueError as exc:
+                emit(doc_id, -1, [0] * _X5Q_BINS, 0.0, f"error: {exc}")
+                continue
+            img = raster.reshape(h * w, 3)
+            n = float(h * w)
+            for ch in range(3):
+                bins = np.bincount(img[:, ch] >> 6, minlength=_X5Q_BINS)
+                ent = 0.0
+                for c in bins:  # ascending-bin order, matching the oracle
+                    if c:
+                        p = c / n
+                        ent += -p * math.log(p)
+                emit(doc_id, ch, bins, round(ent, 4), "ok")
+        yield pd.DataFrame(rows)
+
+
+_X5Q_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+),
+ch AS (
+  SELECT doc_id, w * h AS n, c.i AS channel
+  FROM dims, LATERAL (SELECT unnest(range(3)) AS i) c
+),
+hist AS (
+  SELECT doc_id, channel, n,
+         list_transform(range({_X5Q_BINS}),
+           b -> len(list_filter(range(n),
+             p -> ((doc_id * 31 + (p * 3 + channel)) % 256) // 64 = b))) AS bins
+  FROM ch
+)
+SELECT doc_id,
+       CAST(channel AS INT) AS channel,
+       CAST(bins[1] AS BIGINT) AS bin0,
+       CAST(bins[2] AS BIGINT) AS bin1,
+       CAST(bins[3] AS BIGINT) AS bin2,
+       CAST(bins[4] AS BIGINT) AS bin3,
+       round(list_aggregate(list_transform(list_filter(bins, x -> x > 0),
+         x -> -(x / CAST(n AS DOUBLE)) * ln(x / CAST(n AS DOUBLE))), 'sum'), 4)
+         AS entropy,
+       'ok' AS decode_status
+FROM hist
+ORDER BY doc_id, channel
+"""
+
+
+@register("x5q_image_histogram", oracle=_X5Q_ORACLE, tags=("X5",))
+def x5q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (image, channel): 4-bin intensity histogram and Shannon
+    entropy over the PPM kernel — the post-decode exposure/contrast
+    screen, every count oracle-predicted from the pixel formula."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(histogram_ppm_batch, _X5Q_SCHEMA)

