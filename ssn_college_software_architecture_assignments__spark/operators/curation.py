@@ -1278,11 +1278,21 @@ from .textanalysis import (  # noqa: E402
     _X4S_ORACLE as _X4S_ORACLE_REF,
 )
 
-_X4T_SCORE_SQL = (
-    "2.0*c.distinct_ratio + -3.0*r.top_word_frac + -2.0*r.top_bigram_frac"
-    " + 1.0*c.stopword_ratio + 0.01*q.flesch"
-    f" + 0.2*coalesce(s.avg_logprob, {_X4T_LP_FILL})"
-    " + 0.05*m.log_ratio"
+# signal name -> the SQL expression carrying it (single generation
+# site: the oracle's score term list is BUILT from _X4T_WEIGHTS, so a
+# weight edit can never desynchronize operator and oracle)
+_X4T_SIGNAL_SQL = {
+    "distinct_ratio": "c.distinct_ratio",
+    "top_word_frac": "r.top_word_frac",
+    "top_bigram_frac": "r.top_bigram_frac",
+    "stopword_ratio": "c.stopword_ratio",
+    "flesch": "q.flesch",
+    "avg_logprob": f"coalesce(s.avg_logprob, {_X4T_LP_FILL})",
+    "log_ratio": "m.log_ratio",
+}
+
+_X4T_SCORE_SQL = " + ".join(
+    f"{w}*{_X4T_SIGNAL_SQL[name]}" for name, w in _X4T_WEIGHTS
 )
 
 _X4T_ORACLE = f"""
@@ -1324,6 +1334,9 @@ def x4t_quality_ensemble(
 
     w = dict(_X4T_WEIGHTS)
     if weights:
+        unknown = set(weights) - set(w)
+        if unknown:
+            raise ValueError(f"unknown ensemble signals: {sorted(unknown)}")
         w.update(weights)
     c = x4c_quality_score(spark, sf_dir).select(
         "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",

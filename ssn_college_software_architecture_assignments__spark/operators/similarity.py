@@ -2007,9 +2007,14 @@ def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # ONE aggregate carries the next centroids AND the step stats:
         # per (cid, dim), the rounded mean, the member count, and the
-        # cluster's inertia (sum(best_d) repeats identically at every
-        # dim of a cluster — each member contributes once per dim).
-        # Rounding happens IN Spark (HALF_UP) before the collect.
+        # cluster's inertia. Each member contributes its best_d once
+        # per dim, so every dim group sums the same MULTISET — but in
+        # different accumulation orders, and a sum near a .xx5 2dp
+        # boundary could round differently across dims. The stats
+        # therefore come from the dim_idx == 0 row ONLY (deterministic
+        # pick; review-caught — "take whichever row collects last" was
+        # a repeat-gate hazard). Rounding happens IN Spark (HALF_UP)
+        # before the collect.
         m = (
             assigned.select(
                 F.col("a.cid").alias("cid"),
@@ -2028,7 +2033,8 @@ def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen: dict[int, tuple[int, float]] = {}
         for r in rows:
             newc.setdefault(r["cid"], {})[r["dim_idx"]] = r["newv"]
-            seen[r["cid"]] = (r["n_members"], r["inertia"])
+            if r["dim_idx"] == 0:
+                seen[r["cid"]] = (r["n_members"], r["inertia"])
         for cid in sorted(cent):
             n, inertia = seen.get(cid, (0, 0.0))
             stats.append((step, cid, n, inertia))

@@ -40,6 +40,11 @@ def default_parallelism() -> int:
 
 
 _PKG_SHIPPED_APP_IDS: set[str] = set()
+# failed ship attempts per applicationId; retrying covers transient
+# failures, the bound stops a PERSISTENT failure (read-only /tmp, disk
+# full) from silently re-zipping the whole package on every query
+_PKG_SHIP_ATTEMPTS: dict[str, int] = {}
+_PKG_SHIP_MAX_ATTEMPTS = 3
 
 
 def _ship_package_to_workers(spark: SparkSession) -> None:
@@ -58,9 +63,12 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
     applicationId, not a process flag: a driver that stops its session
     and builds a new one needs the zip shipped AGAIN (addPyFile state
     dies with the context)."""
+    tmp_dir = None
     try:
         app_id = spark.sparkContext.applicationId
         if app_id in _PKG_SHIPPED_APP_IDS:
+            return
+        if _PKG_SHIP_ATTEMPTS.get(app_id, 0) >= _PKG_SHIP_MAX_ATTEMPTS:
             return
         import os
         import shutil
@@ -77,18 +85,29 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
             # already worker-visible — remember so repeat calls stay cheap
             _PKG_SHIPPED_APP_IDS.add(app_id)
             return
-        zip_base = os.path.join(
-            tempfile.mkdtemp(prefix="ssn_spark_pkg_"), "ssn_spark_pkg"
-        )
+        _PKG_SHIP_ATTEMPTS[app_id] = _PKG_SHIP_ATTEMPTS.get(app_id, 0) + 1
+        tmp_dir = tempfile.mkdtemp(prefix="ssn_spark_pkg_")
         archive = shutil.make_archive(
-            zip_base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
+            os.path.join(tmp_dir, "ssn_spark_pkg"),
+            "zip",
+            root_dir=root,
+            base_dir=os.path.basename(pkg_dir),
         )
         spark.sparkContext.addPyFile(archive)
         # only a SUCCESSFUL ship disables retries: a transient failure
-        # (full tmpdir, fs error) must not permanently skip shipping
+        # (full tmpdir, fs error) must not permanently skip shipping.
+        # The archive dir is kept alive on success — executors fetch the
+        # zip lazily from this path for the app's whole lifetime.
+        tmp_dir = None
         _PKG_SHIPPED_APP_IDS.add(app_id)
     except Exception:
         pass
+    finally:
+        if tmp_dir is not None:
+            # failed attempt: don't leak one temp dir per retry
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -1152,6 +1152,11 @@ def cdc_apply_partitioned(
     rows, ready for a dynamic-mode overwrite. ``part_col`` must be one
     of ``compare_cols`` (the delta carries old_/new_ values for it, so
     deletes route to their OLD partition and moves touch both)."""
+    if part_col not in compare_cols:
+        raise ValueError(
+            f"part_col {part_col!r} must be one of compare_cols "
+            f"{compare_cols!r} so the delta carries its old_/new_ values"
+        )
     touched = (
         delta.select(
             F.coalesce(F.col(f"new_{part_col}"), F.col(f"old_{part_col}")).alias(
@@ -1258,8 +1263,16 @@ def s20_incremental_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, lake_path, delta,
         key_cols=["o_orderkey"], compare_cols=cols, part_col="order_month",
     )
+    # WAP discipline (s17's lesson, review-enforced): the merged frame's
+    # lineage READS lake_path, so overwriting it in the same action
+    # would leave a mid-write failure with neither the old nor the new
+    # touched partitions. Stage the merge to its own dir first; the
+    # dynamic overwrite then reads only the staged copy.
+    staging = f"{base}/merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
     (
-        merged.write.partitionBy("order_month")
+        spark.read.parquet(staging)
+        .write.partitionBy("order_month")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(lake_path)

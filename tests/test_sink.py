@@ -422,8 +422,11 @@ def test_s20_merge_rewrites_only_touched_partitions(spark, sf_dir):
         spark, lake, delta, key_cols=["o_orderkey"], compare_cols=cols,
         part_col="order_month",
     )
+    staging = f"{base}/staging"
+    merged.write.mode("overwrite").parquet(staging)
     (
-        merged.write.partitionBy("order_month").mode("overwrite")
+        spark.read.parquet(staging)
+        .write.partitionBy("order_month").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(lake)
     )
     after = file_hashes(lake)
