@@ -82,69 +82,33 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 23 round-9 additions — no driver evidence exists
-    # (substring span dedup + its per-source rollup, DSIR importance
-    # resampling, BFD packing + the packing scoreboard, the
-    # Q15/Q6/Q7/Q8 SQL shapes, the Zipf fit, cumulative distinct
-    # users, the MRL refine funnel, image patchify, the k-means Lloyd
-    # step, CDC apply, Flesch readability, audio decimation, dynamic
-    # partition overwrite, the nearest-direction as-of join, containment
-    # rescore, the NOT IN null-semantics probe, bigram-LM scoring,
-    # retention cohorts)
-    "x2s_substring_span_dedup",
-    "x2s2_span_dedup_by_source",
-    "x6m_importance_resample",
-    "x6b2_bfd_packing",
-    "x6h2_packing_comparison",
-    "e2_sql_top_supplier",
-    "e2_sql_forecast_revenue",
-    "e2_sql_volume_shipping",
-    "e2_sql_market_share",
-    "x4p_zipf_fit",
-    "w11_cumulative_distinct",
-    "x3q_mrl_refine_topk",
-    "x5o_image_patchify",
-    "x3r_kmeans_step",
-    "s18_cdc_apply",
-    "x4q_readability",
-    "x5p_audio_decimate",
-    "s19_dynamic_partition_overwrite",
-    "j8c_asof_join_nearest",
-    "x2v_containment_rescore",
-    "u6_not_in_null_semantics",
-    "x4s_bigram_logprob",
-    "w12_retention_cohorts",
-    # tier 2: the 50-id cohort whose newest driver row is r5 — the
-    # oldest evidence tier; r8's VERDICT queued them for r9's slots.
-    # 23 + 50 > the ~50-slot budget, so ~23 of these roll to r10
-    # (they stay ahead of everything younger).
-    "a1_count_validate",
-    "a2_groupby_agg",
-    "a3_distinct",
-    "a5_cube",
-    "a5_rollup",
-    "a6_percentiles",
-    "a7_collect_agg",
-    "a8_pivot",
-    "f_array_family",
-    "f_conditional_family",
-    "f_datetime_family",
-    "f_hash_family",
-    "f_json_family",
-    "f_math_family",
-    "f_string_family",
-    "f_struct_family",
-    "j10_salted_skew_join",
-    "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_full_outer_join",
-    "j4_semi_join",
-    "j5_anti_join",
-    "j6_broadcast_join",
-    "j7_range_join",
-    "j8_asof_join",
-    "j9_cross_join",
-    "o1_order_by",
+    # tier 1: the 16 round-10 additions — no driver evidence exists
+    # (the Q20 nested-IN semi-join stack + the Q2/Q9/Q11/Q12/Q16 shapes
+    # completing all 22 TPC-H structures, the x2s3 map-combined
+    # gram-count twin, the k-means training loop, the partition-scoped
+    # lake merge, the quality ensemble, streaming cumulative distinct,
+    # the Count-Min sketch, rolling 7-day distinct users, radius
+    # search, the image histogram, temperature mixture sampling)
+    "e2_sql_promising_parts",
+    "x2s3_span_dedup_mapcombine",
+    "x3r2_kmeans_train",
+    "s20_incremental_lake_merge",
+    "x4t_quality_ensemble",
+    "t10_streaming_cumulative_distinct",
+    "a14_countmin_sketch",
+    "w13_rolling_distinct_users",
+    "x3s_radius_search",
+    "x5q_image_histogram",
+    "x6n_temperature_mixture",
+    "e2_sql_min_cost_supplier",
+    "e2_sql_product_profit",
+    "e2_sql_important_stock",
+    "e2_sql_priority_shipping",
+    "e2_sql_supplier_part_counts",
+    # tier 2: the evidence-age rotation — the 23 ids whose newest
+    # driver row is still r5 (the cohort remainder r9's additions
+    # displaced), then the oldest r6 ids filling the ~50-slot budget;
+    # the rest of the r6 cohort sits first below the line
     "o2_limit_topn",
     "o3_top_k_per_group",
     "p1_project",
@@ -168,66 +132,8 @@ _CHECK_PRIORITY = (
     "w6_sessionize",
     "x1_exact_dedup",
     "x3_similarity_bruteforce",
-    # tier 3: source touched by round-9 changes (w10 null filter,
-    # x2p id-packing guard, Q21 LIKE escape, a13 comment) — re-prove
-    "w10_ewma",
-    "x2p_paragraph_near_dedup",
-    "e2_sql_waiting_orders",
-    "a13_heavy_hitters",
-    # ---- ~50-query driver budget line is far above; below: the
-    # remainder in prior stalest-first order (r6, then r7, then r8)
-    "w4b_quartile_cutpoints",
-    "x4n2_quality_deciles_scalable",
-    "s16b_zorder_layout_scalable",
-    "x6k_incremental_admission_funnel",
-    "e2_sql_order_distribution",
-    "e2_sql_dormant_customers",
-    "x2q_duplicated_gram_mass",
-    "x3n_pq_refine_topk",
-    "x5l_audio_silence_trim",
-    "j8b_asof_join_tolerance",
-    "x6l_shard_manifest",
-    "f4_iter_udf",
-    "x2r_cross_source_gram_flow",
-    "s17_write_audit_publish",
-    "x4o_token_entropy",
-    "x3p_ivf_nprobe_sweep",
-    "x5m_image_phash_dedup",
-    "x5n_audio_fingerprint_dedup",
-    "u5_bag_setops",
-    "j11_bucketed_join",
-    "t7_incremental_sink",
-    "t8_stream_static_join",
-    "t9_stream_stream_join",
-    "x1b_incremental_dedup",
-    "x2c_ngram_jaccard",
-    "x2d_embedding_neardup",
-    "x2e_dedup_clusters",
-    "x2g_minhash_full_oracle",
-    "x2h_short_docs",
-    "x3d_similarity_ivf",
-    "x4a_token_count",
-    "x4a2_bpe_token_count",
-    "x4c_quality_score",
-    "x4d_fingerprint",
-    "x4d2_winnowing",
-    "x4e_lang_id",
-    "x4f_corpus_curation",
-    "x4g_column_profile",
-    "x4h_pii_redaction",
-    "x5b_multimodal_decode",
-    "x5d_resize",
-    "x5g_ppm_resize",
-    "x5h_ppm_frame_sample",
-    "x6b_sequence_packing",
-    "x6c_mixture_sample",
-    "x6d_decontamination",
-    "x5i_audio_rms_profile",
     "x5e_ppm_decode",
-    "x5j_image_channel_stats",
-    "x5k_scene_change",
     "x5c_frame_sample",
-    "x4n_quality_deciles",
     "s16_zorder_layout",
     "s1_rest_source",
     "s2_paginated_read",
@@ -237,6 +143,18 @@ _CHECK_PRIORITY = (
     "s10_upsert_latest_wins",
     "t1_tumbling_window",
     "f1_pandas_udf",
+    # tier 3: source touched by round-10 changes (the x2s front/back
+    # refactor shared with x2s3, the x3r argmin rebind, the x5o decode
+    # sentinel, the Q6/Q7/Q8 rounding hardening) — re-prove
+    "x2s_substring_span_dedup",
+    "x2s2_span_dedup_by_source",
+    "x3r_kmeans_step",
+    "x5o_image_patchify",
+    "e2_sql_forecast_revenue",
+    "e2_sql_volume_shipping",
+    "e2_sql_market_share",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder, stalest evidence first (r6 leftovers, then r7, r8, r9)
     "a4_approx_count_distinct",
     "w7_funnel_detect",
     "u4_union_schema_drift",
@@ -276,6 +194,10 @@ _CHECK_PRIORITY = (
     "s2c_link_header_read",
     "s3_rate_limited_read",
     "s9b_rest_stream",
+    "x5i_audio_rms_profile",
+    "x5j_image_channel_stats",
+    "x5k_scene_change",
+    "x4n_quality_deciles",
     "a11b_cdc_rollup_compose",
     "x6d2_decontamination_normalized",
     "x2i_lsh_exact_rescore",
@@ -322,6 +244,99 @@ _CHECK_PRIORITY = (
     "e2_sql_shipping_priority",
     "e2_sql_exists_priority",
     "e2_sql_scalar_subquery",
+    "w10_ewma",
+    "x2p_paragraph_near_dedup",
+    "e2_sql_waiting_orders",
+    "a13_heavy_hitters",
+    "w4b_quartile_cutpoints",
+    "x4n2_quality_deciles_scalable",
+    "s16b_zorder_layout_scalable",
+    "x6k_incremental_admission_funnel",
+    "e2_sql_order_distribution",
+    "e2_sql_dormant_customers",
+    "x2q_duplicated_gram_mass",
+    "x3n_pq_refine_topk",
+    "x5l_audio_silence_trim",
+    "j8b_asof_join_tolerance",
+    "x6l_shard_manifest",
+    "f4_iter_udf",
+    "x2r_cross_source_gram_flow",
+    "s17_write_audit_publish",
+    "x4o_token_entropy",
+    "x3p_ivf_nprobe_sweep",
+    "x5m_image_phash_dedup",
+    "x5n_audio_fingerprint_dedup",
+    "u5_bag_setops",
+    "j11_bucketed_join",
+    "t7_incremental_sink",
+    "t8_stream_static_join",
+    "t9_stream_stream_join",
+    "x1b_incremental_dedup",
+    "x2c_ngram_jaccard",
+    "x2d_embedding_neardup",
+    "x2e_dedup_clusters",
+    "x2g_minhash_full_oracle",
+    "x2h_short_docs",
+    "x3d_similarity_ivf",
+    "x4a_token_count",
+    "x4a2_bpe_token_count",
+    "x4c_quality_score",
+    "x4d_fingerprint",
+    "x4d2_winnowing",
+    "x4e_lang_id",
+    "x4f_corpus_curation",
+    "x4g_column_profile",
+    "x4h_pii_redaction",
+    "x5b_multimodal_decode",
+    "x5d_resize",
+    "x5g_ppm_resize",
+    "x5h_ppm_frame_sample",
+    "x6b_sequence_packing",
+    "x6c_mixture_sample",
+    "x6d_decontamination",
+    "x6m_importance_resample",
+    "x6b2_bfd_packing",
+    "x6h2_packing_comparison",
+    "e2_sql_top_supplier",
+    "x4p_zipf_fit",
+    "w11_cumulative_distinct",
+    "x3q_mrl_refine_topk",
+    "s18_cdc_apply",
+    "x4q_readability",
+    "x5p_audio_decimate",
+    "s19_dynamic_partition_overwrite",
+    "j8c_asof_join_nearest",
+    "x2v_containment_rescore",
+    "u6_not_in_null_semantics",
+    "x4s_bigram_logprob",
+    "w12_retention_cohorts",
+    "a1_count_validate",
+    "a2_groupby_agg",
+    "a3_distinct",
+    "a5_cube",
+    "a5_rollup",
+    "a6_percentiles",
+    "a7_collect_agg",
+    "a8_pivot",
+    "f_array_family",
+    "f_conditional_family",
+    "f_datetime_family",
+    "f_hash_family",
+    "f_json_family",
+    "f_math_family",
+    "f_string_family",
+    "f_struct_family",
+    "j10_salted_skew_join",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_full_outer_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_broadcast_join",
+    "j7_range_join",
+    "j8_asof_join",
+    "j9_cross_join",
+    "o1_order_by",
 )
 
 
