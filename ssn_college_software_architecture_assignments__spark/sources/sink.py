@@ -18,6 +18,7 @@ format (including the MongoDB Spark connector) unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -1277,6 +1278,7 @@ def s20_incremental_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitionOverwriteMode", "dynamic")
         .parquet(lake_path)
     )
+    shutil.rmtree(staging, ignore_errors=True)  # published — reclaim the copy
 
     lake = spark.read.parquet(lake_path)
     return (
