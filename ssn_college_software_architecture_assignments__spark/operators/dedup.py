@@ -2526,3 +2526,141 @@ def x2v_containment_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# X2w — exact similarity join via PREFIX FILTERING (AllPairs/PPJoin family) ----
+#
+# The third candidate-generation strategy next to MinHash banding
+# (probabilistic recall) and SemDeDup clustering (semantic): an EXACT
+# similarity join — every pair with Jaccard >= t, guaranteed, without
+# an all-pairs stage. Public method (Chaudhuri et al. ICDE'06; Bayardo
+# et al. WWW'07 "Scaling Up All Pairs"): order every document's
+# shingle set by a global canonical order (ascending document
+# frequency, so prefixes hold the RAREST shingles), keep only the
+# first |S| - ceil(t*|S|) + 1 shingles of each document (its prefix),
+# and equi-join prefixes: if J(A,B) >= t then |A n B| >= ceil(t*|A|)
+# and >= ceil(t*|B|), and by pigeonhole two sets overlapping that much
+# MUST share a prefix element — so the equi-join's candidates are a
+# guaranteed superset and the exact verify loses nothing. The oracle is
+# the NAIVE all-pairs join: equality of the two result sets IS the
+# completeness theorem, checked cross-engine.
+#
+# Scale shape: candidates come from an equi-join on single shingle
+# hashes (rarest-first prefixes keep posting lists short — the whole
+# point of the frequency order), the verify joins full sets only for
+# the candidate pairs, and the corpus never crosses a cartesian. The
+# fixture is x2v's absorbed corpus (even docs embedded in their odd
+# neighbors) over doc_id < 240 so planted pairs span J ~0.5-0.97 and
+# the naive oracle stays cheap; the operator's dataflow is
+# corpus-size-agnostic.
+
+_X2W_T = 0.5  # Jaccard threshold
+
+_X2W_DOCS_SQL = """
+  SELECT a.doc_id AS doc_id,
+         CASE WHEN a.doc_id % 2 = 1 AND b.text IS NOT NULL
+              THEN b.text || ' ' || a.text ELSE a.text END AS text
+  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+  WHERE a.doc_id < 240"""
+
+_X2W_ORACLE = f"""
+WITH docs AS ({_X2W_DOCS_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - {_X2Q_K - 1}, 0) + 1),
+           i -> CAST('0x' || substr(md5(array_to_string(t[i:i+{_X2Q_K - 1}], ' ')), 1, 15) AS BIGINT)))
+           AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       round(len(list_intersect(a.s, b.s))
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                    AS DOUBLE), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+      >= {_X2W_T} * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+ORDER BY id_a, id_b
+"""
+
+
+@register("x2w_prefix_filter_join", oracle=_X2W_ORACLE, tags=("X2",))
+def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document pair with shingle-set Jaccard >= 0.5, found by
+    frequency-ordered prefix filtering + equi-join + exact verify —
+    never all-pairs. The oracle is the naive all-pairs join, so the
+    comparison IS the prefix filter's completeness theorem."""
+    base = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 240)
+    nbr = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("nbr_text")
+    )
+    docs2 = base.join(nbr, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 2 == 1) & F.col("nbr_text").isNotNull(),
+            F.concat(F.col("nbr_text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = docs2.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                token_shingles(F.split("text", " "), _X2Q_K),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("s"),
+    )
+    occ = sh.select("doc_id", F.explode("s").alias("gh"))
+    df_counts = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    # per-doc shingles in canonical (doc-frequency asc, gh asc) order;
+    # the prefix keeps the RAREST shingles, which is what keeps the
+    # candidate equi-join's posting lists short
+    ranked = (
+        occ.join(df_counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("n_docs", "gh"))
+            ).alias("ordered")
+        )
+    )
+    n = F.size("ordered")
+    prefix_len = n - F.ceil(F.lit(_X2W_T) * n).cast("int") + 1
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["gh"]
+            )
+        ).alias("gh"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    ni = F.size(F.array_intersect("sa", "sb"))
+    union_n = (F.size("sa") + F.size("sb") - ni).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ni >= F.lit(_X2W_T) * union_n)
+        .select(
+            "id_a",
+            "id_b",
+            ni.cast("long").alias("n_common"),
+            F.round(ni / union_n, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

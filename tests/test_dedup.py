@@ -846,3 +846,63 @@ def test_x2s3_mapcombine_twin_is_byte_identical_to_x2s(spark):
         assert a[k] == b[k], (a[k], b[k])
         trimmed += int(a[k]["n_dup_spans"] > 0)
     assert trimmed > 0, "fixture must exercise the span machinery"
+
+
+def test_x2w_prefix_filter_completeness_at_threshold(spark, tmp_path):
+    """x2w law on a handmade corpus engineered AT the threshold: doc 1
+    and doc 2 (ids 2 and 4) share exactly 20 of their 30 8-gram
+    shingles (J = 20/40 = 0.5, exactly t) — the prefix filter must
+    still surface the pair (completeness has no slack at the
+    boundary); a clearly-below-t pair must be excluded; a disjoint doc
+    must pair with nothing. Truth from an independent Python
+    recomputation."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2w_prefix_filter_join,
+    )
+
+    # below-threshold pair: a 19-token shared block between two docs
+    # whose own 19-token halves dominate (J ~ 0.19 < t)
+    shared = [f"s{i}" for i in range(19)]
+    doc1 = shared + [f"fa{i}" for i in range(7)] + [f"a{i}" for i in range(19)]
+    doc2 = shared + [f"fb{i}" for i in range(7)] + [f"b{i}" for i in range(19)]
+    # exact-boundary engineering: a 27-token shared block gives 20
+    # pure-shared shingles; a 10-token own tail gives 10 own shingles
+    # (7 boundary-mixed + 3 pure) => J = 20/(30+30-20) = 0.5 EXACTLY
+    big_shared = [f"s{i}" for i in range(27)]
+    d1 = big_shared + [f"a{i}" for i in range(10)]
+    d2 = big_shared + [f"b{i}" for i in range(10)]
+    def shingles(toks):
+        return {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+
+    # all-EVEN doc ids: x2w's corpus transform absorbs each even doc
+    # into its odd successor (the x2v planting); with no odd ids
+    # present the transform is the identity and the planted structure
+    # survives untouched.
+    docs = {2: d1, 4: d2, 6: doc1, 8: doc2, 10: [f"z{i}" for i in range(30)]}
+    truth = {}
+    ids = sorted(docs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                si, sj = shingles(docs[i]), shingles(docs[j])
+                inter = len(si & sj)
+                truth[(i, j)] = inter / (len(si) + len(sj) - inter)
+    sf_dir = str(tmp_path / "corpus")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(i, " ".join(t), "src", "en", len(" ".join(t))) for i, t in docs.items()],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in x2w_prefix_filter_join(spark, sf_dir).collect()
+    }
+    want = {p: j for p, j in truth.items() if j >= 0.5}
+    assert truth[(2, 4)] == 0.5, "fixture must sit exactly at t"
+    assert set(got) == set(want), (got, truth)
+    assert (2, 4) in got, "boundary pair must be found (no completeness slack)"
+    for p in want:
+        assert got[p] == round(want[p], 4)
+    assert any(0 < j < 0.5 for j in truth.values()), "below-t pair must exist"

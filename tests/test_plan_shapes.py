@@ -501,3 +501,13 @@ def test_countmin_sketch_build_is_map_combined(spark):
     assert "partial_count" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_is_never_all_pairs(spark):
+    """x2w: candidates must come from the prefix equi-join on shingle
+    hashes — never a cartesian/nested-loop over document pairs (the
+    exact-similarity-join point), with the verify joining full sets
+    only for candidates."""
+    plan = _plan(spark, "x2w_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
