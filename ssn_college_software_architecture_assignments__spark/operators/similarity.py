@@ -2110,3 +2110,87 @@ def x3s_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
         .orderBy("q_id", "vec_id")
     )
+
+
+# X3t — FILTERED vector search (metadata predicate + top-k) ---------------------
+#
+# The vector-database workhorse shape: top-k neighbors AMONG THE ROWS
+# MATCHING A METADATA PREDICATE (tenant, language, class — here the
+# embeddings' label column, restricted to the query's own label). The
+# scale decision this operator pins is PRE-filtering: the predicate
+# evaluates BEFORE any distance math, so the scoring cost is
+# |matching| x queries, not |corpus| x queries — the opposite of
+# post-filtering, which scores everything and then discards (and which
+# under-fills k when the filter is selective). Same broadcast-queries
+# map-side dataflow as x3; the filter is one integer comparison per
+# (candidate, query) pair inside the scan stage.
+
+_X3T_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scored AS (
+  SELECT q.q_id, q.q_label, c.vec_id,
+         list_aggregate(list_transform(list_zip(q.q_emb, c.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(q.q_emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(c.emb, x -> x*x), 'sum'))) AS cos_sim
+  FROM q JOIN c ON c.label = q.q_label
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, CAST(q_label AS INT) AS label, vec_id, round(cos_sim, 4) AS cos_sim
+FROM (
+  SELECT q_id, q_label, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_sim, 4) DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
+@register("x3t_filtered_search", oracle=_X3T_ORACLE, tags=("X3",))
+def x3t_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors per query among candidates matching the
+    query's label — filtered vector search with PRE-filtering: the
+    label equality is the join condition, so distances are computed
+    only for matching candidates."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        _dvec("embedding").alias("q_emb"),
+    )
+    candidates = ensure_min_partitions(emb).select(
+        "vec_id", "label", _dvec("embedding").alias("emb")
+    )
+    scored = (
+        candidates.join(
+            F.broadcast(queries), F.col("label") == F.col("q_label")
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            F.col("q_label").cast("int").alias("label"),
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+        .orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
+    )

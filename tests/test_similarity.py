@@ -835,3 +835,37 @@ def test_x3r2_inertia_monotone_and_step1_matches_x3r(spark, sf_dir):
         if r["n_members"] > 0
     }
     assert step1_members == x3r_members
+
+
+def test_x3t_filtered_search_matches_python_truth(spark, sf_dir):
+    """x3t laws: every neighbor carries the query's own label
+    (pre-filter semantics), and the per-query top-5 equals an
+    independent Python brute force over the label-matching candidates
+    with the same (rounded cos desc, vec_id) tie law."""
+    import math
+
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3t_filtered_search,
+    )
+
+    rows = x3t_filtered_search(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in emb}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert vecs[r["vec_id"]][1] == r["label"] == vecs[r["q_id"]][1]
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for q_id in range(8):
+        qv, ql = vecs[q_id]
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = []
+        for vid, (v, lab) in vecs.items():
+            if vid == q_id or lab != ql:
+                continue
+            cos = sum(a * b for a, b in zip(qv, v)) / (
+                qn * math.sqrt(sum(x * x for x in v))
+            )
+            scored.append((round(cos, 4), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want = [(vid, c) for c, vid in scored[:5]]
+        assert by_q.get(q_id, []) == want, q_id
