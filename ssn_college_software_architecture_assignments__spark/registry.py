@@ -82,13 +82,17 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 16 round-10 additions — no driver evidence exists
+    # tier 1: the 18 round-10 additions — no driver evidence exists
     # (the Q20 nested-IN semi-join stack + the Q2/Q9/Q11/Q12/Q16 shapes
     # completing all 22 TPC-H structures, the x2s3 map-combined
-    # gram-count twin, the k-means training loop, the partition-scoped
-    # lake merge, the quality ensemble, streaming cumulative distinct,
-    # the Count-Min sketch, rolling 7-day distinct users, radius
-    # search, the image histogram, temperature mixture sampling)
+    # gram-count twin, the prefix-filter exact similarity join, the
+    # k-means training loop, filtered vector search, the
+    # partition-scoped lake merge, the quality ensemble, streaming
+    # cumulative distinct, the Count-Min sketch, rolling 7-day distinct
+    # users, radius search, the image histogram, temperature mixture
+    # sampling)
+    "x2w_prefix_filter_join",
+    "x3t_filtered_search",
     "e2_sql_promising_parts",
     "x2s3_span_dedup_mapcombine",
     "x3r2_kmeans_train",
@@ -107,7 +111,8 @@ _CHECK_PRIORITY = (
     "e2_sql_supplier_part_counts",
     # tier 2: the evidence-age rotation — the 23 ids whose newest
     # driver row is still r5 (the cohort remainder r9's additions
-    # displaced), then the oldest r6 ids filling the ~50-slot budget;
+    # displaced), then the oldest r6 ids filling the ~50-slot budget
+    # (two fewer than first drafted — x2w/x3t joined tier 1);
     # the rest of the r6 cohort sits first below the line
     "o2_limit_topn",
     "o3_top_k_per_group",
@@ -140,8 +145,6 @@ _CHECK_PRIORITY = (
     "s2b_cursor_read",
     "s1b_rest_infer",
     "s4_json_scan",
-    "s10_upsert_latest_wins",
-    "t1_tumbling_window",
     "f1_pandas_udf",
     # tier 3: source touched by round-10 changes (the x2s front/back
     # refactor shared with x2s3, the x3r argmin rebind, the x5o decode
@@ -155,6 +158,8 @@ _CHECK_PRIORITY = (
     "e2_sql_market_share",
     # ---- ~50-query driver budget line is far above; below: the
     # remainder, stalest evidence first (r6 leftovers, then r7, r8, r9)
+    "s10_upsert_latest_wins",
+    "t1_tumbling_window",
     "a4_approx_count_distinct",
     "w7_funnel_detect",
     "u4_union_schema_drift",
