@@ -2409,12 +2409,36 @@ def x2s3_span_dedup_mapcombine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator reports what the index surfaces, which both engines compute
 # identically.
 
-_X2V_DOCS_SQL = """
+def _absorbed_docs_sql(max_id: int) -> str:
+    """The planted-asymmetry corpus x2v and x2w share: every odd doc
+    absorbs its even neighbor's full text. ONE generation site for both
+    engines' fixtures — the Spark twin is ``_absorbed_docs``."""
+    return f"""
   SELECT a.doc_id AS doc_id,
          CASE WHEN a.doc_id % 2 = 1 AND b.text IS NOT NULL
               THEN b.text || ' ' || a.text ELSE a.text END AS text
   FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
-  WHERE a.doc_id < 120"""
+  WHERE a.doc_id < {max_id}"""
+
+
+def _absorbed_docs(spark: SparkSession, sf_dir: str, max_id: int) -> DataFrame:
+    """Spark twin of ``_absorbed_docs_sql``: (doc_id, text)."""
+    base = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < max_id)
+    nbr = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("nbr_text")
+    )
+    return base.join(nbr, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 2 == 1) & F.col("nbr_text").isNotNull(),
+            F.concat(F.col("nbr_text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_X2V_DOCS_SQL = _absorbed_docs_sql(120)
 
 _X2V_ORACLE = f"""
 WITH sh AS (
@@ -2464,22 +2488,7 @@ def x2v_containment_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard — the near-superset detector. The verdict flags pairs where
     either side is >= 90% contained in the other (the unrounded ratio,
     identical in both engines)."""
-    base = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 120)
-    nbr = base.select(
-        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("nbr_text")
-    )
-    docs2 = (
-        base.join(nbr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(
-                (F.col("doc_id") % 2 == 1) & F.col("nbr_text").isNotNull(),
-                F.concat(F.col("nbr_text"), F.lit(" "), F.col("text")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
+    docs2 = _absorbed_docs(spark, sf_dir, 120)
     sh, sigs = _md5_shingle_signatures(docs2)
     sig_arr = sigs.select(
         F.col("doc_id").alias("_id"),
@@ -2556,12 +2565,7 @@ def x2v_containment_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X2W_T = 0.5  # Jaccard threshold
 
-_X2W_DOCS_SQL = """
-  SELECT a.doc_id AS doc_id,
-         CASE WHEN a.doc_id % 2 = 1 AND b.text IS NOT NULL
-              THEN b.text || ' ' || a.text ELSE a.text END AS text
-  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
-  WHERE a.doc_id < 240"""
+_X2W_DOCS_SQL = _absorbed_docs_sql(240)
 
 _X2W_ORACLE = f"""
 WITH docs AS ({_X2W_DOCS_SQL}),
@@ -2575,11 +2579,12 @@ sh AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
-       round(len(list_intersect(a.s, b.s))
+       floor(len(list_intersect(a.s, b.s))
              / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                    AS DOUBLE), 4) AS jaccard
+                    AS DOUBLE) * 10000) / 10000 AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s))
+WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+  AND len(list_intersect(a.s, b.s))
       >= {_X2W_T} * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
 ORDER BY id_a, id_b
 """
@@ -2591,19 +2596,7 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-ordered prefix filtering + equi-join + exact verify —
     never all-pairs. The oracle is the naive all-pairs join, so the
     comparison IS the prefix filter's completeness theorem."""
-    base = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 240)
-    nbr = base.select(
-        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("nbr_text")
-    )
-    docs2 = base.join(nbr, "doc_id", "left").select(
-        "doc_id",
-        F.when(
-            (F.col("doc_id") % 2 == 1) & F.col("nbr_text").isNotNull(),
-            F.concat(F.col("nbr_text"), F.lit(" "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    docs2 = _absorbed_docs(spark, sf_dir, 240)
     sh = docs2.select(
         "doc_id",
         F.array_distinct(
@@ -2660,7 +2653,10 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             ni.cast("long").alias("n_common"),
-            F.round(ni / union_n, 4).alias("jaccard"),
+            # floor law, not round(,4): a count ratio WILL eventually
+            # land on .xxxx5 where the engines' round() laws diverge
+            # (e.g. 427/800 — the x4q hazard class)
+            (F.floor(ni / union_n * 10000) / 10000).alias("jaccard"),
         )
         .orderBy("id_a", "id_b")
     )

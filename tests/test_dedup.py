@@ -903,6 +903,8 @@ def test_x2w_prefix_filter_completeness_at_threshold(spark, tmp_path):
     assert truth[(2, 4)] == 0.5, "fixture must sit exactly at t"
     assert set(got) == set(want), (got, truth)
     assert (2, 4) in got, "boundary pair must be found (no completeness slack)"
+    import math
+
     for p in want:
-        assert got[p] == round(want[p], 4)
+        assert got[p] == math.floor(want[p] * 10000) / 10000
     assert any(0 < j < 0.5 for j in truth.values()), "below-t pair must exist"

@@ -848,6 +848,12 @@ def test_x3t_filtered_search_matches_python_truth(spark, sf_dir):
         x3t_filtered_search,
     )
 
+    # Spark F.round is HALF_UP; Python round() is banker's — emulate
+    # the former so a .xxxx5 cosine cannot flip the truth (memory law:
+    # never round in the driver with round())
+    def half_up4(x):
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000
+
     rows = x3t_filtered_search(spark, sf_dir).collect()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in emb}
@@ -865,7 +871,7 @@ def test_x3t_filtered_search_matches_python_truth(spark, sf_dir):
             cos = sum(a * b for a, b in zip(qv, v)) / (
                 qn * math.sqrt(sum(x * x for x in v))
             )
-            scored.append((round(cos, 4), vid))
+            scored.append((half_up4(cos), vid))
         scored.sort(key=lambda t: (-t[0], t[1]))
         want = [(vid, c) for c, vid in scored[:5]]
         assert by_q.get(q_id, []) == want, q_id
