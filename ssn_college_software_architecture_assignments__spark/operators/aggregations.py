@@ -13,7 +13,7 @@ aggregate map, not the data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -701,3 +701,64 @@ def a14_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") >= F.col("true_n")).alias("never_under"),
     ).orderBy("token")
+
+
+# A15 — grouped MODE with a deterministic tie law ------------------------------
+#
+# The most-frequent-value-per-group aggregate (dashboard staple; also
+# the label-vote step of weak supervision). Both engines' native
+# mode()/max_by() leave ties IMPLEMENTATION-DEFINED — Spark's mode
+# picks an arbitrary winner per task order, which would be
+# run-to-run nondeterministic and can never oracle-compare. The
+# portable form: count per (group, value) — one map-combined hash-agg —
+# then per-group top-1 under the DECLARED order (count desc, value
+# asc). Spark executes that window as WindowGroupLimit (each map task
+# forwards one candidate per group), so the tie law costs nothing at
+# 100 TB; the fixture's uniform priorities make ties the COMMON case,
+# so the law is exercised on nearly every group, not just in theory.
+
+_A15_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         count(*) AS n
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, priority AS mode_priority, CAST(n AS BIGINT) AS n_occurrences
+FROM (
+  SELECT segment, priority, n,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY n DESC, priority) AS rn
+  FROM c
+) WHERE rn = 1
+ORDER BY segment
+"""
+
+
+@register("a15_grouped_mode", oracle=_A15_ORACLE, tags=("A2", "A5"))
+def a15_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per market segment under the
+    declared (count desc, value asc) tie law — the deterministic,
+    oracle-comparable form of mode()/max_by()."""
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat.customer.join(
+            cat.orders, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("segment").orderBy(F.col("n").desc(), F.col("priority"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("segment")
+    )

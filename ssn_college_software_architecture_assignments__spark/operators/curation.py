@@ -1498,3 +1498,98 @@ def x6n_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6p — data-constrained EPOCH scheduler (repeat factors under a budget) -------
+#
+# The planning step the public data-constrained-scaling result
+# prescribes (Muennighoff et al. 2023: repeating data up to ~4 epochs
+# is nearly as good as fresh data; beyond that returns decay fast):
+# given each source's natural token supply and a uniform target share
+# of a training budget set at 2x the corpus, how many EPOCHS of each
+# source does the run schedule, how many tokens does that actually
+# deliver once the 4-epoch cap bites, and how much of the target goes
+# unfilled? Small sources hit the cap (their shortfall is real and
+# reported, never silently absorbed); large sources train under 1
+# epoch. All columns derive from integer token counts with floor/ceil
+# arithmetic — no float boundary anywhere — so the oracle compares
+# exactly.
+#
+# Scale shape: one map-combined hash-agg collapses the corpus to a
+# sources-sized table; everything after is arithmetic on ~dozens of
+# rows (the x6e pattern). The budget multiplier and cap are declared
+# constants, single-sited for both engines.
+
+_X6P_BUDGET_X = 2  # train on 2x the corpus token count
+_X6P_MAX_EPOCHS = 4  # the data-constrained-scaling repeat ceiling
+
+_X6P_ORACLE = f"""
+WITH per AS (
+  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS grand, count(*) AS n_src FROM per),
+plan AS (
+  SELECT source, n_tokens,
+         ({_X6P_BUDGET_X} * grand) // n_src AS target_tokens
+  FROM per CROSS JOIN tot
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT)      AS n_tokens,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(least((target_tokens + n_tokens - 1) // n_tokens,
+                  {_X6P_MAX_EPOCHS}) AS BIGINT) AS epochs,
+       CAST(least(target_tokens, {_X6P_MAX_EPOCHS} * n_tokens) AS BIGINT)
+         AS scheduled_tokens,
+       CAST(greatest(target_tokens - {_X6P_MAX_EPOCHS} * n_tokens, 0) AS BIGINT)
+         AS unfilled_tokens
+FROM plan
+ORDER BY source
+"""
+
+
+@register("x6p_epoch_schedule", oracle=_X6P_ORACLE, tags=("X6",))
+def x6p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan under a 2x-corpus budget with the 4-epoch
+    repeat ceiling: natural tokens, uniform target, epochs scheduled,
+    tokens actually delivered, and the cap-induced shortfall. Pure
+    integer arithmetic on both engines."""
+    docs = Catalog(spark, sf_dir).documents
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("grand"), F.count(F.lit(1)).alias("n_src")
+    )
+    target = F.floor(
+        (F.lit(_X6P_BUDGET_X) * F.col("grand")) / F.col("n_src")
+    )
+    plan = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", target.alias("target_tokens")
+    )
+    epochs = F.least(
+        F.floor(
+            (F.col("target_tokens") + F.col("n_tokens") - 1)
+            / F.col("n_tokens")
+        ),
+        F.lit(_X6P_MAX_EPOCHS),
+    )
+    return plan.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        epochs.cast("long").alias("epochs"),
+        F.least(
+            F.col("target_tokens"),
+            F.lit(_X6P_MAX_EPOCHS) * F.col("n_tokens"),
+        )
+        .cast("long")
+        .alias("scheduled_tokens"),
+        F.greatest(
+            F.col("target_tokens")
+            - F.lit(_X6P_MAX_EPOCHS) * F.col("n_tokens"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("unfilled_tokens"),
+    ).orderBy("source")

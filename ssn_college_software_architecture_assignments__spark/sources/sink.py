@@ -1289,3 +1289,91 @@ def s20_incremental_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# S21 — merge-on-read upsert view (the lakehouse MoR pattern) ------------------
+#
+# s10 merges copy-on-write (the merged table is REWRITTEN); the other
+# lakehouse strategy defers the merge to READ time: base files land
+# once, each upsert batch lands as its own small delta file, and the
+# reading view resolves latest-per-key with a window — writes cost
+# O(delta) with zero base rewrite (the pytest pins base files
+# bit-identical on disk after two delta commits), reads pay the merge.
+# That read-side window is per-key top-1, which Catalyst executes as
+# WindowGroupLimit (rank pushed INTO the shuffle — each map task
+# forwards at most one candidate row per key, so the merge state never
+# materializes the full history); at compaction time s12 turns the
+# accumulated deltas back into base files. Delta 1 reprices every 10th
+# order (+100, version 2); delta 2 reprices every 20th again (+200,
+# version 3) AND inserts new keys — so the view must resolve a
+# three-deep version stack and surface inserts, not just updates.
+
+_S21_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 20 = 0 THEN round(o_totalprice + 200.0, 2)
+            WHEN o_orderkey % 10 = 0 THEN round(o_totalprice + 100.0, 2)
+            ELSE round(o_totalprice, 2) END AS totalprice,
+       CASE WHEN o_orderkey % 20 = 0 THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2
+            ELSE 1 END AS version
+FROM orders
+UNION ALL
+SELECT o_orderkey + 200000000, round(o_totalprice, 2), 3
+FROM orders WHERE o_orderkey % 17 = 0
+ORDER BY o_orderkey
+"""
+
+
+def merge_on_read_view(spark: SparkSession, lake_dir: str, key_cols: list[str],
+                       version_col: str) -> DataFrame:
+    """Resolve a base+deltas lake directory to latest-per-key rows at
+    read time (no base rewrite). The per-key top-1 window plans as
+    WindowGroupLimit — map tasks forward one candidate per key."""
+    from pyspark.sql import Window as W
+
+    all_rows = spark.read.parquet(f"{lake_dir}/*")
+    w = W.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register("s21_merge_on_read", oracle=_S21_ORACLE, tags=("S10", "S11"))
+def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read: base + two delta commits resolved latest-per-key
+    at read time; updates, a three-deep version stack, and inserts all
+    surface without one base byte being rewritten."""
+    orders = Catalog(spark, sf_dir).orders
+    base_dir = tempfile.mkdtemp(prefix="ssn_mor_")
+    lake = f"{base_dir}/orders_mor"
+    orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.lit(1).alias("version"),
+    ).write.parquet(f"{lake}/base")
+    orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("totalprice"),
+        F.lit(2).alias("version"),
+    ).write.parquet(f"{lake}/delta_1")
+    (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 200.0, 2).alias("totalprice"),
+            F.lit(3).alias("version"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+                F.lit(3).alias("version"),
+            )
+        )
+        .write.parquet(f"{lake}/delta_2")
+    )
+    return merge_on_read_view(
+        spark, lake, key_cols=["o_orderkey"], version_col="version"
+    ).orderBy("o_orderkey")

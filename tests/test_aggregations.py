@@ -39,3 +39,38 @@ def test_a14_cms_laws(spark, sf_dir):
         assert r["est_n"] == min(
             counters[d][bucket(r["token"], d)] for d in range(_A14_D)
         )
+
+
+def test_a15_mode_tie_law_on_handmade_groups(spark, tmp_path):
+    """a15 tie law on engineered counts: a group with a strict winner
+    picks it; a group with a two-way tie picks the lexicographically
+    SMALLER value (count desc, value asc) — never an arbitrary
+    task-order winner."""
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a15_grouped_mode,
+    )
+
+    cust = [(1, "SEG_A"), (2, "SEG_B")]
+    orders = (
+        [(i, 1, "1-URGENT") for i in range(3)]
+        + [(10 + i, 1, "5-LOW") for i in range(1)]
+        + [(20 + i, 2, "3-MEDIUM") for i in range(2)]
+        + [(30 + i, 2, "2-HIGH") for i in range(2)]
+    )
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(k, f"c{k}", seg, 0.0, seg) for k, seg in cust],
+        "c_custkey long, c_name string, c_mktsegment string, "
+        "c_acctbal double, c_nationkey string",
+    ).write.parquet(f"{sf_dir}/customer.parquet")
+    spark.createDataFrame(
+        [(ok, ck, "O", 1.0, None, pr) for ok, ck, pr in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf_dir}/orders.parquet")
+    got = {r["segment"]: (r["mode_priority"], r["n_occurrences"])
+           for r in a15_grouped_mode(spark, sf_dir).collect()}
+    assert got["SEG_A"] == ("1-URGENT", 3)          # strict winner
+    assert got["SEG_B"] == ("2-HIGH", 2)            # tie -> smaller value

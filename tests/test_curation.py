@@ -714,3 +714,49 @@ def test_x6n_temperature_laws(spark, sf_dir, tmp_path):
     assert srows["tiny"]["rate"] == 1.0
     assert srows["huge"]["rate"] < 1.0
     assert srows["tiny"]["n_accepted"] == srows["tiny"]["n_docs"]
+
+
+def test_x6p_epoch_schedule_laws(spark, sf_dir, tmp_path):
+    """x6p laws: (1) fixture — epochs = ceil(target/natural) capped at
+    4, scheduled = min(target, 4*natural), recomputed independently in
+    Python; (2) handmade skewed corpus — the tiny source HITS the
+    4-epoch cap and reports a real unfilled shortfall while the huge
+    source schedules under 1 target-fill (epochs small), and no
+    source's scheduled tokens exceed its target."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6P_BUDGET_X,
+        _X6P_MAX_EPOCHS,
+        x6p_epoch_schedule,
+    )
+
+    rows = x6p_epoch_schedule(spark, sf_dir).collect()
+    grand = sum(r["n_tokens"] for r in rows)
+    n_src = len(rows)
+    for r in rows:
+        target = (_X6P_BUDGET_X * grand) // n_src
+        assert r["target_tokens"] == target
+        want_epochs = min(
+            -(-target // r["n_tokens"]), _X6P_MAX_EPOCHS
+        )
+        assert r["epochs"] == want_epochs, r
+        assert r["scheduled_tokens"] == min(
+            target, _X6P_MAX_EPOCHS * r["n_tokens"]
+        )
+        assert r["unfilled_tokens"] == max(
+            target - _X6P_MAX_EPOCHS * r["n_tokens"], 0
+        )
+        assert r["scheduled_tokens"] <= r["target_tokens"]
+
+    skew = spark.createDataFrame(
+        [(i, "huge" if i < 99 else "tiny", "tok " * 99 + "tok", "en", 400)
+         for i in range(100)],
+        "doc_id long, source string, text string, lang string, n_chars int",
+    )
+    skew_dir = str(tmp_path / "skew")
+    skew.write.parquet(f"{skew_dir}/documents.parquet")
+    srows = {r["source"]: r for r in
+             x6p_epoch_schedule(spark, skew_dir).collect()}
+    assert srows["tiny"]["epochs"] == _X6P_MAX_EPOCHS
+    assert srows["tiny"]["unfilled_tokens"] > 0
+    assert srows["huge"]["epochs"] <= 2
+    assert srows["huge"]["unfilled_tokens"] == 0

@@ -511,3 +511,14 @@ def test_prefix_filter_join_is_never_all_pairs(spark):
     plan = _plan(spark, "x2w_prefix_filter_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mode_and_mor_windows_run_as_group_limit(spark):
+    """a15 / s21: the per-group top-1 windows must execute as
+    WindowGroupLimit (rank pushed into the shuffle — each map task
+    forwards at most one candidate per key), so neither the mode nor
+    the merge-on-read resolve ever materializes full per-key history."""
+    for name in ("a15_grouped_mode", "s21_merge_on_read"):
+        plan = _plan(spark, name)
+        assert "WindowGroupLimit" in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -450,3 +450,62 @@ def test_s20_merge_rewrites_only_touched_partitions(spark, sf_dir):
     want = gen1.select(*cols_all)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_s21_merge_on_read_never_rewrites_base(spark, sf_dir):
+    """s21 mechanism: after two delta commits, every base parquet file
+    is bit-identical on disk (merge-on-read's defining property), and
+    the resolved view surfaces the three-deep version stack plus the
+    delta-2 inserts."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.catalog import (
+        Catalog,
+    )
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        merge_on_read_view,
+    )
+
+    import tempfile
+
+    orders = Catalog(spark, sf_dir).orders
+    lake = f"{tempfile.mkdtemp(prefix='ssn_s21_test_')}/lake"
+    orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.lit(1).alias("version"),
+    ).write.parquet(f"{lake}/base")
+
+    def hashes():
+        return {
+            os.path.relpath(p, lake): hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(f"{lake}/base/*.parquet")
+        }
+
+    before = hashes()
+    orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("totalprice"),
+        F.lit(2).alias("version"),
+    ).write.parquet(f"{lake}/delta_1")
+    orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 200.0, 2).alias("totalprice"),
+        F.lit(3).alias("version"),
+    ).write.parquet(f"{lake}/delta_2")
+    assert hashes() == before and before, "base files must not be rewritten"
+
+    got = {
+        r["o_orderkey"]: r["version"]
+        for r in merge_on_read_view(
+            spark, lake, key_cols=["o_orderkey"], version_col="version"
+        ).collect()
+    }
+    sample = sorted(got)[:200]
+    for k in sample:
+        want = 3 if k % 20 == 0 else 2 if k % 10 == 0 else 1
+        assert got[k] == want, k
