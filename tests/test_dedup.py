@@ -908,3 +908,67 @@ def test_x2w_prefix_filter_completeness_at_threshold(spark, tmp_path):
     for p in want:
         assert got[p] == math.floor(want[p] * 10000) / 10000
     assert any(0 < j < 0.5 for j in truth.values()), "below-t pair must exist"
+
+
+def test_x2w_prefix_filter_property_vs_naive(spark, tmp_path):
+    """Property: on arbitrary small corpora (repeated blocks, shared
+    vocab, sub-8-token docs that shingle to empty sets), the prefix
+    filter finds EXACTLY the naive all-pairs Jaccard >= 0.5 pairs — the
+    completeness theorem under random structure, not just the
+    engineered fixtures. Even doc ids only (identity corpus
+    transform)."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2w_prefix_filter_join,
+    )
+
+    vocab = [f"t{i}" for i in range(12)]
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+
+    counter = [0]
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=30),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(docs):
+        counter[0] += 1
+        sf_dir = str(tmp_path / f"c{counter[0]}")
+        os.makedirs(sf_dir, exist_ok=True)
+        rows = [
+            (2 * (i + 1), " ".join(t), "src", "en", len(" ".join(t)))
+            for i, t in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, source string, lang string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in x2w_prefix_filter_join(spark, sf_dir).collect()
+        }
+        want = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                si, sj = shingles(docs[i]), shingles(docs[j])
+                union = len(si | sj)
+                if union > 0 and len(si & sj) >= 0.5 * union:
+                    want.add((2 * (i + 1), 2 * (j + 1)))
+        assert got == want, (got, want)
+
+    run()
