@@ -214,3 +214,122 @@ def test_nearest_asof_tie_and_direction_laws(spark, tmp_path):
     assert got[43]["nearest_signup_id"] == 42
     assert got[43]["direction"] == "forward"
     assert got[43]["gap_us"] == 10_000_000
+
+
+def test_j8c_nearest_property_vs_python_spec(spark, tmp_path):
+    """Property: on arbitrary small event logs (multi-signup users,
+    signup-less purchases, exact cross-direction distance ties, equal
+    timestamps within a side), j8c reproduces an independent Python
+    statement of its declared law — nearest by |gap|, backward
+    preferred on equal distance, within-side ties to the latest
+    backward / earliest forward signup id."""
+    import datetime
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.asof import (
+        j8c_asof_join_nearest,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    counter = [0]
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(0, 2),                # user
+                st.sampled_from(["purchase", "signup"]),
+                st.integers(0, 40),               # second offset (ties likely)
+            ),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(events):
+        counter[0] += 1
+        sf_dir = str(tmp_path / f"e{counter[0]}")
+        os.makedirs(sf_dir, exist_ok=True)
+        rows = [
+            (i, base + datetime.timedelta(seconds=sec), u, etype, 1.0, "{}")
+            for i, (u, etype, sec) in enumerate(events)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+        got = {
+            r["purchase_id"]: (
+                r["nearest_signup_id"], r["direction"], r["gap_us"]
+            )
+            for r in j8c_asof_join_nearest(spark, sf_dir).collect()
+        }
+
+        purchases = [(i, u, sec) for i, (u, t, sec) in enumerate(events)
+                     if t == "purchase"]
+        signups = [(i, u, sec) for i, (u, t, sec) in enumerate(events)
+                   if t == "signup"]
+        assert set(got) == {i for i, _, _ in purchases}
+        for pid, pu, psec in purchases:
+            back = [(sid, ssec) for sid, su, ssec in signups
+                    if su == pu and ssec <= psec]
+            fwd = [(sid, ssec) for sid, su, ssec in signups
+                   if su == pu and ssec > psec]
+            # backward leg: latest ts, then largest id; forward leg:
+            # earliest ts, then smallest id (the negated-axis tiebreak
+            # maximizes neg_id = minimizes signup_id)
+            b = max(back, key=lambda t: (t[1], t[0])) if back else None
+            f = min(fwd, key=lambda t: (t[1], t[0])) if fwd else None
+            if b is None and f is None:
+                assert got[pid] == (None, None, None), pid
+                continue
+            d_b = (psec - b[1]) * 1_000_000 if b else None
+            d_f = (f[1] - psec) * 1_000_000 if f else None
+            if b is not None and (f is None or d_b <= d_f):
+                assert got[pid] == (b[0], "backward", d_b), pid
+            else:
+                assert got[pid] == (f[0], "forward", d_f), pid
+
+    run()
+
+
+def test_j8c_forward_same_ts_tie_takes_smallest_id(spark, tmp_path):
+    """Deterministic probe of the sub-case random generation rarely
+    hits: two forward signups at the SAME timestamp must resolve to the
+    smallest signup_id (the negated-axis tiebreak maximizes neg_id),
+    mirroring the backward side's largest-id law."""
+    import datetime
+
+    from ssn_college_software_architecture_assignments__spark.operators.asof import (
+        j8c_asof_join_nearest,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # purchase at t=0; two signups both at t=10 (forward tie);
+        # plus a backward pair: two signups both at t=-10 for user 2
+        (0, base, 1, "purchase", 1.0, "{}"),
+        (5, base + datetime.timedelta(seconds=10), 1, "signup", 1.0, "{}"),
+        (6, base + datetime.timedelta(seconds=10), 1, "signup", 1.0, "{}"),
+        (1, base, 2, "purchase", 1.0, "{}"),
+        (7, base - datetime.timedelta(seconds=10), 2, "signup", 1.0, "{}"),
+        (8, base - datetime.timedelta(seconds=10), 2, "signup", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "tie")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    got = {r["purchase_id"]: (r["nearest_signup_id"], r["direction"])
+           for r in j8c_asof_join_nearest(spark, sf_dir).collect()}
+    assert got[0] == (5, "forward")   # smallest id wins the forward tie
+    assert got[1] == (8, "backward")  # largest id wins the backward tie

@@ -972,3 +972,53 @@ def test_x2w_prefix_filter_property_vs_naive(spark, tmp_path):
         assert got == want, (got, want)
 
     run()
+
+
+def test_x2s3_twin_property_on_random_corpora(spark, tmp_path):
+    """Property: the x2s/x2s3 twin identity (byte-identical rows incl.
+    trimmed_md5) holds on arbitrary small corpora — tiny vocabulary so
+    duplicated 8-gram runs are common, doc lengths straddling the
+    shingle width, the every-10th-doc boilerplate boost applying to
+    some docs — not just the fixture the committed sweep covers."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2s3_span_dedup_mapcombine,
+        x2s_substring_span_dedup,
+    )
+
+    vocab = [f"v{i}" for i in range(6)]
+    counter = [0]
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=2, max_size=40),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(docs):
+        counter[0] += 1
+        sf_dir = str(tmp_path / f"s{counter[0]}")
+        os.makedirs(sf_dir, exist_ok=True)
+        spark.createDataFrame(
+            [(i, " ".join(t), "src", "en", len(" ".join(t)))
+             for i, t in enumerate(docs)],
+            "doc_id long, text string, source string, lang string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"]: r for r in
+             x2s_substring_span_dedup(spark, sf_dir).collect()}
+        b = {r["doc_id"]: r for r in
+             x2s3_span_dedup_mapcombine(spark, sf_dir).collect()}
+        assert a == b
+
+    run()

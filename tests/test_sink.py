@@ -509,3 +509,46 @@ def test_s21_merge_on_read_never_rewrites_base(spark, sf_dir):
     for k in sample:
         want = 3 if k % 20 == 0 else 2 if k % 10 == 0 else 1
         assert got[k] == want, k
+
+
+def test_cdc_round_trip_property_on_random_snapshots(spark):
+    """Property: for arbitrary snapshot pairs (random overlap of keys —
+    including a NULL key — random NULL-bearing values, empty sides),
+    apply(A, diff(A, B)) == B exactly. The handmade test pins each
+    change type once; this pins the law under random mixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    key_pool = st.sampled_from([None, 1, 2, 3, 4])
+    val = st.one_of(st.none(), st.integers(0, 3).map(float))
+
+    snapshot = st.dictionaries(key_pool, st.tuples(val, val), max_size=5)
+
+    @given(a=snapshot, b=snapshot)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(a, b):
+        schema = "k long, price double, prio double"
+        df_a = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in a.items()], schema
+        )
+        df_b = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in b.items()], schema
+        )
+        keys, cols = ["k"], ["price", "prio"]
+        delta = snapshot_diff(df_a, df_b, keys, cols)
+        got = {
+            r["k"]: (r["price"], r["prio"])
+            for r in cdc_apply(df_a, delta, keys, cols).collect()
+        }
+        assert got == b
+
+    run()
