@@ -396,3 +396,103 @@ def t10_streaming_cumulative_distinct(
         )
         .orderBy("day")
     )
+
+
+# T11 — foreachBatch upsert sink (the production streaming-merge idiom) --------
+#
+# Structured Streaming's built-in sinks append; real pipelines UPSERT —
+# and the API for that is foreachBatch: each micro-batch runs an
+# arbitrary batch merge against the serving table with the batch id
+# available for idempotence. This entry exercises that surface for
+# real: the stream reduces each micro-batch to its latest event per
+# user, merges it latest-wins into the serving state, and lands every
+# merge as a NEW GENERATION directory (gen_<n>) rather than
+# overwriting in place — a restarted/replayed batch rewrites its own
+# generation identically instead of corrupting the table (the
+# idempotence foreachBatch's at-least-once contract requires), and the
+# merge never reads the directory it is writing (the s20 WAP lesson).
+# Tie law everywhere: (ts desc, event_id desc) — deterministic under
+# any batch split, which is what makes a full-value oracle possible
+# for a streaming-merge operator. At scale: state is one row per user
+# (the serving table), per-batch work is O(batch + users); a
+# generation directory becomes the s12 compaction input.
+
+_T11_ORACLE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                        event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def foreachbatch_latest_merge(base: str):
+    """Build the foreachBatch merge fn: each batch reduces to its
+    latest event per user and merges latest-wins with the previous
+    generation into gen_<n+1> (never reading its own target). Returns
+    (merge_fn, state) so callers can locate the final generation."""
+    from pyspark.sql import Window as W
+
+    state = {"gen": -1}
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cols = ["user_id", "event_id", "ts", "event_type", "value"]
+        incoming = latest_per_user(batch_df.select(*cols))
+        if state["gen"] >= 0:
+            existing = batch_df.sparkSession.read.parquet(
+                f"{base}/gen_{state['gen']}"
+            )
+            incoming = latest_per_user(existing.unionByName(incoming))
+        # a NEW generation per batch: replaying this batch rewrites
+        # gen_<n> identically (idempotent); nothing reads its own target
+        incoming.write.mode("overwrite").parquet(
+            f"{base}/gen_{state['gen'] + 1}"
+        )
+        state["gen"] += 1
+
+    return merge, state
+
+
+@register("t11_foreachbatch_upsert", oracle=_T11_ORACLE, tags=("T6", "T7"))
+def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user maintained by a REAL foreachBatch
+    streaming merge: each micro-batch upserts into generation
+    directories, and the final serving read equals the batch
+    latest-per-user query — the batch-stream equivalence check for the
+    merge sink."""
+    from pyspark.sql import Window as W
+
+    ev = stream_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ssn_t11_")
+    merge, state = foreachbatch_latest_merge(base)
+    checkpoint = tempfile.mkdtemp(prefix="ssn_t11_ckpt_")
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    serving = spark.read.parquet(f"{base}/gen_{state['gen']}")
+    return serving.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")

@@ -240,3 +240,78 @@ def test_t10_matches_w11_batch_face(spark, sf_dir):
         else:
             assert r["cum_users"] == running
     assert seen_days == set(t10)
+
+
+def test_t11_merge_across_multiple_micro_batches(spark, tmp_path):
+    """t11's cross-generation path driven for real: a 2-file source
+    with maxFilesPerTrigger=1 forces TWO micro-batches, so the second
+    merge must union the first generation with its own batch — the
+    final serving table equals the batch latest-per-user truth, one
+    generation directory exists per batch, and re-running batch 2's
+    merge rewrites its generation identically (idempotence under
+    at-least-once replay)."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.streaming.windows import (
+        foreachbatch_latest_merge,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    f1 = [(1, base, 7, "click", 1.0, "{}"),
+          (2, base + datetime.timedelta(minutes=5), 8, "view", 2.0, "{}")]
+    f2 = [(3, base + datetime.timedelta(minutes=9), 7, "purchase", 9.0, "{}"),
+          (4, base + datetime.timedelta(minutes=1), 8, "click", 4.0, "{}")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 2
+
+    lake = str(tmp_path / "serve")
+    merge, state = foreachbatch_latest_merge(lake)
+    seen_batches = []
+
+    def recording_merge(batch_df, batch_id):
+        seen_batches.append(batch_df.collect())
+        merge(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(recording_merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["gen"] == n_files - 1, "one generation per micro-batch"
+
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(f"{lake}/gen_{state['gen']}").collect()
+    }
+    # user 7: event 3 is later; user 8: event 2 (minute 5) beats 4 (minute 1)
+    assert got == {7: (3, "purchase"), 8: (2, "view")}
+
+    # replay idempotence: rerunning the LAST merge with the EXACT batch
+    # input it saw (recorded during the run) must rewrite its generation
+    # identically — a replayed batch is a rewrite, not a
+    # double-application
+    state["gen"] -= 1
+    merge(spark.createDataFrame(seen_batches[-1], schema), 99)
+    # merge increments state itself — the rewritten final generation
+    replay = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(f"{lake}/gen_{state['gen']}").collect()
+    }
+    assert replay == got
