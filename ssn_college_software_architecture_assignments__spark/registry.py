@@ -82,7 +82,7 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 21 round-10 additions — no driver evidence exists
+    # tier 1: the 22 round-10 additions — no driver evidence exists
     # (the Q20 nested-IN semi-join stack + the Q2/Q9/Q11/Q12/Q16 shapes
     # completing all 22 TPC-H structures, the x2s3 map-combined
     # gram-count twin, the prefix-filter exact similarity join, the
@@ -90,7 +90,9 @@ _CHECK_PRIORITY = (
     # partition-scoped lake merge, the quality ensemble, streaming
     # cumulative distinct, the Count-Min sketch, rolling 7-day distinct
     # users, radius search, the image histogram, temperature mixture
-    # sampling, the epoch scheduler, merge-on-read, grouped mode)
+    # sampling, the epoch scheduler, merge-on-read, grouped mode, the
+    # foreachBatch upsert sink)
+    "t11_foreachbatch_upsert",
     "x6p_epoch_schedule",
     "s21_merge_on_read",
     "a15_grouped_mode",
@@ -145,7 +147,7 @@ _CHECK_PRIORITY = (
     "s16_zorder_layout",
     "s1_rest_source",
     "s2_paginated_read",
-    "s2b_cursor_read",
+
     # tier 3: source touched by round-10 changes (the x2s front/back
     # refactor shared with x2s3, the x3r argmin rebind, the x5o decode
     # sentinel, the Q6/Q7/Q8 rounding hardening) — re-prove
@@ -158,6 +160,7 @@ _CHECK_PRIORITY = (
     "e2_sql_market_share",
     # ---- ~50-query driver budget line is far above; below: the
     # remainder, stalest evidence first (r6 leftovers, then r7, r8, r9)
+    "s2b_cursor_read",
     "s1b_rest_infer",
     "s4_json_scan",
     "f1_pandas_udf",
