@@ -556,15 +556,21 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
     )
     cond = [o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in key_cols]
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    # presence comes from explicit markers, NOT key nullity: a
+    # legitimately-NULL key would read as "absent" on both sides,
+    # misclassifying its delete as an all-NULL insert (caught by the
+    # round-10 random-snapshot property test)
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))

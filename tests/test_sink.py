@@ -326,6 +326,14 @@ def test_cdc_apply_round_trip_reconstructs_target(spark):
     out = cdc_apply(an, snapshot_diff(an, bn, keys, cols), keys, cols).collect()
     assert [(r["k"], r["price"]) for r in out] == [(None, 20.0)]
 
+    # DELETE of a NULL-key row (round-10 property-test catch): presence
+    # must come from explicit markers, not key nullity — the old code
+    # classified this as an all-NULL insert and left a ghost row
+    empty = spark.createDataFrame([], "k long, price double, prio string")
+    d = snapshot_diff(an, empty, keys, cols)
+    assert [r["change_type"] for r in d.collect()] == ["delete"]
+    assert cdc_apply(an, d, keys, cols).count() == 0
+
 
 def test_dynamic_partition_overwrite_touches_only_target_day(spark, tmp_path):
     """s19 mechanism: after a dynamic-mode overwrite of one partition,
