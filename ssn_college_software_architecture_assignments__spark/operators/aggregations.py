@@ -728,7 +728,7 @@ SELECT segment, priority AS mode_priority, CAST(n AS BIGINT) AS n_occurrences
 FROM (
   SELECT segment, priority, n,
          row_number() OVER (PARTITION BY segment
-                            ORDER BY n DESC, priority) AS rn
+                            ORDER BY n DESC, priority NULLS LAST) AS rn
   FROM c
 ) WHERE rn = 1
 ORDER BY segment
@@ -751,7 +751,12 @@ def a15_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.partitionBy("segment").orderBy(F.col("n").desc(), F.col("priority"))
+    # the tie law pins NULL ordering too: Spark asc is NULLS FIRST,
+    # DuckDB asc is NULLS LAST — a NULL priority tied for the top count
+    # would otherwise pick different winners per engine
+    w = W.partitionBy("segment").orderBy(
+        F.col("n").desc(), F.col("priority").asc_nulls_last()
+    )
     return (
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -1561,17 +1561,14 @@ def x6p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("n_tokens").alias("grand"), F.count(F.lit(1)).alias("n_src")
     )
-    target = F.floor(
-        (F.lit(_X6P_BUDGET_X) * F.col("grand")) / F.col("n_src")
-    )
+    # integer `div`, never double /: past 2^53 tokens the double loses
+    # low-order bits where DuckDB's // stays exact (review-caught)
+    target = F.expr(f"({_X6P_BUDGET_X} * grand) div n_src")
     plan = per.crossJoin(F.broadcast(tot)).select(
         "source", "n_tokens", target.alias("target_tokens")
     )
     epochs = F.least(
-        F.floor(
-            (F.col("target_tokens") + F.col("n_tokens") - 1)
-            / F.col("n_tokens")
-        ),
+        F.expr("(target_tokens + n_tokens - 1) div n_tokens"),
         F.lit(_X6P_MAX_EPOCHS),
     )
     return plan.select(

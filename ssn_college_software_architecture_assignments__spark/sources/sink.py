@@ -1346,14 +1346,11 @@ def merge_on_read_view(spark: SparkSession, lake_dir: str, key_cols: list[str],
     )
 
 
-@register("s21_merge_on_read", oracle=_S21_ORACLE, tags=("S10", "S11"))
-def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read: base + two delta commits resolved latest-per-key
-    at read time; updates, a three-deep version stack, and inserts all
-    surface without one base byte being rewritten."""
-    orders = Catalog(spark, sf_dir).orders
-    base_dir = tempfile.mkdtemp(prefix="ssn_mor_")
-    lake = f"{base_dir}/orders_mor"
+def s21_land_generations(orders: DataFrame, lake: str) -> None:
+    """The s21 fixture lake, single-sited for the operator AND its
+    untouched-base mechanism test: base (v1), delta_1 repricing every
+    10th key (+100, v2), delta_2 repricing every 20th again (+200, v3)
+    plus shifted-key inserts (every 17th, v3)."""
     orders.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),
@@ -1380,6 +1377,17 @@ def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .write.parquet(f"{lake}/delta_2")
     )
+
+
+@register("s21_merge_on_read", oracle=_S21_ORACLE, tags=("S10", "S11"))
+def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read: base + two delta commits resolved latest-per-key
+    at read time; updates, a three-deep version stack, and inserts all
+    surface without one base byte being rewritten."""
+    orders = Catalog(spark, sf_dir).orders
+    base_dir = tempfile.mkdtemp(prefix="ssn_mor_")
+    lake = f"{base_dir}/orders_mor"
+    s21_land_generations(orders, lake)
     return merge_on_read_view(
         spark, lake, key_cols=["o_orderkey"], version_col="version"
     ).orderBy("o_orderkey")

@@ -406,16 +406,21 @@ def t10_streaming_cumulative_distinct(
 # available for idempotence. This entry exercises that surface for
 # real: the stream reduces each micro-batch to its latest event per
 # user, merges it latest-wins into the serving state, and lands every
-# merge as a NEW GENERATION directory (gen_<n>) rather than
-# overwriting in place — a restarted/replayed batch rewrites its own
-# generation identically instead of corrupting the table (the
-# idempotence foreachBatch's at-least-once contract requires), and the
-# merge never reads the directory it is writing (the s20 WAP lesson).
-# Tie law everywhere: (ts desc, event_id desc) — deterministic under
-# any batch split, which is what makes a full-value oracle possible
-# for a streaming-merge operator. At scale: state is one row per user
-# (the serving table), per-batch work is O(batch + users); a
-# generation directory becomes the s12 compaction input.
+# merge as a generation directory NAMED BY THE BATCH ID (gen_<batch_id>)
+# rather than overwriting in place. The batch id is the idempotence
+# handle foreachBatch exists to provide: the previous generation is
+# DISCOVERED FROM DISK (the largest gen index < this batch id), never
+# from driver memory, so a restart from checkpoint that redelivers
+# batch N re-reads the durable gen_<N-1> and rewrites gen_<N>
+# identically — driver-memory tracking would restart at "no previous
+# generation" and silently drop all committed serving state
+# (review-caught). The merge never reads the directory it is writing
+# (the s20 WAP lesson). Tie law everywhere: (ts desc, event_id desc) —
+# deterministic under any batch split, which is what makes a
+# full-value oracle possible for a streaming-merge operator. At scale:
+# state is one row per user (the serving table), per-batch work is
+# O(batch + users); generation directories are the s12 compaction
+# input.
 
 _T11_ORACLE = """
 SELECT user_id,
@@ -432,14 +437,29 @@ ORDER BY user_id
 """
 
 
+def existing_generations(base: str) -> list[int]:
+    """Generation indices currently on disk (a FileSystem listing in
+    production; the local tmp dir here)."""
+    import os
+
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d.removeprefix("gen_"))
+        for d in os.listdir(base)
+        if d.startswith("gen_") and d.removeprefix("gen_").isdigit()
+    )
+
+
 def foreachbatch_latest_merge(base: str):
     """Build the foreachBatch merge fn: each batch reduces to its
     latest event per user and merges latest-wins with the previous
-    generation into gen_<n+1> (never reading its own target). Returns
-    (merge_fn, state) so callers can locate the final generation."""
+    generation into gen_<batch_id> (never reading its own target). The
+    previous generation is discovered FROM DISK — the largest index
+    below this batch id — so a checkpoint restart that redelivers a
+    batch rewrites its generation against durable state instead of
+    restarting from nothing."""
     from pyspark.sql import Window as W
-
-    state = {"gen": -1}
 
     def latest_per_user(df: DataFrame) -> DataFrame:
         w = W.partitionBy("user_id").orderBy(
@@ -454,19 +474,15 @@ def foreachbatch_latest_merge(base: str):
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         cols = ["user_id", "event_id", "ts", "event_type", "value"]
         incoming = latest_per_user(batch_df.select(*cols))
-        if state["gen"] >= 0:
+        prev = [g for g in existing_generations(base) if g < batch_id]
+        if prev:
             existing = batch_df.sparkSession.read.parquet(
-                f"{base}/gen_{state['gen']}"
+                f"{base}/gen_{max(prev)}"
             )
             incoming = latest_per_user(existing.unionByName(incoming))
-        # a NEW generation per batch: replaying this batch rewrites
-        # gen_<n> identically (idempotent); nothing reads its own target
-        incoming.write.mode("overwrite").parquet(
-            f"{base}/gen_{state['gen'] + 1}"
-        )
-        state["gen"] += 1
+        incoming.write.mode("overwrite").parquet(f"{base}/gen_{batch_id}")
 
-    return merge, state
+    return merge
 
 
 @register("t11_foreachbatch_upsert", oracle=_T11_ORACLE, tags=("T6", "T7"))
@@ -476,11 +492,9 @@ def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories, and the final serving read equals the batch
     latest-per-user query — the batch-stream equivalence check for the
     merge sink."""
-    from pyspark.sql import Window as W
-
     ev = stream_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ssn_t11_")
-    merge, state = foreachbatch_latest_merge(base)
+    merge = foreachbatch_latest_merge(base)
     checkpoint = tempfile.mkdtemp(prefix="ssn_t11_ckpt_")
     q = (
         ev.writeStream.foreachBatch(merge)
@@ -489,7 +503,14 @@ def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    serving = spark.read.parquet(f"{base}/gen_{state['gen']}")
+    gens = existing_generations(base)
+    if not gens:  # zero micro-batches delivered: the serving table is empty
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_event_id long, last_type string, "
+            "last_value double",
+        )
+    serving = spark.read.parquet(f"{base}/gen_{gens[-1]}")
     return serving.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

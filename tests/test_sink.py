@@ -476,36 +476,33 @@ def test_s21_merge_on_read_never_rewrites_base(spark, sf_dir):
     )
     from ssn_college_software_architecture_assignments__spark.sources.sink import (
         merge_on_read_view,
+        s21_land_generations,
     )
 
     import tempfile
 
     orders = Catalog(spark, sf_dir).orders
     lake = f"{tempfile.mkdtemp(prefix='ssn_s21_test_')}/lake"
-    orders.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("totalprice"),
-        F.lit(1).alias("version"),
-    ).write.parquet(f"{lake}/base")
 
-    def hashes():
+    def hashes(sub):
         return {
             os.path.relpath(p, lake): hashlib.md5(open(p, "rb").read()).hexdigest()
-            for p in glob.glob(f"{lake}/base/*.parquet")
+            for p in glob.glob(f"{lake}/{sub}/*.parquet")
         }
 
-    before = hashes()
-    orders.filter(F.col("o_orderkey") % 10 == 0).select(
+    # land via the OPERATOR's own single-sited fixture builder, hash
+    # every landed generation, then commit one MORE delta — no prior
+    # file may change (delta commits never touch base or older deltas)
+    s21_land_generations(orders, lake)
+    before = {sub: hashes(sub) for sub in ("base", "delta_1", "delta_2")}
+    assert all(before.values()), "all generations must exist"
+    orders.filter(F.col("o_orderkey") % 30 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") + 100.0, 2).alias("totalprice"),
-        F.lit(2).alias("version"),
-    ).write.parquet(f"{lake}/delta_1")
-    orders.filter(F.col("o_orderkey") % 20 == 0).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") + 200.0, 2).alias("totalprice"),
-        F.lit(3).alias("version"),
-    ).write.parquet(f"{lake}/delta_2")
-    assert hashes() == before and before, "base files must not be rewritten"
+        F.round(F.col("o_totalprice") + 300.0, 2).alias("totalprice"),
+        F.lit(4).alias("version"),
+    ).write.parquet(f"{lake}/delta_3")
+    after = {sub: hashes(sub) for sub in ("base", "delta_1", "delta_2")}
+    assert after == before, "prior generations must not be rewritten"
 
     got = {
         r["o_orderkey"]: r["version"]
@@ -513,9 +510,13 @@ def test_s21_merge_on_read_never_rewrites_base(spark, sf_dir):
             spark, lake, key_cols=["o_orderkey"], version_col="version"
         ).collect()
     }
-    sample = sorted(got)[:200]
+    inserts = [k for k in got if k >= 200000000]
+    assert inserts and all(got[k] == 3 for k in inserts)
+    sample = sorted(k for k in got if k < 200000000)[:200]
     for k in sample:
-        want = 3 if k % 20 == 0 else 2 if k % 10 == 0 else 1
+        want = (4 if k % 30 == 0 else
+                3 if k % 20 == 0 else
+                2 if k % 10 == 0 else 1)
         assert got[k] == want, k
 
 

@@ -247,15 +247,19 @@ def test_t11_merge_across_multiple_micro_batches(spark, tmp_path):
     with maxFilesPerTrigger=1 forces TWO micro-batches, so the second
     merge must union the first generation with its own batch — the
     final serving table equals the batch latest-per-user truth, one
-    generation directory exists per batch, and re-running batch 2's
-    merge rewrites its generation identically (idempotence under
-    at-least-once replay)."""
+    generation directory exists per batch, and a RESTART that
+    redelivers the last batch (a FRESH merge builder, as after a
+    driver crash, with the same batch id) rewrites its generation
+    identically from the durable previous generation — the
+    at-least-once contract the review found driver-memory tracking
+    would break."""
     import datetime
     import os
 
     from pyspark.sql import functions as F
 
     from ssn_college_software_architecture_assignments__spark.streaming.windows import (
+        existing_generations,
         foreachbatch_latest_merge,
     )
 
@@ -275,11 +279,11 @@ def test_t11_merge_across_multiple_micro_batches(spark, tmp_path):
     assert n_files >= 2
 
     lake = str(tmp_path / "serve")
-    merge, state = foreachbatch_latest_merge(lake)
+    merge = foreachbatch_latest_merge(lake)
     seen_batches = []
 
     def recording_merge(batch_df, batch_id):
-        seen_batches.append(batch_df.collect())
+        seen_batches.append((batch_id, batch_df.collect()))
         merge(batch_df, batch_id)
 
     stream = (
@@ -294,24 +298,26 @@ def test_t11_merge_across_multiple_micro_batches(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    assert state["gen"] == n_files - 1, "one generation per micro-batch"
+    gens = existing_generations(lake)
+    assert len(gens) == n_files, "one generation per micro-batch"
 
     got = {
         r["user_id"]: (r["event_id"], r["event_type"])
-        for r in spark.read.parquet(f"{lake}/gen_{state['gen']}").collect()
+        for r in spark.read.parquet(f"{lake}/gen_{gens[-1]}").collect()
     }
     # user 7: event 3 is later; user 8: event 2 (minute 5) beats 4 (minute 1)
     assert got == {7: (3, "purchase"), 8: (2, "view")}
 
-    # replay idempotence: rerunning the LAST merge with the EXACT batch
-    # input it saw (recorded during the run) must rewrite its generation
-    # identically — a replayed batch is a rewrite, not a
-    # double-application
-    state["gen"] -= 1
-    merge(spark.createDataFrame(seen_batches[-1], schema), 99)
-    # merge increments state itself — the rewritten final generation
+    # restart idempotence: a FRESH merge builder (driver memory gone,
+    # exactly the post-crash state) redelivered the last batch with its
+    # recorded id and input must rewrite that generation identically
+    # from the durable gen_<id-1> — never restart from nothing
+    last_id, last_rows = seen_batches[-1]
+    restarted = foreachbatch_latest_merge(lake)
+    restarted(spark.createDataFrame(last_rows, schema), last_id)
     replay = {
         r["user_id"]: (r["event_id"], r["event_type"])
-        for r in spark.read.parquet(f"{lake}/gen_{state['gen']}").collect()
+        for r in spark.read.parquet(f"{lake}/gen_{last_id}").collect()
     }
     assert replay == got
+    assert existing_generations(lake) == gens
