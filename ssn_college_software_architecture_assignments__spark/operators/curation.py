@@ -1364,10 +1364,11 @@ def x4t_quality_ensemble(
         "log_ratio": F.col("log_ratio"),
     }
     # the Spark-side face of the single-site invariant: adding a signal
-    # to _X4T_WEIGHTS without wiring both engines fails loudly here
-    assert set(signals) == set(w) == set(_X4T_SIGNAL_SQL), (
-        "ensemble signal lists drifted between engines"
-    )
+    # to _X4T_WEIGHTS without wiring both engines fails loudly here.
+    # ValueError, not assert — this is a runtime operator guard and must
+    # survive `python -O` (review-caught).
+    if not (set(signals) == set(w) == set(_X4T_SIGNAL_SQL)):
+        raise ValueError("ensemble signal lists drifted between engines")
     # fixed _X4T_WEIGHTS iteration order = the oracle's left-associated
     # sum, so the unrounded double is bit-identical across engines
     score = None

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from ..scratch import scratch_dir
 
 # J1 — inner equi-join ---------------------------------------------------------
 
@@ -299,11 +300,10 @@ def j11_write_bucketed_tables(
     subsequent join of the two tables on the bucket key is shuffle-free.
     Benchmarked separately from the join leg (bench.py j11_write vs
     j11_join) so the shuffle-free claim is measurable round-over-round."""
-    import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
     c = Catalog(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="ssn_bucketed_")
+    base = scratch_dir(prefix="ssn_bucketed_")
 
     def _write_lineitem():
         (

@@ -1925,7 +1925,8 @@ a{t} AS (
   ) WHERE rn = 1
 ),
 s{t} AS (
-  SELECT cid, count(*) AS n_members, round(sum(dist), 2) + 0.0 AS inertia
+  SELECT cid, count(*) AS n_members,
+         round(round(sum(dist), 6), 2) + 0.0 AS inertia
   FROM a{t} GROUP BY cid
 ),
 c{t} AS (
@@ -2025,7 +2026,13 @@ def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("newv"),
                 F.count(F.lit(1)).alias("n_members"),
-                (F.round(F.sum("best_d"), 2) + F.lit(0.0)).alias("inertia"),
+                # two-stage snap (round 6dp then 2dp), same law as the
+                # E2 money queries: a float sum whose accumulation
+                # order differs across engines must not straddle a 2dp
+                # boundary (review-caught — was single-stage round 2)
+                (F.round(F.round(F.sum("best_d"), 6), 2) + F.lit(0.0)).alias(
+                    "inertia"
+                ),
             )
         )
         rows = m.collect()  # K x dims — the broadcastable centroid set

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..scratch import scratch_dir
 from ..sources.sink import InsertReport, validated_insert
 
 Transform = Callable[[DataFrame], DataFrame]
@@ -87,7 +88,6 @@ def _register_e1() -> None:
         The insert-consistency report is asserted inline; the oracle
         replays the same E->T->L on the source table."""
         import os
-        import tempfile
 
         from ..catalog import Catalog
         from ..sources.mock_api import MockApiServer
@@ -104,7 +104,7 @@ def _register_e1() -> None:
             for r in docs.select("doc_id", "text", "lang", "n_chars")
             .toLocalIterator()
         ]
-        base = tempfile.mkdtemp(prefix="ssn_e1_connector_")
+        base = scratch_dir(prefix="ssn_e1_connector_")
         with MockApiServer(records) as server:
             pipe = Pipeline(
                 name="docs_api",

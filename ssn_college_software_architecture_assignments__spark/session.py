@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .scratch import scratch_dir
+
 # Runtime-settable confs we also force onto driver-provided sessions
 # (the correctness driver builds its own SparkSession and hands it to us).
 _RUNTIME_CONFS = {
@@ -72,7 +74,6 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
             return
         import os
         import shutil
-        import tempfile
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         root = os.path.normpath(os.path.dirname(pkg_dir))
@@ -86,7 +87,7 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
             _PKG_SHIPPED_APP_IDS.add(app_id)
             return
         _PKG_SHIP_ATTEMPTS[app_id] = _PKG_SHIP_ATTEMPTS.get(app_id, 0) + 1
-        tmp_dir = tempfile.mkdtemp(prefix="ssn_spark_pkg_")
+        tmp_dir = scratch_dir(prefix="ssn_spark_pkg_")
         archive = shutil.make_archive(
             os.path.join(tmp_dir, "ssn_spark_pkg"),
             "zip",

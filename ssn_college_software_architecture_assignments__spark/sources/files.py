@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from ..scratch import scratch_dir
 
 _EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "ssn_spark_export")
 
@@ -138,13 +139,12 @@ def s1b_rest_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's JSON inference, pins it to a file, and the extraction then
     runs with the pinned schema — the oracle proves the inferred-schema
     read equals the declared-schema read."""
-    import tempfile as _tf
 
     from .mock_api import MockApiServer
     from .rest import read_rest
 
     records = _docs_records(spark, sf_dir, 100)
-    pin = os.path.join(_tf.mkdtemp(prefix="ssn_schema_pin_"), "documents.schema.json")
+    pin = os.path.join(scratch_dir(prefix="ssn_schema_pin_"), "documents.schema.json")
     with MockApiServer(records) as server:
         df = read_rest(
             spark,
@@ -172,13 +172,12 @@ def s1c_rest_env_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     server rejects unauthenticated requests (401), and ``read_rest``
     loads the file and attaches the bearer token. Redaction is asserted
     in tests/test_rest_source.py."""
-    import tempfile as _tf
 
     from .mock_api import MockApiServer
     from .rest import read_rest
 
     token = "s1c-test-token-not-a-real-secret"
-    env_file = os.path.join(_tf.mkdtemp(prefix="ssn_dotenv_"), ".env")
+    env_file = os.path.join(scratch_dir(prefix="ssn_dotenv_"), ".env")
     with open(env_file, "w", encoding="utf-8") as fh:
         fh.write(f"# connector credentials\nexport SSN_S1C_API_TOKEN='{token}'\n")
     os.environ.pop("SSN_S1C_API_TOKEN", None)
@@ -214,13 +213,12 @@ def s1d_oauth_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the reader's 401->refresh->retry path (a raw fetch-count
     would also rise from per-task lazy fetches and prove nothing).
     Client id/secret ride the .env contract like every other credential."""
-    import tempfile as _tf
 
     from .mock_api import MockApiServer
     from .rest import read_rest
 
     records = _docs_records(spark, sf_dir, 100)
-    env_file = os.path.join(_tf.mkdtemp(prefix="ssn_oauth_env_"), ".env")
+    env_file = os.path.join(scratch_dir(prefix="ssn_oauth_env_"), ".env")
     with open(env_file, "w", encoding="utf-8") as fh:
         fh.write(
             "S1D_CLIENT_ID=connector-ci\n"
@@ -351,15 +349,14 @@ def s9b_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     page offset forward until the API is exhausted — the reference's
     scheduled-rerun model (README.md:28) with exactly-once commits. The
     final sink equals the source table, which is what the oracle checks."""
-    import tempfile
 
     from .mock_api import MockApiServer
     from .rest import register_rest_source
 
     records = _docs_records(spark, sf_dir, 100)
     register_rest_source(spark)
-    ckpt = tempfile.mkdtemp(prefix="ssn_rest_stream_ckpt_")
-    out_dir = tempfile.mkdtemp(prefix="ssn_rest_stream_out_")
+    ckpt = scratch_dir(prefix="ssn_rest_stream_ckpt_")
+    out_dir = scratch_dir(prefix="ssn_rest_stream_out_")
     with MockApiServer(records) as server:
         # Run 1 drains all 4 pages in one micro-batch; run 2 re-runs against
         # the same checkpoint and must commit nothing (exactly-once proof).

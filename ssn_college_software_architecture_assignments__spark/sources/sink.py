@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -27,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from ..scratch import scratch_dir
 
 AUDIT_COLUMN = "_ingested_at"
 
@@ -118,7 +118,7 @@ def s7_raw_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink is lossless; the audit column is checked by tests (it is
     nondeterministic so it stays out of the oracle projection)."""
     docs = Catalog(spark, sf_dir).documents
-    base = tempfile.mkdtemp(prefix="ssn_raw_sink_")
+    base = scratch_dir(prefix="ssn_raw_sink_")
     raw_sink(docs, "docs", base, mode="overwrite")
     back = spark.read.parquet(raw_table_path(base, "docs"))
     return back.select("doc_id", "text", "lang", "source", "n_chars")
@@ -134,7 +134,7 @@ FROM documents
 def s8_validated_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-consistency validation report as a 1-row DataFrame."""
     docs = Catalog(spark, sf_dir).documents
-    base = tempfile.mkdtemp(prefix="ssn_validated_insert_")
+    base = scratch_dir(prefix="ssn_validated_insert_")
     report = validated_insert(docs, "docs", base, mode="overwrite")
     return spark.createDataFrame(
         [(report.n_transformed, report.n_written, report.consistent)],
@@ -358,7 +358,7 @@ def s7b_document_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         nests={"profile": ["c_name", "c_mktsegment"], "account": ["acctbal"]},
     )
-    base = tempfile.mkdtemp(prefix="ssn_document_sink_")
+    base = scratch_dir(prefix="ssn_document_sink_")
     path = document_sink(docs, "customers", base, mode="overwrite")
     back = spark.read.schema(
         "_id BIGINT, profile STRUCT<c_name: STRING, c_mktsegment: STRING>, "
@@ -401,7 +401,7 @@ def s7c_document_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="o_orderkey",
         nests={"order": ["o_orderstatus", "totalprice"]},
     )
-    base = tempfile.mkdtemp(prefix="ssn_document_writer_")
+    base = scratch_dir(prefix="ssn_document_writer_")
     writer = DocumentWriter(
         "orders", base, mongo_uri="mongodb://127.0.0.1:1/etl", fallback="json"
     )
@@ -440,7 +440,7 @@ def s11_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the difference between scanning a month and scanning a weekend;
     the same layout feeds the incremental connectors' daily reruns."""
     events = Catalog(spark, sf_dir).events
-    base = tempfile.mkdtemp(prefix="ssn_partitioned_lake_")
+    base = scratch_dir(prefix="ssn_partitioned_lake_")
     (
         events.withColumn("event_date", F.to_date("ts"))
         .write.partitionBy("event_date")
@@ -495,7 +495,7 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     after each incremental load; the repartition is the one deliberate
     shuffle and writes land at target size."""
     docs = Catalog(spark, sf_dir).documents
-    base = tempfile.mkdtemp(prefix="ssn_compaction_")
+    base = scratch_dir(prefix="ssn_compaction_")
     frag, compacted = f"{base}/frag", f"{base}/compacted"
     docs.repartition(64).write.parquet(frag)
     compact_parquet(spark, frag, compacted)
@@ -524,7 +524,7 @@ def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mergeSchema`` footer-merging is a one-time listing cost; pin the
     merged schema in the catalog afterwards so routine scans skip it."""
     docs = Catalog(spark, sf_dir).documents
-    base = tempfile.mkdtemp(prefix="ssn_schema_evo_")
+    base = scratch_dir(prefix="ssn_schema_evo_")
     gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
     gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "n_chars", "source"
@@ -1047,7 +1047,7 @@ def s17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     published path. The red-audit leg (duplicate keys -> no publish,
     staging preserved) is pinned in tests/test_lake.py."""
     docs = Catalog(spark, sf_dir).documents
-    base = tempfile.mkdtemp(prefix="ssn_wap_")
+    base = scratch_dir(prefix="ssn_wap_")
     report = write_audit_publish(docs, "doc_id", base)
     n_readable = (
         spark.read.parquet(f"{base}/published").count()
@@ -1100,7 +1100,7 @@ def s19_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     readback — the oracle is the corrected corpus, so a truncating
     (static-mode) overwrite or a double-landed day both break it."""
     events = Catalog(spark, sf_dir).events
-    base = tempfile.mkdtemp(prefix="ssn_dyn_overwrite_")
+    base = scratch_dir(prefix="ssn_dyn_overwrite_")
     lake_path = f"{base}/events_lake"
     dated = events.withColumn("event_date", F.to_date("ts"))
     dated.write.partitionBy("event_date").mode("overwrite").parquet(lake_path)
@@ -1180,7 +1180,13 @@ def cdc_apply_partitioned(
         .distinct()
     )
     base = spark.read.parquet(lake_path)
-    scoped = base.join(F.broadcast(touched), part_col, "semi")
+    # eqNullSafe, not plain equality: a NULL partition value in the
+    # delta must still scope its base rows (NULL != NULL would silently
+    # drop such changes from the merge; review-caught). Dynamic
+    # partition overwrite itself maps a NULL partition to the Hive
+    # default-partition directory, so the round trip stays consistent.
+    bt = F.broadcast(touched)
+    scoped = base.join(bt, base[part_col].eqNullSafe(bt[part_col]), "semi")
     return cdc_apply(scoped, delta, key_cols=key_cols, compare_cols=compare_cols)
 
 
@@ -1260,7 +1266,7 @@ def s20_incremental_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a stale touched month all break the comparison."""
     orders = Catalog(spark, sf_dir).orders
     gen0, gen1 = _s20_generations(orders)
-    base = tempfile.mkdtemp(prefix="ssn_lake_merge_")
+    base = scratch_dir(prefix="ssn_lake_merge_")
     lake_path = f"{base}/orders_lake"
     gen0.write.partitionBy("order_month").mode("overwrite").parquet(lake_path)
 
@@ -1385,7 +1391,7 @@ def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     at read time; updates, a three-deep version stack, and inserts all
     surface without one base byte being rewritten."""
     orders = Catalog(spark, sf_dir).orders
-    base_dir = tempfile.mkdtemp(prefix="ssn_mor_")
+    base_dir = scratch_dir(prefix="ssn_mor_")
     lake = f"{base_dir}/orders_mor"
     s21_land_generations(orders, lake)
     return merge_on_read_view(

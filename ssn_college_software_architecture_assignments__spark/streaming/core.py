@@ -9,12 +9,12 @@ the batch-equivalence harness from SURVEY.md §5.2(5).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..session import tune_session
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +60,7 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     to key cardinality instead)."""
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix="ssn_stream_ckpt_")
+    checkpoint = scratch_dir(prefix="ssn_stream_ckpt_")
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -13,13 +13,13 @@ sinks via checkpointing.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..scratch import scratch_dir
 from .core import run_to_memory, stream_events
 
 # T1 — tumbling window aggregation ----------------------------------------------
@@ -212,8 +212,8 @@ def t7_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).alias("value_cents"),
     )
-    out_dir = tempfile.mkdtemp(prefix="ssn_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="ssn_stream_sink_ckpt_")
+    out_dir = scratch_dir(prefix="ssn_stream_sink_")
+    ckpt = scratch_dir(prefix="ssn_stream_sink_ckpt_")
     q = (
         transformed.writeStream.outputMode("append")
         .format("parquet")
@@ -493,9 +493,9 @@ def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-per-user query — the batch-stream equivalence check for the
     merge sink."""
     ev = stream_events(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="ssn_t11_")
+    base = scratch_dir(prefix="ssn_t11_")
     merge = foreachbatch_latest_merge(base)
-    checkpoint = tempfile.mkdtemp(prefix="ssn_t11_ckpt_")
+    checkpoint = scratch_dir(prefix="ssn_t11_ckpt_")
     q = (
         ev.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
