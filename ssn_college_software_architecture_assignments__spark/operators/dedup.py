@@ -2590,14 +2590,11 @@ ORDER BY id_a, id_b
 """
 
 
-@register("x2w_prefix_filter_join", oracle=_X2W_ORACLE, tags=("X2",))
-def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every document pair with shingle-set Jaccard >= 0.5, found by
-    frequency-ordered prefix filtering + equi-join + exact verify —
-    never all-pairs. The oracle is the naive all-pairs join, so the
-    comparison IS the prefix filter's completeness theorem."""
-    docs2 = _absorbed_docs(spark, sf_dir, 240)
-    sh = docs2.select(
+def _hashed_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s: array<long>) — distinct ``_X2Q_K``-gram shingles per
+    document under the portable md5-15-hex-digit hash law both engines
+    share (x2w's fingerprint table)."""
+    return docs.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -2608,6 +2605,13 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
+
+
+def _prefix_filter_pairs(sh: DataFrame, t: float) -> DataFrame:
+    """AllPairs/PPJoin core over a fingerprint table ``sh`` (doc_id,
+    s: array<long>): frequency-ordered prefix extraction, candidate
+    equi-join on single shingle hashes, exact set verify — every pair
+    with Jaccard >= ``t``, never all-pairs."""
     occ = sh.select("doc_id", F.explode("s").alias("gh"))
     df_counts = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
     # per-doc shingles in canonical (doc-frequency asc, gh asc) order;
@@ -2623,7 +2627,7 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.size("ordered")
-    prefix_len = n - F.ceil(F.lit(_X2W_T) * n).cast("int") + 1
+    prefix_len = n - F.ceil(F.lit(t) * n).cast("int") + 1
     prefix = ranked.select(
         "doc_id",
         F.explode(
@@ -2648,7 +2652,7 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(ni >= F.lit(_X2W_T) * union_n)
+        .filter(ni >= F.lit(t) * union_n)
         .select(
             "id_a",
             "id_b",
@@ -2660,3 +2664,74 @@ def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register("x2w_prefix_filter_join", oracle=_X2W_ORACLE, tags=("X2",))
+def x2w_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document pair with shingle-set Jaccard >= 0.5, found by
+    frequency-ordered prefix filtering + equi-join + exact verify —
+    never all-pairs. The oracle is the naive all-pairs join, so the
+    comparison IS the prefix filter's completeness theorem (affordable
+    because the planted-asymmetry fixture caps at 240 docs; x2w2 is
+    the uncapped full-corpus face)."""
+    sh = _hashed_shingle_sets(_absorbed_docs(spark, sf_dir, 240))
+    return _prefix_filter_pairs(sh, _X2W_T)
+
+
+# X2w2 — prefix-filter join UNCAPPED: the full documents table ------------------
+#
+# x2w's oracle is the naive all-pairs join, which is what capped its
+# fixture at 240 docs — the cap was the ORACLE's, never the
+# operator's. x2w2 removes it by swapping the oracle for the other
+# exact algorithm: the x2c-style INVERTED-INDEX join (shingle-equality
+# postings join -> per-pair common counts -> Jaccard filter), which
+# only ever meets pairs that co-occur in some posting list and so
+# stays affordable at any corpus whose posting mass is bounded. Both
+# sides are exact algorithms for the same set {(a,b): J(a,b) >= t}, so
+# equality is a second completeness theorem — prefix filtering vs
+# inverted index, checked cross-engine on the FULL corpus (500 docs at
+# sf0.01, 5000 at sf0.1; 25/256 qualifying pairs).
+#
+# Scale shape: identical to x2w (that is the point), plus the
+# fingerprint table is localCheckpoint-materialized ONCE — it feeds
+# the ranking pass AND both verify sides, and Catalyst would otherwise
+# re-run the shingle HOF three times (the x2 minhash lesson: persist
+# the signature table, measured not assumed).
+
+_X2W2_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {_X2Q_K - 1}, 0) + 1),
+           i -> CAST('0x' || substr(md5(array_to_string(t[i:i+{_X2Q_K - 1}], ' ')), 1, 15) AS BIGINT)))) AS gh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a AS id_a, i.id_b AS id_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       floor(i.n_common
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) * 10000) / 10000
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.n_common >= {_X2W_T} * (sa.n + sb.n - i.n_common)
+ORDER BY id_a, id_b
+"""
+
+
+@register("x2w2_prefix_filter_full_corpus", oracle=_X2W2_ORACLE, tags=("X2",))
+def x2w2_prefix_filter_full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2w's exact prefix-filter similarity join over the FULL
+    documents table — no fixture cap. The oracle is the exact
+    inverted-index join (x2c's shape at x2w's shingles/threshold), so
+    cross-engine equality proves prefix-filter completeness at corpus
+    scale, where the naive all-pairs oracle stopped being affordable."""
+    docs = ensure_min_partitions(Catalog(spark, sf_dir).documents)
+    # materialize the fingerprint table once — three consumers
+    sh = _hashed_shingle_sets(docs.select("doc_id", "text")).localCheckpoint()
+    return _prefix_filter_pairs(sh, _X2W_T)

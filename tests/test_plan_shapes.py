@@ -508,9 +508,10 @@ def test_prefix_filter_join_is_never_all_pairs(spark):
     hashes — never a cartesian/nested-loop over document pairs (the
     exact-similarity-join point), with the verify joining full sets
     only for candidates."""
-    plan = _plan(spark, "x2w_prefix_filter_join")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for name in ("x2w_prefix_filter_join", "x2w2_prefix_filter_full_corpus"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_mode_and_mor_windows_run_as_group_limit(spark):
