@@ -1397,3 +1397,94 @@ def s21_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_on_read_view(
         spark, lake, key_cols=["o_orderkey"], version_col="version"
     ).orderBy("o_orderkey")
+
+
+# S22 — dynamic partition pruning: the RUNTIME half of partition pruning -------
+#
+# s11 proves the STATIC half (a literal date predicate resolves against
+# the directory listing before any file opens). The idiom a 100 TB
+# star-schema lake leans on just as hard is the DYNAMIC half: the fact
+# scan's partition filter is not known until a dimension's predicate
+# has been evaluated, so Catalyst injects a
+# ``dynamicpruningexpression`` into the fact scan that reuses the
+# dimension's broadcast result as an IN-subquery over partition values
+# (Spark's dynamic partition pruning; the same mechanism the runtime
+# bloom-filter rule generalizes to non-partition keys —
+# tests/test_plan_shapes.py carries the bloom face on an isolated
+# session). Only the quarter's three month directories are ever read:
+# PartitionFilters carries the dynamicpruning node, asserted by gate.
+#
+# The dim is built from a 12-row range in BOTH engines (one generation
+# law), so the oracle is a plain join+aggregate over orders.
+
+_S22_ORACLE = """
+WITH dim AS (
+  SELECT '1996-' || lpad(CAST(i AS VARCHAR), 2, '0') AS order_month,
+         CAST((i - 1) // 3 + 1 AS BIGINT) AS quarter
+  FROM range(1, 13) t(i)
+),
+fact AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         o_totalprice, o_orderpriority
+  FROM orders
+)
+SELECT f.order_month AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(round(sum(f.o_totalprice), 6), 2) AS total_value
+FROM fact f JOIN dim d ON f.order_month = d.order_month
+WHERE d.quarter = 2
+GROUP BY f.order_month
+ORDER BY order_month
+"""
+
+
+def land_month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """One-off ingest: orders partitioned by order month (~80 month
+    directories — the ingest-date layout of s11 at month grain)."""
+    orders = Catalog(spark, sf_dir).orders
+    base = scratch_dir(prefix="ssn_dpp_lake_")
+    lake = f"{base}/orders_by_month"
+    (
+        orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .write.partitionBy("order_month")
+        .mode("overwrite")
+        .parquet(lake)
+    )
+    return lake
+
+
+def quarter_dim(spark: SparkSession) -> DataFrame:
+    """(order_month, quarter) for 1996 from a 12-row range — the Spark
+    face of the oracle's dim CTE (same generation law)."""
+    return spark.range(1, 13).select(
+        F.concat(
+            F.lit("1996-"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("order_month"),
+        F.expr("(id - 1) div 3 + 1").alias("quarter"),
+    )
+
+
+@register("s22_dpp_pruned_join", oracle=_S22_ORACLE, tags=("S11", "J6"))
+def s22_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join whose fact-side partition filter exists only at
+    runtime: the quarter predicate sits on the dim, so the month list
+    reaches the partitioned fact scan as an injected
+    ``dynamicpruningexpression`` (broadcast-reuse DPP) — 3 of ~80 month
+    directories read, no static predicate anywhere on the fact."""
+    lake = land_month_partitioned_orders(spark, sf_dir)
+    fact = spark.read.parquet(lake)
+    dim = quarter_dim(spark).filter(F.col("quarter") == 2)
+    return (
+        fact.join(F.broadcast(dim), "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # two-stage snap: partial-sum order must not straddle 2dp
+            (F.round(F.round(F.sum("o_totalprice"), 6), 2)).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("order_month")
+    )

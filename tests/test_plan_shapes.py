@@ -523,3 +523,41 @@ def test_mode_and_mor_windows_run_as_group_limit(spark):
         plan = _plan(spark, name)
         assert "WindowGroupLimit" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_dpp_join_injects_dynamic_pruning(spark):
+    """s22: the fact side's partition filter is only known at runtime
+    (the predicate sits on the dim), so the partitioned scan must carry
+    an injected dynamicpruningexpression — 3 of ~80 month directories
+    read, with no static predicate on the fact."""
+    plan = _plan(spark, "s22_dpp_pruned_join")
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_might_contain(spark):
+    """The non-partition-key face of runtime filtering: with the rule
+    enabled (thresholds floored — locally every table sits under the
+    10 GB application-side default that gates injection at real scale),
+    a selective dim predicate must inject a bloom_filter_agg on the dim
+    and a might_contain probe into the fact scan's filter. Isolated on
+    a newSession so the floored thresholds never leak into other
+    queries' plans."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = s2.read.parquet(f"{SF}/lineitem.parquet")
+    pt = s2.read.parquet(f"{SF}/part.parquet").filter("p_brand = 'Brand#1'")
+    df = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = explain_str(df)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
