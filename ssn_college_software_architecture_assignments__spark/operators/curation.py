@@ -175,6 +175,25 @@ GROUP BY t.doc_id
 """
 
 
+def gram_hash_index(docs: DataFrame, normalize: bool = False) -> DataFrame:
+    """(doc_id, gram_h): each document's DISTINCT 8-grams as xxhash64
+    longs — the shared gram law of batch (x6d/x6d2) and streaming (t12)
+    decontamination. Hashing happens INSIDE the per-doc transform:
+    array_distinct, explode, and every downstream join/agg operate on
+    8-byte longs, never gram strings. token_shingles guards sub-8-token
+    documents (empty gram array, not a sequence(1,0) slice error)."""
+    from .dedup import token_shingles
+
+    text: Column = F.col("text")
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    toks = F.split(text, " ")
+    grams_col = F.array_distinct(
+        F.transform(token_shingles(toks, 8), lambda s: F.xxhash64(s))
+    )
+    return docs.select("doc_id", F.explode(grams_col).alias("gram_h"))
+
+
 def contamination_report(docs: DataFrame, normalize: bool = False) -> DataFrame:
     """Shared decontamination dataflow over a (doc_id, text) frame with a
     doc_id % 50 == 0 benchmark stand-in: distinct 8-grams exploded,
@@ -184,20 +203,7 @@ def contamination_report(docs: DataFrame, normalize: bool = False) -> DataFrame:
     (case flips, inserted punctuation, doubled spaces) cannot smuggle a
     contaminated document past the filter — the standard practice for
     benchmark decontamination in public training-data pipelines."""
-    from .dedup import token_shingles
-
-    text: Column = F.col("text")
-    if normalize:
-        text = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
-    toks = F.split(text, " ")
-    # hash INSIDE the per-doc transform: array_distinct, explode, and the
-    # downstream join/agg all operate on 8-byte longs, never gram strings.
-    # token_shingles guards sub-8-token documents (empty gram array, not a
-    # sequence(1,0) slice error — see dedup.token_shingles).
-    grams_col = F.array_distinct(
-        F.transform(token_shingles(toks, 8), lambda s: F.xxhash64(s))
-    )
-    grams = docs.select("doc_id", F.explode(grams_col).alias("gram_h"))
+    grams = gram_hash_index(docs, normalize=normalize)
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0)
         .select("gram_h", F.col("doc_id").alias("bench_id"))

@@ -76,3 +76,15 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents fixture — the 'new documents arriving'
+    source of the incremental curation operators (t12). Single-file
+    fixture, so the glob trick from ``stream_events`` applies; schema
+    probed from the batch footer (no timestamp normalization needed —
+    documents carries no temporal column)."""
+    tune_session(spark)
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{base}/documents.parque*")

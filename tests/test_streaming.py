@@ -321,3 +321,82 @@ def test_t11_merge_across_multiple_micro_batches(spark, tmp_path):
     }
     assert replay == got
     assert existing_generations(lake) == gens
+
+
+def test_t12_contamination_across_batches_and_restart(spark, tmp_path):
+    """t12's batch-split independence driven for real: a 2-file doc
+    source with maxFilesPerTrigger=1 forces TWO micro-batches; each
+    batch's verdicts land in their own batch_<id> directory, the union
+    equals the batch contamination report over the same corpus, and a
+    restart that redelivers the last batch (fresh probe builder, same
+    batch id) rewrites its directory identically — the t11 contract on
+    the decontamination sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.streaming.windows import (
+        existing_generations,
+        foreachbatch_contamination,
+    )
+
+    bench_text = "a b c d e f g h"  # exactly one 8-gram
+    schema = "doc_id long, text string"
+    f1 = [
+        (0, bench_text),                      # benchmark doc (id % 50 == 0)
+        (1, bench_text + " x"),               # contaminated: shares the gram
+        (2, "p q r s t u v w y z"),           # clean
+    ]
+    f2 = [
+        (3, "z " + bench_text),               # contaminated via suffix copy
+        (4, "m n o p q r s"),                 # sub-8-token: no grams at all
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 2
+
+    out = str(tmp_path / "verdicts")
+    probe = foreachbatch_contamination(src, out)
+    seen = []
+
+    def recording_probe(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        probe(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(recording_probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = existing_generations(out, prefix="batch_")
+    assert len(batches) == n_files, "one verdict directory per micro-batch"
+
+    paths = [f"{out}/batch_{b}" for b in batches]
+    got = {
+        r["train_doc_id"]: (r["n_shared_grams"], r["n_benchmark_docs"])
+        for r in spark.read.parquet(*paths).collect()
+    }
+    # docs 1 and 3 each share the single benchmark gram; 2/4 never appear
+    assert got == {1: (1, 1), 3: (1, 1)}
+
+    # restart idempotence: a FRESH probe builder redelivered the last
+    # batch must rewrite its directory to identical verdicts
+    last_id, last_rows = seen[-1]
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_{last_id}").collect())
+    )
+    fresh = foreachbatch_contamination(src, out)
+    fresh(spark.createDataFrame(last_rows, spark.read.parquet(src).schema), last_id)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_{last_id}").collect())
+    )
+    assert before == after
