@@ -2735,3 +2735,123 @@ def x2w2_prefix_filter_full_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     # materialize the fingerprint table once — three consumers
     sh = _hashed_shingle_sets(docs.select("doc_id", "text")).localCheckpoint()
     return _prefix_filter_pairs(sh, _X2W_T)
+
+
+# X1d — URL/domain-level dedup report (the pre-text dedup pass) -----------------
+#
+# Public web-corpus pipelines (C4, RefinedWeb) dedup at URL level
+# BEFORE any text-level pass: the same page fetched under cosmetic URL
+# variants (scheme, www, query trackers, fragments) is the cheapest
+# duplicate class there is, and catching it costs one normalize + one
+# hash-agg instead of a shingle pipeline. The fixture carries no URL
+# column, so the URLs are PLANTED from event fields under one
+# generation law shared by both engines (the s20 pattern): domain from
+# user_id, path from event_type + props.k, plus event_id-keyed
+# scheme/www/query/fragment noise — exactly the variants normalization
+# must erase. The Spark side normalizes with the idiomatic parse_url
+# (JVM built-in HOST/PATH extraction); the oracle does the same with
+# regex string surgery, so agreement also cross-checks the two
+# normalization routes.
+#
+# Scale shape: map-only URL surgery, then x1c's two-stage aggregate —
+# (domain, norm_url) partial counts first, so the distinct-URL count
+# never plans a distinct-expand and the wide shuffle carries one row
+# per distinct normalized URL. Output is domains-sized.
+
+_X1D_URL_SQL = """
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'http://' ELSE 'https://' END
+         || CASE WHEN event_id % 2 = 0 THEN 'www.' ELSE '' END
+         || 'Site' || CAST(user_id % 20 AS VARCHAR) || '.Example.COM'
+         || '/' || event_type || '/item'
+         || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS VARCHAR)
+         || CASE WHEN event_id % 2 = 0
+                 THEN '?utm=' || CAST(event_id AS VARCHAR) ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM events
+"""
+
+_X1D_ORACLE = f"""
+WITH urls AS ({_X1D_URL_SQL}),
+stripped AS (
+  SELECT regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                        '^https?://', '') AS s
+  FROM urls
+),
+norm AS (
+  SELECT regexp_replace(lower(split_part(s, '/', 1)), '^www\\.', '') AS domain,
+         regexp_replace(lower(split_part(s, '/', 1)), '^www\\.', '')
+           || substr(s, len(split_part(s, '/', 1)) + 1) AS norm_url
+  FROM stripped
+),
+f AS (SELECT domain, norm_url, count(*) AS n FROM norm GROUP BY 1, 2)
+SELECT domain,
+       CAST(sum(n) AS BIGINT)            AS n_fetches,
+       count(*)                          AS n_unique_urls,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_fetches,
+       floor((1.0 - count(*) / CAST(sum(n) AS DOUBLE)) * 1e6) / 1e6 AS dup_frac
+FROM f
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+def _planted_event_urls(events: DataFrame) -> DataFrame:
+    """Spark face of ``_X1D_URL_SQL`` — one column ``url``."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(
+        F.concat(
+            F.when(F.col("event_id") % 3 == 0, "http://").otherwise("https://"),
+            F.when(F.col("event_id") % 2 == 0, "www.").otherwise(""),
+            F.lit("Site"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".Example.COM/"),
+            F.col("event_type"),
+            F.lit("/item"),
+            (k % 10).cast("string"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.concat(F.lit("?utm="), F.col("event_id").cast("string")),
+            ).otherwise(""),
+            F.when(F.col("event_id") % 5 == 0, "#frag").otherwise(""),
+        ).alias("url")
+    )
+
+
+def normalize_urls(urls: DataFrame) -> DataFrame:
+    """(domain, norm_url) per input url: scheme/query/fragment stripped,
+    host lowercased, leading www. dropped — the canonical form URL
+    dedup groups on. parse_url is the JVM-side extractor (no Python in
+    the path)."""
+    host = F.parse_url("url", F.lit("HOST"))
+    path = F.parse_url("url", F.lit("PATH"))
+    domain = F.regexp_replace(F.lower(host), r"^www\.", "")
+    return urls.select(
+        domain.alias("domain"), F.concat(domain, path).alias("norm_url")
+    )
+
+
+@register("x1d_url_dedup_report", oracle=_X1D_ORACLE, tags=("X1",))
+def x1d_url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL-duplication mass after normalization: fetches,
+    unique canonical URLs, duplicate fetches, dup fraction — the report
+    that decides whether a crawl source gets re-scoped before any
+    text-level dedup runs."""
+    urls = _planted_event_urls(Catalog(spark, sf_dir).events)
+    norm = normalize_urls(urls)
+    f = norm.groupBy("domain", "norm_url").agg(F.count(F.lit(1)).alias("n"))
+    uniq = F.count(F.lit(1))
+    tot = F.sum("n")
+    return (
+        f.groupBy("domain")
+        .agg(
+            tot.cast("long").alias("n_fetches"),
+            uniq.alias("n_unique_urls"),
+            (tot - uniq).cast("long").alias("n_dup_fetches"),
+            # floor law, not round: a count ratio WILL eventually land
+            # on .xxxxx5 where the engines' round() laws diverge
+            (F.floor((F.lit(1.0) - uniq / tot.cast("double")) * 1e6) / 1e6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("domain")
+    )

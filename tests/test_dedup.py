@@ -1022,3 +1022,34 @@ def test_x2s3_twin_property_on_random_corpora(spark, tmp_path):
         assert a == b
 
     run()
+
+
+def test_x1d_url_normalization_collapses_variants(spark):
+    """x1d law on handmade URLs: scheme, www, case of the host, query
+    strings, and fragments are all cosmetic — the four variants of one
+    page collapse to a single canonical URL; a different path does
+    not."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        normalize_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.Example.COM/a/b?utm=1",),
+            ("http://example.com/a/b#frag",),
+            ("https://EXAMPLE.com/a/b",),
+            ("https://www.example.com/a/b",),
+            ("https://example.com/a/c",),
+        ],
+        "url string",
+    )
+    got = {
+        r["norm_url"]: r["n"]
+        for r in normalize_urls(urls)
+        .groupBy("norm_url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"example.com/a/b": 4, "example.com/a/c": 1}
+    domains = {r["domain"] for r in normalize_urls(urls).collect()}
+    assert domains == {"example.com"}
