@@ -767,3 +767,101 @@ def a15_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# A16 — 2-D skew histogram: (key-size quantile bucket x reducer partition) -----
+#
+# a9 answers "is this key skewed" with one row of summary stats. The
+# decision a 100 TB job actually makes before shuffling is JOINT: how
+# do the heavy keys distribute across the prospective reducer
+# partitions — because one partition that collects several hot keys is
+# what AQE skew-split or manual salting (J10) exists to fix, and the
+# fix is chosen per (size class x partition), not per key. This
+# operator emits that evidence table: per-key row/byte loads, bucketed
+# by exact quantile cutpoints of the per-key row count (the w4b
+# no-window machinery from functions.bucketing — percentile_approx in
+# exact mode == DuckDB quantile_disc, map-side HOF assignment), crossed
+# with the key's simulated reducer under the portable md5 hash law
+# (a14's _md5h60, so both engines agree on the assignment; a real run
+# substitutes Spark's own hashpartitioning — same dataflow).
+#
+# Scale shape: one aggregate keyed on the profiled key (uniform by
+# definition), a 1-row broadcast of the cutpoints, then a second
+# aggregate over |keys| rows into |buckets x partitions| rows. NO
+# Window node anywhere (plan-gated) and nothing table-sized crosses
+# the second shuffle.
+
+_A16_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_A16_PARTS = 16
+# fixed per-row width estimate: 8B each for event_id/ts/user_id/value
+# plus the two variable-width string payloads
+_A16_FIXED_BYTES = 32
+
+
+def _a16_oracle() -> str:
+    from ..functions.bucketing import bucket_sql, cuts_sql
+
+    return f"""
+WITH per_key AS (
+  SELECT user_id,
+         count(*) AS n_rows,
+         CAST(sum({_A16_FIXED_BYTES} + strlen(event_type) + strlen(props))
+              AS BIGINT) AS est_bytes
+  FROM events GROUP BY user_id
+),
+c AS (SELECT {cuts_sql("n_rows", _A16_PROBS)} AS cuts FROM per_key),
+assigned AS (
+  SELECT {bucket_sql("n_rows")} AS size_bucket,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % {_A16_PARTS} AS partition_id,
+         n_rows, est_bytes
+  FROM per_key, c
+)
+SELECT size_bucket, partition_id,
+       CAST(count(*) AS BIGINT)    AS n_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
+       CAST(max(n_rows) AS BIGINT) AS max_rows_per_key
+FROM assigned
+GROUP BY size_bucket, partition_id
+ORDER BY size_bucket, partition_id
+"""
+
+
+@register("a16_skew_histogram_2d", oracle=_a16_oracle(), tags=("A9", "A6"))
+def a16_skew_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle sizing evidence: per-key loads for a prospective
+    shuffle key (events.user_id) bucketed by exact row-count quantiles
+    and crossed with the key's simulated reducer partition — the
+    (size class x partition) table that decides between a plain
+    shuffle, AQE skew splitting, and salting."""
+    from .dedup import _md5h60
+    from ..functions.bucketing import with_range_bucket
+
+    ev = Catalog(spark, sf_dir).events
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.lit(_A16_FIXED_BYTES)
+            + F.length("event_type")
+            + F.length("props")
+        )
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    assigned = with_range_bucket(
+        per_key, "n_rows", list(_A16_PROBS), out="size_bucket"
+    ).withColumn(
+        "partition_id",
+        F.pmod(_md5h60(F.col("user_id").cast("string")), F.lit(_A16_PARTS)),
+    )
+    return (
+        assigned.groupBy("size_bucket", "partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("est_bytes").cast("long").alias("est_bytes"),
+            F.max("n_rows").cast("long").alias("max_rows_per_key"),
+        )
+        .orderBy("size_bucket", "partition_id")
+    )

@@ -561,3 +561,13 @@ def test_runtime_bloom_filter_injects_might_contain(spark):
     plan = explain_str(df)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_skew_histogram_has_no_window(spark):
+    """a16: the quantile bucketing must run as the w4b no-window shape
+    (exact percentile_approx fold + broadcast + map-side HOF) — a
+    Window node here would mean the profile funnels the key table
+    through one reducer, exactly the failure it exists to predict."""
+    plan = _plan(spark, "a16_skew_histogram_2d")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
