@@ -865,3 +865,51 @@ def a16_skew_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket", "partition_id")
     )
+
+
+# A8b — unpivot (melt): the inverse reshape of A8 -------------------------------
+#
+# Pivot's inverse is the other half of the reshape family: the wide
+# day x event_type audit matrix melts back to long form with the
+# native ``DataFrame.unpivot`` (Spark's Expand-based melt — one pass,
+# no join, each input row fans out to |values| rows map-side).
+# Round-trip law: unpivot(pivot(T)) equals the dense long-form grid —
+# the zero-filled cells pivot materialized become explicit (day, type,
+# 0) rows, which is exactly what the oracle's day x type scaffold
+# LEFT JOIN produces. The value-column list is generated from
+# ``_EVENT_TYPES`` in BOTH engines (one site).
+
+_A8B_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+),
+types AS (
+  SELECT unnest([{", ".join(repr(t) for t in _EVENT_TYPES)}]) AS event_type
+),
+c AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day AS day, t.event_type AS event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days d
+CROSS JOIN types t
+LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+ORDER BY day, event_type
+"""
+
+
+@register("a8b_unpivot", oracle=_A8B_ORACLE, tags=("A8", "P1"))
+def a8b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the a8 pivot matrix back to long form with the native
+    unpivot (Expand node, map-side fan-out — no join, no shuffle beyond
+    the pivot's own aggregate). Proves the reshape family closes:
+    unpivot(pivot(T)) == the dense (day, type, n) grid."""
+    wide = a8_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).orderBy("day", "event_type")

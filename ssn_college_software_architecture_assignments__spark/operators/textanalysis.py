@@ -1430,3 +1430,122 @@ def x4s_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X4w — Gopher rule battery (the full pass/fail filter, per rule) ---------------
+#
+# x4i computes the repetition SIGNALS; the public Gopher filter (Rae et
+# al. 2021, Appendix A — same battery FineWeb/Dolma re-use) is a
+# CONJUNCTION of per-rule verdicts, and what a curation run audits is
+# which rule killed each document. This operator emits the per-rule
+# boolean columns plus the final keep, with every threshold a
+# module-level constant generating BOTH engines' predicates (one law
+# site). Verdict arithmetic is engine-exact by construction: bound
+# checks run on integer cross-multiplications (sum_len BETWEEN 3n AND
+# 10n, never sum_len/n vs 3.0) or on the 4dp-rounded signal columns the
+# registered x4i SQL already emits — no unrounded float ever crosses a
+# comparison. Fixture adaptation, documented: the corpus is symbol-free
+# single-line text, so Gopher's symbol/bullet/ellipsis line rules are
+# vacuous here and the battery carries the five rules with signal:
+# word-count bounds, mean-word-length bounds, >=2 distinct stopwords,
+# top-word mass, duplicate-word mass.
+#
+# Scale shape: x4i's (map-only HOF expressions) plus one doc_id
+# equi-join — no new shuffle class; output is corpus-sized and
+# column-pruned.
+
+_X4W_MIN_WORDS, _X4W_MAX_WORDS = 20, 90
+_X4W_MIN_MWL, _X4W_MAX_MWL = 3, 10  # mean word length bounds (integer law)
+_X4W_MIN_STOPS = 2
+_X4W_TOP_WORD_MAX = 0.2  # on x4i's 4dp-rounded top_word_frac
+_X4W_WORD_REP_MAX = 0.6  # on x4i's 4dp-rounded word_rep_frac
+
+
+def _x4w_oracle() -> str:
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _STOPWORDS)
+    return f"""
+WITH rep AS ({_X4I_ORACLE}),
+sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT)
+           AS sum_word_len,
+         CAST(len(list_filter(list_distinct(w), x -> {stop_pred})) AS BIGINT)
+           AS stop_hits
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents)
+)
+SELECT s.doc_id AS doc_id,
+       s.n_words AS n_words,
+       floor(s.sum_word_len / CAST(s.n_words AS DOUBLE) * 1e4) / 1e4
+         AS mean_word_len,
+       s.stop_hits AS stop_hits,
+       (s.n_words BETWEEN {_X4W_MIN_WORDS} AND {_X4W_MAX_WORDS})
+         AS rule_word_count,
+       (s.sum_word_len BETWEEN {_X4W_MIN_MWL} * s.n_words
+                           AND {_X4W_MAX_MWL} * s.n_words)
+         AS rule_mean_word_len,
+       (s.stop_hits >= {_X4W_MIN_STOPS}) AS rule_stopwords,
+       (r.top_word_frac <= {_X4W_TOP_WORD_MAX}) AS rule_top_word,
+       (r.word_rep_frac <= {_X4W_WORD_REP_MAX}) AS rule_word_rep,
+       ((s.n_words BETWEEN {_X4W_MIN_WORDS} AND {_X4W_MAX_WORDS})
+        AND (s.sum_word_len BETWEEN {_X4W_MIN_MWL} * s.n_words
+                                AND {_X4W_MAX_MWL} * s.n_words)
+        AND (s.stop_hits >= {_X4W_MIN_STOPS})
+        AND (r.top_word_frac <= {_X4W_TOP_WORD_MAX})
+        AND (r.word_rep_frac <= {_X4W_WORD_REP_MAX})) AS keep
+FROM sig s JOIN rep r ON r.doc_id = s.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("x4w_gopher_rules", oracle=_x4w_oracle(), tags=("X4", "X6"))
+def x4w_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher filter battery: per-rule verdict columns + conjunction
+    keep, composing x4i's registered repetition signals with fresh
+    integer-exact length/stopword signals. The audit table a curation
+    run reads to learn WHICH rule killed each document."""
+    docs = Catalog(spark, sf_dir).documents
+    w = F.expr("filter(split(text, ' '), x -> x != '')")
+
+    def _is_stop(x):
+        cond = F.lit(False)
+        for s in _STOPWORDS:
+            cond = cond | (x == s)
+        return cond
+
+    sig = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_word_len"),
+        F.size(F.filter(F.array_distinct(w), _is_stop))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    rep = x4i_repetition_profile(spark, sf_dir).select(
+        "doc_id", "top_word_frac", "word_rep_frac"
+    )
+    nw, sl, sh = F.col("n_words"), F.col("sum_word_len"), F.col("stop_hits")
+    r_wc = nw.between(_X4W_MIN_WORDS, _X4W_MAX_WORDS)
+    r_mwl = (sl >= _X4W_MIN_MWL * nw) & (sl <= _X4W_MAX_MWL * nw)
+    r_stop = sh >= _X4W_MIN_STOPS
+    r_top = F.col("top_word_frac") <= _X4W_TOP_WORD_MAX
+    r_rep = F.col("word_rep_frac") <= _X4W_WORD_REP_MAX
+    return (
+        sig.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.floor(sl / nw.cast("double") * 1e4) / 1e4).alias("mean_word_len"),
+            "stop_hits",
+            r_wc.alias("rule_word_count"),
+            r_mwl.alias("rule_mean_word_len"),
+            r_stop.alias("rule_stopwords"),
+            r_top.alias("rule_top_word"),
+            r_rep.alias("rule_word_rep"),
+            (r_wc & r_mwl & r_stop & r_top & r_rep).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
