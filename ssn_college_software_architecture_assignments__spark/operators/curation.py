@@ -1597,3 +1597,88 @@ def x6p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unfilled_tokens"),
     ).orderBy("source")
+
+
+# X6s — decontamination-aware mixture (x6d verdicts reshape x6n shares) ---------
+#
+# x6d flags contaminated documents; x6n derives temperature shares from
+# raw source sizes. A pipeline that runs both must derive its mixture
+# from what SURVIVES decontamination — a source that loses mass to
+# benchmark overlap must not keep its pre-filter share, or the sampler
+# re-inflates exactly the contaminated slice. x6s closes that loop: per
+# source, the train/contaminated/clean counts (x6d's verdict set,
+# composed as a CTE verbatim), then x6n's sqrt-temperature share over
+# the CLEAN counts. Same determinism contract as x6n: shares rounded
+# 6dp in-engine; clean_frac takes the floor law (count ratio).
+#
+# Scale shape: x6d's (broadcast benchmark index, corpus never
+# shuffles), then everything downstream is sources-sized: one
+# hash-agg to per-source counts, a 1-row broadcast normalizer, a
+# 20-row output.
+
+_X6S_ORACLE = f"""
+WITH contaminated AS ({_X6D_ORACLE}),
+train AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0
+),
+per AS (
+  SELECT t.source,
+         count(*) AS n_train_docs,
+         count(c.train_doc_id) AS n_contaminated
+  FROM train t LEFT JOIN contaminated c ON c.train_doc_id = t.doc_id
+  GROUP BY t.source
+),
+z AS (
+  SELECT sum(sqrt(CAST(n_train_docs - n_contaminated AS DOUBLE))) AS z
+  FROM per
+)
+SELECT source,
+       CAST(n_train_docs AS BIGINT)                    AS n_train_docs,
+       CAST(n_contaminated AS BIGINT)                  AS n_contaminated,
+       CAST(n_train_docs - n_contaminated AS BIGINT)   AS n_clean,
+       floor((n_train_docs - n_contaminated)
+             / CAST(n_train_docs AS DOUBLE) * 1e6) / 1e6 AS clean_frac,
+       round(sqrt(CAST(n_train_docs - n_contaminated AS DOUBLE)) / z, 6)
+         AS target_share
+FROM per CROSS JOIN z
+ORDER BY source
+"""
+
+
+@register("x6s_decontaminated_mixture", oracle=_X6S_ORACLE, tags=("X6", "X2"))
+def x6s_decontaminated_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture shares derived from the documents that
+    SURVIVE x6d decontamination: train/contaminated/clean counts plus
+    the sqrt-temperature target share over clean mass — the mixture a
+    decontaminating pipeline actually samples from."""
+    docs = Catalog(spark, sf_dir).documents
+    verdicts = contamination_report(docs).select("train_doc_id")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "source")
+    per = (
+        train.join(
+            verdicts.withColumn("_hit", F.lit(1)),
+            train.doc_id == verdicts.train_doc_id,
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    clean = (F.col("n_train_docs") - F.col("n_contaminated")).cast("double")
+    z = per.agg(F.sum(F.sqrt(clean)).alias("z"))
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_train_docs").cast("long").alias("n_train_docs"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            clean.cast("long").alias("n_clean"),
+            (F.floor(clean / F.col("n_train_docs").cast("double") * 1e6) / 1e6).alias(
+                "clean_frac"
+            ),
+            F.round(F.sqrt(clean) / F.col("z"), 6).alias("target_share"),
+        )
+        .orderBy("source")
+    )

@@ -2855,3 +2855,98 @@ def x1d_url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# X2y — MinHash LSH parameter planner (the design tool behind x2g/x2) -----------
+#
+# Choosing (bands, rows) for a signature budget is the published
+# S-curve calculus (Leskovec/Rajaraman/Ullman ch.3): a pair with
+# Jaccard J collides in one band with probability J^r, hence anywhere
+# with p = 1 - (1 - J^r)^b. This operator emits that curve over the
+# ACTUAL design space of the engine's registered scheme — every (b, r)
+# factorization of the _X2G_HASHES signature budget — so the table is
+# the evidence for why x2g runs 4 bands x 2 rows and what moving along
+# the budget trades away.
+#
+# Cross-engine float law: J^r and (1-J^r)^b are generated as EXPLICIT
+# multiplication chains (one Python site emits both the Spark Column
+# and the SQL text), never pow() — repeated IEEE multiply is
+# bit-identical across engines while libm pow is only ~1ulp, and a
+# 1ulp drift under round() is exactly the straddle hazard. p_detect
+# then takes the floor law; the >= 0.5 planner verdict compares the
+# exact chained value.
+#
+# Scale shape: a 76-row constant-space table (|configs| x |J grid|) —
+# the planner costs nothing; it EXISTS so the expensive thing (a 100 TB
+# signature pass with the wrong r) never runs.
+
+_X2Y_GRID_N = 19  # J = 0.05 .. 0.95 step 0.05
+
+
+def _x2y_configs() -> list[tuple[int, int]]:
+    """All (bands, rows_per_band) factorizations of the signature
+    budget, widest-band first."""
+    h = _X2G_HASHES
+    return [(b, h // b) for b in range(1, h + 1) if h % b == 0]
+
+
+def _chain_sql(base: str, n: int) -> str:
+    """``base`` multiplied by itself ``n`` times — IEEE-exact both
+    engines (left-associated, same order as the Spark twin)."""
+    out = base
+    for _ in range(n - 1):
+        out = f"({out} * {base})"
+    return out
+
+
+def _chain_col(base: Column, n: int) -> Column:
+    out = base
+    for _ in range(n - 1):
+        out = out * base
+    return out
+
+
+def _x2y_oracle() -> str:
+    branches = []
+    for b, r in _x2y_configs():
+        jr = _chain_sql("j", r)
+        miss = _chain_sql(f"(1.0 - {jr})", b)
+        branches.append(f"""
+  SELECT {_X2G_HASHES} AS n_hashes, {b} AS bands, {r} AS rows_per_band,
+         round(j, 2) AS jaccard,
+         floor((1.0 - {miss}) * 1e6) / 1e6 AS p_detect,
+         (1.0 - {miss}) >= 0.5 AS is_above_half
+  FROM (SELECT i * 0.05 AS j FROM range(1, {_X2Y_GRID_N + 1}) t(i))""")
+    u = "\nUNION ALL\n".join(branches)
+    return f"SELECT * FROM (\n{u}\n) ORDER BY bands, jaccard"
+
+
+@register("x2y_lsh_parameter_planner", oracle=_x2y_oracle(), tags=("X2",))
+def x2y_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-probability table p = 1 - (1 - J^r)^b for every
+    (bands, rows) factorization of the registered signature budget over
+    a J grid — the S-curve evidence a banding scheme is chosen from."""
+    # numPartitions=1: a 19-row constant grid must not fan out to the
+    # default-parallelism task count
+    grid = spark.range(1, _X2Y_GRID_N + 1, 1, 1).select(
+        (F.col("id") * 0.05).alias("j")
+    )
+    parts = []
+    for b, r in _x2y_configs():
+        jr = _chain_col(F.col("j"), r)
+        miss = _chain_col(F.lit(1.0) - jr, b)
+        p = F.lit(1.0) - miss
+        parts.append(
+            grid.select(
+                F.lit(_X2G_HASHES).cast("int").alias("n_hashes"),
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.round("j", 2).alias("jaccard"),
+                (F.floor(p * 1e6) / 1e6).alias("p_detect"),
+                (p >= 0.5).alias("is_above_half"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("bands", "jaccard")

@@ -1488,3 +1488,117 @@ def s22_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# S23 — generation vacuum (retention for the t11/s21 lake layouts) --------------
+#
+# Every upsert sink that keeps immutable generations (t11's gen_<batch>
+# dirs, s21's delta stack) grows without bound until something reclaims
+# the superseded ones — the VACUUM/expire-snapshots half of lake
+# maintenance, next to s12's compaction. The invariant that makes
+# vacuuming safe is that serving reads ONLY the newest generation, so
+# deleting everything older than the retention horizon cannot change a
+# serving row — which is exactly what the oracle checks: the
+# post-vacuum serving view must still equal the latest-per-key truth
+# over ALL ingested data. At 100 TB this is the nightly job that keeps
+# the lake from storing every version forever; retention > 1 holds a
+# time-travel window (and in-flight readers), retention = 1 keeps only
+# the serving state.
+
+_S23_ORACLE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                        event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """(ts desc, event_id desc) per user — t11's tie law."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def land_generation_stack(
+    spark: SparkSession, sf_dir: str, n_gens: int = 3
+) -> str:
+    """Build a t11-shaped generation stack in batch: events split into
+    ``n_gens`` batches by event_id, each generation the cumulative
+    latest-per-user after its batch (so gen_<n-1> is the serving
+    state)."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    base = scratch_dir(prefix="ssn_genstack_")
+    acc = None
+    for g in range(n_gens):
+        batch = ev.filter(F.col("event_id") % n_gens == g)
+        acc = batch if acc is None else acc.unionByName(batch)
+        _latest_per_user(acc).write.mode("overwrite").parquet(f"{base}/gen_{g}")
+        # next round accumulates from the DURABLE generation, as the
+        # streaming merge would (never from driver-held lineage)
+        acc = spark.read.parquet(f"{base}/gen_{g}")
+    return base
+
+
+def vacuum_generations(base: str, keep_last: int = 1) -> dict[str, int]:
+    """Delete all but the newest ``keep_last`` generation directories;
+    returns counts and reclaimed bytes. Serving reads are unaffected by
+    construction (they address the newest generation only)."""
+    import os
+    import shutil
+
+    from ..streaming.windows import existing_generations
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (serving needs a generation)")
+    gens = existing_generations(base)
+    doomed = gens[:-keep_last] if keep_last < len(gens) else []
+    reclaimed = 0
+    for g in doomed:
+        path = f"{base}/gen_{g}"
+        for root, _dirs, files in os.walk(path):
+            reclaimed += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        shutil.rmtree(path)
+    return {
+        "n_deleted": len(doomed),
+        "n_kept": len(gens) - len(doomed),
+        "bytes_reclaimed": reclaimed,
+    }
+
+
+@register("s23_generation_vacuum", oracle=_S23_ORACLE, tags=("S11", "S12"))
+def s23_generation_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land a 3-generation upsert stack, vacuum to retention 1, and
+    serve from what remains: the serving view after reclamation must
+    still equal the latest-per-key truth over all ingested events —
+    the safety theorem of generation retention."""
+    from ..streaming.windows import existing_generations
+
+    base = land_generation_stack(spark, sf_dir, n_gens=3)
+    stats = vacuum_generations(base, keep_last=1)
+    gens = existing_generations(base)
+    if stats["n_kept"] != len(gens) or len(gens) != 1:
+        raise ValueError(f"vacuum left unexpected generations: {gens}")
+    serving = spark.read.parquet(f"{base}/gen_{gens[-1]}")
+    return serving.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")

@@ -199,3 +199,36 @@ def test_wap_repeat_load_replaces_published(spark, tmp_path):
     assert write_audit_publish(v2, "doc_id", base)["published"]
     assert spark.read.parquet(f"{base}/published").count() == 2
     assert spark.read.parquet(f"{base}/published_prev").count() == 1
+
+
+def test_s23_vacuum_preserves_serving_and_honors_retention(spark, tmp_path):
+    """Vacuum safety theorem on a handmade 3-generation stack: the
+    serving read (newest generation) is byte-identical across a
+    keep_last=1 vacuum, exactly the older directories disappear, and
+    keep_last=0 is refused (serving always needs a generation)."""
+    import os
+
+    import pytest
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        vacuum_generations,
+    )
+
+    base = str(tmp_path / "stack")
+    for g, rows in enumerate([[(1, "a")], [(1, "b"), (2, "c")], [(2, "d")]]):
+        spark.createDataFrame(rows, "k long, v string").write.parquet(
+            f"{base}/gen_{g}"
+        )
+    before = sorted(map(tuple, spark.read.parquet(f"{base}/gen_2").collect()))
+
+    stats = vacuum_generations(base, keep_last=1)
+    assert stats["n_deleted"] == 2 and stats["n_kept"] == 1
+    assert stats["bytes_reclaimed"] > 0
+    assert sorted(os.listdir(base)) == ["gen_2"]
+    after = sorted(map(tuple, spark.read.parquet(f"{base}/gen_2").collect()))
+    assert before == after
+
+    # idempotent: nothing left to reclaim
+    assert vacuum_generations(base, keep_last=1)["n_deleted"] == 0
+    with pytest.raises(ValueError):
+        vacuum_generations(base, keep_last=0)
