@@ -1135,7 +1135,10 @@ def x2i_lsh_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates keeps the query informative even on corpora with no true
 # duplicates, while the verdict column pins the drop semantics.
 
-_X2J_ORACLE = """
+# Shared IVF cell-assignment SQL: 16 deterministic coarse centroids,
+# nearest-centroid by (cos desc, cent_id) — composed by the x2j pair
+# oracle AND the x3u kNN-graph oracle (one assignment law site).
+_IVF_CELLS_SQL = """
 WITH c AS (
   SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
   FROM embeddings WHERE vec_id < 16
@@ -1158,7 +1161,9 @@ cells AS (
     FROM vc
   ) WHERE rn = 1
     AND list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0
-),
+)"""
+
+_X2J_ORACLE = f"""{_IVF_CELLS_SQL},
 pairs AS (
   SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS dup_id,
          list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')
@@ -1176,6 +1181,46 @@ FROM (
   FROM pairs
 ) WHERE rn <= 3
 """
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, emb, nrm, cell): MAP-SIDE nearest-centroid assignment
+    shared by x2j SemDeDup and the x3u kNN graph. The K centroids
+    collapse to a single array row, broadcast, and each vector folds an
+    argmax over it in one per-row expression — no n*K window (a
+    row_number over the crossJoin would Exchange+sort 16x-inflated
+    corpus rows, the shuffle this family's scale story forbids). The
+    fold's strict (cos, cent_id) comparison makes the pick independent
+    of collect_list's nondeterministic array order. Zero-norm guards
+    run BEFORE any cosine: under ANSI mode the divide would throw, and
+    a zero vector has no defined neighbor."""
+    emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
+    centroids = centroids.filter(l2_norm(F.col("cemb")) > 0)
+    cent_arr = centroids.select(
+        F.struct(
+            F.col("cent_id"),
+            F.col("cemb"),
+            l2_norm(F.col("cemb")).alias("cnrm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    assign_expr = F.expr(
+        """
+        aggregate(
+          transform(cents, c -> named_struct(
+            'cid', c.cent_id,
+            'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm))),
+          named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
+          (acc, s) -> IF(s.cos > acc.bcos OR (s.cos = acc.bcos AND s.cid < acc.bid),
+                         named_struct('bid', s.cid, 'bcos', s.cos), acc),
+          acc -> acc.bid)
+        """
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(assign_expr.alias("cell"), "vec_id", "emb", "nrm")
+        .filter(F.col("cell") >= 0)
+    )
 
 
 def semantic_dup_candidates(
@@ -1203,42 +1248,7 @@ def semantic_dup_candidates(
     minhash_candidate_pairs apply unchanged. Zero-norm vectors are
     dropped before pairing (their cosine is undefined; leaving them in
     would make the null sort placement engine-dependent)."""
-    # zero-norm guards run BEFORE any cosine: under ANSI mode the
-    # divide would throw, and a zero vector has no defined neighbor.
-    emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
-    centroids = centroids.filter(l2_norm(F.col("cemb")) > 0)
-    # MAP-SIDE nearest-centroid assignment: the K centroids collapse to a
-    # single array row, broadcast, and each vector folds an argmax over
-    # it in one per-row expression — no n*K window (a row_number over
-    # the crossJoin would Exchange+sort 16x-inflated corpus rows, the
-    # shuffle this operator's scale story forbids). The fold's strict
-    # (cos, cent_id) comparison makes the pick independent of
-    # collect_list's nondeterministic array order.
-    cent_arr = centroids.select(
-        F.struct(
-            F.col("cent_id"),
-            F.col("cemb"),
-            l2_norm(F.col("cemb")).alias("cnrm"),
-        ).alias("c")
-    ).agg(F.collect_list("c").alias("cents"))
-    assign_expr = F.expr(
-        """
-        aggregate(
-          transform(cents, c -> named_struct(
-            'cid', c.cent_id,
-            'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
-                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm))),
-          named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
-          (acc, s) -> IF(s.cos > acc.bcos OR (s.cos = acc.bcos AND s.cid < acc.bid),
-                         named_struct('bid', s.cid, 'bcos', s.cos), acc),
-          acc -> acc.bid)
-        """
-    )
-    cells = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .select(assign_expr.alias("cell"), "vec_id", "emb", "nrm")
-        .filter(F.col("cell") >= 0)
-    )
+    cells = assign_cells(emb, centroids)
     grouped = (
         cells.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
@@ -2950,3 +2960,112 @@ def x2y_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out.orderBy("bands", "jaccard")
+
+
+# X3u — IVF-cell-confined kNN graph (corpus vs corpus) --------------------------
+#
+# Every x3 search is query-set-vs-corpus; the primitive behind
+# SemDeDup-style clustering, graph-based ANN indexes, and diversity
+# sampling is the kNN GRAPH — every corpus vector's top-k neighbors.
+# Exact all-pairs is the one shape this repo forbids, so the graph is
+# IVF-confined: vectors meet only within their coarse cell (the
+# assign_cells law x2j shares), giving the standard recall trade —
+# cross-cell true neighbors are missed, which is why production runs
+# multi-probe; the dataflow is identical. Per-vector top-k happens
+# INSIDE the cell aggregation row (the x2j HOF expansion, extended
+# with a per-member neighbor sort) — the assignment is computed once,
+# the only corpus shuffle is the groupBy on the cell id, and no Window
+# node ever sees pair-inflated rows. Tie law: (round(cos,4) desc,
+# neighbor_id asc), x3's standard.
+#
+# The oracle computes the same graph with the independent algorithm
+# (cells CTE composed from the shared _IVF_CELLS_SQL site, then a
+# cell self-join + per-vector window) — agreement checks both the
+# graph and the confinement.
+
+_X3U_K = 3
+
+_X3U_ORACLE = f"""{_IVF_CELLS_SQL},
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.cell AS cell,
+         list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.emb, x -> x*x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.emb, x -> x*x), 'sum'))) AS cos
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
+       CAST(rn AS INT) AS rank, round(cos, 4) AS cos_sim
+FROM (
+  SELECT vec_id, neighbor_id, cell, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(cos, 4) DESC, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn <= {_X3U_K}
+ORDER BY vec_id, rank
+"""
+
+
+@register("x3u_ivf_knn_graph", oracle=_X3U_ORACLE, tags=("X3", "X2"))
+def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors for EVERY corpus vector, confined to its
+    IVF cell: one assignment pass, one cell shuffle, per-member
+    neighbor ranking inside the cell aggregation row — the kNN-graph
+    primitive without an all-pairs stage."""
+    from .similarity import _dvec as dvec
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
+    cells = assign_cells(vecs, centroids)
+    grouped = (
+        cells.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "emb", "nrm"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    # per member i: sort its n-1 candidates by the tie law, slice k,
+    # attach 1-based rank via the indexed transform — all one HOF
+    knn_expr = F.expr(
+        f"""
+        flatten(transform(sequence(0, size(ms) - 1), i ->
+          transform(
+            slice(
+              array_sort(
+                transform(filter(sequence(0, size(ms) - 1), j -> j != i), j ->
+                  named_struct(
+                    'nid', ms[j].vec_id,
+                    'cos',
+                    aggregate(zip_with(ms[i].emb, ms[j].emb, (x, y) -> x * y),
+                              0D, (acc, v) -> acc + v)
+                    / (ms[i].nrm * ms[j].nrm))),
+                (l, r) -> CASE
+                  WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
+                  WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
+                  WHEN l.nid < r.nid THEN -1
+                  WHEN l.nid > r.nid THEN 1
+                  ELSE 0 END),
+              1, {_X3U_K}),
+            (s, r) -> named_struct(
+              'vec_id', ms[i].vec_id, 'neighbor_id', s.nid,
+              'cos', s.cos, 'rank', r + 1))))
+        """
+    )
+    return (
+        grouped.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.explode(knn_expr).alias("p"),
+        )
+        .select(
+            F.col("p.vec_id").alias("vec_id"),
+            F.col("p.neighbor_id").alias("neighbor_id"),
+            "cell",
+            F.col("p.rank").cast("int").alias("rank"),
+            F.round("p.cos", 4).alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )

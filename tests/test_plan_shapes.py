@@ -571,3 +571,15 @@ def test_skew_histogram_has_no_window(spark):
     plan = _plan(spark, "a16_skew_histogram_2d")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_confines_pairs_to_cells(spark):
+    """x3u: the only all-pairs structure is the 1-row broadcast
+    centroid-array crossJoin; the corpus never self-joins (per-member
+    top-k happens inside the cell aggregation row) and no Window node
+    ever sees pair-inflated rows."""
+    plan = _plan(spark, "x3u_ivf_knn_graph")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "Window" not in tree
