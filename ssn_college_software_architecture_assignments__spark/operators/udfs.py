@@ -167,3 +167,92 @@ def f4_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return docs.select("doc_id", kept_tokens("text").alias("n_kept"))
+
+
+# F5 — COGROUPED applyInPandas (two-table grouped map) --------------------------
+#
+# The fourth Arrow door has a two-table variant this file hadn't
+# exercised: ``groupBy().cogroup().applyInPandas`` delivers BOTH
+# tables' rows for one key to a single Python function — the door for
+# kernels that need two aligned per-key frames at once, canonically
+# pandas.merge_asof. The demo is the as-of join the engine already
+# owns natively (J8): for each purchase, the latest click at-or-before
+# it per user. The SQL oracle states the same as-of law independently
+# (correlated top-1 lookup), so agreement checks the cogroup plumbing
+# AND pandas' asof tie semantics against the relational definition.
+# Tie law: equal timestamps resolve to the highest event_id —
+# merge_asof takes the LAST right row in sort order, so the right side
+# sorts by (ts, event_id) ascending; the oracle orders descending and
+# takes 1.
+#
+# Scale shape: one shuffle per side on user_id, then per-key Arrow
+# batches; per-user history is bounded, and the kernel never sees two
+# users' data. Prefer J8's JVM form in production — this is the
+# API-surface proof.
+
+_F5_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC
+        LIMIT 1) AS click_id,
+       (SELECT round(c.value, 2) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC
+        LIMIT 1) AS click_value
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, purchase_id
+"""
+
+
+def _asof_merge_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of: latest click at-or-before each purchase."""
+    left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    out = pd.DataFrame(
+        {"user_id": left["user_id"], "purchase_id": left["event_id"]}
+    )
+    if right.empty:
+        out["click_id"] = pd.Series([None] * len(left), dtype="object")
+        out["click_value"] = pd.Series([None] * len(left), dtype="object")
+        return out
+    right = right.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    merged = pd.merge_asof(
+        left[["ts", "event_id"]],
+        right[["ts", "event_id", "value"]].rename(
+            columns={"event_id": "click_id", "value": "click_value"}
+        ),
+        on="ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    out["click_id"] = merged["click_id"]
+    out["click_value"] = merged["click_value"].round(2)
+    return out
+
+
+@register("f5_cogrouped_asof", oracle=_F5_ORACLE, tags=("F2", "J8"))
+def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table grouped map: cogroup purchases with clicks per user
+    and run pandas.merge_asof inside the Arrow kernel — the Python-side
+    face of the J8 as-of join, checked against the relational as-of
+    law."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _asof_merge_kernel,
+            "user_id long, purchase_id long, click_id long, click_value double",
+        )
+    )
+    return out.orderBy("user_id", "purchase_id")
