@@ -82,84 +82,29 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 22 round-10 additions — no driver evidence exists
-    # (the Q20 nested-IN semi-join stack + the Q2/Q9/Q11/Q12/Q16 shapes
-    # completing all 22 TPC-H structures, the x2s3 map-combined
-    # gram-count twin, the prefix-filter exact similarity join, the
-    # k-means training loop, filtered vector search, the
-    # partition-scoped lake merge, the quality ensemble, streaming
-    # cumulative distinct, the Count-Min sketch, rolling 7-day distinct
-    # users, radius search, the image histogram, temperature mixture
-    # sampling, the epoch scheduler, merge-on-read, grouped mode, the
-    # foreachBatch upsert sink)
-    "t11_foreachbatch_upsert",
-    "x6p_epoch_schedule",
-    "s21_merge_on_read",
-    "a15_grouped_mode",
-    "x2w_prefix_filter_join",
-    "x3t_filtered_search",
-    "e2_sql_promising_parts",
-    "x2s3_span_dedup_mapcombine",
-    "x3r2_kmeans_train",
-    "s20_incremental_lake_merge",
-    "x4t_quality_ensemble",
-    "t10_streaming_cumulative_distinct",
-    "a14_countmin_sketch",
-    "w13_rolling_distinct_users",
-    "x3s_radius_search",
-    "x5q_image_histogram",
-    "x6n_temperature_mixture",
-    "e2_sql_min_cost_supplier",
-    "e2_sql_product_profit",
-    "e2_sql_important_stock",
-    "e2_sql_priority_shipping",
-    "e2_sql_supplier_part_counts",
-    # tier 2: the evidence-age rotation — the 23 ids whose newest
-    # driver row is still r5 (the cohort remainder r9's additions
-    # displaced), then the oldest r6 ids filling the ~50-slot budget
-    # (two fewer than first drafted — x2w/x3t joined tier 1);
-    # the rest of the r6 cohort sits first below the line
-    "o2_limit_topn",
-    "o3_top_k_per_group",
-    "p1_project",
-    "p2_filter",
-    "p3_drop_empty",
-    "p4_null_fill",
-    "p5_type_cast",
-    "p6_field_sanitize",
-    "p6b_sanitize_generic",
-    "p7_flatten",
-    "q1_pricing_summary",
-    "u1_union_all",
-    "u2_intersect",
-    "u3_except",
-    "w1_row_number_latest",
-    "w1b_rank_dense_rank",
-    "w2_lag_lead",
-    "w3_running_agg",
-    "w4_ntile_percent_rank",
-    "w5_first_last_value",
-    "w6_sessionize",
-    "x1_exact_dedup",
-    "x3_similarity_bruteforce",
-    "x5e_ppm_decode",
-    "x5c_frame_sample",
-    "s16_zorder_layout",
-    "s1_rest_source",
-    "s2_paginated_read",
-
-    # tier 3: source touched by round-10 changes (the x2s front/back
-    # refactor shared with x2s3, the x3r argmin rebind, the x5o decode
-    # sentinel, the Q6/Q7/Q8 rounding hardening) — re-prove
-    "x2s_substring_span_dedup",
-    "x2s2_span_dedup_by_source",
-    "x3r_kmeans_step",
-    "x5o_image_patchify",
-    "e2_sql_forecast_revenue",
-    "e2_sql_volume_shipping",
-    "e2_sql_market_share",
-    # ---- ~50-query driver budget line is far above; below: the
-    # remainder, stalest evidence first (r6 leftovers, then r7, r8, r9)
+    # tier 1: the 12 round-11 additions — no driver evidence exists
+    # (the uncapped prefix-filter join, the DPP lake probe, streaming
+    # decontamination, the URL dedup report, the 2-D skew histogram,
+    # unpivot, the Gopher rule battery, the LSH parameter planner, the
+    # decontaminated mixture, generation vacuum, the IVF kNN graph,
+    # and the cogrouped as-of)
+    "x2w2_prefix_filter_full_corpus",
+    "s22_dpp_pruned_join",
+    "t12_streaming_decontamination",
+    "x1d_url_dedup_report",
+    "a16_skew_histogram_2d",
+    "a8b_unpivot",
+    "x4w_gopher_rules",
+    "x2y_lsh_parameter_planner",
+    "x6s_decontaminated_mixture",
+    "s23_generation_vacuum",
+    "x3u_ivf_knn_graph",
+    "f5_cogrouped_asof",
+    # tier 2: the evidence-age rotation — the FULL 45-id cohort whose
+    # newest driver row is r6 (computed from CORRECTNESS_r01..r10).
+    # 12 + 45 = 57 exceeds the ~50-row driver budget, so the last ~7
+    # ids here are expected to miss this round's file — they MUST lead
+    # r12's tier 2 (they are ordered stalest-context-first already).
     "s2b_cursor_read",
     "s1b_rest_infer",
     "s4_json_scan",
@@ -205,12 +150,28 @@ _CHECK_PRIORITY = (
     "s2c_link_header_read",
     "s3_rate_limited_read",
     "s9b_rest_stream",
+    # tier 3: source touched by round-11 changes (the inertia two-stage
+    # rounding, the x4t ValueError guard, the scratch-dir janitor on the
+    # t11/s20/s21 sinks, the gram_hash_index factoring under x6d/x6d2,
+    # the assign_cells/_IVF_CELLS_SQL factoring under x2j, and the
+    # _prefix_filter_pairs factoring under x2w) — re-prove even though
+    # their r10 evidence is fresh
+    "x3r2_kmeans_train",
+    "x4t_quality_ensemble",
+    "t11_foreachbatch_upsert",
+    "s20_incremental_lake_merge",
+    "s21_merge_on_read",
+    "x6d_decontamination",
+    "x6d2_decontamination_normalized",
+    "x2j_semantic_dedup",
+    "x2w_prefix_filter_join",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder, stalest driver evidence first (r7, then r8, r9, r10)
     "x5i_audio_rms_profile",
     "x5j_image_channel_stats",
     "x5k_scene_change",
     "x4n_quality_deciles",
     "a11b_cdc_rollup_compose",
-    "x6d2_decontamination_normalized",
     "x2i_lsh_exact_rescore",
     "x4j_unigram_logprob",
     "x4k_tfidf",
@@ -218,7 +179,6 @@ _CHECK_PRIORITY = (
     "x6e_mixture_reweight",
     "x6f_length_histogram",
     "x6g_per_source_sample",
-    "x2j_semantic_dedup",
     "x3h_ann_recall_eval",
     "e2_sql_large_quantity",
     "x1c_dedup_rate_by_source",
@@ -304,7 +264,13 @@ _CHECK_PRIORITY = (
     "x5h_ppm_frame_sample",
     "x6b_sequence_packing",
     "x6c_mixture_sample",
-    "x6d_decontamination",
+    "x2s_substring_span_dedup",
+    "x2s2_span_dedup_by_source",
+    "x3r_kmeans_step",
+    "x5o_image_patchify",
+    "e2_sql_forecast_revenue",
+    "e2_sql_volume_shipping",
+    "e2_sql_market_share",
     "x6m_importance_resample",
     "x6b2_bfd_packing",
     "x6h2_packing_comparison",
@@ -348,6 +314,50 @@ _CHECK_PRIORITY = (
     "j8_asof_join",
     "j9_cross_join",
     "o1_order_by",
+    "x6p_epoch_schedule",
+    "a15_grouped_mode",
+    "x3t_filtered_search",
+    "e2_sql_promising_parts",
+    "x2s3_span_dedup_mapcombine",
+    "t10_streaming_cumulative_distinct",
+    "a14_countmin_sketch",
+    "w13_rolling_distinct_users",
+    "x3s_radius_search",
+    "x5q_image_histogram",
+    "x6n_temperature_mixture",
+    "e2_sql_min_cost_supplier",
+    "e2_sql_product_profit",
+    "e2_sql_important_stock",
+    "e2_sql_priority_shipping",
+    "e2_sql_supplier_part_counts",
+    "o2_limit_topn",
+    "o3_top_k_per_group",
+    "p1_project",
+    "p2_filter",
+    "p3_drop_empty",
+    "p4_null_fill",
+    "p5_type_cast",
+    "p6_field_sanitize",
+    "p6b_sanitize_generic",
+    "p7_flatten",
+    "q1_pricing_summary",
+    "u1_union_all",
+    "u2_intersect",
+    "u3_except",
+    "w1_row_number_latest",
+    "w1b_rank_dense_rank",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_ntile_percent_rank",
+    "w5_first_last_value",
+    "w6_sessionize",
+    "x1_exact_dedup",
+    "x3_similarity_bruteforce",
+    "x5e_ppm_decode",
+    "x5c_frame_sample",
+    "s16_zorder_layout",
+    "s1_rest_source",
+    "s2_paginated_read",
 )
 
 

@@ -367,7 +367,7 @@ ORDER BY day
 """
 
 
-@register("t10_streaming_cumulative_distinct", oracle=_T10_ORACLE, tags=("T6",))
+@register("t10_streaming_cumulative_distinct", oracle=_T10_ORACLE, tags=("T10", "T6"))
 def t10_streaming_cumulative_distinct(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -485,7 +485,7 @@ def foreachbatch_latest_merge(base: str):
     return merge
 
 
-@register("t11_foreachbatch_upsert", oracle=_T11_ORACLE, tags=("T6", "T7"))
+@register("t11_foreachbatch_upsert", oracle=_T11_ORACLE, tags=("T11", "T6", "T7"))
 def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest event per user maintained by a REAL foreachBatch
     streaming merge: each micro-batch upserts into generation
@@ -597,7 +597,7 @@ def foreachbatch_contamination(bench_docs_path: str, out_base: str):
     return probe
 
 
-@register("t12_streaming_decontamination", oracle=_T12_ORACLE, tags=("T7", "X6"))
+@register("t12_streaming_decontamination", oracle=_T12_ORACLE, tags=("T12", "T7", "X6"))
 def t12_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination as documents ARRIVE: a real readStream
     over the documents fixture, foreachBatch probing each micro-batch
