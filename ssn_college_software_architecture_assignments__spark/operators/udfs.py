@@ -210,7 +210,12 @@ ORDER BY p.user_id, purchase_id
 
 
 def _asof_merge_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Per-user as-of: latest click at-or-before each purchase."""
+    """Per-user as-of: latest click at-or-before each purchase. The
+    right side arrives with c_-prefixed names: when both cogroup
+    children derive from the SAME parent DataFrame, same-name columns
+    share attribute ids and Spark's analyzer deduplicates them away
+    from the right pdf (observed: right delivered only (user_id,
+    value)) — distinct names keep both sides intact."""
     left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
     out = pd.DataFrame(
         {"user_id": left["user_id"], "purchase_id": left["event_id"]}
@@ -219,18 +224,23 @@ def _asof_merge_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out["click_id"] = pd.Series([None] * len(left), dtype="object")
         out["click_value"] = pd.Series([None] * len(left), dtype="object")
         return out
-    right = right.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    right = right.sort_values(["c_ts", "c_event_id"]).reset_index(drop=True)
     merged = pd.merge_asof(
         left[["ts", "event_id"]],
-        right[["ts", "event_id", "value"]].rename(
-            columns={"event_id": "click_id", "value": "click_value"}
+        right[["c_ts", "c_event_id", "c_value"]].rename(
+            columns={"c_event_id": "click_id", "c_value": "click_value"}
         ),
-        on="ts",
+        left_on="ts",
+        right_on="c_ts",
         direction="backward",
         allow_exact_matches=True,
     )
     out["click_id"] = merged["click_id"]
-    out["click_value"] = merged["click_value"].round(2)
+    # NO rounding in the kernel: pandas .round is IEEE half-even — a
+    # THIRD law next to Spark's HALF_UP and DuckDB's half-away-from-zero
+    # (review-caught: 0.125 -> 0.12 here vs 0.13 in the oracle). The
+    # repo-standard Spark-side F.round happens after the cogroup.
+    out["click_value"] = merged["click_value"]
     return out
 
 
@@ -239,13 +249,16 @@ def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table grouped map: cogroup purchases with clicks per user
     and run pandas.merge_asof inside the Arrow kernel — the Python-side
     face of the J8 as-of join, checked against the relational as-of
-    law."""
+    law. Rounding stays OUT of the kernel (see _asof_merge_kernel)."""
     ev = Catalog(spark, sf_dir).events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts", "value"
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
     )
     out = (
         purchases.groupBy("user_id")
@@ -255,4 +268,6 @@ def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, purchase_id long, click_id long, click_value double",
         )
     )
-    return out.orderBy("user_id", "purchase_id")
+    return out.withColumn("click_value", F.round("click_value", 2)).orderBy(
+        "user_id", "purchase_id"
+    )

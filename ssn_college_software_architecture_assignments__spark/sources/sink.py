@@ -1520,20 +1520,6 @@ ORDER BY user_id
 """
 
 
-def _latest_per_user(df: DataFrame) -> DataFrame:
-    """(ts desc, event_id desc) per user — t11's tie law."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
 def land_generation_stack(
     spark: SparkSession, sf_dir: str, n_gens: int = 3
 ) -> str:
@@ -1545,11 +1531,14 @@ def land_generation_stack(
         "user_id", "event_id", "ts", "event_type", "value"
     )
     base = scratch_dir(prefix="ssn_genstack_")
+    # the ONE site for t11's (ts desc, event_id desc) tie law
+    from ..streaming.windows import latest_per_user
+
     acc = None
     for g in range(n_gens):
         batch = ev.filter(F.col("event_id") % n_gens == g)
         acc = batch if acc is None else acc.unionByName(batch)
-        _latest_per_user(acc).write.mode("overwrite").parquet(f"{base}/gen_{g}")
+        latest_per_user(acc).write.mode("overwrite").parquet(f"{base}/gen_{g}")
         # next round accumulates from the DURABLE generation, as the
         # streaming merge would (never from driver-held lineage)
         acc = spark.read.parquet(f"{base}/gen_{g}")

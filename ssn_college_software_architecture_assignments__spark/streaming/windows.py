@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.curation import _X6D_ORACLE as _X6D_ORACLE_REF
 from ..registry import register
 from ..scratch import scratch_dir
 from .core import run_to_memory, stream_documents, stream_events
@@ -451,6 +452,22 @@ def existing_generations(base: str, prefix: str = "gen_") -> list[int]:
     )
 
 
+def latest_per_user(df: DataFrame) -> DataFrame:
+    """One row per user under the (ts desc, event_id desc) tie law —
+    THE single site for t11's 'latest' definition (the s23 vacuum
+    oracle shares it; review-caught duplicate)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def foreachbatch_latest_merge(base: str):
     """Build the foreachBatch merge fn: each batch reduces to its
     latest event per user and merges latest-wins with the previous
@@ -459,18 +476,6 @@ def foreachbatch_latest_merge(base: str):
     below this batch id — so a checkpoint restart that redelivers a
     batch rewrites its generation against durable state instead of
     restarting from nothing."""
-    from pyspark.sql import Window as W
-
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        w = W.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         cols = ["user_id", "event_id", "ts", "event_type", "value"]
         incoming = latest_per_user(batch_df.select(*cols))
@@ -544,24 +549,12 @@ def t11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe re-derives the index from the benchmark store each batch
 # (deterministic, tiny); a long-lived deployment caches it once.
 
-_T12_ORACLE = """
-WITH grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-             generate_series(1, len(string_split(text, ' ')) - 7),
-             i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
-         ))) AS gram
-  FROM documents
-),
-bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM grams WHERE doc_id % 50 = 0),
-train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
-SELECT t.doc_id                        AS train_doc_id,
-       count(DISTINCT t.gram)          AS n_shared_grams,
-       count(DISTINCT b.bench_id)      AS n_benchmark_docs
-FROM train t JOIN bench b ON t.gram = b.gram
-GROUP BY t.doc_id
-ORDER BY train_doc_id
-"""
+# the oracle IS x6d's, composed from its single law site (ordered for
+# the driver's value-hash) — a verbatim copy here would be a second
+# site for the 8-gram decontamination SQL (review-caught)
+_T12_ORACLE = (
+    f"SELECT * FROM ({_X6D_ORACLE_REF}) ORDER BY train_doc_id"
+)
 
 
 def foreachbatch_contamination(bench_docs_path: str, out_base: str):
