@@ -324,6 +324,61 @@ def main() -> None:
             shuf = fingerprint["calib_shuffle_sec"]
             if isinstance(prev_shuf, (int, float)) and prev_shuf > 0 and shuf > 0:
                 detail["calib_shuffle_drift_vs_prev"] = round(shuf / prev_shuf, 3)
+            # Riser self-adjudication (standing practice since r11: the
+            # r10 x6d blip needed a manual re-measure to call host
+            # noise). Every query >25% slower raw than the prior round
+            # gets (a) an immediate best-of-3 re-measure in THIS
+            # session — in-session disagreement — and (b) the median of
+            # its raw times across ALL recorded rounds plus this run,
+            # so the next blip is self-adjudicating from the artifact.
+            import glob as _glob
+            import statistics as _stats
+
+            risers = [
+                n
+                for n in per_query
+                if isinstance(prev_q.get(n), (int, float))
+                and prev_q[n] > 0
+                and per_query[n] / prev_q[n] > 1.25
+            ]
+            if risers:
+                hist: dict[str, list[float]] = {n: [] for n in risers}
+                for bf in sorted(
+                    _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+                ):
+                    try:
+                        with open(bf, encoding="utf-8") as fh:
+                            rec = json.load(fh)
+                        rq = rec.get("parsed", rec)
+                        rq = rq.get("queries", {}) if isinstance(rq, dict) else {}
+                        for n in risers:
+                            if isinstance(rq.get(n), (int, float)):
+                                hist[n].append(float(rq[n]))
+                    except (OSError, ValueError, AttributeError):
+                        continue
+                adjud = {}
+                for n in risers:
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.time()
+                        if n == "j11_write":
+                            j11_write_bucketed_tables(spark, sf_dir)
+                        elif n == "j11_join":
+                            _force(j11_join_bucketed(spark))
+                        else:
+                            _force(qs[n](spark, sf_dir))
+                        best = min(best, time.time() - t0)
+                    samples = hist[n] + [per_query[n]]
+                    adjud[n] = {
+                        "first_run_sec": per_query[n],
+                        "remeasure_best_of_3_sec": round(best, 3),
+                        "bench_disagreement": round(per_query[n] / best, 3)
+                        if best > 0
+                        else None,
+                        "history_median_sec": round(_stats.median(samples), 3),
+                        "n_history_rounds": len(hist[n]),
+                    }
+                detail["riser_remeasure"] = adjud
         except (OSError, ValueError, KeyError, TypeError, AttributeError):
             pass
     try:
