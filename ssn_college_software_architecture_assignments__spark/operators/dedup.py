@@ -3005,20 +3005,10 @@ ORDER BY vec_id, rank
 """
 
 
-@register("x3u_ivf_knn_graph", oracle=_X3U_ORACLE, tags=("X3", "X2"))
-def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 cosine neighbors for EVERY corpus vector, confined to its
-    IVF cell: one assignment pass, one cell shuffle, per-member
-    neighbor ranking inside the cell aggregation row — the kNN-graph
-    primitive without an all-pairs stage."""
-    from .similarity import _dvec as dvec
-
-    emb = Catalog(spark, sf_dir).embeddings
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
-    )
-    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
-    cells = assign_cells(vecs, centroids)
+def knn_graph_from_cells(cells: DataFrame) -> DataFrame:
+    """Per-member top-``_X3U_K`` neighbor expansion over an
+    ``assign_cells`` frame — the HOF core of x3u, shared with its
+    property test (one expression site)."""
     grouped = (
         cells.groupBy("cell")
         .agg(
@@ -3067,5 +3057,21 @@ def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.rank").cast("int").alias("rank"),
             F.round("p.cos", 4).alias("cos_sim"),
         )
-        .orderBy("vec_id", "rank")
     )
+
+
+@register("x3u_ivf_knn_graph", oracle=_X3U_ORACLE, tags=("X3", "X2"))
+def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors for EVERY corpus vector, confined to its
+    IVF cell: one assignment pass, one cell shuffle, per-member
+    neighbor ranking inside the cell aggregation row — the kNN-graph
+    primitive without an all-pairs stage."""
+    from .similarity import _dvec as dvec
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
+    cells = assign_cells(vecs, centroids)
+    return knn_graph_from_cells(cells).orderBy("vec_id", "rank")

@@ -1053,3 +1053,86 @@ def test_x1d_url_normalization_collapses_variants(spark):
     assert got == {"example.com/a/b": 4, "example.com/a/c": 1}
     domains = {r["domain"] for r in normalize_urls(urls).collect()}
     assert domains == {"example.com"}
+
+
+def test_x3u_knn_graph_matches_naive_per_cell(spark):
+    """Property: on random small vector sets, the HOF-expanded kNN graph
+    equals a naive Python recomputation — same cell assignment (argmax
+    with (cos, cent_id) tie law), same per-member top-3 under the
+    (round(cos,4) desc, neighbor_id) tie law. Duplicate vectors, cos
+    ties, and singleton cells all arise naturally."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3U_K,
+        assign_cells,
+        knn_graph_from_cells,
+    )
+
+    DIM, K_CENT = 3, 3
+    vec = st.lists(
+        st.integers(-2, 2).map(float), min_size=DIM, max_size=DIM
+    )
+
+    @given(vecs=st.lists(vec, min_size=4, max_size=10))
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(vecs):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        cents = [(i, v) for i, v in rows[:K_CENT]]
+        cdf = spark.createDataFrame(cents, "cent_id long, cemb array<double>")
+
+        def nrm(v):
+            return math.sqrt(sum(x * x for x in v))
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b)) / (nrm(a) * nrm(b))
+
+        # python reference: assignment then per-member top-k in the cell
+        live = [(i, v) for i, v in rows if nrm(v) > 0]
+        lc = [(i, v) for i, v in cents if nrm(v) > 0]
+        cells = {}
+        for i, v in live:
+            best = (-2.0, -1)
+            for cid, cv in lc:
+                c = cos(v, cv)
+                if c > best[0] or (c == best[0] and cid < best[1]):
+                    best = (c, cid)
+            if best[1] >= 0:
+                cells.setdefault(best[1], []).append((i, v))
+        expect = set()
+        for cell, ms in cells.items():
+            if len(ms) < 2:
+                continue
+            for i, v in ms:
+                cands = sorted(
+                    (
+                        (-round(cos(v, w), 4), j)
+                        for j, w in ms
+                        if j != i
+                    ),
+                )[:_X3U_K]
+                for r, (negc, j) in enumerate(cands, start=1):
+                    expect.add((i, j, cell, r, -negc))
+
+        cell_df = assign_cells(df, cdf)
+        got = {
+            (
+                r["vec_id"],
+                r["neighbor_id"],
+                r["cell"],
+                r["rank"],
+                r["cos_sim"],
+            )
+            for r in knn_graph_from_cells(cell_df).collect()
+        }
+        assert got == expect
+
+    run()

@@ -1,0 +1,91 @@
+
+
+def test_f5_cogrouped_asof_matches_naive(spark):
+    """Property: on random per-user click/purchase histories (duplicate
+    timestamps, clickless users, purchaseless users), the cogrouped
+    merge_asof kernel equals the naive as-of definition — latest click
+    with ts <= purchase ts, ties to the highest event_id."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    ev_strat = st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 5),            # minute offset (collisions likely)
+            st.booleans(),                # is_purchase
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(raw=ev_strat)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(raw):
+        rows = [
+            (
+                i,
+                base + datetime.timedelta(minutes=m),
+                u,
+                "purchase" if p else "click",
+                float(i) + 0.5,
+                "{}",
+            )
+            for i, (u, m, p) in enumerate(raw)
+        ]
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        ev = spark.createDataFrame(rows, schema)
+
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        from ssn_college_software_architecture_assignments__spark.operators.udfs import (
+            _asof_merge_kernel,
+        )
+
+        got = {
+            (r["user_id"], r["purchase_id"]): (r["click_id"], r["click_value"])
+            for r in purchases.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(
+                _asof_merge_kernel,
+                "user_id long, purchase_id long, click_id long, "
+                "click_value double",
+            )
+            .collect()
+        }
+
+        expect = {}
+        for i, (u, m, p) in enumerate(raw):
+            if not p:
+                continue
+            cands = [
+                (m2, j)
+                for j, (u2, m2, p2) in enumerate(raw)
+                if u2 == u and not p2 and m2 <= m
+            ]
+            if cands:
+                _, j = max(cands)
+                expect[(u, i)] = (j, float(j) + 0.5)
+            else:
+                expect[(u, i)] = (None, None)
+        assert got == expect
+
+    run()
