@@ -332,6 +332,7 @@ def main() -> None:
             # its raw times across ALL recorded rounds plus this run,
             # so the next blip is self-adjudicating from the artifact.
             import glob as _glob
+            import re as _re
             import statistics as _stats
 
             risers = [
@@ -346,6 +347,15 @@ def main() -> None:
                 for bf in sorted(
                     _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
                 ):
+                    # strict round-file filter (same contract as
+                    # latest_bench_record_path): BENCH_rN_sf1.json
+                    # stress records must NEVER feed the history
+                    # median — 10x-scale timings would call real
+                    # regressions noise (review-caught)
+                    if not _re.fullmatch(
+                        r"BENCH_r\d+\.json", os.path.basename(bf)
+                    ):
+                        continue
                     try:
                         with open(bf, encoding="utf-8") as fh:
                             rec = json.load(fh)
@@ -358,16 +368,28 @@ def main() -> None:
                         continue
                 adjud = {}
                 for n in risers:
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.time()
-                        if n == "j11_write":
-                            j11_write_bucketed_tables(spark, sf_dir)
-                        elif n == "j11_join":
-                            _force(j11_join_bucketed(spark))
-                        else:
-                            _force(qs[n](spark, sf_dir))
-                        best = min(best, time.time() - t0)
+                    # live Spark work: guarded per-riser so one failed
+                    # re-measure (checkpoint collision, loaded host)
+                    # records a marker instead of killing the bench
+                    # line, and never hides behind the JSON-parsing
+                    # except below (review-caught)
+                    try:
+                        best = float("inf")
+                        for _ in range(3):
+                            t0 = time.time()
+                            if n == "j11_write":
+                                j11_write_bucketed_tables(spark, sf_dir)
+                            elif n == "j11_join":
+                                _force(j11_join_bucketed(spark))
+                            else:
+                                _force(qs[n](spark, sf_dir))
+                            best = min(best, time.time() - t0)
+                    except Exception as exc:  # noqa: BLE001
+                        adjud[n] = {
+                            "first_run_sec": per_query[n],
+                            "remeasure_error": f"{type(exc).__name__}: {exc}"[:200],
+                        }
+                        continue
                     samples = hist[n] + [per_query[n]]
                     adjud[n] = {
                         "first_run_sec": per_query[n],

@@ -849,11 +849,14 @@ def a16_skew_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_bytes"),
     )
-    # materialize the per-key aggregate ONCE: with_range_bucket plans its
+    # compute the per-key aggregate ONCE: with_range_bucket plans its
     # input twice (cutpoint fold + assignment), and unlike w4b's cheap
-    # scan this input is the full events shuffle (review-caught — the
-    # x2w2 persist-the-intermediate move)
-    per_key = per_key.localCheckpoint()
+    # scan this input is the full events shuffle. persist(), not
+    # localCheckpoint(): lazy (no job at construction/explain time) and
+    # lineage survives, so PLANS.md keeps the scan-pushdown evidence
+    # under the InMemoryRelation (review-caught — eager checkpoint ran
+    # the shuffle at build time and erased the scan from the plan)
+    per_key = per_key.persist()
     assigned = with_range_bucket(
         per_key, "n_rows", list(_A16_PROBS), out="size_bucket"
     ).withColumn(
