@@ -1682,3 +1682,97 @@ def x6s_decontaminated_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6t — quality-annealed curriculum mixture (the multi-PHASE sampler) -----------
+#
+# Public practice anneals data quality over training: early phases
+# sample broadly, the final phase concentrates on the highest-quality
+# slice (the FineWeb-Edu / Llama-style annealing stage). x6c/x6n pick
+# ONE mixture; x6t emits the per-PHASE plan: each phase declares a
+# quality floor (on x4c's REGISTERED 4dp-rounded distinct_ratio — the
+# x4w trick, so no unrounded float crosses a comparison) and an
+# acceptance rate applied with the portable split hash. The output is
+# the (phase, source) manifest — docs, tokens, mean kept quality —
+# that a phase-aware trainer consumes. Phase table is ONE module
+# constant generating both engines' branches.
+#
+# Scale shape: x4c's map-only scoring, one hash per doc, then a
+# (phase x source)-sized aggregate; the corpus subtree is planned once
+# per phase branch (3x here — a production run persists the scored
+# corpus, the x6m note).
+
+# (phase, quality floor on rounded distinct_ratio, acceptance %)
+_X6T_PHASES = (
+    (1, 0.0, 50),
+    (2, 0.55, 75),
+    (3, 0.7, 100),
+)
+
+
+def _x6t_oracle() -> str:
+    branches = []
+    for phase, qmin, pct in _X6T_PHASES:
+        branches.append(f"""
+  SELECT {phase} AS phase, source, doc_id, n_tokens, distinct_ratio
+  FROM scored
+  WHERE distinct_ratio >= {qmin} AND {_BUCKET_SQL} < {pct}""")
+    u = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH scored AS (
+  SELECT d.doc_id, d.source, q.n_tokens, q.distinct_ratio
+  FROM documents d JOIN ({_X4C_ORACLE_REF}) q ON q.doc_id = d.doc_id
+),
+kept AS ({u})
+SELECT phase, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       floor(avg(distinct_ratio) * 1e4) / 1e4 AS mean_quality
+FROM kept
+GROUP BY phase, source
+ORDER BY phase, source
+"""
+
+
+@register("x6t_curriculum_anneal", oracle=_x6t_oracle(), tags=("X6", "X4"))
+def x6t_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(phase, source) curriculum manifest: each training phase
+    keeps documents above its declared quality floor at its declared
+    acceptance rate (portable hash) — the annealing schedule where the
+    final phase concentrates on the highest-quality slice."""
+    from .textanalysis import x4c_quality_score
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    q = x4c_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_ratio"
+    )
+    scored = docs.join(q, "doc_id")
+    parts = []
+    for phase, qmin, pct in _X6T_PHASES:
+        parts.append(
+            scored.filter(
+                (F.col("distinct_ratio") >= qmin)
+                & (split_bucket("doc_id") < pct)
+            ).select(
+                F.lit(phase).cast("int").alias("phase"),
+                "source",
+                "n_tokens",
+                "distinct_ratio",
+            )
+        )
+    kept = parts[0]
+    for p in parts[1:]:
+        kept = kept.unionByName(p)
+    return (
+        kept.groupBy("phase", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            # floor law: a mean of 4dp-rounded ratios is still a float
+            # whose accumulation order differs across engines
+            (F.floor(F.avg("distinct_ratio") * 1e4) / 1e4).alias(
+                "mean_quality"
+            ),
+        )
+        .orderBy("phase", "source")
+    )

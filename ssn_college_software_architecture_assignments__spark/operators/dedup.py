@@ -3075,3 +3075,215 @@ def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
     cells = assign_cells(vecs, centroids)
     return knn_graph_from_cells(cells).orderBy("vec_id", "rank")
+
+
+# X3v — multi-probe kNN-graph recall (the answer to x3u's recall trade) ---------
+#
+# x3u confines neighbors to ONE cell and documents the cross-cell
+# recall loss with "production multi-probes". x3v makes that real and
+# MEASURES it: each probe vector's candidates come from its top-1 or
+# top-2 nearest cells (members keep their single top-1 home — standard
+# IVF multi-probe), the per-probe top-3 is exact-rescored over the
+# candidates, and recall@3 is audited against the exact brute-force
+# graph over the whole corpus (probe subset vec_id < 32, the x3h
+# recall-audit convention that keeps the truth affordable). Mean
+# recall is integer-exact: per-probe hits are counts, so the mean is
+# ONE division sum_hits/(3*n_probes) floored at 4dp — no float
+# accumulation crosses engines. Monotonicity (recall@2probes >=
+# recall@1probe) is the pytest law.
+#
+# Scale shape: probe side is 32 rows (broadcast everywhere), members
+# come from the shared assign_cells table (persisted — four
+# consumers), candidate generation is a cell equi-join, and the truth
+# leg is the x3-brute shape (broadcast probes, corpus map-side).
+
+_X3V_PROBES = 32
+_X3V_K = 3
+_X3V_NPROBES = (1, 2)
+
+
+def _x3v_oracle() -> str:
+    cos_ab = (
+        "list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.emb, x -> x*x), 'sum'))"
+        "    * sqrt(list_aggregate(list_transform(b.emb, x -> x*x), 'sum')))"
+    )
+    branches = []
+    for np_ in _X3V_NPROBES:
+        branches.append(f"""
+  SELECT {np_} AS nprobe, g.q_id, g.nid
+  FROM (
+    SELECT q_id, nid FROM (
+      SELECT cd.q_id, cd.nid, cd.cos,
+             row_number() OVER (PARTITION BY cd.q_id
+                                ORDER BY round(cd.cos, 4) DESC, cd.nid) AS rn
+      FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS nid, {cos_ab} AS cos
+        FROM probe_cells p
+        JOIN cells a ON a.vec_id = p.q_id
+        JOIN cells b ON b.cell = p.cell AND b.vec_id <> p.q_id
+        WHERE p.rn <= {np_}
+      ) cd
+    ) WHERE rn <= {_X3V_K}
+  ) g""")
+    u = "\nUNION ALL\n".join(branches)
+    return f"""{_IVF_CELLS_SQL},
+probe_cells AS (
+  SELECT vec_id AS q_id, cent_id AS cell, rn
+  FROM (
+    SELECT vc.vec_id, vc.cent_id,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY vc.cos DESC, vc.cent_id) AS rn
+    FROM vc
+    WHERE vc.vec_id < {_X3V_PROBES}
+      AND list_aggregate(list_transform(vc.emb, x -> x * x), 'sum') > 0
+  ) WHERE rn <= {max(_X3V_NPROBES)}
+),
+truth AS (
+  SELECT q_id, nid FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_ab}, 4) DESC, b.vec_id) AS rn
+    FROM cells a JOIN cells b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {_X3V_PROBES}
+  ) WHERE rn <= {_X3V_K}
+),
+graphs AS ({u}),
+nq AS (SELECT count(*) AS n_probes FROM cells WHERE vec_id < {_X3V_PROBES}),
+hits AS (
+  SELECT g.nprobe, count(*) AS n_hits
+  FROM graphs g JOIN truth t ON t.q_id = g.q_id AND t.nid = g.nid
+  GROUP BY g.nprobe
+)
+SELECT h.nprobe AS nprobe,
+       CAST(nq.n_probes AS BIGINT) AS n_probes,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       floor(h.n_hits / ({_X3V_K}.0 * nq.n_probes) * 1e4) / 1e4 AS mean_recall
+FROM hits h CROSS JOIN nq
+ORDER BY nprobe
+"""
+
+
+@register("x3v_knn_graph_recall", oracle=_x3v_oracle(), tags=("X3",))
+def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-confined kNN graph at 1 and 2 probe cells,
+    audited against the exact brute-force neighbors for a 32-vector
+    probe subset — the measured answer to x3u's cross-cell recall
+    trade."""
+    from .similarity import _dvec as dvec
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
+    # four consumers (probe emb lookup, member join, both truth sides):
+    # persist, not eager checkpoint — lazy and the scan stays in the plan
+    cells = assign_cells(vecs, centroids).persist()
+
+    cent_arr = (
+        centroids.filter(l2_norm(F.col("cemb")) > 0)
+        .select(
+            F.struct(
+                F.col("cent_id"),
+                F.col("cemb"),
+                l2_norm(F.col("cemb")).alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    top_cells_expr = F.expr(
+        f"""
+        transform(
+          slice(
+            array_sort(
+              transform(cents, c -> named_struct(
+                'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                                 0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
+                'cid', c.cent_id)),
+              (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                             WHEN l.cos < r.cos THEN 1
+                             WHEN l.cid < r.cid THEN -1
+                             WHEN l.cid > r.cid THEN 1
+                             ELSE 0 END),
+            1, {max(_X3V_NPROBES)}),
+          s -> s.cid)
+        """
+    )
+    probes = (
+        cells.filter(F.col("vec_id") < _X3V_PROBES)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            top_cells_expr.alias("probe_cells"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    members = cells.select(
+        F.col("vec_id").alias("nid"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "cell",
+    )
+
+    def topk_edges(cand: DataFrame) -> DataFrame:
+        cos = dot / (F.col("q_nrm") * F.col("n_nrm"))
+        w = W.partitionBy("q_id").orderBy(
+            F.round(cos, 4).desc(), F.col("nid")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _X3V_K)
+            .select("q_id", "nid")
+        )
+
+    truth = topk_edges(
+        members.crossJoin(F.broadcast(probes.drop("probe_cells"))).filter(
+            F.col("nid") != F.col("q_id")
+        )
+    )
+    nq = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    rows = []
+    for np_ in _X3V_NPROBES:
+        cand = (
+            probes.select(
+                "q_id",
+                "q_emb",
+                "q_nrm",
+                F.explode(F.slice("probe_cells", 1, np_)).alias("cell"),
+            )
+            .join(members, "cell")
+            .filter(F.col("nid") != F.col("q_id"))
+        )
+        hits = (
+            topk_edges(cand)
+            .join(truth, ["q_id", "nid"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        rows.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.col("n_probes").cast("long").alias("n_probes"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                # integer-exact mean: ONE division, floored — no float
+                # accumulation crosses engines
+                (
+                    F.floor(
+                        F.col("n_hits")
+                        / (F.lit(float(_X3V_K)) * F.col("n_probes"))
+                        * 1e4
+                    )
+                    / 1e4
+                ).alias("mean_recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")

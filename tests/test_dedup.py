@@ -1136,3 +1136,23 @@ def test_x3u_knn_graph_matches_naive_per_cell(spark):
         assert got == expect
 
     run()
+
+
+def test_x3v_recall_monotone_in_nprobe(spark):
+    """x3v law: probing more cells can only ADD candidates, so
+    recall@3 is non-decreasing in nprobe, and every recall sits in
+    [0, 1] with hits <= 3 * n_probes."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x3v_knn_graph_recall,
+    )
+
+    rows = {
+        r["nprobe"]: r
+        for r in x3v_knn_graph_recall(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall"] <= 1.0
+        assert r["n_hits"] <= 3 * r["n_probes"]
+    assert rows[2]["mean_recall"] >= rows[1]["mean_recall"]
+    assert rows[2]["n_hits"] >= rows[1]["n_hits"]
