@@ -82,12 +82,13 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 12 round-11 additions — no driver evidence exists
+    # tier 1: the 14 round-11 additions — no driver evidence exists
     # (the uncapped prefix-filter join, the DPP lake probe, streaming
     # decontamination, the URL dedup report, the 2-D skew histogram,
     # unpivot, the Gopher rule battery, the LSH parameter planner, the
     # decontaminated mixture, generation vacuum, the IVF kNN graph,
-    # and the cogrouped as-of)
+    # the cogrouped as-of, the curriculum-anneal mixture, and the
+    # multi-probe kNN-graph recall audit)
     "x2w2_prefix_filter_full_corpus",
     "s22_dpp_pruned_join",
     "t12_streaming_decontamination",
@@ -100,9 +101,11 @@ _CHECK_PRIORITY = (
     "s23_generation_vacuum",
     "x3u_ivf_knn_graph",
     "f5_cogrouped_asof",
+    "x6t_curriculum_anneal",
+    "x3v_knn_graph_recall",
     # tier 2: the evidence-age rotation — the FULL 45-id cohort whose
     # newest driver row is r6 (computed from CORRECTNESS_r01..r10).
-    # 12 + 45 = 57 exceeds the ~50-row driver budget, so the last ~7
+    # 14 + 45 = 59 exceeds the ~50-row driver budget, so the last ~9
     # ids here are expected to miss this round's file — they MUST lead
     # r12's tier 2 (they are ordered stalest-context-first already).
     "s2b_cursor_read",
