@@ -1727,7 +1727,8 @@ kept AS ({u})
 SELECT phase, source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       floor(avg(distinct_ratio) * 1e4) / 1e4 AS mean_quality
+       floor(sum(CAST(round(distinct_ratio * 1e4, 0) AS BIGINT))
+             / CAST(count(*) AS DOUBLE)) / 1e4 AS mean_quality
 FROM kept
 GROUP BY phase, source
 ORDER BY phase, source
@@ -1768,11 +1769,19 @@ def x6t_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            # floor law: a mean of 4dp-rounded ratios is still a float
-            # whose accumulation order differs across engines
-            (F.floor(F.avg("distinct_ratio") * 1e4) / 1e4).alias(
-                "mean_quality"
-            ),
+            # integer-exact mean (review-caught: floor of a float avg
+            # sits exactly on the 4dp grid the data hits): each
+            # 4dp-rounded ratio re-encodes as an exact integer, the sum
+            # is exact, and ONE floored division crosses engines
+            (
+                F.floor(
+                    F.sum(
+                        F.round(F.col("distinct_ratio") * 1e4, 0).cast("long")
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / 1e4
+            ).alias("mean_quality"),
         )
         .orderBy("phase", "source")
     )

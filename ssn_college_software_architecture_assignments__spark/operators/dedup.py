@@ -1183,6 +1183,25 @@ FROM (
 """
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """1-row (cents: array<struct<cent_id, cemb, cnrm>>) broadcast side
+    of every centroid comparison — ONE site for the zero-norm guard and
+    the struct layout, shared by assign_cells (top-1 argmax fold) and
+    x3v's probe ranking (top-N sort); the x3v pytest additionally
+    asserts the two ranking routes agree at rank 1."""
+    return (
+        centroids.filter(l2_norm(F.col("cemb")) > 0)
+        .select(
+            F.struct(
+                F.col("cent_id"),
+                F.col("cemb"),
+                l2_norm(F.col("cemb")).alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, emb, nrm, cell): MAP-SIDE nearest-centroid assignment
     shared by x2j SemDeDup and the x3u kNN graph. The K centroids
@@ -1195,14 +1214,7 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     run BEFORE any cosine: under ANSI mode the divide would throw, and
     a zero vector has no defined neighbor."""
     emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
-    centroids = centroids.filter(l2_norm(F.col("cemb")) > 0)
-    cent_arr = centroids.select(
-        F.struct(
-            F.col("cent_id"),
-            F.col("cemb"),
-            l2_norm(F.col("cemb")).alias("cnrm"),
-        ).alias("c")
-    ).agg(F.collect_list("c").alias("cents"))
+    cent_arr = _centroid_array(centroids)
     assign_expr = F.expr(
         """
         aggregate(
@@ -3066,13 +3078,11 @@ def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cell: one assignment pass, one cell shuffle, per-member
     neighbor ranking inside the cell aggregation row — the kNN-graph
     primitive without an all-pairs stage."""
-    from .similarity import _dvec as dvec
-
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
     )
-    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     cells = assign_cells(vecs, centroids)
     return knn_graph_from_cells(cells).orderBy("vec_id", "rank")
 
@@ -3127,6 +3137,7 @@ def _x3v_oracle() -> str:
     ) WHERE rn <= {_X3V_K}
   ) g""")
     u = "\nUNION ALL\n".join(branches)
+    nprobe_list = ", ".join(str(n) for n in _X3V_NPROBES)
     return f"""{_IVF_CELLS_SQL},
 probe_cells AS (
   SELECT vec_id AS q_id, cent_id AS cell, rn
@@ -3154,12 +3165,17 @@ hits AS (
   SELECT g.nprobe, count(*) AS n_hits
   FROM graphs g JOIN truth t ON t.q_id = g.q_id AND t.nid = g.nid
   GROUP BY g.nprobe
-)
-SELECT h.nprobe AS nprobe,
+),
+-- literal nprobe scaffold LEFT-joined so a zero-hit level still emits
+-- its row, matching the Spark side's always-one-row-per-branch agg
+-- (review-caught shape asymmetry)
+np AS (SELECT unnest([{nprobe_list}]) AS nprobe)
+SELECT np.nprobe AS nprobe,
        CAST(nq.n_probes AS BIGINT) AS n_probes,
-       CAST(h.n_hits AS BIGINT) AS n_hits,
-       floor(h.n_hits / ({_X3V_K}.0 * nq.n_probes) * 1e4) / 1e4 AS mean_recall
-FROM hits h CROSS JOIN nq
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor(coalesce(h.n_hits, 0)
+             / ({_X3V_K}.0 * nq.n_probes) * 1e4) / 1e4 AS mean_recall
+FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe CROSS JOIN nq
 ORDER BY nprobe
 """
 
@@ -3181,17 +3197,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist, not eager checkpoint — lazy and the scan stays in the plan
     cells = assign_cells(vecs, centroids).persist()
 
-    cent_arr = (
-        centroids.filter(l2_norm(F.col("cemb")) > 0)
-        .select(
-            F.struct(
-                F.col("cent_id"),
-                F.col("cemb"),
-                l2_norm(F.col("cemb")).alias("cnrm"),
-            ).alias("c")
-        )
-        .agg(F.collect_list("c").alias("cents"))
-    )
+    cent_arr = _centroid_array(centroids)
     top_cells_expr = F.expr(
         f"""
         transform(
@@ -3243,11 +3249,13 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "nid")
         )
 
+    # two consumers (one per nprobe branch): persist, or the whole
+    # brute-force leg executes once per branch (review-caught)
     truth = topk_edges(
         members.crossJoin(F.broadcast(probes.drop("probe_cells"))).filter(
             F.col("nid") != F.col("q_id")
         )
-    )
+    ).persist()
     nq = probes.agg(F.count(F.lit(1)).alias("n_probes"))
     rows = []
     for np_ in _X3V_NPROBES:

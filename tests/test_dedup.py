@@ -1156,3 +1156,57 @@ def test_x3v_recall_monotone_in_nprobe(spark):
         assert r["n_hits"] <= 3 * r["n_probes"]
     assert rows[2]["mean_recall"] >= rows[1]["mean_recall"]
     assert rows[2]["n_hits"] >= rows[1]["n_hits"]
+
+
+def test_x3v_probe_rank1_matches_assign_cells(spark):
+    """Law-sync guard for the two cell-ranking routes: x3v's top-N sort
+    (probe side) must agree at rank 1 with assign_cells' argmax fold
+    (member side) for EVERY vector — multi-probe semantics depend on
+    the probe's first cell being the member's home cell. Executable
+    single-siting: if either law drifts, this fails before any recall
+    number goes wrong."""
+    from pyspark.sql import functions as F
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _centroid_array,
+        assign_cells,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _dvec,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
+    home = assign_cells(vecs, centroids).select("vec_id", "cell")
+    ranked1 = (
+        vecs.withColumn("nrm", F.expr(
+            "sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, v) -> a + v))"
+        ))
+        .filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "vec_id",
+            F.expr(
+                """
+                transform(slice(array_sort(
+                  transform(cents, c -> named_struct(
+                    'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                                     0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
+                    'cid', c.cent_id)),
+                  (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                                 WHEN l.cos < r.cos THEN 1
+                                 WHEN l.cid < r.cid THEN -1
+                                 WHEN l.cid > r.cid THEN 1
+                                 ELSE 0 END), 1, 1), s -> s.cid)[0]
+                """
+            ).alias("rank1"),
+        )
+    )
+    diff = home.join(ranked1, "vec_id").filter(
+        F.col("cell") != F.col("rank1")
+    )
+    assert diff.count() == 0
