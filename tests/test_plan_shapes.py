@@ -20,6 +20,13 @@ SF = "/root/testdata/sf0.001"
 def _plan(spark, name: str) -> str:
     from ssn_college_software_architecture_assignments__spark import all_queries
 
+    # Plan gates must see the UNCACHED plan: a query that persist()s a
+    # shared subtree (x3v's assign_cells table) registers it in the
+    # CacheManager, and any later query building the same logical
+    # subtree gets an InMemoryRelation substituted — semantically
+    # identical, but its printed cached plan double-counts nodes the
+    # gates count (the suite-order x2j/x3u BNLJ flake).
+    spark.catalog.clearCache()
     return explain_str(all_queries()[name](spark, SF))
 
 
