@@ -590,3 +590,31 @@ def test_knn_graph_confines_pairs_to_cells(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
     assert "Window" not in tree
+
+
+def test_r11_additions_never_plan_all_pairs(spark):
+    """Blanket no-all-pairs gate over the round-11 additions that lack
+    a dedicated shape gate: none of them may plan a CartesianProduct,
+    and the two scalar-broadcast ones may carry at most one
+    BroadcastNestedLoopJoin (the 1-row fold crossJoin pattern)."""
+    for name in (
+        "x1d_url_dedup_report",
+        "x4w_gopher_rules",
+        "x6s_decontaminated_mixture",
+        "x6t_curriculum_anneal",
+        "f5_cogrouped_asof",
+        "a8b_unpivot",
+        "x2y_lsh_parameter_planner",
+        "s23_generation_vacuum",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_x3v_truth_leg_broadcasts_probes_not_corpus(spark):
+    """x3v: the brute-force truth leg must broadcast the 32 probe rows
+    against the map-side corpus (the x3-brute law) — a corpus-side
+    broadcast or a cartesian would invert the scale story."""
+    plan = _plan(spark, "x3v_knn_graph_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
