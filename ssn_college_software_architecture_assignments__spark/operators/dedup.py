@@ -2845,7 +2845,10 @@ def normalize_urls(urls: DataFrame) -> DataFrame:
     dedup groups on. parse_url is the JVM-side extractor (no Python in
     the path)."""
     host = F.parse_url("url", F.lit("HOST"))
-    path = F.parse_url("url", F.lit("PATH"))
+    # parse_url PATH is NULL for a path-less URL; concat(domain, NULL)
+    # would NULL the whole norm_url while the oracle's string surgery
+    # yields the bare domain — coalesce to '' so both laws agree.
+    path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit(""))
     domain = F.regexp_replace(F.lower(host), r"^www\.", "")
     return urls.select(
         domain.alias("domain"), F.concat(domain, path).alias("norm_url")

@@ -292,18 +292,21 @@ GROUP BY o.o_orderpriority
 
 
 def j11_write_bucketed_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8, base: str | None = None
 ) -> None:
     """The one-off ingest leg of the bucketed join: write both fact
     tables ``bucketBy(n_buckets, key).sortBy(key)`` as external tables.
     This is the amortized cost — it runs once per load, and every
     subsequent join of the two tables on the bucket key is shuffle-free.
     Benchmarked separately from the join leg (bench.py j11_write vs
-    j11_join) so the shuffle-free claim is measurable round-over-round."""
+    j11_join) so the shuffle-free claim is measurable round-over-round.
+    ``base`` lets a caller that re-runs the ingest (bench.py's riser
+    re-measure) reuse ONE scratch location — overwrite mode replaces the
+    tables in place instead of retaining a full copy per run."""
     from concurrent.futures import ThreadPoolExecutor
 
     c = Catalog(spark, sf_dir)
-    base = scratch_dir(prefix="ssn_bucketed_")
+    base = base or scratch_dir(prefix="ssn_bucketed_")
 
     def _write_lineitem():
         (

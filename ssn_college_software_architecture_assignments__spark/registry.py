@@ -14,6 +14,7 @@ Conventions enforced here (see SURVEY.md §7 watch list):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -371,8 +372,26 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
+
+        # Registry-dispatch cache janitor: a handful of operators persist()
+        # multi-consumer subtrees (x3v's cells/truth, a16's per_key, the
+        # REST readers' page caches) and a long-lived session sweeping all
+        # ~260 queries would otherwise accumulate those tables in executor
+        # storage memory — there is no DataFrame hook to unpersist after
+        # the DRIVER materializes the returned frame, so retention is
+        # bounded here instead: each registry dispatch drops the previous
+        # query's cache before building its own. Direct module-level calls
+        # (tests, plan gates) are unaffected; gates clearCache themselves.
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # a stopped/foreign session must not mask the query
+            return fn(spark, sf_dir)
+
         _REGISTRY[name] = QueryDef(
-            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+            name=name, fn=run, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
         )
         return fn
 

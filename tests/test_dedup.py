@@ -1055,6 +1055,32 @@ def test_x1d_url_normalization_collapses_variants(spark):
     assert domains == {"example.com"}
 
 
+def test_x1d_pathless_url_normalizes_to_bare_domain(spark):
+    """Advice-caught law gap: parse_url PATH is NULL for a path-less URL
+    and concat(domain, NULL) would NULL the whole norm_url, while the
+    oracle's regex surgery yields the bare domain — the helper must
+    coalesce so both laws agree (and the two path-less variants of one
+    host collapse together)."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        normalize_urls,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.Example.COM",),
+            ("http://example.com?utm=1",),
+            ("https://example.com/",),
+        ],
+        "url string",
+    )
+    rows = normalize_urls(urls).collect()
+    assert all(r["norm_url"] is not None for r in rows)
+    got = {r["norm_url"] for r in rows}
+    # '/' is a real (root) path and stays distinct from the bare domain,
+    # exactly as the oracle's substr-after-host law keeps it
+    assert got == {"example.com", "example.com/"}
+
+
 def test_x3u_knn_graph_matches_naive_per_cell(spark):
     """Property: on random small vector sets, the HOF-expanded kNN graph
     equals a naive Python recomputation — same cell assignment (argmax
