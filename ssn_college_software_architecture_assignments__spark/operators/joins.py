@@ -280,6 +280,112 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J10b — AQE runtime skew-join evidence (the automatic half of J10) -------------
+#
+# j10 proves MANUAL salting; j10b proves the knob a user turns FIRST at
+# 100x scale: Spark's own OptimizeSkewedJoin splitting the hot reduce
+# partition at runtime (and duplicating the matching build rows), with
+# the skew-split marker visible in the final adaptive plan — the
+# s22-for-skew. The oracle is the plain unskewed join law, so driver
+# equality is the proof that the runtime split is semantics-preserving,
+# exactly j10's oracle discipline.
+#
+# Two locality accommodations, both documented because each vanishes at
+# real scale:
+# - thresholds floored on an ISOLATED spark.newSession() (the s22
+#   bloom-gate pattern): local shuffle partitions are KB-scale, far
+#   under the 256 MB skewedPartitionThresholdInBytes / 64 MB advisory
+#   defaults that gate the rule on a real cluster.
+# - a round-robin repartition ahead of the join: the sf0.01 parquet is
+#   a single row group, so the join shuffle would otherwise have ONE
+#   mapper holding every hot-key byte — and a skewed partition is split
+#   BY MAPPER RANGES, so a single-mapper partition is unsplittable
+#   (verified against ShufflePartitionsUtil.createSkewPartitionSpecs:
+#   per-mapper sizes [0,...,425995,...,0] -> one group -> no split).
+#   A real scan has thousands of mappers; the repartition stands in for
+#   that map-side fan-out, nothing more.
+
+_J10B_HOT_KEY = 32  # dense o_orderkey domain: present at every SF
+
+_J10B_ORACLE = f"""
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(round(sum(l.l_extendedprice * (1 - l.l_discount)), 6), 2) AS revenue
+FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey
+             ELSE {_J10B_HOT_KEY} END AS k,
+             l_extendedprice, l_discount
+      FROM lineitem) l
+JOIN orders o ON o.o_orderkey = l.k
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def j10b_skew_session(spark: SparkSession) -> SparkSession:
+    """Isolated session with the skew-join thresholds floored to local
+    shuffle sizes (defaults: threshold 256 MB, advisory 64 MB — correct
+    on a real cluster, unreachable at local SF). ``newSession`` so the
+    floored values never leak into other queries' plans; the
+    skewedPartitionFactor stays at its 5.0 default — the planted skew
+    clears it honestly (hot:median is ~70x at sf0.01)."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    # orders would broadcast at local SF, erasing the SMJ the rule
+    # rewrites; at 100 TB both sides are fact-sized and SMJ is real
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return s2
+
+
+@register("j10b_aqe_skew_join", oracle=_J10B_ORACLE, tags=("J10",))
+def j10b_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-skewed fact-fact join left to AQE: ~75% of lineitem keys
+    remap to one hot order, the join runs as an unhinted sort-merge
+    join, and OptimizeSkewedJoin splits the hot partition at runtime
+    (``SortMergeJoin(skew=true)`` in the final adaptive plan —
+    asserted by tests/test_plan_shapes.py via
+    :func:`j10b_skew_evidence`). Values must equal the plain join
+    law, which is what the oracle checks."""
+    s2 = j10b_skew_session(spark)
+    c = Catalog(s2, sf_dir)
+    fact = c.lineitem.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_orderkey"))
+        .otherwise(F.lit(_J10B_HOT_KEY))
+        .alias("k"),
+        "l_extendedprice",
+        "l_discount",
+    ).repartition(16)  # map-side fan-out stand-in; see block comment
+    orders = c.orders.select("o_orderkey", "o_orderpriority")
+    joined = fact.join(orders, fact.k == orders.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            # two-stage snap: partial-sum order must not straddle 2dp
+            F.round(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    6,
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def j10b_skew_evidence(spark: SparkSession, sf_dir: str) -> str:
+    """Execute the j10b join and return the FINAL adaptive plan string —
+    the runtime evidence (AQE plans are provisional until an action
+    runs; only the executed Dataset's own queryExecution carries the
+    ``skew=true`` rewrite)."""
+    df = j10b_aqe_skew_join(spark, sf_dir)
+    df.collect()  # 5 priority rows — the action that finalizes AQE
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 # J11 — bucketed co-located join (zero-shuffle fact-fact join) ------------------
 
 _J11_ORACLE = """
