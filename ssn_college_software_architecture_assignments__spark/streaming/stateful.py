@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
@@ -142,4 +143,189 @@ def t6b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 if HAS_PROTOBUF:  # pragma: no cover - protobuf absent in this container
     register("t6b_transform_with_state", oracle=_T6_ORACLE, tags=("T6",))(
         t6b_transform_with_state
+    )
+
+
+# T6c — event-time TTL state expiry (the timer face of stateful streaming) ------
+#
+# The wrinkle the plain accumulator (t6) never exercises: state that
+# must EXPIRE — the session-garbage-collection half of every long-lived
+# keyed pipeline (inactive-user eviction, abandoned-cart emission,
+# billing-session close). Expressed on the runnable v1 API with
+# EventTimeTimeout: each (user, day) group keeps (n_events, last_us)
+# state and arms an event-time timer at last-activity + TTL; when the
+# watermark passes the timer the group fires ONCE, emits its summary,
+# and removes its state. availableNow runs the no-new-data flush batch,
+# so the final watermark is max(ts) - delay and the emitted set is
+# deterministic:
+#
+#     expired iff  last_ms + TTL_MS < max_ms - DELAY_MS      (strict <)
+#
+# Three law details pinned empirically against this Spark build
+# (tests/test_streaming.py::test_ttl_timeout_strictness_is_exclusive):
+# - the timeout fires iff timeoutTimestamp < watermark (STRICT — a
+#   timer equal to the watermark does NOT fire);
+# - watermark arithmetic is in MILLISECONDS with each µs event time
+#   floored (us DIV 1000), so the oracle must floor before comparing;
+# - TTL/delay are sized so nothing can fire before the flush batch
+#   (TTL > span/2 + delay), which keeps re-created-key double-emission
+#   impossible and the output a pure function of the final watermark.
+#
+# Scale: state is one 2-long tuple per live (user, day); timers evict
+# it, so the store holds only the active horizon — the property that
+# keeps a 100 TB keyed stream's state store bounded.
+
+_T6C_TTL_MS = 15 * 24 * 3600 * 1000  # 15 days — > half the 30-day span
+_T6C_DELAY = "1 hour"
+_T6C_DELAY_MS = 3_600_000
+
+_T6C_OUTPUT_SCHEMA = "user_id bigint, day string, n_events bigint, last_us bigint"
+_T6C_STATE_SCHEMA = "n bigint, last_us bigint"
+
+_T6C_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+wm AS (SELECT max(us) // 1000 - {_T6C_DELAY_MS} AS w_ms FROM e),
+g AS (
+  SELECT user_id, day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(us) AS last_us
+  FROM e GROUP BY 1, 2
+)
+SELECT g.user_id, g.day, g.n_events, g.last_us
+FROM g, wm
+WHERE g.last_us // 1000 + {_T6C_TTL_MS} < wm.w_ms
+ORDER BY user_id, day
+"""
+
+
+def _ttl_expire(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-(user, day) TTL state machine: accumulate (n, last_us), arm
+    the event-time timer at last + TTL, emit the summary exactly once
+    when the timer fires, then drop the state."""
+    if state.hasTimedOut:
+        n, last_us = state.get
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "day": [key[1]],
+                "n_events": [n],
+                "last_us": [last_us],
+            }
+        )
+        state.remove()
+    else:
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["us"].max()))
+        state.update((n, last_us))
+        # timer in ms (floor) — the watermark clock's own unit
+        state.setTimeoutTimestamp(last_us // 1000 + _T6C_TTL_MS)
+
+
+@register("t6c_state_ttl_expiry", oracle=_T6C_ORACLE, tags=("T6",))
+def t6c_state_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactive-group expiry over a real stream: every (user, day)
+    group whose last activity is more than TTL behind the final
+    watermark fires its event-time timer in the flush batch and emits
+    (n_events, last_us) exactly once — per-key state with TIMERS, the
+    stateful-streaming face t6's plain accumulator can't express."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", _T6C_DELAY)
+    keyed = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "ts",
+    )
+    expired = (
+        keyed.groupBy("user_id", "day")
+        .applyInPandasWithState(
+            _ttl_expire,
+            outputStructType=_T6C_OUTPUT_SCHEMA,
+            stateStructType=_T6C_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(expired, "append").orderBy("user_id", "day")
+
+
+class TTLExpiryProcessor(StatefulProcessor):
+    """The t6c law on the Spark 4 v2 surface: a named ValueState plus a
+    REGISTERED TIMER per key (``handle.registerTimer`` /
+    ``handleExpiredTimer`` — the API v1 approximates with its single
+    implicit timeout). Same emission law as :func:`_ttl_expire`, which
+    the law-sync pytest asserts row-for-row on a handmade two-batch
+    sequence; runs end-to-end only where protobuf ships (same gate as
+    :class:`AccumulateProcessor`)."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("acc", _T6C_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, last_us = self.state.get() if self.state.exists() else (0, 0)
+        old_timer = last_us // 1000 + _T6C_TTL_MS if n else None
+        for pdf in rows:
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["us"].max()))
+        self.state.update((n, last_us))
+        # v2 timers are named per timestamp, not a single mutable slot:
+        # re-arming means delete-old + register-new
+        if old_timer is not None:
+            self.handle.deleteTimer(old_timer)
+        self.handle.registerTimer(last_us // 1000 + _T6C_TTL_MS)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        n, last_us = self.state.get()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "day": [key[1]],
+                "n_events": [n],
+                "last_us": [last_us],
+            }
+        )
+        self.state.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def t6c_v2_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t6c on ``transformWithStateInPandas`` (protobuf-gated, like
+    :func:`t6b_transform_with_state`); same oracle — the two APIs must
+    agree on the expiry law."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", _T6C_DELAY)
+    keyed = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "ts",
+    )
+    expired = (
+        keyed.groupBy("user_id", "day")
+        .transformWithStateInPandas(
+            TTLExpiryProcessor(),
+            outputStructType=_T6C_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    return run_to_memory(expired, "append").orderBy("user_id", "day")
+
+
+if HAS_PROTOBUF:  # pragma: no cover - protobuf absent in this container
+    register("t6c_v2_transform_with_state", oracle=_T6C_ORACLE, tags=("T6",))(
+        t6c_v2_transform_with_state
     )

@@ -170,6 +170,213 @@ def test_t6b_end_to_end_when_protobuf_present(spark, sf_dir):
     assert {(r["user_id"], r["n_events"], r["total_value"]) for r in got} == expected
 
 
+# ---- T6c: event-time TTL expiry (timers) --------------------------------------
+
+
+def test_ttl_timeout_strictness_is_exclusive(spark):
+    """The t6c oracle law's load-bearing detail, pinned against the real
+    engine: an EventTimeTimeout timer fires iff timeoutTimestamp is
+    STRICTLY below the watermark. Key A arms its timer exactly AT the
+    final watermark (99000 = 100000ms max - 1s delay) and must NOT
+    fire; key B arms 1ms below and must. A `<=` engine would emit both
+    and the t6c oracle would need `<=` too."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from ssn_college_software_architecture_assignments__spark.scratch import (
+        scratch_dir,
+    )
+    from ssn_college_software_architecture_assignments__spark.streaming.core import (
+        run_to_memory,
+    )
+
+    base = scratch_dir(prefix="ssn_ttl_strict_")
+    df = spark.createDataFrame(
+        [("A", 98000), ("B", 97999), ("C", 100000)], "k string, ms long"
+    ).select("k", F.timestamp_millis(F.col("ms")).alias("ts"), "ms")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            yield pd.DataFrame({"k": [key[0]], "fired": [True]})
+            state.remove()
+        else:
+            last = 0
+            for pdf in pdfs:
+                last = max(last, int(pdf["ms"].max()))
+            state.update((last,))
+            state.setTimeoutTimestamp(last + 1000)
+
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("k")
+        .applyInPandasWithState(
+            fn,
+            "k string, fired boolean",
+            "last long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    fired = sorted(r["k"] for r in run_to_memory(out, "append").collect())
+    assert fired == ["B"]
+
+
+def test_ttl_expiry_v1_v2_law_sync():
+    """Law-sync across the two stateful APIs: feeding the same two
+    micro-batches (with a watermark advance and timer firing between
+    them) through the v1 ``_ttl_expire`` state machine and the v2
+    ``TTLExpiryProcessor`` yields IDENTICAL emissions — including the
+    re-armed-timer case where batch-2 activity pushes a key's expiry
+    out, and the expiry case where the watermark passes a key's timer."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.streaming.stateful import (
+        _T6C_TTL_MS,
+        TTLExpiryProcessor,
+        _ttl_expire,
+    )
+
+    ttl = _T6C_TTL_MS
+    d_ms = 3_600_000  # the 1-hour delay, in the watermark's ms clock
+    # two data micro-batches + flush over three keys (us timestamps),
+    # engine order preserved: each batch feeds its data FIRST, then the
+    # post-batch watermark fires timers — so a key re-armed by batch-2
+    # data (u2) survives even though its OLD timer sits below wm2:
+    # - (1,"d1") active only in batch 1, old -> expires at the flush wm
+    # - (2,"d1") active in BOTH batches -> timer re-armed, no expiry
+    # - (3,"d2") recent -> timer armed above the flush wm, no expiry
+    b1 = {
+        (1, "d1"): [1_000_000_000, 2_000_000_000],
+        (2, "d1"): [1_500_000_000],
+    }
+    wm1_ms = 2_000_000 - d_ms  # negative: nothing can fire at batch 2
+    x_ms = ttl + d_ms + 3_000_000  # u2's batch-2 activity = stream max
+    y_ms = ttl + d_ms + 2_500_000
+    b2 = {
+        (2, "d1"): [x_ms * 1000],
+        (3, "d2"): [y_ms * 1000],
+    }
+    wm2_ms = x_ms - d_ms  # flush watermark: above u1's timer only
+
+    # ---- v1: fake GroupState per key
+    class _S:
+        def __init__(self):
+            self.v = None
+            self.hasTimedOut = False
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def remove(self):
+            self.v = None
+            self.timeout = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    v1_states: dict = {}
+    v1_rows = []
+
+    def v1_feed(batch):
+        for key, uss in batch.items():
+            st = v1_states.setdefault(key, _S())
+            list(_ttl_expire(key, iter([pd.DataFrame({"us": uss})]), st))
+
+    def v1_fire(wm_ms):
+        for key, st in v1_states.items():
+            if st.v is not None and st.timeout is not None and st.timeout < wm_ms:
+                st.hasTimedOut = True
+                for out in _ttl_expire(key, iter(()), st):
+                    v1_rows.append(tuple(out.iloc[0]))
+                st.hasTimedOut = False
+
+    v1_feed(b1)
+    v1_fire(wm1_ms)
+    v1_feed(b2)
+    v1_fire(wm2_ms)  # the flush batch
+
+    # ---- v2: fake handle with named timers
+    class _VS:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class _H:
+        def __init__(self):
+            self.states: dict = {}
+            self.timers: set = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, _VS())
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+        def deleteIfExists(self, name):
+            self.states.pop(name, None)
+
+    v2: dict = {}
+    v2_rows = []
+
+    def v2_feed(batch):
+        for key, uss in batch.items():
+            if key not in v2:
+                proc, handle = TTLExpiryProcessor(), _H()
+                proc.init(handle)
+                v2[key] = (proc, handle)
+            proc, handle = v2[key]
+            list(
+                proc.handleInputRows(
+                    key, iter([pd.DataFrame({"us": uss})]), None
+                )
+            )
+
+    def v2_fire(wm_ms):
+        for key, (proc, handle) in v2.items():
+            for t in sorted(handle.timers):
+                if t < wm_ms:
+                    handle.deleteTimer(t)
+                    for out in proc.handleExpiredTimer(key, None, None):
+                        v2_rows.append(tuple(out.iloc[0]))
+
+    v2_feed(b1)
+    v2_fire(wm1_ms)
+    v2_feed(b2)
+    v2_fire(wm2_ms)
+
+    assert sorted(v1_rows) == sorted(v2_rows)
+    assert len(v1_rows) == 1 and v1_rows[0][0] == 1  # exactly u1 expired
+    # u2's re-armed v2 timer replaced the old one (delete+register law)
+    _, h2 = v2[(2, "d1")]
+    assert len(h2.timers) == 1
+
+
 def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
     """T5 law the single-batch test can't see: a duplicate that arrives
     in a LATER micro-batch (redelivery after a source retry) must be
