@@ -417,6 +417,88 @@ def s7c_document_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S7d — the format("mongomock") writer contract (per-_id upsert Load) ----------
+#
+# The last literal [REF] clause (README.md:23,33,106) given a
+# first-class face: a REAL df.write.format(...) path via the Spark 4
+# Python Data Source API, with the PyMongo contract enforced per
+# document (non-null _id, BSON-safe keys) and ordered last-wins upsert
+# by _id applied at commit (pkg/sources/mongomock.py). The query writes
+# the initial orders collection, then APPENDS an updated batch for the
+# _id % 10 == 0 slice — readback must show version 2 exactly there,
+# which is the upsert semantics stated as data. Sanitization rides the
+# P6 machinery: the price lands under the BSON-illegal name
+# "total.price" and sanitize_field_names must clean it or the writer
+# itself raises (tests/test_sink.py pins the rejection).
+
+_S7D_ORACLE = """
+SELECT o_orderkey AS _id,
+       o_orderstatus,
+       round(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END, 2)             AS total_price,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)
+                                                        AS version
+FROM orders
+WHERE o_orderkey < 5000
+ORDER BY _id
+"""
+
+
+@register("s7d_mongomock_upsert", oracle=_S7D_ORACLE, tags=("S7", "S10"))
+def s7d_mongomock_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document Load through ``format("mongomock")`` with _id upsert:
+    write the (bounded) orders collection, append an updated batch for
+    one-tenth of the ids, read the collection back — last-wins rows
+    carry version 2 exactly on the updated slice. The write tasks are
+    distributed; only the commit-side merge is central, because the
+    mock IS the server (see pkg/sources/mongomock.py)."""
+    from ..operators.projections import sanitize_field_names
+    from .mongomock import COLLECTION_FILE, register_mongomock
+
+    register_mongomock(spark)
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 5000)
+
+    def docs(version: int, updated: bool) -> DataFrame:
+        price = F.col("o_totalprice") + 1000 if updated else F.col("o_totalprice")
+        hostile = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            # BSON-illegal on purpose: the P6 sanitizer must clean it
+            F.round(price, 2).alias("total.price"),
+            F.lit(version).cast("int").alias("version"),
+        )
+        clean = sanitize_field_names(hostile)
+        return to_documents(
+            clean,
+            id_col="o_orderkey",
+            nests={"order": ["o_orderstatus", "total_price"]},
+        )
+
+    base = scratch_dir(prefix="ssn_mongomock_")
+    coll_dir = f"{base}/orders_raw"
+    docs(1, updated=False).write.format("mongomock").mode("overwrite").option(
+        "path", coll_dir
+    ).save()
+    (
+        docs(2, updated=True)
+        .filter(F.col("_id") % 10 == 0)
+        .write.format("mongomock")
+        .mode("append")
+        .option("path", coll_dir)
+        .save()
+    )
+    back = spark.read.schema(
+        "_id BIGINT, version INT, "
+        "order STRUCT<o_orderstatus: STRING, total_price: DOUBLE>"
+    ).json(f"{coll_dir}/{COLLECTION_FILE}")
+    return back.select(
+        "_id",
+        F.col("order.o_orderstatus").alias("o_orderstatus"),
+        F.col("order.total_price").alias("total_price"),
+        "version",
+    ).orderBy("_id")
+
+
 # S11 — date-partitioned lake write + partition-pruned readback ----------------
 
 _S11_ORACLE = """

@@ -561,3 +561,82 @@ def test_cdc_round_trip_property_on_random_snapshots(spark):
         assert got == b
 
     run()
+
+
+# ---- S7d: mongomock writer contract --------------------------------------------
+
+
+def test_mongomock_upsert_id_collision_last_wins(spark, tmp_path):
+    """The PyMongo contract on handmade docs: batch 2 re-sends two _ids
+    with new payloads and adds one new _id — the collection holds the
+    union of ids with last-wins payloads, and the manifest's
+    validated-insert counts (s8's invariant) record 1 insert + 2
+    updates against a prior size of 3."""
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        COLLECTION_FILE,
+        read_manifest,
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    coll = str(tmp_path / "things_raw")
+    schema = "_id long, payload string"
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+    b2 = spark.createDataFrame([(2, "B"), (3, "C"), (4, "d")], schema)
+    b1.write.format("mongomock").mode("overwrite").option("path", coll).save()
+    b2.write.format("mongomock").mode("append").option("path", coll).save()
+    back = {
+        r["_id"]: r["payload"]
+        for r in spark.read.schema(schema).json(f"{coll}/{COLLECTION_FILE}").collect()
+    }
+    assert back == {1: "a", 2: "B", 3: "C", 4: "d"}
+    m = read_manifest(coll)
+    assert (m["n_prior"], m["n_inserted"], m["n_updated"], m["n_total"]) == (
+        3, 1, 2, 4,
+    )
+
+
+def test_mongomock_rejects_bson_illegal_keys_and_null_ids(spark, tmp_path):
+    """Contract teeth: a dotted key (anywhere, including nested) or a
+    null _id must fail the WRITE, not land corrupt documents."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    dotted = spark.range(3).select(
+        F.col("id").alias("_id"), F.lit(1.5).alias("total.price")
+    )
+    with pytest.raises(Exception, match="BSON-illegal"):
+        dotted.write.format("mongomock").mode("overwrite").option(
+            "path", str(tmp_path / "bad1")
+        ).save()
+    null_id = spark.createDataFrame([(None, "x")], "_id long, v string")
+    with pytest.raises(Exception, match="non-null _id"):
+        null_id.write.format("mongomock").mode("overwrite").option(
+            "path", str(tmp_path / "bad2")
+        ).save()
+
+
+def test_mongomock_upsert_order_is_partition_then_row(spark, tmp_path):
+    """Determinism law the oracle leans on: when one batch carries the
+    same _id twice in different partitions, the HIGHER partition id
+    wins (ordered-bulk semantics over partition order then row order)."""
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        COLLECTION_FILE,
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    coll = str(tmp_path / "dup_raw")
+    schema = "_id long, v string"
+    # repartitionByRange on v puts "early" in a lower partition than "late"
+    df = spark.createDataFrame([(7, "early"), (7, "late")], schema).repartitionByRange(
+        2, "v"
+    )
+    df.write.format("mongomock").mode("overwrite").option("path", coll).save()
+    back = spark.read.schema(schema).json(f"{coll}/{COLLECTION_FILE}").collect()
+    assert len(back) == 1 and back[0]["v"] == "late"
