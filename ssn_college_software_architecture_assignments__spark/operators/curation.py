@@ -1785,3 +1785,126 @@ def x6t_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "source")
     )
+
+
+# X6u — seeded epoch-reshuffle manifest ------------------------------------------
+#
+# The data-order face of training reproducibility the shard manifest
+# (x6l) stops just short of: WITHIN a training run, every epoch must
+# visit the same documents in a DIFFERENT but fully deterministic
+# order, and the run ships per-(epoch, shard) manifests a loader can
+# verify before consuming a shard. The permutation key is the portable
+# 60-bit md5 hash of "epoch:doc_id" (_md5h60 — swap doc_id for a
+# content fingerprint column and the law composes unchanged), so:
+#
+# - epoch 0 and epoch 1 are different permutations of the SAME id set
+#   (the pytest law);
+# - the order is seed-free and engine-portable (md5 is the seed);
+# - it is STABLE UNDER CORPUS GROWTH: a document's key never depends
+#   on other documents, so adding data never reorders existing pairs
+#   — the property a rerun after an incremental ingest needs.
+#
+# Each epoch's global order is chunked into shards by the x6l law
+# shape applied to the epoch key ((ekey div 100) % shards — docs move
+# BETWEEN shards across epochs, a true global reshuffle), and the
+# manifest pins the within-shard sequence with an ORDER-SENSITIVE
+# polynomial checksum h <- (h*131 + doc) mod (2^31-1), folded JVM-side
+# with F.aggregate over the sorted per-shard list — bit-identical to
+# DuckDB's list_reduce because f(0, x0) == x0 (the proven x6b2
+# template; doc ids enter pre-reduced mod p so the first step is
+# exact). Cross-engine equality is therefore a proof that the
+# distributed fold equals the naive ordered fold.
+#
+# Scale shape: map-only key derivation (md5 + integer ops), one
+# hash-agg on the uniform (epoch, shard) key. The per-shard list lives
+# inside one aggregation row — bounded by shard sizing (docs/shards);
+# at petabyte shards the same law runs as repartition(epoch, shard) +
+# sortWithinPartitions(ekey) + a streaming per-partition fold combined
+# by h1*131^n2 + h2 (the checksum is associative under that shift), so
+# nothing here is architecturally driver-bound.
+
+_X6U_EPOCHS = 2
+_X6U_P = 2147483647  # 2^31 - 1: h*131 + d stays far under 2^63
+
+
+def x6u_epoch_keys(docs: DataFrame, n_epochs: int = _X6U_EPOCHS) -> DataFrame:
+    """(epoch, doc_id, ekey, shard_id, dm) for every document x epoch —
+    THE shared law site for the registered query and the permutation
+    pytest."""
+    from ..operators.dedup import _md5h60
+
+    d = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_epochs)])).alias("epoch"),
+    )
+    ekey = _md5h60(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return d.select(
+        "epoch",
+        "doc_id",
+        ekey.alias("ekey"),
+        (F.col("doc_id") % _X6U_P).alias("dm"),
+    ).withColumn(
+        # integer div, never float: ekey is 60-bit and a double round
+        # trip would corrupt bits past 2^53
+        "shard_id",
+        F.expr(f"(ekey div 100) % {_X6L_SHARDS}"),
+    )
+
+
+_X6U_EKEY_SQL = (
+    "CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' "
+    "|| CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+_X6U_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, e.epoch, {_X6U_EKEY_SQL} AS ekey
+  FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+),
+s AS (
+  SELECT epoch, (ekey // 100) % {_X6L_SHARDS} AS shard_id,
+         ekey, doc_id, doc_id % {_X6U_P} AS dm
+  FROM d
+)
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       list_reduce(list(dm ORDER BY ekey, doc_id),
+                   (h, x) -> (h * 131 + x) % {_X6U_P}) AS order_hash
+FROM s
+GROUP BY epoch, shard_id
+ORDER BY epoch, shard_id
+"""
+
+
+@register("x6u_epoch_reshuffle_manifest", oracle=_X6U_ORACLE, tags=("X6",))
+def x6u_epoch_reshuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) reshuffle manifest: doc count plus the
+    order-sensitive polynomial checksum of the shard's visit sequence
+    under the seeded per-epoch permutation — epoch 0 and epoch 1 are
+    provably different orderings of the same corpus (pytest law), and
+    a loader verifies a shard's order before training on it."""
+    docs = Catalog(spark, sf_dir).documents
+    keys = x6u_epoch_keys(docs)
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ekey"), F.col("doc_id"), F.col("dm")))
+    )
+    order_hash = F.aggregate(
+        F.transform(arr, lambda s: s["dm"]),
+        F.lit(0).cast("long"),
+        lambda h, d: (h * F.lit(131) + d) % F.lit(_X6U_P),
+    )
+    return (
+        keys.groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            order_hash.alias("order_hash"),
+        )
+        .orderBy("epoch", "shard_id")
+    )

@@ -760,3 +760,42 @@ def test_x6p_epoch_schedule_laws(spark, sf_dir, tmp_path):
     assert srows["tiny"]["unfilled_tokens"] > 0
     assert srows["huge"]["epochs"] <= 2
     assert srows["huge"]["unfilled_tokens"] == 0
+
+
+# ---- X6u: seeded epoch reshuffle ------------------------------------------------
+
+
+def test_x6u_epochs_are_distinct_permutations_of_same_ids(spark, sf_dir):
+    """The reshuffle law: every epoch visits exactly the full id set
+    once (a permutation), epoch 0 and epoch 1 disagree on order, and
+    the order is keyed per-document, so a grown corpus never reorders
+    existing pairs (rerun-after-ingest stability)."""
+    from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6u_epoch_keys,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    keys = x6u_epoch_keys(docs).orderBy("epoch", "shard_id", "ekey", "doc_id")
+    seqs = {0: [], 1: []}
+    for r in keys.collect():
+        seqs[r["epoch"]].append(r["doc_id"])
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for ep in (0, 1):
+        assert len(seqs[ep]) == len(all_ids), "epoch must visit each doc once"
+        assert set(seqs[ep]) == all_ids
+    assert seqs[0] != seqs[1], "epochs must be different permutations"
+
+    # growth stability: keys of a half corpus are the same rows the
+    # full corpus assigns those docs — relative order can't move
+    half = docs.filter("doc_id % 2 = 0")
+    sub = {
+        (r["epoch"], r["doc_id"]): (r["shard_id"], r["ekey"])
+        for r in x6u_epoch_keys(half).collect()
+    }
+    full = {
+        (r["epoch"], r["doc_id"]): (r["shard_id"], r["ekey"])
+        for r in keys.collect()
+        if r["doc_id"] % 2 == 0
+    }
+    assert sub == full
