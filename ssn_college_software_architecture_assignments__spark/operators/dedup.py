@@ -3298,3 +3298,309 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("nprobe")
+
+
+# X3w — cross-cell kNN-graph repair (multi-probe, whole corpus) ------------------
+#
+# x3u confines neighbors to the home cell; x3v MEASURED what that gives
+# up at cell borders (for a 32-probe audit subset). x3w closes the
+# loop: every corpus vector's candidates now come from its top-2
+# nearest cells (x3v's probe machinery lifted from the 32-row subset to
+# the whole corpus), the per-vector top-3 is exact-rescored, and the
+# query reports how the repair changed the graph plus the recall lift
+# under x3v's truth convention (vec_id < 32, brute-force ground truth,
+# integer-exact hit counts).
+#
+# Monotonicity is a THEOREM here, not an observation: the home cell is
+# always probe rank 1 (the shared argmax law), so the multi-probe
+# candidate set contains the home candidate set; under one total order
+# (round(cos,4) desc, nid) a truth-top-3 edge can only be displaced
+# from the repaired top-3 by a candidate ranking above it — which by
+# definition of "truth = global top-3 under that order" is itself a
+# truth edge. Hence per-vector hits never decrease, and the pytest
+# asserts exactly that law on random corpora (plus equality with a
+# naive Python recomputation).
+#
+# Scale shape: the only corpus-sized operations are the assign_cells
+# argmax (map-side), TWO cell-keyed aggregations (members, queriers —
+# the querier side is exactly 2x corpus rows), and a 16x16 cell-to-cell
+# equi-join whose HOF does the pairwise work inside the aggregation
+# row; the per-vector merge then handles <= 2*K candidate rows per
+# vector. No Window ever sees corpus-pair-inflated rows (the only
+# windows in the family live in the 32-row truth audit); plan-gated.
+
+_X3W_NPROBE = 2
+_X3W_PROBES = _X3V_PROBES  # the x3v truth convention
+
+
+def _x3w_oracle() -> str:
+    cos_ab = (
+        "list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.emb, x -> x*x), 'sum'))"
+        "    * sqrt(list_aggregate(list_transform(b.emb, x -> x*x), 'sum')))"
+    )
+    return f"""{_IVF_CELLS_SQL},
+probe2 AS (
+  SELECT vec_id AS q_id, cent_id AS cell
+  FROM (
+    SELECT vc.vec_id, vc.cent_id,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY vc.cos DESC, vc.cent_id) AS rn
+    FROM vc
+    WHERE list_aggregate(list_transform(vc.emb, x -> x * x), 'sum') > 0
+  ) WHERE rn <= {_X3W_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, b.vec_id AS nid, {cos_ab} AS cos
+  FROM probe2 p
+  JOIN cells a ON a.vec_id = p.q_id
+  JOIN cells b ON b.cell = p.cell AND b.vec_id <> p.q_id
+),
+repaired AS (
+  SELECT q_id, nid FROM (
+    SELECT q_id, nid,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(cos, 4) DESC, nid) AS rn
+    FROM cand
+  ) WHERE rn <= {_X3U_K}
+),
+home AS (
+  SELECT q_id, nid FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_ab}, 4) DESC, b.vec_id) AS rn
+    FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  ) WHERE rn <= {_X3U_K}
+),
+truth AS (
+  SELECT q_id, nid FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_ab}, 4) DESC, b.vec_id) AS rn
+    FROM cells a JOIN cells b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {_X3W_PROBES}
+  ) WHERE rn <= {_X3U_K}
+),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_probes
+       FROM cells WHERE vec_id < {_X3W_PROBES})
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM cells)    AS n_vectors,
+  (SELECT CAST(count(*) AS BIGINT) FROM repaired) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM repaired r LEFT JOIN home h
+     ON h.q_id = r.q_id AND h.nid = r.nid
+   WHERE h.q_id IS NULL)                          AS n_edges_new,
+  nq.n_probes                                     AS n_probes,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM home g JOIN truth t ON t.q_id = g.q_id AND t.nid = g.nid)
+                                                  AS n_hits_home,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM repaired g JOIN truth t ON t.q_id = g.q_id AND t.nid = g.nid)
+                                                  AS n_hits_repaired,
+  floor((SELECT count(*) FROM home g JOIN truth t
+         ON t.q_id = g.q_id AND t.nid = g.nid)
+        / ({_X3U_K}.0 * nq.n_probes) * 1e4) / 1e4 AS recall_home,
+  floor((SELECT count(*) FROM repaired g JOIN truth t
+         ON t.q_id = g.q_id AND t.nid = g.nid)
+        / ({_X3U_K}.0 * nq.n_probes) * 1e4) / 1e4 AS recall_repaired
+FROM nq
+"""
+
+
+def multiprobe_knn_graph(
+    cells: DataFrame, centroids: DataFrame, nprobe: int = _X3W_NPROBE
+) -> DataFrame:
+    """(q_id, neighbor_id, rank): top-``_X3U_K`` neighbors for every
+    vector of an ``assign_cells`` frame with candidates drawn from its
+    ``nprobe`` nearest cells — THE shared site for the x3w query and
+    its property test. Two cell-keyed aggregations + a cell equi-join;
+    the pairwise work and both top-k cuts run inside aggregation rows
+    (no Window over pair-inflated rows)."""
+    cent_arr = _centroid_array(centroids)
+    top_cells = F.expr(
+        f"""
+        transform(
+          slice(
+            array_sort(
+              transform(cents, c -> named_struct(
+                'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                                 0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
+                'cid', c.cent_id)),
+              (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                             WHEN l.cos < r.cos THEN 1
+                             WHEN l.cid < r.cid THEN -1
+                             WHEN l.cid > r.cid THEN 1
+                             ELSE 0 END),
+            1, {nprobe}),
+          s -> s.cid)
+        """
+    )
+    queriers = (
+        cells.crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(top_cells).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("q_id", "q_emb", "q_nrm")).alias("qs"))
+    )
+    members = cells.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "emb", "nrm")).alias("ms")
+    )
+    # per (cell, querier): top-k among that cell's members, inside the
+    # joined aggregation row — the x3u HOF with distinct q/m sides
+    per_cell = F.expr(
+        f"""
+        flatten(transform(qs, q ->
+          transform(
+            slice(
+              array_sort(
+                transform(filter(ms, m -> m.vec_id != q.q_id), m ->
+                  named_struct(
+                    'nid', m.vec_id,
+                    'cos',
+                    aggregate(zip_with(q.q_emb, m.emb, (x, y) -> x * y),
+                              0D, (acc, v) -> acc + v) / (q.q_nrm * m.nrm))),
+                (l, r) -> CASE
+                  WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
+                  WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
+                  WHEN l.nid < r.nid THEN -1
+                  WHEN l.nid > r.nid THEN 1
+                  ELSE 0 END),
+              1, {_X3U_K}),
+            s -> named_struct('q_id', q.q_id, 'nid', s.nid, 'cos', s.cos))))
+        """
+    )
+    cand = (
+        queriers.join(members, "cell")
+        .select(F.explode(per_cell).alias("p"))
+        .select("p.q_id", "p.nid", "p.cos")
+    )
+    # global merge: <= nprobe*K candidate rows per vector (a member has
+    # ONE home cell, so no duplicates), same total order, same slice
+    merge = F.expr(
+        f"""
+        transform(
+          slice(
+            array_sort(cs,
+              (l, r) -> CASE
+                WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
+                WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
+                WHEN l.nid < r.nid THEN -1
+                WHEN l.nid > r.nid THEN 1
+                ELSE 0 END),
+            1, {_X3U_K}),
+          (s, r) -> named_struct('nid', s.nid, 'rank', r + 1))
+        """
+    )
+    return (
+        cand.groupBy("q_id")
+        .agg(F.collect_list(F.struct("nid", "cos")).alias("cs"))
+        .select("q_id", F.explode(merge).alias("e"))
+        .select(
+            "q_id",
+            F.col("e.nid").alias("neighbor_id"),
+            F.col("e.rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register("x3w_knn_graph_multiprobe_repair", oracle=_x3w_oracle(), tags=("X3",))
+def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair the IVF-confined kNN graph with 2-cell multi-probe for
+    EVERY vector and report the effect: edge counts, edges the repair
+    changed (new vs the home-cell graph), and recall home vs repaired
+    under x3v's 32-probe brute-force truth — the measured close of
+    x3u's cross-cell recall trade."""
+    from .similarity import _dvec as dvec
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), dvec("embedding").alias("cemb")
+    )
+    vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
+    # consumers: queriers, members, home graph, truth leg -> persist
+    cells = assign_cells(vecs, centroids).persist()
+
+    repaired = multiprobe_knn_graph(cells, centroids).select(
+        "q_id", "neighbor_id"
+    )
+    home = knn_graph_from_cells(cells).select(
+        F.col("vec_id").alias("q_id"), "neighbor_id"
+    )
+    # x3v's truth convention: 32-probe brute force, broadcast probes
+    probes = cells.filter(F.col("vec_id") < _X3W_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        cells.select(
+            F.col("vec_id").alias("nid"),
+            F.col("emb").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("nid") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
+    )
+    truth = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X3U_K)
+        .select("q_id", F.col("nid").alias("neighbor_id"))
+        # two consumers (home hits, repaired hits): persist or the
+        # 32-probe brute leg runs twice
+        .persist()
+    )
+
+    def count1(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    n_vectors = count1(cells, "n_vectors")
+    n_edges = count1(repaired, "n_edges")
+    n_edges_new = count1(
+        repaired.join(home, ["q_id", "neighbor_id"], "left_anti"), "n_edges_new"
+    )
+    n_probes = count1(cells.filter(F.col("vec_id") < _X3W_PROBES), "n_probes")
+    hits_home = count1(home.join(truth, ["q_id", "neighbor_id"]), "n_hits_home")
+    hits_rep = count1(
+        repaired.join(truth, ["q_id", "neighbor_id"]), "n_hits_repaired"
+    )
+    out = (
+        n_vectors.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_edges_new))
+        .crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(hits_home))
+        .crossJoin(F.broadcast(hits_rep))
+    )
+
+    def recall(hits_col: str, alias: str):
+        # integer-exact: ONE floored division (the x3v law)
+        return (
+            F.floor(
+                F.col(hits_col)
+                / (F.lit(float(_X3U_K)) * F.col("n_probes"))
+                * 1e4
+            )
+            / 1e4
+        ).alias(alias)
+
+    return out.select(
+        "n_vectors",
+        "n_edges",
+        "n_edges_new",
+        "n_probes",
+        "n_hits_home",
+        "n_hits_repaired",
+        recall("n_hits_home", "recall_home"),
+        recall("n_hits_repaired", "recall_repaired"),
+    )

@@ -1236,3 +1236,96 @@ def test_x3v_probe_rank1_matches_assign_cells(spark):
         F.col("cell") != F.col("rank1")
     )
     assert diff.count() == 0
+
+
+def test_x3w_multiprobe_graph_matches_naive_and_recall_is_monotone(spark):
+    """x3w laws on random small corpora: (1) the two-stage cell-join +
+    merge expansion equals a naive Python multi-probe recomputation
+    (top-2 probe cells by (cos desc, cid), candidates = union of those
+    cells' members, top-3 under (round(cos,4) desc, nid)); (2) the
+    monotonicity theorem — per-vector truth hits of the repaired graph
+    never drop below the home-cell graph's, because any displacer of a
+    truth edge under the shared total order is itself a truth edge."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3U_K,
+        _X3W_NPROBE,
+        assign_cells,
+        knn_graph_from_cells,
+        multiprobe_knn_graph,
+    )
+
+    DIM, K_CENT = 3, 3
+    vec = st.lists(st.integers(-2, 2).map(float), min_size=DIM, max_size=DIM)
+
+    @given(vecs=st.lists(vec, min_size=4, max_size=10))
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(vecs):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        cents = rows[:K_CENT]
+        cdf = spark.createDataFrame(cents, "cent_id long, cemb array<double>")
+
+        def nrm(v):
+            return math.sqrt(sum(x * x for x in v))
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b)) / (nrm(a) * nrm(b))
+
+        live = [(i, v) for i, v in rows if nrm(v) > 0]
+        lc = [(i, v) for i, v in cents if nrm(v) > 0]
+        if not lc:
+            return
+        # python reference: home assignment + ordered probe-cell list
+        home_cell, probe_cells = {}, {}
+        for i, v in live:
+            ranked = sorted(((-cos(v, cv), cid) for cid, cv in lc))
+            home_cell[i] = ranked[0][1]
+            probe_cells[i] = [cid for _, cid in ranked[:_X3W_NPROBE]]
+        members = {}
+        for i, _v in live:
+            members.setdefault(home_cell[i], []).append(i)
+        emb = dict(live)
+
+        def topk(i, cand_ids):
+            ranked = sorted(
+                (-round(cos(emb[i], emb[j]), 4), j) for j in cand_ids if j != i
+            )[:_X3U_K]
+            return [j for _, j in ranked]
+
+        expect = set()
+        for i, _v in live:
+            cands = [j for c in probe_cells[i] for j in members.get(c, [])]
+            for r, j in enumerate(topk(i, cands), start=1):
+                expect.add((i, j, r))
+
+        cell_df = assign_cells(df, cdf)
+        got = {
+            (r["q_id"], r["neighbor_id"], r["rank"])
+            for r in multiprobe_knn_graph(cell_df, cdf).collect()
+        }
+        assert got == expect
+
+        # monotonicity vs the global-truth convention, per vector
+        all_ids = [i for i, _ in live]
+        truth = {i: set(topk(i, all_ids)) for i in all_ids}
+        home_edges = {}
+        for r in knn_graph_from_cells(cell_df).collect():
+            home_edges.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        rep_edges = {}
+        for i, j, _r in got:
+            rep_edges.setdefault(i, set()).add(j)
+        for i in all_ids:
+            h_home = len(home_edges.get(i, set()) & truth[i])
+            h_rep = len(rep_edges.get(i, set()) & truth[i])
+            assert h_rep >= h_home, f"repair lost recall for vec {i}"
+
+    run()

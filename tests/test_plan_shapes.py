@@ -637,3 +637,14 @@ def test_x3v_truth_leg_broadcasts_probes_not_corpus(spark):
     plan = _plan(spark, "x3v_knn_graph_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_x3w_repair_never_plans_all_pairs(spark):
+    """x3w: corpus-sized pairing happens only inside cell aggregation
+    rows (queriers x members meet via the cell equi-join); the only
+    pair-inflated Window is the constant 32-probe truth audit, and no
+    CartesianProduct may appear anywhere — the whole-corpus multi-probe
+    repair must stay cell-confined."""
+    plan = _plan(spark, "x3w_knn_graph_multiprobe_repair")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
