@@ -83,68 +83,19 @@ _loaded = False
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the 14 round-11 additions — no driver evidence exists
-    # (the uncapped prefix-filter join, the DPP lake probe, streaming
-    # decontamination, the URL dedup report, the 2-D skew histogram,
-    # unpivot, the Gopher rule battery, the LSH parameter planner, the
-    # decontaminated mixture, generation vacuum, the IVF kNN graph,
-    # the cogrouped as-of, the curriculum-anneal mixture, and the
-    # multi-probe kNN-graph recall audit)
-    "x2w2_prefix_filter_full_corpus",
-    "s22_dpp_pruned_join",
-    "t12_streaming_decontamination",
-    "x1d_url_dedup_report",
-    "a16_skew_histogram_2d",
-    "a8b_unpivot",
-    "x4w_gopher_rules",
-    "x2y_lsh_parameter_planner",
-    "x6s_decontaminated_mixture",
-    "s23_generation_vacuum",
-    "x3u_ivf_knn_graph",
-    "f5_cogrouped_asof",
-    "x6t_curriculum_anneal",
-    "x3v_knn_graph_recall",
-    # tier 2: the evidence-age rotation — the FULL 45-id cohort whose
-    # newest driver row is r6 (computed from CORRECTNESS_r01..r10).
-    # 14 + 45 = 59 exceeds the ~50-row driver budget, so the last ~9
-    # ids here are expected to miss this round's file — they MUST lead
-    # r12's tier 2 (they are ordered stalest-context-first already).
-    "s2b_cursor_read",
-    "s1b_rest_infer",
-    "s4_json_scan",
-    "f1_pandas_udf",
-    "s10_upsert_latest_wins",
-    "t1_tumbling_window",
-    "a4_approx_count_distinct",
-    "w7_funnel_detect",
-    "u4_union_schema_drift",
-    "e2_sql_regional_revenue",
-    "x2b3_simhash_full_oracle",
-    "x3b2_similarity_lsh_oracle",
-    "x4b_term_frequency",
-    "x5_multimodal_payload",
-    "x6_deterministic_split",
-    "s5_parquet_scan",
-    "s6_csv_scan",
-    "s7_raw_sink_roundtrip",
-    "s8_validated_insert",
-    "s11_partitioned_lake",
-    "s12_compaction",
-    "s13_schema_evolution",
-    "s14_snapshot_diff",
-    "a5_grouping_sets",
-    "a6_percentile_approx",
-    "a9_key_skew_profile",
-    "a10_stats_agg",
-    "a11_incremental_rollup",
-    "f2_grouped_udaf",
-    "f3_udtf_expand",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermarked_agg",
-    "t5_streaming_dedup",
-    "t6_stateful_per_key",
-    "x3c_vector_features",
+    # tier 1: the round-12 additions — no driver evidence exists yet
+    # (the multi-probe kNN-graph repair, the mongomock upsert writer,
+    # the event-time TTL state expiry, the AQE runtime skew-join probe,
+    # and the seeded epoch-reshuffle manifest)
+    "x3w_knn_graph_multiprobe_repair",
+    "s7d_mongomock_upsert",
+    "t6c_state_ttl_expiry",
+    "j10b_aqe_skew_join",
+    "x6u_epoch_reshuffle_manifest",
+    # tier 2a: the 9-id r6-evidence tail the r11 rotation predicted
+    # would overflow — the ONLY ids whose newest driver row predates
+    # r7 (computed from CORRECTNESS_r01..r11); they lead this round so
+    # that after r12 no id's newest driver evidence predates r7
     "x3f_embedding_quantize",
     "x3g_similarity_quantized",
     "x4i_repetition_profile",
@@ -154,23 +105,20 @@ _CHECK_PRIORITY = (
     "s2c_link_header_read",
     "s3_rate_limited_read",
     "s9b_rest_stream",
-    # tier 3: source touched by round-11 changes (the inertia two-stage
-    # rounding, the x4t ValueError guard, the scratch-dir janitor on the
-    # t11/s20/s21 sinks, the gram_hash_index factoring under x6d/x6d2,
-    # the assign_cells/_IVF_CELLS_SQL factoring under x2j, and the
-    # _prefix_filter_pairs factoring under x2w) — re-prove even though
-    # their r10 evidence is fresh
-    "x3r2_kmeans_train",
-    "x4t_quality_ensemble",
-    "t11_foreachbatch_upsert",
-    "s20_incremental_lake_merge",
-    "s21_merge_on_read",
-    "x6d_decontamination",
+    # tier 2b: source touched by round-12 changes (normalize_urls path
+    # coalesce under x1d, the stateful.py edits under t6, the shared
+    # scratch-base parameter under j11) — re-prove despite fresh
+    # evidence
+    "x1d_url_dedup_report",
+    "t6_stateful_per_key",
+    "j11_bucketed_join",
+    # tier 2c: the evidence-age rotation — the 50-id cohort whose
+    # newest driver row is r7, stalest-context-first. 5 + 9 + 3 + 50 =
+    # 67 far exceeds the ~50-row driver budget, so the last ~17 ids
+    # here are expected to miss this round's file — they MUST lead
+    # r13's tier 2
     "x6d2_decontamination_normalized",
     "x2j_semantic_dedup",
-    "x2w_prefix_filter_join",
-    # ---- ~50-query driver budget line is far above; below: the
-    # remainder, stalest driver evidence first (r7, then r8, r9, r10)
     "x5i_audio_rms_profile",
     "x5j_image_channel_stats",
     "x5k_scene_change",
@@ -219,6 +167,63 @@ _CHECK_PRIORITY = (
     "e2_sql_shipping_priority",
     "e2_sql_exists_priority",
     "e2_sql_scalar_subquery",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder, stalest driver evidence first (r8, then r9, r10, r11)
+    "x2w2_prefix_filter_full_corpus",
+    "s22_dpp_pruned_join",
+    "t12_streaming_decontamination",
+    "a16_skew_histogram_2d",
+    "a8b_unpivot",
+    "x4w_gopher_rules",
+    "x2y_lsh_parameter_planner",
+    "x6s_decontaminated_mixture",
+    "s23_generation_vacuum",
+    "x3u_ivf_knn_graph",
+    "f5_cogrouped_asof",
+    "x6t_curriculum_anneal",
+    "x3v_knn_graph_recall",
+    "s2b_cursor_read",
+    "s1b_rest_infer",
+    "s4_json_scan",
+    "f1_pandas_udf",
+    "s10_upsert_latest_wins",
+    "t1_tumbling_window",
+    "a4_approx_count_distinct",
+    "w7_funnel_detect",
+    "u4_union_schema_drift",
+    "e2_sql_regional_revenue",
+    "x2b3_simhash_full_oracle",
+    "x3b2_similarity_lsh_oracle",
+    "x4b_term_frequency",
+    "x5_multimodal_payload",
+    "x6_deterministic_split",
+    "s5_parquet_scan",
+    "s6_csv_scan",
+    "s7_raw_sink_roundtrip",
+    "s8_validated_insert",
+    "s11_partitioned_lake",
+    "s12_compaction",
+    "s13_schema_evolution",
+    "s14_snapshot_diff",
+    "a5_grouping_sets",
+    "a6_percentile_approx",
+    "a9_key_skew_profile",
+    "a10_stats_agg",
+    "a11_incremental_rollup",
+    "f2_grouped_udaf",
+    "f3_udtf_expand",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_watermarked_agg",
+    "t5_streaming_dedup",
+    "x3c_vector_features",
+    "x3r2_kmeans_train",
+    "x4t_quality_ensemble",
+    "t11_foreachbatch_upsert",
+    "s20_incremental_lake_merge",
+    "s21_merge_on_read",
+    "x6d_decontamination",
+    "x2w_prefix_filter_join",
     "w10_ewma",
     "x2p_paragraph_near_dedup",
     "e2_sql_waiting_orders",
@@ -242,7 +247,6 @@ _CHECK_PRIORITY = (
     "x5m_image_phash_dedup",
     "x5n_audio_fingerprint_dedup",
     "u5_bag_setops",
-    "j11_bucketed_join",
     "t7_incremental_sink",
     "t8_stream_static_join",
     "t9_stream_stream_join",

@@ -161,6 +161,13 @@ QUERIES = [
     "f5_cogrouped_asof",
     "x6t_curriculum_anneal",
     "x3v_knn_graph_recall",
+    # round-12 additions (j10b additionally gets a runtime final-plan
+    # section below — the skew split exists only after execution)
+    "x3w_knn_graph_multiprobe_repair",
+    "s7d_mongomock_upsert",
+    "t6c_state_ttl_expiry",
+    "j10b_aqe_skew_join",
+    "x6u_epoch_reshuffle_manifest",
 ]
 
 
@@ -215,6 +222,33 @@ def main() -> None:
             lines.append(s)
         lines.append("```")
         lines.append("")
+
+    # j10b's claim is RUNTIME evidence: the skew split appears only in
+    # the executed final adaptive plan, so record that too.
+    from ssn_college_software_architecture_assignments__spark.operators.joins import (
+        j10b_skew_evidence,
+    )
+
+    spark.catalog.clearCache()
+    final = j10b_skew_evidence(spark, SF_DIR)
+    tree = final.split("\n\n")[0]
+    lines.append("## j10b_aqe_skew_join — FINAL adaptive plan (executed)")
+    lines.append("")
+    lines.append(
+        "Runtime skew evidence: OptimizeSkewedJoin split the planted hot "
+        "partition (`skew=true` on the SortMergeJoin, `skewed` on the "
+        "AQEShuffleRead) — gated in tests/test_plan_shapes.py."
+    )
+    lines.append("")
+    lines.append("```")
+    for ln in tree.splitlines():
+        if any(
+            k in ln
+            for k in ("SortMergeJoin", "AQEShuffleRead", "AdaptiveSparkPlan")
+        ):
+            lines.append(ln.rstrip()[:120])
+    lines.append("```")
+    lines.append("")
 
     out = os.path.join(REPO_ROOT, "PLANS.md")
     with open(out, "w") as fh:
