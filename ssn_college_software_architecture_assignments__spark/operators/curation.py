@@ -1865,7 +1865,9 @@ _X6U_EKEY_SQL = (
 _X6U_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, e.epoch, {_X6U_EKEY_SQL} AS ekey
-  FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+  FROM documents,
+       (SELECT unnest([{", ".join(str(i) for i in range(_X6U_EPOCHS))}])
+        AS epoch) e
 ),
 s AS (
   SELECT epoch, (ekey // 100) % {_X6L_SHARDS} AS shard_id,

@@ -3115,6 +3115,68 @@ _X3V_K = 3
 _X3V_NPROBES = (1, 2)
 
 
+def probe_cells_expr(nprobe: int) -> Column:
+    """Top-``nprobe`` nearest cells, ordered by (raw cos desc, cent_id),
+    folded over the crossJoined broadcast centroid array (requires
+    columns ``emb``, ``nrm``, ``cents``) — THE shared probe-ranking law
+    site: x3v's audit and x3w's whole-corpus repair must rank probe
+    cells identically or their recall numbers stop being comparable."""
+    return F.expr(
+        f"""
+        transform(
+          slice(
+            array_sort(
+              transform(cents, c -> named_struct(
+                'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                                 0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
+                'cid', c.cent_id)),
+              (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                             WHEN l.cos < r.cos THEN 1
+                             WHEN l.cid < r.cid THEN -1
+                             WHEN l.cid > r.cid THEN 1
+                             ELSE 0 END),
+            1, {nprobe}),
+          s -> s.cid)
+        """
+    )
+
+
+def brute_truth_edges(cells: DataFrame, n_probes: int, k: int) -> DataFrame:
+    """(q_id, neighbor_id): exact top-``k`` cosine neighbors over the
+    WHOLE corpus for the ``vec_id < n_probes`` probe subset, under the
+    (round(cos,4) desc, neighbor_id) tie law — THE shared truth-leg
+    site for the recall audits (x3v, x3w). Probes broadcast, corpus
+    streams map-side; the Window partitions on the constant-bounded
+    probe ids, never on corpus-pair-inflated keys."""
+    probes = cells.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        cells.select(
+            F.col("vec_id").alias("nid"),
+            F.col("emb").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("nid") != F.col("q_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", F.col("nid").alias("neighbor_id"))
+    )
+
+
 def _x3v_oracle() -> str:
     cos_ab = (
         "list_aggregate(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), 'sum')"
@@ -3201,24 +3263,6 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assign_cells(vecs, centroids).persist()
 
     cent_arr = _centroid_array(centroids)
-    top_cells_expr = F.expr(
-        f"""
-        transform(
-          slice(
-            array_sort(
-              transform(cents, c -> named_struct(
-                'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
-                                 0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
-                'cid', c.cent_id)),
-              (l, r) -> CASE WHEN l.cos > r.cos THEN -1
-                             WHEN l.cos < r.cos THEN 1
-                             WHEN l.cid < r.cid THEN -1
-                             WHEN l.cid > r.cid THEN 1
-                             ELSE 0 END),
-            1, {max(_X3V_NPROBES)}),
-          s -> s.cid)
-        """
-    )
     probes = (
         cells.filter(F.col("vec_id") < _X3V_PROBES)
         .crossJoin(F.broadcast(cent_arr))
@@ -3226,7 +3270,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("emb").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
-            top_cells_expr.alias("probe_cells"),
+            probe_cells_expr(max(_X3V_NPROBES)).alias("probe_cells"),
         )
     )
     dot = F.aggregate(
@@ -3254,11 +3298,11 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two consumers (one per nprobe branch): persist, or the whole
     # brute-force leg executes once per branch (review-caught)
-    truth = topk_edges(
-        members.crossJoin(F.broadcast(probes.drop("probe_cells"))).filter(
-            F.col("nid") != F.col("q_id")
-        )
-    ).persist()
+    truth = (
+        brute_truth_edges(cells, _X3V_PROBES, _X3V_K)
+        .withColumnRenamed("neighbor_id", "nid")
+        .persist()
+    )
     nq = probes.agg(F.count(F.lit(1)).alias("n_probes"))
     rows = []
     for np_ in _X3V_NPROBES:
@@ -3417,31 +3461,13 @@ def multiprobe_knn_graph(
     the pairwise work and both top-k cuts run inside aggregation rows
     (no Window over pair-inflated rows)."""
     cent_arr = _centroid_array(centroids)
-    top_cells = F.expr(
-        f"""
-        transform(
-          slice(
-            array_sort(
-              transform(cents, c -> named_struct(
-                'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
-                                 0D, (acc, v) -> acc + v) / (nrm * c.cnrm),
-                'cid', c.cent_id)),
-              (l, r) -> CASE WHEN l.cos > r.cos THEN -1
-                             WHEN l.cos < r.cos THEN 1
-                             WHEN l.cid < r.cid THEN -1
-                             WHEN l.cid > r.cid THEN 1
-                             ELSE 0 END),
-            1, {nprobe}),
-          s -> s.cid)
-        """
-    )
     queriers = (
         cells.crossJoin(F.broadcast(cent_arr))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("emb").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
-            F.explode(top_cells).alias("cell"),
+            F.explode(probe_cells_expr(nprobe)).alias("cell"),
         )
         .groupBy("cell")
         .agg(F.collect_list(F.struct("q_id", "q_emb", "q_nrm")).alias("qs"))
@@ -3530,37 +3556,10 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
     home = knn_graph_from_cells(cells).select(
         F.col("vec_id").alias("q_id"), "neighbor_id"
     )
-    # x3v's truth convention: 32-probe brute force, broadcast probes
-    probes = cells.filter(F.col("vec_id") < _X3W_PROBES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cand = (
-        cells.select(
-            F.col("vec_id").alias("nid"),
-            F.col("emb").alias("n_emb"),
-            F.col("nrm").alias("n_nrm"),
-        )
-        .crossJoin(F.broadcast(probes))
-        .filter(F.col("nid") != F.col("q_id"))
-    )
-    w = W.partitionBy("q_id").orderBy(
-        F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
-    )
-    truth = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _X3U_K)
-        .select("q_id", F.col("nid").alias("neighbor_id"))
-        # two consumers (home hits, repaired hits): persist or the
-        # 32-probe brute leg runs twice
-        .persist()
-    )
+    # x3v's truth convention, via the shared truth-leg site; two
+    # consumers (home hits, repaired hits): persist or the 32-probe
+    # brute leg runs twice
+    truth = brute_truth_edges(cells, _X3W_PROBES, _X3U_K).persist()
 
     def count1(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias(name))

@@ -50,22 +50,39 @@ _STAGING = "_staging"
 
 def check_bson_keys(doc: dict, prefix: str = "") -> None:
     """Reject BSON-illegal keys (dots anywhere, leading ``$``) at every
-    nesting level — the PyMongo insert contract. Raises ``ValueError``
-    naming the offending key path."""
-    for k, v in doc.items():
-        path = f"{prefix}.{k}" if prefix else k
-        if "." in k or k.startswith("$"):
-            raise ValueError(
-                f"mongomock: BSON-illegal key {path!r} "
-                "(run sanitize_field_names before writing)"
-            )
-        if isinstance(v, dict):
-            check_bson_keys(v, path)
+    nesting level — the PyMongo insert contract — including documents
+    nested inside ARRAYS (arrays-of-structs are first-class in the P6
+    sanitizer, so they are in this contract's scope too). Raises
+    ``ValueError`` naming the offending key path."""
+
+    def walk(value, path: str) -> None:
+        if isinstance(value, dict):
+            for k, v in value.items():
+                kpath = f"{path}.{k}" if path else k
+                if "." in k or k.startswith("$"):
+                    raise ValueError(
+                        f"mongomock: BSON-illegal key {kpath!r} "
+                        "(run sanitize_field_names before writing)"
+                    )
+                walk(v, kpath)
+        elif isinstance(value, (list, tuple)):
+            for i, v in enumerate(value):
+                walk(v, f"{path}[{i}]")
+
+    walk(doc, prefix)
 
 
 def _id_key(value) -> str:
-    """Collection key for an ``_id`` value — JSON-encoded so 1 and "1"
-    stay distinct documents, as they are in MongoDB."""
+    """Collection key for an ``_id`` value, following the server's _id
+    index comparison: numbers (int/long/double) compare BY VALUE — an
+    append delivering 5.0 where 5 exists must update, not duplicate —
+    while bool is its own BSON type and strings stay distinct from
+    numbers. Integral doubles inside the exact-int range normalize to
+    int; past 2^53 a double cannot round-trip an int64 anyway, so the
+    raw repr is the honest key."""
+    if not isinstance(value, bool) and isinstance(value, float):
+        if value.is_integer() and abs(value) <= 2**53:
+            value = int(value)
     return json.dumps(value, default=str)
 
 
@@ -90,6 +107,14 @@ class MongoMockWriter(DataSourceWriter):
             raise ValueError("mongomock: the 'path' option is required")
         self.path = path
         self.overwrite = overwrite
+        # per-WRITE staging namespace, fixed at plan time on the driver
+        # and carried to every task via this (serialized) writer: two
+        # concurrent writes to one collection must not rmtree each
+        # other's staged batches at commit/abort
+        self.write_token = uuid.uuid4().hex
+
+    def _staging(self) -> str:
+        return os.path.join(self.path, _STAGING, self.write_token)
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> DocBatch:
@@ -97,7 +122,7 @@ class MongoMockWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        staging = os.path.join(self.path, _STAGING)
+        staging = self._staging()
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"task-{pid:05d}-{uuid.uuid4().hex}.jsonl")
         n = 0
@@ -147,6 +172,11 @@ class MongoMockWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as fh:
             for line in docs.values():
                 fh.write(line + "\n")
+        # NB: concurrent commits to one collection are last-writer-wins at
+        # this replace (each merged from ITS base read) — the mock models
+        # a single logical writer per collection, like a connector's
+        # one-job-per-target contract; staging is still isolated so a
+        # racing write can never corrupt another's batches.
         os.replace(tmp, coll)  # atomic publish: readers never see a partial merge
         with open(
             os.path.join(self.path, MANIFEST_FILE), "w", encoding="utf-8"
@@ -161,10 +191,10 @@ class MongoMockWriter(DataSourceWriter):
                 },
                 fh,
             )
-        shutil.rmtree(os.path.join(self.path, _STAGING), ignore_errors=True)
+        shutil.rmtree(self._staging(), ignore_errors=True)
 
     def abort(self, messages) -> None:
-        shutil.rmtree(os.path.join(self.path, _STAGING), ignore_errors=True)
+        shutil.rmtree(self._staging(), ignore_errors=True)
 
 
 class MongoMockDataSource(DataSource):

@@ -640,3 +640,42 @@ def test_mongomock_upsert_order_is_partition_then_row(spark, tmp_path):
     df.write.format("mongomock").mode("overwrite").option("path", coll).save()
     back = spark.read.schema(schema).json(f"{coll}/{COLLECTION_FILE}").collect()
     assert len(back) == 1 and back[0]["v"] == "late"
+
+
+def test_mongomock_rejects_illegal_keys_inside_arrays_and_merges_numeric_ids(
+    spark, tmp_path
+):
+    """Review-caught contract gaps: (1) a BSON-illegal key nested in an
+    ARRAY of documents must fail the write like any other level; (2)
+    the _id index compares numbers BY VALUE — an append delivering 5.0
+    where long 5 exists updates in place, never duplicates."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        COLLECTION_FILE,
+        read_manifest,
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    nested = spark.range(2).select(
+        F.col("id").alias("_id"),
+        F.array(F.struct(F.lit(1.5).alias("a.b"))).alias("items"),
+    )
+    with pytest.raises(Exception, match="BSON-illegal"):
+        nested.write.format("mongomock").mode("overwrite").option(
+            "path", str(tmp_path / "bad_arr")
+        ).save()
+
+    coll = str(tmp_path / "num_raw")
+    spark.createDataFrame([(5, "int")], "_id long, v string").write.format(
+        "mongomock"
+    ).mode("overwrite").option("path", coll).save()
+    spark.createDataFrame([(5.0, "float")], "_id double, v string").write.format(
+        "mongomock"
+    ).mode("append").option("path", coll).save()
+    back = spark.read.json(f"{coll}/{COLLECTION_FILE}").collect()
+    assert len(back) == 1 and back[0]["v"] == "float"
+    m = read_manifest(coll)
+    assert (m["n_inserted"], m["n_updated"]) == (0, 1)
