@@ -14,11 +14,15 @@ driver-side ``commit()`` plays the server's role — an ordered
 last-wins upsert by ``_id`` into the collection file, with the
 validated-insert count invariants (s8) enforced at commit time.
 
-PyMongo-contract teeth enforced per document, at write-task time:
-- every document carries a non-null ``_id`` (the collection key);
+PyMongo-contract teeth:
+- every document carries a non-null ``_id`` (checked per row — the
+  collection key), and the ``_id`` index compares numbers BY VALUE
+  while an update never mutates the stored ``_id`` representation;
 - keys must be BSON-safe — no ``.`` anywhere, no leading ``$`` — at
-  every nesting level; the P6 sanitizer (``sanitize_field_names``)
-  is the upstream transform that makes real frames pass this.
+  every nesting level: schema-fixed struct names are validated ONCE
+  at plan time, per-row walks run only for data-dependent (map) keys;
+  the P6 sanitizer (``sanitize_field_names``) is the upstream
+  transform that makes real frames pass this.
 
 Scale shape: the write side is fully distributed (one staged batch per
 partition, no driver involvement until commit). The commit-side merge
@@ -72,16 +76,49 @@ def check_bson_keys(doc: dict, prefix: str = "") -> None:
     walk(doc, prefix)
 
 
+def check_schema_keys(schema) -> bool:
+    """Plan-time half of the key contract (review-caught: struct field
+    names are schema-fixed, so validating them per row re-checked
+    constants on the write hot path). Raises on a BSON-illegal struct
+    field name anywhere in the schema; returns True iff the schema
+    contains a MapType — the only place key names are data-dependent
+    and per-row validation is still required."""
+    from pyspark.sql import types as T
+
+    has_map = False
+
+    def walk(dt, path: str) -> None:
+        nonlocal has_map
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                fpath = f"{path}.{f.name}" if path else f.name
+                if "." in f.name or f.name.startswith("$"):
+                    raise ValueError(
+                        f"mongomock: BSON-illegal key {fpath!r} "
+                        "(run sanitize_field_names before writing)"
+                    )
+                walk(f.dataType, fpath)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType, f"{path}[]")
+        elif isinstance(dt, T.MapType):
+            has_map = True
+            walk(dt.valueType, f"{path}{{}}")
+
+    walk(schema, "")
+    return has_map
+
+
 def _id_key(value) -> str:
     """Collection key for an ``_id`` value, following the server's _id
     index comparison: numbers (int/long/double) compare BY VALUE — an
     append delivering 5.0 where 5 exists must update, not duplicate —
     while bool is its own BSON type and strings stay distinct from
-    numbers. Integral doubles inside the exact-int range normalize to
-    int; past 2^53 a double cannot round-trip an int64 anyway, so the
-    raw repr is the honest key."""
+    numbers. Any integral double normalizes to int: the conversion is
+    exact at every magnitude (the double already IS that integer), so
+    no cap is needed (review-caught: a 2^53 cap broke the by-value law
+    for exactly-representable large doubles)."""
     if not isinstance(value, bool) and isinstance(value, float):
-        if value.is_integer() and abs(value) <= 2**53:
+        if value.is_integer():
             value = int(value)
     return json.dumps(value, default=str)
 
@@ -101,12 +138,16 @@ class MongoMockWriter(DataSourceWriter):
     row order — PyMongo ordered-bulk semantics), atomic replace of the
     collection file, manifest with the validated-insert counts."""
 
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, check_rows: bool = True):
         path = options.get("path")
         if not path:
             raise ValueError("mongomock: the 'path' option is required")
         self.path = path
         self.overwrite = overwrite
+        # per-row key validation is only needed where key names are
+        # data-dependent (MapType); struct names were already validated
+        # from the schema at plan time
+        self.check_rows = check_rows
         # per-WRITE staging namespace, fixed at plan time on the driver
         # and carried to every task via this (serialized) writer: two
         # concurrent writes to one collection must not rmtree each
@@ -133,7 +174,8 @@ class MongoMockWriter(DataSourceWriter):
                     raise ValueError(
                         "mongomock: every document needs a non-null _id"
                     )
-                check_bson_keys(doc)
+                if self.check_rows:
+                    check_bson_keys(doc)
                 fh.write(json.dumps(doc, default=str) + "\n")
                 n += 1
         return DocBatch(partition_id=pid, staged_path=staged, n_docs=n)
@@ -142,11 +184,15 @@ class MongoMockWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         coll = os.path.join(self.path, COLLECTION_FILE)
         docs: dict[str, str] = {}  # _id key -> serialized doc, insertion-ordered
+        ids: dict[str, object] = {}  # _id key -> the FIRST stored _id value
         n_prior = 0
         if not self.overwrite and os.path.exists(coll):
             with open(coll, encoding="utf-8") as fh:
                 for line in fh:
-                    docs[_id_key(json.loads(line)["_id"])] = line.rstrip("\n")
+                    stored = json.loads(line)
+                    k = _id_key(stored["_id"])
+                    docs[k] = line.rstrip("\n")
+                    ids[k] = stored["_id"]
             n_prior = len(docs)
         n_inserted = n_updated = n_staged = 0
         for msg in sorted(
@@ -155,12 +201,27 @@ class MongoMockWriter(DataSourceWriter):
         ):
             with open(msg.staged_path, encoding="utf-8") as fh:
                 for line in fh:
-                    k = _id_key(json.loads(line)["_id"])
+                    doc = json.loads(line)
+                    k = _id_key(doc["_id"])
+                    line = line.rstrip("\n")
                     if k in docs:
                         n_updated += 1
+                        # the server's _id is IMMUTABLE: a value-equal
+                        # replace keeps the originally stored _id (long 5
+                        # never silently becomes double 5.0 — a schema'd
+                        # readback would null the key; review-caught)
+                        # NB type-aware: Python says 5.0 == 5, but their
+                        # JSON representations differ — compare type too
+                        if (
+                            type(doc["_id"]) is not type(ids[k])
+                            or doc["_id"] != ids[k]
+                        ):
+                            doc["_id"] = ids[k]
+                            line = json.dumps(doc, default=str)
                     else:
                         n_inserted += 1
-                    docs[k] = line.rstrip("\n")  # dict preserves first-insert order
+                        ids[k] = doc["_id"]
+                    docs[k] = line  # dict preserves first-insert order
                     n_staged += 1
         # validated-insert invariants (s8's count check, enforced at the
         # commit boundary: a violation aborts the publish, not the audit)
@@ -191,10 +252,29 @@ class MongoMockWriter(DataSourceWriter):
                 },
                 fh,
             )
-        shutil.rmtree(self._staging(), ignore_errors=True)
+        self._reclaim_staging()
 
     def abort(self, messages) -> None:
+        self._reclaim_staging()
+
+    def _reclaim_staging(self) -> None:
+        """Remove this write's staging dir; an OVERWRITE additionally
+        sweeps the whole staging namespace (an overwrite semantically
+        resets the collection and the mock's contract is one logical
+        writer per collection, so crash-orphaned token dirs from dead
+        writes are safe to reclaim there — the janitor the pre-token
+        layout had implicitly). Appends only rmdir the empty parent,
+        never siblings: a concurrent append's staged batches must
+        survive."""
+        staging_root = os.path.join(self.path, _STAGING)
+        if self.overwrite:
+            shutil.rmtree(staging_root, ignore_errors=True)
+            return
         shutil.rmtree(self._staging(), ignore_errors=True)
+        try:
+            os.rmdir(staging_root)  # succeeds only when empty — race-safe
+        except OSError:
+            pass
 
 
 class MongoMockDataSource(DataSource):
@@ -205,7 +285,10 @@ class MongoMockDataSource(DataSource):
         return "mongomock"
 
     def writer(self, schema, overwrite: bool) -> MongoMockWriter:
-        return MongoMockWriter(self.options, overwrite)
+        # schema-fixed key names validated ONCE here; rows re-checked
+        # only when the schema carries data-dependent (map) keys
+        has_map = check_schema_keys(schema)
+        return MongoMockWriter(self.options, overwrite, check_rows=has_map)
 
 
 def register_mongomock(spark) -> None:
