@@ -52,6 +52,22 @@ MANIFEST_FILE = "manifest.json"
 _STAGING = "_staging"
 
 
+def _check_key(name, path: str) -> None:
+    """THE BSON-legal-key predicate — one site shared by the plan-time
+    schema walk and the per-row map walk, so the two halves of the
+    contract can never drift."""
+    if not isinstance(name, str):
+        raise ValueError(
+            f"mongomock: document keys must be strings, got "
+            f"{type(name).__name__} at {path!r}"
+        )
+    if "." in name or name.startswith("$"):
+        raise ValueError(
+            f"mongomock: BSON-illegal key {path!r} "
+            "(run sanitize_field_names before writing)"
+        )
+
+
 def check_bson_keys(doc: dict, prefix: str = "") -> None:
     """Reject BSON-illegal keys (dots anywhere, leading ``$``) at every
     nesting level — the PyMongo insert contract — including documents
@@ -62,12 +78,8 @@ def check_bson_keys(doc: dict, prefix: str = "") -> None:
     def walk(value, path: str) -> None:
         if isinstance(value, dict):
             for k, v in value.items():
-                kpath = f"{path}.{k}" if path else k
-                if "." in k or k.startswith("$"):
-                    raise ValueError(
-                        f"mongomock: BSON-illegal key {kpath!r} "
-                        "(run sanitize_field_names before writing)"
-                    )
+                kpath = f"{path}.{k}" if path else str(k)
+                _check_key(k, kpath)
                 walk(v, kpath)
         elif isinstance(value, (list, tuple)):
             for i, v in enumerate(value):
@@ -92,15 +104,20 @@ def check_schema_keys(schema) -> bool:
         if isinstance(dt, T.StructType):
             for f in dt.fields:
                 fpath = f"{path}.{f.name}" if path else f.name
-                if "." in f.name or f.name.startswith("$"):
-                    raise ValueError(
-                        f"mongomock: BSON-illegal key {fpath!r} "
-                        "(run sanitize_field_names before writing)"
-                    )
+                _check_key(f.name, fpath)
                 walk(f.dataType, fpath)
         elif isinstance(dt, T.ArrayType):
             walk(dt.elementType, f"{path}[]")
         elif isinstance(dt, T.MapType):
+            # key NAMES are data-dependent (checked per row), but the
+            # key TYPE is schema-fixed: a non-string key can never be a
+            # BSON document key, so reject it here, not as a per-row
+            # TypeError inside an executor (review-caught)
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError(
+                    f"mongomock: map keys at {path or '<root>'!r} must be "
+                    f"strings for BSON documents, got {dt.keyType.simpleString()}"
+                )
             has_map = True
             walk(dt.valueType, f"{path}{{}}")
 
@@ -258,21 +275,18 @@ class MongoMockWriter(DataSourceWriter):
         self._reclaim_staging()
 
     def _reclaim_staging(self) -> None:
-        """Remove this write's staging dir; an OVERWRITE additionally
-        sweeps the whole staging namespace (an overwrite semantically
-        resets the collection and the mock's contract is one logical
-        writer per collection, so crash-orphaned token dirs from dead
-        writes are safe to reclaim there — the janitor the pre-token
-        layout had implicitly). Appends only rmdir the empty parent,
-        never siblings: a concurrent append's staged batches must
-        survive."""
-        staging_root = os.path.join(self.path, _STAGING)
-        if self.overwrite:
-            shutil.rmtree(staging_root, ignore_errors=True)
-            return
+        """Remove this write's OWN staging dir and best-effort-rmdir the
+        empty parent — never siblings, on any path (review-caught: an
+        overwrite-time namespace sweep contradicted the isolation
+        invariant and could delete a concurrent append's batches; an
+        ABORTED overwrite hasn't reset anything at all). Token dirs
+        orphaned by a crashed driver are reclaimed out-of-band: s7d's
+        collections live under scratch_dir (process-exit janitor), and
+        a long-lived real collection dir treats _staging like any other
+        temp namespace."""
         shutil.rmtree(self._staging(), ignore_errors=True)
         try:
-            os.rmdir(staging_root)  # succeeds only when empty — race-safe
+            os.rmdir(os.path.join(self.path, _STAGING))  # only when empty
         except OSError:
             pass
 

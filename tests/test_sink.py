@@ -679,3 +679,46 @@ def test_mongomock_rejects_illegal_keys_inside_arrays_and_merges_numeric_ids(
     assert len(back) == 1 and back[0]["v"] == "float"
     m = read_manifest(coll)
     assert (m["n_inserted"], m["n_updated"]) == (0, 1)
+
+
+def test_mongomock_map_keys_checked_per_row_and_typed_at_plan_time(
+    spark, tmp_path
+):
+    """The data-dependent half of the key contract: map KEY NAMES are
+    only knowable per row, so a dotted map key must fail at write time
+    (pinning that has_map wiring routes rows through check_bson_keys),
+    while a non-string map KEY TYPE is schema-fixed and must fail at
+    plan time with the contract's ValueError, not an executor
+    TypeError."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        COLLECTION_FILE,
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    bad_key = spark.range(2).select(
+        F.col("id").alias("_id"),
+        F.create_map(F.lit("a.b"), F.lit(1)).alias("attrs"),
+    )
+    with pytest.raises(Exception, match="BSON-illegal"):
+        bad_key.write.format("mongomock").mode("overwrite").option(
+            "path", str(tmp_path / "badmapkey")
+        ).save()
+    bad_type = spark.range(2).select(
+        F.col("id").alias("_id"),
+        F.create_map(F.lit(1), F.lit("x")).alias("attrs"),
+    )
+    with pytest.raises(Exception, match="must be\\s+strings"):
+        bad_type.write.format("mongomock").mode("overwrite").option(
+            "path", str(tmp_path / "badmaptype")
+        ).save()
+    ok = spark.range(2).select(
+        F.col("id").alias("_id"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("attrs"),
+    )
+    coll = str(tmp_path / "okmap")
+    ok.write.format("mongomock").mode("overwrite").option("path", coll).save()
+    assert spark.read.json(f"{coll}/{COLLECTION_FILE}").count() == 2
