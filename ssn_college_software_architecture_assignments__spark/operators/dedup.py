@@ -3603,3 +3603,215 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
         recall("n_hits_home", "recall_home"),
         recall("n_hits_repaired", "recall_repaired"),
     )
+
+
+# X1e — portable bloom-filter dedup prescreen ------------------------------------
+#
+# The admission pattern that makes exact dedup affordable at 100 TB: a
+# tiny bloom filter over the corpus fingerprints broadcasts to every
+# executor and pre-screens the incoming batch, so the expensive exact
+# membership join runs only for flagged docs (bloom guarantees NO false
+# negatives — a clean verdict needs no join at all). Spark ships
+# bloom_filter_agg/might_contain (gate-proven on s22's companion test),
+# but its bits are not reproducible in another engine, so this operator
+# builds a PORTABLE bloom from md5 slices — k=3 positions of 12 bits
+# reduced mod 4032 — over 64 words of 63 bits each (bit 63 untouched:
+# DuckDB raises on 1::BIGINT << 63 while Spark wraps, the one shift the
+# two engines disagree on). Every step is integer-exact, so the WHOLE
+# filter, the per-doc verdicts, the measured false-positive rate, and
+# the zero-false-negative law are full-value oracle-checked.
+#
+# Scale shape: the build is one explode(k) + a 64-row bit_or hash-agg;
+# the probe joins 3 rows/doc against the broadcast 64-row filter; the
+# exact-truth join here is the AUDIT leg (at production scale it runs
+# only for flagged docs — the point of the prescreen).
+
+_X1E_WORDS = 64
+_X1E_BITS_PER_WORD = 63  # never shift into bit 63 (engine-divergent)
+_X1E_M = _X1E_WORDS * _X1E_BITS_PER_WORD  # 4032 bits
+_X1E_K = 3
+
+
+def _x1e_positions_sql(col: str) -> list[str]:
+    return [
+        f"(CAST('0x' || substr(md5({col}), {1 + 3 * i}, 3) AS BIGINT) % {_X1E_M})"
+        for i in range(_X1E_K)
+    ]
+
+
+def _x1e_positions(col: Column) -> list[Column]:
+    return [
+        F.conv(F.substring(F.md5(col), 1 + 3 * i, 3), 16, 10).cast("long")
+        % _X1E_M
+        for i in range(_X1E_K)
+    ]
+
+
+def _x1e_oracle() -> str:
+    pos = _x1e_positions_sql("text")
+    probe_rows = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, source, fp, ({p} // {_X1E_BITS_PER_WORD}) AS word,"
+        f" (CAST(1 AS BIGINT) << ({p} % {_X1E_BITS_PER_WORD})) AS mask"
+        f" FROM batch"
+        for p in pos
+    )
+    build_rows = "\nUNION ALL\n".join(
+        f"  SELECT ({p} // {_X1E_BITS_PER_WORD}) AS word,"
+        f" (CAST(1 AS BIGINT) << ({p} % {_X1E_BITS_PER_WORD})) AS mask"
+        f" FROM corpus"
+        for p in pos
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source, text, md5(text) AS fp FROM documents
+  WHERE doc_id % 3 <> 0
+),
+-- the fixture has no exact-duplicate texts, so duplicates are PLANTED
+-- under one generation law (the x1d idiom): every ninth batch doc
+-- resubmits its right neighbor's text — (doc_id+1) % 3 = 1, so the
+-- donor is always corpus-side and the plant is a true duplicate
+batch AS (
+  SELECT doc_id, source, text, md5(text) AS fp FROM (
+    SELECT b.doc_id, b.source,
+           CASE WHEN b.doc_id % 9 = 0 AND d2.text IS NOT NULL
+                THEN d2.text ELSE b.text END AS text
+    FROM documents b LEFT JOIN documents d2 ON d2.doc_id = b.doc_id + 1
+    WHERE b.doc_id % 3 = 0
+  )
+),
+bloom AS (
+  SELECT word, bit_or(mask) AS bits FROM (
+{build_rows}
+  ) GROUP BY word
+),
+probe AS (
+{probe_rows}
+),
+verdict AS (
+  SELECT p.doc_id, p.source,
+         bool_and((coalesce(b.bits, 0) & p.mask) = p.mask) AS flagged
+  FROM probe p LEFT JOIN bloom b ON b.word = p.word
+  GROUP BY p.doc_id, p.source
+),
+truth AS (
+  SELECT b.doc_id, (c.fp IS NOT NULL) AS is_dup
+  FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON c.fp = b.fp
+)
+SELECT v.source,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(count(*) FILTER (WHERE t.is_dup) AS BIGINT) AS n_exact_dup,
+       CAST(count(*) FILTER (WHERE v.flagged) AS BIGINT) AS n_flagged,
+       CAST(count(*) FILTER (WHERE v.flagged AND NOT t.is_dup) AS BIGINT)
+                                              AS n_false_pos,
+       CAST(count(*) FILTER (WHERE t.is_dup AND NOT v.flagged) AS BIGINT)
+                                              AS n_missed,
+       CASE WHEN count(*) FILTER (WHERE NOT t.is_dup) = 0 THEN 0.0
+            ELSE floor(count(*) FILTER (WHERE v.flagged AND NOT t.is_dup)
+                       / CAST(count(*) FILTER (WHERE NOT t.is_dup) AS DOUBLE)
+                       * 1e6) / 1e6 END        AS fpr_measured
+FROM verdict v JOIN truth t ON t.doc_id = v.doc_id
+GROUP BY v.source
+ORDER BY v.source
+"""
+
+
+def build_portable_bloom(fps: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, bits): the 64-row portable bloom over ``fps[text_col]`` —
+    shared law site for the query and its pytest."""
+    pos = _x1e_positions(F.col(text_col))
+    stacked = fps.select(
+        F.explode(F.array(*pos)).alias("pos")
+    ).select(
+        F.expr(f"pos div {_X1E_BITS_PER_WORD}").alias("word"),
+        F.expr(
+            f"shiftleft(1L, CAST(pos % {_X1E_BITS_PER_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    return stacked.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+
+@register("x1e_bloom_prescreen", oracle=_x1e_oracle(), tags=("X1",))
+def x1e_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prescreened exact-dedup admission: the corpus collapses to
+    a broadcastable 64-word filter, the incoming batch probes it, and
+    the report audits the verdicts against exact membership — per
+    source: batch size, exact dups, bloom flags, false positives, the
+    (provably zero) false negatives, and the measured FPR."""
+    raw = Catalog(spark, sf_dir).documents.select("doc_id", "source", "text")
+    corpus = raw.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "fp", F.md5("text")
+    )
+    # plant true duplicates (generation law mirrored in the oracle):
+    # every ninth batch doc resubmits its right neighbor's corpus text
+    donor = raw.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    batch = (
+        raw.filter(F.col("doc_id") % 3 == 0)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("doc_id") % 9 == 0) & F.col("donor_text").isNotNull(),
+                F.col("donor_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .withColumn("fp", F.md5("text"))
+    )
+
+    bloom = build_portable_bloom(corpus)
+
+    pos = _x1e_positions(F.col("text"))
+    probe = batch.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(*pos)).alias("pos"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"pos div {_X1E_BITS_PER_WORD}").alias("word"),
+        F.expr(
+            f"shiftleft(1L, CAST(pos % {_X1E_BITS_PER_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    verdict = (
+        probe.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            "source",
+            (
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")))
+                == F.col("mask")
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.bool_and("hit").alias("flagged"))
+    )
+    truth = batch.join(
+        corpus.select("fp").distinct().withColumn("_in_corpus", F.lit(1)),
+        "fp",
+        "left",
+    ).select("doc_id", F.col("_in_corpus").isNotNull().alias("is_dup"))
+
+    joined = verdict.join(truth, "doc_id")
+    n_clean = F.count(F.when(~F.col("is_dup"), 1))
+    n_fp = F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.count(F.when(F.col("is_dup"), 1)).cast("long").alias("n_exact_dup"),
+            F.count(F.when(F.col("flagged"), 1)).cast("long").alias("n_flagged"),
+            n_fp.cast("long").alias("n_false_pos"),
+            F.count(F.when(F.col("is_dup") & ~F.col("flagged"), 1))
+            .cast("long")
+            .alias("n_missed"),
+            F.when(n_clean == 0, F.lit(0.0))
+            .otherwise(F.floor(n_fp / n_clean.cast("double") * 1e6) / 1e6)
+            .alias("fpr_measured"),
+        )
+        .orderBy("source")
+    )

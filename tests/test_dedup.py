@@ -1329,3 +1329,47 @@ def test_x3w_multiprobe_graph_matches_naive_and_recall_is_monotone(spark):
             assert h_rep >= h_home, f"repair lost recall for vec {i}"
 
     run()
+
+
+def test_x1e_bloom_has_no_false_negatives_and_matches_python_law(spark):
+    """x1e laws on handmade corpora: (1) the 64-word portable bloom
+    equals a bit-for-bit Python recomputation of the md5-slice law;
+    (2) NO false negative is possible — every text present in the
+    corpus probes fully set; (3) a fresh text may collide (false
+    positive) but only by setting bits some corpus member set."""
+    import hashlib
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X1E_BITS_PER_WORD,
+        _X1E_K,
+        _X1E_M,
+        build_portable_bloom,
+    )
+
+    texts = [f"doc number {i} body" for i in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["bits"] for r in build_portable_bloom(df).collect()}
+
+    def positions(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [int(h[3 * i : 3 * i + 3], 16) % _X1E_M for i in range(_X1E_K)]
+
+    expect: dict[int, int] = {}
+    for t in texts:
+        for p in positions(t):
+            w, b = divmod(p, _X1E_BITS_PER_WORD)
+            expect[w] = expect.get(w, 0) | (1 << b)
+    assert got == expect
+
+    def is_flagged(t):
+        return all(
+            (expect.get(p // _X1E_BITS_PER_WORD, 0) >> (p % _X1E_BITS_PER_WORD))
+            & 1
+            for p in positions(t)
+        )
+
+    assert all(is_flagged(t) for t in texts), "bloom false negative"
+    fresh = [f"unseen text {i}" for i in range(200)]
+    fpr = sum(is_flagged(t) for t in fresh) / len(fresh)
+    # 40 docs x 3 bits in 4032 -> theoretical fpr ~ (1-e^(-120/4032))^3 ~ 2e-5
+    assert fpr < 0.05

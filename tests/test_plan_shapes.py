@@ -639,6 +639,16 @@ def test_x3v_truth_leg_broadcasts_probes_not_corpus(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_x1e_bloom_probe_broadcasts_the_filter(spark):
+    """x1e: the 64-word bloom must BROADCAST to the probe side (that is
+    the whole point — the corpus membership collapses to a constant
+    table) and nothing may plan all-pairs; the exact-truth join is the
+    audit leg and may shuffle."""
+    plan = _plan(spark, "x1e_bloom_prescreen")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_x3w_repair_never_plans_all_pairs(spark):
     """x3w: corpus-sized pairing happens only inside cell aggregation
     rows (queriers x members meet via the cell equi-join); the only
