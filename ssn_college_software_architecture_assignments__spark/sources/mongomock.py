@@ -43,7 +43,9 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -304,6 +306,9 @@ class MongoMockDataSource(DataSource):
         has_map = check_schema_keys(schema)
         return MongoMockWriter(self.options, overwrite, check_rows=has_map)
 
+    def reader(self, schema) -> "MongoMockReader":
+        return MongoMockReader(self.options, schema)
+
 
 def register_mongomock(spark) -> None:
     """Register the format on this session (idempotent — re-registration
@@ -314,3 +319,71 @@ def register_mongomock(spark) -> None:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_FILE), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+# -- read side -------------------------------------------------------------------
+
+
+class _ByteRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _row_from_doc(doc, dt):
+    """Convert a JSON document to the tuple shape Spark expects for
+    ``dt`` (StructType) — nested structs recurse, arrays map over their
+    element type, everything else passes through (the writer emitted
+    JSON-native scalars)."""
+    from pyspark.sql import types as T
+
+    def conv(value, t):
+        if value is None:
+            return None
+        if isinstance(t, T.StructType):
+            return tuple(conv(value.get(f.name), f.dataType) for f in t.fields)
+        if isinstance(t, T.ArrayType):
+            return [conv(v, t.elementType) for v in value]
+        return value
+
+    return conv(doc, dt)
+
+
+class MongoMockReader(DataSourceReader):
+    """Partitioned scan of a mock collection: the driver indexes the
+    JSONL file into byte ranges of ~``target_rows`` documents (one
+    metadata pass — the mock analogue of a connector asking the server
+    for split points), and each task reads only its range. Projection
+    happens per document against the USER-DECLARED schema, so readers
+    are stable across upserts that widened other documents."""
+
+    def __init__(self, options, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError("mongomock: the 'path' option is required")
+        self.coll = os.path.join(path, COLLECTION_FILE)
+        self.schema = schema
+        self.target_rows = int(options.get("rowsPerPartition", "2000"))
+
+    def partitions(self):
+        ranges, start, n = [], 0, 0
+        with open(self.coll, "rb") as fh:
+            for line in fh:
+                n += 1
+                if n >= self.target_rows:
+                    end = fh.tell()
+                    ranges.append(_ByteRange(start, end))
+                    start, n = end, 0
+            end = fh.tell()
+        if n or not ranges:
+            ranges.append(_ByteRange(start, end))
+        return ranges
+
+    def read(self, partition):
+        with open(self.coll, "rb") as fh:
+            fh.seek(partition.start)
+            while fh.tell() < partition.end:
+                line = fh.readline()
+                if not line:
+                    break
+                yield _row_from_doc(json.loads(line), self.schema)

@@ -1673,3 +1673,174 @@ def s23_generation_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round("value", 2).alias("last_value"),
     ).orderBy("user_id")
+
+
+# S24 — ledger-based incremental batch discovery ---------------------------------
+#
+# The batch half of exactly-once ingestion (t7's checkpoint is the
+# streaming half; Databricks Auto Loader is the productized form): a
+# landing zone receives immutable per-batch directories, and each
+# scheduled run processes ONLY the directories a durable ledger has
+# not recorded — rerunning after a crash or with no new arrivals
+# processes nothing, so the sink never double-loads. The ledger is a
+# JSON file replaced atomically (tmp + os.replace), and discovery is
+# O(directory listing) driver metadata work — at 100 TB the data never
+# moves for discovery, only the new batches are read.
+#
+# The registered query emits the per-pass ingestion report — pass 1
+# sees the two initial batches, pass 2 sees exactly the one that
+# arrived between runs, pass 3 (no arrivals) processes zero — which is
+# the incremental semantics stated as data; the full-oracle twin
+# derives the same counts from the batch-assignment law. Sink-equals-
+# source and rerun idempotence are pytest-pinned.
+
+_S24_ORACLE = """
+SELECT 1 AS pass_id, CAST(2 AS INT) AS n_files_new,
+       CAST(count(*) FILTER (WHERE event_id % 3 <> 2) AS BIGINT) AS n_rows_new
+FROM events
+UNION ALL
+SELECT 2, CAST(1 AS INT),
+       CAST(count(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 3, CAST(0 AS INT), CAST(0 AS BIGINT)
+ORDER BY pass_id
+"""
+
+
+def discover_new_batches(base: str, ledger_path: str) -> list[str]:
+    """Batch directories under ``base`` not yet recorded in the ledger,
+    name-sorted (arrival order by construction)."""
+    import json as _json
+    import os as _os
+
+    done: set[str] = set()
+    if _os.path.exists(ledger_path):
+        with open(ledger_path, encoding="utf-8") as fh:
+            done = set(_json.load(fh)["processed"])
+    return sorted(
+        d
+        for d in _os.listdir(base)
+        if d.startswith("batch_") and d not in done
+    )
+
+
+def ingest_new_batches(
+    spark: SparkSession, base: str, ledger_path: str, sink: str
+) -> dict:
+    """One scheduled run: discover, read ONLY the new batch dirs, append
+    to the sink, then durably extend the ledger (atomic replace — a
+    crash before the replace re-processes the batch into a fresh sink
+    file on rerun, after it never re-reads). Returns the pass report."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    new = discover_new_batches(base, ledger_path)
+    n_rows = 0
+    if new:
+        df = spark.read.parquet(*[f"{base}/{d}" for d in new])
+        df.write.mode("append").parquet(sink)
+        n_rows = df.count()
+    done: list[str] = []
+    if _os.path.exists(ledger_path):
+        with open(ledger_path, encoding="utf-8") as fh:
+            done = _json.load(fh)["processed"]
+    tmp = f"{ledger_path}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump({"processed": done + new}, fh)
+    _os.replace(tmp, ledger_path)
+    return {"n_files_new": len(new), "n_rows_new": n_rows}
+
+
+@register("s24_incremental_file_ledger", oracle=_S24_ORACLE, tags=("S9", "S10"))
+def s24_incremental_file_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three scheduled runs over a landing zone: two batches exist at
+    run 1, one more arrives before run 2, nothing before run 3 — each
+    run reads exactly the undiscovered directories and the ledger makes
+    rerun a no-op. Emits the per-pass (files, rows) report."""
+    ev = Catalog(spark, sf_dir).events
+    base = scratch_dir(prefix="ssn_landing_")
+    ledger = f"{base}/ledger.json"
+    sink = f"{base}/sink"
+    for g in (0, 1):
+        ev.filter(F.col("event_id") % 3 == g).write.mode("overwrite").parquet(
+            f"{base}/batch_{g}"
+        )
+    passes = [ingest_new_batches(spark, base, ledger, sink)]
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("overwrite").parquet(
+        f"{base}/batch_2"
+    )
+    passes.append(ingest_new_batches(spark, base, ledger, sink))
+    passes.append(ingest_new_batches(spark, base, ledger, sink))
+    return spark.createDataFrame(
+        [
+            (i + 1, p["n_files_new"], p["n_rows_new"])
+            for i, p in enumerate(passes)
+        ],
+        "pass_id int, n_files_new int, n_rows_new bigint",
+    ).orderBy("pass_id")
+
+
+# S7e — the mongomock READ contract (the other half of the wire format) ----------
+
+_S7E_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)            AS n_orders,
+       round(round(sum(round(o_totalprice, 2)), 6), 2) AS total_value
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("s7e_mongomock_readback", oracle=_S7E_ORACLE, tags=("S7", "S5"))
+def s7e_mongomock_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read half of the document-store contract: load the bounded
+    orders collection through ``format("mongomock")``, with the driver
+    indexing the collection into byte-range splits (rowsPerPartition
+    floored to force a genuinely multi-partition scan) and each task
+    reading only its range — then aggregate. Values must equal the
+    source-side law, which is what the oracle checks."""
+    from ..operators.projections import sanitize_field_names
+    from .mongomock import register_mongomock
+
+    register_mongomock(spark)
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 5000)
+    hostile = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total.price"),
+    )
+    docs = to_documents(
+        sanitize_field_names(hostile),
+        id_col="o_orderkey",
+        nests={"order": ["o_orderstatus", "total_price"]},
+    )
+    base = scratch_dir(prefix="ssn_mongomock_read_")
+    coll_dir = f"{base}/orders_raw"
+    docs.write.format("mongomock").mode("overwrite").option(
+        "path", coll_dir
+    ).save()
+    back = (
+        spark.read.format("mongomock")
+        .schema(
+            "_id BIGINT, "
+            "order STRUCT<o_orderstatus: STRING, total_price: DOUBLE>"
+        )
+        .option("path", coll_dir)
+        .option("rowsPerPartition", "512")  # force a multi-split scan
+        .load()
+    )
+    return (
+        back.groupBy(F.col("order.o_orderstatus").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            # two-stage snap: partial-sum order must not straddle 2dp
+            F.round(F.round(F.sum("order.total_price"), 6), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

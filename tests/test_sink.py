@@ -722,3 +722,74 @@ def test_mongomock_map_keys_checked_per_row_and_typed_at_plan_time(
     coll = str(tmp_path / "okmap")
     ok.write.format("mongomock").mode("overwrite").option("path", coll).save()
     assert spark.read.json(f"{coll}/{COLLECTION_FILE}").count() == 2
+
+
+def test_s24_ledger_sink_equals_source_and_rerun_is_noop(spark, sf_dir):
+    """s24 safety laws: after the three passes the sink holds exactly
+    the source events (no loss, no double-load), an idle rerun
+    processes nothing, and a late-arriving batch is picked up alone."""
+    from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+    from ssn_college_software_architecture_assignments__spark.scratch import (
+        scratch_dir,
+    )
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        ingest_new_batches,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type")
+    base = scratch_dir(prefix="ssn_landing_test_")
+    ledger = f"{base}/ledger.json"
+    sink = f"{base}/sink"
+    for g in (0, 1):
+        ev.filter(F.col("event_id") % 2 == g).write.parquet(f"{base}/batch_{g}")
+    r1 = ingest_new_batches(spark, base, ledger, sink)
+    assert r1["n_files_new"] == 2
+    assert ingest_new_batches(spark, base, ledger, sink) == {
+        "n_files_new": 0,
+        "n_rows_new": 0,
+    }
+    back = spark.read.parquet(sink)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    # a late batch (planted re-ids so rows are new) is discovered alone
+    ev.limit(5).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    ).write.parquet(f"{base}/batch_late")
+    r3 = ingest_new_batches(spark, base, ledger, sink)
+    assert (r3["n_files_new"], r3["n_rows_new"]) == (1, 5)
+
+
+def test_mongomock_reader_splits_and_round_trips(spark, tmp_path):
+    """s7e's reader contract on a handmade collection: a floored
+    rowsPerPartition must yield a multi-partition scan whose union is
+    exactly the written documents (no row lost or duplicated at split
+    boundaries), including nested and array fields."""
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.sources.mongomock import (
+        register_mongomock,
+    )
+
+    register_mongomock(spark)
+    coll = str(tmp_path / "rt_raw")
+    src = spark.range(100).select(
+        F.col("id").alias("_id"),
+        F.struct(
+            (F.col("id") * 2).alias("double_id"),
+            F.array(F.col("id") + 1, F.col("id") + 2).alias("neighbors"),
+        ).alias("payload"),
+    )
+    src.write.format("mongomock").mode("overwrite").option("path", coll).save()
+    ddl = "_id BIGINT, payload STRUCT<double_id: BIGINT, neighbors: ARRAY<BIGINT>>"
+    back = (
+        spark.read.format("mongomock")
+        .schema(ddl)
+        .option("path", coll)
+        .option("rowsPerPartition", "7")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() > 1
+    got = {
+        r["_id"]: (r["payload"]["double_id"], tuple(r["payload"]["neighbors"]))
+        for r in back.collect()
+    }
+    assert got == {i: (2 * i, (i + 1, i + 2)) for i in range(100)}
