@@ -84,14 +84,18 @@ _loaded = False
 # never breaks registration changes.
 _CHECK_PRIORITY = (
     # tier 1: the round-12 additions — no driver evidence exists yet
-    # (the multi-probe kNN-graph repair, the mongomock upsert writer,
-    # the event-time TTL state expiry, the AQE runtime skew-join probe,
-    # and the seeded epoch-reshuffle manifest)
+    # (the multi-probe kNN-graph repair, the mongomock upsert writer +
+    # its partitioned reader, the event-time TTL state expiry, the AQE
+    # runtime skew-join probe, the seeded epoch-reshuffle manifest, the
+    # portable bloom prescreen, and the incremental file ledger)
     "x3w_knn_graph_multiprobe_repair",
     "s7d_mongomock_upsert",
     "t6c_state_ttl_expiry",
     "j10b_aqe_skew_join",
     "x6u_epoch_reshuffle_manifest",
+    "x1e_bloom_prescreen",
+    "s24_incremental_file_ledger",
+    "s7e_mongomock_readback",
     # tier 2a: the 9-id r6-evidence tail the r11 rotation predicted
     # would overflow — the ONLY ids whose newest driver row predates
     # r7 (computed from CORRECTNESS_r01..r11); they lead this round so
@@ -113,10 +117,11 @@ _CHECK_PRIORITY = (
     "t6_stateful_per_key",
     "j11_bucketed_join",
     # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r7, stalest-context-first. 5 + 9 + 3 + 50 =
-    # 67 far exceeds the ~50-row driver budget, so the last ~17 ids
+    # newest driver row is r7, stalest-context-first. 8 + 9 + 3 + 50 =
+    # 70 far exceeds the ~50-row driver budget, so the last ~20 ids
     # here are expected to miss this round's file — they MUST lead
-    # r13's tier 2
+    # r13's tier 2 (compute the actual overflow from
+    # CORRECTNESS_r12.json)
     "x6d2_decontamination_normalized",
     "x2j_semantic_dedup",
     "x5i_audio_rms_profile",

@@ -168,6 +168,9 @@ QUERIES = [
     "t6c_state_ttl_expiry",
     "j10b_aqe_skew_join",
     "x6u_epoch_reshuffle_manifest",
+    "x1e_bloom_prescreen",
+    "s24_incremental_file_ledger",
+    "s7e_mongomock_readback",
 ]
 
 
