@@ -3715,18 +3715,29 @@ ORDER BY v.source
 """
 
 
-def build_portable_bloom(fps: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, bits): the 64-row portable bloom over ``fps[text_col]`` —
-    shared law site for the query and its pytest."""
+def _x1e_explode_word_mask(
+    df: DataFrame, text_col: str, carry: list[str]
+) -> DataFrame:
+    """``carry`` columns + (word, mask), one row per (input row, hash) —
+    THE single site of the position -> (word, bit) law: the builder and
+    the probe MUST derive identically or the bloom's zero-false-negative
+    guarantee silently dies (review-caught duplicate expression)."""
     pos = _x1e_positions(F.col(text_col))
-    stacked = fps.select(
-        F.explode(F.array(*pos)).alias("pos")
+    return df.select(
+        *carry, F.explode(F.array(*pos)).alias("pos")
     ).select(
+        *carry,
         F.expr(f"pos div {_X1E_BITS_PER_WORD}").alias("word"),
         F.expr(
             f"shiftleft(1L, CAST(pos % {_X1E_BITS_PER_WORD} AS INT))"
         ).alias("mask"),
     )
+
+
+def build_portable_bloom(fps: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, bits): the 64-row portable bloom over ``fps[text_col]`` —
+    shared law site for the query and its pytest."""
+    stacked = _x1e_explode_word_mask(fps, text_col, carry=[])
     return stacked.groupBy("word").agg(F.bit_or("mask").alias("bits"))
 
 
@@ -3764,19 +3775,7 @@ def x1e_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bloom = build_portable_bloom(corpus)
 
-    pos = _x1e_positions(F.col("text"))
-    probe = batch.select(
-        "doc_id",
-        "source",
-        F.explode(F.array(*pos)).alias("pos"),
-    ).select(
-        "doc_id",
-        "source",
-        F.expr(f"pos div {_X1E_BITS_PER_WORD}").alias("word"),
-        F.expr(
-            f"shiftleft(1L, CAST(pos % {_X1E_BITS_PER_WORD} AS INT))"
-        ).alias("mask"),
-    )
+    probe = _x1e_explode_word_mask(batch, "text", carry=["doc_id", "source"])
     verdict = (
         probe.join(F.broadcast(bloom), "word", "left")
         .select(

@@ -325,16 +325,22 @@ def read_manifest(path: str) -> dict:
 
 
 class _ByteRange(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, start: int, end: int, snapshot: tuple):
         self.start = start
         self.end = end
+        # (size, mtime_ns) of the collection file at SPLIT time: byte
+        # offsets are only valid against that exact file — an upsert
+        # commit os.replace()s it, and seeking stale offsets into the
+        # new file would tear mid-line (review-caught)
+        self.snapshot = snapshot
 
 
-def _row_from_doc(doc, dt):
-    """Convert a JSON document to the tuple shape Spark expects for
-    ``dt`` (StructType) — nested structs recurse, arrays map over their
-    element type, everything else passes through (the writer emitted
-    JSON-native scalars)."""
+def make_doc_converter(dt):
+    """One converter, built ONCE per scan (review-caught: a per-document
+    import + closure rebuild burned linear overhead), turning a JSON
+    document into the tuple shape Spark expects for ``dt`` — nested
+    structs recurse, arrays map over their element type, everything
+    else passes through (the writer emitted JSON-native scalars)."""
     from pyspark.sql import types as T
 
     def conv(value, t):
@@ -346,7 +352,7 @@ def _row_from_doc(doc, dt):
             return [conv(v, t.elementType) for v in value]
         return value
 
-    return conv(doc, dt)
+    return lambda doc: conv(doc, dt)
 
 
 class MongoMockReader(DataSourceReader):
@@ -354,8 +360,11 @@ class MongoMockReader(DataSourceReader):
     JSONL file into byte ranges of ~``target_rows`` documents (one
     metadata pass — the mock analogue of a connector asking the server
     for split points), and each task reads only its range. Projection
-    happens per document against the USER-DECLARED schema, so readers
-    are stable across upserts that widened other documents."""
+    happens per document against the USER-DECLARED schema, so a scan
+    is FIELD-stable across historical upserts that widened other
+    documents; a commit that replaces the file between planning and
+    read is detected by a (size, mtime) snapshot check and fails fast
+    instead of tearing byte offsets (the mock is not MVCC)."""
 
     def __init__(self, options, schema):
         path = options.get("path")
@@ -363,27 +372,45 @@ class MongoMockReader(DataSourceReader):
             raise ValueError("mongomock: the 'path' option is required")
         self.coll = os.path.join(path, COLLECTION_FILE)
         self.schema = schema
-        self.target_rows = int(options.get("rowsPerPartition", "2000"))
+        raw = options.get("rowsPerPartition", "2000")
+        try:
+            self.target_rows = max(1, int(raw))
+        except ValueError as exc:
+            raise ValueError(
+                f"mongomock: rowsPerPartition must be an integer, got {raw!r}"
+            ) from exc
+
+    def _snapshot(self) -> tuple:
+        st = os.stat(self.coll)
+        return (st.st_size, st.st_mtime_ns)
 
     def partitions(self):
+        snap = self._snapshot()
         ranges, start, n = [], 0, 0
         with open(self.coll, "rb") as fh:
             for line in fh:
                 n += 1
                 if n >= self.target_rows:
                     end = fh.tell()
-                    ranges.append(_ByteRange(start, end))
+                    ranges.append(_ByteRange(start, end, snap))
                     start, n = end, 0
             end = fh.tell()
         if n or not ranges:
-            ranges.append(_ByteRange(start, end))
+            ranges.append(_ByteRange(start, end, snap))
         return ranges
 
     def read(self, partition):
+        if self._snapshot() != partition.snapshot:
+            raise RuntimeError(
+                "mongomock: collection changed between planning and read "
+                "(a commit replaced it); re-plan the scan — the mock is "
+                "not MVCC"
+            )
+        conv = make_doc_converter(self.schema)
         with open(self.coll, "rb") as fh:
             fh.seek(partition.start)
             while fh.tell() < partition.end:
                 line = fh.readline()
                 if not line:
                     break
-                yield _row_from_doc(json.loads(line), self.schema)
+                yield conv(json.loads(line))

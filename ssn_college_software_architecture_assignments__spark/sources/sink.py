@@ -1681,8 +1681,10 @@ def s23_generation_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming half; Databricks Auto Loader is the productized form): a
 # landing zone receives immutable per-batch directories, and each
 # scheduled run processes ONLY the directories a durable ledger has
-# not recorded — rerunning after a crash or with no new arrivals
-# processes nothing, so the sink never double-loads. The ledger is a
+# not recorded, publishing each to a deterministic per-batch sink
+# location with overwrite — so a rerun after a crash (or with no new
+# arrivals) can only re-publish identical content in place, never
+# double-load. The ledger is a
 # JSON file replaced atomically (tmp + os.replace), and discovery is
 # O(directory listing) driver metadata work — at 100 TB the data never
 # moves for discovery, only the new batches are read.
@@ -1708,44 +1710,58 @@ ORDER BY pass_id
 """
 
 
-def discover_new_batches(base: str, ledger_path: str) -> list[str]:
-    """Batch directories under ``base`` not yet recorded in the ledger,
-    name-sorted (arrival order by construction)."""
+def discover_new_batches(base: str, ledger_path: str) -> tuple[list[str], list[str]]:
+    """(processed, new): the ledger's recorded batch dirs and the ones
+    under ``base`` it has not recorded, each name-sorted (a DETERMINISM
+    order for the report, not an arrival order — lexicographic sorting
+    puts batch_10 before batch_2; processing is order-insensitive).
+    One ledger read serves both discovery and the later extension, so
+    there is no second-read seam for a concurrent writer to slip
+    through (review-caught)."""
     import json as _json
     import os as _os
 
-    done: set[str] = set()
+    done: list[str] = []
     if _os.path.exists(ledger_path):
         with open(ledger_path, encoding="utf-8") as fh:
-            done = set(_json.load(fh)["processed"])
-    return sorted(
+            done = _json.load(fh)["processed"]
+    new = sorted(
         d
         for d in _os.listdir(base)
-        if d.startswith("batch_") and d not in done
+        if d.startswith("batch_") and d not in set(done)
     )
+    return done, new
 
 
 def ingest_new_batches(
     spark: SparkSession, base: str, ledger_path: str, sink: str
 ) -> dict:
-    """One scheduled run: discover, read ONLY the new batch dirs, append
-    to the sink, then durably extend the ledger (atomic replace — a
-    crash before the replace re-processes the batch into a fresh sink
-    file on rerun, after it never re-reads). Returns the pass report."""
+    """One scheduled run: discover, read ONLY the new batch dirs, and
+    publish each to a DETERMINISTIC per-batch sink location with
+    overwrite — the idempotent-publish form of exactly-once: a crash
+    after the write but before the ledger replace makes the rerun
+    OVERWRITE the same location with identical content, never append a
+    duplicate (review-caught: an append-mode sink had a double-load
+    window exactly there). Row counts ride the write job itself via
+    ``observe`` — new data is read ONCE per pass. Returns the pass
+    report."""
     import json as _json
     import os as _os
     import uuid as _uuid
 
-    new = discover_new_batches(base, ledger_path)
+    from pyspark.sql import Observation
+
+    done, new = discover_new_batches(base, ledger_path)
     n_rows = 0
-    if new:
-        df = spark.read.parquet(*[f"{base}/{d}" for d in new])
-        df.write.mode("append").parquet(sink)
-        n_rows = df.count()
-    done: list[str] = []
-    if _os.path.exists(ledger_path):
-        with open(ledger_path, encoding="utf-8") as fh:
-            done = _json.load(fh)["processed"]
+    for d in new:
+        df = spark.read.parquet(f"{base}/{d}")
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{sink}/{d}")
+        )
+        n_rows += int(obs.get["n"])
     tmp = f"{ledger_path}.tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump({"processed": done + new}, fh)

@@ -748,7 +748,7 @@ def test_s24_ledger_sink_equals_source_and_rerun_is_noop(spark, sf_dir):
         "n_files_new": 0,
         "n_rows_new": 0,
     }
-    back = spark.read.parquet(sink)
+    back = spark.read.parquet(f"{sink}/*")
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
     # a late batch (planted re-ids so rows are new) is discovered alone
