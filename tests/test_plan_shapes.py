@@ -630,6 +630,21 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_r12_additions_never_plan_all_pairs(spark):
+    """Blanket no-all-pairs gate over the round-12 batch additions that
+    lack a dedicated shape gate (j10b, x1e, x3w have their own): none
+    may plan a CartesianProduct. Building at sf0.001 also smoke-proves
+    each at the smallest fixture."""
+    for name in (
+        "x6u_epoch_reshuffle_manifest",
+        "s7d_mongomock_upsert",
+        "s7e_mongomock_readback",
+        "s24_incremental_file_ledger",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
 def test_x3v_truth_leg_broadcasts_probes_not_corpus(spark):
     """x3v: the brute-force truth leg must broadcast the 32 probe rows
     against the map-side corpus (the x3-brute law) — a corpus-side
