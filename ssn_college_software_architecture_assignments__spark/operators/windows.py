@@ -791,3 +791,79 @@ def w13_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "rolling_users")
         .orderBy("day")
     )
+
+
+# W14 — event-time-weighted average (TWAP) ---------------------------------------
+#
+# The telemetry/finance staple the W family still lacked: each event's
+# value HOLDS until the key's next event, so the mean must weight by
+# interval duration, not row count — a plain avg() over-represents
+# bursts. One lead() window per key supplies the holding interval; the
+# aggregate is then map-combinable.
+#
+# Cross-engine law, integer-exact end to end: values quantize to cents
+# (the registered 2dp law), durations stay integer microseconds, the
+# weighted sum is exact BIGINT (per-user bound: cents <= ~1e5 x span
+# <= 2.6e12 us -> <= 2.6e17 < 2^63 REGARDLESS of corpus size — the
+# span, not the row count, bounds it, so the law survives 100x), and
+# the final TWAP is ONE integer division (Spark `div` == DuckDB `//`
+# on the HUGEINT-summed side after CAST). No float ever crosses an
+# engine boundary.
+
+_W14_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+         event_id
+  FROM events
+),
+iv AS (
+  SELECT user_id, v_cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dt_us
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)      AS n_intervals,
+       CAST(sum(dt_us) AS BIGINT)    AS total_dt_us,
+       CAST(sum(v_cents * dt_us) // sum(dt_us) AS BIGINT) AS twap_cents
+FROM iv
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+HAVING sum(dt_us) > 0
+ORDER BY user_id
+"""
+
+
+@register("w14_time_weighted_avg", oracle=_W14_ORACLE, tags=("W2", "W3"))
+def w14_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each event's (2dp-cents)
+    value holds until the user's next event; the TWAP is the exact
+    integer division of the duration-weighted cent-sum by the total
+    held duration — the burst-insensitive mean a metering or pricing
+    pipeline bills on."""
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    iv = e.select(
+        "user_id", "v_cents", (F.lead("us").over(w) - F.col("us")).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dt_us").cast("long").alias("total_dt_us"),
+            # ONE exact integer division — never a float ratio (doubles
+            # lose bits past 2^53 on the weighted sum)
+            F.expr("sum(v_cents * dt_us) div sum(dt_us)")
+            .cast("long")
+            .alias("twap_cents"),
+        )
+        .filter(F.col("total_dt_us") > 0)
+        .orderBy("user_id")
+    )

@@ -96,6 +96,7 @@ _CHECK_PRIORITY = (
     "x1e_bloom_prescreen",
     "s24_incremental_file_ledger",
     "s7e_mongomock_readback",
+    "w14_time_weighted_avg",
     # tier 2a: the 9-id r6-evidence tail the r11 rotation predicted
     # would overflow — the ONLY ids whose newest driver row predates
     # r7 (computed from CORRECTNESS_r01..r11); they lead this round so
@@ -117,8 +118,8 @@ _CHECK_PRIORITY = (
     "t6_stateful_per_key",
     "j11_bucketed_join",
     # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r7, stalest-context-first. 8 + 9 + 3 + 50 =
-    # 70 far exceeds the ~50-row driver budget, so the last ~20 ids
+    # newest driver row is r7, stalest-context-first. 9 + 9 + 3 + 50 =
+    # 71 far exceeds the ~50-row driver budget, so the last ~20 ids
     # here are expected to miss this round's file — they MUST lead
     # r13's tier 2 (compute the actual overflow from
     # CORRECTNESS_r12.json)

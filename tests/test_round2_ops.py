@@ -807,3 +807,52 @@ def test_w13_rolling_window_laws(spark):
     for day, n in got.items():
         assert n >= w11[day]["active_users"]
         assert n <= w11[day]["cum_users"]
+
+
+def test_w14_twap_matches_closed_form(spark):
+    """w14 law on a handmade series: user 1 holds 100 cents for 3s then
+    400 cents for 1s -> TWAP = (100*3 + 400*1) / 4 = 175 cents (the
+    last event has no holding interval and contributes nothing); a
+    single-event user emits no row; exact-tie timestamps order by
+    event_id and a zero-duration interval carries zero weight."""
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w14_time_weighted_avg,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.windows as wmod
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 1.00, 10),
+            (1, 3_000_000, 4.00, 11),
+            (1, 4_000_000, 9.99, 12),   # terminal: no interval
+            (2, 0, 5.00, 20),           # single event: no row
+            (3, 0, 1.00, 30),           # tie at us=0 with next row
+            (3, 0, 2.00, 31),           # zero-duration interval
+            (3, 2_000_000, 7.00, 32),
+        ],
+        "user_id long, us long, value double, event_id long",
+    )
+
+    # drive the registered function through a Catalog-shaped stand-in
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.events = df.select(
+                "user_id",
+                F.timestamp_micros("us").alias("ts"),
+                "value",
+                "event_id",
+            )
+
+    orig = wmod.Catalog
+    wmod.Catalog = _Cat
+    try:
+        rows = {r["user_id"]: r for r in w14_time_weighted_avg(spark, "x").collect()}
+    finally:
+        wmod.Catalog = orig
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_intervals"] == 2
+    assert rows[1]["total_dt_us"] == 4_000_000
+    assert rows[1]["twap_cents"] == 175
+    # user 3: 100c for 0us (zero weight), 200c for 2s -> 200
+    assert rows[3]["twap_cents"] == 200

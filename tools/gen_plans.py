@@ -171,6 +171,7 @@ QUERIES = [
     "x1e_bloom_prescreen",
     "s24_incremental_file_ledger",
     "s7e_mongomock_readback",
+    "w14_time_weighted_avg",
 ]
 
 
