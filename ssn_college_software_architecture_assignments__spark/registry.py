@@ -87,7 +87,8 @@ _CHECK_PRIORITY = (
     # (the multi-probe kNN-graph repair, the mongomock upsert writer +
     # its partitioned reader, the event-time TTL state expiry, the AQE
     # runtime skew-join probe, the seeded epoch-reshuffle manifest, the
-    # portable bloom prescreen, and the incremental file ledger)
+    # portable bloom prescreen, the incremental file ledger, and the
+    # time-weighted average)
     "x3w_knn_graph_multiprobe_repair",
     "s7d_mongomock_upsert",
     "t6c_state_ttl_expiry",
