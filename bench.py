@@ -176,6 +176,13 @@ def _fingerprint(spark) -> dict:
         "calib_shuffle_sec": _calibrate_shuffle(spark),
         "calib_nominal_sec": CALIB_NOMINAL_SEC,
         "calib_shuffle_nominal_sec": CALIB_SHUFFLE_NOMINAL_SEC,
+        # each record carries ITS OWN round's class split so history
+        # normalization survives a later cpu<->shuffle reclassification
+        # (older records without this field fall back to the current
+        # QUERY_CLASS mapping — the historical behavior)
+        "shuffle_queries": sorted(
+            n for n, c in QUERY_CLASS.items() if c == "shuffle"
+        ),
     }
 
 
@@ -393,11 +400,19 @@ def main() -> None:
                             rfactor["cpu"] = CALIB_NOMINAL_SEC / rc
                         if isinstance(rs, (int, float)) and rs > 0:
                             rfactor["shuffle"] = CALIB_SHUFFLE_NOMINAL_SEC / rs
+                        # prefer the record's OWN class split: a query
+                        # reclassified cpu<->shuffle since that round
+                        # must normalize by the factor its sample was
+                        # actually subject to, not today's mapping
+                        rshuf = rfp.get("shuffle_queries")
                         for n in risers:
                             if isinstance(rq.get(n), (int, float)):
                                 hist[n].append(float(rq[n]))
                                 hist_rounds[n].append(os.path.basename(bf))
-                                cls = QUERY_CLASS.get(n, "cpu")
+                                if isinstance(rshuf, list):
+                                    cls = "shuffle" if n in rshuf else "cpu"
+                                else:
+                                    cls = QUERY_CLASS.get(n, "cpu")
                                 if cls in rfactor:
                                     hist_norm[n].append(
                                         float(rq[n]) * rfactor[cls]

@@ -72,236 +72,110 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 8 (cohorts computed from CORRECTNESS_r01..r07): the
-# round-8 additions (tier 1), the 27-id cohort whose newest driver row
-# is r4 (tier 2 — r7's VERDICT queued them explicitly), the queries
-# whose source the round-8 changes touch (tier 3 — the PPM raster
-# message, the audio empty-row contract, the twins' originals), and
-# the r7 tier-1d/1e ids that missed that round's 50-slot budget plus
-# the stalest r5 ids (tier 4). Everything else sits below the line,
+# round. For round 13 (cohorts computed from CORRECTNESS_r01..r12): the
+# round-13 additions (tier 1), the 21-id r7-evidence tail that overflowed
+# r12's budget exactly as predicted (tier 2a — r12's VERDICT queued them
+# explicitly), the queries whose source the round-13 changes touch
+# (tier 2b — the watermark-clamped TTL timer), and the 49-id r8-evidence
+# cohort (tier 2c). Everything else sits below the line,
 # stalest evidence first. Names missing from the registry are ignored, and
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the round-12 additions — no driver evidence exists yet
-    # (the multi-probe kNN-graph repair, the mongomock upsert writer +
-    # its partitioned reader, the event-time TTL state expiry, the AQE
-    # runtime skew-join probe, the seeded epoch-reshuffle manifest, the
-    # portable bloom prescreen, the incremental file ledger, and the
-    # time-weighted average)
-    "x3w_knn_graph_multiprobe_repair",
-    "s7d_mongomock_upsert",
-    "t6c_state_ttl_expiry",
-    "j10b_aqe_skew_join",
-    "x6u_epoch_reshuffle_manifest",
-    "x1e_bloom_prescreen",
-    "s24_incremental_file_ledger",
-    "s7e_mongomock_readback",
-    "w14_time_weighted_avg",
-    # tier 2a: the 9-id r6-evidence tail the r11 rotation predicted
-    # would overflow — the ONLY ids whose newest driver row predates
-    # r7 (computed from CORRECTNESS_r01..r11); they lead this round so
-    # that after r12 no id's newest driver evidence predates r7
-    "x3f_embedding_quantize",
-    "x3g_similarity_quantized",
-    "x4i_repetition_profile",
-    "x5f_wav_decode",
-    "s1c_rest_env_auth",
-    "s1d_oauth_refresh",
-    "s2c_link_header_read",
-    "s3_rate_limited_read",
-    "s9b_rest_stream",
-    # tier 2b: source touched by round-12 changes (normalize_urls path
-    # coalesce under x1d, the stateful.py edits under t6, the shared
-    # scratch-base parameter under j11) — re-prove despite fresh
-    # evidence
-    "x1d_url_dedup_report",
-    "t6_stateful_per_key",
-    "j11_bucketed_join",
-    # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r7, stalest-context-first. 9 + 9 + 3 + 50 =
-    # 71 far exceeds the ~50-row driver budget, so the last ~20 ids
-    # here are expected to miss this round's file — they MUST lead
-    # r13's tier 2 (compute the actual overflow from
-    # CORRECTNESS_r12.json)
-    "x6d2_decontamination_normalized",
-    "x2j_semantic_dedup",
-    "x5i_audio_rms_profile",
-    "x5j_image_channel_stats",
-    "x5k_scene_change",
-    "x4n_quality_deciles",
-    "a11b_cdc_rollup_compose",
-    "x2i_lsh_exact_rescore",
-    "x4j_unigram_logprob",
-    "x4k_tfidf",
-    "x4l_trigram_stats",
-    "x6e_mixture_reweight",
-    "x6f_length_histogram",
-    "x6g_per_source_sample",
-    "x3h_ann_recall_eval",
-    "e2_sql_large_quantity",
-    "x1c_dedup_rate_by_source",
-    "w8_time_range_window",
-    "x3i_dim_truncation_recall",
-    "x6h_packing_efficiency",
-    "x2k_quality_dedup_manifest",
-    "e2_sql_returned_revenue",
-    "x3j_pq_codes",
-    "x3k_pq_adc_topk",
-    "x3l_pq_recall",
-    "x6i_corpus_funnel",
-    "x4m_source_vocab_overlap",
-    "e2_sql_promo_revenue",
-    "e2_sql_bracket_revenue",
-    "x3m_pq_ivf_search",
-    "x2m_threshold_sweep",
-    "x6j_dedup_aware_mixture",
-    "x4e2_lang_confusion",
-    "j12_interval_grid_join",
+    # tier 1: the round-13 additions — no driver evidence exists yet
+    # (the Hamming-ball dHash image near-dedup, BM25 ranked retrieval,
+    # the cross-generation PSI drift audit, and the chunk-with-overlap
+    # manifest)
+    "x5m2_hamming_near_dedup",
+    "x4u_bm25_retrieval",
+    "s25_generation_drift_audit",
+    "x6v_chunk_overlap_manifest",
+    # tier 2a: the 21-id r7-evidence tail the r12 rotation predicted
+    # would overflow — the ONLY ids whose newest driver row predates r8
+    # (computed from CORRECTNESS_r01..r12; includes the 5 rows-only LSH
+    # flagships); they lead this round so that after r13 no id's newest
+    # driver evidence predates r8
     "a12_hll_sketch_rollup",
-    "x2n_incremental_near_dedup",
-    "w9_rolling_zscore_anomaly",
-    "x2_minhash_near_dedup",
-    "x2b_simhash",
-    "x2b2_simhash_pairs",
-    "x2f_embedding_neardup_lsh",
-    "x3b_similarity_lsh",
     "e1_etl_connector",
-    "s8b_dq_report",
+    "e2_sql_exists_priority",
+    "e2_sql_scalar_subquery",
+    "e2_sql_shipping_priority",
+    "j12_interval_grid_join",
     "s15_quarantine_split",
     "s7b_document_sink",
     "s7c_document_writer",
-    "e2_sql_shipping_priority",
-    "e2_sql_exists_priority",
-    "e2_sql_scalar_subquery",
-    # ---- ~50-query driver budget line is far above; below: the
-    # remainder, stalest driver evidence first (r8, then r9, r10, r11)
-    "x2w2_prefix_filter_full_corpus",
-    "s22_dpp_pruned_join",
-    "t12_streaming_decontamination",
-    "a16_skew_histogram_2d",
-    "a8b_unpivot",
-    "x4w_gopher_rules",
-    "x2y_lsh_parameter_planner",
-    "x6s_decontaminated_mixture",
-    "s23_generation_vacuum",
-    "x3u_ivf_knn_graph",
-    "f5_cogrouped_asof",
-    "x6t_curriculum_anneal",
-    "x3v_knn_graph_recall",
-    "s2b_cursor_read",
-    "s1b_rest_infer",
-    "s4_json_scan",
-    "f1_pandas_udf",
-    "s10_upsert_latest_wins",
-    "t1_tumbling_window",
-    "a4_approx_count_distinct",
-    "w7_funnel_detect",
-    "u4_union_schema_drift",
-    "e2_sql_regional_revenue",
-    "x2b3_simhash_full_oracle",
-    "x3b2_similarity_lsh_oracle",
-    "x4b_term_frequency",
-    "x5_multimodal_payload",
-    "x6_deterministic_split",
-    "s5_parquet_scan",
-    "s6_csv_scan",
-    "s7_raw_sink_roundtrip",
-    "s8_validated_insert",
-    "s11_partitioned_lake",
-    "s12_compaction",
-    "s13_schema_evolution",
-    "s14_snapshot_diff",
-    "a5_grouping_sets",
-    "a6_percentile_approx",
-    "a9_key_skew_profile",
-    "a10_stats_agg",
-    "a11_incremental_rollup",
-    "f2_grouped_udaf",
-    "f3_udtf_expand",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermarked_agg",
-    "t5_streaming_dedup",
-    "x3c_vector_features",
-    "x3r2_kmeans_train",
-    "x4t_quality_ensemble",
-    "t11_foreachbatch_upsert",
-    "s20_incremental_lake_merge",
-    "s21_merge_on_read",
-    "x6d_decontamination",
-    "x2w_prefix_filter_join",
-    "w10_ewma",
-    "x2p_paragraph_near_dedup",
-    "e2_sql_waiting_orders",
+    "s8b_dq_report",
+    "w9_rolling_zscore_anomaly",
+    "x2_minhash_near_dedup",
+    "x2b2_simhash_pairs",
+    "x2b_simhash",
+    "x2f_embedding_neardup_lsh",
+    "x2m_threshold_sweep",
+    "x2n_incremental_near_dedup",
+    "x3b_similarity_lsh",
+    "x3m_pq_ivf_search",
+    "x4e2_lang_confusion",
+    "x6j_dedup_aware_mixture",
+    # tier 2b: source touched by round-13 changes (the watermark-clamped
+    # TTL timer in streaming/stateful.py) — re-prove despite fresh
+    # r12 evidence
+    "t6c_state_ttl_expiry",
+    # tier 2c: the evidence-age rotation — the 49-id cohort whose
+    # newest driver row is r8. 4 + 21 + 1 + 49 = 75 far exceeds the
+    # ~50-row driver budget, so the last ~25 ids here are expected to
+    # miss this round's file — they MUST lead r14's tier 2 (compute
+    # the actual overflow from CORRECTNESS_r13.json)
     "a13_heavy_hitters",
-    "w4b_quartile_cutpoints",
-    "x4n2_quality_deciles_scalable",
-    "s16b_zorder_layout_scalable",
-    "x6k_incremental_admission_funnel",
-    "e2_sql_order_distribution",
     "e2_sql_dormant_customers",
-    "x2q_duplicated_gram_mass",
-    "x3n_pq_refine_topk",
-    "x5l_audio_silence_trim",
-    "j8b_asof_join_tolerance",
-    "x6l_shard_manifest",
+    "e2_sql_order_distribution",
+    "e2_sql_waiting_orders",
     "f4_iter_udf",
-    "x2r_cross_source_gram_flow",
+    "j8b_asof_join_tolerance",
+    "s16b_zorder_layout_scalable",
     "s17_write_audit_publish",
-    "x4o_token_entropy",
-    "x3p_ivf_nprobe_sweep",
-    "x5m_image_phash_dedup",
-    "x5n_audio_fingerprint_dedup",
-    "u5_bag_setops",
     "t7_incremental_sink",
     "t8_stream_static_join",
     "t9_stream_stream_join",
+    "u5_bag_setops",
+    "w10_ewma",
+    "w4b_quartile_cutpoints",
     "x1b_incremental_dedup",
     "x2c_ngram_jaccard",
     "x2d_embedding_neardup",
     "x2e_dedup_clusters",
     "x2g_minhash_full_oracle",
     "x2h_short_docs",
+    "x2p_paragraph_near_dedup",
+    "x2q_duplicated_gram_mass",
+    "x2r_cross_source_gram_flow",
     "x3d_similarity_ivf",
-    "x4a_token_count",
+    "x3n_pq_refine_topk",
+    "x3p_ivf_nprobe_sweep",
     "x4a2_bpe_token_count",
+    "x4a_token_count",
     "x4c_quality_score",
-    "x4d_fingerprint",
     "x4d2_winnowing",
+    "x4d_fingerprint",
     "x4e_lang_id",
     "x4f_corpus_curation",
     "x4g_column_profile",
     "x4h_pii_redaction",
+    "x4n2_quality_deciles_scalable",
+    "x4o_token_entropy",
     "x5b_multimodal_decode",
     "x5d_resize",
     "x5g_ppm_resize",
     "x5h_ppm_frame_sample",
+    "x5l_audio_silence_trim",
+    "x5m_image_phash_dedup",
+    "x5n_audio_fingerprint_dedup",
     "x6b_sequence_packing",
     "x6c_mixture_sample",
-    "x2s_substring_span_dedup",
-    "x2s2_span_dedup_by_source",
-    "x3r_kmeans_step",
-    "x5o_image_patchify",
-    "e2_sql_forecast_revenue",
-    "e2_sql_volume_shipping",
-    "e2_sql_market_share",
-    "x6m_importance_resample",
-    "x6b2_bfd_packing",
-    "x6h2_packing_comparison",
-    "e2_sql_top_supplier",
-    "x4p_zipf_fit",
-    "w11_cumulative_distinct",
-    "x3q_mrl_refine_topk",
-    "s18_cdc_apply",
-    "x4q_readability",
-    "x5p_audio_decimate",
-    "s19_dynamic_partition_overwrite",
-    "j8c_asof_join_nearest",
-    "x2v_containment_rescore",
-    "u6_not_in_null_semantics",
-    "x4s_bigram_logprob",
-    "w12_retention_cohorts",
+    "x6d_decontamination",
+    "x6k_incremental_admission_funnel",
+    "x6l_shard_manifest",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder, stalest driver evidence first (r9, r10, r11, r12)
     "a1_count_validate",
     "a2_groupby_agg",
     "a3_distinct",
@@ -310,6 +184,10 @@ _CHECK_PRIORITY = (
     "a6_percentiles",
     "a7_collect_agg",
     "a8_pivot",
+    "e2_sql_forecast_revenue",
+    "e2_sql_market_share",
+    "e2_sql_top_supplier",
+    "e2_sql_volume_shipping",
     "f_array_family",
     "f_conditional_family",
     "f_datetime_family",
@@ -327,23 +205,34 @@ _CHECK_PRIORITY = (
     "j6_broadcast_join",
     "j7_range_join",
     "j8_asof_join",
+    "j8c_asof_join_nearest",
     "j9_cross_join",
     "o1_order_by",
-    "x6p_epoch_schedule",
-    "a15_grouped_mode",
-    "x3t_filtered_search",
-    "e2_sql_promising_parts",
-    "x2s3_span_dedup_mapcombine",
-    "t10_streaming_cumulative_distinct",
+    "s18_cdc_apply",
+    "s19_dynamic_partition_overwrite",
+    "u6_not_in_null_semantics",
+    "w11_cumulative_distinct",
+    "w12_retention_cohorts",
+    "x2s2_span_dedup_by_source",
+    "x2s_substring_span_dedup",
+    "x2v_containment_rescore",
+    "x3q_mrl_refine_topk",
+    "x3r_kmeans_step",
+    "x4p_zipf_fit",
+    "x4q_readability",
+    "x4s_bigram_logprob",
+    "x5o_image_patchify",
+    "x5p_audio_decimate",
+    "x6b2_bfd_packing",
+    "x6h2_packing_comparison",
+    "x6m_importance_resample",
     "a14_countmin_sketch",
-    "w13_rolling_distinct_users",
-    "x3s_radius_search",
-    "x5q_image_histogram",
-    "x6n_temperature_mixture",
-    "e2_sql_min_cost_supplier",
-    "e2_sql_product_profit",
+    "a15_grouped_mode",
     "e2_sql_important_stock",
+    "e2_sql_min_cost_supplier",
     "e2_sql_priority_shipping",
+    "e2_sql_product_profit",
+    "e2_sql_promising_parts",
     "e2_sql_supplier_part_counts",
     "o2_limit_topn",
     "o3_top_k_per_group",
@@ -356,9 +245,17 @@ _CHECK_PRIORITY = (
     "p6b_sanitize_generic",
     "p7_flatten",
     "q1_pricing_summary",
+    "s16_zorder_layout",
+    "s1_rest_source",
+    "s20_incremental_lake_merge",
+    "s21_merge_on_read",
+    "s2_paginated_read",
+    "t10_streaming_cumulative_distinct",
+    "t11_foreachbatch_upsert",
     "u1_union_all",
     "u2_intersect",
     "u3_except",
+    "w13_rolling_distinct_users",
     "w1_row_number_latest",
     "w1b_rank_dense_rank",
     "w2_lag_lead",
@@ -367,12 +264,115 @@ _CHECK_PRIORITY = (
     "w5_first_last_value",
     "w6_sessionize",
     "x1_exact_dedup",
+    "x2s3_span_dedup_mapcombine",
+    "x2w_prefix_filter_join",
     "x3_similarity_bruteforce",
-    "x5e_ppm_decode",
+    "x3r2_kmeans_train",
+    "x3s_radius_search",
+    "x3t_filtered_search",
+    "x4t_quality_ensemble",
     "x5c_frame_sample",
-    "s16_zorder_layout",
-    "s1_rest_source",
-    "s2_paginated_read",
+    "x5e_ppm_decode",
+    "x5q_image_histogram",
+    "x6n_temperature_mixture",
+    "x6p_epoch_schedule",
+    "a10_stats_agg",
+    "a11_incremental_rollup",
+    "a16_skew_histogram_2d",
+    "a4_approx_count_distinct",
+    "a5_grouping_sets",
+    "a6_percentile_approx",
+    "a8b_unpivot",
+    "a9_key_skew_profile",
+    "e2_sql_regional_revenue",
+    "f1_pandas_udf",
+    "f2_grouped_udaf",
+    "f3_udtf_expand",
+    "f5_cogrouped_asof",
+    "s10_upsert_latest_wins",
+    "s11_partitioned_lake",
+    "s12_compaction",
+    "s13_schema_evolution",
+    "s14_snapshot_diff",
+    "s1b_rest_infer",
+    "s22_dpp_pruned_join",
+    "s23_generation_vacuum",
+    "s2b_cursor_read",
+    "s4_json_scan",
+    "s5_parquet_scan",
+    "s6_csv_scan",
+    "s7_raw_sink_roundtrip",
+    "s8_validated_insert",
+    "t12_streaming_decontamination",
+    "t1_tumbling_window",
+    "t2_sliding_window",
+    "t3_session_window",
+    "t4_watermarked_agg",
+    "t5_streaming_dedup",
+    "u4_union_schema_drift",
+    "w7_funnel_detect",
+    "x2b3_simhash_full_oracle",
+    "x2w2_prefix_filter_full_corpus",
+    "x2y_lsh_parameter_planner",
+    "x3b2_similarity_lsh_oracle",
+    "x3c_vector_features",
+    "x3u_ivf_knn_graph",
+    "x3v_knn_graph_recall",
+    "x4b_term_frequency",
+    "x4w_gopher_rules",
+    "x5_multimodal_payload",
+    "x6_deterministic_split",
+    "x6s_decontaminated_mixture",
+    "x6t_curriculum_anneal",
+    "a11b_cdc_rollup_compose",
+    "e2_sql_bracket_revenue",
+    "e2_sql_large_quantity",
+    "e2_sql_promo_revenue",
+    "e2_sql_returned_revenue",
+    "j10b_aqe_skew_join",
+    "j11_bucketed_join",
+    "s1c_rest_env_auth",
+    "s1d_oauth_refresh",
+    "s24_incremental_file_ledger",
+    "s2c_link_header_read",
+    "s3_rate_limited_read",
+    "s7d_mongomock_upsert",
+    "s7e_mongomock_readback",
+    "s9b_rest_stream",
+    "t6_stateful_per_key",
+    "w14_time_weighted_avg",
+    "w8_time_range_window",
+    "x1c_dedup_rate_by_source",
+    "x1d_url_dedup_report",
+    "x1e_bloom_prescreen",
+    "x2i_lsh_exact_rescore",
+    "x2j_semantic_dedup",
+    "x2k_quality_dedup_manifest",
+    "x3f_embedding_quantize",
+    "x3g_similarity_quantized",
+    "x3h_ann_recall_eval",
+    "x3i_dim_truncation_recall",
+    "x3j_pq_codes",
+    "x3k_pq_adc_topk",
+    "x3l_pq_recall",
+    "x3w_knn_graph_multiprobe_repair",
+    "x4i_repetition_profile",
+    "x4j_unigram_logprob",
+    "x4k_tfidf",
+    "x4l_trigram_stats",
+    "x4m_source_vocab_overlap",
+    "x4n_quality_deciles",
+    "x5f_wav_decode",
+    "x5i_audio_rms_profile",
+    "x5j_image_channel_stats",
+    "x5k_scene_change",
+    "x6d2_decontamination_normalized",
+    "x6e_mixture_reweight",
+    "x6f_length_histogram",
+    "x6g_per_source_sample",
+    "x6h_packing_efficiency",
+    "x6i_corpus_funnel",
+    "x6u_epoch_reshuffle_manifest",
 )
 
 
@@ -393,6 +393,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         # bounded here instead: each registry dispatch drops the previous
         # query's cache before building its own. Direct module-level calls
         # (tests, plan gates) are unaffected; gates clearCache themselves.
+        #
+        # CONTRACT: registry dispatch assumes build-then-MATERIALIZE per
+        # query (the driver's and check_oracle's loop shape). A runner
+        # that builds several registered queries before collecting any
+        # of them would have dispatch B unpersist A's persisted legs
+        # before A is forced — results stay correct (unpersisted frames
+        # recompute), but persist-guarded single-execution invariants
+        # (e.g. x3v's brute truth leg) silently degrade to recomputation
+        # and timings mislead. Force each query before dispatching the
+        # next, or call the underlying module function directly.
         @functools.wraps(fn)
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:

@@ -228,8 +228,16 @@ def _ttl_expire(
             n += len(pdf)
             last_us = max(last_us, int(pdf["us"].max()))
         state.update((n, last_us))
-        # timer in ms (floor) — the watermark clock's own unit
-        state.setTimeoutTimestamp(last_us // 1000 + _T6C_TTL_MS)
+        # timer in ms (floor) — the watermark clock's own unit. Clamped
+        # one past the CURRENT watermark: if a stale key is refreshed in
+        # a later micro-batch after the watermark has already overtaken
+        # last + TTL, an unclamped setTimeoutTimestamp would sit below
+        # the watermark and Spark throws; the clamp re-arms validly and
+        # the key then fires at the next watermark advance (single-data-
+        # batch availableNow runs never hit the clamp — watermark is
+        # still 0 while the only data batch processes).
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + _T6C_TTL_MS, wm_ms + 1))
 
 
 @register("t6c_state_ttl_expiry", oracle=_T6C_ORACLE, tags=("T6",))
@@ -271,19 +279,33 @@ class TTLExpiryProcessor(StatefulProcessor):
     def init(self, handle) -> None:
         self.handle = handle
         self.state = handle.getValueState("acc", _T6C_STATE_SCHEMA)
+        # the ACTUAL armed timer timestamp: a watermark-clamped timer
+        # (see handleInputRows) can't be recomputed from last_us, and
+        # v2 named timers need the exact old timestamp to delete when
+        # re-arming — recomputing would leak the stale timer and
+        # double-emit the key
+        self.timer = handle.getValueState("armed", "t bigint")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, last_us = self.state.get() if self.state.exists() else (0, 0)
-        old_timer = last_us // 1000 + _T6C_TTL_MS if n else None
+        old_timer = self.timer.get()[0] if self.timer.exists() else None
         for pdf in rows:
             n += len(pdf)
             last_us = max(last_us, int(pdf["us"].max()))
         self.state.update((n, last_us))
         # v2 timers are named per timestamp, not a single mutable slot:
-        # re-arming means delete-old + register-new
+        # re-arming means delete-old + register-new. Same watermark
+        # clamp as _ttl_expire: a stale key refreshed after the
+        # watermark passed last + TTL re-arms one past the watermark
+        # instead of registering an already-expired timestamp.
         if old_timer is not None:
             self.handle.deleteTimer(old_timer)
-        self.handle.registerTimer(last_us // 1000 + _T6C_TTL_MS)
+        wm_ms = (
+            timerValues.getCurrentWatermarkInMs() if timerValues is not None else 0
+        )
+        new_timer = max(last_us // 1000 + _T6C_TTL_MS, wm_ms + 1)
+        self.handle.registerTimer(new_timer)
+        self.timer.update((new_timer,))
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -297,6 +319,7 @@ class TTLExpiryProcessor(StatefulProcessor):
             }
         )
         self.state.clear()
+        self.timer.clear()
 
     def close(self) -> None:
         pass

@@ -632,14 +632,16 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
 
 def test_r12_additions_never_plan_all_pairs(spark):
     """Blanket no-all-pairs gate over the round-12 batch additions that
-    lack a dedicated shape gate (j10b, x1e, x3w have their own): none
-    may plan a CartesianProduct. Building at sf0.001 also smoke-proves
-    each at the smallest fixture."""
+    lack a dedicated shape gate (j10b, x1e, x3w have their own; t6c is
+    streaming and exercised by test_streaming): none may plan a
+    CartesianProduct. Building at sf0.001 also smoke-proves each at the
+    smallest fixture."""
     for name in (
         "x6u_epoch_reshuffle_manifest",
         "s7d_mongomock_upsert",
         "s7e_mongomock_readback",
         "s24_incremental_file_ledger",
+        "w14_time_weighted_avg",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

@@ -230,7 +230,11 @@ def test_ttl_expiry_v1_v2_law_sync():
     them) through the v1 ``_ttl_expire`` state machine and the v2
     ``TTLExpiryProcessor`` yields IDENTICAL emissions — including the
     re-armed-timer case where batch-2 activity pushes a key's expiry
-    out, and the expiry case where the watermark passes a key's timer."""
+    out, the expiry case where the watermark passes a key's timer, and
+    the WATERMARK-CLAMP case: a key first seen after the watermark has
+    already overtaken its last + TTL must arm at watermark + 1 (an
+    unclamped setTimeoutTimestamp below the watermark throws in the
+    real engine) and then fire at the next watermark advance."""
     import pandas as pd
 
     from ssn_college_software_architecture_assignments__spark.streaming.stateful import (
@@ -260,6 +264,11 @@ def test_ttl_expiry_v1_v2_law_sync():
         (3, "d2"): [y_ms * 1000],
     }
     wm2_ms = x_ms - d_ms  # flush watermark: above u1's timer only
+    # batch 3 feeds AFTER the watermark reached wm2_ms: u9's only event
+    # is so old that last_ms + ttl < wm2_ms — the clamp case
+    b3 = {(9, "d0"): [1_000_000_000]}
+    assert 1_000 + ttl < wm2_ms
+    wm3_ms = wm2_ms + 10  # one more advance: fires u9's clamped timer
 
     # ---- v1: fake GroupState per key
     class _S:
@@ -267,6 +276,10 @@ def test_ttl_expiry_v1_v2_law_sync():
             self.v = None
             self.hasTimedOut = False
             self.timeout = None
+            self.wm = 0
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
 
         @property
         def exists(self):
@@ -289,9 +302,12 @@ def test_ttl_expiry_v1_v2_law_sync():
     v1_states: dict = {}
     v1_rows = []
 
-    def v1_feed(batch):
+    def v1_feed(batch, wm_ms):
+        # the engine's clock: the watermark visible DURING a batch is
+        # the one computed after the previous batch, floored at 0
         for key, uss in batch.items():
             st = v1_states.setdefault(key, _S())
+            st.wm = max(wm_ms, 0)
             list(_ttl_expire(key, iter([pd.DataFrame({"us": uss})]), st))
 
     def v1_fire(wm_ms):
@@ -302,10 +318,13 @@ def test_ttl_expiry_v1_v2_law_sync():
                     v1_rows.append(tuple(out.iloc[0]))
                 st.hasTimedOut = False
 
-    v1_feed(b1)
+    v1_feed(b1, 0)
     v1_fire(wm1_ms)
-    v1_feed(b2)
-    v1_fire(wm2_ms)  # the flush batch
+    v1_feed(b2, wm1_ms)
+    v1_fire(wm2_ms)  # the flush watermark: u1's timer only
+    v1_feed(b3, wm2_ms)  # stale key fed past its own last + ttl
+    u9_armed = v1_states[(9, "d0")].timeout  # captured before the fire
+    v1_fire(wm3_ms)
 
     # ---- v2: fake handle with named timers
     class _VS:
@@ -341,10 +360,17 @@ def test_ttl_expiry_v1_v2_law_sync():
         def deleteIfExists(self, name):
             self.states.pop(name, None)
 
+    class _TV:
+        def __init__(self, wm_ms):
+            self.wm = max(wm_ms, 0)
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm
+
     v2: dict = {}
     v2_rows = []
 
-    def v2_feed(batch):
+    def v2_feed(batch, wm_ms):
         for key, uss in batch.items():
             if key not in v2:
                 proc, handle = TTLExpiryProcessor(), _H()
@@ -353,7 +379,7 @@ def test_ttl_expiry_v1_v2_law_sync():
             proc, handle = v2[key]
             list(
                 proc.handleInputRows(
-                    key, iter([pd.DataFrame({"us": uss})]), None
+                    key, iter([pd.DataFrame({"us": uss})]), _TV(wm_ms)
                 )
             )
 
@@ -365,13 +391,19 @@ def test_ttl_expiry_v1_v2_law_sync():
                     for out in proc.handleExpiredTimer(key, None, None):
                         v2_rows.append(tuple(out.iloc[0]))
 
-    v2_feed(b1)
+    v2_feed(b1, 0)
     v2_fire(wm1_ms)
-    v2_feed(b2)
+    v2_feed(b2, wm1_ms)
     v2_fire(wm2_ms)
+    v2_feed(b3, wm2_ms)
+    v2_fire(wm3_ms)
 
     assert sorted(v1_rows) == sorted(v2_rows)
-    assert len(v1_rows) == 1 and v1_rows[0][0] == 1  # exactly u1 expired
+    # exactly u1 (flush expiry) and u9 (clamped re-arm, next advance)
+    assert sorted(r[0] for r in v1_rows) == [1, 9]
+    # the clamp law: u9's armed timer was watermark + 1, not the
+    # (already-passed) last + ttl
+    assert u9_armed == wm2_ms + 1
     # u2's re-armed v2 timer replaced the old one (delete+register law)
     _, h2 = v2[(2, "d1")]
     assert len(h2.timers) == 1
