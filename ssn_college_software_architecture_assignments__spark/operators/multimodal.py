@@ -1507,6 +1507,265 @@ def x5m_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X5m2 — Hamming-ball image near-dedup (banded multi-index) --------------------
+#
+# x5m clusters by EXACT dhash equality, which misses the near-misses a
+# real image pipeline must catch: brightness jitter, mild crops, or
+# re-encodes flip a few dhash bits, so perceptual dedup matches within
+# Hamming distance <= d. The scale idiom is multi-index hashing — the
+# same banding trick the text LSH family uses (dedup.py x2b2): split
+# the 64-bit dhash into 4 x 16-bit bands; by pigeonhole, two hashes
+# within distance <= 3 share at least one identical band, so a
+# band-keyed equi-join finds every candidate and ``bit_count(xor)``
+# verifies the exact distance — every step integer-exact, hence fully
+# oracle-checkable (unlike MinHash's probabilistic recall).
+#
+# The corpus plants TRUE near-duplicates at the IMAGE level: for every
+# doc whose 9x8 resample is collision-free (h >= 8 so the 8 sampled
+# rows are distinct source rows, w >= 9 so the 9 sampled columns are
+# distinct source columns), a variant image perturbs channel 0 of the
+# single source pixel sampled by grid cell (doc_id % 8, doc_id % 9).
+# That changes exactly one resampled gray value, which feeds exactly
+# two adjacent-comparison bits — so hamming(base, variant) <= 2 is a
+# THEOREM (pytest-pinned), and d = 2 makes every planted variant either
+# collapse into its base's exact cluster or surface as an output pair.
+#
+# Scale shape: exact-duplicate collapse FIRST (5000 images -> ~500
+# distinct hashes here; at corpus scale this is the x5m hash-agg), then
+# the band join runs over DISTINCT hashes only — candidate expansion is
+# bounded per band bucket and no all-pairs stage exists (plan-gated).
+# NB the formulaic fixture images make hashes far denser than natural
+# photos (band buckets of ~400 at sf0.1); on real corpora 16-bit bands
+# over 2^64-spread hashes prune to near-singleton buckets.
+
+_X5M2_OFFSET = 1_000_000_000  # variant img_id = doc_id + offset
+_X5M2_DELTA = 128             # channel-0 perturbation, mod 256
+_X5M2_MAX_DIST = 2            # the planted-variant displacement bound
+_X5M2_BANDS = 4               # 4 x 16-bit bands over the 64-bit dhash
+
+
+def _x5m2_variant_bytes(doc_id: int) -> bytes:
+    """The planted near-duplicate: the base PPM with channel 0 of ONE
+    sampled source pixel shifted by +128 (mod 256). Only called for
+    docs where the dHash resample is collision-free, so the shift moves
+    exactly one grid gray value = at most two hash bits."""
+    w = 4 + doc_id % 13
+    h = 4 + doc_id % 7
+    header_len = len(f"P6\n{w} {h}\n255\n")
+    py0, px0 = doc_id % _DHASH_H, doc_id % _DHASH_W
+    sy0, sx0 = (py0 * h) // _DHASH_H, (px0 * w) // _DHASH_W
+    buf = bytearray(_ppm_bytes(doc_id))
+    at = header_len + (sy0 * w + sx0) * 3
+    buf[at] = (buf[at] + _X5M2_DELTA) % 256
+    return bytes(buf)
+
+
+def _x5m2_variant_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"] + _X5M2_OFFSET,
+                "payload": pdf["doc_id"].map(_x5m2_variant_bytes),
+            }
+        )
+
+
+def _x5m2_gray_sql(c: int) -> str:
+    """Channel-c gray contribution for the x5m2 corpus: the x5m formula
+    parametrized by src_doc, with the variant rows' channel-0
+    perturbation applied exactly where the sampled source pixel is the
+    planted one (mirrors _x5m2_variant_bytes byte-for-byte)."""
+    base = (
+        f"(d.src_doc * 31 + (((ty.i * d.h) // {_DHASH_H}) * d.w"
+        f" + ((tx.i * d.w) // {_DHASH_W})) * 3 + {c}) % 256"
+    )
+    if c != 0:
+        return base
+    cond = (
+        f"d.pert = 1"
+        f" AND ((ty.i * d.h) // {_DHASH_H})"
+        f" = (((d.src_doc % {_DHASH_H}) * d.h) // {_DHASH_H})"
+        f" AND ((tx.i * d.w) // {_DHASH_W})"
+        f" = (((d.src_doc % {_DHASH_W}) * d.w) // {_DHASH_W})"
+    )
+    return (
+        f"((({base}) + CASE WHEN {cond} THEN {_X5M2_DELTA} ELSE 0 END) % 256)"
+    )
+
+
+_X5M2_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS img_id, doc_id AS src_doc, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + {_X5M2_OFFSET} AS img_id, doc_id AS src_doc, 1 AS pert
+  FROM documents
+  WHERE doc_id % 7 >= 4 AND doc_id % 13 >= 5
+),
+dims AS (
+  SELECT img_id, src_doc, pert,
+         4 + src_doc % 13 AS w, 4 + src_doc % 7 AS h
+  FROM corpus
+),
+g AS (
+  SELECT d.img_id, ty.i AS y, tx.i AS x,
+         {_x5m2_gray_sql(0)} + {_x5m2_gray_sql(1)} + {_x5m2_gray_sql(2)} AS gray
+  FROM dims d,
+       LATERAL (SELECT unnest(range({_DHASH_H})) AS i) ty,
+       LATERAL (SELECT unnest(range({_DHASH_W})) AS i) tx
+),
+bits AS (
+  SELECT a.img_id, a.y, a.x,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < {_DHASH_W - 1}
+),
+rowbytes AS (
+  SELECT img_id, y, sum(bit * (1 << x)) AS byte
+  FROM bits GROUP BY img_id, y
+),
+hb AS (
+  SELECT img_id,
+         string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY y) AS dhash,
+         CAST(sum(CASE WHEN y // 2 = 0
+                  THEN byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END
+                  ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN y // 2 = 1
+                  THEN byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END
+                  ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN y // 2 = 2
+                  THEN byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END
+                  ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN y // 2 = 3
+                  THEN byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END
+                  ELSE 0 END) AS BIGINT) AS b3
+  FROM rowbytes GROUP BY img_id
+),
+dh AS (
+  SELECT dhash,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(min(img_id) AS BIGINT) AS rep_id,
+         min(b0) AS b0, min(b1) AS b1, min(b2) AS b2, min(b3) AS b3
+  FROM hb GROUP BY dhash
+),
+bands AS (
+  SELECT dhash, n_images, rep_id, b0, b1, b2, b3, u.i AS band_idx,
+         CASE u.i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+           AS band_val
+  FROM dh, LATERAL (SELECT unnest(range({_X5M2_BANDS})) AS i) u
+),
+cand AS (
+  SELECT DISTINCT
+         a.dhash AS a_hash, b.dhash AS b_hash,
+         a.n_images AS a_images, b.n_images AS b_images,
+         a.rep_id AS a_rep, b.rep_id AS b_rep,
+         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hd
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.dhash < b.dhash
+)
+SELECT a_hash, b_hash,
+       CAST(hd AS BIGINT) AS hamming_dist,
+       a_images, b_images, a_rep, b_rep
+FROM cand
+WHERE hd <= {_X5M2_MAX_DIST}
+ORDER BY a_hash, b_hash
+"""
+
+
+@register("x5m2_hamming_near_dedup", oracle=_X5M2_ORACLE, tags=("X5", "X2"))
+def x5m2_hamming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-duplicate image pairs over real decoded PPM
+    payloads + planted one-pixel-perturbed variants: collapse exact
+    dhash duplicates, band the 64-bit hash into 4 x 16-bit pieces,
+    equi-join on (band_idx, band_val) — pigeonhole-complete for
+    distance <= 3 — and keep the verified pairs within distance
+    _X5M2_MAX_DIST (= 2, the planted-variant displacement bound)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    bases = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
+    eligible = docs.filter(
+        ((F.col("doc_id") % 7) >= 4) & ((F.col("doc_id") % 13) >= 5)
+    )
+    variants = eligible.mapInPandas(
+        _x5m2_variant_batch, "doc_id long, payload binary"
+    )
+    hashed = (
+        bases.unionByName(variants)
+        .mapInPandas(dhash_ppm_batch, DHASH_SCHEMA)
+        .filter(F.col("hash_status") == "ok")
+    )
+    # exact-duplicate collapse FIRST: near-matching runs over distinct
+    # hashes only (the x5m clusters ride along as n_images)
+    dh = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("rep_id"),
+        *[
+            F.conv(F.substring("dhash", 1 + 4 * i, 4), 16, 10)
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(_X5M2_BANDS)
+        ],
+    )
+    bands = dh.select(
+        "dhash",
+        "n_images",
+        "rep_id",
+        *[f"b{i}" for i in range(_X5M2_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(_X5M2_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "dhash",
+        "n_images",
+        "rep_id",
+        *[f"b{i}" for i in range(_X5M2_BANDS)],
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hd = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        ).cast("long")
+        for i in range(_X5M2_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.dhash") < F.col("b.dhash"),
+            ],
+        )
+        .select(
+            F.col("a.dhash").alias("a_hash"),
+            F.col("b.dhash").alias("b_hash"),
+            F.col("a.n_images").alias("a_images"),
+            F.col("b.n_images").alias("b_images"),
+            F.col("a.rep_id").alias("a_rep"),
+            F.col("b.rep_id").alias("b_rep"),
+            hd.alias("hamming_dist"),
+        )
+        .distinct()  # a pair within the ball matches on >= 2 bands
+        .filter(F.col("hamming_dist") <= _X5M2_MAX_DIST)
+        .select(
+            "a_hash", "b_hash", "hamming_dist",
+            "a_images", "b_images", "a_rep", "b_rep",
+        )
+        .orderBy("a_hash", "b_hash")
+    )
+
+
 # X5n — gain-invariant audio fingerprint dedup --------------------------------
 #
 # x5m's audio twin: re-encoded or re-mastered copies of a clip differ

@@ -740,3 +740,119 @@ def test_audio_decimate_floor_law_on_negative_pairs(spark, tmp_path):
     # doc 7: n = 167 is odd -> one sample dropped
     assert got[7]["n_samples_in"] == 167
     assert got[7]["n_samples_out"] == 83
+
+
+def test_x5m2_planted_variant_displacement_theorem():
+    """The x5m2 plant law is a THEOREM, not a tendency: for every
+    eligible doc (h >= 8 and w >= 9, so the 9x8 resample samples
+    distinct source rows/columns), perturbing one sampled source pixel
+    moves the dHash by AT MOST 2 bits (the two adjacent comparisons
+    that read the changed grid cell) — which is what makes d = 2
+    sufficient to catch every planted near-duplicate. Also pins
+    eligibility itself: the chosen (doc % 8, doc % 9) source pixel is
+    sampled by exactly one grid cell."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _DHASH_H,
+        _DHASH_W,
+        _ppm_bytes,
+        _x5m2_variant_bytes,
+        dhash_ppm_batch,
+    )
+
+    eligible = [
+        d for d in range(500) if d % 7 >= 4 and d % 13 >= 5
+    ]
+    assert len(eligible) > 100  # the plant is not a corner case
+    pdf = pd.DataFrame(
+        {
+            "doc_id": eligible + [d + 1_000_000_000 for d in eligible],
+            "payload": [_ppm_bytes(d) for d in eligible]
+            + [_x5m2_variant_bytes(d) for d in eligible],
+        }
+    )
+    out = pd.concat(list(dhash_ppm_batch(iter([pdf])))).set_index("doc_id")
+    assert (out["hash_status"] == "ok").all()
+    moved = 0
+    for d in eligible:
+        w, h = 4 + d % 13, 4 + d % 7
+        # eligibility = collision-free resample (the theorem's premise)
+        assert h >= _DHASH_H and w >= _DHASH_W
+        sy = {(y * h) // _DHASH_H for y in range(_DHASH_H)}
+        sx = {(x * w) // _DHASH_W for x in range(_DHASH_W)}
+        assert len(sy) == _DHASH_H and len(sx) == _DHASH_W
+        a = int(out.loc[d, "dhash"], 16)
+        b = int(out.loc[d + 1_000_000_000, "dhash"], 16)
+        dist = bin(a ^ b).count("1")
+        assert dist <= 2, (d, dist)
+        moved += dist > 0
+    # the perturbation is a real near-duplicate generator, not a no-op
+    assert moved > len(eligible) // 2
+
+
+def test_x5m2_exact_clusters_subset_of_hamming_universe(spark):
+    """x5m (exact dHash clusters) is the distance-0 face of x5m2: every
+    exact cluster's hash appears in x5m2's collapsed distinct-hash
+    corpus with at least the same member count (x5m2's corpus adds the
+    planted variants, never removes a base), and every planted variant
+    is either absorbed into its base's exact cluster or surfaces as an
+    output pair within distance 2."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        DHASH_SCHEMA,
+        _x5m2_variant_batch,
+        dhash_ppm_batch,
+        encode_ppm_batch,
+        x5m2_hamming_near_dedup,
+        x5m_image_phash_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["dhash"]: r["n_images"]
+        for r in x5m_image_phash_dedup(spark, sf).collect()
+    }
+    pairs = x5m2_hamming_near_dedup(spark, sf).collect()
+    paired = {(r["a_hash"], r["b_hash"]) for r in pairs}
+    universe = {}
+    for r in pairs:
+        universe[r["a_hash"]] = r["a_images"]
+        universe[r["b_hash"]] = r["b_images"]
+    for h, n in exact.items():
+        if h in universe:  # hashes without a near neighbor emit no pair
+            assert universe[h] >= n
+    assert all(1 <= r["hamming_dist"] <= 2 for r in pairs)
+
+    # planted-pair law, recomputed from the kernels
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    eligible = docs.filter(
+        ((docs.doc_id % 7) >= 4) & ((docs.doc_id % 13) >= 5)
+    )
+    base_h = {
+        r["doc_id"]: r["dhash"]
+        for r in docs.mapInPandas(
+            encode_ppm_batch, "doc_id long, payload binary"
+        )
+        .mapInPandas(dhash_ppm_batch, DHASH_SCHEMA)
+        .collect()
+    }
+    var_h = {
+        r["doc_id"] - 1_000_000_000: r["dhash"]
+        for r in eligible.mapInPandas(
+            _x5m2_variant_batch, "doc_id long, payload binary"
+        )
+        .mapInPandas(dhash_ppm_batch, DHASH_SCHEMA)
+        .collect()
+    }
+    absorbed = found = 0
+    for d, vh in var_h.items():
+        bh = base_h[d]
+        if vh == bh:
+            absorbed += 1
+            continue
+        key = (bh, vh) if bh < vh else (vh, bh)
+        assert key in paired, d
+        found += 1
+    assert found > 0  # at least some plants surface as pairs

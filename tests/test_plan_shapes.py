@@ -675,3 +675,15 @@ def test_x3w_repair_never_plans_all_pairs(spark):
     plan = _plan(spark, "x3w_knn_graph_multiprobe_repair")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_x5m2_band_join_never_plans_all_pairs(spark):
+    """x5m2: candidate pairing must ride the (band_idx, band_val)
+    equi-join — a CartesianProduct or a broadcast nested loop over the
+    distinct-hash table would mean the `<` tiebreak leaked into the
+    join strategy and the multi-index pruning is gone (the whole point
+    at corpus scale). The dhash inequality must stay a post-join
+    condition on the hash/sort-merge join."""
+    plan = _plan(spark, "x5m2_hamming_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
