@@ -1549,3 +1549,157 @@ def x4w_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X4u — BM25 ranked retrieval (top-k documents per query) ----------------------
+#
+# The retrieval face the TF-IDF table (x4k) stops short of: "which
+# documents answer this query" — the primitive an LLM-data pipeline
+# uses for contamination forensics (find the training docs that match
+# an eval question) and RAG curation audits. Okapi BM25 with the
+# Lucene non-negative idf:
+#
+#   score(q, d) = sum_{t in q} ln(1 + (N - df + 0.5)/(df + 0.5))
+#                 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#
+# Cross-engine exactness: every PER-TERM contribution is floored to
+# integer micro-units (x 1e6) BEFORE the per-(query, doc) sum, so the
+# aggregate is an order-independent BIGINT sum — no float summation
+# drift — and the top-k tie law (equal scores break by doc_id) is
+# exact, not approximately so. The scoring formula is ONE f-string
+# (_X4U_W) evaluated by Spark via F.expr and interpolated verbatim
+# into the DuckDB oracle, so the two engines cannot disagree on the
+# algebra.
+#
+# Scale shape: one explode scan -> map-combined (doc, term) tf table;
+# df aggregates over the already-collapsed tf rows; the query table
+# (a handful of declared terms) BROADCASTS into the inverted-index
+# equi-join on the term key, so the corpus shuffles once on term and
+# only rows matching query terms survive into scoring; per-query top-k
+# is a rank window over the scored slice (|q| x N_matching rows, never
+# the corpus).
+
+_X4U_K1 = "1.2"  # term-frequency saturation
+_X4U_B = "0.75"  # length normalization strength
+_X4U_TOPK = 10
+_X4U_SCALE = 1_000_000  # micro-unit flooring of each term contribution
+
+# declared query set over the fixture's 31-token vocabulary: rare+common
+# ("dup" is the one low-df token), all-common, and mixed shapes
+_X4U_QUERIES = (
+    (0, "dup"), (0, "join"),
+    (1, "hash"), (1, "merge"), (1, "sort"),
+    (2, "vector"), (2, "stream"),
+    (3, "dup"), (3, "window"), (3, "fast"),
+)
+
+# the single-site scoring expression, shared verbatim by both engines
+_X4U_W = (
+    f"CAST(floor(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))"
+    f" * (tf_t * ({_X4U_K1} + 1))"
+    f" / (tf_t + {_X4U_K1} * (1 - {_X4U_B} + {_X4U_B} * dl_t / avgdl))"
+    f" * {_X4U_SCALE}) AS BIGINT)"
+)
+
+_X4U_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _X4U_QUERIES)
+
+_X4U_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {_X4U_VALUES}) v(query_id, term)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_t
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl_t FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+hits AS (
+  SELECT q.query_id, tf.doc_id, {_X4U_W} AS w_micro
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_hit_terms
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro, n_hit_terms,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM scores
+)
+SELECT query_id, rnk, doc_id, score_micro, n_hit_terms
+FROM ranked
+WHERE rnk <= {_X4U_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("x4u_bm25_retrieval", oracle=_X4U_ORACLE, tags=("X4",))
+def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per declared query under Okapi BM25
+    (k1=1.2, b=0.75, Lucene idf), scored in integer micro-units so the
+    per-(query, doc) sum is order-independent and the doc_id tie break
+    is exact. The query table broadcasts into the term-keyed
+    inverted-index join (plan-gated)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_t"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl_t")
+    )
+    stats = (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("t"),
+        )
+        .select(
+            "n_docs",
+            (F.col("t").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        list(_X4U_QUERIES), "query_id long, term string"
+    )
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_X4U_W).alias("w_micro"))
+    )
+    scores = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("w_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _X4U_TOPK)
+        .select("query_id", "rnk", "doc_id", "score_micro", "n_hit_terms")
+        .orderBy("query_id", "rnk")
+    )

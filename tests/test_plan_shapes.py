@@ -687,3 +687,14 @@ def test_x5m2_band_join_never_plans_all_pairs(spark):
     plan = _plan(spark, "x5m2_hamming_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x4u_query_side_broadcasts(spark):
+    """x4u: the declared query table (and the 31-row df table) must
+    BROADCAST into the term-keyed inverted-index join — a shuffled join
+    against a handful of query terms would shuffle the corpus tf table
+    for nothing. The only nested-loop shape allowed is the 1-row
+    avgdl/N broadcast; no CartesianProduct anywhere."""
+    plan = _plan(spark, "x4u_bm25_retrieval")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

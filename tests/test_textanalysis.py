@@ -222,3 +222,43 @@ def test_bigram_logprob_closed_form_and_normalization(spark, tmp_path):
     # normalization identity for context 'a' (2 occurrences as context)
     total = sum((c2[("a", w)] + 1.0) / (c1["a"] + v) for w in vocab)
     assert abs(total - 1.0) < 1e-12
+
+
+def test_x4u_bm25_tie_break_and_rank_laws(spark, tmp_path):
+    """x4u tie law, closed-form: two byte-identical documents score
+    identically for every query (the integer micro-unit flooring makes
+    equality EXACT, not epsilon-close) and the lower doc_id takes the
+    lower rank; ranks are a gapless 1..n per query, ordered by
+    (score desc, doc_id asc); docs matching no query term never
+    appear."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4u_bm25_retrieval,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["dup join", "join join join", "table scan", "dup join"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = x4u_bm25_retrieval(spark, str(tmp_path)).collect()
+
+    q0 = [r for r in out if r["query_id"] == 0]  # terms: dup, join
+    score = {r["doc_id"]: r["score_micro"] for r in q0}
+    rnk = {r["doc_id"]: r["rnk"] for r in q0}
+    assert score[0] == score[3]  # identical docs -> exactly equal
+    assert rnk[0] < rnk[3]       # doc_id breaks the tie
+    assert 2 not in rnk          # no query-0 term -> never ranked
+
+    for q in {r["query_id"] for r in out}:
+        rows = sorted(
+            (r for r in out if r["query_id"] == q), key=lambda r: r["rnk"]
+        )
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["score_micro"] > b["score_micro"] or (
+                a["score_micro"] == b["score_micro"]
+                and a["doc_id"] < b["doc_id"]
+            )
