@@ -1593,10 +1593,16 @@ _X4U_QUERIES = (
     (3, "dup"), (3, "window"), (3, "fast"),
 )
 
-# the single-site scoring expression, shared verbatim by both engines
+# the single-site scoring expression, shared verbatim by both engines.
+# NB the idf ratio's numerator is forced to DOUBLE: with bare decimal
+# literals Spark would run (N - df + 0.5) / (df + 0.5) in
+# precision-limited DECIMAL division while DuckDB promotes to double
+# (the s25 lesson); the cast makes both engines do IEEE-double division
+# so the floored micro-unit score is bit-identical.
 _X4U_W = (
-    f"CAST(floor(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))"
-    f" * (tf_t * ({_X4U_K1} + 1))"
+    f"CAST(floor(ln(1 + (CAST(n_docs AS DOUBLE) - df_t + 0.5)"
+    f" / (df_t + CAST(0.5 AS DOUBLE)))"
+    f" * (tf_t * CAST({_X4U_K1} + 1 AS DOUBLE))"
     f" / (tf_t + {_X4U_K1} * (1 - {_X4U_B} + {_X4U_B} * dl_t / avgdl))"
     f" * {_X4U_SCALE}) AS BIGINT)"
 )

@@ -1860,3 +1860,213 @@ def s7e_mongomock_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# S25 — cross-generation drift audit (PSI per column) --------------------------
+#
+# The data-quality face of repeated ingestion ([REF-implied]
+# README.md:28 re-runs): when a connector reloads a source, row-level
+# CDC (s14) answers WHICH rows changed, but the operational question is
+# whether the new generation's DISTRIBUTIONS still look like the old
+# one's — a silent upstream re-keying, a unit change, or a dropped
+# segment shifts shares long before anyone inspects rows. The standard
+# metric is the Population Stability Index:
+#
+#   PSI(col) = sum_bins (p_i - q_i) * ln(p_i / q_i)
+#
+# with p/q the per-bin shares of the reference and new generations and
+# Laplace (+1) smoothing so empty bins stay finite. Numeric columns bin
+# by the REFERENCE generation's quantile cutpoints (the w4b broadcast
+# two-pass shape — no Window, no table-sized shuffle); categorical
+# columns bin by a declared map-side expression.
+#
+# Cross-engine exactness: bin counts are integers; each bin's PSI term
+# is floored to 1e-8 units BEFORE the per-column sum, so the column PSI
+# is an order-independent BIGINT sum and the drift flag is an integer
+# comparison — no float-summation drift anywhere.
+#
+# Scale shape: per audited column, one aggregate for cutpoints (1-row
+# broadcast back), one map-side bucket assignment, one hash-agg on
+# (col, bin) — a few dozen rows thereafter regardless of table size.
+# The generation subtrees are planned once per audited column (the
+# documented w4b recomputation trade; a production audit persists the
+# generation projections first).
+
+_S25_PROBS = (0.25, 0.5, 0.75)
+_S25_SCALE = 100_000_000  # PSI terms floored to 1e-8 units
+# drift flag at PSI >= 0.01 (integer-scaled): tuned to the audit's
+# 4-bin sensitivity — the industry 0.1/0.25 score-stability rule
+# assumes 10+ bins; key-space drift (a re-keyed upstream) lands ~0.02
+# here while benign re-runs stay under 1e-3
+_S25_THRESHOLD_SCALED = _S25_SCALE // 100
+
+# the single-site per-bin term, shared verbatim by both engines.
+# NB the smoothing +1 is CAST(1 AS DOUBLE), not the literal 1.0: Spark
+# parses a decimal literal as DECIMAL and runs the division in
+# precision-limited decimal arithmetic (~1e-11 relative error) while
+# DuckDB promotes to double — the explicit cast forces IEEE-double
+# division in both engines so the floored term is bit-identical.
+_S25_TERM = (
+    f"CAST(floor(((n0 + CAST(1 AS DOUBLE)) / (t_n0 + n_bins)"
+    f" - (n1 + CAST(1 AS DOUBLE)) / (t_n1 + n_bins))"
+    f" * ln(((n0 + CAST(1 AS DOUBLE)) / (t_n0 + n_bins))"
+    f" / ((n1 + CAST(1 AS DOUBLE)) / (t_n1 + n_bins)))"
+    f" * {_S25_SCALE}) AS BIGINT)"
+)
+
+
+def psi_drift_audit(
+    gen0: DataFrame,
+    gen1: DataFrame,
+    numeric_cols: dict[str, str],
+    categorical_bins: dict[str, "F.Column"],
+    probs: tuple = _S25_PROBS,
+    threshold_scaled: int = _S25_THRESHOLD_SCALED,
+) -> DataFrame:
+    """Per-column PSI between two generations: numeric columns bin by
+    gen0's quantile cutpoints (label -> column name), categoricals by a
+    declared int expression (label -> Column). Returns one row per
+    (col_name, bin_id) with both generations' counts, the floored
+    per-bin term, the column PSI, and the drift flag."""
+    from ..functions.bucketing import bucket_col, quantile_cuts
+
+    def binned(gen: DataFrame) -> DataFrame:
+        parts = []
+        for label, col in numeric_cols.items():
+            cuts = quantile_cuts(gen0, col, probs).select(
+                F.col("cuts").alias(f"__cuts_{label}")
+            )
+            parts.append(
+                gen.crossJoin(F.broadcast(cuts)).select(
+                    F.lit(label).alias("col_name"),
+                    bucket_col(col, f"__cuts_{label}").alias("bin_id"),
+                )
+            )
+        for label, expr in categorical_bins.items():
+            parts.append(
+                gen.select(
+                    F.lit(label).alias("col_name"), expr.alias("bin_id")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("col_name", "bin_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    c0 = binned(gen0).withColumnRenamed("n", "n0")
+    c1 = binned(gen1).withColumnRenamed("n", "n1")
+    m = (
+        c0.join(c1, ["col_name", "bin_id"], "full_outer")
+        .select(
+            "col_name",
+            "bin_id",
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+        )
+    )
+    totals = m.groupBy("col_name").agg(
+        F.sum("n0").alias("t_n0"),
+        F.sum("n1").alias("t_n1"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    terms = m.join(F.broadcast(totals), "col_name").select(
+        "col_name",
+        "bin_id",
+        "n0",
+        "n1",
+        F.expr(_S25_TERM).alias("term_scaled"),
+    )
+    psi = terms.groupBy("col_name").agg(
+        F.sum("term_scaled").alias("psi_scaled")
+    )
+    return (
+        terms.join(F.broadcast(psi), "col_name")
+        .select(
+            "col_name",
+            "bin_id",
+            F.col("n0").cast("long").alias("n_gen0"),
+            F.col("n1").cast("long").alias("n_gen1"),
+            "term_scaled",
+            "psi_scaled",
+            (F.col("psi_scaled") >= F.lit(threshold_scaled)).alias("drifted"),
+        )
+        .orderBy("col_name", "bin_id")
+    )
+
+
+def _s25_bins_sql(gen: str) -> str:
+    """DuckDB half of the s25 bin assignment over one generation CTE."""
+    from ..functions.bucketing import bucket_sql
+
+    return f"""
+  SELECT 'totalprice' AS col_name, {bucket_sql('totalprice')} AS bin_id
+  FROM {gen} CROSS JOIN cuts_tp
+  UNION ALL
+  SELECT 'orderkey', {bucket_sql('o_orderkey')}
+  FROM {gen} CROSS JOIN cuts_ok
+  UNION ALL
+  SELECT 'priority', CAST(substr(priority, 1, 1) AS INT) FROM {gen}
+"""
+
+
+def _s25_oracle() -> str:
+    from ..functions.bucketing import cuts_sql
+
+    return f"""
+WITH gen0 AS ({_S14_GEN0_SQL}),
+gen1 AS ({_S14_GEN1_SQL}),
+cuts_tp AS (SELECT {cuts_sql('totalprice', _S25_PROBS)} AS cuts FROM gen0),
+cuts_ok AS (SELECT {cuts_sql('o_orderkey', _S25_PROBS)} AS cuts FROM gen0),
+b0 AS ({_s25_bins_sql('gen0')}),
+b1 AS ({_s25_bins_sql('gen1')}),
+c0 AS (SELECT col_name, bin_id, count(*) AS n0 FROM b0 GROUP BY 1, 2),
+c1 AS (SELECT col_name, bin_id, count(*) AS n1 FROM b1 GROUP BY 1, 2),
+m AS (
+  SELECT coalesce(c0.col_name, c1.col_name) AS col_name,
+         coalesce(c0.bin_id, c1.bin_id) AS bin_id,
+         coalesce(c0.n0, 0) AS n0, coalesce(c1.n1, 0) AS n1
+  FROM c0 FULL OUTER JOIN c1
+    ON c0.col_name = c1.col_name AND c0.bin_id = c1.bin_id
+),
+t AS (
+  SELECT col_name, sum(n0) AS t_n0, sum(n1) AS t_n1, count(*) AS n_bins
+  FROM m GROUP BY 1
+),
+terms AS (
+  SELECT m.col_name, m.bin_id, m.n0, m.n1, {_S25_TERM} AS term_scaled
+  FROM m JOIN t USING (col_name)
+),
+psi AS (
+  SELECT col_name, CAST(sum(term_scaled) AS BIGINT) AS psi_scaled
+  FROM terms GROUP BY 1
+)
+SELECT terms.col_name, bin_id,
+       CAST(n0 AS BIGINT) AS n_gen0, CAST(n1 AS BIGINT) AS n_gen1,
+       term_scaled, psi.psi_scaled,
+       psi.psi_scaled >= {_S25_THRESHOLD_SCALED} AS drifted
+FROM terms JOIN psi USING (col_name)
+ORDER BY col_name, bin_id
+"""
+
+
+@register("s25_generation_drift_audit", oracle=_s25_oracle(), tags=("S14", "S25"))
+def s25_generation_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift audit between the s14 load generations, per column:
+    totalprice and o_orderkey bin by gen0's quartile cutpoints,
+    priority by its leading digit. The generation-1 key-space shift
+    (every 13th order re-keyed +1e8) drifts 'orderkey' past the
+    declared threshold while the benign repricing leaves totalprice and
+    priority stable — exactly the asymmetry an ingestion re-run audit
+    exists to surface."""
+    orders = Catalog(spark, sf_dir).orders
+    gen0, gen1 = _s14_generations(orders)
+    return psi_drift_audit(
+        gen0,
+        gen1,
+        numeric_cols={"totalprice": "totalprice", "orderkey": "o_orderkey"},
+        categorical_bins={
+            "priority": F.substring("priority", 1, 1).cast("int")
+        },
+    )

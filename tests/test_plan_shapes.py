@@ -698,3 +698,16 @@ def test_x4u_query_side_broadcasts(spark):
     plan = _plan(spark, "x4u_bm25_retrieval")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s25_psi_audit_no_window_and_broadcast_folds(spark):
+    """s25's scale claim: the whole audit is aggregates + broadcast-back
+    folds — cutpoints, per-column totals, and the PSI sum all ride
+    1-row/tiny broadcasts, NEVER a Window (a global-order window here
+    would funnel both generations through one reducer), and nothing
+    plans all-pairs."""
+    plan = _plan(spark, "s25_generation_drift_audit")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -793,3 +793,51 @@ def test_mongomock_reader_splits_and_round_trips(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {i: (2 * i, (i + 1, i + 2)) for i in range(100)}
+
+
+def test_s25_psi_drift_audit_planted_shift(spark):
+    """s25 laws on handmade generations: (a) an IDENTICAL second
+    generation scores PSI exactly 0 on every column and flags nothing
+    (the integer-unit flooring makes this exact, not epsilon-small);
+    (b) a hard planted shift — all of gen1's mass pushed above gen0's
+    top quartile cutpoint — drives that column past the declared
+    threshold and flags it, while an untouched categorical stays
+    stable."""
+    import pyspark.sql.functions as F
+
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        _S25_THRESHOLD_SCALED,
+        psi_drift_audit,
+    )
+
+    gen0 = spark.range(1000).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 3).cast("int").alias("cat"),
+    )
+
+    # (a) identical generations: PSI == 0 exactly
+    same = psi_drift_audit(
+        gen0, gen0, {"v": "v"}, {"cat": F.col("cat").cast("int")}
+    ).collect()
+    assert all(r["term_scaled"] == 0 for r in same)
+    assert all(r["psi_scaled"] == 0 for r in same)
+    assert not any(r["drifted"] for r in same)
+
+    # (b) planted shift: every gen1 value lands in gen0's top bucket
+    gen1 = spark.range(1000).select(
+        (F.col("id").cast("double") + 10_000).alias("v"),
+        (F.col("id") % 3).cast("int").alias("cat"),
+    )
+    shifted = psi_drift_audit(
+        gen0, gen1, {"v": "v"}, {"cat": F.col("cat").cast("int")}
+    ).collect()
+    by_col = {}
+    for r in shifted:
+        by_col.setdefault(r["col_name"], []).append(r)
+    assert all(r["drifted"] for r in by_col["v"])
+    assert by_col["v"][0]["psi_scaled"] >= _S25_THRESHOLD_SCALED
+    # gen1's mass is entirely in bin 4 (above every gen0 cutpoint)
+    top = {r["bin_id"]: r["n_gen1"] for r in by_col["v"]}
+    assert top[4] == 1000 and top[1] == top[2] == top[3] == 0
+    assert not any(r["drifted"] for r in by_col["cat"])
+    assert all(r["psi_scaled"] == 0 for r in by_col["cat"])
