@@ -1910,3 +1910,138 @@ def x6u_epoch_reshuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard_id")
     )
+
+
+# X6v — chunk-with-overlap manifest (RAG ingest) --------------------------------
+#
+# The packer family (x6b/x6b2) fills fixed token budgets with WHOLE
+# documents; RAG ingestion needs the opposite primitive: split each
+# document into fixed token-window chunks with a declared overlap so
+# retrieval context never cuts mid-thought at a hard boundary. Law:
+# window W tokens, overlap V, stride S = W - V; chunk k covers tokens
+# [k*S, min(k*S + W, n)); chunk count m = max(1, ceil((n - V) / S)),
+# which guarantees every chunk contributes at least one new token and
+# the non-overlap spans tile the document exactly (k*S + W = (k+1)*S + V,
+# so reconstruction-by-concatenation is a theorem, pytest-pinned).
+#
+# Each chunk's manifest row pins the reconstructed text byte-for-byte
+# via md5 (the x2s trimmed-text idiom): chunk_md5 = md5 of the
+# space-joined token slice, identical in Spark and DuckDB because both
+# hash the same UTF-8 bytes. Per-source chunk/token totals ride back on
+# a broadcast join of the tiny source aggregate.
+#
+# Scale shape: chunking is MAP-ONLY — split, sequence-explode, slice,
+# hash, all inside one stage with no shuffle of document text; the only
+# exchanges are the few-row per-source aggregate and its broadcast
+# return. At 100 TB this is one pass over the corpus writing ~n/S
+# manifest rows per doc, embarrassingly parallel.
+
+_X6V_WINDOW = 16   # tokens per chunk
+_X6V_OVERLAP = 4   # tokens shared with the previous chunk
+_X6V_STRIDE = _X6V_WINDOW - _X6V_OVERLAP
+
+_X6V_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, toks, n_tokens,
+         greatest(1, (n_tokens - {_X6V_OVERLAP} + {_X6V_STRIDE} - 1)
+                     // {_X6V_STRIDE}) AS n_chunks
+  FROM d
+),
+chunks AS (
+  SELECT doc_id, source, k.i AS chunk_id,
+         CAST(k.i * {_X6V_STRIDE} AS BIGINT) AS start_tok,
+         toks[k.i * {_X6V_STRIDE} + 1 :
+              k.i * {_X6V_STRIDE} + {_X6V_WINDOW}] AS ctoks
+  FROM m, LATERAL (SELECT unnest(range(n_chunks)) AS i) k
+),
+rows_ AS (
+  SELECT doc_id, source, chunk_id, start_tok,
+         CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+         md5(array_to_string(ctoks, ' ')) AS chunk_md5
+  FROM chunks
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS src_chunks,
+         CAST(sum(n_chunk_tokens) AS BIGINT) AS src_chunk_tokens
+  FROM rows_ GROUP BY source
+)
+SELECT r.doc_id, r.chunk_id, r.start_tok, r.n_chunk_tokens, r.chunk_md5,
+       r.source, p.src_chunks, p.src_chunk_tokens
+FROM rows_ r JOIN per_source p USING (source)
+ORDER BY r.doc_id, r.chunk_id
+"""
+
+
+@register("x6v_chunk_overlap_manifest", oracle=_X6V_ORACLE, tags=("X6",))
+def x6v_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunk manifest with declared overlap (W=16, V=4):
+    one row per (doc, chunk) carrying the token span and the md5 of the
+    reconstructed chunk text, plus per-source chunk/token totals on a
+    broadcast fold. Chunking itself is map-only — no shuffle touches
+    document text."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    m = docs.withColumn(
+        "n_chunks",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"(n_tokens - {_X6V_OVERLAP} + {_X6V_STRIDE} - 1)"
+                f" div {_X6V_STRIDE}"
+            ),
+        ),
+    )
+    chunks = m.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        (F.col("chunk_id") * _X6V_STRIDE).cast("long").alias("start_tok"),
+        F.slice(
+            "toks",
+            F.col("chunk_id") * _X6V_STRIDE + 1,
+            F.lit(_X6V_WINDOW),
+        ).alias("ctoks"),
+    )
+    rows = chunks.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        "start_tok",
+        F.size("ctoks").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+    )
+    per_source = rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_chunks"),
+        F.sum("n_chunk_tokens").alias("src_chunk_tokens"),
+    )
+    return (
+        rows.join(F.broadcast(per_source), "source")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            "n_chunk_tokens",
+            "chunk_md5",
+            "source",
+            "src_chunks",
+            "src_chunk_tokens",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -799,3 +799,48 @@ def test_x6u_epochs_are_distinct_permutations_of_same_ids(spark, sf_dir):
         if r["doc_id"] % 2 == 0
     }
     assert sub == full
+
+
+def test_x6v_reconstruction_theorem_and_md5_pin(spark):
+    """x6v laws: (a) RECONSTRUCTION — concatenating each chunk's
+    non-overlap span (whole chunk 0, then tokens[V:] of every later
+    chunk) reproduces the original document token-for-token, for every
+    document at sf0.001; (b) the manifest's chunk_md5 equals the md5 of
+    the independently recomputed chunk text (byte-for-byte pin);
+    (c) every chunk contributes at least one new token (the ceil law's
+    guarantee) and spans/starts follow the stride arithmetic."""
+    import hashlib
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6V_OVERLAP,
+        _X6V_STRIDE,
+        _X6V_WINDOW,
+        x6v_chunk_overlap_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    manifest = {}
+    for r in x6v_chunk_overlap_manifest(spark, sf).collect():
+        manifest.setdefault(r["doc_id"], []).append(r)
+
+    assert set(manifest) == set(texts)
+    for doc_id, rows in manifest.items():
+        toks = texts[doc_id].split(" ")
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        rebuilt = []
+        for r in rows:
+            start = r["chunk_id"] * _X6V_STRIDE
+            assert r["start_tok"] == start
+            ctoks = toks[start : start + _X6V_WINDOW]
+            assert r["n_chunk_tokens"] == len(ctoks)
+            md5 = hashlib.md5(" ".join(ctoks).encode("utf-8")).hexdigest()
+            assert r["chunk_md5"] == md5
+            new = ctoks if r["chunk_id"] == 0 else ctoks[_X6V_OVERLAP:]
+            assert len(new) >= 1  # every chunk adds content
+            rebuilt.extend(new)
+        assert rebuilt == toks  # the reconstruction theorem

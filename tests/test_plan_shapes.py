@@ -711,3 +711,16 @@ def test_s25_psi_audit_no_window_and_broadcast_folds(spark):
     assert "Window" not in tree
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x6v_chunking_is_map_only_with_broadcast_totals(spark):
+    """x6v: chunk derivation (split/sequence/slice/md5) must stay in
+    map stages — the only join is the broadcast per-source totals fold
+    and nothing plans all-pairs; no Window anywhere (a per-doc window
+    would shuffle document text for arithmetic the stride law computes
+    per row)."""
+    plan = _plan(spark, "x6v_chunk_overlap_manifest")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in plan
+    assert "Window" not in tree
+    assert "CartesianProduct" not in plan
