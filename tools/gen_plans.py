@@ -172,6 +172,11 @@ QUERIES = [
     "s24_incremental_file_ledger",
     "s7e_mongomock_readback",
     "w14_time_weighted_avg",
+    # round-13 additions
+    "x5m2_hamming_near_dedup",
+    "x4u_bm25_retrieval",
+    "s25_generation_drift_audit",
+    "x6v_chunk_overlap_manifest",
 ]
 
 
