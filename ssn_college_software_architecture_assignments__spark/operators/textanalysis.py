@@ -1689,9 +1689,14 @@ def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         list(_X4U_QUERIES), "query_id long, term string"
     )
+    # prune df to the query terms BEFORE broadcasting: the full df table
+    # is vocabulary-sized (web-scale corpora: 1e8+ terms) and must never
+    # ship to the driver; the pruned table is |query terms| rows and the
+    # output is identical because hits already intersects on term
+    df_q = df.join(F.broadcast(qdf.select("term").distinct()), "term")
     hits = (
         tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df), "term")
+        .join(F.broadcast(df_q), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", F.expr(_X4U_W).alias("w_micro"))

@@ -1930,12 +1930,20 @@ def psi_drift_audit(
     per-bin term, the column PSI, and the drift flag."""
     from ..functions.bucketing import bucket_col, quantile_cuts
 
+    # reference cutpoints computed ONCE per column and reused for both
+    # generations' bucket assignment (binned() runs twice; rebuilding
+    # the aggregate inside it would execute each cutpoint scan twice)
+    all_cuts = {
+        label: quantile_cuts(gen0, col, probs).select(
+            F.col("cuts").alias(f"__cuts_{label}")
+        )
+        for label, col in numeric_cols.items()
+    }
+
     def binned(gen: DataFrame) -> DataFrame:
         parts = []
         for label, col in numeric_cols.items():
-            cuts = quantile_cuts(gen0, col, probs).select(
-                F.col("cuts").alias(f"__cuts_{label}")
-            )
+            cuts = all_cuts[label]
             parts.append(
                 gen.crossJoin(F.broadcast(cuts)).select(
                     F.lit(label).alias("col_name"),

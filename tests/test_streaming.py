@@ -267,7 +267,7 @@ def test_ttl_expiry_v1_v2_law_sync():
     # batch 3 feeds AFTER the watermark reached wm2_ms: u9's only event
     # is so old that last_ms + ttl < wm2_ms — the clamp case
     b3 = {(9, "d0"): [1_000_000_000]}
-    assert 1_000 + ttl < wm2_ms
+    assert 1_000_000_000 // 1000 + ttl < wm2_ms  # last_ms + ttl < wm2
     wm3_ms = wm2_ms + 10  # one more advance: fires u9's clamped timer
 
     # ---- v1: fake GroupState per key
