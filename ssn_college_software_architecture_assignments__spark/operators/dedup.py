@@ -3814,3 +3814,173 @@ def x1e_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X3x — incremental IVF index maintenance (batch admission + drift audit) ------
+#
+# The ANN family's incremental face, completing the story x1b/x2n tell
+# for dedup and s24 tells for ingestion: a standing IVF index (the x3d
+# cells) receives a NEW BATCH of vectors. Retraining per batch is off
+# the table at 100 TB, so production admission is map-side: assign the
+# arrivals to the EXISTING cells (broadcast centroid argmax — the
+# shared assign_cells law) and emit the maintenance report the index
+# owner acts on, per cell:
+#
+#   - occupancy before / added / after (exact integers);
+#   - post-admission MEAN DRIFT: cosine between the cell's member-mean
+#     vector before and after the batch — the signal that a cell's
+#     centroid no longer represents its population and retraining
+#     (x3r2) is due;
+#   - needs_split: occupancy after exceeds twice the average cell load
+#     (n_after * K > 2 * total_after, pure integer arithmetic) — the
+#     re-split trigger that keeps x3u/x3w cell confinement effective.
+#
+# Cross-engine exactness: per-(cell, dim) member sums round at 4dp
+# inside each engine FIRST (the x3r2 idiom — the only place summation
+# order exists), so both engines derive means from bit-identical
+# doubles; the cosine folds run left-to-right over the dim-sorted
+# arrays (Spark F.aggregate == DuckDB list_reduce, the w10/x6u law)
+# and the drift floors to 1e-6 units.
+#
+# Scale shape: ONE corpus scan — assignment is a per-row argmax fold
+# over the broadcast centroid row, the batch flag is a map-side
+# predicate, and the single shuffle is the (cell, dim) hash-aggregate
+# (map-side combine; K x 64 rows out). Everything after is K-row
+# arithmetic with a 1-row broadcast total. No Window, no pairwise
+# stage, no retraining I/O.
+
+_X3X_K = 16            # the x3d index's centroid count (vec_id < K)
+_X3X_BATCH_MOD = 5     # arrivals: vec_id % 5 == 0 (~20% of the corpus)
+_X3X_SCALE = 1_000_000 # drift cosine floored to 1e-6 units
+
+_X3X_ORACLE = f"""{_IVF_CELLS_SQL},
+flagged AS (
+  SELECT cell, emb, vec_id % {_X3X_BATCH_MOD} = 0 AS is_batch FROM cells
+),
+d AS (
+  SELECT cell, u.i AS dim_idx,
+         round(sum(CASE WHEN NOT is_batch THEN u.val ELSE 0.0 END), 4) AS s0,
+         round(sum(CASE WHEN is_batch THEN u.val ELSE 0.0 END), 4) AS s1,
+         sum(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS n1
+  FROM (
+    SELECT cell, is_batch,
+           unnest(list_transform(range(1, len(emb) + 1),
+                                 i -> {{'i': i - 1, 'val': emb[i]}})) AS u
+    FROM flagged
+  )
+  GROUP BY cell, u.i
+),
+g AS (
+  SELECT cell, max(n0) AS n0, max(n1) AS n1,
+         list(s0 ORDER BY dim_idx) AS ls0,
+         list(s1 ORDER BY dim_idx) AS ls1
+  FROM d GROUP BY cell
+),
+drifted AS (
+  SELECT cell, n0, n1,
+         CASE WHEN n0 > 0 AND n1 > 0 THEN
+           CAST(floor(
+             list_reduce(list_transform(
+               list_zip(list_transform(ls0, x -> x / n0),
+                        list_transform(list_zip(ls0, ls1),
+                                       p -> (p[1] + p[2]) / (n0 + n1))),
+               p -> p[1] * p[2]), (a, x) -> a + x)
+             / (sqrt(list_reduce(list_transform(
+                  list_transform(ls0, x -> x / n0), x -> x * x),
+                  (a, x) -> a + x))
+                * sqrt(list_reduce(list_transform(
+                    list_transform(list_zip(ls0, ls1),
+                                   p -> (p[1] + p[2]) / (n0 + n1)),
+                    x -> x * x), (a, x) -> a + x)))
+             * {_X3X_SCALE}) AS BIGINT)
+         WHEN n0 > 0 THEN {_X3X_SCALE} ELSE NULL END AS drift_cos_1e6
+  FROM g
+),
+tot AS (SELECT sum(n0 + n1) AS total_after FROM g)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n0 AS BIGINT) AS n_before,
+       CAST(n1 AS BIGINT) AS n_added,
+       CAST(n0 + n1 AS BIGINT) AS n_after,
+       drift_cos_1e6,
+       (n0 + n1) * {_X3X_K} > 2 * total_after AS needs_split
+FROM drifted CROSS JOIN tot
+ORDER BY cell
+"""
+
+
+@register("x3x_incremental_ivf_admission", oracle=_X3X_ORACLE, tags=("X3",))
+def x3x_incremental_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the arriving batch (vec_id % 5 == 0) into the standing
+    x3d IVF cells map-side and report per cell: occupancy
+    before/added/after, the cosine drift of the member mean (floored
+    1e-6; exactly 1e6 when nothing was admitted), and the integer
+    needs_split trigger at 2x the average load."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cent = emb.filter(F.col("vec_id") < _X3X_K).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
+    )
+    vecs = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    assigned = assign_cells(vecs, cent).withColumn(
+        "is_batch", F.col("vec_id") % _X3X_BATCH_MOD == 0
+    )
+    d = (
+        assigned.select("cell", "is_batch", F.posexplode("emb").alias("dim_idx", "val"))
+        .groupBy("cell", "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.when(~F.col("is_batch"), F.col("val")).otherwise(0.0)), 4
+            ).alias("s0"),
+            F.round(
+                F.sum(F.when(F.col("is_batch"), F.col("val")).otherwise(0.0)), 4
+            ).alias("s1"),
+            F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("n1"),
+        )
+    )
+    g = d.groupBy("cell").agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.sort_array(F.collect_list(F.struct("dim_idx", "s0", "s1"))).alias("ds"),
+    )
+    drift = F.expr(
+        f"""
+        CASE WHEN n0 > 0 AND n1 > 0 THEN
+          CAST(floor(
+            aggregate(zip_with(transform(ds, s -> s.s0 / n0),
+                               transform(ds, s -> (s.s0 + s.s1) / (n0 + n1)),
+                               (x, y) -> x * y), 0D, (a, x) -> a + x)
+            / (sqrt(aggregate(transform(transform(ds, s -> s.s0 / n0),
+                                        x -> x * x), 0D, (a, x) -> a + x))
+               * sqrt(aggregate(transform(transform(ds,
+                                            s -> (s.s0 + s.s1) / (n0 + n1)),
+                                          x -> x * x), 0D, (a, x) -> a + x)))
+            * {_X3X_SCALE}) AS BIGINT)
+        WHEN n0 > 0 THEN CAST({_X3X_SCALE} AS BIGINT) ELSE NULL END
+        """
+    )
+    # total_after == sum(n_after) over the report, but aggregating g
+    # would re-plan the whole assignment subtree (a second corpus
+    # argmax pass); the same number is the count of non-zero vectors —
+    # one cheap column-pruned scan instead
+    tot = (
+        vecs.filter(l2_norm(F.col("emb")) > 0)
+        .agg(F.count(F.lit(1)).alias("total_after"))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n0").cast("long").alias("n_before"),
+            F.col("n1").cast("long").alias("n_added"),
+            (F.col("n0") + F.col("n1")).cast("long").alias("n_after"),
+            drift.alias("drift_cos_1e6"),
+            (
+                (F.col("n0") + F.col("n1")) * _X3X_K
+                > 2 * F.col("total_after")
+            ).alias("needs_split"),
+        )
+        .orderBy("cell")
+    )

@@ -84,9 +84,10 @@ _loaded = False
 _CHECK_PRIORITY = (
     # tier 1: the round-13 additions — no driver evidence exists yet
     # (the Hamming-ball dHash image near-dedup, BM25 ranked retrieval,
-    # the cross-generation PSI drift audit, and the chunk-with-overlap
-    # manifest)
+    # the cross-generation PSI drift audit, the chunk-with-overlap
+    # manifest, and the incremental IVF admission audit)
     "x5m2_hamming_near_dedup",
+    "x3x_incremental_ivf_admission",
     "x4u_bm25_retrieval",
     "s25_generation_drift_audit",
     "x6v_chunk_overlap_manifest",

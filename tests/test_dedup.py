@@ -1373,3 +1373,104 @@ def test_x1e_bloom_has_no_false_negatives_and_matches_python_law(spark):
     fpr = sum(is_flagged(t) for t in fresh) / len(fresh)
     # 40 docs x 3 bits in 4032 -> theoretical fpr ~ (1-e^(-120/4032))^3 ~ 2e-5
     assert fpr < 0.05
+
+
+def test_x3x_admission_laws_planted_skewed_batch(spark, tmp_path):
+    """x3x laws on a handmade corpus: (a) CONSERVATION — per cell
+    n_after = n_before + n_added and the totals account for every
+    non-zero vector; (b) NO-ADMISSION IDENTITY — a cell receiving no
+    batch vector reports drift exactly 1e6 (cos == 1, floored), never
+    epsilon-close; (c) SPLIT TRIGGER — a batch planted entirely onto
+    one centroid drives exactly that cell over the 2x-average-load
+    integer threshold; (d) the drifted cell's value is strictly below
+    1e6 and matches a python recomputation of the same rounded-sum
+    law."""
+    import math
+
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3X_K,
+        _X3X_SCALE,
+        x3x_incremental_ivf_admission,
+    )
+
+    # 16 centroids = vec_id < 16 (one-hot-ish, mutually far); base
+    # members (ids 16..47, % 5 != 0) sit near their id%16 centroid;
+    # batch members (ids 50..105 step 5, % 5 == 0) ALL equal centroid
+    # 3's direction -> every admission lands in cell 3
+    dim = 8
+    rows = []
+    for vid in range(16):
+        v = [0.0] * dim
+        v[vid % dim] = 1.0
+        v[(vid // dim) + 4] += 0.5  # make the 16 centroids distinct
+        rows.append((vid, v, 0))
+    for vid in range(16, 48):
+        if vid % 5 == 0:
+            continue
+        c = vid % 16
+        v = [0.0] * dim
+        v[c % dim] = 1.0
+        v[(c // dim) + 4] += 0.5
+        v[(vid * 3) % dim] += 0.01  # jitter so means move
+        rows.append((vid, v, 0))
+    target = [0.0] * dim
+    target[3] = 1.0
+    target[4] += 0.5
+    for vid in range(50, 110, 5):
+        rows.append((vid, list(target), 0))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+
+    out = {r["cell"]: r for r in x3x_incremental_ivf_admission(
+        spark, str(tmp_path)
+    ).collect()}
+    n_vecs = len(rows)
+    assert sum(r["n_before"] + r["n_added"] for r in out.values()) == n_vecs
+    assert all(
+        r["n_after"] == r["n_before"] + r["n_added"] for r in out.values()
+    )
+    # every PLANTED batch vector equals centroid 3's direction; the
+    # centroid ids 0/5/10/15 are themselves % 5 == 0, so each admits
+    # its own vector into its own cell — part of the law, not noise
+    assert out[3]["n_added"] == 12
+    for c, r in out.items():
+        if c != 3:
+            assert r["n_added"] == (1 if c in (0, 5, 10, 15) else 0), c
+    # (b) untouched cells: drift EXACTLY 1e6
+    assert all(
+        r["drift_cos_1e6"] == _X3X_SCALE
+        for r in out.values()
+        if r["n_added"] == 0 and r["n_before"] > 0
+    )
+    # (c) the integer split trigger fires for cell 3 alone
+    total_after = sum(r["n_after"] for r in out.values())
+    for c, r in out.items():
+        assert r["needs_split"] == (r["n_after"] * _X3X_K > 2 * total_after), c
+    assert out[3]["needs_split"]
+    assert sum(bool(r["needs_split"]) for r in out.values()) == 1
+    # (d) drifted cell: strictly below 1e6 and equal to the python
+    # mirror of the rounded-sum law
+    members0 = [
+        v for vid, v, _ in rows
+        if vid % 5 != 0 and 16 <= vid and vid % 16 == 3
+    ]
+    # centroid vectors themselves are corpus members too (cell 3 holds
+    # vec_id 3 as well) — recompute assignment-free: cell 3's base set
+    # is {vec 3} + the id%16==3 jittered members
+    base3 = [r[1] for r in rows if r[0] == 3] + members0
+    assert out[3]["n_before"] == len(base3)  # the mirror's premise
+    add3 = [list(target)] * 12
+    s0 = [round(sum(v[i] for v in base3), 4) for i in range(dim)]
+    s1 = [round(sum(v[i] for v in add3), 4) for i in range(dim)]
+    n0, n1 = len(base3), len(add3)
+    mb = [x / n0 for x in s0]
+    ma = [(x + y) / (n0 + n1) for x, y in zip(s0, s1)]
+    dot = sum(x * y for x, y in zip(mb, ma))
+    cos = dot / (
+        math.sqrt(sum(x * x for x in mb)) * math.sqrt(sum(x * x for x in ma))
+    )
+    assert out[3]["drift_cos_1e6"] == math.floor(cos * _X3X_SCALE)
+    assert out[3]["drift_cos_1e6"] < _X3X_SCALE

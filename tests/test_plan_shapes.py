@@ -724,3 +724,23 @@ def test_x6v_chunking_is_map_only_with_broadcast_totals(spark):
     assert "BroadcastExchange" in plan
     assert "Window" not in tree
     assert "CartesianProduct" not in plan
+
+
+def test_x3x_admission_is_one_scan_no_window(spark):
+    """x3x: assignment must be the per-row argmax fold over the
+    broadcast centroid row (no Window anywhere — a row_number over the
+    n x K crossJoin would shuffle 16x-inflated corpus rows), the batch
+    flag a map-side predicate, and the only table shuffle the
+    (cell, dim) hash-aggregate; no CartesianProduct."""
+    import re
+
+    plan = _plan(spark, "x3x_incremental_ivf_admission")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the embeddings parquet is scanned once for the members, once for
+    # the 16-row centroid side, and once (column-pruned) for the cheap
+    # total_after count — never a second assignment pass
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 3, scans

@@ -177,6 +177,7 @@ QUERIES = [
     "x4u_bm25_retrieval",
     "s25_generation_drift_audit",
     "x6v_chunk_overlap_manifest",
+    "x3x_incremental_ivf_admission",
 ]
 
 
