@@ -3945,22 +3945,17 @@ def x3x_incremental_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n1").alias("n1"),
         F.sort_array(F.collect_list(F.struct("dim_idx", "s0", "s1"))).alias("ds"),
     )
-    drift = F.expr(
-        f"""
-        CASE WHEN n0 > 0 AND n1 > 0 THEN
-          CAST(floor(
-            aggregate(zip_with(transform(ds, s -> s.s0 / n0),
-                               transform(ds, s -> (s.s0 + s.s1) / (n0 + n1)),
-                               (x, y) -> x * y), 0D, (a, x) -> a + x)
-            / (sqrt(aggregate(transform(transform(ds, s -> s.s0 / n0),
-                                        x -> x * x), 0D, (a, x) -> a + x))
-               * sqrt(aggregate(transform(transform(ds,
-                                            s -> (s.s0 + s.s1) / (n0 + n1)),
-                                          x -> x * x), 0D, (a, x) -> a + x)))
-            * {_X3X_SCALE}) AS BIGINT)
-        WHEN n0 > 0 THEN CAST({_X3X_SCALE} AS BIGINT) ELSE NULL END
-        """
+    # the shared cosine law (similarity.dot/l2_norm: F.aggregate with a
+    # 0.0 init, left-to-right) — one site with the rest of the family,
+    # not a hand-written twin that could drift from it
+    mean_before = F.transform("ds", lambda s: s["s0"] / F.col("n0"))
+    mean_after = F.transform(
+        "ds", lambda s: (s["s0"] + s["s1"]) / (F.col("n0") + F.col("n1"))
     )
+    drift = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0),
+        F.floor(cosine(mean_before, mean_after) * _X3X_SCALE).cast("long"),
+    ).when(F.col("n0") > 0, F.lit(_X3X_SCALE).cast("long"))
     # total_after == sum(n_after) over the report, but aggregating g
     # would re-plan the whole assignment subtree (a second corpus
     # argmax pass); the same number is the count of non-zero vectors —

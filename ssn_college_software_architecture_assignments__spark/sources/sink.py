@@ -1930,13 +1930,17 @@ def psi_drift_audit(
     per-bin term, the column PSI, and the drift flag."""
     from ..functions.bucketing import bucket_col, quantile_cuts
 
-    # reference cutpoints computed ONCE per column and reused for both
-    # generations' bucket assignment (binned() runs twice; rebuilding
-    # the aggregate inside it would execute each cutpoint scan twice)
+    # Reference cutpoints MATERIALIZED once per column (localCheckpoint
+    # is eager — the x2b2 fingerprint-table idiom): lazily the same
+    # 1-row aggregate subtree would be planned (and, since static plans
+    # showed no ReusedExchange here, executed) once per generation's
+    # bucket assignment; checkpointing pins the "train once, broadcast
+    # the parameters" shape and truncates the gen0 lineage out of every
+    # downstream crossJoin.
     all_cuts = {
-        label: quantile_cuts(gen0, col, probs).select(
-            F.col("cuts").alias(f"__cuts_{label}")
-        )
+        label: quantile_cuts(gen0, col, probs)
+        .select(F.col("cuts").alias(f"__cuts_{label}"))
+        .localCheckpoint()
         for label, col in numeric_cols.items()
     }
 
