@@ -541,3 +541,58 @@ def test_heavy_hitters_closed_form(spark, tmp_path):
     assert got["hot"]["n_occurrences"] == 128
     assert got["hot"]["freq_frac"] == round(128 / 320, 6)
     assert got["warm"]["n_occurrences"] == 11
+
+
+@given(
+    h1=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=63), min_size=0, max_size=3
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_x5m2_pigeonhole_band_property(h1, flips):
+    """The x5m2 completeness theorem as a property: for ANY 64-bit hash
+    and ANY <= 3 bit flips, the pair shares at least one of the 4
+    16-bit bands — so the band equi-join can never miss a pair within
+    Hamming distance 3 (d = 2 in the operator is strictly inside the
+    guarantee)."""
+    h2 = h1
+    for b in flips:
+        h2 ^= 1 << b
+    dist = bin(h1 ^ h2).count("1")
+    assert dist <= 3
+    bands1 = [(h1 >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands2 = [(h2 >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(a == b for a, b in zip(bands1, bands2))
+
+
+@given(
+    tf=st.integers(min_value=1, max_value=50),
+    dl=st.integers(min_value=1, max_value=500),
+    df=st.integers(min_value=1, max_value=400),
+    n=st.integers(min_value=401, max_value=5000),
+)
+@settings(max_examples=50, deadline=None)
+def test_x4u_bm25_monotonicity_property(tf, dl, df, n):
+    """BM25 shape laws on the exact formula x4u evaluates (python
+    mirror of _X4U_W before flooring): the score strictly increases in
+    tf (with diminishing returns under k1 saturation), strictly
+    decreases as the document grows (b length normalization), and
+    strictly decreases in df (idf)."""
+    import math
+
+    k1, b = 1.2, 0.75
+    avgdl = 100.0
+
+    def w(tf_, dl_, df_):
+        idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+        return idf * (tf_ * (k1 + 1)) / (
+            tf_ + k1 * (1 - b + b * dl_ / avgdl)
+        )
+
+    assert w(tf + 1, dl, df) > w(tf, dl, df)
+    assert w(tf + 1, dl, df) - w(tf, dl, df) < w(tf, dl, df) - w(
+        max(tf - 1, 0), dl, df
+    ) or tf == 1  # diminishing returns (vacuous at the tf=1 edge)
+    assert w(tf, dl + 50, df) < w(tf, dl, df)
+    assert w(tf, dl, df + 1) < w(tf, dl, df)
