@@ -2215,3 +2215,224 @@ def x5q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     payloads = docs.mapInPandas(encode_ppm_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(histogram_ppm_batch, _X5Q_SCHEMA)
+
+
+# X5n2 — Hamming-ball audio near-dedup (banded multi-index, variable length) ---
+#
+# x5m2's audio twin, closing the same gap for x5n that x5m2 closed for
+# x5m: exact fingerprint equality misses re-masters that flip a couple
+# of energy comparisons (a remixed bar, a fade tweak), so audio
+# near-dedup matches within Hamming distance <= d over the energy-shape
+# fingerprint. x5n fingerprints are VARIABLE length (n//80 windows ->
+# 29..39 comparison bits -> 4..5 bytes), so the multi-index bands are
+# the fingerprint's BYTES and the byte length joins as part of the band
+# key — clips with different window counts are different-duration
+# content and are never near-duplicates by construction. Pigeonhole:
+# 4 (resp. 5) byte-bands make the band join complete for distance <= 3
+# (resp. <= 4); d = 2 sits strictly inside both.
+#
+# True positives planted at the AUDIO level: for each gain-1 group
+# representative (doc_id % 5 == 0), a variant clip doubles the samples
+# of ONE deterministic window k — only e_k changes (windows are
+# disjoint), which feeds exactly the two adjacent comparisons (k-1, k),
+# so hamming(base, variant) <= 2 is a THEOREM (pytest-pinned; no
+# clipping: amplitudes stay <= 400 << 32767). d = 2 therefore catches
+# every plant that does not collapse into its base's exact cluster.
+#
+# Scale shape: exact-duplicate collapse FIRST (the x5n hash-agg — the
+# 5 gain-variants per seed collapse before any pairing), then the band
+# join runs over distinct fingerprints only; hamming is an integer
+# fold over the zipped byte arrays (exact under any order). No
+# all-pairs stage (plan-gated).
+
+_X5N2_OFFSET = 1_000_000_000
+_X5N2_MAX_DIST = 2
+
+
+def _x5n2_variant_bytes(doc_id: int) -> bytes:
+    """The planted near-duplicate: the gain-1 base clip with one
+    deterministic window's samples doubled (energy x4) — at most the
+    two comparisons reading that window flip."""
+    seed = (doc_id // 5) * 5  # callers pass doc_id % 5 == 0 -> gain 1
+    n = 2400 + seed % 801
+    n_win = n // _X5N_WIN
+    k = seed % (n_win - 1)
+    vals = [((seed * 17 + i * 7) % 400) - 200 for i in range(n)]
+    for i in range(k * _X5N_WIN, (k + 1) * _X5N_WIN):
+        vals[i] *= 2
+    return _pack_wav(vals)
+
+
+def _x5n2_variant_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"] + _X5N2_OFFSET,
+                "payload": pdf["doc_id"].map(_x5n2_variant_bytes),
+            }
+        )
+
+
+_X5N2_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS clip_id, (doc_id // 5) * 5 AS seed, 1 + doc_id % 5 AS gain,
+         0 AS pert
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_X5N2_OFFSET}, doc_id, 1, 1
+  FROM documents WHERE doc_id % 5 = 0
+),
+dims AS (
+  SELECT clip_id, seed, gain, pert,
+         2400 + seed % 801 AS n,
+         (2400 + seed % 801) // {_X5N_WIN} AS n_win
+  FROM corpus
+),
+s AS (
+  SELECT d.clip_id, g.i // {_X5N_WIN} AS w,
+         (((d.seed * 17 + g.i * 7) % 400) - 200) * d.gain
+         * (CASE WHEN d.pert = 1
+                  AND g.i // {_X5N_WIN} = d.seed % (d.n_win - 1)
+             THEN 2 ELSE 1 END) AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range((d.n // {_X5N_WIN}) * {_X5N_WIN})) AS i) g
+),
+e AS (
+  SELECT clip_id, w, sum(CAST(v AS BIGINT) * v) AS energy
+  FROM s GROUP BY clip_id, w
+),
+bits AS (
+  SELECT a.clip_id, a.w AS j,
+         CASE WHEN a.energy > b.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.clip_id = b.clip_id AND b.w = a.w + 1
+),
+bytes AS (
+  SELECT clip_id, j // 8 AS byte_idx,
+         CAST(sum(bit * (1 << (j % 8))) AS BIGINT) AS byte
+  FROM bits GROUP BY clip_id, j // 8
+),
+fps AS (
+  SELECT clip_id,
+         string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY byte_idx)
+           AS fingerprint,
+         list(byte ORDER BY byte_idx) AS fp_bytes
+  FROM bytes GROUP BY clip_id
+),
+dfp AS (
+  SELECT fingerprint,
+         CAST(count(*) AS BIGINT) AS n_clips,
+         CAST(min(clip_id) AS BIGINT) AS rep_id,
+         min(fp_bytes) AS fp_bytes,
+         CAST(len(min(fp_bytes)) AS INT) AS fp_len
+  FROM fps GROUP BY fingerprint
+),
+bands AS (
+  SELECT fingerprint, n_clips, rep_id, fp_bytes, fp_len,
+         u.i AS band_idx, fp_bytes[u.i + 1] AS band_val
+  FROM dfp, LATERAL (SELECT unnest(range(fp_len)) AS i) u
+),
+cand AS (
+  SELECT DISTINCT
+         a.fingerprint AS a_fp, b.fingerprint AS b_fp,
+         a.n_clips AS a_clips, b.n_clips AS b_clips,
+         a.rep_id AS a_rep, b.rep_id AS b_rep,
+         list_aggregate(
+           list_transform(list_zip(a.fp_bytes, b.fp_bytes),
+                          p -> bit_count(xor(p[1], p[2]))), 'sum') AS hd
+  FROM bands a
+  JOIN bands b
+    ON a.fp_len = b.fp_len AND a.band_idx = b.band_idx
+   AND a.band_val = b.band_val AND a.fingerprint < b.fingerprint
+)
+SELECT a_fp, b_fp, CAST(hd AS BIGINT) AS hamming_dist,
+       a_clips, b_clips, a_rep, b_rep
+FROM cand
+WHERE hd <= {_X5N2_MAX_DIST}
+ORDER BY a_fp, b_fp
+"""
+
+
+@register(
+    "x5n2_hamming_audio_near_dedup", oracle=_X5N2_ORACLE, tags=("X5", "X2")
+)
+def x5n2_hamming_audio_near_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-ball near-duplicate audio pairs over real WAV payloads +
+    planted one-window-doubled variants: collapse exact fingerprints,
+    band by byte with the byte length in the join key, verify with an
+    integer bit_count fold; keep pairs within distance 2."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    base = docs.mapInPandas(
+        encode_wav_grouped_batch, "doc_id long, payload binary"
+    )
+    reps = docs.filter(F.col("doc_id") % 5 == 0)
+    variants = reps.mapInPandas(
+        _x5n2_variant_batch, "doc_id long, payload binary"
+    )
+    fps = (
+        base.unionByName(variants)
+        .mapInPandas(audio_fingerprint_batch, AUDIO_FP_SCHEMA)
+        .filter(F.col("fp_status") == "ok")
+    )
+    dfp = (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("rep_id"),
+        )
+        .select(
+            "fingerprint",
+            "n_clips",
+            "rep_id",
+            (F.length("fingerprint") / 2).cast("int").alias("fp_len"),
+            F.expr(
+                "transform(sequence(1, length(fingerprint) div 2),"
+                " i -> CAST(conv(substring(fingerprint, 2*i - 1, 2), 16, 10)"
+                " AS BIGINT))"
+            ).alias("fp_bytes"),
+        )
+    )
+    bands = dfp.select(
+        "fingerprint",
+        "n_clips",
+        "rep_id",
+        "fp_bytes",
+        "fp_len",
+        F.posexplode("fp_bytes").alias("band_idx0", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hd = F.expr(
+        "aggregate(zip_with(a.fp_bytes, b.fp_bytes,"
+        " (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp_len") == F.col("b.fp_len"),
+                F.col("a.band_idx0") == F.col("b.band_idx0"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.fingerprint") < F.col("b.fingerprint"),
+            ],
+        )
+        .select(
+            F.col("a.fingerprint").alias("a_fp"),
+            F.col("b.fingerprint").alias("b_fp"),
+            F.col("a.n_clips").alias("a_clips"),
+            F.col("b.n_clips").alias("b_clips"),
+            F.col("a.rep_id").alias("a_rep"),
+            F.col("b.rep_id").alias("b_rep"),
+            hd.alias("hamming_dist"),
+        )
+        .distinct()
+        .filter(F.col("hamming_dist") <= _X5N2_MAX_DIST)
+        .select(
+            "a_fp", "b_fp", "hamming_dist",
+            "a_clips", "b_clips", "a_rep", "b_rep",
+        )
+        .orderBy("a_fp", "b_fp")
+    )

@@ -85,8 +85,10 @@ _CHECK_PRIORITY = (
     # tier 1: the round-13 additions — no driver evidence exists yet
     # (the Hamming-ball dHash image near-dedup, BM25 ranked retrieval,
     # the cross-generation PSI drift audit, the chunk-with-overlap
-    # manifest, and the incremental IVF admission audit)
+    # manifest, the incremental IVF admission audit, and the
+    # Hamming-ball audio fingerprint near-dedup)
     "x5m2_hamming_near_dedup",
+    "x5n2_hamming_audio_near_dedup",
     "x3x_incremental_ivf_admission",
     "x4u_bm25_retrieval",
     "s25_generation_drift_audit",

@@ -856,3 +856,91 @@ def test_x5m2_exact_clusters_subset_of_hamming_universe(spark):
         assert key in paired, d
         found += 1
     assert found > 0  # at least some plants surface as pairs
+
+
+def test_x5n2_planted_variant_displacement_theorem_and_pairs(spark):
+    """x5n2 laws: (a) THEOREM — doubling one window's samples moves the
+    energy-shape fingerprint by AT MOST 2 bits (only the two adjacent
+    comparisons that read the perturbed window can flip), for every
+    group representative; (b) operator law at sf0.001 — every planted
+    variant is either absorbed into its base's exact-fingerprint
+    cluster or surfaces as an output pair within distance 2, and exact
+    clusters' counts carry through the collapse."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        AUDIO_FP_SCHEMA,
+        _wav_bytes_grouped,
+        _x5n2_variant_bytes,
+        audio_fingerprint_batch,
+        x5n2_hamming_audio_near_dedup,
+    )
+
+    reps = [d for d in range(0, 500, 5)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": reps + [d + 1_000_000_000 for d in reps],
+            "payload": [_wav_bytes_grouped(d) for d in reps]
+            + [_x5n2_variant_bytes(d) for d in reps],
+        }
+    )
+    out = pd.concat(list(audio_fingerprint_batch(iter([pdf])))).set_index(
+        "doc_id"
+    )
+    assert (out["fp_status"] == "ok").all()
+    moved = 0
+    for d in reps:
+        a = int(out.loc[d, "fingerprint"], 16)
+        b = int(out.loc[d + 1_000_000_000, "fingerprint"], 16)
+        assert len(out.loc[d, "fingerprint"]) == len(
+            out.loc[d + 1_000_000_000, "fingerprint"]
+        )
+        dist = bin(a ^ b).count("1")
+        assert dist <= 2, (d, dist)
+        moved += dist > 0
+    assert moved > len(reps) // 2  # a real near-dup generator, not a no-op
+
+    sf = "/root/testdata/sf0.001"
+    pairs = x5n2_hamming_audio_near_dedup(spark, sf).collect()
+    paired = {(r["a_fp"], r["b_fp"]) for r in pairs}
+    assert all(1 <= r["hamming_dist"] <= 2 for r in pairs)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    base_fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in docs.mapInPandas(
+            lambda it: (
+                pd.DataFrame(
+                    {
+                        "doc_id": p["doc_id"],
+                        "payload": p["doc_id"].map(_wav_bytes_grouped),
+                    }
+                )
+                for p in it
+            ),
+            "doc_id long, payload binary",
+        )
+        .mapInPandas(audio_fingerprint_batch, AUDIO_FP_SCHEMA)
+        .collect()
+    }
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _x5n2_variant_batch,
+    )
+
+    var_fp = {
+        r["doc_id"] - 1_000_000_000: r["fingerprint"]
+        for r in docs.filter(docs.doc_id % 5 == 0)
+        .mapInPandas(_x5n2_variant_batch, "doc_id long, payload binary")
+        .mapInPandas(audio_fingerprint_batch, AUDIO_FP_SCHEMA)
+        .collect()
+    }
+    absorbed = found = 0
+    for d, vf in var_fp.items():
+        bf = base_fp[d]
+        if vf == bf:
+            absorbed += 1
+            continue
+        key = (bf, vf) if bf < vf else (vf, bf)
+        assert key in paired, d
+        found += 1
+    assert found > 0

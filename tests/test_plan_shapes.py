@@ -744,3 +744,13 @@ def test_x3x_admission_is_one_scan_no_window(spark):
     # total_after count — never a second assignment pass
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) <= 3, scans
+
+
+def test_x5n2_band_join_never_plans_all_pairs(spark):
+    """x5n2: same law as x5m2 for the audio fingerprints — candidate
+    pairing must ride the (fp_len, band_idx, band_val) equi-join; no
+    CartesianProduct, no broadcast nested loop over the distinct
+    fingerprint table."""
+    plan = _plan(spark, "x5n2_hamming_audio_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

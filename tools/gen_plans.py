@@ -178,6 +178,7 @@ QUERIES = [
     "s25_generation_drift_audit",
     "x6v_chunk_overlap_manifest",
     "x3x_incremental_ivf_admission",
+    "x5n2_hamming_audio_near_dedup",
 ]
 
 
