@@ -1787,15 +1787,20 @@ def x5m2_hamming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X5N_WIN = 80
 
 
+def _wav_base_vals(seed: int) -> list[int]:
+    """THE gain-1 sample sequence of a clip group — single site shared
+    by the corpus generator and the x5n2 near-dup plant so the two can
+    never desynchronize."""
+    n = 2400 + seed % 801
+    return [((seed * 17 + i * 7) % 400) - 200 for i in range(n)]
+
+
 def _wav_bytes_grouped(doc_id: int) -> bytes:
     """Deterministic WAV where doc groups of 5 share a seed and differ
     only by an integer gain — byte-distinct, fingerprint-identical."""
     seed = (doc_id // 5) * 5
     gain = 1 + doc_id % 5
-    n = 2400 + seed % 801
-    return _pack_wav(
-        [(((seed * 17 + i * 7) % 400) - 200) * gain for i in range(n)]
-    )
+    return _pack_wav([v * gain for v in _wav_base_vals(seed)])
 
 
 def encode_wav_grouped_batch(
@@ -2254,10 +2259,9 @@ def _x5n2_variant_bytes(doc_id: int) -> bytes:
     deterministic window's samples doubled (energy x4) — at most the
     two comparisons reading that window flip."""
     seed = (doc_id // 5) * 5  # callers pass doc_id % 5 == 0 -> gain 1
-    n = 2400 + seed % 801
-    n_win = n // _X5N_WIN
+    vals = _wav_base_vals(seed)
+    n_win = len(vals) // _X5N_WIN
     k = seed % (n_win - 1)
-    vals = [((seed * 17 + i * 7) % 400) - 200 for i in range(n)]
     for i in range(k * _X5N_WIN, (k + 1) * _X5N_WIN):
         vals[i] *= 2
     return _pack_wav(vals)

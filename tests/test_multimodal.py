@@ -809,7 +809,7 @@ def test_x5m2_exact_clusters_subset_of_hamming_universe(spark):
         x5m_image_phash_dedup,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     exact = {
         r["dhash"]: r["n_images"]
         for r in x5m_image_phash_dedup(spark, sf).collect()
@@ -900,7 +900,7 @@ def test_x5n2_planted_variant_displacement_theorem_and_pairs(spark):
         moved += dist > 0
     assert moved > len(reps) // 2  # a real near-dup generator, not a no-op
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     pairs = x5n2_hamming_audio_near_dedup(spark, sf).collect()
     paired = {(r["a_fp"], r["b_fp"]) for r in pairs}
     assert all(1 <= r["hamming_dist"] <= 2 for r in pairs)

@@ -581,7 +581,12 @@ def test_x4u_bm25_monotonicity_property(tf, dl, df, n):
     strictly decreases in df (idf)."""
     import math
 
-    k1, b = 1.2, 0.75
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        _X4U_B,
+        _X4U_K1,
+    )
+
+    k1, b = float(_X4U_K1), float(_X4U_B)
     avgdl = 100.0
 
     def w(tf_, dl_, df_):
