@@ -2045,3 +2045,170 @@ def x6v_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# X6w — chunk-level decontamination (x6v chunking ∘ x6d gram law) --------------
+#
+# x6d kills a WHOLE training document when any 8-gram matches the
+# benchmark — the safe but wasteful doc-level scrub. A RAG/packing
+# pipeline that ingests by chunk can be surgical: flag only the CHUNKS
+# carrying benchmark grams and keep the rest of the document. The
+# parameter that makes this sound is the chunk OVERLAP: with x6v's
+# RAG overlap (V=4 < gram-1) an 8-gram spanning a chunk boundary
+# belongs to NO chunk and escapes the scrub, so x6w chunks with its
+# own V = 7 = gram - 1 (W=16, stride 9): every 8-token span then falls
+# wholly inside at least one chunk, making
+#
+#   doc flagged by x6d  <=>  doc has >= 1 flagged x6w chunk
+#
+# a THEOREM (pytest-pinned both directions; forward because every
+# doc gram is covered by some chunk, reverse because chunk tokens are
+# consecutive doc tokens so chunk grams ⊆ doc grams). The tail-chunk
+# arithmetic cooperates: m = ceil((n-7)/9) leaves every tail at least
+# 8 tokens, so no chunk is too short to carry a gram.
+#
+# Scale shape: x6d's inverted-index posture per chunk — the benchmark
+# gram index is tiny by definition and BROADCASTS (join key =
+# xxhash64(gram), the x6d substitution; the DuckDB oracle joins raw
+# strings, so agreement re-evidences the hash soundness); the corpus
+# never shuffles for the probe, and the only aggregation is the
+# (doc, chunk) hash-agg over matched grams. Chunk derivation is
+# map-only (the x6v shape).
+
+_X6W_WINDOW = 16
+_X6W_GRAM = 8
+_X6W_OVERLAP = _X6W_GRAM - 1  # airtight: no 8-gram can straddle out
+_X6W_STRIDE = _X6W_WINDOW - _X6W_OVERLAP  # 9
+
+_X6W_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT gram, doc_id AS bench_id FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 7),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+           ))) AS gram
+    FROM documents WHERE doc_id % 50 = 0
+  )
+),
+m AS (
+  SELECT doc_id, toks,
+         greatest(1, (n_tokens - {_X6W_OVERLAP} + {_X6W_STRIDE} - 1)
+                     // {_X6W_STRIDE}) AS n_chunks
+  FROM d WHERE doc_id % 50 <> 0
+),
+chunks AS (
+  SELECT doc_id, n_chunks, k.i AS chunk_id,
+         CAST(k.i * {_X6W_STRIDE} AS BIGINT) AS start_tok,
+         toks[k.i * {_X6W_STRIDE} + 1 :
+              k.i * {_X6W_STRIDE} + {_X6W_WINDOW}] AS ctoks
+  FROM m, LATERAL (SELECT unnest(range(n_chunks)) AS i) k
+),
+cgrams AS (
+  SELECT doc_id, n_chunks, chunk_id, start_tok,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ctoks) - {_X6W_GRAM - 1}),
+             i -> array_to_string(ctoks[i:i + {_X6W_GRAM - 1}], ' ')
+         ))) AS gram
+  FROM chunks
+)
+SELECT c.doc_id AS train_doc_id, c.chunk_id, c.start_tok,
+       CAST(count(DISTINCT c.gram) AS BIGINT)     AS n_shared_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs,
+       CAST(max(c.n_chunks) AS BIGINT)            AS doc_chunks
+FROM cgrams c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id, c.chunk_id, c.start_tok
+ORDER BY train_doc_id, chunk_id
+"""
+
+
+@register("x6w_chunk_decontamination", oracle=_X6W_ORACLE, tags=("X6", "X2"))
+def x6w_chunk_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity benchmark decontamination: chunk every training
+    document with overlap 7 (= gram size - 1, so no 8-gram can straddle
+    out of coverage) and flag each chunk sharing any 8-gram with the
+    benchmark side (doc_id % 50 == 0), with per-chunk shared-gram and
+    benchmark-doc counts plus the doc's chunk total — the surgical
+    "drop these spans, keep the document" report."""
+    from .dedup import token_shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = (
+        gram_hash_index(docs.filter(F.col("doc_id") % 50 == 0))
+        .select("gram_h", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    m = train.withColumn(
+        "n_chunks",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"(n_tokens - {_X6W_OVERLAP} + {_X6W_STRIDE} - 1)"
+                f" div {_X6W_STRIDE}"
+            ),
+        ),
+    )
+    chunks = m.select(
+        "doc_id",
+        "toks",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "chunk_id",
+        (F.col("chunk_id") * _X6W_STRIDE).cast("long").alias("start_tok"),
+        F.slice(
+            "toks",
+            F.col("chunk_id") * _X6W_STRIDE + 1,
+            F.lit(_X6W_WINDOW),
+        ).alias("ctoks"),
+    )
+    cgrams = chunks.select(
+        "doc_id",
+        "n_chunks",
+        "chunk_id",
+        "start_tok",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    token_shingles(F.col("ctoks"), _X6W_GRAM),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("gram_h"),
+    )
+    return (
+        cgrams.join(F.broadcast(bench), "gram_h")
+        .groupBy(
+            F.col("doc_id").alias("train_doc_id"),
+            "chunk_id",
+            "start_tok",
+            F.col("n_chunks").alias("doc_chunks"),
+        )
+        .agg(
+            F.countDistinct("gram_h").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .select(
+            "train_doc_id",
+            "chunk_id",
+            "start_tok",
+            "n_shared_grams",
+            "n_benchmark_docs",
+            F.col("doc_chunks").cast("long").alias("doc_chunks"),
+        )
+        .orderBy("train_doc_id", "chunk_id")
+    )

@@ -85,14 +85,15 @@ _CHECK_PRIORITY = (
     # tier 1: the round-13 additions — no driver evidence exists yet
     # (the Hamming-ball dHash image near-dedup, BM25 ranked retrieval,
     # the cross-generation PSI drift audit, the chunk-with-overlap
-    # manifest, the incremental IVF admission audit, and the
-    # Hamming-ball audio fingerprint near-dedup)
+    # manifest, the incremental IVF admission audit, the Hamming-ball
+    # audio fingerprint near-dedup, and chunk-level decontamination)
     "x5m2_hamming_near_dedup",
     "x5n2_hamming_audio_near_dedup",
     "x3x_incremental_ivf_admission",
     "x4u_bm25_retrieval",
     "s25_generation_drift_audit",
     "x6v_chunk_overlap_manifest",
+    "x6w_chunk_decontamination",
     # tier 2a: the 21-id r7-evidence tail the r12 rotation predicted
     # would overflow — the ONLY ids whose newest driver row predates r8
     # (computed from CORRECTNESS_r01..r12; includes the 5 rows-only LSH

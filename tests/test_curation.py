@@ -844,3 +844,32 @@ def test_x6v_reconstruction_theorem_and_md5_pin(spark):
             assert len(new) >= 1  # every chunk adds content
             rebuilt.extend(new)
         assert rebuilt == toks  # the reconstruction theorem
+
+
+def test_x6w_chunk_scrub_biconditional_with_x6d(spark):
+    """The x6w coverage theorem, pinned against x6d: with overlap
+    7 = gram - 1, a training document is flagged at the DOC level
+    (x6d) if and only if at least one of its x6w chunks is flagged —
+    forward because every 8-gram falls wholly inside some chunk,
+    reverse because chunk grams are a subset of doc grams. Also pins
+    the per-chunk accounting: chunk ids within a doc's chunk total,
+    start_tok on the stride grid, shared-gram counts positive."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6W_STRIDE,
+        x6d_decontamination,
+        x6w_chunk_decontamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc_flagged = {
+        r["train_doc_id"] for r in x6d_decontamination(spark, sf).collect()
+    }
+    chunk_rows = x6w_chunk_decontamination(spark, sf).collect()
+    chunk_docs = {r["train_doc_id"] for r in chunk_rows}
+    assert chunk_docs == doc_flagged  # the biconditional
+    assert len(doc_flagged) > 0  # the fixture plants real contamination
+    for r in chunk_rows:
+        assert 0 <= r["chunk_id"] < r["doc_chunks"]
+        assert r["start_tok"] == r["chunk_id"] * _X6W_STRIDE
+        assert r["n_shared_grams"] >= 1
+        assert r["n_benchmark_docs"] >= 1

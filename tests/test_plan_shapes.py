@@ -754,3 +754,14 @@ def test_x5n2_band_join_never_plans_all_pairs(spark):
     plan = _plan(spark, "x5n2_hamming_audio_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x6w_benchmark_side_broadcasts(spark):
+    """x6w: the x6d posture per chunk — the benchmark gram index must
+    BROADCAST and the chunked corpus must never sort-merge against it
+    or plan all-pairs; chunk derivation stays map-only upstream of the
+    probe join."""
+    plan = _plan(spark, "x6w_chunk_decontamination")
+    assert "BroadcastExchange" in plan, "benchmark side must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

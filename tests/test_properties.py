@@ -601,3 +601,23 @@ def test_x4u_bm25_monotonicity_property(tf, dl, df, n):
     ) or tf == 1  # diminishing returns (vacuous at the tf=1 edge)
     assert w(tf, dl + 50, df) < w(tf, dl, df)
     assert w(tf, dl, df + 1) < w(tf, dl, df)
+
+
+@given(n=st.integers(min_value=8, max_value=2000))
+@settings(max_examples=80, deadline=None)
+def test_x6w_gram_coverage_property(n):
+    """The x6w airtight-scrub arithmetic as a property: with window 16,
+    overlap 7 (stride 9), and chunk count max(1, ceil((n-7)/9)), EVERY
+    8-token span of an n-token document falls wholly inside at least
+    one chunk, and every tail chunk keeps >= 8 tokens (so it can carry
+    a gram at all). This is the premise of the x6d<->x6w biconditional;
+    x6v's RAG overlap (4) deliberately does NOT satisfy it."""
+    W, V, S, G = 16, 7, 9, 8
+    m = max(1, -(-(n - V) // S))
+    spans = []
+    for k in range(m):
+        start, end = k * S, min(k * S + W, n)
+        assert end - start >= G  # no gram-incapable chunk
+        spans.append((start, end))
+    for p in range(0, n - G + 1):
+        assert any(s <= p and p + G <= e for s, e in spans), (n, p)

@@ -179,6 +179,7 @@ QUERIES = [
     "x6v_chunk_overlap_manifest",
     "x3x_incremental_ivf_admission",
     "x5n2_hamming_audio_near_dedup",
+    "x6w_chunk_decontamination",
 ]
 
 
