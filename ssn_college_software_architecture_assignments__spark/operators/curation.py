@@ -1978,6 +1978,43 @@ ORDER BY r.doc_id, r.chunk_id
 """
 
 
+def overlapped_chunks(frame, window: int, overlap: int):
+    """THE chunking law shared by x6v (manifest, RAG overlap 4) and x6w
+    (scrub, gram-1 overlap 7): explode a frame carrying (toks,
+    n_tokens, ...) into fixed token-window chunks — adds n_chunks,
+    chunk_id, start_tok, and the ctoks slice, preserving every other
+    column. m = max(1, ceil((n - overlap) / stride)) guarantees every
+    chunk contributes at least one new token and (for x6w) every tail
+    keeps >= overlap + 1 tokens; a fix here serves both operators, so
+    the reconstruction and coverage theorems can never diverge."""
+    stride = window - overlap
+    return (
+        frame.withColumn(
+            "n_chunks",
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(n_tokens - {overlap} + {stride} - 1) div {stride}"
+                ),
+            ),
+        )
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)),
+        )
+        .withColumn(
+            "start_tok", (F.col("chunk_id") * stride).cast("long")
+        )
+        .withColumn(
+            "ctoks",
+            F.slice(
+                "toks", F.col("chunk_id") * stride + 1, F.lit(window)
+            ),
+        )
+        .drop("toks", "n_tokens")
+    )
+
+
 @register("x6v_chunk_overlap_manifest", oracle=_X6V_ORACLE, tags=("X6",))
 def x6v_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window chunk manifest with declared overlap (W=16, V=4):
@@ -1991,34 +2028,7 @@ def x6v_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    m = docs.withColumn(
-        "n_chunks",
-        F.greatest(
-            F.lit(1),
-            F.expr(
-                f"(n_tokens - {_X6V_OVERLAP} + {_X6V_STRIDE} - 1)"
-                f" div {_X6V_STRIDE}"
-            ),
-        ),
-    )
-    chunks = m.select(
-        "doc_id",
-        "source",
-        "toks",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
-            "chunk_id"
-        ),
-    ).select(
-        "doc_id",
-        "source",
-        "chunk_id",
-        (F.col("chunk_id") * _X6V_STRIDE).cast("long").alias("start_tok"),
-        F.slice(
-            "toks",
-            F.col("chunk_id") * _X6V_STRIDE + 1,
-            F.lit(_X6V_WINDOW),
-        ).alias("ctoks"),
-    )
+    chunks = overlapped_chunks(docs, _X6V_WINDOW, _X6V_OVERLAP)
     rows = chunks.select(
         "doc_id",
         "source",
@@ -2148,34 +2158,7 @@ def x6w_chunk_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    m = train.withColumn(
-        "n_chunks",
-        F.greatest(
-            F.lit(1),
-            F.expr(
-                f"(n_tokens - {_X6W_OVERLAP} + {_X6W_STRIDE} - 1)"
-                f" div {_X6W_STRIDE}"
-            ),
-        ),
-    )
-    chunks = m.select(
-        "doc_id",
-        "toks",
-        "n_chunks",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
-            "chunk_id"
-        ),
-    ).select(
-        "doc_id",
-        "n_chunks",
-        "chunk_id",
-        (F.col("chunk_id") * _X6W_STRIDE).cast("long").alias("start_tok"),
-        F.slice(
-            "toks",
-            F.col("chunk_id") * _X6W_STRIDE + 1,
-            F.lit(_X6W_WINDOW),
-        ).alias("ctoks"),
-    )
+    chunks = overlapped_chunks(train, _X6W_WINDOW, _X6W_OVERLAP)
     cgrams = chunks.select(
         "doc_id",
         "n_chunks",
