@@ -1756,8 +1756,12 @@ def x5m2_hamming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.rep_id").alias("b_rep"),
             hd.alias("hamming_dist"),
         )
-        .distinct()  # a pair within the ball matches on >= 2 bands
+        # filter BEFORE distinct: a pair within the ball matches on >= 2
+        # bands, but band collisions at distance 3..64 would otherwise
+        # ride the dedup exchange only to be discarded — in-ball pairs
+        # only keeps that shuffle minimal at scale
         .filter(F.col("hamming_dist") <= _X5M2_MAX_DIST)
+        .distinct()
         .select(
             "a_hash", "b_hash", "hamming_dist",
             "a_images", "b_images", "a_rep", "b_rep",
@@ -2432,8 +2436,10 @@ def x5n2_hamming_audio_near_dedup(
             F.col("b.rep_id").alias("b_rep"),
             hd.alias("hamming_dist"),
         )
-        .distinct()
+        # filter before distinct (same rationale as x5m2): the dedup
+        # exchange carries only in-ball pairs
         .filter(F.col("hamming_dist") <= _X5N2_MAX_DIST)
+        .distinct()
         .select(
             "a_fp", "b_fp", "hamming_dist",
             "a_clips", "b_clips", "a_rep", "b_rep",

@@ -1930,6 +1930,9 @@ def psi_drift_audit(
     per-bin term, the column PSI, and the drift flag."""
     from ..functions.bucketing import bucket_col, quantile_cuts
 
+    if not numeric_cols and not categorical_bins:
+        raise ValueError("at least one audited column required")
+
     # Reference cutpoints MATERIALIZED once per column (localCheckpoint
     # is eager — the x2b2 fingerprint-table idiom): lazily the same
     # 1-row aggregate subtree would be planned (and, since static plans

@@ -174,6 +174,16 @@ if HAS_PROTOBUF:  # pragma: no cover - protobuf absent in this container
 # Scale: state is one 2-long tuple per live (user, day); timers evict
 # it, so the store holds only the active horizon — the property that
 # keeps a 100 TB keyed stream's state store bounded.
+#
+# MODE ASSUMPTION (load-bearing for _T6C_ORACLE): the closed form below
+# is exact for the availableNow harness, where ALL data lands in one
+# batch and the final flush batch runs every timer against the final
+# watermark. In a long-lived multi-batch stream the watermark CLAMP
+# (an expired-on-arrival key re-arms at wm+1) only emits if the
+# watermark advances AGAIN; a stream that ends immediately after a
+# clamped re-arm holds a key that satisfies last+TTL < final-wm yet
+# never fired. The operator is still correct (no timer may be armed in
+# the past); the ORACLE's closed form is what is mode-dependent.
 
 _T6C_TTL_MS = 15 * 24 * 3600 * 1000  # 15 days — > half the 30-day span
 _T6C_DELAY = "1 hour"

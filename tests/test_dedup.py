@@ -1420,6 +1420,25 @@ def test_x3x_admission_laws_planted_skewed_batch(spark, tmp_path):
     target[4] += 0.5
     for vid in range(50, 110, 5):
         rows.append((vid, list(target), 0))
+    # 9 extra members sized to make the split threshold BOUNDARY-TIGHT:
+    # total nonzero vectors becomes 63 and cell 1 lands exactly at
+    # n_after = 8, where 16*8 = 128 > 2*63 = 126 flags but a total of
+    # 64 (the zero-norm vector below leaking into total_after) gives
+    # 128 > 128 = False — so the flag itself witnesses the exclusion
+    for vid, c in [(201, 1), (202, 1), (203, 1), (204, 1), (206, 1),
+                   (207, 2), (208, 2), (209, 2), (211, 2)]:
+        v = [0.0] * dim
+        v[c % dim] = 1.0
+        v[(c // dim) + 4] += 0.5
+        rows.append((vid, v, 0))
+    # a planted ZERO-NORM vector: the cross-function invariant behind
+    # x3x's total_after shortcut (count of l2_norm>0 vectors ==
+    # sum(n_after)) holds only because assign_cells excludes nrm>0 —
+    # this row pins that both sides exclude it, so a future change to
+    # assign_cells' exclusion rule (or to the tot scan's filter) fails
+    # here instead of silently skewing needs_split
+    zero_vid = 999
+    rows.append((zero_vid, [0.0] * dim, 0))
     pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
         tmp_path / "embeddings.parquet"
     )
@@ -1427,7 +1446,7 @@ def test_x3x_admission_laws_planted_skewed_batch(spark, tmp_path):
     out = {r["cell"]: r for r in x3x_incremental_ivf_admission(
         spark, str(tmp_path)
     ).collect()}
-    n_vecs = len(rows)
+    n_vecs = len(rows) - 1  # the zero-norm vector joins NO cell
     assert sum(r["n_before"] + r["n_added"] for r in out.values()) == n_vecs
     assert all(
         r["n_after"] == r["n_before"] + r["n_added"] for r in out.values()
@@ -1445,17 +1464,22 @@ def test_x3x_admission_laws_planted_skewed_batch(spark, tmp_path):
         for r in out.values()
         if r["n_added"] == 0 and r["n_before"] > 0
     )
-    # (c) the integer split trigger fires for cell 3 alone
+    # (c) the integer split trigger fires for cells 1 and 3 alone;
+    # cell 1 sits exactly on the boundary (128 > 126), so this flag is
+    # ALSO the witness that the operator's internal total_after scan
+    # excluded the zero-norm vector (a total of 64 would unflag it)
     total_after = sum(r["n_after"] for r in out.values())
+    assert total_after == n_vecs
     for c, r in out.items():
         assert r["needs_split"] == (r["n_after"] * _X3X_K > 2 * total_after), c
     assert out[3]["needs_split"]
-    assert sum(bool(r["needs_split"]) for r in out.values()) == 1
+    assert out[1]["needs_split"] and out[1]["n_after"] == 8
+    assert sum(bool(r["needs_split"]) for r in out.values()) == 2
     # (d) drifted cell: strictly below 1e6 and equal to the python
     # mirror of the rounded-sum law
     members0 = [
         v for vid, v, _ in rows
-        if vid % 5 != 0 and 16 <= vid and vid % 16 == 3
+        if vid % 5 != 0 and 16 <= vid < 48 and vid % 16 == 3
     ]
     # centroid vectors themselves are corpus members too (cell 3 holds
     # vec_id 3 as well) — recompute assignment-free: cell 3's base set

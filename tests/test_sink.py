@@ -841,3 +841,10 @@ def test_s25_psi_drift_audit_planted_shift(spark):
     assert top[4] == 1000 and top[1] == top[2] == top[3] == 0
     assert not any(r["drifted"] for r in by_col["cat"])
     assert all(r["psi_scaled"] == 0 for r in by_col["cat"])
+
+    # (c) a caller mistake (no audited columns at all) surfaces as an
+    # explicit ValueError, not an opaque IndexError from parts[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one audited column"):
+        psi_drift_audit(gen0, gen0, {}, {})
