@@ -538,6 +538,87 @@ def connected_components(
     return labels
 
 
+def large_star_small_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 16
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm, re-derived here in DataFrame
+    form). ``nodes`` has column ``id``; ``edges`` has ``src``/``dst``
+    (undirected).
+
+    Each round rewrites the EDGE set, never materializes per-node
+    reachable sets:
+
+    - large-star (per node u over the symmetrized edges): attach every
+      strictly-larger neighbor to m = min(N(u) + {u});
+    - small-star (per node u over hi>lo oriented edges): attach u and
+      all its smaller neighbors to the minimum among them.
+
+    The fixpoint is exactly a star forest centered at each component's
+    minimum id, reached in O(log n) rounds for ANY topology — the
+    property that distinguishes this from single-hop pair->groupBy
+    clustering (which mislabels a 3-chain A~B~C with A not~ C) and from
+    driver-side union-find (which collects the edge list). Every round
+    is two groupBy-min shuffles plus key equi-joins; lineage is
+    truncated per round with localCheckpoint so plans stay flat. If the
+    loop exits unconverged this RAISES rather than returning wrong
+    labels (the connected_components posture). Returns (id, label)."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least("u", "mv").alias("lo"),
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: ls edges are already hi > lo oriented
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = ls.join(mins2, "hi")
+        ss = (
+            joined.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(joined.select("hi", F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            ss.exceptAll(e).union(e.exceptAll(ss)).limit(1).count()
+        )
+        e = ss
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"large_star_small_star did not converge in {max_iter} rounds — "
+            "labels would be silently wrong; raise max_iter"
+        )
+    # at the fixpoint e is a star forest: every non-root points at its
+    # component's min id exactly once (groupBy-min is belt-and-braces)
+    stars = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("label"))
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("label")
+    )
+
+
 @register("x2e_dedup_clusters", oracle=_X2E_ORACLE, tags=("X2",))
 def x2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-dup candidate pairs into clusters and a canonical
@@ -557,6 +638,118 @@ def x2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+# X2e2 — GLOBAL transitive-closure clusters via large-star/small-star ----------
+#
+# x2e resolves a 40-doc candidate graph with per-node label propagation;
+# x2e2 is the shape a 100 TB corpus needs: the edge set itself is
+# rewritten by the large-star/small-star operators, so no per-node
+# neighbor list or reachable set is ever materialized and convergence is
+# O(log n) EDGE-set rounds regardless of topology. The edge law here is
+# a shared-evidence graph — two documents are linked when they share at
+# least _X2E2_MIN_SHARED distinct 3-token shingles — built by the same
+# inverted-index join every x2 candidate generator uses (gram -> doc
+# postings; documents sharing no gram never meet; never all-pairs).
+# Unlike band-hash equality (transitive by construction), shared-gram
+# evidence genuinely CHAINS: A~B via one gram set, B~C via another, with
+# A and C sharing nothing — the fixture contains such chains, and the
+# planted-3-chain pytest pins that single-hop clustering would mislabel
+# them. Restricted to doc_id < 200 so the DuckDB recursive-CTE twin
+# stays cheap; the Spark side's shape is the 100 TB one.
+
+_X2E2_MIN_SHARED = 3
+
+
+def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
+    """The x2e2 edge law as a plannable stage: (src, dst) doc pairs
+    sharing >= _X2E2_MIN_SHARED distinct 3-token shingles, built by the
+    inverted-index join (gram -> doc postings, never all-pairs). Kept
+    as its own site because x2e2's iterative half localCheckpoints —
+    the final plan can't witness this stage's shape, so the plan gate
+    targets it directly."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles(F.split("text", " "), 3))
+        ).alias("gram"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _X2E2_MIN_SHARED)
+        .select("src", "dst")
+    )
+
+
+_X2E2_ORACLE = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < 200)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X2E2_MIN_SHARED}
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT CAST(id AS BIGINT)           AS doc_id,
+       CAST(lab.cluster_id AS BIGINT) AS cluster_id,
+       (id = lab.cluster_id)        AS is_canonical,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id
+"""
+
+
+@register("x2e2_global_dedup_clusters", oracle=_X2E2_ORACLE, tags=("X2",))
+def x2e2_global_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitive-closure dedup clusters: connected components of
+    the shared-3-gram evidence graph (>= 3 distinct shared shingles) by
+    large-star/small-star edge rewriting, cluster id = min doc_id,
+    canonical = the kept representative, plus the component size a
+    curation budget needs. The closure matters: near-dup similarity is
+    not transitive (A~B, B~C does not give A~C), so keep-one-per-pair
+    over-removes — only the component view keeps exactly one doc per
+    duplicate family."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    pairs = x2e2_shared_gram_pairs(docs)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labels = large_star_small_star(nodes, pairs)
+    sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "is_canonical",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
     )
 
 

@@ -1498,3 +1498,129 @@ def test_x3x_admission_laws_planted_skewed_batch(spark, tmp_path):
     )
     assert out[3]["drift_cos_1e6"] == math.floor(cos * _X3X_SCALE)
     assert out[3]["drift_cos_1e6"] < _X3X_SCALE
+
+
+def _spark_ls_components(spark, n, edges):
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        large_star_small_star,
+    )
+
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    if edges:
+        e = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    return sorted(
+        (r["id"], r["label"])
+        for r in large_star_small_star(nodes, e).collect()
+    )
+
+
+def test_large_star_small_star_planted_3chain(spark):
+    """The law x2e2 exists for: A~B and B~C with A not~ C must land all
+    three in ONE cluster labeled min(A). Single-hop clustering (each
+    PAIR keeps its own min — the pairs -> groupBy shortcut) provably
+    mislabels this topology, which the test computes explicitly so the
+    contrast is pinned, not asserted by prose."""
+    edges = [(10, 20), (20, 30), (41, 40)]
+    got = _spark_ls_components(spark, 50, edges)
+    labels = dict(got)
+    assert labels[10] == labels[20] == labels[30] == 10
+    assert labels[40] == labels[41] == 40
+    assert labels[45] == 45  # isolated node keeps its own id
+    # the single-hop shortcut: each node takes min over its DIRECT pair
+    # partners only — node 30 never sees 10
+    single_hop = {}
+    for a, b in edges:
+        m = min(a, b)
+        single_hop[a] = min(single_hop.get(a, a), m)
+        single_hop[b] = min(single_hop.get(b, b), m)
+    assert single_hop[30] == 20 != labels[30]  # the mislabel x2e2 fixes
+
+
+def test_large_star_small_star_long_chain_converges(spark):
+    """A 60-node path has diameter 59 >> the 16-round budget; the
+    edge-rewriting rounds must still converge (O(log n) is the paper's
+    bound) and label every node 0 — the same silent-mislabel regression
+    the connected_components twin pins, proven for this algorithm."""
+    n = 60
+    edges = [(i, i + 1) for i in range(n - 1)]
+    assert _spark_ls_components(spark, n, edges) == [(v, 0) for v in range(n)]
+
+
+def test_large_star_small_star_match_union_find(spark):
+    """Property: arbitrary small graphs (self-loops, duplicate and
+    reversed edges, isolated nodes) resolve to exactly the union-find
+    components with min-id canonical labels — the same contract as
+    connected_components, different algorithm."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    n = 12
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=0,
+            max_size=18,
+        )
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(edges):
+        assert _spark_ls_components(spark, n, edges) == _union_find_components(
+            n, edges
+        )
+
+    run()
+
+
+def test_x2e2_planted_gram_chain(spark, tmp_path):
+    """x2e2 end-to-end on a handmade corpus where the shared-gram
+    evidence CHAINS: A and B share exactly 3 distinct 3-grams, B and C
+    share 3 OTHER grams, A and C share only 1 (< _X2E2_MIN_SHARED) —
+    so the pair stage never links A-C, yet the closure must. Also pins
+    the threshold boundary (a 2-shared-gram pair stays unlinked) and
+    the cluster_size / is_canonical laws."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e2_global_dedup_clusters,
+    )
+
+    rows = [
+        (10, "a b c d e f", "en", 11),        # grams: abc bcd cde def
+        (11, "a b c d e x y", "en", 13),      # shares abc bcd cde with 10
+        (12, "c d e x y z", "en", 11),        # shares cde dex exy with 11,
+                                              # only cde with 10
+        (13, "p q r s t", "en", 9),           # grams: pqr qrs rst
+        (14, "p q r s u", "en", 9),           # shares pqr qrs = 2 < 3: NO edge
+        (15, "lone w1 w2 w3", "en", 13),      # singleton
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in x2e2_global_dedup_clusters(
+        spark, sf_dir
+    ).collect()}
+    assert len(got) == 6
+    # the chain closes: one cluster {10, 11, 12} labeled 10
+    assert got[10]["cluster_id"] == got[11]["cluster_id"] == 10
+    assert got[12]["cluster_id"] == 10
+    assert got[10]["cluster_size"] == got[12]["cluster_size"] == 3
+    # 2 shared grams is below the bar: 13 and 14 stay apart
+    assert got[13]["cluster_id"] == 13 and got[14]["cluster_id"] == 14
+    assert got[13]["cluster_size"] == got[14]["cluster_size"] == 1
+    assert got[15]["cluster_id"] == 15
+    # exactly one canonical per cluster, always the min id
+    assert got[10]["is_canonical"] and not got[11]["is_canonical"]
+    assert not got[12]["is_canonical"]
+    canon = [d for d, r in got.items() if r["is_canonical"]]
+    assert sorted(canon) == [10, 13, 14, 15]

@@ -765,3 +765,20 @@ def test_x6w_benchmark_side_broadcasts(spark):
     assert "BroadcastExchange" in plan, "benchmark side must broadcast"
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_x2e2_pair_stage_is_inverted_index_not_all_pairs(spark):
+    """x2e2: the iterative closure localCheckpoints (its final plan
+    can't witness candidate generation), so gate the shared-gram pair
+    stage directly — it must plan the gram inverted-index equi-join,
+    never a CartesianProduct or a nested loop over the corpus."""
+    from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e2_shared_gram_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = Catalog(spark, SF).documents.filter(F.col("doc_id") < 200)
+    plan = explain_str(x2e2_shared_gram_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
