@@ -1714,3 +1714,171 @@ def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "score_micro", "n_hit_terms")
         .orderBy("query_id", "rnk")
     )
+
+
+# X4v — hybrid retrieval fusion: BM25 + dense cosine via RRF -------------------
+#
+# The standard production retrieval stack fuses a sparse (lexical) and a
+# dense (embedding) ranking; reciprocal-rank fusion is the fusion rule
+# that needs NO score calibration between legs — only ranks. Both legs
+# here are this repo's own registered operators composed verbatim (the
+# x6s idiom): the sparse leg is x4u's BM25 top-10 for the declared
+# query set, the dense leg is the x2d-law brute cosine top-10 around a
+# declared ANCHOR document per query (query-by-example: "docs like this
+# one AND containing these terms"), corpus = the embedded documents
+# (embeddings semi-joined to documents on id — at sf0.1 only 2000 of
+# 5000 docs carry vectors, so the legs genuinely rank different
+# universes and the fusion property is structural, not decorative).
+#
+# Integer-exact law: each leg contributes 1e6 div (60 + rank) — pure
+# BIGINT division, identical in Spark (`div`) and DuckDB (`//`) — so
+# the fused score is an exact integer sum with the doc_id tie break.
+# A doc ranked by only ONE leg still surfaces with the other leg's
+# contribution 0 (full-outer fusion); that property and the tie law are
+# pytest-pinned on a planted corpus.
+#
+# Scale shape: x4u's shape for the sparse leg; the dense leg broadcasts
+# 4 anchor vectors against the map-side corpus (the x3-brute law) with
+# a per-query rank window over corpus-sized rows — at 100 TB the dense
+# leg swaps to the IVF/LSH candidate generators (x3d/x3b) with the
+# same downstream fusion, which is rank-only and corpus-free (<= 20
+# rows per query meet in the full-outer join).
+
+_X4V_ANCHORS = ((0, 7), (1, 11), (2, 23), (3, 42))
+_X4V_RRF_K = 60
+_X4V_DENSE_TOPK = 10
+_X4V_TOPK = 10
+
+_X4V_ANCHOR_VALUES = ", ".join(f"({q}, {a})" for q, a in _X4V_ANCHORS)
+
+_X4V_ORACLE = f"""
+WITH sparse AS ({_X4U_ORACLE}),
+anch AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, anchor_id
+  FROM (VALUES {_X4V_ANCHOR_VALUES}) v(query_id, anchor_id)
+),
+ce AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+dscored AS (
+  SELECT a.query_id, c.vec_id AS doc_id,
+         round(
+           list_aggregate(list_transform(list_zip(qa.emb, c.emb),
+                                         p -> p[1] * p[2]), 'sum')
+           / (sqrt(list_aggregate(list_transform(qa.emb, x -> x*x), 'sum'))
+              * sqrt(list_aggregate(list_transform(c.emb, x -> x*x), 'sum'))),
+           4) AS cos_r4
+  FROM anch a
+  JOIN ce qa ON qa.vec_id = a.anchor_id
+  JOIN ce c ON c.vec_id <> a.anchor_id
+),
+dense AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_r4 DESC, doc_id) AS rnk
+    FROM dscored
+  ) WHERE rnk <= {_X4V_DENSE_TOPK}
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(1000000 // ({_X4V_RRF_K} + s.rnk), 0)
+           + coalesce(1000000 // ({_X4V_RRF_K} + d.rnk), 0) AS rrf_micro,
+         s.rnk AS sparse_rnk,
+         d.rnk AS dense_rnk
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, rnk, doc_id, rrf_micro, sparse_rnk, dense_rnk FROM (
+  SELECT query_id, doc_id,
+         CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         CAST(sparse_rnk AS BIGINT) AS sparse_rnk,
+         CAST(dense_rnk AS BIGINT) AS dense_rnk,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {_X4V_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+def _x4v_dense_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense leg: per declared anchor, the x2d-law cosine top-k
+    (rank by round(cos, 4) DESC, doc_id) over the embedded documents,
+    anchor excluded. Kept as its own site so a chunk-level or IVF
+    variant can swap in without touching the fusion."""
+    from .similarity import _dvec, cosine
+
+    cat = Catalog(spark, sf_dir)
+    anch = spark.createDataFrame(
+        list(_X4V_ANCHORS), "query_id long, anchor_id long"
+    )
+    emb = cat.embeddings
+    ce = emb.join(
+        cat.documents.select("doc_id"),
+        emb["vec_id"] == F.col("doc_id"),
+        "semi",
+    ).select("vec_id", _dvec("embedding").alias("emb"))
+    qa = ce.join(F.broadcast(anch), ce["vec_id"] == F.col("anchor_id")).select(
+        "query_id", "anchor_id", F.col("emb").alias("qemb")
+    )
+    scored = ce.join(
+        F.broadcast(qa), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_r4"),
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("cos_r4").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _X4V_DENSE_TOPK)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+
+@register("x4v_hybrid_rrf_fusion", oracle=_X4V_ORACLE, tags=("X4",))
+def x4v_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the registered BM25 leg (x4u) and the
+    anchor-cosine dense leg: per (query, doc), score = sum over legs of
+    1e6 div (60 + rank) — integer-exact, calibration-free — fused over
+    the FULL OUTER union of the legs' top-10s so single-leg docs
+    surface, top-10 per query by (score DESC, doc_id)."""
+    sparse = x4u_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").alias("sparse_rnk")
+    )
+    dense = _x4v_dense_leg(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").alias("dense_rnk")
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({_X4V_RRF_K} + sparse_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({_X4V_RRF_K} + dense_rnk)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+        F.col("sparse_rnk").cast("long").alias("sparse_rnk"),
+        F.col("dense_rnk").cast("long").alias("dense_rnk"),
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _X4V_TOPK)
+        .select(
+            "query_id", "rnk", "doc_id", "rrf_micro",
+            "sparse_rnk", "dense_rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

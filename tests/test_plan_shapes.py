@@ -782,3 +782,13 @@ def test_x2e2_pair_stage_is_inverted_index_not_all_pairs(spark):
     plan = explain_str(x2e2_shared_gram_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
+    """x4v: the sparse leg must keep x4u's broadcast-query shape and the
+    dense leg must broadcast the 4 anchor vectors against the map-side
+    corpus (the x3-brute law) — never a CartesianProduct. The anchor
+    inequality join is the 1-row-side BNLJ the gates permit."""
+    plan = _plan(spark, "x4v_hybrid_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

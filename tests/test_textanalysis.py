@@ -262,3 +262,57 @@ def test_x4u_bm25_tie_break_and_rank_laws(spark, tmp_path):
                 a["score_micro"] == b["score_micro"]
                 and a["doc_id"] < b["doc_id"]
             )
+
+
+def test_x4v_rrf_single_leg_surfaces_and_tie_law(spark, tmp_path):
+    """x4v fusion laws, closed-form on a planted corpus: (a) a doc
+    ranked by only ONE leg still surfaces (doc 30 is the only lexical
+    match for query 0 but is embedded anti-aligned to the anchor; doc
+    20 is the anchor's nearest vector but contains no query term —
+    both must appear); (b) both carry the identical single-leg rank-1
+    contribution 1000000 div 61 = 16393 EXACTLY (integer division, no
+    calibration), so (c) the doc_id tie law puts 20 at fused rank 1
+    and 30 at rank 2."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4v_hybrid_rrf_fusion,
+    )
+
+    n = 50
+    texts = ["table scan only"] * n
+    texts[30] = "dup join"  # the ONLY doc matching query 0's terms
+    pd.DataFrame({"doc_id": range(n), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    embs = []
+    for i in range(n):
+        if i == 7:                       # query 0's anchor
+            embs.append([1.0, 0.0, 0.0, 0.0])
+        elif i == 20:                    # near-perfect anchor match
+            embs.append([1.0, 0.01, 0.0, 0.0])
+        elif i == 30:                    # anti-aligned: never in top-10
+            embs.append([-1.0, 0.1, 0.0, 0.0])
+        else:                            # cos strictly decreasing in i
+            embs.append([1.0, 0.5 + i / 100.0, 0.0, 0.0])
+    pd.DataFrame({"vec_id": range(n), "embedding": embs}).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+
+    out = x4v_hybrid_rrf_fusion(spark, str(tmp_path)).collect()
+    q0 = {r["doc_id"]: r for r in out if r["query_id"] == 0}
+    assert 20 in q0 and 30 in q0               # (a) both legs surface
+    assert q0[20]["sparse_rnk"] is None and q0[20]["dense_rnk"] == 1
+    assert q0[30]["sparse_rnk"] == 1 and q0[30]["dense_rnk"] is None
+    assert q0[20]["rrf_micro"] == q0[30]["rrf_micro"] == 1_000_000 // 61
+    assert q0[20]["rnk"] == 1 and q0[30]["rnk"] == 2   # (c) id tie law
+    # every query's ranks are gapless and ordered by (score, doc_id)
+    for q in {r["query_id"] for r in out}:
+        rows = sorted(
+            (r for r in out if r["query_id"] == q), key=lambda r: r["rnk"]
+        )
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["rrf_micro"] > b["rrf_micro"] or (
+                a["rrf_micro"] == b["rrf_micro"] and a["doc_id"] < b["doc_id"]
+            )
