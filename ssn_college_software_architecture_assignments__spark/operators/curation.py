@@ -2195,3 +2195,176 @@ def x6w_chunk_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_doc_id", "chunk_id")
     )
+
+
+# X6x — chunk-level BM25 retrieval (x6v chunking ∘ x4u scoring) ----------------
+#
+# x6v builds the RAG chunk manifest and x4u ranks whole documents; the
+# actual RAG query path retrieves CHUNKS. x6x composes the two
+# registered laws verbatim: the corpus is the x6v chunk table (W=16,
+# V=4 — the same overlapped_chunks site, so a chunking change cannot
+# leave retrieval behind), the scorer is x4u's single-site _X4U_W
+# formula with the chunk as the scoring unit — n_docs = chunk count,
+# df = chunk frequency, dl = chunk length, avgdl = mean chunk length —
+# same integer micro-unit flooring, so the per-(query, chunk) sum is
+# order-independent and the (doc_id, chunk_id) tie law is exact.
+# The V=4 overlap is load-bearing for retrieval quality: a query term
+# landing in an overlap span belongs to BOTH adjacent chunks and both
+# surface (pytest-pinned), so a hit near a boundary never loses its
+# context window.
+#
+# Scale shape: chunk derivation is map-only (the x6v shape); tf is one
+# map-combined hash-agg keyed (doc, chunk, term); the query table and
+# the query-pruned df table broadcast into the term-keyed inverted
+# index exactly as in x4u — the corpus shuffles once on term and only
+# query-term rows survive into scoring; the rank window sees
+# |q| x matching-chunks rows, never the corpus.
+
+_X6X_TOPK = 10
+
+from .textanalysis import (  # noqa: E402
+    _X4U_VALUES as _X6X_QUERY_VALUES,
+    _X4U_W as _X6X_W,
+)
+
+_X6X_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {_X6X_QUERY_VALUES}) v(query_id, term)
+),
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks, n_tokens,
+         greatest(1, (n_tokens - {_X6V_OVERLAP} + {_X6V_STRIDE} - 1)
+                     // {_X6V_STRIDE}) AS n_chunks
+  FROM d
+),
+chunks AS (
+  SELECT doc_id, k.i AS chunk_id,
+         CAST(k.i * {_X6V_STRIDE} AS BIGINT) AS start_tok,
+         toks[k.i * {_X6V_STRIDE} + 1 :
+              k.i * {_X6V_STRIDE} + {_X6V_WINDOW}] AS ctoks
+  FROM m, LATERAL (SELECT unnest(range(n_chunks)) AS i) k
+),
+ct AS (SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM chunks),
+tf AS (
+  SELECT doc_id, chunk_id, term, CAST(count(*) AS BIGINT) AS tf_t
+  FROM ct GROUP BY doc_id, chunk_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+),
+dl AS (
+  SELECT doc_id, chunk_id, start_tok,
+         CAST(len(ctoks) AS BIGINT) AS dl_t
+  FROM chunks
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(ctoks)) AS DOUBLE) / count(*) AS avgdl
+  FROM chunks
+),
+hits AS (
+  SELECT q.query_id, tf.doc_id, tf.chunk_id, dl.start_tok,
+         {_X6X_W} AS w_micro
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id, chunk_id, start_tok,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_hit_terms
+  FROM hits GROUP BY query_id, doc_id, chunk_id, start_tok
+),
+ranked AS (
+  SELECT query_id, doc_id, chunk_id, start_tok, score_micro, n_hit_terms,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id, chunk_id
+         ) AS rnk
+  FROM scores
+)
+SELECT query_id, rnk, doc_id, chunk_id, start_tok, score_micro, n_hit_terms
+FROM ranked
+WHERE rnk <= {_X6X_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("x6x_chunk_bm25_retrieval", oracle=_X6X_ORACLE, tags=("X6", "X4"))
+def x6x_chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 CHUNKS per declared query under BM25 over the x6v chunk
+    table (W=16, V=4): the RAG query path. Chunk = scoring unit (chunk
+    count, chunk frequency, chunk length feed the shared x4u formula);
+    broadcast-query inverted-index shape; exact (score, doc_id,
+    chunk_id) tie law via integer micro-units."""
+    from .textanalysis import _X4U_QUERIES
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    chunks = overlapped_chunks(docs, _X6V_WINDOW, _X6V_OVERLAP).select(
+        "doc_id", "chunk_id", "start_tok", "ctoks"
+    )
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode("ctoks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "chunk_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_t")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    dl = chunks.select(
+        "doc_id", "chunk_id", "start_tok",
+        F.size("ctoks").cast("long").alias("dl_t"),
+    )
+    stats = (
+        chunks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("ctoks")).alias("t"),
+        )
+        .select(
+            "n_docs",
+            (F.col("t").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        list(_X4U_QUERIES), "query_id long, term string"
+    )
+    # the x4u law: prune df to query terms BEFORE broadcasting — the
+    # chunk-level df table is vocabulary-sized at corpus scale
+    df_q = df.join(F.broadcast(qdf.select("term").distinct()), "term")
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_q), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "chunk_id", "start_tok",
+            F.expr(_X6X_W).alias("w_micro"),
+        )
+    )
+    scores = hits.groupBy("query_id", "doc_id", "chunk_id", "start_tok").agg(
+        F.sum("w_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _X6X_TOPK)
+        .select(
+            "query_id", "rnk", "doc_id", "chunk_id", "start_tok",
+            "score_micro", "n_hit_terms",
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -873,3 +873,53 @@ def test_x6w_chunk_scrub_biconditional_with_x6d(spark):
         assert r["start_tok"] == r["chunk_id"] * _X6W_STRIDE
         assert r["n_shared_grams"] >= 1
         assert r["n_benchmark_docs"] >= 1
+
+
+def test_x6x_matching_chunk_outranks_and_overlap_hits_both(spark, tmp_path):
+    """x6x chunk-retrieval laws on a planted corpus (W=16, V=4, so a
+    28-token doc splits into chunks [0,16) and [12,28) sharing span
+    [12,16)): (a) only the chunk CONTAINING a query term is ranked —
+    the same doc's non-matching chunk never appears; (b) a term landing
+    in the overlap span belongs to BOTH adjacent chunks and both
+    surface; (c) ranks are gapless per query and ordered by
+    (score desc, doc_id, chunk_id)."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6x_chunk_bm25_retrieval,
+    )
+
+    filler = ["w%d" % i for i in range(28)]
+    # doc 0: "dup" at 0-based position 5 -> chunk 0 only
+    t0 = list(filler)
+    t0[5] = "dup"
+    # doc 1: "dup" at 0-based position 13 -> inside the [12,16) overlap
+    t1 = list(filler)
+    t1[13] = "dup"
+    # doc 2: background, no query terms
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [" ".join(t0), " ".join(t1), " ".join(filler)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = x6x_chunk_bm25_retrieval(spark, str(tmp_path)).collect()
+    q0 = [r for r in out if r["query_id"] == 0]
+    hits = {(r["doc_id"], r["chunk_id"]) for r in q0}
+    assert (0, 0) in hits and (0, 1) not in hits   # (a)
+    assert (1, 0) in hits and (1, 1) in hits       # (b) overlap: both
+    assert not any(r["doc_id"] == 2 for r in q0)
+    # start_tok pins the span law: chunk k starts at k * stride
+    spans = {(r["doc_id"], r["chunk_id"]): r["start_tok"] for r in q0}
+    assert spans[(1, 0)] == 0 and spans[(1, 1)] == 12
+    # (c) gapless, ordered
+    for q in {r["query_id"] for r in out}:
+        rows = sorted(
+            (r for r in out if r["query_id"] == q), key=lambda r: r["rnk"]
+        )
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score_micro"], -a["doc_id"], -a["chunk_id"]) >= (
+                b["score_micro"], -b["doc_id"], -b["chunk_id"]
+            )

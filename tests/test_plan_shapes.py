@@ -792,3 +792,13 @@ def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
     plan = _plan(spark, "x4v_hybrid_rrf_fusion")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_x6x_chunk_bm25_keeps_broadcast_query_shape(spark):
+    """x6x: the x4u posture over the chunk table — query set and
+    query-pruned df broadcast into the term-keyed inverted index;
+    chunk derivation stays map-only upstream; no CartesianProduct
+    (the 1-row stats crossJoin plans as the permitted BNLJ)."""
+    plan = _plan(spark, "x6x_chunk_bm25_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
