@@ -1420,24 +1420,30 @@ _DHASH_W, _DHASH_H = 9, 8
 DHASH_SCHEMA = "doc_id long, dhash string, hash_status string"
 
 
-def dhash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _dhash_hex_from_raster(w: int, h: int, raster) -> str:
+    """THE dHash math (sum-gray, 9x8 floor resample, adjacent-horizontal
+    comparison bits, 16 hex chars) shared by the x5m image kernel and
+    the x5r per-frame video kernel — one site, so the clip-level and
+    image-level hashes can never diverge."""
     import numpy as np
 
+    gray = raster.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    sy = (np.arange(_DHASH_H) * h) // _DHASH_H
+    sx = (np.arange(_DHASH_W) * w) // _DHASH_W
+    g = gray[sy][:, sx]                    # 8 x 9
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # 8 x 8
+    row_bytes = (bits << np.arange(8)).sum(axis=1)
+    return "".join(f"{b:02x}" for b in row_bytes)
+
+
+def dhash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "dhash": [], "hash_status": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 w, h, raster = _parse_ppm_raster(bytes(payload))
-                gray = (
-                    raster.reshape(h, w, 3).astype(np.int64).sum(axis=2)
-                )
-                sy = (np.arange(_DHASH_H) * h) // _DHASH_H
-                sx = (np.arange(_DHASH_W) * w) // _DHASH_W
-                g = gray[sy][:, sx]                    # 8 x 9
-                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # 8 x 8
-                row_bytes = (bits << np.arange(8)).sum(axis=1)
                 out["doc_id"].append(doc_id)
-                out["dhash"].append("".join(f"{b:02x}" for b in row_bytes))
+                out["dhash"].append(_dhash_hex_from_raster(w, h, raster))
                 out["hash_status"].append("ok")
             except ValueError as exc:
                 out["doc_id"].append(doc_id)
@@ -1593,20 +1599,13 @@ def _x5m2_gray_sql(c: int) -> str:
     )
 
 
-_X5M2_ORACLE = f"""
-WITH corpus AS (
-  SELECT doc_id AS img_id, doc_id AS src_doc, 0 AS pert FROM documents
-  UNION ALL
-  SELECT doc_id + {_X5M2_OFFSET} AS img_id, doc_id AS src_doc, 1 AS pert
-  FROM documents
-  WHERE doc_id % 7 >= 4 AND doc_id % 13 >= 5
-),
-dims AS (
-  SELECT img_id, src_doc, pert,
-         4 + src_doc % 13 AS w, 4 + src_doc % 7 AS h
-  FROM corpus
-),
-g AS (
+# THE per-image dHash derivation as SQL CTE text (g -> bits -> rowbytes
+# -> hb), over any upstream `dims(img_id, src_doc, pert, w, h)` relation
+# — the oracle-side twin of _dhash_hex_from_raster, shared verbatim by
+# the x5m2 image oracle and the x5r per-frame video oracle so the two
+# can never hash differently. hb yields the 16-hex dhash plus its
+# 4 x 16-bit band values (band i = row bytes 2i, 2i+1, big-endian).
+_PPM_HASH_CTES = f"""g AS (
   SELECT d.img_id, ty.i AS y, tx.i AS x,
          {_x5m2_gray_sql(0)} + {_x5m2_gray_sql(1)} + {_x5m2_gray_sql(2)} AS gray
   FROM dims d,
@@ -1639,7 +1638,22 @@ hb AS (
                   THEN byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END
                   ELSE 0 END) AS BIGINT) AS b3
   FROM rowbytes GROUP BY img_id
+)"""
+
+_X5M2_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS img_id, doc_id AS src_doc, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + {_X5M2_OFFSET} AS img_id, doc_id AS src_doc, 1 AS pert
+  FROM documents
+  WHERE doc_id % 7 >= 4 AND doc_id % 13 >= 5
 ),
+dims AS (
+  SELECT img_id, src_doc, pert,
+         4 + src_doc % 13 AS w, 4 + src_doc % 7 AS h
+  FROM corpus
+),
+{_PPM_HASH_CTES},
 dh AS (
   SELECT dhash,
          CAST(count(*) AS BIGINT) AS n_images,
@@ -2443,6 +2457,329 @@ def x5n2_hamming_audio_near_dedup(
         .select(
             "a_fp", "b_fp", "hamming_dist",
             "a_clips", "b_clips", "a_rep", "b_rep",
+        )
+        .orderBy("a_fp", "b_fp")
+    )
+
+
+# X5r — video near-dedup: Hamming over per-frame dHashes -----------------------
+#
+# The clip-level composition the x5 family builds toward: re-encoded
+# copies of a video differ byte-wise but their SAMPLED FRAMES stay
+# perceptually close, so video dedup fingerprints each sampled frame
+# (x5h's demux walk -> x5m's dHash, both composed verbatim) and calls
+# two clips near-duplicates when every frame position matches within
+# Hamming distance <= d. The corpus plants true re-encodes: for each
+# doc's multi-frame container, a variant clip re-encodes every frame
+# through the x5m2 one-pixel perturbation wherever that frame's image
+# is collision-free (the x5m2 eligibility law, per frame seed), so
+# per-position hamming(base, variant) <= 2 is the SAME theorem x5m2
+# pins, applied frame-wise — and a variant whose sampled frames all
+# escape perturbation collapses into its base's exact-fingerprint
+# cluster instead (both outcomes pytest-pinned).
+#
+# Scale shape: demux + per-frame hashing is one Arrow map pass per clip
+# (bytes never leave the kernel); exact-fingerprint collapse FIRST
+# (the x5m2 posture), then the band join runs over DISTINCT clip
+# fingerprints keyed (n_sampled, frame pos, band_idx, band_val) — by
+# pigeonhole a frame pair within d <= 3 shares a band, so ANY matching
+# position surfaces the candidate; verification re-joins the two
+# fingerprints' per-position bands and demands EVERY position within
+# _X5R_MAX_DIST. No all-pairs stage exists (plan-gated).
+
+_X5R_OFFSET = _X5M2_OFFSET
+_X5R_MAX_DIST = _X5M2_MAX_DIST
+
+X5R_FRAME_SCHEMA = "clip_id long, n_sampled int, pos int, dhash string"
+
+
+def _x5r_variant_video_bytes(doc_id: int) -> bytes:
+    """The planted re-encoded clip: every frame whose image seed is
+    x5m2-eligible (collision-free resample: seed % 7 >= 4 AND
+    seed % 13 >= 5) is replaced by its one-pixel perturbed variant;
+    ineligible frames pass through byte-identical."""
+    n_frames = 2 + doc_id % 4
+    out = []
+    for f in range(n_frames):
+        s = doc_id + f
+        if s % 7 >= 4 and s % 13 >= 5:
+            out.append(_x5m2_variant_bytes(s))
+        else:
+            out.append(_ppm_bytes(s))
+    return b"".join(out)
+
+
+def _x5r_clip_frame_hash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Demux each clip container (the x5h header-walk), dHash every 2nd
+    frame (the shared _dhash_hex_from_raster site), for the base AND
+    the planted variant clip. The containers are generated in-process
+    and deterministic, so a malformed frame is a can't-happen bug —
+    raising loudly is the correct posture, not an error row."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"clip_id": [], "n_sampled": [], "pos": [], "dhash": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            for clip_id, buf in (
+                (d, _ppm_video_bytes(d)),
+                (d + _X5R_OFFSET, _x5r_variant_video_bytes(d)),
+            ):
+                hashes = []
+                at, idx = 0, 0
+                while at < len(buf):
+                    if buf[at : at + 2] != b"P6":
+                        raise ValueError(f"bad frame magic at {at}")
+                    nl1 = buf.index(b"\n", at)
+                    nl2 = buf.index(b"\n", nl1 + 1)
+                    nl3 = buf.index(b"\n", nl2 + 1)
+                    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+                    frame_end = nl3 + 1 + w * h * 3
+                    if frame_end > len(buf):
+                        raise ValueError("truncated frame")
+                    if idx % 2 == 0:
+                        raster = np.frombuffer(
+                            buf[nl3 + 1 : frame_end], dtype=np.uint8
+                        )
+                        hashes.append(_dhash_hex_from_raster(w, h, raster))
+                    at, idx = frame_end, idx + 1
+                for p, hx in enumerate(hashes):
+                    out["clip_id"].append(clip_id)
+                    out["n_sampled"].append(len(hashes))
+                    out["pos"].append(p)
+                    out["dhash"].append(hx)
+        yield pd.DataFrame(out)
+
+
+_X5R_ORACLE = f"""
+WITH clips AS (
+  SELECT doc_id AS clip_id, doc_id AS src_doc, 0 AS pert_clip
+  FROM documents WHERE doc_id % 4 >= 1 AND doc_id < 500
+  UNION ALL
+  SELECT doc_id + {_X5R_OFFSET} AS clip_id, doc_id AS src_doc, 1 AS pert_clip
+  FROM documents WHERE doc_id % 4 >= 1 AND doc_id < 500
+),
+frames AS (
+  SELECT c.clip_id, c.src_doc + f.i AS seed, f.i // 2 AS pos, c.pert_clip
+  FROM clips c,
+       LATERAL (SELECT unnest(range(2 + c.src_doc % 4)) AS i) f
+  WHERE f.i % 2 = 0
+),
+dims AS (
+  SELECT clip_id * 8 + pos AS img_id,
+         seed AS src_doc,
+         CASE WHEN pert_clip = 1 AND seed % 7 >= 4 AND seed % 13 >= 5
+              THEN 1 ELSE 0 END AS pert,
+         4 + seed % 13 AS w, 4 + seed % 7 AS h
+  FROM frames
+),
+{_PPM_HASH_CTES},
+fr AS (
+  SELECT img_id // 8 AS clip_id, img_id % 8 AS pos, dhash, b0, b1, b2, b3
+  FROM hb
+),
+nf AS (
+  SELECT clip_id, CAST(count(*) AS BIGINT) AS n_sampled FROM fr GROUP BY 1
+),
+fp AS (
+  SELECT f.clip_id, n.n_sampled,
+         string_agg(f.dhash, '|' ORDER BY f.pos) AS fp
+  FROM fr f JOIN nf n USING (clip_id)
+  GROUP BY f.clip_id, n.n_sampled
+),
+grp AS (
+  SELECT n_sampled, fp,
+         CAST(count(*) AS BIGINT) AS n_clips,
+         CAST(min(clip_id) AS BIGINT) AS rep_id
+  FROM fp GROUP BY 1, 2
+),
+pp AS (
+  SELECT g.fp, g.n_sampled, f.pos, f.b0, f.b1, f.b2, f.b3
+  FROM grp g JOIN fr f ON f.clip_id = g.rep_id
+),
+bands AS (
+  SELECT pp.fp, pp.n_sampled, pp.pos, u.i AS band_idx,
+         CASE u.i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+           AS band_val
+  FROM pp, LATERAL (SELECT unnest(range({_X5M2_BANDS})) AS i) u
+),
+cand AS (
+  SELECT DISTINCT a.fp AS a_fp, b.fp AS b_fp, a.n_sampled AS n_sampled
+  FROM bands a
+  JOIN bands b
+    ON a.n_sampled = b.n_sampled AND a.pos = b.pos
+   AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.fp < b.fp
+),
+perpos AS (
+  SELECT c.a_fp, c.b_fp, c.n_sampled, pa.pos,
+         bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+       + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) AS hd
+  FROM cand c
+  JOIN pp pa ON pa.fp = c.a_fp AND pa.n_sampled = c.n_sampled
+  JOIN pp pb ON pb.fp = c.b_fp AND pb.n_sampled = c.n_sampled
+            AND pb.pos = pa.pos
+),
+agg AS (
+  SELECT a_fp, b_fp, n_sampled,
+         CAST(max(hd) AS BIGINT) AS max_frame_hd,
+         sum(CASE WHEN hd <= {_X5R_MAX_DIST} THEN 1 ELSE 0 END) AS n_within,
+         count(*) AS n_pos
+  FROM perpos GROUP BY 1, 2, 3
+)
+SELECT agg.a_fp, agg.b_fp,
+       CAST(agg.n_sampled AS BIGINT) AS n_frames,
+       agg.max_frame_hd,
+       ga.n_clips AS a_clips, ga.rep_id AS a_rep,
+       gb.n_clips AS b_clips, gb.rep_id AS b_rep
+FROM agg
+JOIN grp ga ON ga.fp = agg.a_fp AND ga.n_sampled = agg.n_sampled
+JOIN grp gb ON gb.fp = agg.b_fp AND gb.n_sampled = agg.n_sampled
+WHERE agg.n_within = agg.n_pos
+ORDER BY agg.a_fp, agg.b_fp
+"""
+
+
+@register("x5r_video_near_dedup", oracle=_X5R_ORACLE, tags=("X5", "X2"))
+def x5r_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video near-duplicate pairs: demux each (base +
+    planted re-encoded) clip, dHash every 2nd frame, collapse exact
+    clip fingerprints, band-join per (n_sampled, frame pos, band) over
+    distinct fingerprints, and keep pairs where EVERY frame position is
+    within Hamming distance _X5R_MAX_DIST (= 2, the per-frame x5m2
+    displacement theorem). Restricted to genuinely multi-frame clips
+    (doc_id % 4 >= 1 -> >= 3 frames -> >= 2 sampled positions): a
+    single-sampled-frame "clip" degenerates to x5m2's image matching
+    and its band buckets pair-explode on this formulaic fixture — and
+    to the x2g doc slice (doc_id < 500: the whole corpus at sf0.01)
+    so the DuckDB twin's 72-cell lateral stays cheap; the Spark side's
+    shape is the 100 TB one."""
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.filter((F.col("doc_id") % 4 >= 1) & (F.col("doc_id") < 500))
+        .select("doc_id")
+    )
+    rows = docs.mapInPandas(_x5r_clip_frame_hash_batch, X5R_FRAME_SCHEMA)
+    fp = rows.groupBy("clip_id", "n_sampled").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "dhash"))),
+                lambda s: s["dhash"],
+            ),
+            "|",
+        ).alias("fp")
+    )
+    grp = fp.groupBy("n_sampled", "fp").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("clip_id").alias("rep_id"),
+    )
+    pp = grp.join(
+        rows.select("clip_id", "pos", "dhash"),
+        grp["rep_id"] == F.col("clip_id"),
+    ).select(
+        "fp",
+        "n_sampled",
+        "n_clips",
+        "rep_id",
+        "pos",
+        *[
+            F.conv(F.substring("dhash", 1 + 4 * i, 4), 16, 10)
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(_X5M2_BANDS)
+        ],
+    )
+    bands = pp.select(
+        "fp",
+        "n_sampled",
+        "n_clips",
+        "rep_id",
+        "pos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(_X5M2_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "fp", "n_sampled", "n_clips", "rep_id", "pos",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.n_sampled") == F.col("b.n_sampled"),
+                F.col("a.pos") == F.col("b.pos"),
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.fp") < F.col("b.fp"),
+            ],
+        )
+        .select(
+            F.col("a.fp").alias("a_fp"),
+            F.col("b.fp").alias("b_fp"),
+            F.col("a.n_sampled").alias("n_sampled"),
+            F.col("a.n_clips").alias("a_clips"),
+            F.col("b.n_clips").alias("b_clips"),
+            F.col("a.rep_id").alias("a_rep"),
+            F.col("b.rep_id").alias("b_rep"),
+        )
+        .distinct()
+    )
+    c, pa, pb = cand.alias("c"), pp.alias("pa"), pp.alias("pb")
+    hd = sum(
+        F.bit_count(
+            F.col(f"pa.b{i}").bitwiseXOR(F.col(f"pb.b{i}"))
+        ).cast("long")
+        for i in range(_X5M2_BANDS)
+    )
+    perpos = (
+        c.join(
+            pa,
+            (F.col("pa.fp") == F.col("c.a_fp"))
+            & (F.col("pa.n_sampled") == F.col("c.n_sampled")),
+        )
+        .join(
+            pb,
+            (F.col("pb.fp") == F.col("c.b_fp"))
+            & (F.col("pb.n_sampled") == F.col("c.n_sampled"))
+            & (F.col("pb.pos") == F.col("pa.pos")),
+        )
+        .select(
+            F.col("c.a_fp").alias("a_fp"),
+            F.col("c.b_fp").alias("b_fp"),
+            F.col("c.n_sampled").alias("n_sampled"),
+            F.col("c.a_clips").alias("a_clips"),
+            F.col("c.b_clips").alias("b_clips"),
+            F.col("c.a_rep").alias("a_rep"),
+            F.col("c.b_rep").alias("b_rep"),
+            hd.alias("hd"),
+        )
+    )
+    agg = perpos.groupBy(
+        "a_fp", "b_fp", "n_sampled", "a_clips", "b_clips", "a_rep", "b_rep"
+    ).agg(
+        F.max("hd").alias("max_frame_hd"),
+        F.sum((F.col("hd") <= _X5R_MAX_DIST).cast("int")).alias("n_within"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        agg.filter(F.col("n_within") == F.col("n_pos"))
+        .select(
+            "a_fp", "b_fp",
+            F.col("n_sampled").cast("long").alias("n_frames"),
+            F.col("max_frame_hd").cast("long").alias("max_frame_hd"),
+            "a_clips", "a_rep", "b_clips", "b_rep",
         )
         .orderBy("a_fp", "b_fp")
     )

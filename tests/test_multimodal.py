@@ -944,3 +944,109 @@ def test_x5n2_planted_variant_displacement_theorem_and_pairs(spark):
         assert key in paired, d
         found += 1
     assert found > 0
+
+
+def _x5r_python_mirror(doc_ids):
+    """Assignment-free mirror of the x5r kernel: per doc, the base and
+    variant clip fingerprints (pipe-joined per-sampled-frame dhashes)
+    computed straight from the byte generators + the shared dhash
+    site."""
+    import numpy as np  # noqa: F401  (parse helper needs it loaded)
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _dhash_hex_from_raster,
+        _parse_ppm_raster,
+        _ppm_bytes,
+        _x5m2_variant_bytes,
+    )
+
+    def fh(buf):
+        w, h, raster = _parse_ppm_raster(buf)
+        return _dhash_hex_from_raster(w, h, raster)
+
+    fps = {}
+    for d in doc_ids:
+        n = 2 + d % 4
+        sampled = [f for f in range(n) if f % 2 == 0]
+        base = [fh(_ppm_bytes(d + f)) for f in sampled]
+        var = [
+            fh(
+                _x5m2_variant_bytes(d + f)
+                if (d + f) % 7 >= 4 and (d + f) % 13 >= 5
+                else _ppm_bytes(d + f)
+            )
+            for f in sampled
+        ]
+        fps[d] = ("|".join(base), "|".join(var))
+    return fps
+
+
+def test_x5r_per_frame_displacement_theorem():
+    """The x5m2 theorem applied frame-wise: for every doc, each sampled
+    frame position of the planted re-encoded clip is within Hamming 2
+    of the base clip's frame — and exactly 0 where the frame seed is
+    ineligible for perturbation (proving the variant generator only
+    touches eligible frames)."""
+    fps = _x5r_python_mirror([d for d in range(200) if d % 4 >= 1])
+    for d, (b, v) in fps.items():
+        n = 2 + d % 4
+        sampled = [f for f in range(n) if f % 2 == 0]
+        for pos, (hb, hv) in enumerate(zip(b.split("|"), v.split("|"))):
+            hd = bin(int(hb, 16) ^ int(hv, 16)).count("1")
+            assert hd <= 2, (d, pos, hd)
+            seed = d + sampled[pos]
+            if not (seed % 7 >= 4 and seed % 13 >= 5):
+                assert hd == 0, (d, pos)
+
+
+def test_x5r_output_matches_python_closure(spark, tmp_path):
+    """x5r end-to-end on a handmade doc set covering both planted
+    outcomes: docs 1 and 2 collapse (no sampled frame eligible -> the
+    variant is byte-identical and merges into the base's exact
+    fingerprint cluster), docs 3/5/6/7/9 surface as >= 1-bit pairs.
+    The Spark output pair set must equal the python all-pairs filter
+    EXACTLY (same fps, same per-position <= 2 law, same max_frame_hd),
+    which also pins the band join's completeness for d <= 2."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        x5r_video_near_dedup,
+    )
+
+    doc_ids = [1, 2, 3, 5, 6, 7, 9]
+    pd.DataFrame({"doc_id": doc_ids, "text": ["t"] * len(doc_ids)}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    fps = _x5r_python_mirror(doc_ids)
+    # python mirror of the whole operator: distinct fps with clip
+    # counts, then the all-pairs per-position law
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, (b, v) in fps.items():
+        groups[b].append(d)
+        groups[v].append(d + 1_000_000_000)
+    assert len(groups[fps[1][0]]) >= 2  # doc 1's variant collapsed
+    expected = {}
+    keys = sorted(groups)
+    for i, fa in enumerate(keys):
+        for fb in keys[i + 1:]:
+            pa, pb = fa.split("|"), fb.split("|")
+            if len(pa) != len(pb):
+                continue
+            hds = [
+                bin(int(a, 16) ^ int(b, 16)).count("1")
+                for a, b in zip(pa, pb)
+            ]
+            if max(hds) <= 2:
+                expected[(fa, fb)] = (len(pa), max(hds))
+    got = {
+        (r["a_fp"], r["b_fp"]): (r["n_frames"], r["max_frame_hd"])
+        for r in x5r_video_near_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # at least one planted base-variant pair actually surfaced
+    planted = [
+        tuple(sorted(fps[d])) for d in doc_ids if fps[d][0] != fps[d][1]
+    ]
+    assert any(p in got for p in planted)

@@ -802,3 +802,13 @@ def test_x6x_chunk_bm25_keeps_broadcast_query_shape(spark):
     plan = _plan(spark, "x6x_chunk_bm25_retrieval")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_x5r_band_join_never_plans_all_pairs(spark):
+    """x5r: clip candidate pairing must ride the (n_sampled, pos,
+    band_idx, band_val) equi-join over DISTINCT fingerprints — no
+    CartesianProduct, no broadcast nested loop anywhere in the clip
+    pipeline (the x5m2/x5n2 law, lifted to clips)."""
+    plan = _plan(spark, "x5r_video_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
