@@ -72,84 +72,33 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 13 (cohorts computed from CORRECTNESS_r01..r12): the
-# round-13 additions (tier 1), the 21-id r7-evidence tail that overflowed
-# r12's budget exactly as predicted (tier 2a — r12's VERDICT queued them
-# explicitly), the queries whose source the round-13 changes touch
-# (tier 2b — the watermark-clamped TTL timer), and the 49-id r8-evidence
-# cohort (tier 2c). Everything else sits below the line,
-# stalest evidence first. Names missing from the registry are ignored, and
+# round. For round 14 (cohorts computed from CORRECTNESS_r01..r13): the
+# round-14 additions (tier 1), the 28-id r8-evidence tail that overflowed
+# r13's budget exactly as predicted (tier 2a — r13's VERDICT queued them
+# explicitly), the queries whose source the round-14 changes touch
+# (tier 2b — the x5m dhash-helper factor + x5m2/x5n2 filter-before-
+# distinct swap + x5m2 oracle CTE factor, the s25 empty-args guard, the
+# t6c oracle mode note), and the 50-id r9-evidence cohort (tier 2c).
+# 4 + 28 + 5 + 50 = 87 far exceeds the ~50-row driver budget, so the
+# last ~37 r9-cohort ids are expected to miss this round's file — they
+# MUST lead r15's tier 2 (compute the actual overflow from
+# CORRECTNESS_r14.json). Everything else sits below the line, stalest
+# evidence first. Names missing from the registry are ignored, and
 # registry names missing here sort after the listed ones, so this list
 # never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the round-13 additions — no driver evidence exists yet
-    # (the Hamming-ball dHash image near-dedup, BM25 ranked retrieval,
-    # the cross-generation PSI drift audit, the chunk-with-overlap
-    # manifest, the incremental IVF admission audit, the Hamming-ball
-    # audio fingerprint near-dedup, and chunk-level decontamination)
-    "x5m2_hamming_near_dedup",
-    "x5n2_hamming_audio_near_dedup",
-    "x3x_incremental_ivf_admission",
-    "x4u_bm25_retrieval",
-    "s25_generation_drift_audit",
-    "x6v_chunk_overlap_manifest",
-    "x6w_chunk_decontamination",
-    # tier 2a: the 21-id r7-evidence tail the r12 rotation predicted
-    # would overflow — the ONLY ids whose newest driver row predates r8
-    # (computed from CORRECTNESS_r01..r12; includes the 5 rows-only LSH
-    # flagships); they lead this round so that after r13 no id's newest
-    # driver evidence predates r8
-    "a12_hll_sketch_rollup",
-    "e1_etl_connector",
-    "e2_sql_exists_priority",
-    "e2_sql_scalar_subquery",
-    "e2_sql_shipping_priority",
-    "j12_interval_grid_join",
-    "s15_quarantine_split",
-    "s7b_document_sink",
-    "s7c_document_writer",
-    "s8b_dq_report",
-    "w9_rolling_zscore_anomaly",
-    "x2_minhash_near_dedup",
-    "x2b2_simhash_pairs",
-    "x2b_simhash",
-    "x2f_embedding_neardup_lsh",
-    "x2m_threshold_sweep",
-    "x2n_incremental_near_dedup",
-    "x3b_similarity_lsh",
-    "x3m_pq_ivf_search",
-    "x4e2_lang_confusion",
-    "x6j_dedup_aware_mixture",
-    # tier 2b: source touched by round-13 changes (the watermark-clamped
-    # TTL timer in streaming/stateful.py) — re-prove despite fresh
-    # r12 evidence
-    "t6c_state_ttl_expiry",
-    # tier 2c: the evidence-age rotation — the 49-id cohort whose
-    # newest driver row is r8. 4 + 21 + 1 + 49 = 75 far exceeds the
-    # ~50-row driver budget, so the last ~25 ids here are expected to
-    # miss this round's file — they MUST lead r14's tier 2 (compute
-    # the actual overflow from CORRECTNESS_r13.json)
-    "a13_heavy_hitters",
-    "e2_sql_dormant_customers",
-    "e2_sql_order_distribution",
-    "e2_sql_waiting_orders",
-    "f4_iter_udf",
-    "j8b_asof_join_tolerance",
-    "s16b_zorder_layout_scalable",
-    "s17_write_audit_publish",
-    "t7_incremental_sink",
-    "t8_stream_static_join",
-    "t9_stream_stream_join",
-    "u5_bag_setops",
-    "w10_ewma",
-    "w4b_quartile_cutpoints",
-    "x1b_incremental_dedup",
-    "x2c_ngram_jaccard",
-    "x2d_embedding_neardup",
-    "x2e_dedup_clusters",
-    "x2g_minhash_full_oracle",
-    "x2h_short_docs",
-    "x2p_paragraph_near_dedup",
+    # tier 1: the round-14 additions — no driver evidence exists yet
+    # (global transitive-closure dedup clusters via large-star/small-
+    # star, hybrid BM25+dense RRF fusion, chunk-level BM25 retrieval,
+    # video near-dedup over per-frame dHashes)
+    "x2e2_global_dedup_clusters",
+    "x4v_hybrid_rrf_fusion",
+    "x6x_chunk_bm25_retrieval",
+    "x5r_video_near_dedup",
+    # tier 2a: the 28-id r8-evidence tail the r13 rotation predicted
+    # would overflow — the ONLY ids whose newest driver row predates r9;
+    # they lead this round so that after r14 no id's newest driver
+    # evidence predates r9
     "x2q_duplicated_gram_mass",
     "x2r_cross_source_gram_flow",
     "x3d_similarity_ivf",
@@ -178,8 +127,16 @@ _CHECK_PRIORITY = (
     "x6d_decontamination",
     "x6k_incremental_admission_funnel",
     "x6l_shard_manifest",
-    # ---- ~50-query driver budget line is far above; below: the
-    # remainder, stalest driver evidence first (r9, r10, r11, r12)
+    # tier 2b: source touched by round-14 changes — re-prove despite
+    # fresh r13 evidence (x5m is ALSO touched — the dhash-helper factor —
+    # but already holds a tier-2a slot above)
+    "x5m2_hamming_near_dedup",
+    "x5n2_hamming_audio_near_dedup",
+    "s25_generation_drift_audit",
+    "t6c_state_ttl_expiry",
+    # tier 2c: the evidence-age rotation — the 50-id cohort whose
+    # newest driver row is r9; the last ~37 here overflow the budget
+    # and lead r15 tier 2
     "a1_count_validate",
     "a2_groupby_agg",
     "a3_distinct",
@@ -230,6 +187,9 @@ _CHECK_PRIORITY = (
     "x6b2_bfd_packing",
     "x6h2_packing_comparison",
     "x6m_importance_resample",
+    # ---- ~50-query driver budget line is far above; below: the
+    # remainder, stalest driver evidence first
+    # -- newest driver evidence r10 --
     "a14_countmin_sketch",
     "a15_grouped_mode",
     "e2_sql_important_stock",
@@ -280,6 +240,7 @@ _CHECK_PRIORITY = (
     "x5q_image_histogram",
     "x6n_temperature_mixture",
     "x6p_epoch_schedule",
+    # -- newest driver evidence r11 --
     "a10_stats_agg",
     "a11_incremental_rollup",
     "a16_skew_histogram_2d",
@@ -328,6 +289,7 @@ _CHECK_PRIORITY = (
     "x6_deterministic_split",
     "x6s_decontaminated_mixture",
     "x6t_curriculum_anneal",
+    # -- newest driver evidence r12 --
     "a11b_cdc_rollup_compose",
     "e2_sql_bracket_revenue",
     "e2_sql_large_quantity",
@@ -377,6 +339,53 @@ _CHECK_PRIORITY = (
     "x6h_packing_efficiency",
     "x6i_corpus_funnel",
     "x6u_epoch_reshuffle_manifest",
+    # -- newest driver evidence r13 --
+    "a12_hll_sketch_rollup",
+    "a13_heavy_hitters",
+    "e1_etl_connector",
+    "e2_sql_dormant_customers",
+    "e2_sql_exists_priority",
+    "e2_sql_order_distribution",
+    "e2_sql_scalar_subquery",
+    "e2_sql_shipping_priority",
+    "e2_sql_waiting_orders",
+    "f4_iter_udf",
+    "j12_interval_grid_join",
+    "j8b_asof_join_tolerance",
+    "s15_quarantine_split",
+    "s16b_zorder_layout_scalable",
+    "s17_write_audit_publish",
+    "s7b_document_sink",
+    "s7c_document_writer",
+    "s8b_dq_report",
+    "t7_incremental_sink",
+    "t8_stream_static_join",
+    "t9_stream_stream_join",
+    "u5_bag_setops",
+    "w10_ewma",
+    "w4b_quartile_cutpoints",
+    "w9_rolling_zscore_anomaly",
+    "x1b_incremental_dedup",
+    "x2_minhash_near_dedup",
+    "x2b2_simhash_pairs",
+    "x2b_simhash",
+    "x2c_ngram_jaccard",
+    "x2d_embedding_neardup",
+    "x2e_dedup_clusters",
+    "x2f_embedding_neardup_lsh",
+    "x2g_minhash_full_oracle",
+    "x2h_short_docs",
+    "x2m_threshold_sweep",
+    "x2n_incremental_near_dedup",
+    "x2p_paragraph_near_dedup",
+    "x3b_similarity_lsh",
+    "x3m_pq_ivf_search",
+    "x3x_incremental_ivf_admission",
+    "x4e2_lang_confusion",
+    "x4u_bm25_retrieval",
+    "x6j_dedup_aware_mixture",
+    "x6v_chunk_overlap_manifest",
+    "x6w_chunk_decontamination",
 )
 
 

@@ -180,6 +180,11 @@ QUERIES = [
     "x3x_incremental_ivf_admission",
     "x5n2_hamming_audio_near_dedup",
     "x6w_chunk_decontamination",
+    # round-14 additions
+    "x2e2_global_dedup_clusters",
+    "x4v_hybrid_rrf_fusion",
+    "x6x_chunk_bm25_retrieval",
+    "x5r_video_near_dedup",
 ]
 
 
