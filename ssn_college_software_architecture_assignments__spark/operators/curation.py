@@ -2304,8 +2304,11 @@ def x6x_chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (W=16, V=4): the RAG query path. Chunk = scoring unit (chunk
     count, chunk frequency, chunk length feed the shared x4u formula);
     broadcast-query inverted-index shape; exact (score, doc_id,
-    chunk_id) tie law via integer micro-units."""
-    from .textanalysis import _X4U_QUERIES
+    chunk_id) tie law via integer micro-units. The whole pipeline IS
+    the shared bm25_topk site, instantiated at chunk granularity —
+    x4u's broadcast discipline (incl. the prune-df-before-broadcast
+    law) cannot diverge between the retrieval paths."""
+    from .textanalysis import _X4U_QUERIES, bm25_topk
 
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id",
@@ -2318,53 +2321,13 @@ def x6x_chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = chunks.select(
         "doc_id", "chunk_id", F.explode("ctoks").alias("term")
     )
-    tf = toks.groupBy("doc_id", "chunk_id", "term").agg(
-        F.count(F.lit(1)).alias("tf_t")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     dl = chunks.select(
         "doc_id", "chunk_id", "start_tok",
         F.size("ctoks").cast("long").alias("dl_t"),
     )
-    stats = (
-        chunks.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("ctoks")).alias("t"),
-        )
-        .select(
-            "n_docs",
-            (F.col("t").cast("double") / F.col("n_docs")).alias("avgdl"),
-        )
-    )
     qdf = spark.createDataFrame(
         list(_X4U_QUERIES), "query_id long, term string"
     )
-    # the x4u law: prune df to query terms BEFORE broadcasting — the
-    # chunk-level df table is vocabulary-sized at corpus scale
-    df_q = df.join(F.broadcast(qdf.select("term").distinct()), "term")
-    hits = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df_q), "term")
-        .join(dl, ["doc_id", "chunk_id"])
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id", "doc_id", "chunk_id", "start_tok",
-            F.expr(_X6X_W).alias("w_micro"),
-        )
-    )
-    scores = hits.groupBy("query_id", "doc_id", "chunk_id", "start_tok").agg(
-        F.sum("w_micro").alias("score_micro"),
-        F.count(F.lit(1)).alias("n_hit_terms"),
-    )
-    win = W.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id"), F.col("chunk_id")
-    )
-    return (
-        scores.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= _X6X_TOPK)
-        .select(
-            "query_id", "rnk", "doc_id", "chunk_id", "start_tok",
-            "score_micro", "n_hit_terms",
-        )
-        .orderBy("query_id", "rnk")
+    return bm25_topk(
+        toks, dl, ["doc_id", "chunk_id"], ["start_tok"], qdf, _X6X_TOPK
     )

@@ -2661,7 +2661,14 @@ def x5r_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .documents.filter((F.col("doc_id") % 4 >= 1) & (F.col("doc_id") < 500))
         .select("doc_id")
     )
-    rows = docs.mapInPandas(_x5r_clip_frame_hash_batch, X5R_FRAME_SCHEMA)
+    # materialize the demux+hash pass ONCE (localCheckpoint is eager —
+    # the x2b2 fingerprint-table idiom): `rows` feeds both the fp
+    # groupBy and the pp rep join, and pp fans out again into bands and
+    # the pa/pb verify self-join — lazily the kernel would re-run for
+    # every consumer subtree (8 MapInPandas nodes in the executed plan)
+    rows = docs.mapInPandas(
+        _x5r_clip_frame_hash_batch, X5R_FRAME_SCHEMA
+    ).localCheckpoint()
     fp = rows.groupBy("clip_id", "n_sampled").agg(
         F.array_join(
             F.transform(
@@ -2690,7 +2697,7 @@ def x5r_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"b{i}")
             for i in range(_X5M2_BANDS)
         ],
-    )
+    ).localCheckpoint()  # consumed by bands AND both verify-join sides
     bands = pp.select(
         "fp",
         "n_sampled",

@@ -1660,34 +1660,36 @@ ORDER BY query_id, rnk
 """
 
 
-@register("x4u_bm25_retrieval", oracle=_X4U_ORACLE, tags=("X4",))
-def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents per declared query under Okapi BM25
-    (k1=1.2, b=0.75, Lucene idf), scored in integer micro-units so the
-    per-(query, doc) sum is order-independent and the doc_id tie break
-    is exact. The query table broadcasts into the term-keyed
-    inverted-index join (plan-gated)."""
-    docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+def bm25_topk(
+    toks: DataFrame,
+    dl: DataFrame,
+    unit_cols: list[str],
+    carry_cols: list[str],
+    qdf: DataFrame,
+    topk: int,
+) -> DataFrame:
+    """THE BM25 pipeline (tf -> df -> prune-df-before-broadcast ->
+    broadcast-query inverted-index join -> integer micro-unit scores ->
+    rank window), parameterized by the scoring UNIT — documents for
+    x4u (unit = doc_id), chunks for x6x (unit = (doc_id, chunk_id)).
+    One site, so the broadcast discipline and the flooring law cannot
+    diverge between the retrieval paths. ``toks`` carries one row per
+    (unit, term occurrence); ``dl`` one row per unit with its length
+    ``dl_t`` plus any ``carry_cols`` to surface in the output; the
+    corpus stats (unit count, mean length) derive from ``dl``."""
+    tf = toks.groupBy(*unit_cols, "term").agg(
+        F.count(F.lit(1)).alias("tf_t")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_t"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dl_t")
-    )
     stats = (
-        docs.agg(
+        dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split("text", " "))).alias("t"),
+            F.sum("dl_t").alias("t"),
         )
         .select(
             "n_docs",
             (F.col("t").cast("double") / F.col("n_docs")).alias("avgdl"),
         )
-    )
-    qdf = spark.createDataFrame(
-        list(_X4U_QUERIES), "query_id long, term string"
     )
     # prune df to the query terms BEFORE broadcasting: the full df table
     # is vocabulary-sized (web-scale corpora: 1e8+ terms) and must never
@@ -1697,23 +1699,50 @@ def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         tf.join(F.broadcast(qdf), "term")
         .join(F.broadcast(df_q), "term")
-        .join(dl, "doc_id")
+        .join(dl, list(unit_cols))
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", F.expr(_X4U_W).alias("w_micro"))
+        .select(
+            "query_id", *unit_cols, *carry_cols,
+            F.expr(_X4U_W).alias("w_micro"),
+        )
     )
-    scores = hits.groupBy("query_id", "doc_id").agg(
+    scores = hits.groupBy("query_id", *unit_cols, *carry_cols).agg(
         F.sum("w_micro").alias("score_micro"),
         F.count(F.lit(1)).alias("n_hit_terms"),
     )
     win = W.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id")
+        F.col("score_micro").desc(), *[F.col(c) for c in unit_cols]
     )
     return (
         scores.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= _X4U_TOPK)
-        .select("query_id", "rnk", "doc_id", "score_micro", "n_hit_terms")
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id", "rnk", *unit_cols, *carry_cols,
+            "score_micro", "n_hit_terms",
+        )
         .orderBy("query_id", "rnk")
     )
+
+
+@register("x4u_bm25_retrieval", oracle=_X4U_ORACLE, tags=("X4",))
+def x4u_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per declared query under Okapi BM25
+    (k1=1.2, b=0.75, Lucene idf), scored in integer micro-units so the
+    per-(query, doc) sum is order-independent and the doc_id tie break
+    is exact. The query table broadcasts into the term-keyed
+    inverted-index join (plan-gated); the pipeline itself is the shared
+    bm25_topk site, instantiated at document granularity."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl_t")
+    )
+    qdf = spark.createDataFrame(
+        list(_X4U_QUERIES), "query_id long, term string"
+    )
+    return bm25_topk(toks, dl, ["doc_id"], [], qdf, _X4U_TOPK)
 
 
 # X4v — hybrid retrieval fusion: BM25 + dense cosine via RRF -------------------

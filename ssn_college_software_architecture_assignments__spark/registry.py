@@ -79,8 +79,10 @@ _loaded = False
 # (tier 2b — the x5m dhash-helper factor + x5m2/x5n2 filter-before-
 # distinct swap + x5m2 oracle CTE factor, the s25 empty-args guard, the
 # t6c oracle mode note), and the 50-id r9-evidence cohort (tier 2c).
-# 4 + 28 + 5 + 50 = 87 far exceeds the ~50-row driver budget, so the
-# last ~37 r9-cohort ids are expected to miss this round's file — they
+# 4 + 28 + 4 + 50 = 86 far exceeds the ~50-row driver budget (tier 2b
+# lists 4 ids: the fifth touched query, x5m, already holds a tier-2a
+# slot), so the last ~36 r9-cohort ids are expected to miss this
+# round's file — they
 # MUST lead r15's tier 2 (compute the actual overflow from
 # CORRECTNESS_r14.json). Everything else sits below the line, stalest
 # evidence first. Names missing from the registry are ignored, and
