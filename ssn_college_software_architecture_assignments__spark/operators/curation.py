@@ -1940,8 +1940,12 @@ _X6V_WINDOW = 16   # tokens per chunk
 _X6V_OVERLAP = 4   # tokens shared with the previous chunk
 _X6V_STRIDE = _X6V_WINDOW - _X6V_OVERLAP
 
-_X6V_ORACLE = f"""
-WITH d AS (
+# THE oracle-side chunk-derivation law (d -> m -> chunks), shared by
+# the x6v manifest oracle and the x6x chunk-retrieval oracle — one CTE
+# text, so the two oracles can never disagree about what a chunk is
+# (the SQL twin of the Spark side's shared overlapped_chunks site).
+# Carries `source` for x6v; x6x simply doesn't select it.
+_X6V_CHUNK_CTES = f"""d AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
@@ -1958,7 +1962,10 @@ chunks AS (
          toks[k.i * {_X6V_STRIDE} + 1 :
               k.i * {_X6V_STRIDE} + {_X6V_WINDOW}] AS ctoks
   FROM m, LATERAL (SELECT unnest(range(n_chunks)) AS i) k
-),
+)"""
+
+_X6V_ORACLE = f"""
+WITH {_X6V_CHUNK_CTES},
 rows_ AS (
   SELECT doc_id, source, chunk_id, start_tok,
          CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
@@ -2232,24 +2239,7 @@ WITH q AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, term
   FROM (VALUES {_X6X_QUERY_VALUES}) v(query_id, term)
 ),
-d AS (
-  SELECT doc_id, string_split(text, ' ') AS toks,
-         len(string_split(text, ' ')) AS n_tokens
-  FROM documents
-),
-m AS (
-  SELECT doc_id, toks, n_tokens,
-         greatest(1, (n_tokens - {_X6V_OVERLAP} + {_X6V_STRIDE} - 1)
-                     // {_X6V_STRIDE}) AS n_chunks
-  FROM d
-),
-chunks AS (
-  SELECT doc_id, k.i AS chunk_id,
-         CAST(k.i * {_X6V_STRIDE} AS BIGINT) AS start_tok,
-         toks[k.i * {_X6V_STRIDE} + 1 :
-              k.i * {_X6V_STRIDE} + {_X6V_WINDOW}] AS ctoks
-  FROM m, LATERAL (SELECT unnest(range(n_chunks)) AS i) k
-),
+{_X6V_CHUNK_CTES},
 ct AS (SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM chunks),
 tf AS (
   SELECT doc_id, chunk_id, term, CAST(count(*) AS BIGINT) AS tf_t

@@ -712,6 +712,30 @@ def encode_ppm_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         )
 
 
+def _walk_ppm_frames(buf: bytes):
+    """THE container demux walk (P6 magic check, 3-newline header scan,
+    byte-extent bound check), shared by the x5h frame sampler and the
+    x5r video-dedup kernel so a container/header-format fix can never
+    diverge them. Yields (idx, w, h, raster_bytes) for EVERY frame —
+    sampling policy and error posture stay per-caller. Raises
+    ValueError at the first malformed frame; the number of tuples
+    already yielded equals the failing frame's index."""
+    pos, idx = 0, 0
+    while pos < len(buf):
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at {pos}")
+        # header: "P6\n{w} {h}\n255\n"
+        nl1 = buf.index(b"\n", pos)
+        nl2 = buf.index(b"\n", nl1 + 1)
+        nl3 = buf.index(b"\n", nl2 + 1)
+        w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+        frame_end = nl3 + 1 + w * h * 3
+        if frame_end > len(buf):
+            raise ValueError("truncated frame")
+        yield idx, w, h, buf[nl3 + 1 : frame_end]
+        pos, idx = frame_end, idx + 1
+
+
 def sample_ppm_frames_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -725,39 +749,27 @@ def sample_ppm_frames_batch(
             "mean_pixel": [], "sample_status": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = bytes(payload)
-            pos, idx = 0, 0
-            while pos < len(buf):
-                try:
-                    if buf[pos : pos + 2] != b"P6":
-                        raise ValueError(f"bad frame magic at {pos}")
-                    # header: "P6\n{w} {h}\n255\n"
-                    nl1 = buf.index(b"\n", pos)
-                    nl2 = buf.index(b"\n", nl1 + 1)
-                    nl3 = buf.index(b"\n", nl2 + 1)
-                    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-                    frame_end = nl3 + 1 + w * h * 3
-                    if frame_end > len(buf):
-                        raise ValueError("truncated frame")
+            n_parsed = 0
+            try:
+                for idx, w, h, raster_bytes in _walk_ppm_frames(
+                    bytes(payload)
+                ):
+                    n_parsed = idx + 1
                     if idx % 2 == 0:  # sample every 2nd frame
-                        raster = np.frombuffer(
-                            buf[nl3 + 1 : frame_end], dtype=np.uint8
-                        )
+                        raster = np.frombuffer(raster_bytes, dtype=np.uint8)
                         out["doc_id"].append(doc_id)
                         out["frame_idx"].append(idx)
                         out["width"].append(w)
                         out["height"].append(h)
                         out["mean_pixel"].append(round(float(raster.mean()), 4))
                         out["sample_status"].append("ok")
-                    pos, idx = frame_end, idx + 1
-                except ValueError as exc:
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["width"].append(0)
-                    out["height"].append(0)
-                    out["mean_pixel"].append(0.0)
-                    out["sample_status"].append(f"error: {exc}")
-                    break
+            except ValueError as exc:
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(n_parsed)  # the failing frame's idx
+                out["width"].append(0)
+                out["height"].append(0)
+                out["mean_pixel"].append(0.0)
+                out["sample_status"].append(f"error: {exc}")
         yield pd.DataFrame(out)
 
 
@@ -1441,9 +1453,13 @@ def dhash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {"doc_id": [], "dhash": [], "hash_status": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
+                # all hash math runs BEFORE the first append so a
+                # ValueError from either step lands in the except branch
+                # with zero partial appends (column lists stay aligned)
                 w, h, raster = _parse_ppm_raster(bytes(payload))
+                dhash = _dhash_hex_from_raster(w, h, raster)
                 out["doc_id"].append(doc_id)
-                out["dhash"].append(_dhash_hex_from_raster(w, h, raster))
+                out["dhash"].append(dhash)
                 out["hash_status"].append("ok")
             except ValueError as exc:
                 out["doc_id"].append(doc_id)
@@ -2512,7 +2528,8 @@ def _x5r_variant_video_bytes(doc_id: int) -> bytes:
 def _x5r_clip_frame_hash_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Demux each clip container (the x5h header-walk), dHash every 2nd
+    """Demux each clip container (the shared _walk_ppm_frames site —
+    the same walk x5h samples with), dHash every 2nd
     frame (the shared _dhash_hex_from_raster site), for the base AND
     the planted variant clip. The containers are generated in-process
     and deterministic, so a malformed frame is a can't-happen bug —
@@ -2528,23 +2545,10 @@ def _x5r_clip_frame_hash_batch(
                 (d + _X5R_OFFSET, _x5r_variant_video_bytes(d)),
             ):
                 hashes = []
-                at, idx = 0, 0
-                while at < len(buf):
-                    if buf[at : at + 2] != b"P6":
-                        raise ValueError(f"bad frame magic at {at}")
-                    nl1 = buf.index(b"\n", at)
-                    nl2 = buf.index(b"\n", nl1 + 1)
-                    nl3 = buf.index(b"\n", nl2 + 1)
-                    w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-                    frame_end = nl3 + 1 + w * h * 3
-                    if frame_end > len(buf):
-                        raise ValueError("truncated frame")
+                for idx, w, h, raster_bytes in _walk_ppm_frames(buf):
                     if idx % 2 == 0:
-                        raster = np.frombuffer(
-                            buf[nl3 + 1 : frame_end], dtype=np.uint8
-                        )
+                        raster = np.frombuffer(raster_bytes, dtype=np.uint8)
                         hashes.append(_dhash_hex_from_raster(w, h, raster))
-                    at, idx = frame_end, idx + 1
                 for p, hx in enumerate(hashes):
                     out["clip_id"].append(clip_id)
                     out["n_sampled"].append(len(hashes))

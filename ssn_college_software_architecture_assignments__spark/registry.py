@@ -137,7 +137,7 @@ _CHECK_PRIORITY = (
     "s25_generation_drift_audit",
     "t6c_state_ttl_expiry",
     # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r9; the last ~37 here overflow the budget
+    # newest driver row is r9; the last ~36 here overflow the budget
     # and lead r15 tier 2
     "a1_count_validate",
     "a2_groupby_agg",
