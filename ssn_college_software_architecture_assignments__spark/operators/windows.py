@@ -867,3 +867,87 @@ def w14_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_dt_us") > 0)
         .orderBy("user_id")
     )
+
+
+# W15 — gaps-and-islands activity streaks --------------------------------------
+#
+# The classic gaps-and-islands rewrite (a staple the reference's
+# analytics layer implies but no prior w-id covered): a user's distinct
+# activity days collapse to consecutive-day runs by the
+# day-index-minus-row-number trick — inside a run the difference is
+# constant, across a gap it jumps — so streak detection is one window
+# plus one hash-agg, never a self-join or per-user iteration. The day
+# index is an exact integer day difference from a fixed epoch anchor
+# (2024-01-01, the fixture's first day) computed by both engines'
+# datediff, so the island key is engine-identical.
+#
+# Scale shape: distinct (user, day) is a map-combined hash-agg; the
+# row_number window partitions by user_id (bounded state per key); the
+# two downstream aggregates are user-keyed hash-aggs. No joins at all —
+# at 100 TB the only shuffle is the user-day hash exchange.
+
+_W15_EPOCH = "2024-01-01"
+
+_W15_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '{_W15_EPOCH}', day)
+         - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM d
+),
+isl AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len_days,
+         min(day) AS start_day, max(day) AS end_day
+  FROM r GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)      AS n_streaks,
+       CAST(max(len_days) AS BIGINT) AS longest_streak,
+       CAST(sum(len_days) AS BIGINT) AS active_days,
+       strftime(min(start_day), '%Y-%m-%d') AS first_day,
+       strftime(max(end_day), '%Y-%m-%d')   AS last_day
+FROM isl
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("w15_gaps_islands", oracle=_W15_ORACLE, tags=("W1", "W3"))
+def w15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks (gaps-and-islands): distinct active
+    days collapse to consecutive-day islands via the day-index minus
+    row_number constant, then per-user streak count, longest streak,
+    total active days, and the activity span. The island key is an
+    exact integer (datediff from the fixture epoch), so runs are found
+    with one window and one aggregate — no self-join, no iteration."""
+    ev = Catalog(spark, sf_dir).events
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = W.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.to_date(F.lit(_W15_EPOCH)))
+            - F.row_number().over(rn)
+        ).alias("island"),
+    )
+    isl = r.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len_days"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len_days").cast("long").alias("longest_streak"),
+            F.sum("len_days").cast("long").alias("active_days"),
+            F.date_format(F.min("start_day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("end_day"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("user_id")
+    )

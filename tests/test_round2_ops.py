@@ -856,3 +856,53 @@ def test_w14_twap_matches_closed_form(spark):
     assert rows[1]["twap_cents"] == 175
     # user 3: 100c for 0us (zero weight), 200c for 2s -> 200
     assert rows[3]["twap_cents"] == 200
+
+
+def test_w15_gaps_islands_planted_streaks(spark):
+    """w15 law on a handmade calendar: user 1 is active Jan 1-3 and
+    Jan 5 (one day twice -- distinct collapses repeats) -> 2 streaks,
+    longest 3, 4 active days; user 2 has a single day -> one length-1
+    streak; user 3 spans the Jan 31 -> Feb 1 month boundary, which the
+    integer day index must treat as consecutive (one streak of 2)."""
+    from pyspark.sql import functions as F
+    from ssn_college_software_architecture_assignments__spark.operators.windows import (
+        w15_gaps_islands,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.windows as wmod
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-02 09:00:00"),
+            (1, "2024-01-02 23:00:00"),  # same day twice: counts once
+            (1, "2024-01-03 01:00:00"),
+            (1, "2024-01-05 12:00:00"),  # gap at Jan 4 splits the run
+            (2, "2024-02-10 00:00:00"),
+            (3, "2024-01-31 23:59:59"),
+            (3, "2024-02-01 00:00:01"),  # month boundary, still adjacent
+        ],
+        "user_id long, ts_s string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.events = df.select(
+                "user_id", F.to_timestamp("ts_s").alias("ts")
+            )
+
+    orig = wmod.Catalog
+    wmod.Catalog = _Cat
+    try:
+        rows = {r["user_id"]: r for r in w15_gaps_islands(spark, "x").collect()}
+    finally:
+        wmod.Catalog = orig
+
+    assert rows[1]["n_streaks"] == 2
+    assert rows[1]["longest_streak"] == 3
+    assert rows[1]["active_days"] == 4
+    assert rows[1]["first_day"] == "2024-01-01"
+    assert rows[1]["last_day"] == "2024-01-05"
+    assert rows[2]["n_streaks"] == 1
+    assert rows[2]["longest_streak"] == 1
+    assert rows[3]["n_streaks"] == 1
+    assert rows[3]["longest_streak"] == 2
