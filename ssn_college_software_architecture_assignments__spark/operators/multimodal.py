@@ -2794,3 +2794,76 @@ def x5r_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_fp", "b_fp")
     )
+
+
+# X5s — keyframe selection over the x5k scene-change profile -------------------
+#
+# The pass AFTER cut detection in a video curation pipeline: from each
+# clip's per-frame scene-change scores, keep the top-K highest-change
+# frames as the clip's representative keyframes (what a captioning or
+# embedding stage actually consumes — you never embed every frame of
+# 100 TB of video). Composes the registered x5k operator verbatim: the
+# scores this ranks are the SAME rounded values both engines already
+# agree on (x5k is full-oracle), so ranking them adds a window, not new
+# float arithmetic — ties break on the earlier frame, the conventional
+# "first cut wins" rule.
+#
+# Scale shape: x5k's one demux+score mapInPandas pass, then a
+# clip-partitioned rank window (bounded rows per clip: frames-1) and a
+# clip-keyed count agg. The window input is frames-per-clip rows, never
+# pixels; no join touches anything corpus-sized.
+
+_X5S_TOPK = 2
+
+_X5S_ORACLE = f"""
+WITH k AS ({_X5K_ORACLE}),
+n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_frames
+  FROM k WHERE scene_status = 'ok' GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, frame_idx, mean_abs_diff,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY mean_abs_diff DESC, frame_idx
+         ) AS rnk
+  FROM k WHERE scene_status = 'ok'
+)
+SELECT r.doc_id, CAST(r.rnk AS INT) AS rnk, r.frame_idx, r.mean_abs_diff,
+       n.n_scored_frames
+FROM ranked r JOIN n USING (doc_id)
+WHERE r.rnk <= {_X5S_TOPK}
+ORDER BY r.doc_id, r.rnk
+"""
+
+
+@register("x5s_keyframe_select", oracle=_X5S_ORACLE, tags=("X5",))
+def x5s_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} keyframes per clip: rank each clip's x5k scene-change
+    scores descending (earlier frame wins ties) and keep the K
+    highest-change frames plus the clip's scored-frame count. The
+    scores pass through x5k untouched — no new float arithmetic — so
+    the oracle is x5k's own CTE plus the identical rank window."""
+    from pyspark.sql import Window as W
+
+    scored = x5k_scene_change(spark, sf_dir).filter(
+        F.col("scene_status") == "ok"
+    )
+    n = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_frames")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("mean_abs_diff").desc(), "frame_idx"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X5S_TOPK)
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "frame_idx",
+            "mean_abs_diff",
+            "n_scored_frames",
+        )
+        .orderBy("doc_id", "rnk")
+    )

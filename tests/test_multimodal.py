@@ -1050,3 +1050,40 @@ def test_x5r_output_matches_python_closure(spark, tmp_path):
         tuple(sorted(fps[d])) for d in doc_ids if fps[d][0] != fps[d][1]
     ]
     assert any(p in got for p in planted)
+
+
+def test_x5s_keyframe_is_argmax_with_first_cut_tiebreak(spark):
+    """x5s law against its own input: for every clip, the rank-1
+    keyframe carries that clip's maximum x5k scene-change score; ranks
+    are dense 1..K; equal scores rank the EARLIER frame first; and
+    n_scored_frames equals the clip's 'ok' row count in x5k."""
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _X5S_TOPK,
+        x5k_scene_change,
+        x5s_keyframe_select,
+    )
+
+    scored = {}
+    for r in x5k_scene_change(spark, SF).collect():
+        if r["scene_status"] == "ok":
+            scored.setdefault(r["doc_id"], []).append(
+                (r["frame_idx"], r["mean_abs_diff"])
+            )
+
+    picked = {}
+    for r in x5s_keyframe_select(spark, SF).collect():
+        picked.setdefault(r["doc_id"], []).append(r)
+
+    assert set(picked) == set(scored)
+    for doc_id, rows in picked.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(
+            range(1, min(_X5S_TOPK, len(scored[doc_id])) + 1)
+        )
+        assert all(r["n_scored_frames"] == len(scored[doc_id]) for r in rows)
+        assert rows[0]["mean_abs_diff"] == max(d for _, d in scored[doc_id])
+        # the selected list must equal the python argsort by
+        # (-diff, frame_idx) — the first-cut-wins tie law
+        want = sorted(scored[doc_id], key=lambda t: (-t[1], t[0]))
+        got = [(r["frame_idx"], r["mean_abs_diff"]) for r in rows]
+        assert got == want[: len(rows)]
