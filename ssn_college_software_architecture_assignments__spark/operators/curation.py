@@ -2321,3 +2321,85 @@ def x6x_chunk_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         toks, dl, ["doc_id", "chunk_id"], ["start_tok"], qdf, _X6X_TOPK
     )
+
+
+# X6y — dedup survivorship manifest over the x2e2 closure ----------------------
+#
+# What a 100 TB dedup run actually SHIPS: not the cluster labels but the
+# keep/drop manifest. x2e2's is_canonical keeps the MIN-ID doc of each
+# transitive duplicate family — fine as a label anchor, wrong as a
+# content policy (the arbitrary id ordering can keep a stub and drop
+# the full document). x6y re-decides survivorship with a quality rule —
+# keep the LONGEST doc (n_chars desc, doc_id tiebreak) — and reports,
+# per doc, the cluster, the verdict, and the chars the cluster frees.
+# The planted pytest pins a family where keep != is_canonical, proving
+# the policy is a real decision, not a relabeling.
+#
+# Scale shape: the closure comes from x2e2 verbatim (large-star/small-
+# star, no all-pairs — its pair stage is plan-gated at the shared
+# site); the policy adds one doc_id-keyed join against the projected
+# documents table and two windows over cluster-sized partitions
+# (duplicate families are small by construction; the windows never see
+# corpus-sized partitions).
+
+from .dedup import _X2E2_CTES as _X2E2_CTES_REF  # noqa: E402
+
+_X6Y_ORACLE = f"""{_X2E2_CTES_REF},
+q AS (
+  SELECT d.doc_id, d.n_chars, lab.cluster_id, sz.cluster_size
+  FROM documents d
+  JOIN lab ON d.doc_id = lab.id
+  JOIN sz ON lab.cluster_id = sz.cluster_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM q
+)
+SELECT CAST(doc_id AS BIGINT)       AS doc_id,
+       CAST(cluster_id AS BIGINT)   AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT)      AS n_chars,
+       (rnk = 1)                    AS keep,
+       CAST(sum(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END)
+            OVER (PARTITION BY cluster_id) AS BIGINT) AS freed_chars
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("x6y_dedup_survivorship", oracle=_X6Y_ORACLE, tags=("X6", "X2"))
+def x6y_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop manifest over the x2e2 transitive duplicate families:
+    one survivor per cluster by the keep-longest policy (n_chars desc,
+    doc_id tiebreak), every other member dropped, and the per-cluster
+    freed_chars a storage budget reads. Composes the registered x2e2
+    operator verbatim for the closure, then adds one projected join
+    and two cluster-partitioned windows."""
+    from .dedup import x2e2_global_dedup_clusters
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    labels = x2e2_global_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    q = labels.join(docs, "doc_id")
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w_clu = W.partitionBy("cluster_id")
+    r = q.withColumn("rnk", F.row_number().over(w_rank))
+    return (
+        r.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rnk") == 1).alias("keep"),
+            F.sum(F.when(F.col("rnk") > 1, F.col("n_chars")).otherwise(0))
+            .over(w_clu)
+            .cast("long")
+            .alias("freed_chars"),
+        )
+        .orderBy("doc_id")
+    )

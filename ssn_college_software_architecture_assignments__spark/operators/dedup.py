@@ -691,7 +691,10 @@ def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-_X2E2_ORACLE = f"""
+# The closure CTE chain (grams -> evidence pairs -> symmetric edges ->
+# recursive reachability -> min-label clusters -> sizes) is shared with
+# x6y's survivorship oracle, which appends its quality-policy CTEs.
+_X2E2_CTES = f"""
 WITH RECURSIVE g AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
@@ -713,7 +716,9 @@ reach(id, r) AS (
   SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
 ),
 lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)"""
+
+_X2E2_ORACLE = f"""{_X2E2_CTES}
 SELECT CAST(id AS BIGINT)           AS doc_id,
        CAST(lab.cluster_id AS BIGINT) AS cluster_id,
        (id = lab.cluster_id)        AS is_canonical,

@@ -923,3 +923,51 @@ def test_x6x_matching_chunk_outranks_and_overlap_hits_both(spark, tmp_path):
             assert (a["score_micro"], -a["doc_id"], -a["chunk_id"]) >= (
                 b["score_micro"], -b["doc_id"], -b["chunk_id"]
             )
+
+
+def test_x6y_survivorship_policy_beats_min_id_canonical(spark):
+    """x6y law on a planted 3-chain family: docs 1~2 and 2~4 share >= 3
+    shingles (1 and 4 share none -- only the transitive closure joins
+    them), doc 2 is the longest. x2e2's min-id canonical would keep
+    doc 1; the keep-longest policy must keep doc 2, drop 1 and 4, and
+    report freed_chars = n_chars(1) + n_chars(4) on every family row.
+    The singleton doc 7 keeps itself with freed_chars 0."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6y_dedup_survivorship,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", 11),
+            (2, "a b c d e f g h i j", 100),
+            (4, "f g h i j k l", 40),
+            (7, "z y x w v u", 11),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    origs = (cmod.Catalog, dmod.Catalog)
+    cmod.Catalog = dmod.Catalog = _Cat
+    try:
+        rows = {r["doc_id"]: r for r in x6y_dedup_survivorship(spark, "x").collect()}
+    finally:
+        cmod.Catalog, dmod.Catalog = origs
+
+    assert set(rows) == {1, 2, 4, 7}
+    fam = [rows[1], rows[2], rows[4]]
+    assert len({r["cluster_id"] for r in fam}) == 1  # transitive closure
+    assert all(r["cluster_size"] == 3 for r in fam)
+    assert rows[2]["keep"] and not rows[1]["keep"] and not rows[4]["keep"]
+    # min-id canonical (doc 1) != quality survivor (doc 2): the policy
+    # is a real decision, not a relabeling of is_canonical
+    assert fam[0]["cluster_id"] == 1 and not rows[1]["keep"]
+    assert all(r["freed_chars"] == 11 + 40 for r in fam)
+    assert rows[7]["keep"] and rows[7]["freed_chars"] == 0 \
+        and rows[7]["cluster_size"] == 1
