@@ -1609,7 +1609,10 @@ _X4U_W = (
 
 _X4U_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _X4U_QUERIES)
 
-_X4U_ORACLE = f"""
+# The CTE chain (query table -> tf -> df -> dl -> stats -> scored hits
+# -> rank window) is shared with x4x's retrieval-eval oracle, which
+# appends its relevance/metric CTEs after `ranked`.
+_X4U_CTES = f"""
 WITH q AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, term
   FROM (VALUES {_X4U_VALUES}) v(query_id, term)
@@ -1652,7 +1655,9 @@ ranked AS (
            PARTITION BY query_id ORDER BY score_micro DESC, doc_id
          ) AS rnk
   FROM scores
-)
+)"""
+
+_X4U_ORACLE = f"""{_X4U_CTES}
 SELECT query_id, rnk, doc_id, score_micro, n_hit_terms
 FROM ranked
 WHERE rnk <= {_X4U_TOPK}
@@ -1910,4 +1915,172 @@ def x4v_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sparse_rnk", "dense_rnk",
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+# X4x — retrieval quality evaluation: recall@k, MRR, nDCG over x4u -------------
+#
+# The eval harness every retrieval stack ships next to the engine: given
+# the system ranking (x4u's BM25 top-k, composed verbatim) and a
+# relevance law, score each query with recall@k, MRR, and nDCG@k. The
+# relevance law is lexical-AND, derived from the corpus itself so the
+# oracle needs no side file: a doc is RELEVANT to a query iff it
+# contains ALL the query's distinct terms; its GRADE (for nDCG) is the
+# number of distinct query terms it contains, so partially-matching
+# docs earn partial gain in the ideal ranking.
+#
+# Cross-engine exactness (the x4u idiom): each DCG position contributes
+# floor(1e6 * grade / log2(pos+1)) — integer inputs, one IEEE-double
+# log both engines compute identically, floored to BIGINT — so DCG and
+# ideal-DCG are order-independent integer sums, and the three ratios
+# are pure BIGINT divisions (Spark `div`, DuckDB `//`): no float ever
+# crosses an aggregate boundary.
+#
+# Scale shape: grades come from one distinct-(doc, term) scan joined to
+# the BROADCAST query table (|q| rows) — corpus-sized rows appear only
+# in that map-side join and the per-query ideal-rank window (same
+# posture as x4v's dense leg; with a vocabulary-sized query load the
+# ideal top-k would swap to a bounded per-partition top-k, the o3
+# pattern). Everything downstream of the two rank windows is
+# |queries|-sized.
+
+_X4X_DCG_TERM = (
+    f"CAST(floor({_X4U_SCALE} * grade / (ln(pos + 1) / ln(2))) AS BIGINT)"
+)
+
+_X4X_ORACLE = f"""{_X4U_CTES},
+qterms AS (
+  SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS n_q
+  FROM q GROUP BY query_id
+),
+grades AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(count(DISTINCT q.term) AS BIGINT) AS grade
+  FROM tf JOIN q USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+rel AS (
+  SELECT g.query_id, g.doc_id, g.grade, (g.grade = qt.n_q) AS is_rel
+  FROM grades g JOIN qterms qt USING (query_id)
+),
+ideal AS (
+  SELECT query_id, grade,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY grade DESC, doc_id
+         ) AS pos
+  FROM rel
+),
+idcg AS (
+  SELECT query_id, CAST(sum({_X4X_DCG_TERM}) AS BIGINT) AS idcg_micro
+  FROM ideal WHERE pos <= {_X4U_TOPK} GROUP BY query_id
+),
+sys AS (
+  SELECT r.query_id, r.rnk AS pos, rel.grade, rel.is_rel
+  FROM ranked r
+  JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  WHERE r.rnk <= {_X4U_TOPK}
+),
+sysm AS (
+  SELECT query_id,
+         CAST(sum({_X4X_DCG_TERM}) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         min(CASE WHEN is_rel THEN pos END) AS first_rel
+  FROM sys GROUP BY query_id
+),
+nrel AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY query_id
+)
+SELECT nrel.query_id,
+       nrel.n_relevant,
+       sysm.hits_at_k,
+       CAST(CASE WHEN nrel.n_relevant > 0
+            THEN ({_X4U_SCALE} * sysm.hits_at_k) // nrel.n_relevant
+            ELSE 0 END AS BIGINT)                       AS recall_micro,
+       CAST(CASE WHEN sysm.first_rel IS NOT NULL
+            THEN {_X4U_SCALE} // sysm.first_rel
+            ELSE 0 END AS BIGINT)                       AS mrr_micro,
+       sysm.dcg_micro,
+       idcg.idcg_micro,
+       CAST(CASE WHEN idcg.idcg_micro > 0
+            THEN ({_X4U_SCALE} * sysm.dcg_micro) // idcg.idcg_micro
+            ELSE 0 END AS BIGINT)                       AS ndcg_micro
+FROM nrel
+JOIN sysm USING (query_id)
+JOIN idcg USING (query_id)
+ORDER BY query_id
+"""
+
+
+@register("x4x_retrieval_eval", oracle=_X4X_ORACLE, tags=("X4",))
+def x4x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics over x4u's BM25 top-k: recall@k and
+    MRR under the lexical-AND relevance law (doc contains ALL query
+    terms) and nDCG@k under graded relevance (grade = matched distinct
+    query terms). Every metric is an exact integer in micro-units —
+    DCG positions floor to BIGINT before summing, ratios are BIGINT
+    divisions — so the oracle match is bitwise, not approximate."""
+    docs = Catalog(spark, sf_dir).documents
+    qdf = spark.createDataFrame(
+        list(_X4U_QUERIES), "query_id long, term string"
+    )
+    ranked = x4u_bm25_retrieval(spark, sf_dir)
+    toks_d = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    grades = (
+        toks_d.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("grade"))
+    )
+    qn = qdf.groupBy("query_id").agg(F.count_distinct("term").alias("n_q"))
+    rel = grades.join(F.broadcast(qn), "query_id").select(
+        "query_id", "doc_id", "grade", (F.col("grade") == F.col("n_q")).alias("is_rel")
+    )
+    w_ideal = W.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), "doc_id"
+    )
+    idcg = (
+        rel.withColumn("pos", F.row_number().over(w_ideal))
+        .filter(F.col("pos") <= _X4U_TOPK)
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(_X4X_DCG_TERM)).cast("long").alias("idcg_micro"))
+    )
+    sys = ranked.withColumnRenamed("rnk", "pos").join(
+        rel, ["query_id", "doc_id"]
+    )
+    sysm = sys.groupBy("query_id").agg(
+        F.sum(F.expr(_X4X_DCG_TERM)).cast("long").alias("dcg_micro"),
+        F.sum(F.col("is_rel").cast("int")).cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("is_rel"), F.col("pos"))).alias("first_rel"),
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.sum(F.col("is_rel").cast("int")).cast("long").alias("n_relevant")
+    )
+    scale = _X4U_SCALE
+    return (
+        nrel.join(sysm, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            "hits_at_k",
+            F.expr(
+                f"CAST(CASE WHEN n_relevant > 0 THEN ({scale} * hits_at_k)"
+                f" div n_relevant ELSE 0 END AS BIGINT)"
+            ).alias("recall_micro"),
+            F.expr(
+                f"CAST(CASE WHEN first_rel IS NOT NULL THEN {scale}"
+                f" div first_rel ELSE 0 END AS BIGINT)"
+            ).alias("mrr_micro"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                f"CAST(CASE WHEN idcg_micro > 0 THEN ({scale} * dcg_micro)"
+                f" div idcg_micro ELSE 0 END AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
     )

@@ -812,3 +812,23 @@ def test_x5r_band_join_never_plans_all_pairs(spark):
     plan = _plan(spark, "x5r_video_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x4x_eval_keeps_broadcast_query_shape(spark):
+    """x4x: the grades scan joins the BROADCAST query table (never a
+    corpus-side shuffle on the tiny side), the composed x4u leg keeps
+    its broadcast-query posture, and nothing plans a CartesianProduct
+    (the 1-row stats crossJoin is the permitted BNLJ)."""
+    plan = _plan(spark, "x4x_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_w15_gaps_islands_is_window_plus_hashagg(spark):
+    """w15: the islands rewrite must stay join-free — one user-keyed
+    window over distinct user-days and hash-aggs, never a self-join
+    (the naive gaps-and-islands formulation) or a cartesian stage."""
+    plan = _plan(spark, "w15_gaps_islands")
+    assert "CartesianProduct" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan

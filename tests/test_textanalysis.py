@@ -316,3 +316,96 @@ def test_x4v_rrf_single_leg_surfaces_and_tie_law(spark, tmp_path):
             assert a["rrf_micro"] > b["rrf_micro"] or (
                 a["rrf_micro"] == b["rrf_micro"] and a["doc_id"] < b["doc_id"]
             )
+
+
+def test_x4x_metrics_match_python_closure_on_planted_corpus(spark):
+    """x4x metric law on a 5-doc planted corpus: grades and the ideal
+    ranking are hand-derived (q2's IDCG pinned to its exact integer),
+    recall/MRR follow from the relevance law, and DCG/nDCG must equal a
+    python recompute (math floor arithmetic) driven by x4u's own
+    ranking — so the metric layer is pinned independently of BM25."""
+    import math
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        _X4U_QUERIES,
+        _X4U_SCALE,
+        _X4U_TOPK,
+        x4u_bm25_retrieval,
+        x4x_retrieval_eval,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.textanalysis as tmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector stream"),           # q2 grade 2 (relevant)
+            (2, "vector vector vector vector"),  # q2 grade 1
+            (3, "stream"),                  # q2 grade 1
+            (4, "hash merge sort"),         # q1 grade 3 (relevant)
+            (5, "alpha beta"),              # matches nothing
+        ],
+        "doc_id long, text string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = docs
+
+    orig = tmod.Catalog
+    tmod.Catalog = _Cat
+    try:
+        ranked = [r.asDict() for r in x4u_bm25_retrieval(spark, "x").collect()]
+        out = {r["query_id"]: r for r in x4x_retrieval_eval(spark, "x").collect()}
+    finally:
+        tmod.Catalog = orig
+
+    # python closure: grades + relevance from the corpus and query set
+    texts = {1: "vector stream", 2: "vector vector vector vector",
+             3: "stream", 4: "hash merge sort", 5: "alpha beta"}
+    qterms = {}
+    for qid, t in _X4U_QUERIES:
+        qterms.setdefault(qid, set()).add(t)
+    grade = {
+        (qid, d): len(ts & set(txt.split()))
+        for qid, ts in qterms.items() for d, txt in texts.items()
+    }
+
+    def dcg_term(g, pos):
+        return math.floor(_X4U_SCALE * g / (math.log(pos + 1) / math.log(2)))
+
+    for qid, ts in qterms.items():
+        graded = sorted(
+            ((grade[(qid, d)], d) for d in texts if grade[(qid, d)] > 0),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if not graded:
+            assert qid not in out
+            continue
+        row = out[qid]
+        n_rel = sum(1 for g, _ in graded if g == len(ts))
+        assert row["n_relevant"] == n_rel
+        idcg = sum(dcg_term(g, i + 1) for i, (g, _) in enumerate(graded[:_X4U_TOPK]))
+        assert row["idcg_micro"] == idcg
+        sys_rows = sorted(
+            (r for r in ranked if r["query_id"] == qid), key=lambda r: r["rnk"]
+        )
+        dcg = sum(dcg_term(grade[(qid, r["doc_id"])], r["rnk"]) for r in sys_rows)
+        assert row["dcg_micro"] == dcg
+        hits = sum(1 for r in sys_rows if grade[(qid, r["doc_id"])] == len(ts))
+        assert row["hits_at_k"] == hits
+        assert row["recall_micro"] == (
+            (_X4U_SCALE * hits) // n_rel if n_rel else 0
+        )
+        first = next(
+            (r["rnk"] for r in sys_rows if grade[(qid, r["doc_id"])] == len(ts)),
+            None,
+        )
+        assert row["mrr_micro"] == (_X4U_SCALE // first if first else 0)
+        assert row["ndcg_micro"] == (
+            (_X4U_SCALE * dcg) // idcg if idcg else 0
+        )
+
+    # hand-pinned q2 values: graded docs {1: grade2, 2: grade1, 3: grade1},
+    # ideal = [2,1,1] -> IDCG = 2e6 + floor(1e6/log2(3)) + 5e5
+    assert out[2]["n_relevant"] == 1
+    assert out[2]["recall_micro"] == _X4U_SCALE  # the one relevant doc retrieved
+    assert out[2]["idcg_micro"] == 2_000_000 + 630_929 + 500_000
