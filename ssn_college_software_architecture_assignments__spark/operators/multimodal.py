@@ -2867,3 +2867,82 @@ def x5s_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# X5t — audio gain normalization plan over the x5i energy profile --------------
+#
+# The loudness-leveling pass an audio curation pipeline runs before
+# training: from each clip's windowed RMS profile, derive the gain that
+# brings its PEAK window to the target level, capped at a maximum boost
+# so near-silent clips aren't amplified into noise. Composes the
+# registered x5i operator verbatim: every rms this reads is the same
+# rounded value both engines already agree on, so the plan adds
+# aggregates and ONE double division (floored to integer micro-units,
+# the repo's cross-engine law) — no new float accumulates across rows.
+#
+# Scale shape: x5i's one encode+profile mapInPandas pass, then a
+# doc-keyed hash-agg (map-combined) and a width-1 projection. No
+# windows, no joins; the gain table is clips-sized, never samples-sized.
+
+_X5T_TARGET_RMS = "1000.0"  # PCM-unit peak-window target level
+_X5T_MAX_GAIN_MICRO = 20_000_000  # cap: never boost more than 20x
+
+# single-site gain law, shared verbatim by both engines
+_X5T_GAIN = (
+    f"CAST(floor(1000000 * {_X5T_TARGET_RMS} / peak_rms) AS BIGINT)"
+)
+
+_X5T_ORACLE = f"""
+WITH p AS ({_X5I_ORACLE}),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT)  AS n_windows,
+         max(rms)                  AS peak_rms,
+         CAST(sum(CASE WHEN rms < 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                   AS quiet_windows
+  FROM p WHERE profile_status = 'ok'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_windows, peak_rms, quiet_windows,
+       CAST(least({_X5T_GAIN}, {_X5T_MAX_GAIN_MICRO}) AS BIGINT)
+         AS gain_micro,
+       ({_X5T_GAIN} > {_X5T_MAX_GAIN_MICRO}) AS limited
+FROM agg
+WHERE peak_rms > 0
+ORDER BY doc_id
+"""
+
+
+@register("x5t_audio_gain_normalize", oracle=_X5T_ORACLE, tags=("X5",))
+def x5t_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip gain normalization plan: the micro-unit gain that lifts
+    the clip's peak x5i RMS window to the target level, capped at the
+    maximum boost (near-silent clips flag `limited` instead of blowing
+    up). The gain law is ONE shared f-string evaluated by both engines
+    over rms values x5i already pins, so the match is bitwise."""
+    prof = x5i_audio_rms_profile(spark, sf_dir).filter(
+        F.col("profile_status") == "ok"
+    )
+    agg = prof.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.max("rms").alias("peak_rms"),
+        F.sum((F.col("rms") < 100.0).cast("int"))
+        .cast("long")
+        .alias("quiet_windows"),
+    )
+    return (
+        agg.filter(F.col("peak_rms") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "peak_rms",
+            "quiet_windows",
+            F.least(
+                F.expr(_X5T_GAIN), F.lit(_X5T_MAX_GAIN_MICRO)
+            )
+            .cast("long")
+            .alias("gain_micro"),
+            (F.expr(_X5T_GAIN) > _X5T_MAX_GAIN_MICRO).alias("limited"),
+        )
+        .orderBy("doc_id")
+    )

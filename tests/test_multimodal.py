@@ -1087,3 +1087,51 @@ def test_x5s_keyframe_is_argmax_with_first_cut_tiebreak(spark):
         want = sorted(scored[doc_id], key=lambda t: (-t[1], t[0]))
         got = [(r["frame_idx"], r["mean_abs_diff"]) for r in rows]
         assert got == want[: len(rows)]
+
+
+def test_x5t_gain_matches_python_closure_and_cap_law(spark):
+    """x5t laws: (a) against the real fixture, every clip's gain equals
+    the python recompute floor(1e6 * target / max(x5i rms)) capped at
+    the max boost, with quiet/window counts matching; (b) the cap law
+    (limited <=> raw gain exceeds the cap, gain then pinned AT the cap)
+    pinned on literal peak values including a near-silent one the
+    fixture can't produce."""
+    import math
+
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _X5T_GAIN,
+        _X5T_MAX_GAIN_MICRO,
+        x5i_audio_rms_profile,
+        x5t_audio_gain_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    prof = {}
+    for r in x5i_audio_rms_profile(spark, SF).collect():
+        if r["profile_status"] == "ok":
+            prof.setdefault(r["doc_id"], []).append(r["rms"])
+
+    out = {r["doc_id"]: r for r in x5t_audio_gain_normalize(spark, SF).collect()}
+    assert set(out) == {d for d, rms in prof.items() if max(rms) > 0}
+    for doc_id, row in out.items():
+        peak = max(prof[doc_id])
+        raw = math.floor(1_000_000 * 1000.0 / peak)
+        assert row["peak_rms"] == peak
+        assert row["n_windows"] == len(prof[doc_id])
+        assert row["quiet_windows"] == sum(1 for v in prof[doc_id] if v < 100.0)
+        assert row["gain_micro"] == min(raw, _X5T_MAX_GAIN_MICRO)
+        assert row["limited"] == (raw > _X5T_MAX_GAIN_MICRO)
+
+    # (b) cap law on literal peaks: 0.01 -> raw 1e11, must pin AT the cap
+    lit = spark.createDataFrame(
+        [(0.01,), (500.0,), (1000.0,), (4000.0,)], "peak_rms double"
+    ).select(
+        "peak_rms",
+        F.least(F.expr(_X5T_GAIN), F.lit(_X5T_MAX_GAIN_MICRO)).alias("g"),
+        (F.expr(_X5T_GAIN) > _X5T_MAX_GAIN_MICRO).alias("limited"),
+    )
+    rows = {r["peak_rms"]: r for r in lit.collect()}
+    assert rows[0.01]["limited"] and rows[0.01]["g"] == _X5T_MAX_GAIN_MICRO
+    assert not rows[500.0]["limited"] and rows[500.0]["g"] == 2_000_000
+    assert rows[1000.0]["g"] == 1_000_000
+    assert rows[4000.0]["g"] == 250_000
