@@ -2403,3 +2403,175 @@ def x6y_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X6z — epoch-capped token-budget waterfilling ---------------------------------
+#
+# The mixture step x6e/x6n deliberately stop short of: when a declared
+# target mixture asks a small source for more tokens than it can give
+# (every public LLM data recipe caps upsampling at a few epochs), the
+# shortfall must REDISTRIBUTE to the unsaturated sources in proportion
+# to their weights — and saturation CASCADES (the redistribution can
+# push the next-smallest source over ITS cap). The exact solution is
+# waterfilling: sort sources by cap/weight, saturate the prefix, and
+# the first source k+1 with R_k * w_{k+1} <= cap_{k+1} * W_rem_k stays
+# unsaturated, where R_k is the budget left after the k saturated caps
+# and W_rem_k the unsaturated weight mass. Every comparison and
+# allocation is BIGINT cross-multiplication / floor division — no float
+# touches the decision — so the oracle match is bitwise; the sort key
+# alone is a double ratio (monotone, tie-broken by source, identical
+# IEEE division in both engines).
+#
+# The declared weights (64/16/4/1) are skewed so the FIXTURE itself
+# exercises a 3-deep cascade: src0 and src1 saturate immediately and
+# the redistribution then pushes src2 over its cap — the planted pytest
+# pins the same cascade on hand arithmetic.
+#
+# Scale shape: one map-combined hash-agg collapses the corpus to a
+# sources-sized table; everything after (windows, the argmin row, the
+# joins) runs over ~dozens of rows — the x6e global-window convention.
+
+_X6Z_MAX_EPOCHS = 4          # never upsample a source past 4 epochs
+_X6Z_BUDGET_X = 2            # training budget = 2x the corpus tokens
+_X6Z_SCALE = 1_000_000
+
+# single-site declared mixture weights, shared verbatim by both engines
+_X6Z_WEIGHT_CASE = (
+    "CASE WHEN source = 'src0' THEN 64 WHEN source = 'src1' THEN 16"
+    " WHEN source = 'src2' THEN 4 ELSE 1 END"
+)
+
+_X6Z_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST({_X6Z_WEIGHT_CASE} AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST({_X6Z_BUDGET_X} * sum(n_tokens) AS BIGINT) AS budget,
+         CAST(sum(weight) AS BIGINT) AS total_w
+  FROM per
+),
+r AS (
+  SELECT per.*, CAST({_X6Z_MAX_EPOCHS} * n_tokens AS BIGINT) AS cap_tokens,
+         tot.budget, tot.total_w,
+         row_number() OVER (
+           ORDER BY CAST({_X6Z_MAX_EPOCHS} * n_tokens AS DOUBLE) / weight,
+                    source
+         ) AS rn
+  FROM per CROSS JOIN tot
+),
+c AS (
+  SELECT *, sum(cap_tokens) OVER (ORDER BY rn) AS cum_cap,
+            sum(weight)     OVER (ORDER BY rn) AS cum_w
+  FROM r
+),
+u AS (
+  SELECT *, (budget - (cum_cap - cap_tokens)) AS r_prev,
+            (total_w - (cum_w - weight))      AS w_prev,
+            ((budget - (cum_cap - cap_tokens)) * weight
+              <= cap_tokens * (total_w - (cum_w - weight))) AS unsat
+  FROM c
+),
+star AS (
+  SELECT u.r_prev AS r_star, u.w_prev AS w_star, u.rn AS j_star
+  FROM u JOIN (SELECT min(rn) AS j FROM u WHERE unsat) m ON u.rn = m.j
+),
+alloc AS (
+  SELECT u.source, u.n_docs, u.n_tokens, u.weight, u.cap_tokens,
+         (s.j_star IS NULL OR u.rn < s.j_star) AS saturated,
+         CAST(CASE WHEN s.j_star IS NULL OR u.rn < s.j_star
+              THEN u.cap_tokens
+              ELSE (u.weight * s.r_star) // s.w_star END AS BIGINT)
+           AS alloc_tokens,
+         (s.j_star IS NOT NULL) AS budget_feasible
+  FROM u LEFT JOIN star s ON true
+)
+SELECT source, n_docs, n_tokens, weight, cap_tokens, saturated,
+       alloc_tokens,
+       CAST(({_X6Z_SCALE} * alloc_tokens) // n_tokens AS BIGINT)
+         AS epochs_micro,
+       budget_feasible
+FROM alloc
+ORDER BY source
+"""
+
+
+@register("x6z_token_budget_waterfill", oracle=_X6Z_ORACLE, tags=("X6",))
+def x6z_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture allocation by exact waterfilling: each
+    source gets min(cap, weight-share) of the token budget, saturated
+    caps redistribute to the unsaturated weight mass, and the cascade
+    resolves by the sorted-prefix threshold rule. All decisions are
+    BIGINT cross-multiplications; alloc and the realized epochs_micro
+    are floor divisions — bitwise-identical in both engines."""
+    docs = Catalog(spark, sf_dir).documents
+    per = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.expr(_X6Z_WEIGHT_CASE).cast("long").alias("weight"),
+        )
+    )
+    tot = per.agg(
+        (F.lit(_X6Z_BUDGET_X) * F.sum("n_tokens")).cast("long").alias("budget"),
+        F.sum("weight").cast("long").alias("total_w"),
+    )
+    # sources-sized table from here on: the global windows are the x6e
+    # single-task-over-dozens-of-rows convention, safe by construction
+    w_rn = W.orderBy(
+        (F.col("cap_tokens").cast("double") / F.col("weight")), "source"
+    )
+    r = (
+        per.withColumn(
+            "cap_tokens", (F.lit(_X6Z_MAX_EPOCHS) * F.col("n_tokens")).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+    w_cum = W.orderBy("rn")
+    c = r.withColumn("cum_cap", F.sum("cap_tokens").over(w_cum)).withColumn(
+        "cum_w", F.sum("weight").over(w_cum)
+    )
+    u = c.select(
+        "*",
+        (F.col("budget") - (F.col("cum_cap") - F.col("cap_tokens"))).alias("r_prev"),
+        (F.col("total_w") - (F.col("cum_w") - F.col("weight"))).alias("w_prev"),
+    ).withColumn(
+        "unsat",
+        (F.col("r_prev") * F.col("weight"))
+        <= (F.col("cap_tokens") * F.col("w_prev")),
+    )
+    j = u.filter("unsat").agg(F.min("rn").alias("j_star"))
+    star = (
+        u.join(F.broadcast(j), F.col("rn") == F.col("j_star"))
+        .select(
+            F.col("r_prev").alias("r_star"),
+            F.col("w_prev").alias("w_star"),
+            "j_star",
+        )
+    )
+    sat = F.col("j_star").isNull() | (F.col("rn") < F.col("j_star"))
+    out = u.join(F.broadcast(star), F.lit(True), "left").select(
+        "source", "n_docs", "n_tokens", "weight", "cap_tokens",
+        sat.alias("saturated"),
+        F.when(sat, F.col("cap_tokens"))
+        .otherwise(F.expr("(weight * r_star) div w_star"))
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.col("j_star").isNotNull().alias("budget_feasible"),
+    )
+    return out.select(
+        "source", "n_docs", "n_tokens", "weight", "cap_tokens", "saturated",
+        "alloc_tokens",
+        F.expr(f"({_X6Z_SCALE} * alloc_tokens) div n_tokens")
+        .cast("long")
+        .alias("epochs_micro"),
+        "budget_feasible",
+    ).orderBy("source")

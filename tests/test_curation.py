@@ -971,3 +971,96 @@ def test_x6y_survivorship_policy_beats_min_id_canonical(spark):
     assert all(r["freed_chars"] == 11 + 40 for r in fam)
     assert rows[7]["keep"] and rows[7]["freed_chars"] == 0 \
         and rows[7]["cluster_size"] == 1
+
+
+def test_x6z_waterfill_cascade_matches_hand_arithmetic(spark):
+    """x6z law on a planted 3-source corpus (hand-solved waterfill):
+    budget 2*1110 = 2220, weights 64/16/1, caps 40/400/4000. src0 and
+    src1 saturate (R*w > cap*W at their prefix), src3 stays unsaturated
+    with alloc (1 * 1780) // 1 = 1780; epochs_micro pins the realized
+    upsampling. With the budget multiplier raised past the epoch cap,
+    every source saturates and budget_feasible flips false."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6z_token_budget_waterfill,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+
+    def mk_text(n):
+        return " ".join(["tok"] * n)
+
+    df = spark.createDataFrame(
+        [
+            (1, mk_text(10), "src0"),    # weight 64, cap 40
+            (2, mk_text(100), "src1"),   # weight 16, cap 400
+            (3, mk_text(1000), "src3"),  # weight 1,  cap 4000
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = cmod.Catalog
+    cmod.Catalog = _Cat
+    try:
+        rows = {
+            r["source"]: r
+            for r in x6z_token_budget_waterfill(spark, "x").collect()
+        }
+        orig_bx = cmod._X6Z_BUDGET_X
+        cmod._X6Z_BUDGET_X = 10  # budget 11100 > sum caps 4440
+        try:
+            over = {
+                r["source"]: r
+                for r in x6z_token_budget_waterfill(spark, "x").collect()
+            }
+        finally:
+            cmod._X6Z_BUDGET_X = orig_bx
+    finally:
+        cmod.Catalog = orig
+
+    assert rows["src0"]["saturated"] and rows["src0"]["alloc_tokens"] == 40
+    assert rows["src0"]["epochs_micro"] == 4_000_000
+    assert rows["src1"]["saturated"] and rows["src1"]["alloc_tokens"] == 400
+    assert not rows["src3"]["saturated"]
+    assert rows["src3"]["alloc_tokens"] == 2220 - 40 - 400  # == 1780
+    assert rows["src3"]["epochs_micro"] == 1_780_000
+    assert all(r["budget_feasible"] for r in rows.values())
+    # exact budget exhaustion here: one unsaturated source -> no floor loss
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 2220
+
+    # infeasible budget: all saturated at cap, flag flips
+    assert all(r["saturated"] for r in over.values())
+    assert all(not r["budget_feasible"] for r in over.values())
+    assert [over[s]["alloc_tokens"] for s in ("src0", "src1", "src3")] == [
+        40, 400, 4000,
+    ]
+
+
+def test_x6z_fixture_cascade_and_budget_bounds(spark):
+    """x6z on the real fixture: the skewed weights produce the designed
+    3-deep cascade (src0, src1, src2 saturated at exactly 4 epochs);
+    every unsaturated source lands under the cap; and the total
+    allocation reaches the budget up to floor loss (< one token per
+    unsaturated source)."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6Z_BUDGET_X,
+        x6z_token_budget_waterfill,
+    )
+
+    rows = x6z_token_budget_waterfill(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    sat = {r["source"] for r in rows if r["saturated"]}
+    assert sat == {"src0", "src1", "src2"}
+    assert all(
+        r["epochs_micro"] == 4_000_000 for r in rows if r["saturated"]
+    )
+    assert all(
+        r["alloc_tokens"] <= r["cap_tokens"] for r in rows
+    )
+    budget = _X6Z_BUDGET_X * sum(r["n_tokens"] for r in rows)
+    got = sum(r["alloc_tokens"] for r in rows)
+    n_unsat = sum(1 for r in rows if not r["saturated"])
+    assert budget - n_unsat < got <= budget
