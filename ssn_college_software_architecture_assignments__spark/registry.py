@@ -79,9 +79,9 @@ _loaded = False
 # (tier 2b — the x5m dhash-helper factor + x5m2/x5n2 filter-before-
 # distinct swap + x5m2 oracle CTE factor, the s25 empty-args guard, the
 # t6c oracle mode note), and the 50-id r9-evidence cohort (tier 2c).
-# 4 + 28 + 4 + 50 = 86 far exceeds the ~50-row driver budget (tier 2b
+# 10 + 28 + 4 + 50 = 92 far exceeds the ~50-row driver budget (tier 2b
 # lists 4 ids: the fifth touched query, x5m, already holds a tier-2a
-# slot), so the last ~36 r9-cohort ids are expected to miss this
+# slot), so the last ~42 r9-cohort ids are expected to miss this
 # round's file — they
 # MUST lead r15's tier 2 (compute the actual overflow from
 # CORRECTNESS_r14.json). Everything else sits below the line, stalest
@@ -92,11 +92,19 @@ _CHECK_PRIORITY = (
     # tier 1: the round-14 additions — no driver evidence exists yet
     # (global transitive-closure dedup clusters via large-star/small-
     # star, hybrid BM25+dense RRF fusion, chunk-level BM25 retrieval,
-    # video near-dedup over per-frame dHashes)
+    # video near-dedup over per-frame dHashes, gaps-and-islands
+    # streaks, keyframe selection, dedup survivorship, retrieval eval,
+    # audio gain normalization, token-budget waterfilling)
     "x2e2_global_dedup_clusters",
     "x4v_hybrid_rrf_fusion",
     "x6x_chunk_bm25_retrieval",
     "x5r_video_near_dedup",
+    "w15_gaps_islands",
+    "x5s_keyframe_select",
+    "x6y_dedup_survivorship",
+    "x4x_retrieval_eval",
+    "x5t_audio_gain_normalize",
+    "x6z_token_budget_waterfill",
     # tier 2a: the 28-id r8-evidence tail the r13 rotation predicted
     # would overflow — the ONLY ids whose newest driver row predates r9;
     # they lead this round so that after r14 no id's newest driver

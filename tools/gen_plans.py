@@ -185,6 +185,12 @@ QUERIES = [
     "x4v_hybrid_rrf_fusion",
     "x6x_chunk_bm25_retrieval",
     "x5r_video_near_dedup",
+    "w15_gaps_islands",
+    "x5s_keyframe_select",
+    "x6y_dedup_survivorship",
+    "x4x_retrieval_eval",
+    "x5t_audio_gain_normalize",
+    "x6z_token_budget_waterfill",
 ]
 
 
