@@ -532,7 +532,9 @@ def x3f_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # X3g — quantized ANN screen: integer dot products over int8 codes -------------
 
-_X3G_ORACLE = """
+# absmax-int8 quantization as DuckDB CTEs (the SQL twin of
+# _absmax_quantize) — shared by the x3g screen and x3y's matmul MIPS
+_Q8_CTES = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -545,7 +547,9 @@ WITH v AS (
               ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT))
          END AS qv
   FROM s
-), n AS (
+)"""
+
+_X3G_ORACLE = f"""{_Q8_CTES}, n AS (
   SELECT vec_id, qv,
          list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qq
   FROM q
@@ -2200,4 +2204,110 @@ def x3t_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 4).alias("cos_sim"),
         )
         .orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+# X3y — Arrow-batched integer matmul MIPS (the vectorized serving batch) -------
+#
+# The production shape for BATCHED exact retrieval that the per-row JVM
+# fold (x3/x3g) deliberately isn't: a serving tier answers Q queries at
+# once, so the right kernel is ONE (batch x Q) matrix product per Arrow
+# batch — numpy int64 matmul over the absmax-int8 codes — followed by a
+# per-batch top-k cut so each batch emits at most Q*k candidate rows.
+# Integer scores make the kernel EXACT: int64 addition is associative,
+# so unlike a float matmul the summation order cannot perturb ranks and
+# the DuckDB oracle matches bitwise. Maximum-inner-product (MIPS) is
+# the missing retrieval modality next to the cosine family — it is the
+# scoring rule recommendation models serve under.
+#
+# Per-batch top-k preserves the global top-k exactly: ranking is the
+# TOTAL order (idot desc, vec_id asc), so every global winner is a
+# winner of its own batch — the global window only merges candidates.
+#
+# Scale shape: quantization is the registered map-only x3f site; the Q
+# query code rows ship inside the kernel closure (Q x 64 ints — the
+# x3r-documented small-collect exception); the corpus streams through
+# mapInPandas without shuffling, and the only exchange carries
+# batches x Q x k candidate rows into the final tiny window.
+
+_X3Y_TOPK = 5
+
+_X3Y_ORACLE = f"""{_Q8_CTES},
+qs AS (SELECT vec_id AS q_id, qv AS q_codes FROM q WHERE vec_id < 8),
+scored AS (
+  SELECT qs.q_id, q.vec_id,
+         CAST(list_aggregate(list_transform(list_zip(qs.q_codes, q.qv),
+                                            p -> p[1] * p[2]), 'sum')
+              AS BIGINT) AS idot
+  FROM q CROSS JOIN qs
+  WHERE q.vec_id <> qs.q_id
+)
+SELECT q_id, CAST(rn AS INT) AS rn, vec_id, idot
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY q_id ORDER BY idot DESC, vec_id
+         ) AS rn
+  FROM scored
+) WHERE rn <= {_X3Y_TOPK}
+ORDER BY q_id, rn
+"""
+
+
+def mips_matmul_kernel(q_ids: "np.ndarray", q_mat: "np.ndarray", topk: int):
+    """Build the Arrow-batch kernel: int64 matmul of each batch's code
+    matrix against the closed-over query codes, then the per-batch
+    top-k cut under the (idot desc, vec_id asc) total order. Pure
+    integer arithmetic — bitwise-reproducible in any summation order."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["_q"]]
+            )
+            vids = pdf["vec_id"].to_numpy()
+            scores = codes @ q_mat.T  # (n_batch, Q) int64
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = vids != qid
+                v, s = vids[mask], scores[mask, qi]
+                order = np.lexsort((v, -s))[:topk]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": int(qid), "vec_id": v[order], "idot": s[order]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+@register("x3y_mips_matmul_topk", oracle=_X3Y_ORACLE, tags=("X3",))
+def x3y_mips_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 maximum-inner-product neighbors for 8 query vectors
+    over absmax-int8 codes, scored by ONE numpy int64 matmul per Arrow
+    batch with a per-batch top-k cut (each batch emits <= Q*k rows).
+    Integer scores make batch order irrelevant, so the result — and the
+    DuckDB oracle match — is bitwise exact, not approximately so."""
+    emb = Catalog(spark, sf_dir).embeddings
+    codes = _absmax_quantize(emb).select("vec_id", "_q")
+    qrows = sorted(
+        codes.filter(F.col("vec_id") < 8).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.stack(
+        [np.asarray(r["_q"], dtype=np.int64) for r in qrows]
+    )
+    cand = ensure_min_partitions(codes).mapInPandas(
+        mips_matmul_kernel(q_ids, q_mat, _X3Y_TOPK),
+        "q_id long, vec_id long, idot long",
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("idot").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X3Y_TOPK)
+        .select("q_id", F.col("rn").cast("int").alias("rn"), "vec_id", "idot")
+        .orderBy("q_id", "rn")
     )

@@ -832,3 +832,15 @@ def test_w15_gaps_islands_is_window_plus_hashagg(spark):
     assert "CartesianProduct" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert node not in plan
+
+
+def test_x3y_mips_corpus_never_shuffles_before_kernel(spark):
+    """x3y: the corpus streams into the matmul kernel map-side — no
+    join of any kind in the plan (queries ride the kernel closure), and
+    the only exchange feeds the tiny candidate window (batches x Q x k
+    rows), never the corpus."""
+    plan = _plan(spark, "x3y_mips_matmul_topk")
+    assert "CartesianProduct" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan

@@ -875,3 +875,65 @@ def test_x3t_filtered_search_matches_python_truth(spark, sf_dir):
         scored.sort(key=lambda t: (-t[0], t[1]))
         want = [(vid, c) for c, vid in scored[:5]]
         assert by_q.get(q_id, []) == want, q_id
+
+
+def test_x3y_mips_partition_invariance_and_tie_law(spark):
+    """x3y theorems on a planted corpus: (a) the per-batch top-k cut is
+    partition-invariant — 1-partition and 7-partition runs produce
+    identical rows because the (idot desc, vec_id) total order makes
+    every global winner a batch winner; (b) byte-identical candidates
+    tie on idot and rank by vec_id; (c) a query never matches itself."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        x3y_mips_matmul_topk,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.similarity as smod
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [1.0, 2.0, 3.0, 4.0]),
+        (11, [1.0, 2.0, 3.0, 4.0]),   # byte-identical to 10: idot tie
+        (12, [4.0, 3.0, 2.0, 1.0]),
+        (13, [-1.0, -2.0, -3.0, -4.0]),
+        (14, [0.5, 0.5, 0.5, 0.5]),
+        (15, [2.0, 0.0, 0.0, 0.0]),
+    ]
+
+    def run(n_parts):
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        ).repartition(n_parts)
+
+        class _Cat:
+            def __init__(self, spark, sf_dir):
+                self.embeddings = df
+
+        orig = smod.Catalog
+        smod.Catalog = _Cat
+        try:
+            return [
+                tuple(r)
+                for r in x3y_mips_matmul_topk(spark, "x")
+                .orderBy("q_id", "rn")
+                .collect()
+            ]
+        finally:
+            smod.Catalog = orig
+
+    one, seven = run(1), run(7)
+    assert one == seven
+    assert all(q != v for q, _, v, _ in one)  # no self-match
+    by_q = {}
+    for q, rn, v, idot in one:
+        by_q.setdefault(q, []).append((rn, v, idot))
+    # tie law for query 0: vecs 10 and 11 share codes -> equal idot,
+    # adjacent ranks, lower vec_id first
+    r0 = {v: (rn, idot) for rn, v, idot in by_q[0]}
+    assert r0[10][1] == r0[11][1]
+    assert r0[11][0] == r0[10][0] + 1
+    # ranks are dense 1..k per query
+    for rows in by_q.values():
+        assert [rn for rn, _, _ in sorted(rows)] == list(
+            range(1, len(rows) + 1)
+        )
