@@ -2084,3 +2084,89 @@ def x4x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# X4y — per-document keyword extraction over the x4k TF-IDF law ----------------
+#
+# The tagging pass an indexing/labeling pipeline runs after TF-IDF: the
+# top-K most distinctive terms PER DOCUMENT (x4k's global top-50 is the
+# corpus view; a keyword extractor needs the per-doc view). Same
+# inverted-index dataflow and the identical smooth-idf formula, then a
+# doc-partitioned rank window instead of the global TakeOrdered — the
+# window partitions carry one doc's distinct terms (bounded by doc
+# length), never corpus-sized rows. Ties on the 4dp-rounded score break
+# lexicographically so the oracle match stays exact.
+
+_X4Y_TOPK = 3
+
+_X4Y_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS rnk
+  FROM scored
+) WHERE rnk <= {_X4Y_TOPK}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("x4y_keyword_extract", oracle=_X4Y_ORACLE, tags=("X4",))
+def x4y_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} keywords per document by smooth-idf TF-IDF (x4k's exact
+    formula), rank window per doc with the lexicographic tie law on the
+    4dp-rounded score. The df side joins on the term key over the
+    already-collapsed tf table — x4k's shuffle discipline — and the
+    window partitions are single-document term sets."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X4Y_TOPK)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "tfidf",
+        )
+        .orderBy("doc_id", "rnk")
+    )

@@ -409,3 +409,58 @@ def test_x4x_metrics_match_python_closure_on_planted_corpus(spark):
     assert out[2]["n_relevant"] == 1
     assert out[2]["recall_micro"] == _X4U_SCALE  # the one relevant doc retrieved
     assert out[2]["idcg_micro"] == 2_000_000 + 630_929 + 500_000
+
+
+def test_x4y_keywords_prefer_distinctive_terms(spark):
+    """x4y law on a planted corpus: a term appearing in every doc
+    (stopword) has minimal idf, so a doc's rare term outranks its more
+    frequent stopword whenever tf * idf says so; ranks are dense; the
+    lexicographic tie law orders equal-score terms."""
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4y_keyword_extract,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.textanalysis as tmod
+
+    df = spark.createDataFrame(
+        [
+            # "the" is in all 4 docs; each doc has one unique term
+            (1, "the the the zebra"),
+            (2, "the quark"),
+            (3, "the the photon"),
+            (4, "the gluon gluon"),
+        ],
+        "doc_id long, text string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = tmod.Catalog
+    tmod.Catalog = _Cat
+    try:
+        rows = {}
+        for r in x4y_keyword_extract(spark, "x").collect():
+            rows.setdefault(r["doc_id"], []).append(r)
+    finally:
+        tmod.Catalog = orig
+
+    import math
+
+    idf_unique = math.log(5.0 / 2.0) + 1.0   # df=1, N=4
+    idf_stop = math.log(5.0 / 5.0) + 1.0     # df=4 -> idf exactly 1
+    for d in (1, 2, 3, 4):
+        got = sorted(rows[d], key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+    # doc 1: zebra tf=1 (score ~1.916) beats "the" tf=3 (score 3.0)?
+    # no — 3.0 > 1.916, so "the" wins on raw tf; doc 2: quark (1.916)
+    # beats "the" tf=1 (1.0) — the distinctiveness law
+    assert rows[1][0]["term"] == "the" and rows[1][0]["rnk"] == 1
+    d2 = {r["term"]: r for r in rows[2]}
+    assert d2["quark"]["rnk"] == 1 and d2["the"]["rnk"] == 2
+    assert d2["quark"]["tfidf"] == round(idf_unique, 4)
+    assert d2["the"]["tfidf"] == round(idf_stop, 4)
+    # doc 4: gluon tf=2 -> 2 * 1.9163 beats "the"
+    d4 = {r["term"]: r for r in rows[4]}
+    assert d4["gluon"]["rnk"] == 1
+    assert d4["gluon"]["tfidf"] == round(2 * idf_unique, 4)
