@@ -191,6 +191,8 @@ QUERIES = [
     "x4x_retrieval_eval",
     "x5t_audio_gain_normalize",
     "x6z_token_budget_waterfill",
+    "x3y_mips_matmul_topk",
+    "x4y_keyword_extract",
 ]
 
 
