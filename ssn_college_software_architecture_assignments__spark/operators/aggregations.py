@@ -921,3 +921,92 @@ def a8b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     ).orderBy("day", "event_type")
+
+
+# A17 — exact grouped weighted median ------------------------------------------
+#
+# The robust-statistics staple the percentile family (A6) doesn't cover:
+# the quantity-weighted median price — "the price at which half the
+# shipped VOLUME is cheaper" — which an unweighted percentile gets wrong
+# whenever quantity correlates with price. Exact and integer-safe: the
+# corpus collapses to (group, price-cents) weight sums FIRST (hash-agg,
+# map-combined — the shuffle carries distinct prices, not line items),
+# then one cumulative window over each group's distinct prices picks the
+# lower weighted median as min{v : 2*cumw(v) >= totw} — a pure BIGINT
+# comparison, no interpolation, no float.
+#
+# Scale shape: one map-combined hash-agg corpus pass; the window
+# partitions carry a group's DISTINCT price points (bounded by the
+# price domain, not row count). At 100 TB the same two stages hold.
+
+_A17_ORACLE = """
+WITH pts AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, cents, w, n,
+         sum(w) OVER (PARTITION BY grp ORDER BY cents) AS cumw,
+         sum(w) OVER (PARTITION BY grp) AS totw,
+         sum(n) OVER (PARTITION BY grp) AS n_rows
+  FROM pts
+)
+SELECT grp AS l_returnflag,
+       CAST(n_rows AS BIGINT)        AS n_rows,
+       CAST(totw AS BIGINT)          AS total_qty,
+       CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+         AS median_price_cents
+FROM cum
+GROUP BY grp, n_rows, totw
+ORDER BY l_returnflag
+"""
+
+
+@register("a17_weighted_median", oracle=_A17_ORACLE, tags=("A6",))
+def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag:
+    collapse to distinct price points with weight sums, cumulate over
+    the price order, and take the lower weighted median
+    min{v : 2*cumw(v) >= totw} — BIGINT comparisons end to end."""
+    li = Catalog(spark, sf_dir).lineitem
+    pts = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            F.round("l_quantity", 0).cast("long").alias("q"),
+        )
+        .groupBy("grp", "cents")
+        .agg(
+            F.sum("q").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w_cum = W.partitionBy("grp").orderBy("cents")
+    w_grp = W.partitionBy("grp")
+    cum = pts.select(
+        "grp", "cents", "w", "n",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_grp).alias("totw"),
+        F.sum("n").over(w_grp).alias("n_rows"),
+    )
+    return (
+        cum.groupBy(
+            F.col("grp").alias("l_returnflag"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("totw").cast("long").alias("total_qty"),
+        )
+        .agg(
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("median_price_cents")
+        )
+        .orderBy("l_returnflag")
+    )

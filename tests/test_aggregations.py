@@ -74,3 +74,45 @@ def test_a15_mode_tie_law_on_handmade_groups(spark, tmp_path):
            for r in a15_grouped_mode(spark, sf_dir).collect()}
     assert got["SEG_A"] == ("1-URGENT", 3)          # strict winner
     assert got["SEG_B"] == ("2-HIGH", 2)            # tie -> smaller value
+
+
+def test_a17_weighted_median_planted_laws(spark):
+    """a17 law on a handmade table: group A's volume is 1+1+8 at prices
+    10/20/30 -> half the volume (5) is crossed only at price 30 even
+    though 20 is the unweighted median; group B crosses exactly AT the
+    boundary (2*cumw == totw picks the lower median); a single-row
+    group is its own median."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a17_weighted_median,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.aggregations as amod
+
+    df = spark.createDataFrame(
+        [
+            ("A", 0.10, 1.0), ("A", 0.20, 1.0), ("A", 0.30, 8.0),
+            ("B", 0.10, 2.0), ("B", 0.20, 2.0),   # boundary: 2*2 == 4
+            ("C", 9.99, 7.0),
+        ],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.lineitem = df
+
+    orig = amod.Catalog
+    amod.Catalog = _Cat
+    try:
+        rows = {
+            r["l_returnflag"]: r
+            for r in a17_weighted_median(spark, "x").collect()
+        }
+    finally:
+        amod.Catalog = orig
+
+    assert rows["A"]["median_price_cents"] == 30
+    assert rows["A"]["total_qty"] == 10 and rows["A"]["n_rows"] == 3
+    assert rows["B"]["median_price_cents"] == 10  # lower median at tie
+    assert rows["C"]["median_price_cents"] == 999
+    assert rows["C"]["total_qty"] == 7
