@@ -35,6 +35,9 @@ HEADLINE = [
     # round-2 additions: lake layout + curation (no prior-round delta)
     "x1b_incremental_dedup",
     "x6d_decontamination",
+    # round-14 addition: the Arrow int64-matmul MIPS kernel — benched to
+    # keep the vectorized-Python path honest vs the JVM fold (x3)
+    "x3y_mips_matmul_topk",
 ]
 # j11 is benchmarked as its two legs (see main): "j11_write" is the
 # one-off bucketed ingest, "j11_join" the repeated shuffle-free join.
@@ -118,6 +121,8 @@ QUERY_CLASS = {
     "x6d_decontamination": "cpu",       # gram hashing; corpus never shuffles
     "j11_write": "shuffle",             # bucketed sort + file write IO
     "j11_join": "cpu",                  # no-Exchange SMJ: scan + merge
+    "x3y_mips_matmul_topk": "cpu",      # Arrow matmul kernel; exchange
+                                        # carries batches x Q x k rows
 }
 
 

@@ -193,6 +193,7 @@ QUERIES = [
     "x6z_token_budget_waterfill",
     "x3y_mips_matmul_topk",
     "x4y_keyword_extract",
+    "a17_weighted_median",
 ]
 
 
