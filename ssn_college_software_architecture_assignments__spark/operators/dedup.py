@@ -691,17 +691,22 @@ def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-# The closure CTE chain (grams -> evidence pairs -> symmetric edges ->
-# recursive reachability -> min-label clusters -> sizes) is shared with
-# x6y's survivorship oracle, which appends its quality-policy CTEs.
-_X2E2_CTES = f"""
-WITH RECURSIVE g AS (
+# The distinct-3-shingle table for the doc_id < 200 slice — the SQL
+# twin of token_shingles(..., 3): shared by x2e2's evidence graph and
+# x2z's exact-Jaccard truth leg so the shingle law has one site.
+_GRAMS200_CTE = """g AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE doc_id < 200)
-),
+)"""
+
+# The closure CTE chain (grams -> evidence pairs -> symmetric edges ->
+# recursive reachability -> min-label clusters -> sizes) is shared with
+# x6y's survivorship oracle, which appends its quality-policy CTEs.
+_X2E2_CTES = f"""
+WITH RECURSIVE {_GRAMS200_CTE},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -4176,4 +4181,168 @@ def x3x_incremental_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("needs_split"),
         )
         .orderBy("cell")
+    )
+
+
+# X2z — LSH quality audit: precision/recall of the banded candidates -----------
+#
+# The dashboard a dedup operator watches before trusting LSH at 100 TB:
+# how many of the banded candidate pairs are REAL near-dups (precision,
+# the verify-stage cost), and how many real near-dups the bands catch
+# (recall, the miss risk)? Truth is the exact 3-shingle Jaccard — the
+# very quantity MinHash estimates — computed by the inverted-index
+# join (never all-pairs); candidates are x2g's md5-banded pairs via the
+# SAME shared signature/banding sites, so the audited pipeline is the
+# registered one, not a reimplementation. Every threshold verdict is a
+# BIGINT cross-multiplication (den*n_common >= num*union) and the two
+# rates are floored micro-ratios — bitwise cross-engine.
+#
+# A band collision implies a shared shingle (equal min-hash values name
+# the same argmin shingle, md5 collisions aside), so every candidate
+# pair appears in the shared-shingle join and the left join loses
+# nothing — the structural fact that makes the audit exact.
+#
+# Scale shape: shingle explode -> inverted-index join (gram -> doc
+# postings) for truth; the x2g band join for candidates; both collapse
+# to pair-keyed aggregates before the tiny 3-row threshold cross-join.
+
+_X2Z_TAUS = ((30, 3, 10), (50, 5, 10), (70, 7, 10))  # (pct, num, den)
+
+_X2Z_TAU_VALUES = ", ".join(f"({p}, {n}, {d})" for p, n, d in _X2Z_TAUS)
+
+_X2Z_ORACLE = f"""
+WITH {_GRAMS200_CTE},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.id_a, i.id_b, i.n_common,
+         sa.n + sb.n - i.n_common AS u
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+),
+sigs AS ({_md5_sigs_sql("doc_id < 200")}),
+banded AS ({_md5_banded_sql("sigs")}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+jc AS (
+  SELECT j.*, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM j LEFT JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+m AS (
+  SELECT t.tau_pct,
+         CAST(sum(CASE WHEN t.den * jc.n_common >= t.num * jc.u
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN t.den * jc.n_common >= t.num * jc.u
+                        AND jc.is_cand = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM jc CROSS JOIN (VALUES {_X2Z_TAU_VALUES}) t(tau_pct, num, den)
+  GROUP BY t.tau_pct
+)
+SELECT CAST(m.tau_pct AS INT) AS tau_pct, m.n_truth, m.n_hit, nc.n_cand,
+       CAST(CASE WHEN nc.n_cand > 0
+            THEN (1000000 * m.n_hit) // nc.n_cand ELSE 0 END AS BIGINT)
+         AS precision_micro,
+       CAST(CASE WHEN m.n_truth > 0
+            THEN (1000000 * m.n_hit) // m.n_truth ELSE 0 END AS BIGINT)
+         AS recall_micro
+FROM m CROSS JOIN nc
+ORDER BY tau_pct
+"""
+
+
+@register("x2z_lsh_quality_audit", oracle=_X2Z_ORACLE, tags=("X2",))
+def x2z_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the x2g MinHash-LSH candidate pairs against
+    the exact 3-shingle Jaccard truth, at three thresholds. Candidates
+    and signatures come from the SAME shared sites x2g registers, truth
+    from the shingle inverted index; threshold verdicts are integer
+    cross-multiplications and the rates floored micro-ratios."""
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    sh, sigs = _md5_shingle_signatures(docs)
+    banded = _md5_banded(sigs)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = sh.alias("ga"), sh.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.shingle") == F.col("gb.shingle"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("id_a"),
+            F.col("gb.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("u"),
+        )
+    )
+    jc = j.join(
+        cand.withColumn("is_cand", F.lit(1)), ["id_a", "id_b"], "left"
+    ).fillna(0, subset=["is_cand"])
+    taus = spark.createDataFrame(
+        list(_X2Z_TAUS), "tau_pct int, num long, den long"
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    truth_flag = F.col("den") * F.col("n_common") >= F.col("num") * F.col("u")
+    m = (
+        jc.crossJoin(F.broadcast(taus))
+        .groupBy("tau_pct")
+        .agg(
+            F.sum(truth_flag.cast("int")).cast("long").alias("n_truth"),
+            F.sum((truth_flag & (F.col("is_cand") == 1)).cast("int"))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(nc))
+        .select(
+            "tau_pct", "n_truth", "n_hit", "n_cand",
+            F.expr(
+                "CAST(CASE WHEN n_cand > 0 THEN (1000000 * n_hit) div n_cand"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("precision_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_truth > 0 THEN (1000000 * n_hit) div n_truth"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .orderBy("tau_pct")
     )

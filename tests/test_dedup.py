@@ -1624,3 +1624,77 @@ def test_x2e2_planted_gram_chain(spark, tmp_path):
     assert not got[12]["is_canonical"]
     canon = [d for d, r in got.items() if r["is_canonical"]]
     assert sorted(canon) == [10, 13, 14, 15]
+
+
+def test_x2z_audit_truth_counts_and_rate_laws(spark):
+    """x2z laws on a planted corpus with python-derivable truth: doc 0
+    == doc 1 (J=1), doc 2 overlaps each at exactly J=0.5 (4 shared of 8
+    union shingles), doc 3 is disjoint. n_truth per threshold must
+    equal the python shingle-Jaccard count; the identical pair is
+    ALWAYS a banded candidate so n_hit >= 1 everywhere; and both rates
+    must equal their floored micro-ratio definitions."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2Z_TAUS,
+        x2z_lsh_quality_audit,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    texts = {
+        0: "a b c d e f g h",
+        1: "a b c d e f g h",
+        2: "a b c d e f x y",
+        3: "p q r s t u",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = dmod.Catalog
+    dmod.Catalog = _Cat
+    try:
+        rows = {r["tau_pct"]: r for r in x2z_lsh_quality_audit(spark, "x").collect()}
+    finally:
+        dmod.Catalog = orig
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    ids = sorted(sh)
+    jac = {
+        (a, b): len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if sh[a] & sh[b]
+    }
+    assert jac[(0, 2)] == 0.5 and jac[(1, 2)] == 0.5 and jac[(0, 1)] == 1.0
+
+    prev_truth = None
+    for pct, num, den in _X2Z_TAUS:
+        r = rows[pct]
+        # integer-safe recompute: den*n_common >= num*union
+        want_truth = sum(
+            1
+            for (a, b) in jac
+            if den * len(sh[a] & sh[b]) >= num * len(sh[a] | sh[b])
+        )
+        assert r["n_truth"] == want_truth
+        assert 1 <= r["n_hit"] <= min(r["n_truth"], r["n_cand"])
+        assert r["precision_micro"] == (
+            (1_000_000 * r["n_hit"]) // r["n_cand"] if r["n_cand"] else 0
+        )
+        assert r["recall_micro"] == (
+            (1_000_000 * r["n_hit"]) // r["n_truth"] if r["n_truth"] else 0
+        )
+        if prev_truth is not None:
+            assert r["n_truth"] <= prev_truth  # monotone in tau
+        prev_truth = r["n_truth"]
+    assert rows[30]["n_truth"] == 3 and rows[70]["n_truth"] == 1
+    # J=1 pair collides in every band -> at tau 70 truth={identical pair},
+    # hit is certain: recall exactly 1e6
+    assert rows[70]["n_hit"] == 1 and rows[70]["recall_micro"] == 1_000_000

@@ -844,3 +844,13 @@ def test_x3y_mips_corpus_never_shuffles_before_kernel(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin"):
         assert node not in plan
+
+
+def test_x2z_audit_builds_pairs_from_indexes_only(spark):
+    """x2z: both pair stages ride equi-joins — the shingle inverted
+    index for truth and the (band_idx, band_hash) bucket join for
+    candidates — never a CartesianProduct or nested-loop pair stage
+    (the tiny threshold/n_cand crossJoins plan as the permitted
+    1-row/3-row BNLJ)."""
+    plan = _plan(spark, "x2z_lsh_quality_audit")
+    assert "CartesianProduct" not in plan
