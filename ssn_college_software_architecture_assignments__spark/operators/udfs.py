@@ -271,3 +271,57 @@ def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("click_value", F.round("click_value", 2)).orderBy(
         "user_id", "purchase_id"
     )
+
+
+# F6 — mapInArrow: the zero-copy Arrow door -------------------------------------
+#
+# The fifth Python door, below even the pandas ones: the kernel sees raw
+# pyarrow RecordBatches and answers with RecordBatches — no pandas
+# materialization, no per-value Python objects. The right door when the
+# kernel is itself vectorized C (pyarrow.compute, numpy over buffers):
+# here byte-level text stats run entirely inside Arrow compute kernels,
+# so the only Python executed per batch is a handful of dispatch calls.
+# Deterministic byte arithmetic -> the oracle replays it with DuckDB's
+# byte functions (strlen / replace), exact BIGINTs end to end.
+
+_F6_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) - strlen(replace(text, ' ', '')) AS BIGINT)
+         AS n_spaces,
+       CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("f6_map_in_arrow", oracle=_F6_ORACLE, tags=("F1",))
+def f6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level text stats via mapInArrow: the kernel never leaves
+    Arrow — binary_length and count_substring are C compute kernels
+    over the batch's buffers, and the yielded RecordBatch reuses the
+    doc_id array zero-copy. Columns are exact byte counts, so the SQL
+    twin is mechanical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for rb in batches:
+            text = rb.column(rb.schema.get_field_index("text"))
+            n_bytes = pc.cast(pc.binary_length(text), pa.int64())
+            n_spaces = pc.cast(pc.count_substring(text, " "), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    n_bytes,
+                    n_spaces,
+                    pc.add(n_spaces, pa.scalar(1, pa.int64())),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces", "n_tokens"],
+            )
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return docs.mapInArrow(
+        kernel, "doc_id long, n_bytes long, n_spaces long, n_tokens long"
+    ).orderBy("doc_id")

@@ -89,3 +89,41 @@ def test_f5_cogrouped_asof_matches_naive(spark):
         assert got == expect
 
     run()
+
+
+def test_f6_map_in_arrow_exact_byte_laws(spark):
+    """f6 law on planted strings: multi-byte UTF-8 counts BYTES not
+    characters (the strlen contract both engines share), empty-ish and
+    single-token docs get n_tokens = n_spaces + 1, and doc_id passes
+    through zero-copy."""
+    from ssn_college_software_architecture_assignments__spark.operators.udfs import (
+        f6_map_in_arrow,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.udfs as umod
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii text"),
+            (2, "café au lait"),   # é is 2 bytes in UTF-8
+            (3, "single"),
+            (4, "a  b"),                # double space: 2 spaces, 3 "tokens"
+        ],
+        "doc_id long, text string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = umod.Catalog
+    umod.Catalog = _Cat
+    try:
+        rows = {r["doc_id"]: r for r in f6_map_in_arrow(spark, "x").collect()}
+    finally:
+        umod.Catalog = orig
+
+    assert rows[1]["n_bytes"] == len("plain ascii text")
+    assert rows[2]["n_bytes"] == len("café au lait".encode())  # 13
+    assert rows[2]["n_bytes"] == 13 and rows[2]["n_spaces"] == 2
+    assert rows[3]["n_spaces"] == 0 and rows[3]["n_tokens"] == 1
+    assert rows[4]["n_spaces"] == 2 and rows[4]["n_tokens"] == 3
