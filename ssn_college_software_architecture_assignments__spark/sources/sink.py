@@ -2085,3 +2085,114 @@ def s25_generation_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority": F.substring("priority", 1, 1).cast("int")
         },
     )
+
+
+# S26 — time-travel read over the merge-on-read lake ----------------------------
+#
+# The read path s21/s23 imply but never registered: serve the lake AS
+# OF an earlier commit. In a base+delta layout time travel is free —
+# resolve latest-per-key among rows with version <= v, touching no
+# delta written after v (in a production layout the version is a
+# partition directory, so the filter prunes files before any byte is
+# read; here it is a column filter over the same landed parquet). The
+# audit emits one row per as-of version with the served state's key
+# count, cent-exact total, and the update/insert deltas vs the PREVIOUS
+# as-of state — the "what changed between commits" question a rollback
+# decision asks. The fixture lake is the shared s21_land_generations
+# site, so the generation law cannot drift from s21's.
+#
+# Scale shape: the registered audit resolves all three states in one
+# plan (a 3-row broadcast theta-join fans the lake to its as-of views —
+# audit-sized fixtures only); a production as-of READ runs the v-filter
+# + WindowGroupLimit resolve for ONE version, which is s21's exact plan
+# plus a pruning filter.
+
+_S26_ORACLE = """
+WITH lake AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p, 1 AS v FROM orders
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice + 100.0, 2), 2
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice + 200.0, 2), 3
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, round(o_totalprice, 2), 3
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+state AS (
+  SELECT av.v AS as_of, l.k,
+         CAST(round(l.p * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY av.v, l.k ORDER BY l.v DESC
+         ) AS rn
+  FROM lake l JOIN (VALUES (1), (2), (3)) av(v) ON l.v <= av.v
+),
+cur AS (SELECT as_of, k, cents FROM state WHERE rn = 1),
+prev AS (SELECT as_of + 1 AS as_of, k, cents FROM cur WHERE as_of < 3)
+SELECT CAST(c.as_of AS INT) AS as_of_version,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c.cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p.k IS NOT NULL AND p.cents <> c.cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN p.k IS NULL AND c.as_of > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM cur c LEFT JOIN prev p ON c.as_of = p.as_of AND c.k = p.k
+GROUP BY c.as_of
+ORDER BY as_of_version
+"""
+
+
+@register("s26_time_travel_read", oracle=_S26_ORACLE, tags=("S10", "S14"))
+def s26_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the s21 lake as of each commit: latest-per-key among rows
+    with version <= v, then per-version key count, cent-exact total,
+    and update/insert deltas vs the previous as-of state. Lands the
+    shared s21 generation stack, reads it back, and resolves all three
+    as-of views in one windowed plan."""
+    from pyspark.sql import Window as W
+
+    orders = Catalog(spark, sf_dir).orders
+    base_dir = scratch_dir(prefix="ssn_tt_")
+    lake = f"{base_dir}/orders_mor"
+    s21_land_generations(orders, lake)
+    rows = spark.read.parquet(f"{lake}/*").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("version").alias("v"),
+    )
+    avs = spark.createDataFrame([(1,), (2,), (3,)], "as_of int")
+    state = rows.join(F.broadcast(avs), F.col("v") <= F.col("as_of"))
+    w = W.partitionBy("as_of", "k").orderBy(F.col("v").desc())
+    cur = (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("as_of", "k", "cents")
+    )
+    prev = cur.filter(F.col("as_of") < 3).select(
+        (F.col("as_of") + 1).alias("as_of"),
+        F.col("k"),
+        F.col("cents").alias("p_cents"),
+    )
+    return (
+        cur.join(prev, ["as_of", "k"], "left")
+        .groupBy(F.col("as_of").cast("int").alias("as_of_version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(
+                (
+                    F.col("p_cents").isNotNull()
+                    & (F.col("p_cents") != F.col("cents"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_updated"),
+            F.sum(
+                (F.col("p_cents").isNull() & (F.col("as_of") > 1)).cast("int")
+            )
+            .cast("long")
+            .alias("n_inserted"),
+        )
+        .orderBy("as_of_version")
+    )

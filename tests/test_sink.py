@@ -848,3 +848,45 @@ def test_s25_psi_drift_audit_planted_shift(spark):
 
     with _pytest.raises(ValueError, match="at least one audited column"):
         psi_drift_audit(gen0, gen0, {}, {})
+
+
+def test_s26_time_travel_hand_arithmetic(spark):
+    """s26 law on 40 planted orders (o_totalprice = key): v1 serves 40
+    keys at 100k cents each; v2 reprices keys 10/20/30/40 (+100.00 ->
+    4 updates, +40000 cents); v3 re-reprices 20/40 (+200 replaces +100
+    -> 2 updates, +20000) and inserts shifted keys 17/34 (+5100) ->
+    42 keys. Every number is hand-derived."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from ssn_college_software_architecture_assignments__spark.sources.sink import (
+        s26_time_travel_read,
+    )
+    import ssn_college_software_architecture_assignments__spark.sources.sink as smod
+
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 41)],
+        "o_orderkey long, o_totalprice double",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.orders = df
+
+    orig = smod.Catalog
+    smod.Catalog = _Cat
+    try:
+        rows = {
+            r["as_of_version"]: r
+            for r in s26_time_travel_read(spark, "x").collect()
+        }
+    finally:
+        smod.Catalog = orig
+
+    base = 100 * sum(range(1, 41))  # 82_000 cents
+    assert rows[1]["n_keys"] == 40 and rows[1]["total_cents"] == base
+    assert rows[1]["n_updated"] == 0 and rows[1]["n_inserted"] == 0
+    assert rows[2]["n_keys"] == 40
+    assert rows[2]["total_cents"] == base + 4 * 10_000
+    assert rows[2]["n_updated"] == 4 and rows[2]["n_inserted"] == 0
+    assert rows[3]["n_keys"] == 42
+    assert rows[3]["total_cents"] == base + 4 * 10_000 + 2 * 10_000 + 5_100
+    assert rows[3]["n_updated"] == 2 and rows[3]["n_inserted"] == 2
