@@ -79,9 +79,9 @@ _loaded = False
 # (tier 2b — the x5m dhash-helper factor + x5m2/x5n2 filter-before-
 # distinct swap + x5m2 oracle CTE factor, the s25 empty-args guard, the
 # t6c oracle mode note), and the 50-id r9-evidence cohort (tier 2c).
-# 13 + 28 + 4 + 50 = 95 far exceeds the ~50-row driver budget (tier 2b
+# 16 + 28 + 4 + 50 = 98 far exceeds the ~50-row driver budget (tier 2b
 # lists 4 ids: the fifth touched query, x5m, already holds a tier-2a
-# slot), so the last ~45 r9-cohort ids are expected to miss this
+# slot), so the last ~48 r9-cohort ids are expected to miss this
 # round's file — they
 # MUST lead r15's tier 2 (compute the actual overflow from
 # CORRECTNESS_r14.json). Everything else sits below the line, stalest
@@ -95,7 +95,8 @@ _CHECK_PRIORITY = (
     # video near-dedup over per-frame dHashes, gaps-and-islands
     # streaks, keyframe selection, dedup survivorship, retrieval eval,
     # audio gain normalization, token-budget waterfilling, Arrow-matmul
-    # MIPS, keyword extraction, weighted median)
+    # MIPS, keyword extraction, weighted median, LSH quality audit,
+    # mapInArrow byte stats, time-travel read)
     "x2e2_global_dedup_clusters",
     "x4v_hybrid_rrf_fusion",
     "x6x_chunk_bm25_retrieval",
@@ -109,6 +110,9 @@ _CHECK_PRIORITY = (
     "x3y_mips_matmul_topk",
     "x4y_keyword_extract",
     "a17_weighted_median",
+    "x2z_lsh_quality_audit",
+    "f6_map_in_arrow",
+    "s26_time_travel_read",
     # tier 2a: the 28-id r8-evidence tail the r13 rotation predicted
     # would overflow — the ONLY ids whose newest driver row predates r9;
     # they lead this round so that after r14 no id's newest driver
@@ -149,7 +153,7 @@ _CHECK_PRIORITY = (
     "s25_generation_drift_audit",
     "t6c_state_ttl_expiry",
     # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r9; the last ~45 here overflow the budget
+    # newest driver row is r9; the last ~48 here overflow the budget
     # and lead r15 tier 2
     "a1_count_validate",
     "a2_groupby_agg",

@@ -194,6 +194,9 @@ QUERIES = [
     "x3y_mips_matmul_topk",
     "x4y_keyword_extract",
     "a17_weighted_median",
+    "x2z_lsh_quality_audit",
+    "f6_map_in_arrow",
+    "s26_time_travel_read",
 ]
 
 
