@@ -335,29 +335,16 @@ def _try_demux_frames(buf: bytes):
     if not buf.startswith(b"P6"):
         return None
     frames = []
-    pos, idx = 0, 0
     try:
-        while pos < len(buf):
-            if buf[pos : pos + 2] != b"P6":
-                raise ValueError(f"bad frame magic at {pos}")
-            # header: "P6\n{w} {h}\n255\n"
-            nl1 = buf.index(b"\n", pos)
-            nl2 = buf.index(b"\n", nl1 + 1)
-            nl3 = buf.index(b"\n", nl2 + 1)
-            w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-            frame_end = nl3 + 1 + w * h * 3
-            if frame_end > len(buf):
-                raise ValueError("truncated frame")
-            frames.append(
-                (idx, idx * 1000, buf[nl3 + 1 : nl3 + 1 + 16], "ok:ppm")
-            )
-            pos, idx = frame_end, idx + 1
+        for idx, _w, _h, raster in _walk_ppm_frames(buf):
+            frames.append((idx, idx * 1000, raster[:16], "ok:ppm"))
     except ValueError as exc:
-        if idx == 0:
+        if not frames:
             # Frame 0 never parsed: not a PPM container at all (e.g. text
             # that happens to begin with "P6") — decline the demux path.
             return None
-        frames.append((idx, idx * 1000, b"", f"error: {exc}"))
+        # the walk's yielded count == the failing frame's index
+        frames.append((len(frames), len(frames) * 1000, b"", f"error: {exc}"))
     return frames
 
 
@@ -714,10 +701,11 @@ def encode_ppm_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 def _walk_ppm_frames(buf: bytes):
     """THE container demux walk (P6 magic check, 3-newline header scan,
-    byte-extent bound check), shared by the x5h frame sampler and the
-    x5r video-dedup kernel so a container/header-format fix can never
-    diverge them. Yields (idx, w, h, raster_bytes) for EVERY frame —
-    sampling policy and error posture stay per-caller. Raises
+    maxval check, byte-extent bound check), shared by the x5h frame
+    sampler, the x5r video-dedup kernel, the x5c demux dispatch, and
+    the x5k scene-change pass so a container/header-format fix can
+    never diverge them. Yields (idx, w, h, raster_bytes) for EVERY
+    frame — sampling policy and error posture stay per-caller. Raises
     ValueError at the first malformed frame; the number of tuples
     already yielded equals the failing frame's index."""
     pos, idx = 0, 0
@@ -729,6 +717,8 @@ def _walk_ppm_frames(buf: bytes):
         nl2 = buf.index(b"\n", nl1 + 1)
         nl3 = buf.index(b"\n", nl2 + 1)
         w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
+        if buf[nl2 + 1 : nl3] != b"255":
+            raise ValueError("unsupported maxval")
         frame_end = nl3 + 1 + w * h * 3
         if frame_end > len(buf):
             raise ValueError("truncated frame")
@@ -1179,10 +1169,9 @@ def x5j_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x5g 8x6 nearest-neighbor law — consecutive frames may differ in
 # dims), and score each frame by mean absolute pixel difference against
 # its predecessor. High-diff frames are cuts/keyframes; near-zero runs
-# are static content a sampler can drop. Payloads, the per-frame parse,
-# and the resample law reuse the module's single-site pieces; the
-# container walk (_iter_ppm_frames) scans each frame header once and
-# hands exact frame slices to the shared parser.
+# are static content a sampler can drop. Payloads, the container walk
+# (_walk_ppm_frames — THE shared demux site), and the resample law all
+# reuse the module's single-site pieces.
 
 SCENE_SCHEMA = (
     "doc_id long, frame_idx int, mean_abs_diff double, scene_status string"
@@ -1218,28 +1207,6 @@ ORDER BY a.doc_id, frame_idx
 """
 
 
-def _iter_ppm_frames(buf: bytes):
-    """Yield each P6 frame of a concatenated-PPM container as an exact
-    byte slice, scanning every frame header ONCE (three newline scans +
-    one dims parse per frame). Raises ValueError on any malformation —
-    the same contract as _parse_ppm_raster, so callers handle both with
-    one except clause."""
-    pos = 0
-    while pos < len(buf):
-        try:
-            nl1 = buf.index(b"\n", pos)
-            nl2 = buf.index(b"\n", nl1 + 1)
-            nl3 = buf.index(b"\n", nl2 + 1)
-        except ValueError as exc:  # no such newline: truncated header
-            raise ValueError("truncated header") from exc
-        w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-        end = nl3 + 1 + w * h * 3
-        if end > len(buf):
-            raise ValueError("truncated frame")
-        yield buf[pos:end]
-        pos = end
-
-
 def scene_change_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Walk the concatenated-PPM container, resample every frame to the
     8x6 target with the x5g floor-mapping law, and emit one row per
@@ -1259,9 +1226,10 @@ def scene_change_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             buf = bytes(payload)
             try:
                 resized = []
-                for frame in _iter_ppm_frames(buf):
-                    w, h, raster = _parse_ppm_raster(frame)
-                    img = raster.reshape(h, w, 3)
+                for _idx, w, h, raster_bytes in _walk_ppm_frames(buf):
+                    img = np.frombuffer(raster_bytes, dtype=np.uint8).reshape(
+                        h, w, 3
+                    )
                     rows = (np.arange(6) * h) // 6
                     cols = (np.arange(8) * w) // 8
                     resized.append(img[rows][:, cols].astype(np.int64))

@@ -695,19 +695,55 @@ def x4j_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs, the "most characteristic term occurrences" view a curation
 # pipeline uses to spot template/boilerplate clusters.
 
-_X4K_ORACLE = """
+# The smooth-idf scored table (toks -> tf -> df -> n -> 4dp tfidf) as
+# DuckDB CTEs — ONE site for the tokenization and formula, shared by
+# x4k's corpus top-50 and x4y's per-doc keyword window so the two
+# views can never disagree on the law.
+_X4K_SCORED_CTES = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT doc_id, term, tf,
-       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
-FROM tf JOIN df USING (term) CROSS JOIN n
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)"""
+
+_X4K_ORACLE = f"""{_X4K_SCORED_CTES}
+SELECT doc_id, term, tf, tfidf
+FROM scored
 ORDER BY tfidf DESC, doc_id, term
 LIMIT 50
 """
+
+
+def tfidf_scored(docs: DataFrame) -> DataFrame:
+    """THE smooth-idf TF-IDF scored table — the Spark twin of
+    _X4K_SCORED_CTES, shared by x4k (corpus top-50) and x4y (per-doc
+    keywords): one explode scan, map-combined tf, df over the collapsed
+    tf table, the 1-row doc count broadcast, 4dp-rounded scores."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf")
+        * (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ),
+        4,
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+    )
 
 
 @register("x4k_tfidf", oracle=_X4K_ORACLE, tags=("X4",))
@@ -738,24 +774,8 @@ def x4k_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final top-k is per-partition heaps + a driver-side merge of
     50-row heads, never a global sort."""
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tfidf = F.round(
-        F.col("tf")
-        * (
-            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-            + F.lit(1.0)
-        ),
-        4,
-    )
     return (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        tfidf_scored(docs)
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")
         .limit(50)
     )
@@ -2036,8 +2056,16 @@ def x4x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("term").alias("grade"))
     )
     qn = qdf.groupBy("query_id").agg(F.count_distinct("term").alias("n_q"))
-    rel = grades.join(F.broadcast(qn), "query_id").select(
-        "query_id", "doc_id", "grade", (F.col("grade") == F.col("n_q")).alias("is_rel")
+    # materialize the grade table ONCE (the x5r localCheckpoint idiom):
+    # `rel` feeds three consumer subtrees (idcg, sys, nrel) — lazily the
+    # corpus explode + grade shuffle would re-run for each
+    rel = (
+        grades.join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", "doc_id", "grade",
+            (F.col("grade") == F.col("n_q")).alias("is_rel"),
+        )
+        .localCheckpoint()
     )
     w_ideal = W.partitionBy("query_id").orderBy(
         F.col("grade").desc(), "doc_id"
@@ -2099,18 +2127,7 @@ def x4x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X4Y_TOPK = 3
 
-_X4Y_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (
-  SELECT doc_id, term, tf,
-         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
-  FROM tf JOIN df USING (term) CROSS JOIN n
-)
+_X4Y_ORACLE = f"""{_X4K_SCORED_CTES}
 SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
        CAST(tf AS BIGINT) AS tf, tfidf
 FROM (
@@ -2127,36 +2144,12 @@ ORDER BY doc_id, rnk
 def x4y_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{K} keywords per document by smooth-idf TF-IDF (x4k's exact
     formula), rank window per doc with the lexicographic tie law on the
-    4dp-rounded score. The df side joins on the term key over the
-    already-collapsed tf table — x4k's shuffle discipline — and the
-    window partitions are single-document term sets."""
+    4dp-rounded score. Both the scores and the SQL CTEs come from the
+    shared x4k site (tfidf_scored / _X4K_SCORED_CTES), so the corpus
+    view and the per-doc view can never disagree on the law; the window
+    partitions are single-document term sets."""
     docs = Catalog(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(
-                F.col("tf")
-                * (
-                    F.log(
-                        (F.col("n_docs") + F.lit(1.0))
-                        / (F.col("df") + F.lit(1.0))
-                    )
-                    + F.lit(1.0)
-                ),
-                4,
-            ).alias("tfidf"),
-        )
-    )
+    scored = tfidf_scored(docs)
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
