@@ -2806,7 +2806,7 @@ ORDER BY r.doc_id, r.rnk
 
 @register("x5s_keyframe_select", oracle=_X5S_ORACLE, tags=("X5",))
 def x5s_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} keyframes per clip: rank each clip's x5k scene-change
+    """Top-K keyframes per clip: rank each clip's x5k scene-change
     scores descending (earlier frame wins ties) and keep the K
     highest-change frames plus the clip's scored-frame count. The
     scores pass through x5k untouched — no new float arithmetic — so

@@ -2142,7 +2142,7 @@ ORDER BY doc_id, rnk
 
 @register("x4y_keyword_extract", oracle=_X4Y_ORACLE, tags=("X4",))
 def x4y_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} keywords per document by smooth-idf TF-IDF (x4k's exact
+    """Top-K keywords per document by smooth-idf TF-IDF (x4k's exact
     formula), rank window per doc with the lexicographic tie law on the
     4dp-rounded score. Both the scores and the SQL CTEs come from the
     shared x4k site (tfidf_scored / _X4K_SCORED_CTES), so the corpus
