@@ -1064,3 +1064,48 @@ def test_x6z_fixture_cascade_and_budget_bounds(spark):
     got = sum(r["alloc_tokens"] for r in rows)
     n_unsat = sum(1 for r in rows if not r["saturated"])
     assert budget - n_unsat < got <= budget
+
+
+def test_x6z_boundary_budget_equals_caps(spark):
+    """x6z boundary law: when the budget EXACTLY equals the sum of
+    caps, the threshold rule resolves the last sorted source as
+    unsaturated-at-cap (R*w <= cap*W holds with equality), so every
+    source receives exactly its cap, the budget is exhausted to the
+    token, and budget_feasible stays true — the <= vs < boundary is
+    pinned, not accidental."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6z_token_budget_waterfill,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+
+    def mk_text(n):
+        return " ".join(["tok"] * n)
+
+    # budget multiplier 2, epoch cap 4: budget == sum caps requires
+    # 2 * grand == 4 * grand, impossible with >0 tokens — so pin the
+    # boundary by raising the multiplier to the cap itself
+    df = spark.createDataFrame(
+        [(1, mk_text(10), "src0"), (2, mk_text(100), "src1"),
+         (3, mk_text(1000), "src3")],
+        "doc_id long, text string, source string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig_cat, orig_bx = cmod.Catalog, cmod._X6Z_BUDGET_X
+    cmod.Catalog = _Cat
+    cmod._X6Z_BUDGET_X = cmod._X6Z_MAX_EPOCHS  # budget == sum caps
+    try:
+        rows = {
+            r["source"]: r
+            for r in x6z_token_budget_waterfill(spark, "x").collect()
+        }
+    finally:
+        cmod.Catalog, cmod._X6Z_BUDGET_X = orig_cat, orig_bx
+
+    assert all(r["alloc_tokens"] == r["cap_tokens"] for r in rows.values())
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 4 * 1110
+    assert all(r["budget_feasible"] for r in rows.values())
+    assert all(r["epochs_micro"] == 4_000_000 for r in rows.values())

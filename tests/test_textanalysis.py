@@ -464,3 +464,37 @@ def test_x4y_keywords_prefer_distinctive_terms(spark):
     d4 = {r["term"]: r for r in rows[4]}
     assert d4["gluon"]["rnk"] == 1
     assert d4["gluon"]["tfidf"] == round(2 * idf_unique, 4)
+
+
+def test_x4x_zero_relevant_query_guards_to_zero(spark):
+    """x4x guard branch: a query whose terms each occur in the corpus
+    but never ALL in one doc has n_relevant = 0 -> recall_micro and
+    mrr_micro pin to 0 (no division), while graded docs still produce a
+    positive idcg and a well-defined ndcg."""
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4x_retrieval_eval,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.textanalysis as tmod
+
+    # q2 = {vector, stream}: present separately, never together
+    df = spark.createDataFrame(
+        [(1, "vector vector"), (2, "stream stream"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = tmod.Catalog
+    tmod.Catalog = _Cat
+    try:
+        rows = {r["query_id"]: r for r in x4x_retrieval_eval(spark, "x").collect()}
+    finally:
+        tmod.Catalog = orig
+
+    r = rows[2]
+    assert r["n_relevant"] == 0 and r["hits_at_k"] == 0
+    assert r["recall_micro"] == 0 and r["mrr_micro"] == 0
+    assert r["idcg_micro"] > 0 and r["dcg_micro"] > 0
+    assert r["ndcg_micro"] == (1_000_000 * r["dcg_micro"]) // r["idcg_micro"]
