@@ -717,7 +717,9 @@ def _walk_ppm_frames(buf: bytes):
         nl2 = buf.index(b"\n", nl1 + 1)
         nl3 = buf.index(b"\n", nl2 + 1)
         w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-        if buf[nl2 + 1 : nl3] != b"255":
+        # same int-parse maxval law as _parse_ppm_raster (tokens like
+        # b' 255' are one contract across both header parsers)
+        if int(buf[nl2 + 1 : nl3]) != 255:
             raise ValueError("unsupported maxval")
         frame_end = nl3 + 1 + w * h * 3
         if frame_end > len(buf):

@@ -2263,9 +2263,15 @@ def mips_matmul_kernel(q_ids: "np.ndarray", q_mat: "np.ndarray", topk: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["_q"]]
-            )
+            rows = [np.asarray(c, dtype=np.int64) for c in pdf["_q"]]
+            dims = {r.shape for r in rows}
+            if len(dims) != 1:
+                # np.stack's own error names neither the table nor the law
+                raise ValueError(
+                    f"x3y: ragged code lengths in batch: {sorted(dims)} — "
+                    "embeddings must be uniform-dimension"
+                )
+            codes = np.stack(rows)
             vids = pdf["vec_id"].to_numpy()
             scores = codes @ q_mat.T  # (n_batch, Q) int64
             out = []
@@ -2296,7 +2302,17 @@ def x3y_mips_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.filter(F.col("vec_id") < 8).collect(),
         key=lambda r: r["vec_id"],
     )
+    if not qrows:
+        raise ValueError(
+            "x3y: no query vectors (vec_id < 8) in the embeddings table"
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_dims = {len(r["_q"]) for r in qrows}
+    if len(q_dims) != 1:
+        raise ValueError(
+            f"x3y: ragged query code lengths {sorted(q_dims)} — "
+            "embeddings must be uniform-dimension"
+        )
     q_mat = np.stack(
         [np.asarray(r["_q"], dtype=np.int64) for r in qrows]
     )
