@@ -2405,6 +2405,80 @@ def x6y_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X6y2 — survivorship over the UNCAPPED closure (x2e2b) ------------------------
+#
+# x6y inherits x2e2's doc_id < 200 oracle cap by composition; x6y2 is
+# the manifest over the WHOLE corpus — the artifact a 100 TB dedup run
+# ships. Same keep-longest policy, composed over the registered x2e2b
+# closure; the oracle appends the identical quality-policy CTEs to
+# x2e2b's label-propagation chain and carries its closure_converged
+# guard through (an unconverged oracle closure mismatches loudly
+# instead of silently mislabeling survivors).
+
+from .dedup import _X2E2B_CTES as _X2E2B_CTES_REF  # noqa: E402
+
+_X6Y2_ORACLE = f"""{_X2E2B_CTES_REF},
+q AS (
+  SELECT d.doc_id, d.n_chars, llab.cluster_id, sz.cluster_size
+  FROM documents d
+  JOIN llab ON d.doc_id = llab.id
+  JOIN sz ON llab.cluster_id = sz.cluster_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM q
+)
+SELECT CAST(doc_id AS BIGINT)       AS doc_id,
+       CAST(cluster_id AS BIGINT)   AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT)      AS n_chars,
+       (rnk = 1)                    AS keep,
+       CAST(sum(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END)
+            OVER (PARTITION BY cluster_id) AS BIGINT) AS freed_chars,
+       lconv.ok                     AS closure_converged
+FROM r CROSS JOIN lconv
+ORDER BY doc_id
+"""
+
+
+@register("x6y2_dedup_survivorship_full", oracle=_X6Y2_ORACLE, tags=("X6", "X2"))
+def x6y2_dedup_survivorship_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x6y keep/drop manifest over the UNCAPPED x2e2b closure: one
+    survivor per full-corpus duplicate family by the keep-longest
+    policy (n_chars desc, doc_id tiebreak) plus per-cluster
+    freed_chars. Composes the registered x2e2b operator verbatim, so
+    the closure (and its convergence posture) has one site."""
+    from .dedup import x2e2b_global_dedup_clusters_full
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    labels = x2e2b_global_dedup_clusters_full(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size", "closure_converged"
+    )
+    q = labels.join(docs, "doc_id")
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w_clu = W.partitionBy("cluster_id")
+    r = q.withColumn("rnk", F.row_number().over(w_rank))
+    return (
+        r.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rnk") == 1).alias("keep"),
+            F.sum(F.when(F.col("rnk") > 1, F.col("n_chars")).otherwise(0))
+            .over(w_clu)
+            .cast("long")
+            .alias("freed_chars"),
+            "closure_converged",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # X6z — epoch-capped token-budget waterfilling ---------------------------------
 #
 # The mixture step x6e/x6n deliberately stop short of: when a declared

@@ -691,16 +691,24 @@ def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-# The distinct-3-shingle table for the doc_id < 200 slice — the SQL
-# twin of token_shingles(..., 3): shared by x2e2's evidence graph and
-# x2z's exact-Jaccard truth leg so the shingle law has one site.
-_GRAMS200_CTE = """g AS (
+# The distinct-3-shingle table — the SQL twin of token_shingles(..., 3):
+# one template site shared by x2e2's evidence graph, x2z's exact-Jaccard
+# truth leg (both on the doc_id < 200 slice) and x2e2b/x2e3's full-corpus
+# closures, so the shingle law cannot diverge between the capped and
+# uncapped variants.
+
+
+def _grams3_cte(where: str) -> str:
+    return f"""g AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        WHERE doc_id < 200)
+        WHERE {where})
 )"""
+
+
+_GRAMS200_CTE = _grams3_cte("doc_id < 200")
 
 # The closure CTE chain (grams -> evidence pairs -> symmetric edges ->
 # recursive reachability -> min-label clusters -> sizes) is shared with
@@ -759,6 +767,125 @@ def x2e2_global_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "cluster_id", "is_canonical",
             F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+# X2e2b — the UNCAPPED full-corpus transitive closure --------------------------
+#
+# x2e2's doc_id < 200 cap is the ORACLE's, not the algorithm's (the
+# docstring there says so) — but the thing a curation run ships is the
+# closure over the WHOLE corpus, so the cap was a coverage gap (the x2w
+# -> x2w2 precedent). x2e2b lifts it: the same shared-gram edge law
+# (x2e2_shared_gram_pairs, the single plan-gated site) over the
+# unrestricted documents table, the same large-star/small-star closure.
+#
+# The oracle cannot afford full recursive reachability at sf0.1: the
+# corpus there carries a 3,869-doc component, and the recursive-CTE
+# reach set materializes sum(size^2) ~ 15M rows (measured 46 s). It runs
+# synchronous min-label propagation instead — R materialized rounds of
+#   l_{t+1}(u) = least(l_t(u), min over neighbors v of l_t(v))
+# — which converges in ecc(min-node) rounds (measured: 11 at sf0.01, 10
+# at sf0.1; _X2E2B_ROUNDS = 24 is >2x margin) and costs O(R * E)
+# (measured 1.4 s at sf0.1, 33x cheaper). Each round is AS MATERIALIZED:
+# round t+1 references round t twice, so un-materialized CTE inlining
+# would expand the chain exponentially. Convergence is never assumed:
+# the closure_converged column is COMPUTED by the oracle (round R ==
+# round R-1 on every node) and emitted as literal true by Spark (whose
+# loop RAISES rather than mislabel), so an unconverged oracle surfaces
+# as a loud hash mismatch, not a silent wrong label.
+
+_X2E2B_ROUNDS = 24
+
+
+def _lp_label_ctes(nodes_sql: str, sym_name: str, prefix: str, rounds: int) -> str:
+    """Materialized min-label-propagation CTE chain over an edge CTE
+    ``{sym_name}(src, dst)`` (symmetric) seeded from ``{nodes_sql}``
+    (one ``id`` column): emits ``{prefix}0 .. {prefix}{rounds}`` plus
+    ``{prefix}conv`` (true iff the last two rounds agree everywhere) and
+    ``{prefix}lab(id, cluster_id)``. Shared by the x2e2b and x2e3
+    oracles so the propagation law has one site."""
+    parts = [
+        f"{prefix}0 AS MATERIALIZED (SELECT id, id AS l FROM ({nodes_sql}))"
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""{prefix}{t + 1} AS MATERIALIZED (
+  SELECT {prefix}{t}.id,
+         least({prefix}{t}.l, coalesce(min(n.l), {prefix}{t}.l)) AS l
+  FROM {prefix}{t}
+  LEFT JOIN {sym_name} s ON {prefix}{t}.id = s.src
+  LEFT JOIN {prefix}{t} n ON s.dst = n.id
+  GROUP BY {prefix}{t}.id, {prefix}{t}.l)"""
+        )
+    parts.append(
+        f"""{prefix}conv AS (
+  SELECT count(*) = 0 AS ok
+  FROM {prefix}{rounds} a
+  JOIN {prefix}{rounds - 1} b ON a.id = b.id AND a.l <> b.l)"""
+    )
+    parts.append(
+        f"{prefix}lab AS (SELECT id, l AS cluster_id FROM {prefix}{rounds})"
+    )
+    return ",\n".join(parts)
+
+
+# grams -> evidence pairs -> symmetric edges -> LP closure -> sizes; the
+# chain is shared with x6y2's survivorship oracle (the x6y precedent).
+_X2E2B_CTES = f"""
+WITH {_grams3_cte("TRUE")},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X2E2_MIN_SHARED}
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+{_lp_label_ctes("SELECT doc_id AS id FROM documents", "sym", "l", _X2E2B_ROUNDS)},
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM llab GROUP BY 1)"""
+
+_X2E2B_ORACLE = f"""{_X2E2B_CTES}
+SELECT CAST(llab.id AS BIGINT)         AS doc_id,
+       CAST(llab.cluster_id AS BIGINT) AS cluster_id,
+       (llab.id = llab.cluster_id)     AS is_canonical,
+       CAST(cluster_size AS BIGINT)    AS cluster_size,
+       lconv.ok                        AS closure_converged
+FROM llab JOIN sz ON llab.cluster_id = sz.cluster_id
+CROSS JOIN lconv
+"""
+
+
+@register("x2e2b_global_dedup_clusters_full", oracle=_X2E2B_ORACLE, tags=("X2",))
+def x2e2b_global_dedup_clusters_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x2e2 with the oracle cap lifted: transitive-closure dedup
+    clusters of the shared-3-gram evidence graph over the ENTIRE
+    documents table — the manifest a curation run actually ships.
+    Same plan-gated pair site, same large-star/small-star closure
+    (which RAISES on non-convergence, hence the literal true
+    closure_converged; the oracle computes its flag and an unconverged
+    oracle mismatches loudly)."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = x2e2_shared_gram_pairs(docs)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labels = large_star_small_star(nodes, pairs)
+    sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "is_canonical",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.lit(True).alias("closure_converged"),
         )
     )
 

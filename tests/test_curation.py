@@ -4,6 +4,7 @@ correct *as pipeline stages*)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ssn_college_software_architecture_assignments__spark.registry import all_queries
@@ -925,20 +926,28 @@ def test_x6x_matching_chunk_outranks_and_overlap_hits_both(spark, tmp_path):
             )
 
 
-def test_x6y_survivorship_policy_beats_min_id_canonical(spark):
-    """x6y law on a planted 3-chain family: docs 1~2 and 2~4 share >= 3
-    shingles (1 and 4 share none -- only the transitive closure joins
-    them), doc 2 is the longest. x2e2's min-id canonical would keep
-    doc 1; the keep-longest policy must keep doc 2, drop 1 and 4, and
-    report freed_chars = n_chars(1) + n_chars(4) on every family row.
-    The singleton doc 7 keeps itself with freed_chars 0."""
+@pytest.mark.parametrize("variant", ["capped", "full"])
+def test_x6y_survivorship_policy_beats_min_id_canonical(spark, variant):
+    """x6y (and its uncapped twin x6y2) law on a planted 3-chain family:
+    docs 1~2 and 2~4 share >= 3 shingles (1 and 4 share none -- only the
+    transitive closure joins them), doc 2 is the longest. x2e2's min-id
+    canonical would keep doc 1; the keep-longest policy must keep doc 2,
+    drop 1 and 4, and report freed_chars = n_chars(1) + n_chars(4) on
+    every family row. The singleton doc 7 keeps itself with freed_chars
+    0. x6y2 additionally must assert closure_converged on every row."""
     from pyspark.sql import functions as F  # noqa: F401
     from ssn_college_software_architecture_assignments__spark.operators.curation import (
         x6y_dedup_survivorship,
+        x6y2_dedup_survivorship_full,
     )
     import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
     import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
 
+    op = (
+        x6y_dedup_survivorship
+        if variant == "capped"
+        else x6y2_dedup_survivorship_full
+    )
     df = spark.createDataFrame(
         [
             (1, "a b c d e f", 11),
@@ -956,11 +965,13 @@ def test_x6y_survivorship_policy_beats_min_id_canonical(spark):
     origs = (cmod.Catalog, dmod.Catalog)
     cmod.Catalog = dmod.Catalog = _Cat
     try:
-        rows = {r["doc_id"]: r for r in x6y_dedup_survivorship(spark, "x").collect()}
+        rows = {r["doc_id"]: r for r in op(spark, "x").collect()}
     finally:
         cmod.Catalog, dmod.Catalog = origs
 
     assert set(rows) == {1, 2, 4, 7}
+    if variant == "full":
+        assert all(r["closure_converged"] for r in rows.values())
     fam = [rows[1], rows[2], rows[4]]
     assert len({r["cluster_id"] for r in fam}) == 1  # transitive closure
     assert all(r["cluster_size"] == 3 for r in fam)

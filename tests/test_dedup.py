@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ssn_college_software_architecture_assignments__spark.operators.dedup import (
@@ -1580,19 +1581,27 @@ def test_large_star_small_star_match_union_find(spark):
     run()
 
 
-def test_x2e2_planted_gram_chain(spark, tmp_path):
-    """x2e2 end-to-end on a handmade corpus where the shared-gram
-    evidence CHAINS: A and B share exactly 3 distinct 3-grams, B and C
-    share 3 OTHER grams, A and C share only 1 (< _X2E2_MIN_SHARED) —
-    so the pair stage never links A-C, yet the closure must. Also pins
-    the threshold boundary (a 2-shared-gram pair stays unlinked) and
-    the cluster_size / is_canonical laws."""
+@pytest.mark.parametrize("variant", ["capped", "full"])
+def test_x2e2_planted_gram_chain(spark, tmp_path, variant):
+    """x2e2 (and its uncapped twin x2e2b) end-to-end on a handmade
+    corpus where the shared-gram evidence CHAINS: A and B share exactly
+    3 distinct 3-grams, B and C share 3 OTHER grams, A and C share only
+    1 (< _X2E2_MIN_SHARED) — so the pair stage never links A-C, yet the
+    closure must. Also pins the threshold boundary (a 2-shared-gram
+    pair stays unlinked) and the cluster_size / is_canonical laws;
+    x2e2b additionally must assert closure_converged on every row."""
     import os
 
     from ssn_college_software_architecture_assignments__spark.operators.dedup import (
         x2e2_global_dedup_clusters,
+        x2e2b_global_dedup_clusters_full,
     )
 
+    op = (
+        x2e2_global_dedup_clusters
+        if variant == "capped"
+        else x2e2b_global_dedup_clusters_full
+    )
     rows = [
         (10, "a b c d e f", "en", 11),        # grams: abc bcd cde def
         (11, "a b c d e x y", "en", 13),      # shares abc bcd cde with 10
@@ -1607,10 +1616,10 @@ def test_x2e2_planted_gram_chain(spark, tmp_path):
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, n_chars long"
     ).write.parquet(f"{sf_dir}/documents.parquet")
-    got = {r["doc_id"]: r for r in x2e2_global_dedup_clusters(
-        spark, sf_dir
-    ).collect()}
+    got = {r["doc_id"]: r for r in op(spark, sf_dir).collect()}
     assert len(got) == 6
+    if variant == "full":
+        assert all(r["closure_converged"] for r in got.values())
     # the chain closes: one cluster {10, 11, 12} labeled 10
     assert got[10]["cluster_id"] == got[11]["cluster_id"] == 10
     assert got[12]["cluster_id"] == 10
@@ -1624,6 +1633,43 @@ def test_x2e2_planted_gram_chain(spark, tmp_path):
     assert not got[12]["is_canonical"]
     canon = [d for d, r in got.items() if r["is_canonical"]]
     assert sorted(canon) == [10, 13, 14, 15]
+
+
+def test_x2e2b_lp_oracle_convergence_guard_fires():
+    """The x2e2b oracle's safety law, pinned in DuckDB itself: on an
+    8-node path seeded at node 0 (eccentricity 7), min-label
+    propagation with only 2 rounds must report lconv.ok = FALSE (the
+    loud-mismatch branch — labels at that point are WRONG and the
+    guard is the only thing standing between that and a silent green),
+    while 8 rounds must report ok = TRUE with every label 0. Also pins
+    that _X2E2B_ROUNDS carries >= 2x margin over the measured
+    convergence depth (11 rounds at sf0.01, 10 at sf0.1)."""
+    import duckdb
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2E2B_ROUNDS,
+        _lp_label_ctes,
+    )
+
+    def run(rounds):
+        edges = ", ".join(f"({i}, {i + 1})" for i in range(7))
+        sql = f"""
+WITH nodes AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) v(id)),
+e AS (SELECT * FROM (VALUES {edges}) v(a, b)),
+sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+{_lp_label_ctes("SELECT id FROM nodes", "sym", "l", rounds)}
+SELECT llab.id, llab.cluster_id, lconv.ok
+FROM llab CROSS JOIN lconv ORDER BY llab.id
+"""
+        return duckdb.connect().execute(sql).fetchall()
+
+    short = run(2)
+    assert all(not ok for _, _, ok in short), "2 rounds must NOT converge"
+    assert any(lbl != 0 for _, lbl, _ in short), "and labels ARE still wrong"
+    full = run(8)
+    assert all(ok for _, _, ok in full)
+    assert [lbl for _, lbl, _ in full] == [0] * 8
+    assert _X2E2B_ROUNDS >= 2 * 11
 
 
 def test_x2z_audit_truth_counts_and_rate_laws(spark):

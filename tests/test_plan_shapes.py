@@ -782,6 +782,11 @@ def test_x2e2_pair_stage_is_inverted_index_not_all_pairs(spark):
     plan = explain_str(x2e2_shared_gram_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # x2e2b feeds the SAME site the UNRESTRICTED corpus — the uncapped
+    # closure must keep the inverted-index shape too
+    full_plan = explain_str(x2e2_shared_gram_pairs(Catalog(spark, SF).documents))
+    assert "CartesianProduct" not in full_plan
+    assert "BroadcastNestedLoopJoin" not in full_plan
 
 
 def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
