@@ -662,6 +662,18 @@ def x2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X2E2_MIN_SHARED = 3
 
 
+def _gram3_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) with one row per DISTINCT 3-token shingle — the
+    Spark twin of _grams3_cte, factored out so the x2e2/x2e2b self-join
+    and x2e3's batch->corpus probe build their postings from one site."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles(F.split("text", " "), 3))
+        ).alias("gram"),
+    )
+
+
 def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     """The x2e2 edge law as a plannable stage: (src, dst) doc pairs
     sharing >= _X2E2_MIN_SHARED distinct 3-token shingles, built by the
@@ -669,12 +681,7 @@ def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     as its own site because x2e2's iterative half localCheckpoints —
     the final plan can't witness this stage's shape, so the plan gate
     targets it directly."""
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(token_shingles(F.split("text", " "), 3))
-        ).alias("gram"),
-    )
+    grams = _gram3_table(docs)
     a, b = grams.alias("a"), grams.alias("b")
     return (
         a.join(
@@ -887,6 +894,188 @@ def x2e2b_global_dedup_clusters_full(
             F.col("cluster_size").cast("long").alias("cluster_size"),
             F.lit(True).alias("closure_converged"),
         )
+    )
+
+
+# X2e3 — incremental closure maintenance (batch admission into standing
+# clusters) --------------------------------------------------------------------
+#
+# The batch face the rest of the dedup family already has (x1b exact,
+# x2n near-dup screening, x3x vector admission) but the closure lacked:
+# a new batch arrives, its pairs (batch<->batch via the shared x2e2 pair
+# site, batch<->corpus via the x2n probe shape — batch gram postings
+# equi-join the corpus postings, the corpus NEVER self-joins in the
+# incremental pass) union into the STANDING closure's star forest, and
+# large-star/small-star re-runs warm-started from the existing labels.
+# Warm start is the point: the standing component structure is already
+# a star forest (diameter 2), so the only work left is collapsing the
+# batch-induced bridges — rounds scale with log(longest bridge chain),
+# not log(corpus); the _X2E3_WARM_ITERS budget (8, vs the measured 2-3
+# at sf0.1) ASSERTS that, because large_star_small_star raises rather
+# than mislabel when the budget is exceeded.
+#
+# Output is the per-cluster admission manifest a curation ledger
+# records: for every final cluster holding >= 1 batch doc, its member
+# counts and how many STANDING clusters it absorbed — 0 = 'new' (all
+# members from the batch), 1 = 'extend' (batch docs joined one standing
+# family), >= 2 = 'merge' (a batch bridge doc fused standing families —
+# the case the planted pytest pins). The verdict expression is a shared
+# single-site CASE both engines evaluate.
+#
+# The oracle is deliberately NOT incremental: it recomputes both
+# closures from scratch with the x2e2b label-propagation chain (final
+# labels over ALL edges, standing labels over corpus-only edges) — the
+# strongest possible check, incremental-must-equal-batch-recompute —
+# and carries both convergence guards.
+
+_X2E3_WARM_ITERS = 8
+
+_X2E3_BATCH = "doc_id % 10 = 0"
+_X2E3_CORPUS = "doc_id % 10 <> 0"
+
+_X2E3_VERDICT_CASE = (
+    "CASE WHEN n_standing_absorbed = 0 THEN 'new' "
+    "WHEN n_standing_absorbed = 1 THEN 'extend' "
+    "ELSE 'merge' END"
+)
+
+_X2E3_ORACLE = f"""
+WITH {_grams3_cte("TRUE")},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X2E2_MIN_SHARED}
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+{_lp_label_ctes("SELECT doc_id AS id FROM documents", "sym", "l", _X2E2B_ROUNDS)},
+gc AS (SELECT * FROM g WHERE {_X2E3_CORPUS}),
+pairs_c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X2E2_MIN_SHARED}
+),
+sym_c AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs_c
+  UNION SELECT id_b, id_a FROM pairs_c),
+{_lp_label_ctes(f"SELECT doc_id AS id FROM documents WHERE {_X2E3_CORPUS}",
+                "sym_c", "m", _X2E2B_ROUNDS)},
+mem AS (
+  SELECT id, cluster_id, (id % 10 = 0) AS is_batch FROM llab
+),
+touched AS (
+  SELECT cluster_id FROM mem GROUP BY cluster_id HAVING bool_or(is_batch)
+),
+stats AS (
+  SELECT mem.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN mem.is_batch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_docs,
+         CAST(count(DISTINCT mlab.cluster_id) AS BIGINT)
+           AS n_standing_absorbed
+  FROM mem
+  JOIN touched USING (cluster_id)
+  LEFT JOIN mlab ON mem.id = mlab.id
+  GROUP BY mem.cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       n_members, n_batch_docs, n_standing_absorbed,
+       {_X2E3_VERDICT_CASE} AS verdict,
+       (lconv.ok AND mconv.ok) AS closure_converged
+FROM stats CROSS JOIN lconv CROSS JOIN mconv
+ORDER BY cluster_id
+"""
+
+
+def x2e3_probe_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The batch->corpus edge probe as a plannable stage (the x2n
+    shape): batch gram postings equi-join the corpus postings — left
+    side batch-sized, the corpus NEVER self-joins in the incremental
+    pass. Own site so the plan gate can witness it (x2e3's closure
+    localCheckpoints downstream)."""
+    gb, gc = _gram3_table(batch).alias("b"), _gram3_table(corpus).alias("c")
+    return (
+        gb.join(gc, F.col("b.gram") == F.col("c.gram"))
+        .groupBy(
+            F.col("b.doc_id").alias("src"), F.col("c.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _X2E2_MIN_SHARED)
+        .select("src", "dst")
+    )
+
+
+@register("x2e3_incremental_closure", oracle=_X2E3_ORACLE, tags=("X2", "X1"))
+def x2e3_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit a batch (doc_id % 10 = 0) into the standing transitive
+    closure (doc_id % 10 <> 0) incrementally: new edges = batch<->batch
+    pairs from the shared x2e2 pair site + batch->corpus pairs from the
+    gram-postings probe join; the standing closure contributes only its
+    STAR EDGES (id -> label), and large-star/small-star re-runs
+    warm-started under an 8-round budget that raises if the warm-start
+    promise breaks. Emits one row per batch-touched final cluster with
+    the absorbed-standing-cluster count and the new/extend/merge
+    verdict. The oracle recomputes both closures from scratch —
+    incremental must equal batch recompute."""
+    docs = Catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.expr(_X2E3_CORPUS))
+    batch = docs.filter(F.expr(_X2E3_BATCH))
+
+    standing = large_star_small_star(
+        corpus.select(F.col("doc_id").alias("id")),
+        x2e2_shared_gram_pairs(corpus),
+    )
+    star_edges = standing.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("src"), F.col("label").alias("dst")
+    )
+    new_edges = x2e2_shared_gram_pairs(batch).union(
+        x2e3_probe_pairs(batch, corpus)
+    )
+
+    final = large_star_small_star(
+        docs.select(F.col("doc_id").alias("id")),
+        star_edges.union(new_edges),
+        max_iter=_X2E3_WARM_ITERS,
+    )
+    mem = final.select(
+        "id",
+        F.col("label").alias("cluster_id"),
+        (F.col("id") % 10 == 0).alias("is_batch"),
+    )
+    touched = (
+        mem.groupBy("cluster_id")
+        .agg(F.max(F.col("is_batch").cast("int")).alias("any_batch"))
+        .filter(F.col("any_batch") == 1)
+        .select("cluster_id")
+    )
+    stand_lab = standing.select(
+        "id", F.col("label").alias("standing_label")
+    )
+    stats = (
+        mem.join(touched, "cluster_id")
+        .join(stand_lab, "id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("is_batch").cast("int"))
+            .cast("long")
+            .alias("n_batch_docs"),
+            F.countDistinct("standing_label")
+            .cast("long")
+            .alias("n_standing_absorbed"),
+        )
+    )
+    return (
+        stats.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members", "n_batch_docs", "n_standing_absorbed",
+            F.expr(_X2E3_VERDICT_CASE).alias("verdict"),
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("cluster_id")
     )
 
 

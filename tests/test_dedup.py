@@ -1635,6 +1635,61 @@ def test_x2e2_planted_gram_chain(spark, tmp_path, variant):
     assert sorted(canon) == [10, 13, 14, 15]
 
 
+def test_x2e3_bridge_doc_merges_standing_clusters(spark, tmp_path):
+    """x2e3 end-to-end on a handmade corpus exercising all three
+    verdicts: standing clusters {1,2}, {3,4}, {5,6} (each pair shares
+    exactly 3 grams); batch doc 10 BRIDGES {1,2} and {3,4} (>= 3 shared
+    grams with each side) -> one 'merge' cluster absorbing 2 standing
+    families; batch doc 50 joins {5,6} only -> 'extend'; batch doc 20
+    is a vocab-isolated singleton -> 'new'; batch docs 30/40 pair with
+    each other only -> a 2-member 'new'. The oracle-equivalent facts
+    (member counts, absorbed counts, min-id labels) are hand-derived."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e3_incremental_closure,
+    )
+
+    rows = [
+        # standing corpus (doc_id % 10 != 0)
+        (1, "a b c d e f", "en", 11),       # abc bcd cde def
+        (2, "a b c d e y", "en", 11),       # shares abc bcd cde with 1
+        (3, "p q r s t u", "en", 11),       # pqr qrs rst stu
+        (4, "p q r s t z", "en", 11),       # shares pqr qrs rst with 3
+        (5, "g h i j k l", "en", 11),       # ghi hij ijk jkl
+        (6, "g h i j k z3", "en", 12),      # shares ghi hij ijk with 5
+        # batch (doc_id % 10 == 0)
+        (10, "a b c d e p q r s t", "en", 19),  # bridges {1,2} and {3,4}
+        (20, "k l m n", "en", 7),               # isolated singleton
+        (30, "u v w x y z1", "en", 12),         # pairs with 40 only
+        (40, "u v w x y z2", "en", 12),
+        (50, "g h i j k m", "en", 11),          # extends {5,6}
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["cluster_id"]: r
+        for r in x2e3_incremental_closure(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 5, 20, 30}
+    assert all(r["closure_converged"] for r in got.values())
+    merge = got[1]
+    assert merge["n_members"] == 5 and merge["n_batch_docs"] == 1
+    assert merge["n_standing_absorbed"] == 2 and merge["verdict"] == "merge"
+    ext = got[5]
+    assert ext["n_members"] == 3 and ext["n_batch_docs"] == 1
+    assert ext["n_standing_absorbed"] == 1 and ext["verdict"] == "extend"
+    single = got[20]
+    assert single["n_members"] == 1 and single["n_batch_docs"] == 1
+    assert single["n_standing_absorbed"] == 0 and single["verdict"] == "new"
+    pair = got[30]
+    assert pair["n_members"] == 2 and pair["n_batch_docs"] == 2
+    assert pair["n_standing_absorbed"] == 0 and pair["verdict"] == "new"
+
+
 def test_x2e2b_lp_oracle_convergence_guard_fires():
     """The x2e2b oracle's safety law, pinned in DuckDB itself: on an
     8-node path seeded at node 0 (eccentricity 7), min-label

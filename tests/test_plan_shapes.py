@@ -789,6 +789,27 @@ def test_x2e2_pair_stage_is_inverted_index_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in full_plan
 
 
+def test_x2e3_probe_stage_is_postings_join_not_all_pairs(spark):
+    """x2e3's batch->corpus probe (the incremental edge generator) must
+    plan the gram-postings equi-join — never a CartesianProduct or a
+    nested loop; the corpus side never self-joins in this stage."""
+    from ssn_college_software_architecture_assignments__spark.catalog import Catalog
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e3_probe_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = Catalog(spark, SF).documents
+    plan = explain_str(
+        x2e3_probe_pairs(
+            docs.filter(F.expr("doc_id % 10 = 0")),
+            docs.filter(F.expr("doc_id % 10 <> 0")),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
     """x4v: the sparse leg must keep x4u's broadcast-query shape and the
     dense leg must broadcast the 4 anchor vectors against the map-side
