@@ -2163,3 +2163,307 @@ def x4y_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# X4z — MMR-diversified retrieval (dedup at serving time) ----------------------
+#
+# The step that completes the RAG stack: x4u ranks by relevance alone,
+# so two near-identical documents both make the top-k and one answer
+# slot is wasted. Maximal Marginal Relevance re-ranks the top-k
+# greedily — each pick maximizes lambda * relevance - (1 - lambda) *
+# max-similarity-to-already-picked — trading relevance for novelty.
+#
+# Integer-exact law (the x4v idiom): relevance is the rank-based
+# 1e6 div (60 + bm25_rank) — calibration-free, shared with x4v's RRF —
+# and redundancy is distinct-token-set Jaccard in floored micro-units
+# (1e6 * |A∩B|) div |A∪B| (the x2c measure, integerized). lambda = 1/2
+# is declared as the (NUM, DEN) = (1, 2) pair and the reported
+# mmr_micro is the DEN-scaled value NUM*rel - (DEN-NUM)*maxsim (scaling
+# by DEN keeps every decision in BIGINT; the argmax is identical).
+# Ties resolve by doc_id asc. The greedy fold is the x6b2
+# engine-identical-fold idiom: Spark F.aggregate and DuckDB list_reduce
+# run the same branch algebra over a LIST<LIST<BIGINT>> state
+# ([selected positions] ++ candidate rows ++ tagged output rows), so
+# every pick — including both-negative-score picks — matches.
+#
+# Scale shape: the candidate set is top-k PER QUERY (k = 10), so the
+# pairwise-similarity stage is k^2 rows per query built by the
+# candidate-postings equi-join (never corpus-pairs), and the fold runs
+# over a k-element list per query — driver-free, broadcast-free,
+# corpus-sized rows appear only in x4u's own scan.
+
+_X4Z_LAMBDA_NUM = 1   # lambda = NUM / DEN = 0.5 — the classic MMR midpoint
+_X4Z_LAMBDA_DEN = 2
+
+# the fold's branch algebra, built once as SQL text for the DuckDB leg;
+# the Spark leg constructs the structurally identical lambda tree below
+_X4Z_MAXSIM = "coalesce(list_max(list_transform(acc[1], s -> r[3 + s])), 0)"
+_X4Z_KEY = (
+    f"[{_X4Z_LAMBDA_NUM} * r[3] - {_X4Z_LAMBDA_DEN - _X4Z_LAMBDA_NUM} * "
+    f"({_X4Z_MAXSIM}), -r[2], r[1], r[3], {_X4Z_MAXSIM}]"
+)
+_X4Z_BEST = (
+    "list_max(list_transform(list_filter(acc[2:], "
+    f"r -> r[1] > 0 AND NOT list_contains(acc[1], r[1])), r -> {_X4Z_KEY}))"
+)
+_X4Z_MERGE = (
+    f"list_concat(list_concat([list_append(acc[1], ({_X4Z_BEST})[3])], acc[2:]), "
+    f"[[-(len(acc[1]) + 1), -({_X4Z_BEST})[2], ({_X4Z_BEST})[3], "
+    f"({_X4Z_BEST})[4], ({_X4Z_BEST})[5], ({_X4Z_BEST})[1]]])"
+)
+
+_X4Z_ORACLE = f"""{_X4U_CTES},
+cand AS (
+  SELECT query_id, CAST(rnk AS BIGINT) AS pa, doc_id,
+         CAST(1000000 // ({_X4V_RRF_K} + rnk) AS BIGINT) AS rel
+  FROM ranked WHERE rnk <= {_X4U_TOPK}
+),
+toksd AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toksd GROUP BY doc_id),
+inter AS (
+  SELECT a.query_id, a.pa AS pa, b.pa AS pb,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.pa < b.pa
+  JOIN toksd ta ON ta.doc_id = a.doc_id
+  JOIN toksd tb ON tb.doc_id = b.doc_id AND ta.tok = tb.tok
+  GROUP BY 1, 2, 3
+),
+jac AS (
+  SELECT i.query_id, i.pa, i.pb,
+         (1000000 * i.n_common) // (sa.n + sb.n - i.n_common) AS sim
+  FROM inter i
+  JOIN cand ca ON ca.query_id = i.query_id AND ca.pa = i.pa
+  JOIN cand cb ON cb.query_id = i.query_id AND cb.pa = i.pb
+  JOIN sizes sa ON sa.doc_id = ca.doc_id
+  JOIN sizes sb ON sb.doc_id = cb.doc_id
+),
+grid AS (
+  SELECT a.query_id, a.pa, b.pa AS pb,
+         CASE WHEN a.pa = b.pa THEN 0
+              ELSE coalesce(j.sim, 0) END AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id
+  LEFT JOIN jac j ON j.query_id = a.query_id
+                 AND j.pa = least(a.pa, b.pa)
+                 AND j.pb = greatest(a.pa, b.pa)
+),
+simlist AS (
+  SELECT query_id, pa, list(sim ORDER BY pb) AS sims
+  FROM grid GROUP BY query_id, pa
+),
+rows_ AS (
+  SELECT c.query_id,
+         list_concat([c.pa, c.doc_id, c.rel], s.sims) AS r
+  FROM cand c JOIN simlist s ON c.query_id = s.query_id AND c.pa = s.pa
+),
+lst AS (
+  SELECT query_id,
+         list_concat(
+           [list_concat([CAST([] AS BIGINT[])], list(r ORDER BY r[1]))],
+           list([r] ORDER BY r[1])) AS l
+  FROM rows_ GROUP BY query_id
+),
+folded AS (
+  SELECT query_id, list_reduce(l, (acc, x) -> {_X4Z_MERGE}) AS st FROM lst
+),
+outs AS (
+  SELECT query_id, unnest(st) AS u FROM folded
+)
+SELECT query_id,
+       CAST(-u[1] AS INT)  AS mmr_rank,
+       u[2]                AS doc_id,
+       CAST(u[3] AS INT)   AS bm25_rnk,
+       u[4]                AS rel_micro,
+       u[5]                AS max_sim_micro,
+       u[6]                AS mmr_micro
+FROM outs WHERE u[1] < 0
+ORDER BY query_id, mmr_rank
+"""
+
+
+@register("x4z_mmr_diversified_retrieval", oracle=_X4Z_ORACLE, tags=("X4",))
+def x4z_mmr_diversified_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy MMR re-rank of x4u's BM25 top-10 at lambda = 1/2: pick k
+    maximizes NUM*rel_micro - (DEN-NUM)*max_sim_micro over the unpicked
+    candidates (rel = the rank-based 1e6 div (60+rnk) law shared with
+    x4v, sim = floored token-set-Jaccard micro-units), doc_id asc tie
+    law. The fold is engine-identical (F.aggregate vs list_reduce over
+    the same LIST<LIST<BIGINT>> state), so every greedy decision
+    matches bit for bit; the planted pytest pins the case where MMR
+    demotes a near-duplicate that plain BM25 ranks second."""
+    docs = Catalog(spark, sf_dir).documents
+    ranked = x4u_bm25_retrieval(spark, sf_dir)
+    cand = ranked.filter(F.col("rnk") <= _X4U_TOPK).select(
+        "query_id",
+        F.col("rnk").cast("long").alias("pa"),
+        "doc_id",
+        F.expr(f"CAST(1000000 div ({_X4V_RRF_K} + rnk) AS BIGINT)").alias(
+            "rel"
+        ),
+    )
+    toksd = (
+        docs.join(cand.select("doc_id").distinct(), "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+    )
+    sizes = toksd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    ta, tb = toksd.alias("ta"), toksd.alias("tb")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.pa") < F.col("b.pa")),
+        )
+        .join(ta, F.col("ta.doc_id") == F.col("a.doc_id"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("b.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.pa").alias("pa"),
+            F.col("b.pa").alias("pb"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
+            "da",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
+        )
+        .select(
+            "query_id", "pa", "pb",
+            F.expr(
+                "CAST((1000000 * n_common) div (na + nb - n_common)"
+                " AS BIGINT)"
+            ).alias("sim"),
+        )
+    )
+    ga, gb = cand.alias("ga"), cand.alias("gb")
+    grid = (
+        ga.join(gb, F.col("ga.query_id") == F.col("gb.query_id"))
+        .select(
+            F.col("ga.query_id").alias("query_id"),
+            F.col("ga.pa").alias("pa"),
+            F.col("gb.pa").alias("pb"),
+        )
+        .join(
+            jac.select(
+                F.col("query_id").alias("jq"),
+                F.col("pa").alias("jpa"),
+                F.col("pb").alias("jpb"),
+                "sim",
+            ),
+            (F.col("jq") == F.col("query_id"))
+            & (F.col("jpa") == F.least("pa", "pb"))
+            & (F.col("jpb") == F.greatest("pa", "pb")),
+            "left",
+        )
+        .select(
+            "query_id", "pa", "pb",
+            F.when(F.col("pa") == F.col("pb"), F.lit(0).cast("long"))
+            .otherwise(F.coalesce(F.col("sim"), F.lit(0).cast("long")))
+            .alias("sim"),
+        )
+    )
+    simlist = grid.groupBy("query_id", "pa").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.array("pb", "sim"))),
+            lambda x: F.element_at(x, 2),
+        ).alias("sims")
+    )
+    rows_ = cand.join(simlist, ["query_id", "pa"]).select(
+        "query_id",
+        F.concat(F.array("pa", "doc_id", "rel"), F.col("sims")).alias("r"),
+    )
+    lst = rows_.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("r")).alias("rows")
+    )
+
+    num, den = _X4Z_LAMBDA_NUM, _X4Z_LAMBDA_DEN
+
+    def maxsim(sel, r):
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    sel, lambda s: F.element_at(r, (s + F.lit(3)).cast("int"))
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    def key(sel, r):
+        ms = maxsim(sel, r)
+        return F.array(
+            F.lit(num) * F.element_at(r, 3) - F.lit(den - num) * ms,
+            -F.element_at(r, 2),
+            F.element_at(r, 1),
+            F.element_at(r, 3),
+            ms,
+        )
+
+    def merge(acc, x):
+        sel = F.element_at(acc, 1)
+        tail = F.slice(acc, 2, F.size(acc) - 1)
+        rem = F.filter(
+            tail,
+            lambda r: (F.element_at(r, 1) > 0)
+            & ~F.array_contains(sel, F.element_at(r, 1)),
+        )
+        best = F.array_max(F.transform(rem, lambda r: key(sel, r)))
+        out = F.array(
+            (-(F.size(sel) + 1)).cast("long"),
+            -F.element_at(best, 2),
+            F.element_at(best, 3),
+            F.element_at(best, 4),
+            F.element_at(best, 5),
+            F.element_at(best, 1),
+        )
+        return F.concat(
+            F.array(F.concat(sel, F.array(F.element_at(best, 3)))),
+            tail,
+            F.array(out),
+        )
+
+    empty = F.expr("cast(array() as array<bigint>)")
+    init_state = F.concat(F.array(empty), F.col("rows"))
+    wrapped = F.transform("rows", lambda r: F.array(r))
+    st = lst.select(
+        "query_id", F.aggregate(wrapped, init_state, merge).alias("st")
+    )
+    outs = st.select(
+        "query_id",
+        F.explode(
+            F.filter("st", lambda r: F.element_at(r, 1) < 0)
+        ).alias("u"),
+    )
+    return (
+        outs.select(
+            "query_id",
+            (-F.element_at("u", 1)).cast("int").alias("mmr_rank"),
+            F.element_at("u", 2).alias("doc_id"),
+            F.element_at("u", 3).cast("int").alias("bm25_rnk"),
+            F.element_at("u", 4).alias("rel_micro"),
+            F.element_at("u", 5).alias("max_sim_micro"),
+            F.element_at("u", 6).alias("mmr_micro"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )

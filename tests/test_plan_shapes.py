@@ -810,6 +810,16 @@ def test_x2e3_probe_stage_is_postings_join_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_x4z_mmr_rerank_stays_candidate_sized(spark):
+    """x4z: everything past x4u's own scan is top-k-per-query sized —
+    the pairwise-sim stage is a candidate-postings equi-join and the
+    fold a per-query HOF; no CartesianProduct anywhere, and x4u's
+    broadcast-query discipline must survive the composition."""
+    plan = _plan(spark, "x4z_mmr_diversified_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
     """x4v: the sparse leg must keep x4u's broadcast-query shape and the
     dense leg must broadcast the 4 anchor vectors against the map-side

@@ -498,3 +498,49 @@ def test_x4x_zero_relevant_query_guards_to_zero(spark):
     assert r["recall_micro"] == 0 and r["mrr_micro"] == 0
     assert r["idcg_micro"] > 0 and r["dcg_micro"] > 0
     assert r["ndcg_micro"] == (1_000_000 * r["dcg_micro"]) // r["idcg_micro"]
+
+
+def test_x4z_mmr_demotes_near_duplicate(spark, tmp_path):
+    """The law x4z exists for, closed-form: query 0's BM25 top-3 are
+    three equal-scoring docs ranked by doc_id — doc 2 a near-duplicate
+    of doc 1 (token-Jaccard 5/7), doc 3 lexically distinct (2/10). At
+    lambda = 1/2 greedy MMR keeps doc 1 first, DEMOTES the duplicate:
+    doc 3 takes mmr_rank 2 (16129 - 714285 < 15873 - 200000, both
+    negative — the both-negative branch is the one a naive 'skip
+    negatives' implementation gets wrong) and doc 2 falls to rank 3
+    with max_sim_micro = 714285 exactly. Plain BM25's ordering is
+    visible in the carried bm25_rnk column, so the demotion is pinned
+    as a CONTRAST, not just an order."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        x4z_mmr_diversified_retrieval,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 9],
+            "text": [
+                "dup join a b c d",
+                "dup join a b c e",   # near-dup of 1: |A∩B|=5, |A∪B|=7
+                "dup join x y z w",   # shares only the query terms: 2/10
+                "table scan only",    # filler, matches nothing
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = sorted(
+        (r for r in x4z_mmr_diversified_retrieval(spark, str(tmp_path)).collect()
+         if r["query_id"] == 0),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+    assert [r["bm25_rnk"] for r in out] == [1, 3, 2]  # BM25 had 2 second
+    r1, r3, r2 = out
+    assert (r1["rel_micro"], r1["max_sim_micro"]) == (1000000 // 61, 0)
+    assert r1["mmr_micro"] == 1000000 // 61
+    # doc 3 beat doc 2 for rank 2 with BOTH candidates negative
+    assert r3["max_sim_micro"] == (1000000 * 2) // 10
+    assert r3["mmr_micro"] == 1000000 // 63 - 200000 < 0
+    # doc 2's redundancy to the rank-1 pick, exact floored micro-units
+    assert r2["max_sim_micro"] == (1000000 * 5) // 7 == 714285
+    assert r2["mmr_micro"] == 1000000 // 62 - 714285
