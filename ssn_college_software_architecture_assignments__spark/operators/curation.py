@@ -2515,7 +2515,12 @@ _X6Z_WEIGHT_CASE = (
     " WHEN source = 'src2' THEN 4 ELSE 1 END"
 )
 
-_X6Z_ORACLE = f"""
+def _x6z_oracle(budget_x: int) -> str:
+    """The x6z oracle as a builder keyed on the budget multiplier, so
+    the budget==caps boundary law-sync pytest can run the SAME oracle
+    branch algebra at the boundary multiplier instead of monkeypatching
+    a baked string."""
+    return f"""
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -2523,7 +2528,7 @@ WITH per AS (
   FROM documents GROUP BY source
 ),
 tot AS (
-  SELECT CAST({_X6Z_BUDGET_X} * sum(n_tokens) AS BIGINT) AS budget,
+  SELECT CAST({budget_x} * sum(n_tokens) AS BIGINT) AS budget,
          CAST(sum(weight) AS BIGINT) AS total_w
   FROM per
 ),
@@ -2570,6 +2575,9 @@ SELECT source, n_docs, n_tokens, weight, cap_tokens, saturated,
 FROM alloc
 ORDER BY source
 """
+
+
+_X6Z_ORACLE = _x6z_oracle(_X6Z_BUDGET_X)
 
 
 @register("x6z_token_budget_waterfill", oracle=_X6Z_ORACLE, tags=("X6",))

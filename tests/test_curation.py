@@ -1120,3 +1120,109 @@ def test_x6z_boundary_budget_equals_caps(spark):
     assert sum(r["alloc_tokens"] for r in rows.values()) == 4 * 1110
     assert all(r["budget_feasible"] for r in rows.values())
     assert all(r["epochs_micro"] == 4_000_000 for r in rows.values())
+
+
+def test_x6z_x4x_boundary_law_sync_both_engines(spark):
+    """Law-sync for the two equality-boundary branches pinned in round
+    14, now asserted to fire identically in BOTH engines on the same
+    planted fixtures (so a refactor that rewrites either comparison on
+    one side only cannot slip through):
+
+    (1) x6z budget == caps: at budget multiplier == the epoch cap the
+        threshold rule resolves the LAST sorted source as
+        unsaturated-at-cap via `<=` equality — Spark (patched
+        _X6Z_BUDGET_X) and the _x6z_oracle(4) DuckDB twin must emit
+        identical rows, every source at exactly its cap and feasible.
+    (2) x4x zero-relevant: a query whose terms never co-occur has
+        n_relevant = 0 -> recall/mrr guard to 0 while ndcg stays
+        defined — Spark and the _X4X_ORACLE DuckDB twin must emit
+        identical rows including that guard branch."""
+    import duckdb
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _x6z_oracle,
+        x6z_token_budget_waterfill,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.textanalysis import (
+        _X4X_ORACLE,
+        x4x_retrieval_eval,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.textanalysis as tmod
+
+    def rows_by_key(rows, cols, key):
+        return {r[key]: tuple(r[c] for c in cols) for r in rows}
+
+    # ---- boundary 1: x6z budget == sum(caps) ----
+    def mk_text(n):
+        return " ".join(["tok"] * n)
+
+    pdf6 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [mk_text(10), mk_text(100), mk_text(1000)],
+            "source": ["src0", "src1", "src3"],
+        }
+    )
+    df6 = spark.createDataFrame(pdf6)
+
+    class _Cat6:
+        def __init__(self, spark, sf_dir):
+            self.documents = df6
+
+    orig_cat, orig_bx = cmod.Catalog, cmod._X6Z_BUDGET_X
+    cmod.Catalog, cmod._X6Z_BUDGET_X = _Cat6, cmod._X6Z_MAX_EPOCHS
+    try:
+        srows = x6z_token_budget_waterfill(spark, "x").collect()
+    finally:
+        cmod.Catalog, cmod._X6Z_BUDGET_X = orig_cat, orig_bx
+
+    con = duckdb.connect()
+    con.register("documents", pdf6)
+    cols6 = [
+        "source", "n_docs", "n_tokens", "weight", "cap_tokens",
+        "saturated", "alloc_tokens", "epochs_micro", "budget_feasible",
+    ]
+    odf6 = con.execute(_x6z_oracle(cmod._X6Z_MAX_EPOCHS)).df()
+    got_s = rows_by_key(srows, cols6, "source")
+    got_o = rows_by_key(odf6.to_dict("records"), cols6, "source")
+    assert got_s == got_o
+    # and the boundary branch genuinely fired: every source at its cap
+    assert all(r["alloc_tokens"] == r["cap_tokens"] for r in srows)
+    assert all(r["budget_feasible"] for r in srows)
+
+    # ---- boundary 2: x4x zero-relevant query ----
+    pdf4 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["vector vector", "stream stream", "alpha beta"],
+        }
+    )
+    df4 = spark.createDataFrame(pdf4)
+
+    class _Cat4:
+        def __init__(self, spark, sf_dir):
+            self.documents = df4
+
+    orig_t = tmod.Catalog
+    tmod.Catalog = _Cat4
+    try:
+        srows4 = x4x_retrieval_eval(spark, "x").collect()
+    finally:
+        tmod.Catalog = orig_t
+
+    con4 = duckdb.connect()
+    con4.register("documents", pdf4)
+    cols4 = [
+        "query_id", "n_relevant", "hits_at_k", "recall_micro",
+        "mrr_micro", "dcg_micro", "idcg_micro", "ndcg_micro",
+    ]
+    odf4 = con4.execute(_X4X_ORACLE).df()
+    got_s4 = rows_by_key(srows4, cols4, "query_id")
+    got_o4 = rows_by_key(odf4.to_dict("records"), cols4, "query_id")
+    assert got_s4 == got_o4
+    # the guard branch fired in both: q2 has no fully-matching doc
+    assert got_s4[2][cols4.index("n_relevant")] == 0
+    assert got_s4[2][cols4.index("recall_micro")] == 0
+    assert got_s4[2][cols4.index("mrr_micro")] == 0
