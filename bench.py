@@ -38,6 +38,11 @@ HEADLINE = [
     # round-14 addition: the Arrow int64-matmul MIPS kernel — benched to
     # keep the vectorized-Python path honest vs the JVM fold (x3)
     "x3y_mips_matmul_topk",
+    # round-15 addition: the uncapped large-star/small-star closure — the
+    # O(log n) loop's constant factor (per-round shuffles + exceptAll
+    # convergence check + localCheckpoint) measured round-over-round, not
+    # just plan-gated
+    "x2e2b_global_dedup_clusters_full",
 ]
 # j11 is benchmarked as its two legs (see main): "j11_write" is the
 # one-off bucketed ingest, "j11_join" the repeated shuffle-free join.
@@ -123,6 +128,11 @@ QUERY_CLASS = {
     "j11_join": "cpu",                  # no-Exchange SMJ: scan + merge
     "x3y_mips_matmul_topk": "cpu",      # Arrow matmul kernel; exchange
                                         # carries batches x Q x k rows
+    "x2e2b_global_dedup_clusters_full": "shuffle",  # iterative groupBy-min
+                                        # rounds + exceptAll checks; the
+                                        # gram pair stage's exchange is
+                                        # pair-sized but every LS round
+                                        # re-shuffles the edge set
 }
 
 

@@ -72,91 +72,33 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 14 (cohorts computed from CORRECTNESS_r01..r13): the
-# round-14 additions (tier 1), the 28-id r8-evidence tail that overflowed
-# r13's budget exactly as predicted (tier 2a — r13's VERDICT queued them
-# explicitly), the queries whose source the round-14 changes touch
-# (tier 2b — the x5m dhash-helper factor + x5m2/x5n2 filter-before-
-# distinct swap + x5m2 oracle CTE factor, the s25 empty-args guard, the
-# t6c oracle mode note), and the 50-id r9-evidence cohort (tier 2c).
-# 16 + 28 + 4 + 50 = 98 far exceeds the ~50-row driver budget (tier 2b
-# lists 4 ids: the fifth touched query, x5m, already holds a tier-2a
-# slot), so the last ~48 r9-cohort ids are expected to miss this
-# round's file — they
-# MUST lead r15's tier 2 (compute the actual overflow from
-# CORRECTNESS_r14.json). Everything else sits below the line, stalest
-# evidence first. Names missing from the registry are ignored, and
-# registry names missing here sort after the listed ones, so this list
-# never breaks registration changes.
+# round. For round 15 (cohorts computed from CORRECTNESS_r01..r14): the
+# round-15 additions (tier 1), then the full 48-id r9-evidence cohort
+# (tier 2a — exactly the overflow r14 predicted and r14's VERDICT task 1
+# demanded lead this round; 4 + 48 = 52 ~ the driver budget, so after
+# r15 no id's newest driver evidence predates r10), then the queries
+# whose source round-15 changes touch (tier 2b — the x3y input guards,
+# the five _walk_ppm_frames callers after the maxval int-parse
+# unification, the three _grams3_cte sharers and x6y after the gram-CTE
+# template factor, and the x6z/x4x pair after the oracle-builder factor;
+# every tier-2b change is value-preserving — guards or byte-identical
+# string refactors, several proven so programmatically — and all eleven
+# have fresh r14 evidence, so they are EXPECTED to overflow to r16's
+# budget behind the stale cohort). Everything else sits below the line,
+# stalest evidence first. Names missing from the registry are ignored,
+# and registry names missing here sort after the listed ones, so this
+# list never breaks registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the round-14 additions — no driver evidence exists yet
-    # (global transitive-closure dedup clusters via large-star/small-
-    # star, hybrid BM25+dense RRF fusion, chunk-level BM25 retrieval,
-    # video near-dedup over per-frame dHashes, gaps-and-islands
-    # streaks, keyframe selection, dedup survivorship, retrieval eval,
-    # audio gain normalization, token-budget waterfilling, Arrow-matmul
-    # MIPS, keyword extraction, weighted median, LSH quality audit,
-    # mapInArrow byte stats, time-travel read)
-    "x2e2_global_dedup_clusters",
-    "x4v_hybrid_rrf_fusion",
-    "x6x_chunk_bm25_retrieval",
-    "x5r_video_near_dedup",
-    "w15_gaps_islands",
-    "x5s_keyframe_select",
-    "x6y_dedup_survivorship",
-    "x4x_retrieval_eval",
-    "x5t_audio_gain_normalize",
-    "x6z_token_budget_waterfill",
-    "x3y_mips_matmul_topk",
-    "x4y_keyword_extract",
-    "a17_weighted_median",
-    "x2z_lsh_quality_audit",
-    "f6_map_in_arrow",
-    "s26_time_travel_read",
-    # tier 2a: the 28-id r8-evidence tail the r13 rotation predicted
-    # would overflow — the ONLY ids whose newest driver row predates r9;
-    # they lead this round so that after r14 no id's newest driver
-    # evidence predates r9
-    "x2q_duplicated_gram_mass",
-    "x2r_cross_source_gram_flow",
-    "x3d_similarity_ivf",
-    "x3n_pq_refine_topk",
-    "x3p_ivf_nprobe_sweep",
-    "x4a2_bpe_token_count",
-    "x4a_token_count",
-    "x4c_quality_score",
-    "x4d2_winnowing",
-    "x4d_fingerprint",
-    "x4e_lang_id",
-    "x4f_corpus_curation",
-    "x4g_column_profile",
-    "x4h_pii_redaction",
-    "x4n2_quality_deciles_scalable",
-    "x4o_token_entropy",
-    "x5b_multimodal_decode",
-    "x5d_resize",
-    "x5g_ppm_resize",
-    "x5h_ppm_frame_sample",
-    "x5l_audio_silence_trim",
-    "x5m_image_phash_dedup",
-    "x5n_audio_fingerprint_dedup",
-    "x6b_sequence_packing",
-    "x6c_mixture_sample",
-    "x6d_decontamination",
-    "x6k_incremental_admission_funnel",
-    "x6l_shard_manifest",
-    # tier 2b: source touched by round-14 changes — re-prove despite
-    # fresh r13 evidence (x5m is ALSO touched — the dhash-helper factor —
-    # but already holds a tier-2a slot above)
-    "x5m2_hamming_near_dedup",
-    "x5n2_hamming_audio_near_dedup",
-    "s25_generation_drift_audit",
-    "t6c_state_ttl_expiry",
-    # tier 2c: the evidence-age rotation — the 50-id cohort whose
-    # newest driver row is r9; the last ~48 here overflow the budget
-    # and lead r15 tier 2
-    "a1_count_validate",
-    "a2_groupby_agg",
+    # tier 1: the round-15 additions — no driver evidence exists yet
+    # (uncapped full-corpus transitive closure, survivorship over it,
+    # incremental closure maintenance, MMR-diversified retrieval)
+    "x2e2b_global_dedup_clusters_full",
+    "x6y2_dedup_survivorship_full",
+    "x2e3_incremental_closure",
+    "x4z_mmr_diversified_retrieval",
+    # tier 2a: the 48-id r9-evidence cohort — after r14 these are the
+    # ONLY ids whose newest driver row predates r10; covering them is
+    # r15's rotation goal
     "a3_distinct",
     "a5_cube",
     "a5_rollup",
@@ -205,7 +147,21 @@ _CHECK_PRIORITY = (
     "x6b2_bfd_packing",
     "x6h2_packing_comparison",
     "x6m_importance_resample",
-    # ---- ~50-query driver budget line is far above; below: the
+    # tier 2b: source touched by round-15 changes — value-preserving
+    # (guards / byte-identical refactors), fresh r14 evidence, expected
+    # to overflow past the ~52-row budget and lead r16 tier 2
+    "x3y_mips_matmul_topk",
+    "x5h_ppm_frame_sample",
+    "x5r_video_near_dedup",
+    "x5s_keyframe_select",
+    "x5c_frame_sample",
+    "x5k_scene_change",
+    "x2e2_global_dedup_clusters",
+    "x2z_lsh_quality_audit",
+    "x6y_dedup_survivorship",
+    "x6z_token_budget_waterfill",
+    "x4x_retrieval_eval",
+    # ---- ~50-query driver budget line sits inside tier 2a; below: the
     # remainder, stalest driver evidence first
     # -- newest driver evidence r10 --
     "a14_countmin_sketch",
@@ -253,7 +209,6 @@ _CHECK_PRIORITY = (
     "x3s_radius_search",
     "x3t_filtered_search",
     "x4t_quality_ensemble",
-    "x5c_frame_sample",
     "x5e_ppm_decode",
     "x5q_image_histogram",
     "x6n_temperature_mixture",
@@ -349,7 +304,6 @@ _CHECK_PRIORITY = (
     "x5f_wav_decode",
     "x5i_audio_rms_profile",
     "x5j_image_channel_stats",
-    "x5k_scene_change",
     "x6d2_decontamination_normalized",
     "x6e_mixture_reweight",
     "x6f_length_histogram",
@@ -404,6 +358,48 @@ _CHECK_PRIORITY = (
     "x6j_dedup_aware_mixture",
     "x6v_chunk_overlap_manifest",
     "x6w_chunk_decontamination",
+    # -- newest driver evidence r14 --
+    "a17_weighted_median",
+    "a1_count_validate",
+    "a2_groupby_agg",
+    "f6_map_in_arrow",
+    "s25_generation_drift_audit",
+    "s26_time_travel_read",
+    "t6c_state_ttl_expiry",
+    "w15_gaps_islands",
+    "x2q_duplicated_gram_mass",
+    "x2r_cross_source_gram_flow",
+    "x3d_similarity_ivf",
+    "x3n_pq_refine_topk",
+    "x3p_ivf_nprobe_sweep",
+    "x4a2_bpe_token_count",
+    "x4a_token_count",
+    "x4c_quality_score",
+    "x4d2_winnowing",
+    "x4d_fingerprint",
+    "x4e_lang_id",
+    "x4f_corpus_curation",
+    "x4g_column_profile",
+    "x4h_pii_redaction",
+    "x4n2_quality_deciles_scalable",
+    "x4o_token_entropy",
+    "x4v_hybrid_rrf_fusion",
+    "x4y_keyword_extract",
+    "x5b_multimodal_decode",
+    "x5d_resize",
+    "x5g_ppm_resize",
+    "x5l_audio_silence_trim",
+    "x5m2_hamming_near_dedup",
+    "x5m_image_phash_dedup",
+    "x5n2_hamming_audio_near_dedup",
+    "x5n_audio_fingerprint_dedup",
+    "x5t_audio_gain_normalize",
+    "x6b_sequence_packing",
+    "x6c_mixture_sample",
+    "x6d_decontamination",
+    "x6k_incremental_admission_funnel",
+    "x6l_shard_manifest",
+    "x6x_chunk_bm25_retrieval",
 )
 
 

@@ -197,6 +197,11 @@ QUERIES = [
     "x2z_lsh_quality_audit",
     "f6_map_in_arrow",
     "s26_time_travel_read",
+    # round-15 additions
+    "x2e2b_global_dedup_clusters_full",
+    "x6y2_dedup_survivorship_full",
+    "x2e3_incremental_closure",
+    "x4z_mmr_diversified_retrieval",
 ]
 
 
