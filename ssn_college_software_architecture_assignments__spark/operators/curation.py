@@ -2479,6 +2479,157 @@ def x6y2_dedup_survivorship_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X6y3 — incremental survivorship delta (who loses the crown on admission) -----
+#
+# x6y/x6y2 answer "who survives" for a FROZEN corpus; x2e3 answers "which
+# clusters did the batch touch". x6y3 is their composition — the artifact
+# an incremental curation run actually applies: for every batch-touched
+# final cluster, the NEW keep-longest survivor, whether the batch
+# supplied it, how many STANDING survivors sat in the cluster before
+# admission, and how many of them are DETHRONED (were their standing
+# family's keeper, are not the final keeper — a merge puts >= 2 old
+# keepers in one room, so at least one always loses; a long batch doc
+# can dethrone them all). freed_chars follows the x6y accounting over
+# final members. Both survivor windows run over the SAME touched-member
+# roster in both engines (a standing cluster's members always migrate
+# together — its star edges survive into the final closure — so the
+# within-roster window equals the global one by construction).
+#
+# Scale shape: x2e3's shape for the closures (the shared
+# x2e3_touched_members site), then one doc_id-keyed join for n_chars and
+# two family-sized windows — the x6y posture.
+
+from .dedup import _X2E3_CTES as _X2E3_CTES_REF  # noqa: E402
+
+_X6Y3_ORACLE = f"""{_X2E3_CTES_REF},
+q AS (
+  SELECT mem.id AS doc_id, mem.cluster_id, mem.is_batch, d.n_chars,
+         mlab.cluster_id AS standing_label
+  FROM mem
+  JOIN touched USING (cluster_id)
+  JOIN documents d ON d.doc_id = mem.id
+  LEFT JOIN mlab ON mem.id = mlab.id
+),
+newk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM q
+),
+oldk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+             PARTITION BY standing_label ORDER BY n_chars DESC, doc_id
+           ) AS srnk
+    FROM q WHERE standing_label IS NOT NULL
+  ) WHERE srnk = 1
+),
+agg AS (
+  SELECT n.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN n.is_batch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_docs,
+         CAST(min(CASE WHEN n.rnk = 1 THEN n.doc_id END) AS BIGINT)
+           AS keep_doc_id,
+         (max(CASE WHEN n.rnk = 1 AND n.is_batch THEN 1 ELSE 0 END) = 1)
+           AS keep_is_batch,
+         CAST(max(CASE WHEN n.rnk = 1 THEN n.n_chars END) AS BIGINT)
+           AS keep_n_chars,
+         CAST(sum(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_old_survivors,
+         CAST(sum(CASE WHEN o.doc_id IS NOT NULL AND n.rnk > 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dethroned,
+         CAST(sum(CASE WHEN n.rnk > 1 THEN n.n_chars ELSE 0 END)
+              AS BIGINT) AS freed_chars
+  FROM newk n LEFT JOIN oldk o ON n.doc_id = o.doc_id
+  GROUP BY n.cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       n_members, n_batch_docs, keep_doc_id, keep_is_batch, keep_n_chars,
+       n_old_survivors, n_dethroned, freed_chars,
+       (lconv.ok AND mconv.ok) AS closure_converged
+FROM agg CROSS JOIN lconv CROSS JOIN mconv
+ORDER BY cluster_id
+"""
+
+
+@register("x6y3_incremental_survivorship", oracle=_X6Y3_ORACLE,
+          tags=("X6", "X2", "X1"))
+def x6y3_incremental_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivorship delta for a batch admission: per batch-touched
+    final cluster (x2e3's shared membership site), the new keep-longest
+    survivor, whether the batch supplied it, the count of standing
+    survivors present, and how many were DETHRONED by the admission —
+    plus the x6y freed_chars accounting. The oracle recomputes both
+    closures from scratch and runs the identical two survivor
+    windows."""
+    from .dedup import x2e3_touched_members
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    q = x2e3_touched_members(spark, sf_dir).join(docs, "id")
+    w_new = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "id"
+    )
+    newk = q.withColumn("rnk", F.row_number().over(w_new))
+    w_old = W.partitionBy("standing_label").orderBy(
+        F.col("n_chars").desc(), "id"
+    )
+    oldk = (
+        q.filter(F.col("standing_label").isNotNull())
+        .withColumn("srnk", F.row_number().over(w_old))
+        .filter(F.col("srnk") == 1)
+        .select(F.col("id").alias("old_keep_id"))
+        .withColumn("is_old_survivor", F.lit(1))
+    )
+    j = newk.join(
+        oldk, newk["id"] == oldk["old_keep_id"], "left"
+    )
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("is_batch").cast("int")).cast("long").alias("n_batch_docs"),
+        F.min(F.when(F.col("rnk") == 1, F.col("id")))
+        .cast("long")
+        .alias("keep_doc_id"),
+        (
+            F.max(
+                F.when(
+                    (F.col("rnk") == 1) & F.col("is_batch"), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("keep_is_batch"),
+        F.max(F.when(F.col("rnk") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("keep_n_chars"),
+        F.sum(F.when(F.col("is_old_survivor").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old_survivors"),
+        F.sum(
+            F.when(
+                F.col("is_old_survivor").isNotNull() & (F.col("rnk") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dethroned"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("freed_chars"),
+    )
+    return (
+        agg.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members", "n_batch_docs", "keep_doc_id", "keep_is_batch",
+            "keep_n_chars", "n_old_survivors", "n_dethroned", "freed_chars",
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # X6z — epoch-capped token-budget waterfilling ---------------------------------
 #
 # The mixture step x6e/x6n deliberately stop short of: when a declared

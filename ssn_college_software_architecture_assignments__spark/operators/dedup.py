@@ -939,7 +939,9 @@ _X2E3_VERDICT_CASE = (
     "ELSE 'merge' END"
 )
 
-_X2E3_ORACLE = f"""
+# The CTE chain through the member/touched-cluster tables is shared
+# with x6y3's incremental-survivorship oracle (the x6y/x2e2 precedent).
+_X2E3_CTES = f"""
 WITH {_grams3_cte("TRUE")},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -968,7 +970,9 @@ mem AS (
 ),
 touched AS (
   SELECT cluster_id FROM mem GROUP BY cluster_id HAVING bool_or(is_batch)
-),
+)"""
+
+_X2E3_ORACLE = f"""{_X2E3_CTES},
 stats AS (
   SELECT mem.cluster_id,
          CAST(count(*) AS BIGINT) AS n_members,
@@ -1008,18 +1012,13 @@ def x2e3_probe_pairs(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
-@register("x2e3_incremental_closure", oracle=_X2E3_ORACLE, tags=("X2", "X1"))
-def x2e3_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Admit a batch (doc_id % 10 = 0) into the standing transitive
-    closure (doc_id % 10 <> 0) incrementally: new edges = batch<->batch
-    pairs from the shared x2e2 pair site + batch->corpus pairs from the
-    gram-postings probe join; the standing closure contributes only its
-    STAR EDGES (id -> label), and large-star/small-star re-runs
-    warm-started under an 8-round budget that raises if the warm-start
-    promise breaks. Emits one row per batch-touched final cluster with
-    the absorbed-standing-cluster count and the new/extend/merge
-    verdict. The oracle recomputes both closures from scratch —
-    incremental must equal batch recompute."""
+def x2e3_touched_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental closure's membership table, factored out so the
+    admission stats (x2e3) and the incremental survivorship delta
+    (x6y3) read ONE site: warm-started final labels for every member of
+    a batch-touched cluster, with the batch flag and the member's
+    standing label (null for batch docs). Columns: (id, cluster_id,
+    is_batch, standing_label)."""
     docs = Catalog(spark, sf_dir).documents
     corpus = docs.filter(F.expr(_X2E3_CORPUS))
     batch = docs.filter(F.expr(_X2E3_BATCH))
@@ -1054,9 +1053,23 @@ def x2e3_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand_lab = standing.select(
         "id", F.col("label").alias("standing_label")
     )
+    return mem.join(touched, "cluster_id").join(stand_lab, "id", "left")
+
+
+@register("x2e3_incremental_closure", oracle=_X2E3_ORACLE, tags=("X2", "X1"))
+def x2e3_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit a batch (doc_id % 10 = 0) into the standing transitive
+    closure (doc_id % 10 <> 0) incrementally: new edges = batch<->batch
+    pairs from the shared x2e2 pair site + batch->corpus pairs from the
+    gram-postings probe join; the standing closure contributes only its
+    STAR EDGES (id -> label), and large-star/small-star re-runs
+    warm-started under an 8-round budget that raises if the warm-start
+    promise breaks. Emits one row per batch-touched final cluster with
+    the absorbed-standing-cluster count and the new/extend/merge
+    verdict. The oracle recomputes both closures from scratch —
+    incremental must equal batch recompute."""
     stats = (
-        mem.join(touched, "cluster_id")
-        .join(stand_lab, "id", "left")
+        x2e3_touched_members(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -91,11 +91,13 @@ _loaded = False
 _CHECK_PRIORITY = (
     # tier 1: the round-15 additions — no driver evidence exists yet
     # (uncapped full-corpus transitive closure, survivorship over it,
-    # incremental closure maintenance, MMR-diversified retrieval)
+    # incremental closure maintenance, MMR-diversified retrieval,
+    # incremental survivorship delta)
     "x2e2b_global_dedup_clusters_full",
     "x6y2_dedup_survivorship_full",
     "x2e3_incremental_closure",
     "x4z_mmr_diversified_retrieval",
+    "x6y3_incremental_survivorship",
     # tier 2a: the 48-id r9-evidence cohort — after r14 these are the
     # ONLY ids whose newest driver row predates r10; covering them is
     # r15's rotation goal

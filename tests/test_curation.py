@@ -1226,3 +1226,58 @@ def test_x6z_x4x_boundary_law_sync_both_engines(spark):
     assert got_s4[2][cols4.index("n_relevant")] == 0
     assert got_s4[2][cols4.index("recall_micro")] == 0
     assert got_s4[2][cols4.index("mrr_micro")] == 0
+
+
+def test_x6y3_batch_doc_dethrones_merged_survivors(spark, tmp_path):
+    """x6y3 on the x2e3 bridge fixture, every number hand-derived:
+    standing keepers are doc 1 (of {1,2}), doc 3 (of {3,4}) and doc 6
+    (of {5,6}, the longest). Batch doc 10 (19 chars) bridges {1,2} and
+    {3,4} AND outweighs everyone — the merged cluster's keeper is the
+    batch doc and BOTH old survivors are dethroned. Batch doc 50 joins
+    {5,6} but is shorter than doc 6 — the standing keeper keeps the
+    crown (n_dethroned 0). The singleton and batch-only clusters have
+    no old survivors at all."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6y3_incremental_survivorship,
+    )
+
+    rows = [
+        (1, "a b c d e f", "en", 11),
+        (2, "a b c d e y", "en", 11),
+        (3, "p q r s t u", "en", 11),
+        (4, "p q r s t z", "en", 11),
+        (5, "g h i j k l", "en", 11),
+        (6, "g h i j k z3", "en", 12),
+        (10, "a b c d e p q r s t", "en", 19),
+        (20, "k l m n", "en", 7),
+        (30, "u v w x y z1", "en", 12),
+        (40, "u v w x y z2", "en", 12),
+        (50, "g h i j k m", "en", 11),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["cluster_id"]: r
+        for r in x6y3_incremental_survivorship(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 5, 20, 30}
+    assert all(r["closure_converged"] for r in got.values())
+    m = got[1]  # the merge: batch doc 10 dethrones keepers 1 AND 3
+    assert (m["keep_doc_id"], m["keep_is_batch"], m["keep_n_chars"]) == (10, True, 19)
+    assert (m["n_old_survivors"], m["n_dethroned"]) == (2, 2)
+    assert m["freed_chars"] == 4 * 11
+    e = got[5]  # the extend: standing keeper 6 holds the crown
+    assert (e["keep_doc_id"], e["keep_is_batch"], e["keep_n_chars"]) == (6, False, 12)
+    assert (e["n_old_survivors"], e["n_dethroned"]) == (1, 0)
+    assert e["freed_chars"] == 11 + 11
+    s = got[20]
+    assert (s["keep_doc_id"], s["keep_is_batch"]) == (20, True)
+    assert (s["n_old_survivors"], s["n_dethroned"], s["freed_chars"]) == (0, 0, 0)
+    p = got[30]  # batch pair: n_chars tie -> doc_id asc keeps 30
+    assert (p["keep_doc_id"], p["keep_is_batch"]) == (30, True)
+    assert (p["n_old_survivors"], p["freed_chars"]) == (0, 12)

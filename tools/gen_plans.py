@@ -202,6 +202,7 @@ QUERIES = [
     "x6y2_dedup_survivorship_full",
     "x2e3_incremental_closure",
     "x4z_mmr_diversified_retrieval",
+    "x6y3_incremental_survivorship",
 ]
 
 
