@@ -573,6 +573,7 @@ def large_star_small_star(
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     converged = False
     for _ in range(max_iter):
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
@@ -599,10 +600,15 @@ def large_star_small_star(
             .distinct()
             .localCheckpoint()
         )
+        # fixpoint test on two DISTINCT sets: equal cardinality plus
+        # one-sided difference emptiness IS set equality — half the
+        # anti-join passes of the symmetric exceptAll-union check, and
+        # the counts are cheap aggregates over the checkpointed rows
+        n_ss = ss.count()
         changed = (
-            ss.exceptAll(e).union(e.exceptAll(ss)).limit(1).count()
+            1 if n_ss != n_e else ss.exceptAll(e).limit(1).count()
         )
-        e = ss
+        e, n_e = ss, n_ss
         if changed == 0:
             converged = True
             break
