@@ -2234,7 +2234,9 @@ from .textanalysis import (  # noqa: E402
     _X4U_W as _X6X_W,
 )
 
-_X6X_ORACLE = f"""
+# The CTE chain through `ranked` is shared with x4z2's chunk-MMR oracle
+# (the x4u/_X4U_CTES precedent at chunk granularity).
+_X6X_CTES = f"""
 WITH q AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, term
   FROM (VALUES {_X6X_QUERY_VALUES}) v(query_id, term)
@@ -2280,7 +2282,9 @@ ranked AS (
            ORDER BY score_micro DESC, doc_id, chunk_id
          ) AS rnk
   FROM scores
-)
+)"""
+
+_X6X_ORACLE = f"""{_X6X_CTES}
 SELECT query_id, rnk, doc_id, chunk_id, start_tok, score_micro, n_hit_terms
 FROM ranked
 WHERE rnk <= {_X6X_TOPK}
@@ -2666,17 +2670,23 @@ _X6Z_WEIGHT_CASE = (
     " WHEN source = 'src2' THEN 4 ELSE 1 END"
 )
 
-def _x6z_oracle(budget_x: int) -> str:
-    """The x6z oracle as a builder keyed on the budget multiplier, so
-    the budget==caps boundary law-sync pytest can run the SAME oracle
-    branch algebra at the boundary multiplier instead of monkeypatching
-    a baked string."""
-    return f"""
-WITH per AS (
+def _x6z_chain_sql(
+    budget_x: int,
+    docs_src: str = "documents",
+    extra_col: str = "",
+    extra_from: str = "",
+) -> str:
+    """THE waterfill oracle chain (per -> tot -> sorted prefix ->
+    threshold -> alloc), parameterized on the document roster so x6z
+    (raw corpus) and x6z2 (x6y2 survivors) run the identical cascade;
+    extra_col/extra_from let a caller carry a guard column through the
+    final select. Emitted WITHOUT the WITH keyword so callers can
+    prepend their own CTEs."""
+    return f"""per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
          CAST({_X6Z_WEIGHT_CASE} AS BIGINT) AS weight
-  FROM documents GROUP BY source
+  FROM {docs_src} GROUP BY source
 ),
 tot AS (
   SELECT CAST({budget_x} * sum(n_tokens) AS BIGINT) AS budget,
@@ -2722,25 +2732,28 @@ SELECT source, n_docs, n_tokens, weight, cap_tokens, saturated,
        alloc_tokens,
        CAST(({_X6Z_SCALE} * alloc_tokens) // n_tokens AS BIGINT)
          AS epochs_micro,
-       budget_feasible
-FROM alloc
+       budget_feasible{extra_col}
+FROM alloc{extra_from}
 ORDER BY source
 """
+
+
+def _x6z_oracle(budget_x: int) -> str:
+    """The x6z oracle as a builder keyed on the budget multiplier, so
+    the budget==caps boundary law-sync pytest can run the SAME oracle
+    branch algebra at the boundary multiplier instead of monkeypatching
+    a baked string."""
+    return "\nWITH " + _x6z_chain_sql(budget_x)
 
 
 _X6Z_ORACLE = _x6z_oracle(_X6Z_BUDGET_X)
 
 
-@register("x6z_token_budget_waterfill", oracle=_X6Z_ORACLE, tags=("X6",))
-def x6z_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch-capped mixture allocation by exact waterfilling: each
-    source gets min(cap, weight-share) of the token budget, saturated
-    caps redistribute to the unsaturated weight mass, and the cascade
-    resolves by the sorted-prefix threshold rule. All decisions are
-    BIGINT cross-multiplications; alloc and the realized epochs_micro
-    are floor divisions — bitwise-identical in both engines."""
-    docs = Catalog(spark, sf_dir).documents
-    per = (
+def _x6z_per_table(docs: DataFrame) -> DataFrame:
+    """The per-source (n_docs, n_tokens, weight) table the waterfill
+    chain consumes — one site so x6z (raw corpus) and x6z2 (x6y2
+    survivors only) count tokens by the same law."""
+    return (
         docs.select("source", F.size(F.split("text", " ")).alias("n_tok"))
         .groupBy("source")
         .agg(
@@ -2752,8 +2765,15 @@ def x6z_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_X6Z_WEIGHT_CASE).cast("long").alias("weight"),
         )
     )
+
+
+def _waterfill_alloc(per: DataFrame, budget_x: int) -> DataFrame:
+    """THE waterfill chain (sorted-prefix threshold, BIGINT
+    cross-multiplications, floor-division allocations), factored so
+    x6z and x6z2 run the identical cascade over different per-source
+    rosters. Returns the standard 9-column allocation, unordered."""
     tot = per.agg(
-        (F.lit(_X6Z_BUDGET_X) * F.sum("n_tokens")).cast("long").alias("budget"),
+        (F.lit(budget_x) * F.sum("n_tokens")).cast("long").alias("budget"),
         F.sum("weight").cast("long").alias("total_w"),
     )
     # sources-sized table from here on: the global windows are the x6e
@@ -2807,4 +2827,334 @@ def x6z_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_micro"),
         "budget_feasible",
+    )
+
+
+@register("x6z_token_budget_waterfill", oracle=_X6Z_ORACLE, tags=("X6",))
+def x6z_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture allocation by exact waterfilling: each
+    source gets min(cap, weight-share) of the token budget, saturated
+    caps redistribute to the unsaturated weight mass, and the cascade
+    resolves by the sorted-prefix threshold rule. All decisions are
+    BIGINT cross-multiplications; alloc and the realized epochs_micro
+    are floor divisions — bitwise-identical in both engines."""
+    docs = Catalog(spark, sf_dir).documents
+    return _waterfill_alloc(
+        _x6z_per_table(docs), _X6Z_BUDGET_X
     ).orderBy("source")
+
+
+# X6z2 — dedup-aware waterfilling (the budget math after survivorship) ---------
+#
+# x6z allocates against RAW per-source token mass; after a dedup run
+# that is the wrong denominator — a source whose mass is mostly
+# duplicates gets an inflated cap (cap = 4 epochs x its tokens) and the
+# cascade misallocates budget that the surviving corpus cannot absorb at
+# the declared epoch ceiling. x6z2 runs the IDENTICAL waterfill cascade
+# (shared _waterfill_alloc / _x6z_chain_sql sites — the x6j precedent of
+# recomputing mixture math against the deduped corpus) over only the
+# x6y2 SURVIVORS, so caps, the budget (2x the surviving tokens) and the
+# realized epochs all reflect what training would actually see. The
+# survivor roster is the registered x6y2 keep law verbatim; x2e2b's
+# convergence guard carries through.
+
+_X6Z2_CHAIN = _x6z_chain_sql(
+    _X6Z_BUDGET_X,
+    docs_src="(SELECT d.* FROM documents d JOIN surv ON d.doc_id = surv.doc_id)",
+    extra_col=",\n       lconv.ok AS closure_converged",
+    extra_from=" CROSS JOIN lconv",
+)
+
+_X6Z2_ORACLE = f"""{_X2E2B_CTES_REF},
+surv AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id, row_number() OVER (
+             PARTITION BY llab.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+           ) AS rnk
+    FROM documents d JOIN llab ON d.doc_id = llab.id
+  ) WHERE rnk = 1
+),
+{_X6Z2_CHAIN}"""
+
+
+@register("x6z2_dedup_aware_waterfill", oracle=_X6Z2_ORACLE,
+          tags=("X6", "X2"))
+def x6z2_dedup_aware_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x6z waterfill cascade re-run against the DEDUPED corpus:
+    per-source tokens, caps and the 2x budget all count only x6y2's
+    keep-longest survivors, so a duplicate-heavy source no longer
+    claims budget for mass that dedup removed. Composes the registered
+    x6y2 manifest for the roster and the shared waterfill sites for the
+    cascade — neither law can diverge from its sibling."""
+    surv_ids = (
+        x6y2_dedup_survivorship_full(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    docs = Catalog(spark, sf_dir).documents.join(surv_ids, "doc_id", "semi")
+    return (
+        _waterfill_alloc(_x6z_per_table(docs), _X6Z_BUDGET_X)
+        .select("*", F.lit(True).alias("closure_converged"))
+        .orderBy("source")
+    )
+
+
+# X4z2 — chunk-level MMR re-rank (dedup-at-serving over the RAG chunks) --------
+#
+# The x4z law at the granularity RAG actually serves: x6v's overlapped
+# chunks GUARANTEE redundancy in x6x's top-k (a term in the 4-token
+# overlap span surfaces BOTH adjacent chunks — the pytest-pinned x6x
+# property), and stuffing both into a context window wastes a slot on
+# ~75%-duplicate text. x4z2 re-ranks x6x's chunk top-10 by greedy MMR:
+# the same declared lambda, the same rank-based relevance law, token-set
+# Jaccard between CHUNK token sets as redundancy, and THE shared fold —
+# mmr_greedy_outputs / _X4Z_MERGE — so the branch algebra is one site
+# across granularities. Chunk identity rides the fold as unit =
+# doc_id * 1e6 + chunk_id (chunk ids are stride-bounded, orders of
+# magnitude below 1e6), whose integer order IS the (doc_id, chunk_id)
+# lexicographic tie law.
+#
+# Scale shape: x6x's shape for retrieval; everything after is
+# k-per-query sized (candidate-chunk postings equi-join for the k^2
+# sims, a k-element JVM fold per query). No corpus pairs, no driver.
+
+from .textanalysis import (  # noqa: E402
+    _X4V_RRF_K as _X4Z2_RRF_K,
+    _X4Z_MERGE as _X4Z2_MERGE,
+    mmr_greedy_outputs,
+)
+
+_X4Z2_UNIT = 1_000_000
+
+_X4Z2_ORACLE = f"""{_X6X_CTES},
+cand AS (
+  SELECT query_id, CAST(rnk AS BIGINT) AS pa,
+         doc_id, chunk_id,
+         doc_id * {_X4Z2_UNIT} + chunk_id AS unit,
+         CAST(1000000 // ({_X4Z2_RRF_K} + rnk) AS BIGINT) AS rel
+  FROM ranked WHERE rnk <= {_X6X_TOPK}
+),
+ctoksd AS (
+  SELECT c.doc_id, c.chunk_id, unnest(list_distinct(c.ctoks)) AS tok
+  FROM chunks c
+  JOIN (SELECT DISTINCT doc_id, chunk_id FROM cand) cd
+    ON c.doc_id = cd.doc_id AND c.chunk_id = cd.chunk_id
+),
+csizes AS (
+  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n
+  FROM ctoksd GROUP BY doc_id, chunk_id
+),
+cinter AS (
+  SELECT a.query_id, a.pa AS pa, b.pa AS pb,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.pa < b.pa
+  JOIN ctoksd ta ON ta.doc_id = a.doc_id AND ta.chunk_id = a.chunk_id
+  JOIN ctoksd tb ON tb.doc_id = b.doc_id AND tb.chunk_id = b.chunk_id
+               AND ta.tok = tb.tok
+  GROUP BY 1, 2, 3
+),
+cjac AS (
+  SELECT i.query_id, i.pa, i.pb,
+         (1000000 * i.n_common) // (sa.n + sb.n - i.n_common) AS sim
+  FROM cinter i
+  JOIN cand ca ON ca.query_id = i.query_id AND ca.pa = i.pa
+  JOIN cand cb ON cb.query_id = i.query_id AND cb.pa = i.pb
+  JOIN csizes sa ON sa.doc_id = ca.doc_id AND sa.chunk_id = ca.chunk_id
+  JOIN csizes sb ON sb.doc_id = cb.doc_id AND sb.chunk_id = cb.chunk_id
+),
+cgrid AS (
+  SELECT a.query_id, a.pa, b.pa AS pb,
+         CASE WHEN a.pa = b.pa THEN 0
+              ELSE coalesce(j.sim, 0) END AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id
+  LEFT JOIN cjac j ON j.query_id = a.query_id
+                  AND j.pa = least(a.pa, b.pa)
+                  AND j.pb = greatest(a.pa, b.pa)
+),
+csimlist AS (
+  SELECT query_id, pa, list(sim ORDER BY pb) AS sims
+  FROM cgrid GROUP BY query_id, pa
+),
+crows AS (
+  SELECT c.query_id,
+         list_concat([c.pa, c.unit, c.rel], s.sims) AS r
+  FROM cand c JOIN csimlist s ON c.query_id = s.query_id AND c.pa = s.pa
+),
+clst AS (
+  SELECT query_id,
+         list_concat(
+           [list_concat([CAST([] AS BIGINT[])], list(r ORDER BY r[1]))],
+           list([r] ORDER BY r[1])) AS l
+  FROM crows GROUP BY query_id
+),
+cfolded AS (
+  SELECT query_id, list_reduce(l, (acc, x) -> {_X4Z2_MERGE}) AS st FROM clst
+),
+couts AS (
+  SELECT query_id, unnest(st) AS u FROM cfolded
+)
+SELECT query_id,
+       CAST(-u[1] AS INT)           AS mmr_rank,
+       u[2] // {_X4Z2_UNIT}         AS doc_id,
+       u[2] % {_X4Z2_UNIT}          AS chunk_id,
+       CAST(u[3] AS INT)            AS bm25_rnk,
+       u[4]                         AS rel_micro,
+       u[5]                         AS max_sim_micro,
+       u[6]                         AS mmr_micro
+FROM couts WHERE u[1] < 0
+ORDER BY query_id, mmr_rank
+"""
+
+
+@register("x4z2_chunk_mmr_rerank", oracle=_X4Z2_ORACLE, tags=("X4", "X6"))
+def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank of x6x's chunk-level BM25 top-10 — the
+    serving-time dedup step where redundancy is STRUCTURAL (adjacent
+    overlapped chunks share the 4-token span that surfaced them both).
+    Same declared lambda, rank-relevance and Jaccard-micro laws as
+    x4z, THE shared fold site, chunk identity as the integer unit
+    doc_id*1e6+chunk_id whose order is the (doc_id, chunk_id) tie
+    law."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    ranked = x6x_chunk_bm25_retrieval(spark, sf_dir)
+    cand = ranked.filter(F.col("rnk") <= _X6X_TOPK).select(
+        "query_id",
+        F.col("rnk").cast("long").alias("pa"),
+        "doc_id", "chunk_id",
+        (F.col("doc_id") * _X4Z2_UNIT + F.col("chunk_id"))
+        .cast("long")
+        .alias("unit"),
+        F.expr(f"CAST(1000000 div ({_X4Z2_RRF_K} + rnk) AS BIGINT)").alias(
+            "rel"
+        ),
+    )
+    chunks = overlapped_chunks(docs, _X6V_WINDOW, _X6V_OVERLAP).select(
+        "doc_id", "chunk_id", "ctoks"
+    )
+    ctoksd = (
+        chunks.join(
+            cand.select("doc_id", "chunk_id").distinct(),
+            ["doc_id", "chunk_id"],
+            "semi",
+        )
+        .select(
+            "doc_id", "chunk_id",
+            F.explode(F.array_distinct("ctoks")).alias("tok"),
+        )
+    )
+    csizes = ctoksd.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    ta, tb = ctoksd.alias("ta"), ctoksd.alias("tb")
+    cinter = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.pa") < F.col("b.pa")),
+        )
+        .join(
+            ta,
+            (F.col("ta.doc_id") == F.col("a.doc_id"))
+            & (F.col("ta.chunk_id") == F.col("a.chunk_id")),
+        )
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("b.doc_id"))
+            & (F.col("tb.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.pa").alias("pa"),
+            F.col("b.pa").alias("pb"),
+            F.col("a.doc_id").alias("da"),
+            F.col("a.chunk_id").alias("ca"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.chunk_id").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cjac = (
+        cinter.join(
+            csizes.select(
+                F.col("doc_id").alias("da"), F.col("chunk_id").alias("ca"),
+                F.col("n").alias("na"),
+            ),
+            ["da", "ca"],
+        )
+        .join(
+            csizes.select(
+                F.col("doc_id").alias("db"), F.col("chunk_id").alias("cb"),
+                F.col("n").alias("nb"),
+            ),
+            ["db", "cb"],
+        )
+        .select(
+            "query_id", "pa", "pb",
+            F.expr(
+                "CAST((1000000 * n_common) div (na + nb - n_common)"
+                " AS BIGINT)"
+            ).alias("sim"),
+        )
+    )
+    ga, gb = cand.alias("ga"), cand.alias("gb")
+    cgrid = (
+        ga.join(gb, F.col("ga.query_id") == F.col("gb.query_id"))
+        .select(
+            F.col("ga.query_id").alias("query_id"),
+            F.col("ga.pa").alias("pa"),
+            F.col("gb.pa").alias("pb"),
+        )
+        .join(
+            cjac.select(
+                F.col("query_id").alias("jq"),
+                F.col("pa").alias("jpa"),
+                F.col("pb").alias("jpb"),
+                "sim",
+            ),
+            (F.col("jq") == F.col("query_id"))
+            & (F.col("jpa") == F.least("pa", "pb"))
+            & (F.col("jpb") == F.greatest("pa", "pb")),
+            "left",
+        )
+        .select(
+            "query_id", "pa", "pb",
+            F.when(F.col("pa") == F.col("pb"), F.lit(0).cast("long"))
+            .otherwise(F.coalesce(F.col("sim"), F.lit(0).cast("long")))
+            .alias("sim"),
+        )
+    )
+    csimlist = cgrid.groupBy("query_id", "pa").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.array("pb", "sim"))),
+            lambda x: F.element_at(x, 2),
+        ).alias("sims")
+    )
+    crows = cand.join(csimlist, ["query_id", "pa"]).select(
+        "query_id",
+        F.concat(F.array("pa", "unit", "rel"), F.col("sims")).alias("r"),
+    )
+    clst = crows.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("r")).alias("rows")
+    )
+    outs = mmr_greedy_outputs(clst)
+    return (
+        outs.select(
+            "query_id",
+            (-F.element_at("u", 1)).cast("int").alias("mmr_rank"),
+            F.expr(f"element_at(u, 2) div {_X4Z2_UNIT}").alias("doc_id"),
+            (F.element_at("u", 2) % _X4Z2_UNIT).alias("chunk_id"),
+            F.element_at("u", 3).cast("int").alias("bm25_rnk"),
+            F.element_at("u", 4).alias("rel_micro"),
+            F.element_at("u", 5).alias("max_sim_micro"),
+            F.element_at("u", 6).alias("mmr_micro"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -2916,3 +2916,113 @@ def x5t_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# X5u — shot segmentation over the x5k scene-change profile --------------------
+#
+# The step after scene-change SCORING: split each clip into SHOTS. A
+# frame opens a new shot when its x5k mean-abs-diff exceeds 1.1x the
+# clip's own mean — a data-derived threshold, decided by pure BIGINT
+# cross-multiplication over the 4dp-integerized scores (DEN * n * d4 >
+# NUM * sum_d4; no float ever crosses the comparison), so the cut roster
+# is bitwise cross-engine. Shot ids are the w15 gaps-and-islands idiom:
+# a running sum of cut flags over the frame order (frame 0, which x5k
+# never scores, anchors shot 0 with a planted zero row). Composes the
+# registered x5k operator verbatim — scores both engines already agree
+# on — so segmentation adds one clip-partitioned window and one
+# (clip, shot) aggregate, never a second demux.
+#
+# Scale shape: x5k's bounded-output contract (frames-per-clip rows, no
+# pixels) feeds a window partitioned by clip — bounded state — and the
+# final hash-agg shuffles one row per (clip, shot). At 100 TB of video
+# the only heavy pass remains x5k's single demux.
+
+_X5U_NUM = 11   # cut iff d4 > (NUM/DEN) x clip mean: 1.1x
+_X5U_DEN = 10
+
+# single-site cut law, interpolated into BOTH engines (columns d4 = the
+# integerized score, s = clip sum, c = clip count)
+_X5U_CUT_CASE = (
+    f"CASE WHEN {_X5U_DEN} * c * d4 > {_X5U_NUM} * s THEN 1 ELSE 0 END"
+)
+
+_X5U_ORACLE = f"""
+WITH k AS ({_X5K_ORACLE}),
+i4 AS (
+  SELECT doc_id, frame_idx,
+         CAST(round(mean_abs_diff * 10000) AS BIGINT) AS d4
+  FROM k WHERE scene_status = 'ok'
+),
+tot AS (
+  SELECT doc_id, CAST(sum(d4) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM i4 GROUP BY doc_id
+),
+cuts AS (
+  SELECT i4.doc_id, i4.frame_idx, {_X5U_CUT_CASE} AS cut
+  FROM i4 JOIN tot USING (doc_id)
+),
+roster AS (
+  SELECT doc_id, 0 AS frame_idx, 0 AS cut FROM documents
+  UNION ALL
+  SELECT doc_id, frame_idx, cut FROM cuts
+),
+shots AS (
+  SELECT doc_id, frame_idx,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS shot_id
+  FROM roster
+)
+SELECT doc_id,
+       CAST(shot_id AS BIGINT)    AS shot_id,
+       CAST(min(frame_idx) AS INT) AS start_frame,
+       CAST(max(frame_idx) AS INT) AS end_frame,
+       CAST(count(*) AS BIGINT)   AS n_frames
+FROM shots
+GROUP BY doc_id, shot_id
+ORDER BY doc_id, shot_id
+"""
+
+
+@register("x5u_shot_segmentation", oracle=_X5U_ORACLE, tags=("X5",))
+def x5u_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each clip into shots: a frame opens a new shot when its
+    x5k scene-change score exceeds 1.1x the clip mean (BIGINT
+    cross-multiplied over 4dp-integerized scores — the cut roster is
+    exact in both engines), shot ids by running cut-flag sum over the
+    frame order, one output row per (clip, shot) with its frame span.
+    Composes the registered x5k scores verbatim."""
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    k = x5k_scene_change(spark, sf_dir).filter(
+        F.col("scene_status") == "ok"
+    )
+    i4 = k.select(
+        "doc_id", "frame_idx",
+        F.expr("CAST(round(mean_abs_diff * 10000) AS BIGINT)").alias("d4"),
+    )
+    tot = i4.groupBy("doc_id").agg(
+        F.sum("d4").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    cuts = i4.join(tot, "doc_id").select(
+        "doc_id", "frame_idx", F.expr(_X5U_CUT_CASE).alias("cut")
+    )
+    roster = docs.select(
+        "doc_id", F.lit(0).alias("frame_idx"), F.lit(0).alias("cut")
+    ).unionByName(cuts)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    shots = roster.withColumn("shot_id", F.sum("cut").over(w))
+    return (
+        shots.groupBy("doc_id", "shot_id")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+        )
+        .select(
+            "doc_id", F.col("shot_id").cast("long").alias("shot_id"),
+            "start_frame", "end_frame", "n_frames",
+        )
+        .orderBy("doc_id", "shot_id")
+    )

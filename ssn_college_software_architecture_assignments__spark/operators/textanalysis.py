@@ -2285,6 +2285,73 @@ ORDER BY query_id, mmr_rank
 """
 
 
+def mmr_greedy_outputs(lst: DataFrame) -> DataFrame:
+    """THE Spark half of the MMR fold (the DuckDB half is _X4Z_MERGE):
+    given per-query candidate lists — (query_id, rows) where rows[p] =
+    [position, unit_id, rel_micro, sim_to_pos_1..n] — run the greedy
+    argmax fold and explode the tagged output rows (query_id, u) with
+    u = [-rank, unit_id, position, rel, maxsim, mmr]. One site shared
+    by the document-level (x4z) and chunk-level (x4z2) re-rankers so
+    the branch algebra cannot diverge between granularities."""
+    num, den = _X4Z_LAMBDA_NUM, _X4Z_LAMBDA_DEN
+
+    def maxsim(sel, r):
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    sel, lambda s: F.element_at(r, (s + F.lit(3)).cast("int"))
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    def key(sel, r):
+        ms = maxsim(sel, r)
+        return F.array(
+            F.lit(num) * F.element_at(r, 3) - F.lit(den - num) * ms,
+            -F.element_at(r, 2),
+            F.element_at(r, 1),
+            F.element_at(r, 3),
+            ms,
+        )
+
+    def merge(acc, x):
+        sel = F.element_at(acc, 1)
+        tail = F.slice(acc, 2, F.size(acc) - 1)
+        rem = F.filter(
+            tail,
+            lambda r: (F.element_at(r, 1) > 0)
+            & ~F.array_contains(sel, F.element_at(r, 1)),
+        )
+        best = F.array_max(F.transform(rem, lambda r: key(sel, r)))
+        out = F.array(
+            (-(F.size(sel) + 1)).cast("long"),
+            -F.element_at(best, 2),
+            F.element_at(best, 3),
+            F.element_at(best, 4),
+            F.element_at(best, 5),
+            F.element_at(best, 1),
+        )
+        return F.concat(
+            F.array(F.concat(sel, F.array(F.element_at(best, 3)))),
+            tail,
+            F.array(out),
+        )
+
+    empty = F.expr("cast(array() as array<bigint>)")
+    init_state = F.concat(F.array(empty), F.col("rows"))
+    wrapped = F.transform("rows", lambda r: F.array(r))
+    st = lst.select(
+        "query_id", F.aggregate(wrapped, init_state, merge).alias("st")
+    )
+    return st.select(
+        "query_id",
+        F.explode(
+            F.filter("st", lambda r: F.element_at(r, 1) < 0)
+        ).alias("u"),
+    )
+
+
 @register("x4z_mmr_diversified_retrieval", oracle=_X4Z_ORACLE, tags=("X4",))
 def x4z_mmr_diversified_retrieval(
     spark: SparkSession, sf_dir: str
@@ -2397,64 +2464,7 @@ def x4z_mmr_diversified_retrieval(
     lst = rows_.groupBy("query_id").agg(
         F.sort_array(F.collect_list("r")).alias("rows")
     )
-
-    num, den = _X4Z_LAMBDA_NUM, _X4Z_LAMBDA_DEN
-
-    def maxsim(sel, r):
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    sel, lambda s: F.element_at(r, (s + F.lit(3)).cast("int"))
-                )
-            ),
-            F.lit(0).cast("long"),
-        )
-
-    def key(sel, r):
-        ms = maxsim(sel, r)
-        return F.array(
-            F.lit(num) * F.element_at(r, 3) - F.lit(den - num) * ms,
-            -F.element_at(r, 2),
-            F.element_at(r, 1),
-            F.element_at(r, 3),
-            ms,
-        )
-
-    def merge(acc, x):
-        sel = F.element_at(acc, 1)
-        tail = F.slice(acc, 2, F.size(acc) - 1)
-        rem = F.filter(
-            tail,
-            lambda r: (F.element_at(r, 1) > 0)
-            & ~F.array_contains(sel, F.element_at(r, 1)),
-        )
-        best = F.array_max(F.transform(rem, lambda r: key(sel, r)))
-        out = F.array(
-            (-(F.size(sel) + 1)).cast("long"),
-            -F.element_at(best, 2),
-            F.element_at(best, 3),
-            F.element_at(best, 4),
-            F.element_at(best, 5),
-            F.element_at(best, 1),
-        )
-        return F.concat(
-            F.array(F.concat(sel, F.array(F.element_at(best, 3)))),
-            tail,
-            F.array(out),
-        )
-
-    empty = F.expr("cast(array() as array<bigint>)")
-    init_state = F.concat(F.array(empty), F.col("rows"))
-    wrapped = F.transform("rows", lambda r: F.array(r))
-    st = lst.select(
-        "query_id", F.aggregate(wrapped, init_state, merge).alias("st")
-    )
-    outs = st.select(
-        "query_id",
-        F.explode(
-            F.filter("st", lambda r: F.element_at(r, 1) < 0)
-        ).alias("u"),
-    )
+    outs = mmr_greedy_outputs(lst)
     return (
         outs.select(
             "query_id",

@@ -92,12 +92,16 @@ _CHECK_PRIORITY = (
     # tier 1: the round-15 additions — no driver evidence exists yet
     # (uncapped full-corpus transitive closure, survivorship over it,
     # incremental closure maintenance, MMR-diversified retrieval,
-    # incremental survivorship delta)
+    # incremental survivorship delta, dedup-aware waterfilling,
+    # shot segmentation, chunk-level MMR)
     "x2e2b_global_dedup_clusters_full",
     "x6y2_dedup_survivorship_full",
     "x2e3_incremental_closure",
     "x4z_mmr_diversified_retrieval",
     "x6y3_incremental_survivorship",
+    "x6z2_dedup_aware_waterfill",
+    "x5u_shot_segmentation",
+    "x4z2_chunk_mmr_rerank",
     # tier 2a: the 48-id r9-evidence cohort — after r14 these are the
     # ONLY ids whose newest driver row predates r10; covering them is
     # r15's rotation goal
@@ -163,6 +167,7 @@ _CHECK_PRIORITY = (
     "x6y_dedup_survivorship",
     "x6z_token_budget_waterfill",
     "x4x_retrieval_eval",
+    "x6x_chunk_bm25_retrieval",
     # ---- ~50-query driver budget line sits inside tier 2a; below: the
     # remainder, stalest driver evidence first
     # -- newest driver evidence r10 --
@@ -401,7 +406,6 @@ _CHECK_PRIORITY = (
     "x6d_decontamination",
     "x6k_incremental_admission_funnel",
     "x6l_shard_manifest",
-    "x6x_chunk_bm25_retrieval",
 )
 
 

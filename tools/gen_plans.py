@@ -203,6 +203,9 @@ QUERIES = [
     "x2e3_incremental_closure",
     "x4z_mmr_diversified_retrieval",
     "x6y3_incremental_survivorship",
+    "x6z2_dedup_aware_waterfill",
+    "x5u_shot_segmentation",
+    "x4z2_chunk_mmr_rerank",
 ]
 
 
