@@ -1010,3 +1010,119 @@ def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# A18 — exact grouped median absolute deviation (robust spread) ----------------
+#
+# The robust SPREAD statistic to a17's robust center: MAD = median of
+# |x - median(x)|, the filter threshold quality pipelines prefer over
+# stddev because one 10M-token outlier document doesn't move it. Both
+# medians are the a17 lower-weighted-median law — collapse to distinct
+# value points first, cumulate over the value order, pick
+# min{v : 2*cumw >= totw} — so the whole statistic is BIGINT
+# comparisons end to end: no interpolation, no float, bitwise
+# cross-engine. Two passes by necessity (the deviation needs the
+# center), each the a17 shape.
+#
+# Scale shape: two map-combined hash-aggs (corpus -> distinct token
+# counts per source; deviations -> distinct |x-med| points) and two
+# windows over DISTINCT-VALUE partitions (bounded by the token-count
+# domain, not row count). The med table is sources-sized and joins the
+# point table broadcast.
+
+_A18_ORACLE = """
+WITH pts AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS w
+  FROM documents GROUP BY 1, 2
+),
+cum1 AS (
+  SELECT source, v, w,
+         sum(w) OVER (PARTITION BY source ORDER BY v) AS cumw,
+         sum(w) OVER (PARTITION BY source) AS totw
+  FROM pts
+),
+med AS (
+  SELECT source, CAST(totw AS BIGINT) AS n_docs,
+         CAST(min(CASE WHEN 2 * cumw >= totw THEN v END) AS BIGINT)
+           AS median_tokens
+  FROM cum1 GROUP BY source, totw
+),
+dev AS (
+  SELECT p.source, abs(p.v - m.median_tokens) AS d,
+         CAST(sum(p.w) AS BIGINT) AS w
+  FROM pts p JOIN med m USING (source) GROUP BY 1, 2
+),
+cum2 AS (
+  SELECT source, d, w,
+         sum(w) OVER (PARTITION BY source ORDER BY d) AS cumw,
+         sum(w) OVER (PARTITION BY source) AS totw
+  FROM dev
+),
+mad AS (
+  SELECT source,
+         CAST(min(CASE WHEN 2 * cumw >= totw THEN d END) AS BIGINT)
+           AS mad_tokens
+  FROM cum2 GROUP BY source
+)
+SELECT med.source, med.n_docs, med.median_tokens, mad.mad_tokens
+FROM med JOIN mad USING (source)
+ORDER BY med.source
+"""
+
+
+@register("a18_grouped_mad", oracle=_A18_ORACLE, tags=("A6",))
+def a18_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source median and median-absolute-deviation of
+    document token counts: both statistics by the a17 lower-weighted-
+    median law (min{v : 2*cumw >= totw} over distinct value points) —
+    BIGINT comparisons end to end, no interpolation. The outlier
+    robustness a quality gate wants from its length filter."""
+    docs = Catalog(spark, sf_dir).documents
+
+    def lower_median(pts: DataFrame, vcol: str) -> DataFrame:
+        w_cum = W.partitionBy("source").orderBy(vcol)
+        w_grp = W.partitionBy("source")
+        cum = pts.select(
+            "source", vcol, "w",
+            F.sum("w").over(w_cum).alias("cumw"),
+            F.sum("w").over(w_grp).alias("totw"),
+        )
+        return cum.groupBy("source", "totw").agg(
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col(vcol))
+            )
+            .cast("long")
+            .alias(f"med_{vcol}")
+        )
+
+    pts = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("v")
+        )
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    med = lower_median(pts, "v").select(
+        "source",
+        F.col("totw").cast("long").alias("n_docs"),
+        F.col("med_v").alias("median_tokens"),
+    )
+    dev = (
+        pts.join(F.broadcast(med.select("source", "median_tokens")), "source")
+        .select(
+            "source",
+            F.abs(F.col("v") - F.col("median_tokens")).alias("d"),
+            "w",
+        )
+        .groupBy("source", "d")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    mad = lower_median(dev, "d").select(
+        "source", F.col("med_d").alias("mad_tokens")
+    )
+    return (
+        med.join(mad, "source")
+        .select("source", "n_docs", "median_tokens", "mad_tokens")
+        .orderBy("source")
+    )

@@ -325,3 +325,68 @@ def f6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         kernel, "doc_id long, n_bytes long, n_spaces long, n_tokens long"
     ).orderBy("doc_id")
+
+
+# F7 — grouped applyInArrow: zero-copy grouped aggregation ----------------------
+#
+# The sixth Python door: GroupedData.applyInArrow hands each GROUP to
+# the kernel as one pyarrow.Table — the zero-copy sibling of
+# applyInPandas (f2), for kernels that are themselves vectorized C.
+# Here per-source byte statistics run entirely inside pyarrow compute
+# (binary_length + sum/min/max aggregations); the only Python per group
+# is dispatch. Counting BYTES, not characters, is the point of the law
+# (the multibyte pytest pins it); DuckDB's strlen is also bytes, so the
+# oracle is mechanical and exact.
+#
+# Scale shape: one shuffle on the group key; each group materializes in
+# the worker as a single Arrow table, so the kernel's memory bound is
+# the largest group — at 100 TB the key becomes (source, bucket)
+# exactly as x6b documents for its packer groups.
+
+_F7_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT)          AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(min(strlen(text)) AS BIGINT) AS min_bytes,
+       CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+FROM documents GROUP BY source
+ORDER BY source
+"""
+
+
+def f7_group_bytes_kernel(table):
+    """Per-group kernel: byte-length stats via pyarrow compute only —
+    no pandas, no per-row Python. Shared by the registered query and
+    the multibyte law pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lens = pc.cast(pc.binary_length(table.column("text")), pa.int64())
+    return pa.table(
+        {
+            "source": [table.column("source")[0].as_py()],
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "total_bytes": pa.array([pc.sum(lens).as_py()], pa.int64()),
+            "min_bytes": pa.array([pc.min(lens).as_py()], pa.int64()),
+            "max_bytes": pa.array([pc.max(lens).as_py()], pa.int64()),
+        }
+    )
+
+
+@register("f7_apply_in_arrow", oracle=_F7_ORACLE, tags=("F1", "F2"))
+def f7_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte statistics via GroupedData.applyInArrow: each
+    source's rows arrive as ONE zero-copy Arrow table and the kernel
+    answers with a one-row table computed by C aggregation kernels.
+    Byte semantics (not characters) are the pinned law — DuckDB strlen
+    matches Arrow binary_length exactly."""
+    docs = Catalog(spark, sf_dir).documents.select("source", "text")
+    return (
+        docs.groupBy("source")
+        .applyInArrow(
+            f7_group_bytes_kernel,
+            "source string, n_docs long, total_bytes long, "
+            "min_bytes long, max_bytes long",
+        )
+        .orderBy("source")
+    )

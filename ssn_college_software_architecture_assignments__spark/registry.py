@@ -93,7 +93,8 @@ _CHECK_PRIORITY = (
     # (uncapped full-corpus transitive closure, survivorship over it,
     # incremental closure maintenance, MMR-diversified retrieval,
     # incremental survivorship delta, dedup-aware waterfilling,
-    # shot segmentation, chunk-level MMR)
+    # shot segmentation, chunk-level MMR, grouped exact MAD,
+    # grouped applyInArrow byte stats)
     "x2e2b_global_dedup_clusters_full",
     "x6y2_dedup_survivorship_full",
     "x2e3_incremental_closure",
@@ -102,6 +103,8 @@ _CHECK_PRIORITY = (
     "x6z2_dedup_aware_waterfill",
     "x5u_shot_segmentation",
     "x4z2_chunk_mmr_rerank",
+    "a18_grouped_mad",
+    "f7_apply_in_arrow",
     # tier 2a: the 48-id r9-evidence cohort — after r14 these are the
     # ONLY ids whose newest driver row predates r10; covering them is
     # r15's rotation goal

@@ -116,3 +116,40 @@ def test_a17_weighted_median_planted_laws(spark):
     assert rows["B"]["median_price_cents"] == 10  # lower median at tie
     assert rows["C"]["median_price_cents"] == 999
     assert rows["C"]["total_qty"] == 7
+
+
+def test_a18_mad_planted_laws(spark):
+    """a18 on handmade token counts, every value hand-derived under the
+    a17 lower-median law: source s = [2, 4, 10, 100] tokens -> even
+    count takes the LOWER median 4; deviations [2, 0, 6, 96] -> MAD 2,
+    unmoved by the 100-token outlier (a stddev-based spread would read
+    ~41 — the robustness a18 exists for). Source t = [3, 5, 9] -> the
+    odd case: median 5, deviations [2, 0, 4] -> MAD 2."""
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a18_grouped_mad,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.aggregations as amod
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = (
+        [(i, words(n), "s") for i, n in enumerate([2, 4, 10, 100])]
+        + [(10 + i, words(n), "t") for i, n in enumerate([3, 5, 9])]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = amod.Catalog
+    amod.Catalog = _Cat
+    try:
+        got = {r["source"]: r for r in a18_grouped_mad(spark, "x").collect()}
+    finally:
+        amod.Catalog = orig
+
+    s, t = got["s"], got["t"]
+    assert (s["n_docs"], s["median_tokens"], s["mad_tokens"]) == (4, 4, 2)
+    assert (t["n_docs"], t["median_tokens"], t["mad_tokens"]) == (3, 5, 2)

@@ -127,3 +127,40 @@ def test_f6_map_in_arrow_exact_byte_laws(spark):
     assert rows[2]["n_bytes"] == 13 and rows[2]["n_spaces"] == 2
     assert rows[3]["n_spaces"] == 0 and rows[3]["n_tokens"] == 1
     assert rows[4]["n_spaces"] == 2 and rows[4]["n_tokens"] == 3
+
+
+def test_f7_counts_bytes_not_characters(spark):
+    """f7's pinned law: Arrow binary_length (and DuckDB strlen) count
+    UTF-8 BYTES. A 5-character text with one 2-byte character measures
+    6 bytes; the kernel's per-group min/max/total all follow. Verified
+    against python's own encode() lengths on a handmade corpus."""
+    from ssn_college_software_architecture_assignments__spark.operators.udfs import (
+        f7_apply_in_arrow,
+    )
+    import ssn_college_software_architecture_assignments__spark.operators.udfs as umod
+
+    texts_a = ["héllo", "ascii"]       # 6 bytes, 5 bytes
+    texts_b = ["éé", "xyz", "pq"]  # 4, 3, 2 bytes
+    rows = [(i, t, "a") for i, t in enumerate(texts_a)] + [
+        (10 + i, t, "b") for i, t in enumerate(texts_b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = umod.Catalog
+    umod.Catalog = _Cat
+    try:
+        got = {r["source"]: r for r in f7_apply_in_arrow(spark, "x").collect()}
+    finally:
+        umod.Catalog = orig
+
+    blen = lambda t: len(t.encode("utf-8"))  # noqa: E731
+    a, b = got["a"], got["b"]
+    assert a["n_docs"] == 2 and a["total_bytes"] == sum(map(blen, texts_a)) == 11
+    assert (a["min_bytes"], a["max_bytes"]) == (5, 6)
+    assert a["max_bytes"] == 6 != len("héllo")  # bytes, not chars
+    assert b["n_docs"] == 3 and b["total_bytes"] == 9
+    assert (b["min_bytes"], b["max_bytes"]) == (2, 4)

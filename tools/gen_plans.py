@@ -206,6 +206,8 @@ QUERIES = [
     "x6z2_dedup_aware_waterfill",
     "x5u_shot_segmentation",
     "x4z2_chunk_mmr_rerank",
+    "a18_grouped_mad",
+    "f7_apply_in_arrow",
 ]
 
 
