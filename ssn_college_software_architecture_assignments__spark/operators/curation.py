@@ -2926,6 +2926,37 @@ from .textanalysis import (  # noqa: E402
 
 _X4Z2_UNIT = 1_000_000
 
+
+def _x4z2_unit_col():
+    """Composite chunk identity doc_id*_X4Z2_UNIT+chunk_id as the
+    BIGINT `unit` column, with a loud runtime guard (r16, closing an
+    r15 advisory; mirrors the x3y ragged-dimension posture): a
+    chunk_id >= _X4Z2_UNIT (~12M tokens at stride 12) would silently
+    alias two different chunks into one unit and corrupt the MMR
+    picks/decoding, so such a row raises instead of mis-folding. The
+    guard is a per-row CASE — conforming data pays one comparison and
+    the oracle needs no twin (it is an engine-input guard, not a
+    value law)."""
+    return (
+        F.when(
+            F.col("chunk_id") < F.lit(_X4Z2_UNIT),
+            F.col("doc_id") * _X4Z2_UNIT + F.col("chunk_id"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "x4z2: chunk_id %s >= "
+                    + str(_X4Z2_UNIT)
+                    + " would alias two chunks into one composite unit",
+                    F.col("chunk_id"),
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("unit")
+    )
+
+
 _X4Z2_ORACLE = f"""{_X6X_CTES},
 cand AS (
   SELECT query_id, CAST(rnk AS BIGINT) AS pa,
@@ -3027,9 +3058,7 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rnk").cast("long").alias("pa"),
         "doc_id", "chunk_id",
-        (F.col("doc_id") * _X4Z2_UNIT + F.col("chunk_id"))
-        .cast("long")
-        .alias("unit"),
+        _x4z2_unit_col(),
         F.expr(f"CAST(1000000 div ({_X4Z2_RRF_K} + rnk) AS BIGINT)").alias(
             "rel"
         ),

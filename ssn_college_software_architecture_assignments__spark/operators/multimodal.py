@@ -473,6 +473,20 @@ def encode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _check_ppm_maxval(token: bytes) -> None:
+    """THE maxval law, one site for BOTH header parsers
+    (_parse_ppm_raster and _walk_ppm_frames): after stripping ASCII
+    whitespace the token must be a pure digit run equal to 255.
+    Whitespace padding is tolerated (the r15 unification's intent);
+    signs (b'+255'), inner whitespace, and non-digit bytes are
+    malformed headers — and every failure raises the SAME descriptive
+    ValueError, so error classification stays uniform across parsers
+    instead of leaking int()'s generic message."""
+    tok = token.strip()
+    if not tok.isdigit() or int(tok) != 255:
+        raise ValueError("unsupported maxval")
+
+
 def _parse_ppm_raster(buf: bytes):
     """THE single P6 parse used by every PPM kernel (decode, resize,
     channel stats): validate magic + maxval, extract dims, return
@@ -490,8 +504,7 @@ def _parse_ppm_raster(buf: bytes):
         # otherwise surface as IndexError and escape callers' handlers
         raise ValueError("truncated header")
     w, h = (int(t) for t in parts[1].split())
-    if int(parts[2]) != 255:
-        raise ValueError("unsupported maxval")
+    _check_ppm_maxval(parts[2])
     raster = np.frombuffer(parts[3], dtype=np.uint8)
     if raster.size != w * h * 3:
         # distinguish short from oversized: trailing bytes usually mean a
@@ -717,10 +730,9 @@ def _walk_ppm_frames(buf: bytes):
         nl2 = buf.index(b"\n", nl1 + 1)
         nl3 = buf.index(b"\n", nl2 + 1)
         w, h = (int(t) for t in buf[nl1 + 1 : nl2].split())
-        # same int-parse maxval law as _parse_ppm_raster (tokens like
-        # b' 255' are one contract across both header parsers)
-        if int(buf[nl2 + 1 : nl3]) != 255:
-            raise ValueError("unsupported maxval")
+        # same maxval law as _parse_ppm_raster: one shared site, so
+        # tokens like b' 255' stay one contract across both parsers
+        _check_ppm_maxval(buf[nl2 + 1 : nl3])
         frame_end = nl3 + 1 + w * h * 3
         if frame_end > len(buf):
             raise ValueError("truncated frame")
@@ -2963,7 +2975,7 @@ cuts AS (
   FROM i4 JOIN tot USING (doc_id)
 ),
 roster AS (
-  SELECT doc_id, 0 AS frame_idx, 0 AS cut FROM documents
+  SELECT DISTINCT doc_id, 0 AS frame_idx, 0 AS cut FROM i4
   UNION ALL
   SELECT doc_id, frame_idx, cut FROM cuts
 ),
@@ -2990,10 +3002,16 @@ def x5u_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied over 4dp-integerized scores — the cut roster is
     exact in both engines), shot ids by running cut-flag sum over the
     frame order, one output row per (clip, shot) with its frame span.
-    Composes the registered x5k scores verbatim."""
+    Composes the registered x5k scores verbatim.
+
+    Coverage contract (since r16, closing an r15 advisory): the
+    planted shot-0 anchor row exists only for clips with at least one
+    ok-scored x5k frame — non-video docs and all-error clips emit NO
+    shots rather than a phantom 1-frame shot. Frames whose x5k row is
+    not 'ok' are absent from shot spans: n_frames counts scored frames
+    only, and a start..end span may straddle unscored frame indices."""
     from pyspark.sql import Window as W
 
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
     k = x5k_scene_change(spark, sf_dir).filter(
         F.col("scene_status") == "ok"
     )
@@ -3008,7 +3026,7 @@ def x5u_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = i4.join(tot, "doc_id").select(
         "doc_id", "frame_idx", F.expr(_X5U_CUT_CASE).alias("cut")
     )
-    roster = docs.select(
+    roster = i4.select("doc_id").distinct().select(
         "doc_id", F.lit(0).alias("frame_idx"), F.lit(0).alias("cut")
     ).unionByName(cuts)
     w = W.partitionBy("doc_id").orderBy("frame_idx")

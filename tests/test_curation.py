@@ -1386,3 +1386,26 @@ def test_x4z2_mmr_demotes_adjacent_overlapped_chunk(spark):
     assert r2["mmr_micro"] == 1000000 // 63 - 66666
     assert r3["max_sim_micro"] == (1000000 * 4) // 28 == 142857
     assert r3["mmr_micro"] == 1000000 // 62 - 142857
+
+
+def test_x4z2_unit_guard_raises_on_aliasing_chunk_id(spark):
+    """r16 advisory closure: the composite unit doc_id*1e6+chunk_id
+    raises loudly when chunk_id >= _X4Z2_UNIT instead of silently
+    aliasing two chunks into one unit (the x3y guard posture)."""
+    import pytest
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X4Z2_UNIT,
+        _x4z2_unit_col,
+    )
+
+    ok = spark.createDataFrame(
+        [(3, 7), (4, _X4Z2_UNIT - 1)], "doc_id long, chunk_id long"
+    )
+    got = {r["unit"] for r in ok.select(_x4z2_unit_col()).collect()}
+    assert got == {3 * _X4Z2_UNIT + 7, 4 * _X4Z2_UNIT + _X4Z2_UNIT - 1}
+
+    bad = spark.createDataFrame(
+        [(3, _X4Z2_UNIT)], "doc_id long, chunk_id long"
+    )
+    with pytest.raises(Exception, match="alias two chunks"):
+        bad.select(_x4z2_unit_col()).collect()

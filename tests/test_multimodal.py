@@ -1192,3 +1192,54 @@ def test_x5u_shots_tile_clips_and_match_python_cut_law(spark):
         assert spans[0][1] == 0
         for (_, _, e1, _), (_, s2, _, _) in zip(spans, spans[1:]):
             assert s2 == e1 + 1
+
+
+def test_ppm_maxval_law_strict_digits():
+    """r16 advisory closure: the shared maxval law tolerates whitespace
+    padding (the r15 unification's intent) but rejects signed,
+    inner-whitespace, and non-digit tokens — and EVERY failure is the
+    same descriptive ValueError, never int()'s generic message."""
+    import pytest
+    from ssn_college_software_architecture_assignments__spark.operators.multimodal import (
+        _check_ppm_maxval,
+    )
+
+    for ok in (b"255", b" 255", b"255 ", b"\t255\n"):
+        _check_ppm_maxval(ok)  # no raise
+    for bad in (b"+255", b"-255", b"2 55", b"abc", b"256", b"", b"0xff"):
+        with pytest.raises(ValueError, match="unsupported maxval"):
+            _check_ppm_maxval(bad)
+
+
+def test_x5u_no_phantom_shot_for_clips_without_ok_frames(spark):
+    """r16 advisory closure: a clip whose x5k profile carries zero
+    'ok' rows (non-video / all-error) emits NO shots — the planted
+    shot-0 anchor exists only for clips with at least one scored
+    frame. Patch x5k to a planted profile: doc 1 has ok frames with
+    one cut, doc 2 only error rows, doc 3 is absent entirely."""
+    import ssn_college_software_architecture_assignments__spark.operators.multimodal as mmod
+
+    planted = spark.createDataFrame(
+        [
+            (1, 1, 0.01, "ok"),
+            (1, 2, 9.00, "ok"),   # 10*2*90000 > 11*90100 -> cut
+            (1, 3, 0.01, "ok"),
+            (2, 1, 0.0, "bad frame magic at 0"),
+            (2, 2, 0.0, "truncated frame"),
+        ],
+        mmod.SCENE_SCHEMA,
+    )
+    orig = mmod.x5k_scene_change
+    mmod.x5k_scene_change = lambda spark, sf_dir: planted
+    try:
+        rows = mmod.x5u_shot_segmentation(spark, "x").collect()
+    finally:
+        mmod.x5k_scene_change = orig
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["shot_id"], r["start_frame"], r["end_frame"], r["n_frames"])
+        )
+    assert set(by_doc) == {1}, "error-only clip 2 must emit no shots"
+    assert sorted(by_doc[1]) == [(0, 0, 1, 2), (1, 2, 3, 2)]
