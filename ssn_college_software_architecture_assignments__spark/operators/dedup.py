@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
-from .similarity import _dvec, cosine, l2_norm
+from .similarity import (
+    _X3R2_STEPS,
+    _dvec,
+    _x3r2_ctes,
+    _x3r2_train,
+    cosine,
+    l2_norm,
+)
 
 # X1 — exact dedup ------------------------------------------------------------
 
@@ -1867,6 +1874,196 @@ def x2j_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
     return semantic_dup_candidates(vecs, centroids)
+
+
+# X2j2 — SemDeDup cluster-then-prune over TRAINED centroids --------------------
+#
+# x2j emits the ranked candidate-pair REVIEW list; this is the other
+# half of SemDeDup (Abbas et al. 2023, arXiv:2303.09540, §2): k-means
+# partition the embedding space, then WITHIN each cluster greedily drop
+# every member whose cosine to an already-kept representative meets the
+# declared threshold — the keep/drop manifest a materializer consumes.
+# Centroids come from the REGISTERED x3r2 Lloyd loop (one training-law
+# site: the Spark side calls _x3r2_train, the oracle composes the
+# registered _x3r2_ctes chain byte-identically), assignment is the same
+# L2 (dist, cid) argmin law as x3r2's steps, and the prune is an
+# engine-identical greedy fold (Spark F.aggregate vs DuckDB list_reduce
+# over LIST<LIST<DOUBLE>> state, the x4z idiom — DuckDB list_reduce has
+# no init, so the empty kept-state is prepended as element 1). The tie
+# law is vec_id-asc: members fold in id order, so the lowest-id copy of
+# every duplicate neighborhood survives — deterministic, no float
+# ordering anywhere.
+#
+# Cross-engine exactness: member vectors enter as identical doubles
+# (float32 -> double cast is exact), and every dot/norm is an ORDERED
+# sequential fold over the dimension list — the same IEEE adds in the
+# same order in both engines (the x3r argmin law) — so the predicate
+# dot >= TAU * nrm_a * nrm_b compares bitwise-identical doubles and
+# the keep set is exact, not approximately so. Zero-norm vectors have
+# no defined cosine and are excluded in BOTH engines before the fold.
+#
+# The threshold is fixture-calibrated: the synthetic embeddings are
+# near-uniform (max within-cluster cosine 0.51 at sf0.01, 0.60 at
+# sf0.1), so the published 0.95 would never drop a row here; 0.45
+# exercises both branches at both test scales (measured: 10 / 54
+# within-cluster pairs meet it). Production swaps the constant, not
+# the dataflow.
+#
+# Scale shape: training is x3r2's (K x dims collects only); assignment
+# is the map-side broadcast argmin fold (no window, no shuffle); the
+# ONLY corpus shuffle is the groupBy on the cluster id, and the
+# quadratic prune is confined to single clusters — at 100 TB, K grows
+# ~sqrt(n) so clusters stay bounded (the x2j posture). Plan-gated: no
+# pair join exists at all — the pairwise work lives INSIDE the
+# cluster-keyed aggregate, so nothing can degrade to all-pairs.
+
+_X2J2_TAU = "0.45"
+
+# DuckDB half of the greedy keep fold (the Spark half is the
+# F.aggregate expression in x2j2_semdedup_prune; a planted pytest pins
+# the two to the same hand-computed keep set). State acc = the kept
+# member list; fold element x = [m] (a singleton wrap so acc and x
+# share the LIST<LIST<DOUBLE>> type). Member layout m = [vec_id, nrm,
+# e1..ed]; the candidate is dropped iff some kept k has
+# dot(k, m) >= TAU * nrm_k * nrm_m.
+#
+# LAW (r16, planted-test-caught): the lambda must NEVER return acc by
+# identity — `CASE WHEN dup THEN acc ELSE ...` corrupts the NEXT
+# iteration's accumulator in DuckDB 1.0 list_reduce on some input
+# layouts (in-memory registered frames corrupt; parquet scans happen
+# not to — a repeat-gate hazard, not a reliable pass). Both branches
+# therefore build a fresh list: concat acc with [] (drop) or x (keep).
+_X2J2_MERGE = (
+    "list_concat(acc, CASE WHEN len(list_filter(acc, k -> "
+    "list_reduce(list_transform(list_zip(k[3:], (x[1])[3:]), "
+    "q -> q[1] * q[2]), (s, y) -> s + y) "
+    f">= {_X2J2_TAU} * k[2] * (x[1])[2])) > 0 "
+    "THEN CAST([] AS DOUBLE[][]) ELSE x END)"
+)
+
+_X2J2_ORACLE = f"""{_x3r2_ctes()},
+asg AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT v.vec_id, c.cid, v.emb,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_reduce(list_transform(list_zip(v.emb, c.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c.cid) AS rn
+    FROM v CROSS JOIN c{_X3R2_STEPS} c
+  ) WHERE rn = 1
+),
+mem AS (
+  SELECT cid, vec_id,
+         list_concat([CAST(vec_id AS DOUBLE),
+                      sqrt(list_reduce(list_transform(emb, e -> e * e),
+                                       (s, y) -> s + y))], emb) AS m
+  FROM asg
+),
+grp AS (
+  SELECT cid,
+         list_concat([CAST([] AS DOUBLE[][])], list([m] ORDER BY m[1])) AS l,
+         count(*) AS n_members
+  FROM mem WHERE m[2] > 0 GROUP BY cid
+),
+kept AS (
+  SELECT cid, n_members,
+         list_transform(list_reduce(l, (acc, x) -> {_X2J2_MERGE}),
+                        k -> CAST(k[1] AS BIGINT)) AS kept_ids
+  FROM grp
+)
+SELECT CAST(e.cid AS BIGINT)                 AS cluster_id,
+       e.vec_id,
+       list_contains(k.kept_ids, e.vec_id)   AS keep,
+       CAST(k.n_members AS BIGINT)           AS cluster_size,
+       CAST(len(k.kept_ids) AS BIGINT)       AS n_kept
+FROM mem e JOIN kept k ON e.cid = k.cid
+WHERE e.m[2] > 0
+ORDER BY cluster_id, vec_id
+"""
+
+# Spark half of the per-candidate duplicate predicate (nested inside
+# the fold's exists()): k = a kept member, m = the candidate.
+_X2J2_SPARK_DUP = (
+    "aggregate(zip_with(slice(k, 3, size(k) - 2), slice(m, 3, size(m) - 2), "
+    "(p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, y) -> s + y) "
+    f">= {_X2J2_TAU} * element_at(k, 2) * element_at(m, 2)"
+)
+
+
+@register("x2j2_semdedup_prune", oracle=_X2J2_ORACLE, tags=("X2", "X3"))
+def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune manifest (Abbas et al. 2023): assign
+    every embedding to its x3r2-TRAINED centroid (L2 argmin, cid
+    tiebreak), then within each cluster greedily keep members in
+    vec_id-asc order, dropping any whose cosine to an already-kept
+    representative is >= the declared threshold. One row per nonzero
+    vector: cluster, keep verdict, cluster size, kept count. The fold
+    is engine-identical (F.aggregate vs list_reduce, exact doubles);
+    the lowest-id copy always survives."""
+    stats, cent, v = _x3r2_train(spark, sf_dir)
+
+    def sqdist(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent_df = spark.createDataFrame(
+        sorted(cent.items()), "cid long, cvec array<double>"
+    )
+    cent_row = cent_df.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    am = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    assigned = v.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "emb", am["cid"].alias("cid")
+    )
+    mem = assigned.select(
+        "cid",
+        F.expr(
+            "concat(array(CAST(vec_id AS DOUBLE), "
+            "sqrt(aggregate(transform(emb, e -> e * e), "
+            "CAST(0.0 AS DOUBLE), (s, y) -> s + y))), emb)"
+        ).alias("m"),
+    ).filter(F.expr("element_at(m, 2) > 0"))
+    grp = mem.groupBy("cid").agg(
+        F.sort_array(F.collect_list("m")).alias("members"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    kept = grp.select(
+        "cid", "n_members", "members",
+        F.expr(
+            "transform(aggregate(members, "
+            "CAST(array() AS array<array<double>>), "
+            f"(acc, m) -> CASE WHEN exists(acc, k -> {_X2J2_SPARK_DUP}) "
+            "THEN acc ELSE array_append(acc, m) END), "
+            "k -> CAST(element_at(k, 1) AS BIGINT))"
+        ).alias("kept_ids"),
+    )
+    return (
+        kept.select(
+            "cid", "n_members", "kept_ids",
+            F.explode("members").alias("m"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.expr("CAST(element_at(m, 1) AS BIGINT)").alias("vec_id"),
+            F.expr(
+                "array_contains(kept_ids, CAST(element_at(m, 1) AS BIGINT))"
+            ).alias("keep"),
+            F.col("n_members").cast("long").alias("cluster_size"),
+            F.expr("CAST(size(kept_ids) AS BIGINT)").alias("n_kept"),
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
 
 
 # X1c — dedup rate report by source -------------------------------------------

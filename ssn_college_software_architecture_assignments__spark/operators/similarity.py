@@ -1901,7 +1901,14 @@ def x3r_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X3R2_STEPS = 3
 
 
-def _x3r2_oracle() -> str:
+def _x3r2_ctes() -> str:
+    """The x3r2 training CTE chain through the final centroids
+    c{{_X3R2_STEPS}} (plus the corpus view v) — split out of
+    _x3r2_oracle under the byte-identity law (r15 precedents
+    _X2E3_CTES / _X6X_CTES / _x6z_chain_sql) so the x2j2 SemDeDup
+    prune oracle composes the REGISTERED training chain verbatim; a
+    pytest proves _X3R2_ORACLE still equals this prefix + its final
+    selects byte-for-byte."""
     parts = [
         f"""WITH c0 AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -1948,6 +1955,10 @@ c{t} AS (
   ) nv ON p.cid = nv.cid
 )"""
         )
+    return "".join(parts)
+
+
+def _x3r2_oracle() -> str:
     selects = [
         f"""SELECT {t} AS step, p.cid AS cluster_id,
        CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
@@ -1956,7 +1967,7 @@ FROM c{t - 1} p LEFT JOIN s{t} s ON p.cid = s.cid"""
         for t in range(1, _X3R2_STEPS + 1)
     ]
     return (
-        "".join(parts)
+        _x3r2_ctes()
         + "\nSELECT * FROM (\n"
         + "\nUNION ALL\n".join(selects)
         + "\n) ORDER BY step, cluster_id"
@@ -1966,13 +1977,15 @@ FROM c{t - 1} p LEFT JOIN s{t} s ON p.cid = s.cid"""
 _X3R2_ORACLE = _x3r2_oracle()
 
 
-@register("x3r2_kmeans_train", oracle=_X3R2_ORACLE, tags=("X3",))
-def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-step Lloyd training loop over the embedding corpus: per
-    (step, cluster), member count and inertia contribution. Each step
-    is one distributed job; only the K x dims centroid table is ever
-    collected. Inertia is monotone non-increasing across steps
-    (pytest-pinned Lloyd law)."""
+def _x3r2_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int, int, float]], dict[int, list[float]], DataFrame]:
+    """THE x3r2 Lloyd training loop, extracted verbatim (r16) so x2j2
+    SemDeDup prunes against the REGISTERED trained centroids — one
+    training-law site, never a re-statement. Returns (per-step stats
+    rows, final cid -> centroid dict, the double-cast corpus view v).
+    Only the K x dims centroid table is ever collected per step (the
+    declared collect exception)."""
     emb = Catalog(spark, sf_dir).embeddings
     init = (
         emb.filter(F.col("vec_id") < _X3R_K)
@@ -2052,6 +2065,18 @@ def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cid in newc:
                 dims = newc[cid]
                 cent[cid] = [dims[i] for i in range(len(dims))]
+    return stats, cent, v
+
+
+@register("x3r2_kmeans_train", oracle=_X3R2_ORACLE, tags=("X3",))
+def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step Lloyd training loop over the embedding corpus: per
+    (step, cluster), member count and inertia contribution. Each step
+    is one distributed job; only the K x dims centroid table is ever
+    collected. Inertia is monotone non-increasing across steps
+    (pytest-pinned Lloyd law). The loop itself lives in _x3r2_train,
+    shared with the x2j2 SemDeDup prune."""
+    stats, _, _ = _x3r2_train(spark, sf_dir)
     return spark.createDataFrame(
         stats, "step int, cluster_id long, n_members long, inertia double"
     ).orderBy("step", "cluster_id")

@@ -1799,3 +1799,87 @@ def test_x2z_audit_truth_counts_and_rate_laws(spark):
     # J=1 pair collides in every band -> at tau 70 truth={identical pair},
     # hit is certain: recall exactly 1e6
     assert rows[70]["n_hit"] == 1 and rows[70]["recall_micro"] == 1_000_000
+
+
+def test_x2j2_oracle_composes_registered_training_chain():
+    """x2j2's oracle must reuse the REGISTERED x3r2 training CTE chain
+    byte-for-byte (the r15 split law) — a drifted copy would let the
+    two training laws diverge silently."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2J2_ORACLE,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _X3R2_ORACLE,
+        _x3r2_ctes,
+    )
+
+    chain = _x3r2_ctes()
+    assert _X3R2_ORACLE.startswith(chain)
+    assert _X2J2_ORACLE.startswith(chain)
+
+
+def test_x2j2_semdedup_planted_paraphrase_lower_id_survives(spark):
+    """x2j2 law on a planted 2-D corpus: v8 is a near-copy of v0
+    (cos ~ 1 >= 0.45) and must drop while the LOWER id v0 survives;
+    v9 shares the cluster but sits below the threshold (cos 0.406)
+    and must be kept; v1..v7 are far singletons that keep themselves;
+    the zero vector v10 is excluded entirely. The same fixture runs
+    through the DuckDB oracle so BOTH halves of the engine-identical
+    fold pin to the same hand-computed keep set."""
+    import duckdb
+    import pandas as pd
+    import ssn_college_software_architecture_assignments__spark.operators.similarity as smod
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2J2_ORACLE,
+        x2j2_semdedup_prune,
+    )
+
+    vecs = [
+        (0, [10.0, 0.0]),
+        (1, [1000.0, 1000.0]),
+        (2, [-1000.0, 1000.0]),
+        (3, [1000.0, -1000.0]),
+        (4, [-1000.0, -1000.0]),
+        (5, [2000.0, 0.0]),
+        (6, [0.0, 2000.0]),
+        (7, [-2000.0, 0.0]),
+        (8, [9.999, 0.001]),   # paraphrase of v0: cos ~ 1
+        (9, [4.0, 9.0]),       # same cluster, cos(v0, v9) = 0.406 < 0.45
+        (10, [0.0, 0.0]),      # zero norm: no defined cosine
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    orig = smod.Catalog
+    smod.Catalog = _Cat
+    try:
+        rows = {r["vec_id"]: r for r in x2j2_semdedup_prune(spark, "x").collect()}
+    finally:
+        smod.Catalog = orig
+
+    assert set(rows) == set(range(10)), "zero vector must be excluded"
+    assert rows[0]["keep"] and not rows[8]["keep"] and rows[9]["keep"]
+    fam = [rows[0], rows[8], rows[9]]
+    assert len({r["cluster_id"] for r in fam}) == 1
+    assert all(r["cluster_size"] == 3 and r["n_kept"] == 2 for r in fam)
+    for vid in range(1, 8):
+        assert rows[vid]["keep"] and rows[vid]["cluster_size"] == 1
+
+    # the DuckDB half folds to the SAME keep set on the same bytes
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in vecs], "embedding": [e for _, e in vecs]}
+        ),
+    )
+    oracle = {
+        int(r[1]): bool(r[2])
+        for r in con.execute(_X2J2_ORACLE).fetchall()
+    }
+    assert oracle == {vid: rows[vid]["keep"] for vid in rows}

@@ -899,3 +899,19 @@ def test_x2z_audit_builds_pairs_from_indexes_only(spark):
     1-row/3-row BNLJ)."""
     plan = _plan(spark, "x2z_lsh_quality_audit")
     assert "CartesianProduct" not in plan
+
+
+def test_x2j2_prune_confines_pairwise_to_trained_clusters(spark):
+    """x2j2's scale claim: NO pair join exists at all — the quadratic
+    prune lives INSIDE the cluster-keyed aggregate, so the only
+    all-pairs structure in the tree is the broadcast nested loop
+    against the 1-row trained-centroid array, the only corpus shuffle
+    is the groupBy on the cluster id, and assignment is the map-side
+    argmin fold (no Window anywhere)."""
+    plan = _plan(spark, "x2j2_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "Window" not in plan
+    assert "hashpartitioning(cid" in plan, "corpus shuffle must key on cluster"
