@@ -1105,6 +1105,158 @@ def x2e3_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2e4 — deletion/retraction from the standing closure -------------------------
+#
+# The incremental family handles ADMISSION (x1b exact, x2n screening,
+# x3x vector, x2e3/x6y3 closure) but not RETRACTION: a takedown /
+# license-revocation batch tombstones a doc set, and the standing
+# closure must shed those docs WITHOUT a full recompute. Deletion is
+# structurally harder than admission — removing a bridge doc SPLITS a
+# cluster (the planted pytest's case), so the star forest cannot be
+# warm-started; instead the scale-safe shape is touched-components
+# only: semi-join the standing labels on the tombstoned ids to find
+# the touched clusters, re-shingle ONLY their surviving members, and
+# re-run large-star/small-star on that induced edge set — O(touched
+# components) work, never O(corpus), because shared-gram edges cannot
+# cross standing-component boundaries (two docs sharing >= 3 grams are
+# by construction in one standing cluster, so the re-closure input is
+# complete).
+#
+# Output is the per-touched-standing-cluster retraction manifest: how
+# many members the takedown removed, how many survive, how many NEW
+# clusters the survivors form, the surviving min label, and the
+# dissolved/shrink/split verdict (a shared single-site CASE both
+# engines evaluate). The oracle is deliberately NOT incremental — it
+# recomputes the post-delete closure from scratch with the
+# _lp_label_ctes chain (the x2e3 recompute-equals-incremental law):
+# incremental label VALUES agree with the from-scratch ones because a
+# touched component's induced subgraph IS its from-scratch subgraph.
+
+_X2E4_TOMB = "{col} % 10 = 3"
+
+_X2E4_VERDICT_CASE = (
+    "CASE WHEN n_remaining = 0 THEN 'dissolved' "
+    "WHEN n_new_clusters = 1 THEN 'shrink' "
+    "ELSE 'split' END"
+)
+
+_X2E4_ORACLE = f"""{_X2E2B_CTES},
+gd AS (SELECT * FROM g WHERE NOT ({_X2E4_TOMB.format(col="doc_id")})),
+pairs_d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X2E2_MIN_SHARED}
+),
+sym_d AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs_d
+  UNION SELECT id_b, id_a FROM pairs_d),
+{_lp_label_ctes(
+    f'SELECT doc_id AS id FROM documents '
+    f'WHERE NOT ({_X2E4_TOMB.format(col="doc_id")})',
+    "sym_d", "d", _X2E2B_ROUNDS)},
+tomb AS (SELECT doc_id AS id FROM documents
+         WHERE {_X2E4_TOMB.format(col="doc_id")}),
+touched AS (SELECT DISTINCT cluster_id FROM llab JOIN tomb USING (id)),
+mem AS (
+  SELECT llab.id, llab.cluster_id,
+         ({_X2E4_TOMB.format(col="llab.id")}) AS is_tomb
+  FROM llab JOIN touched USING (cluster_id)
+),
+stats AS (
+  SELECT mem.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tombstoned,
+         CAST(count(*) - sum(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_remaining,
+         CAST(count(DISTINCT dlab.cluster_id) AS BIGINT) AS n_new_clusters,
+         CAST(min(dlab.cluster_id) AS BIGINT) AS min_new_label
+  FROM mem LEFT JOIN dlab ON mem.id = dlab.id
+  GROUP BY mem.cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS standing_cluster,
+       n_members, n_tombstoned, n_remaining, n_new_clusters, min_new_label,
+       {_X2E4_VERDICT_CASE} AS verdict,
+       (lconv.ok AND dconv.ok) AS closure_converged
+FROM stats CROSS JOIN lconv CROSS JOIN dconv
+ORDER BY standing_cluster
+"""
+
+
+def x2e4_surviving_docs(spark: SparkSession, sf_dir: str):
+    """(standing members of tombstone-touched clusters, the surviving
+    doc slice to re-shingle) — factored so the touched-components-only
+    claim is plan-witnessable (the closures themselves localCheckpoint,
+    so the final plan cannot show the semi-join slicing). Returns
+    (members, subdocs): members = (id, label) for every member of a
+    touched standing cluster; subdocs = the documents rows for the
+    surviving (non-tombstoned) members only."""
+    docs = Catalog(spark, sf_dir).documents
+    standing = large_star_small_star(
+        docs.select(F.col("doc_id").alias("id")),
+        x2e2_shared_gram_pairs(docs),
+    )
+    tomb_ids = docs.filter(
+        F.expr(_X2E4_TOMB.format(col="doc_id"))
+    ).select(F.col("doc_id").alias("id"))
+    touched = standing.join(tomb_ids, "id", "semi").select("label").distinct()
+    members = standing.join(touched, "label", "semi")
+    surviving = members.filter(
+        ~F.expr(_X2E4_TOMB.format(col="id"))
+    ).select(F.col("id").alias("doc_id"))
+    subdocs = docs.join(surviving, "doc_id", "semi")
+    return members, subdocs
+
+
+@register("x2e4_closure_retraction", oracle=_X2E4_ORACLE, tags=("X2", "X1"))
+def x2e4_closure_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract a tombstoned doc set (doc_id % 10 = 3) from the standing
+    transitive closure: find the touched standing clusters by
+    semi-join, re-run large-star/small-star on the induced edge set of
+    their SURVIVING members only (re-shingled through the same
+    plan-gated x2e2 pair site), and emit one row per touched standing
+    cluster with the dissolved/shrink/split verdict and the surviving
+    min label. O(touched components), never O(corpus). The oracle
+    recomputes the post-delete closure from scratch — incremental must
+    equal recompute."""
+    members, subdocs = x2e4_surviving_docs(spark, sf_dir)
+    new_labels = large_star_small_star(
+        members.filter(~F.expr(_X2E4_TOMB.format(col="id"))).select("id"),
+        x2e2_shared_gram_pairs(subdocs),
+    ).select("id", F.col("label").alias("new_label"))
+    stats = (
+        members.select(
+            "id",
+            F.col("label").alias("standing_cluster"),
+            F.expr(_X2E4_TOMB.format(col="id")).alias("is_tomb"),
+        )
+        .join(new_labels, "id", "left")
+        .groupBy("standing_cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("is_tomb").cast("int"))
+            .cast("long")
+            .alias("n_tombstoned"),
+            (F.count(F.lit(1)) - F.sum(F.col("is_tomb").cast("int")))
+            .cast("long")
+            .alias("n_remaining"),
+            F.countDistinct("new_label").cast("long").alias("n_new_clusters"),
+            F.min("new_label").cast("long").alias("min_new_label"),
+        )
+    )
+    return (
+        stats.select(
+            F.col("standing_cluster").cast("long").alias("standing_cluster"),
+            "n_members", "n_tombstoned", "n_remaining", "n_new_clusters",
+            "min_new_label",
+            F.expr(_X2E4_VERDICT_CASE).alias("verdict"),
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("standing_cluster")
+    )
+
+
 # X2d — embedding-cosine near-dup (full oracle: identical double math) ---------
 
 _X2D_ORACLE = """

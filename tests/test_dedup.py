@@ -1883,3 +1883,59 @@ def test_x2j2_semdedup_planted_paraphrase_lower_id_survives(spark):
         for r in con.execute(_X2J2_ORACLE).fetchall()
     }
     assert oracle == {vid: rows[vid]["keep"] for vid in rows}
+
+
+def test_x2e4_planted_bridge_removal_splits_cluster(spark):
+    """x2e4 law on a planted corpus exercising all three verdicts:
+    tombstoning bridge doc 3 SPLITS {1,3,4} into {1} and {4} (1~3 and
+    3~4 share >= 3 shingles; 1 and 4 share none); tombstoning leaf 23
+    only SHRINKS {5,6,23} (the 5~6 edge survives); singleton {13}
+    DISSOLVES; the untouched cluster {7,8} must not appear at all."""
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e4_closure_retraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (3, "a b c d e f q r s t u"),     # bridge: ~1 and ~4
+            (4, "q r s t u v w"),
+            (5, "h i j k l m n"),
+            (6, "h i j k l m z"),
+            (23, "i j k l m n"),              # leaf of {5,6,23}
+            (13, "z1 z2 z3 z4"),              # tombstoned singleton
+            (7, "u1 u2 u3 u4 u5 u6"),
+            (8, "u1 u2 u3 u4 u5 u7"),
+        ],
+        "doc_id long, text string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = dmod.Catalog
+    dmod.Catalog = _Cat
+    try:
+        rows = {
+            r["standing_cluster"]: r
+            for r in x2e4_closure_retraction(spark, "x").collect()
+        }
+    finally:
+        dmod.Catalog = orig
+
+    assert set(rows) == {1, 5, 13}, "untouched {7,8} must be absent"
+    assert all(r["closure_converged"] for r in rows.values())
+    r1 = rows[1]
+    assert (r1["n_members"], r1["n_tombstoned"], r1["n_remaining"]) == (3, 1, 2)
+    assert r1["n_new_clusters"] == 2 and r1["verdict"] == "split"
+    assert r1["min_new_label"] == 1
+    r5 = rows[5]
+    assert (r5["n_members"], r5["n_tombstoned"], r5["n_remaining"]) == (3, 1, 2)
+    assert r5["n_new_clusters"] == 1 and r5["verdict"] == "shrink"
+    assert r5["min_new_label"] == 5
+    r13 = rows[13]
+    assert (r13["n_members"], r13["n_tombstoned"], r13["n_remaining"]) == (1, 1, 0)
+    assert r13["n_new_clusters"] == 0 and r13["verdict"] == "dissolved"
+    assert r13["min_new_label"] is None

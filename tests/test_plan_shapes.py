@@ -915,3 +915,25 @@ def test_x2j2_prune_confines_pairwise_to_trained_clusters(spark):
     assert tree.count("BroadcastNestedLoopJoin") <= 1
     assert "Window" not in plan
     assert "hashpartitioning(cid" in plan, "corpus shuffle must key on cluster"
+
+
+def test_x2e4_retraction_slices_touched_components_only(spark):
+    """x2e4's scale claim: the re-closure input is the SURVIVING
+    members of tombstone-touched standing clusters, derived by
+    semi-joins (never a full-corpus rebuild), and re-shingling that
+    slice plans the gram inverted-index equi-join — no all-pairs
+    structure anywhere."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x2e2_shared_gram_pairs,
+        x2e4_surviving_docs,
+    )
+
+    spark.catalog.clearCache()
+    members, subdocs = x2e4_surviving_docs(spark, SF)
+    plan = explain_str(subdocs)
+    assert "LeftSemi" in plan, "touched slice must be semi-join derived"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pair_plan = explain_str(x2e2_shared_gram_pairs(subdocs))
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
