@@ -1058,11 +1058,14 @@ def x6m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X6B2_CAP = 2048
 
-_X6B2_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
+def _x6b2_fold_ctes(t_select: str) -> str:
+    """The x6b2 BFD fold CTE chain (t -> lst -> folded) parameterized
+    on the t source — split out (r16, the byte-identity builder law)
+    so e3's pipeline packs its SAMPLED survivors with the registered
+    fold; the registered _X6B2_ORACLE is this builder applied to the
+    full documents table, proven hash-unchanged."""
+    return f"""t AS (
+  {t_select}
 ),
 lst AS (
   SELECT source,
@@ -1087,24 +1090,28 @@ folded AS (
                     -x[1][1]]])
            END) AS st
   FROM lst
-)
+)"""
+
+
+_X6B2_T_SELECT = """SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents"""
+
+_X6B2_ORACLE = f"""
+WITH {_x6b2_fold_ctes(_X6B2_T_SELECT)}
 SELECT source, u[1] AS doc_id, u[3] AS n_tokens, u[2] AS bin_id
 FROM (SELECT source, unnest(st[2:]) AS u FROM folded)
 ORDER BY source, doc_id
 """
 
 
-@register("x6b2_bfd_packing", oracle=_X6B2_ORACLE, tags=("X6",))
-def x6b2_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-fit-decreasing bin packing of documents into 2048-token
-    bins, per source: each document lands in the fullest feasible bin
-    (no straddling, unlike x6b). The Spark fold (F.aggregate) and the
-    oracle's list_reduce run the identical branch algebra, so every
-    greedy decision — including ties — matches bin for bin."""
-    docs = Catalog(spark, sf_dir).documents
-    n_tokens = F.size(F.split("text", " ")).cast("long")
+def x6b2_pack(t: DataFrame) -> DataFrame:
+    """The Spark half of the x6b2 BFD fold over an arbitrary
+    (doc_id, source, n_tokens) frame — factored (r16) so e3's pipeline
+    packs its sampled survivors with the registered fold. Returns
+    (source, doc_id, n_tokens, bin_id) ordered by (source, doc_id)."""
     lst = (
-        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        t.select("doc_id", "source", "n_tokens")
         .groupBy("source")
         .agg(
             F.sort_array(
@@ -1154,6 +1161,21 @@ def x6b2_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("u", 3).alias("n_tokens"),
         F.element_at("u", 2).alias("bin_id"),
     ).orderBy("source", "doc_id")
+
+
+@register("x6b2_bfd_packing", oracle=_X6B2_ORACLE, tags=("X6",))
+def x6b2_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing bin packing of documents into 2048-token
+    bins, per source: each document lands in the fullest feasible bin
+    (no straddling, unlike x6b). The Spark fold (F.aggregate) and the
+    oracle's list_reduce run the identical branch algebra, so every
+    greedy decision — including ties — matches bin for bin. The fold
+    itself lives in x6b2_pack, shared with the e3 pipeline."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return x6b2_pack(
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
 
 
 # X6h2 — packing-strategy comparison (x6b sequence vs x6b2 BFD) ----------------
@@ -1414,9 +1436,20 @@ def x4t_quality_ensemble(
 _X6N_ALPHA_SQL = "sqrt"  # alpha = 0.5 == sqrt, bit-exact in both engines
 _X6N_BUDGET_FRAC = 0.5
 
-_X6N_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+# THE per-document acceptance predicate (one site for the registered
+# acc CTE and e3's sampled-survivor CTE)
+_X6N_ACCEPT_SQL = f"({_HASH_SQL}) < rate * 4294967296"
+
+
+def _x6n_chain_sql(d_select: str) -> str:
+    """The x6n rate-derivation CTE chain (d -> per -> tot -> rates ->
+    acc) parameterized on the d source — split out (r16, the byte-
+    identity builder law) so e3's pipeline derives its mixture rates
+    from the SURVIVOR set with the registered algebra; the registered
+    _X6N_ORACLE is this builder applied to the full documents table,
+    proven hash-unchanged."""
+    return f"""d AS (
+  {d_select}
 ),
 per AS (
   SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
@@ -1437,9 +1470,18 @@ rates AS (
 acc AS (
   SELECT d.source, count(*) AS n_accepted, sum(n_tok) AS tokens_accepted
   FROM d JOIN rates USING (source)
-  WHERE ({_HASH_SQL}) < rate * 4294967296
+  WHERE {_X6N_ACCEPT_SQL}
   GROUP BY d.source
+)"""
+
+
+_X6N_D_SELECT = (
+    "SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok"
+    " FROM documents"
 )
+
+_X6N_ORACLE = f"""
+WITH {_x6n_chain_sql(_X6N_D_SELECT)}
 SELECT r.source,
        CAST(r.n_docs AS BIGINT)                        AS n_docs,
        CAST(r.n_tokens AS BIGINT)                      AS n_tokens,
@@ -1451,16 +1493,12 @@ ORDER BY r.source
 """
 
 
-@register("x6n_temperature_mixture", oracle=_X6N_ORACLE, tags=("X6",))
-def x6n_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponent (temperature) sampling: per-source acceptance rates
-    derived from n_tokens^0.5 shares under a half-corpus token budget,
-    then actually applied per document with the portable hash — the
-    multilingual-recipe sampler with its realized per-source yield."""
-    docs = Catalog(spark, sf_dir).documents
-    d = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
-    )
+def x6n_rates(d: DataFrame) -> DataFrame:
+    """The Spark half of the x6n rate derivation over an arbitrary
+    (doc_id, source, n_tok) frame — factored (r16) so e3's pipeline
+    derives mixture rates from the SURVIVOR set with the registered
+    algebra. Returns (source, n_docs, n_tokens, rate) with the rate
+    rounded at 6dp inside the engine (the x6n determinism contract)."""
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
@@ -1477,12 +1515,32 @@ def x6n_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    rates = per.crossJoin(F.broadcast(tot)).select(
+    return per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens", rate.alias("rate")
     )
+
+
+def x6n_accept_filter() -> Column:
+    """THE per-document acceptance predicate (Spark half of
+    _X6N_ACCEPT_SQL): portable split hash under the 6dp-rounded
+    per-source rate scaled to the 32-bit hash range."""
+    return split_hash("doc_id") < F.col("rate") * F.lit(4294967296.0)
+
+
+@register("x6n_temperature_mixture", oracle=_X6N_ORACLE, tags=("X6",))
+def x6n_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponent (temperature) sampling: per-source acceptance rates
+    derived from n_tokens^0.5 shares under a half-corpus token budget,
+    then actually applied per document with the portable hash — the
+    multilingual-recipe sampler with its realized per-source yield."""
+    docs = Catalog(spark, sf_dir).documents
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    rates = x6n_rates(d)
     acc = (
         d.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(split_hash("doc_id") < F.col("rate") * F.lit(4294967296.0))
+        .filter(x6n_accept_filter())
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_accepted"),
@@ -3186,4 +3244,208 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("u", 6).alias("mmr_micro"),
         )
         .orderBy("query_id", "mmr_rank")
+    )
+
+
+# E3 — the end-to-end curation pipeline as ONE registered query ----------------
+#
+# The reference's own E->T->L framing (reference README.md:20-23) at
+# corpus scale: every stage a curation run performs — exact dedup (x1),
+# near-dup closure survivorship over the UNCAPPED corpus (x6y2), the
+# quality ensemble (x4t), benchmark decontamination (x6d), temperature
+# mixture sampling (x6n), and best-fit-decreasing packing (x6b2) —
+# composed into ONE DataFrame plan that emits the per-source pack
+# manifest with per-stage attrition counts. Each stage is oracle-proven
+# alone; this entry is the test that their COLUMN CONTRACTS actually
+# compose (composition drift is the remaining untested failure mode the
+# r15 verdict named).
+#
+# Composition law (the x6i waterfall, extended): stage verdicts are
+# computed CORPUS-WIDE by the registered operators and composed as a
+# cascading intersection — n_exact >= n_closure >= n_quality >= n_clean
+# per source by construction. The universe is the train-candidate set
+# (doc_id % 50 <> 0, x6d's benchmark convention). The two stages whose
+# semantics DEPEND on the surviving set — mixture rates (x6n derives
+# rates from the survivor token mass, not the raw corpus) and packing
+# (x6b2 folds exactly the sampled docs) — re-use the registered algebra
+# through the r16 builder splits (_x6n_chain_sql, _x6b2_fold_ctes, both
+# proven byte-identical to the registered strings) and the shared
+# Spark halves (x6n_rates / x6n_accept_filter / x6b2_pack).
+#
+# Scale shape: every stage keeps its registered posture (closure =
+# large-star/small-star, never all-pairs; decontamination = broadcast
+# benchmark; rates = sources-sized aggregate; packing = per-source
+# fold). The composition adds only uniform doc_id equi-joins and one
+# sources-sized final aggregate — no new shuffle class appears.
+
+from .dedup import _X1_ORACLE as _E3_X1_ORACLE  # noqa: E402
+
+_E3_SURV_SQL = (
+    "SELECT doc_id, source, n_tok FROM staged "
+    "WHERE is_unique AND closure_keep AND quality_keep AND NOT contaminated"
+)
+
+_E3_ORACLE = f"""
+WITH dedup AS ({_E3_X1_ORACLE}),
+y AS ({_X6Y2_ORACLE}),
+t4 AS ({_X4T_ORACLE}),
+con AS ({_X6D_ORACLE}),
+staged AS (
+  SELECT u.doc_id, u.source, u.n_tok,
+         (u.doc_id = dedup.keep_doc_id)   AS is_unique,
+         y.keep                           AS closure_keep,
+         t4.keep                          AS quality_keep,
+         (con.train_doc_id IS NOT NULL)   AS contaminated
+  FROM (
+    SELECT doc_id, source, md5(text) AS fingerprint,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents WHERE doc_id % 50 <> 0
+  ) u
+  JOIN dedup ON u.fingerprint = dedup.fingerprint
+  JOIN y  ON u.doc_id = y.doc_id
+  JOIN t4 ON u.doc_id = t4.doc_id
+  LEFT JOIN con ON u.doc_id = con.train_doc_id
+),
+{_x6n_chain_sql(_E3_SURV_SQL)},
+samp AS (
+  SELECT d.doc_id, d.source, d.n_tok
+  FROM d JOIN rates USING (source)
+  WHERE {_X6N_ACCEPT_SQL}
+),
+{_x6b2_fold_ctes(
+    "SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens FROM samp")},
+pk AS (
+  SELECT source,
+         CAST(len(st[1]) AS BIGINT)                 AS n_bins,
+         CAST(list_aggregate(st[1], 'sum') AS BIGINT) AS packed_tokens
+  FROM folded
+),
+base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE is_unique) AS BIGINT) AS n_exact,
+         CAST(count(*) FILTER (WHERE is_unique AND closure_keep) AS BIGINT)
+           AS n_closure,
+         CAST(count(*) FILTER (WHERE is_unique AND closure_keep
+                                 AND quality_keep) AS BIGINT) AS n_quality,
+         CAST(count(*) FILTER (WHERE is_unique AND closure_keep
+                                 AND quality_keep AND NOT contaminated)
+              AS BIGINT) AS n_clean
+  FROM staged GROUP BY source
+)
+SELECT base.source, base.n_docs AS n_docs, n_exact, n_closure, n_quality,
+       n_clean,
+       rates.rate AS rate,
+       CAST(coalesce(acc.n_accepted, 0) AS BIGINT)      AS n_sampled,
+       CAST(coalesce(acc.tokens_accepted, 0) AS BIGINT) AS sampled_tokens,
+       CAST(coalesce(pk.n_bins, 0) AS BIGINT)           AS n_bins,
+       CAST(coalesce(pk.packed_tokens, 0) AS BIGINT)    AS packed_tokens
+FROM base
+LEFT JOIN rates ON base.source = rates.source
+LEFT JOIN acc   ON base.source = acc.source
+LEFT JOIN pk    ON base.source = pk.source
+ORDER BY base.source
+"""
+
+
+@register(
+    "e3_curation_pipeline", oracle=_E3_ORACLE, tags=("X6", "X2", "X4", "X1")
+)
+def e3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation run as one plan: per source, the train-
+    candidate count and its attrition through exact dedup -> closure
+    survivorship (x6y2) -> quality ensemble (x4t) -> decontamination
+    (x6d), then the survivor-derived x6n mixture rate with its sampled
+    yield, and the x6b2 BFD pack of the sampled set (bins + packed
+    tokens). Every stage composes the registered operator or its
+    factored half; the oracle chains the registered SQL under the
+    byte-identity builder law."""
+    from .dedup import x1_exact_dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    uni = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source",
+        F.md5("text").alias("fingerprint"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    dd = x1_exact_dedup(spark, sf_dir).select("fingerprint", "keep_doc_id")
+    y = x6y2_dedup_survivorship_full(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("closure_keep")
+    )
+    t4 = x4t_quality_ensemble(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    con = x6d_decontamination(spark, sf_dir).select(
+        F.col("train_doc_id").alias("doc_id"), F.lit(True).alias("flagged")
+    )
+    staged = (
+        uni.join(dd, "fingerprint")
+        .join(y, "doc_id")
+        .join(t4, "doc_id")
+        .join(con, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_tok",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_unique"),
+            "closure_keep", "quality_keep",
+            F.coalesce(F.col("flagged"), F.lit(False)).alias("contaminated"),
+        )
+    )
+    clean = (
+        F.col("is_unique") & F.col("closure_keep")
+        & F.col("quality_keep") & ~F.col("contaminated")
+    )
+    surv = staged.filter(clean).select("doc_id", "source", "n_tok")
+    rates = x6n_rates(surv)
+    samp = (
+        surv.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(x6n_accept_filter())
+        .select("doc_id", "source", "n_tok")
+    )
+    packed = x6b2_pack(
+        samp.select(
+            "doc_id", "source", F.col("n_tok").cast("long").alias("n_tokens")
+        )
+    )
+    pk = packed.groupBy("source").agg(
+        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("packed_tokens"),
+    )
+    sampstats = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_tok").cast("long").alias("sampled_tokens"),
+    )
+
+    def cnt(cond) -> Column:
+        return F.count(F.when(cond, 1))
+
+    base = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(F.col("is_unique")).cast("long").alias("n_exact"),
+        cnt(F.col("is_unique") & F.col("closure_keep"))
+        .cast("long")
+        .alias("n_closure"),
+        cnt(
+            F.col("is_unique") & F.col("closure_keep") & F.col("quality_keep")
+        )
+        .cast("long")
+        .alias("n_quality"),
+        cnt(clean).cast("long").alias("n_clean"),
+    )
+    return (
+        base.join(rates.select("source", "rate"), "source", "left")
+        .join(sampstats, "source", "left")
+        .join(pk, "source", "left")
+        .select(
+            "source", "n_docs", "n_exact", "n_closure", "n_quality",
+            "n_clean", "rate",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+            F.coalesce("n_bins", F.lit(0)).cast("long").alias("n_bins"),
+            F.coalesce("packed_tokens", F.lit(0))
+            .cast("long")
+            .alias("packed_tokens"),
+        )
+        .orderBy("source")
     )

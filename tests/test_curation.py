@@ -1409,3 +1409,118 @@ def test_x4z2_unit_guard_raises_on_aliasing_chunk_id(spark):
     )
     with pytest.raises(Exception, match="alias two chunks"):
         bad.select(_x4z2_unit_col()).collect()
+
+
+def test_e3_pipeline_equals_stage_composition_planted(spark, tmp_path):
+    """e3 law on a planted corpus where EVERY stage has a casualty:
+    the pipeline's per-source attrition counts must equal the cascade
+    of the individually-run registered stage operators (exact dedup ->
+    x6y2 closure keep -> x4t keep -> x6d contamination), the mixture
+    stats must equal x6n_rates + the portable-hash acceptance over the
+    survivor set, and the pack stats must equal x6b2_pack over the
+    sampled set. This pins the COLUMN-CONTRACT composition, not the
+    stages themselves (each is oracle-proven alone)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        e3_curation_pipeline,
+        x4t_quality_ensemble,
+        x6b2_pack,
+        x6d_decontamination,
+        x6n_rates,
+        x6y2_dedup_survivorship_full,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x1_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    good = " ".join(f"word{i}" for i in range(25))
+    good2 = " ".join(f"note{i}" for i in range(30))
+    spam = " ".join(["spam"] * 25)
+    contam = bench + " " + " ".join(f"filler{i}" for i in range(15))
+    near_a = " ".join(f"tok{i}" for i in range(24))
+    near_b = " ".join(f"tok{i}" for i in range(20))  # shares 18 shingles w/ near_a
+    rows = [
+        (0, bench, "en", "s"),    # benchmark: excluded from the universe
+        (1, good, "en", "s"),     # survivor
+        (2, good, "en", "s"),     # exact-dup casualty
+        (3, spam, "en", "s"),     # quality casualty
+        (4, contam, "en", "s"),   # decontamination casualty (raw 8-grams)
+        (7, near_a, "en", "s2"),  # closure survivor (longer)
+        (8, near_b, "en", "s2"),  # closure casualty (keep-longest drops it)
+        (9, good2, "en", "s2"),   # survivor
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # stage verdicts from the REGISTERED operators, composed in python
+    keepers = {
+        r["keep_doc_id"] for r in x1_exact_dedup(spark, sf_dir).collect()
+    }
+    ykeep = {
+        r["doc_id"]: r["keep"]
+        for r in x6y2_dedup_survivorship_full(spark, sf_dir).collect()
+    }
+    qkeep = {
+        r["doc_id"]: r["keep"]
+        for r in x4t_quality_ensemble(spark, sf_dir).collect()
+    }
+    flagged = {
+        r["train_doc_id"] for r in x6d_decontamination(spark, sf_dir).collect()
+    }
+    src = {i: s for i, _, _, s in rows}
+    ntok = {i: len(t.split(" ")) for i, t, _, _ in rows}
+    universe = [i for i, *_ in rows if i % 50 != 0]
+    exact = [i for i in universe if i in keepers]
+    clos = [i for i in exact if ykeep[i]]
+    qual = [i for i in clos if qkeep[i]]
+    clean = [i for i in qual if i not in flagged]
+    # the fixture must exercise EVERY stage
+    assert len(exact) < len(universe)
+    assert len(clos) < len(exact)
+    assert len(qual) < len(clos)
+    assert len(clean) < len(qual)
+
+    surv = spark.createDataFrame(
+        [(i, src[i], ntok[i]) for i in clean],
+        "doc_id long, source string, n_tok long",
+    )
+    rates = {r["source"]: r["rate"] for r in x6n_rates(surv).collect()}
+    sampled = [
+        i for i in clean
+        if ((i % 2147483648) * 2654435761) % 4294967296
+        < rates[src[i]] * 4294967296
+    ]
+    packed = x6b2_pack(
+        spark.createDataFrame(
+            [(i, src[i], ntok[i]) for i in sampled],
+            "doc_id long, source string, n_tokens long",
+        )
+    ).collect()
+
+    got = {r["source"]: r for r in e3_curation_pipeline(spark, sf_dir).collect()}
+    assert set(got) == {"s", "s2"}
+    for s in got:
+        r = got[s]
+        assert r["n_docs"] == sum(1 for i in universe if src[i] == s)
+        assert r["n_exact"] == sum(1 for i in exact if src[i] == s)
+        assert r["n_closure"] == sum(1 for i in clos if src[i] == s)
+        assert r["n_quality"] == sum(1 for i in qual if src[i] == s)
+        assert r["n_clean"] == sum(1 for i in clean if src[i] == s)
+        assert r["rate"] == rates[s]
+        assert r["n_sampled"] == sum(1 for i in sampled if src[i] == s)
+        assert r["sampled_tokens"] == sum(
+            ntok[i] for i in sampled if src[i] == s
+        )
+        assert r["n_bins"] == len(
+            {p["bin_id"] for p in packed if p["source"] == s}
+        )
+        assert r["packed_tokens"] == sum(
+            p["n_tokens"] for p in packed if p["source"] == s
+        )
