@@ -47,6 +47,33 @@ HEADLINE = [
 # j11 is benchmarked as its two legs (see main): "j11_write" is the
 # one-off bucketed ingest, "j11_join" the repeated shuffle-free join.
 
+# The COMMON-18 subtotal set (r16, the r15 verdict's task 6): the 18
+# per-query keys shared by every record since r14 — the full headline
+# MINUS x2e2b, whose 9.5 s iterative closure dominates `value` and
+# makes the TOTAL a poor round-over-round signal. FROZEN: future
+# headline additions must NOT join this list (that would break the
+# series it exists to anchor); they show up in `value` only.
+COMMON18 = (
+    "q1_pricing_summary",
+    "j1_inner_equi_join",
+    "j6_broadcast_join",
+    "j8_asof_join",
+    "a8_pivot",
+    "w1_row_number_latest",
+    "o3_top_k_per_group",
+    "x1_exact_dedup",
+    "x2_minhash_near_dedup",
+    "x3_similarity_bruteforce",
+    "x4b_term_frequency",
+    "x4f_corpus_curation",
+    "t1_tumbling_window",
+    "x1b_incremental_dedup",
+    "x6d_decontamination",
+    "x3y_mips_matmul_topk",
+    "j11_write",
+    "j11_join",
+)
+
 
 def latest_bench_record_path(repo_root: str = REPO_ROOT) -> str | None:
     """Newest driver bench record (BENCH_rN.json) by INTEGER round
@@ -254,6 +281,9 @@ def main() -> None:
     per_query["j11_join"] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+    common18 = round(
+        sum(t for n, t in per_query.items() if n in COMMON18), 3
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Drift-normalized total: what this run would cost on the pinned
@@ -276,10 +306,18 @@ def main() -> None:
             ),
             3,
         )
+        common18_normalized = round(
+            sum(
+                t * factor[QUERY_CLASS.get(n, "cpu")]
+                for n, t in per_query.items()
+                if n in COMMON18
+            ),
+            3,
+        )
         # the old single-factor series, kept so r<=7 records stay readable
         normalized_cpu_only = round(total * factor["cpu"], 3)
     else:
-        normalized = normalized_cpu_only = None
+        normalized = normalized_cpu_only = common18_normalized = None
         factor = {}  # riser adjudication guards on this being empty
 
     # The driver records only the TAIL of the printed line; round 8's
@@ -298,6 +336,11 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "value_normalized_cpu_only": normalized_cpu_only,
+        # the round-over-round series (r16 on): the frozen 18-query
+        # subtotal, raw and matched-normalized — `value` tracks the
+        # full (growing) headline set and anchors nothing
+        "value_common18_normalized": common18_normalized,
+        "value_common18": common18,
         "value_normalized": normalized,
         "value": total,
     }
