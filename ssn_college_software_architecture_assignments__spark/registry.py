@@ -72,82 +72,31 @@ _loaded = False
 # first ~50 names each round). This is an evidence-AGE rotation (standing
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
-# round. For round 15 (cohorts computed from CORRECTNESS_r01..r14): the
-# round-15 additions (tier 1), then the full 48-id r9-evidence cohort
-# (tier 2a — exactly the overflow r14 predicted and r14's VERDICT task 1
-# demanded lead this round; 4 + 48 = 52 ~ the driver budget, so after
-# r15 no id's newest driver evidence predates r10), then the queries
-# whose source round-15 changes touch (tier 2b — the x3y input guards,
-# the five _walk_ppm_frames callers after the maxval int-parse
-# unification, the three _grams3_cte sharers and x6y after the gram-CTE
-# template factor, and the x6z/x4x pair after the oracle-builder factor;
-# every tier-2b change is value-preserving — guards or byte-identical
-# string refactors, several proven so programmatically — and all eleven
-# have fresh r14 evidence, so they are EXPECTED to overflow to r16's
-# budget behind the stale cohort). Everything else sits below the line,
-# stalest evidence first. Names missing from the registry are ignored,
-# and registry names missing here sort after the listed ones, so this
-# list never breaks registration changes.
+# round. For round 16 (cohorts computed from CORRECTNESS_r01..r15 by
+# script, not copied): the round-16 additions (tier 1 — SemDeDup
+# cluster-then-prune, closure retraction, the e3 end-to-end pipeline),
+# then the 8-id r9-evidence straggler cohort the r15 verdict's task 1
+# ordered to lead (tier 2a first block), then the full 50-id
+# r10-evidence cohort (tier 2a second block). 3 + 8 + 50 = 61 vs the
+# ~50-row budget, so the LAST ~11 r10 ids are the predicted overflow
+# for r17's rotation. Tier 2b: ids whose source round-16 changes
+# touched, all value-preserving (the x4z2 unit guard, the x5u ok-frame
+# anchor restriction, the shared strict-maxval law in both PPM header
+# parsers, the x3r2 train-loop/oracle builder split, the x6n/x6b2
+# factored halves) and all proven green by this round's oracle re-runs
+# — EXPECTED to overflow behind the stale cohort (x6b2/x6h2/x6n/x3r2/
+# x5c/x5e/x4t already sit in tier 2a via their evidence age).
+# Everything else sits below the line, stalest evidence first. Names
+# missing from the registry are ignored, and registry names missing
+# here sort after the listed ones, so this list never breaks
+# registration changes.
 _CHECK_PRIORITY = (
-    # tier 1: the round-15 additions — no driver evidence exists yet
-    # (uncapped full-corpus transitive closure, survivorship over it,
-    # incremental closure maintenance, MMR-diversified retrieval,
-    # incremental survivorship delta, dedup-aware waterfilling,
-    # shot segmentation, chunk-level MMR, grouped exact MAD,
-    # grouped applyInArrow byte stats)
-    "x2e2b_global_dedup_clusters_full",
-    "x6y2_dedup_survivorship_full",
-    "x2e3_incremental_closure",
-    "x4z_mmr_diversified_retrieval",
-    "x6y3_incremental_survivorship",
-    "x6z2_dedup_aware_waterfill",
-    "x5u_shot_segmentation",
-    "x4z2_chunk_mmr_rerank",
-    "a18_grouped_mad",
-    "f7_apply_in_arrow",
-    # tier 2a: the 48-id r9-evidence cohort — after r14 these are the
-    # ONLY ids whose newest driver row predates r10; covering them is
-    # r15's rotation goal
-    "a3_distinct",
-    "a5_cube",
-    "a5_rollup",
-    "a6_percentiles",
-    "a7_collect_agg",
-    "a8_pivot",
-    "e2_sql_forecast_revenue",
-    "e2_sql_market_share",
-    "e2_sql_top_supplier",
-    "e2_sql_volume_shipping",
-    "f_array_family",
-    "f_conditional_family",
-    "f_datetime_family",
-    "f_hash_family",
-    "f_json_family",
-    "f_math_family",
-    "f_string_family",
-    "f_struct_family",
-    "j10_salted_skew_join",
-    "j1_inner_equi_join",
-    "j2_left_outer_join",
-    "j3_full_outer_join",
-    "j4_semi_join",
-    "j5_anti_join",
-    "j6_broadcast_join",
-    "j7_range_join",
-    "j8_asof_join",
-    "j8c_asof_join_nearest",
-    "j9_cross_join",
-    "o1_order_by",
-    "s18_cdc_apply",
-    "s19_dynamic_partition_overwrite",
-    "u6_not_in_null_semantics",
-    "w11_cumulative_distinct",
-    "w12_retention_cohorts",
-    "x2s2_span_dedup_by_source",
-    "x2s_substring_span_dedup",
-    "x2v_containment_rescore",
-    "x3q_mrl_refine_topk",
-    "x3r_kmeans_step",
+    # tier 1: the round-16 additions — no driver evidence exists yet
+    "x2j2_semdedup_prune",
+    "x2e4_closure_retraction",
+    "e3_curation_pipeline",
+    # tier 2a: the 8-id r9 straggler cohort, then the 50-id r10 cohort
+    # (the r15 verdict's ordered rotation goal; ~11 overflow to r17)
     "x4p_zipf_fit",
     "x4q_readability",
     "x4s_bigram_logprob",
@@ -156,24 +105,6 @@ _CHECK_PRIORITY = (
     "x6b2_bfd_packing",
     "x6h2_packing_comparison",
     "x6m_importance_resample",
-    # tier 2b: source touched by round-15 changes — value-preserving
-    # (guards / byte-identical refactors), fresh r14 evidence, expected
-    # to overflow past the ~52-row budget and lead r16 tier 2
-    "x3y_mips_matmul_topk",
-    "x5h_ppm_frame_sample",
-    "x5r_video_near_dedup",
-    "x5s_keyframe_select",
-    "x5c_frame_sample",
-    "x5k_scene_change",
-    "x2e2_global_dedup_clusters",
-    "x2z_lsh_quality_audit",
-    "x6y_dedup_survivorship",
-    "x6z_token_budget_waterfill",
-    "x4x_retrieval_eval",
-    "x6x_chunk_bm25_retrieval",
-    # ---- ~50-query driver budget line sits inside tier 2a; below: the
-    # remainder, stalest driver evidence first
-    # -- newest driver evidence r10 --
     "a14_countmin_sketch",
     "a15_grouped_mode",
     "e2_sql_important_stock",
@@ -219,10 +150,22 @@ _CHECK_PRIORITY = (
     "x3s_radius_search",
     "x3t_filtered_search",
     "x4t_quality_ensemble",
+    "x5c_frame_sample",
     "x5e_ppm_decode",
     "x5q_image_histogram",
     "x6n_temperature_mixture",
     "x6p_epoch_schedule",
+    # tier 2b: source touched by round-16 changes — value-preserving,
+    # fresh r14 evidence, expected to overflow past the budget
+    "x4z2_chunk_mmr_rerank",
+    "x5u_shot_segmentation",
+    "x5h_ppm_frame_sample",
+    "x5k_scene_change",
+    "x5r_video_near_dedup",
+    "x5s_keyframe_select",
+    "x5b_multimodal_decode",
+    "x5d_resize",
+    "x5g_ppm_resize",
     # -- newest driver evidence r11 --
     "a10_stats_agg",
     "a11_incremental_rollup",
@@ -377,11 +320,14 @@ _CHECK_PRIORITY = (
     "s26_time_travel_read",
     "t6c_state_ttl_expiry",
     "w15_gaps_islands",
+    "x2e2_global_dedup_clusters",
     "x2q_duplicated_gram_mass",
     "x2r_cross_source_gram_flow",
+    "x2z_lsh_quality_audit",
     "x3d_similarity_ivf",
     "x3n_pq_refine_topk",
     "x3p_ivf_nprobe_sweep",
+    "x3y_mips_matmul_topk",
     "x4a2_bpe_token_count",
     "x4a_token_count",
     "x4c_quality_score",
@@ -394,10 +340,8 @@ _CHECK_PRIORITY = (
     "x4n2_quality_deciles_scalable",
     "x4o_token_entropy",
     "x4v_hybrid_rrf_fusion",
+    "x4x_retrieval_eval",
     "x4y_keyword_extract",
-    "x5b_multimodal_decode",
-    "x5d_resize",
-    "x5g_ppm_resize",
     "x5l_audio_silence_trim",
     "x5m2_hamming_near_dedup",
     "x5m_image_phash_dedup",
@@ -409,6 +353,58 @@ _CHECK_PRIORITY = (
     "x6d_decontamination",
     "x6k_incremental_admission_funnel",
     "x6l_shard_manifest",
+    "x6x_chunk_bm25_retrieval",
+    "x6y_dedup_survivorship",
+    "x6z_token_budget_waterfill",
+    # -- newest driver evidence r15 --
+    "a18_grouped_mad",
+    "a3_distinct",
+    "a5_cube",
+    "a5_rollup",
+    "a6_percentiles",
+    "a7_collect_agg",
+    "a8_pivot",
+    "e2_sql_forecast_revenue",
+    "e2_sql_market_share",
+    "e2_sql_top_supplier",
+    "e2_sql_volume_shipping",
+    "f7_apply_in_arrow",
+    "f_array_family",
+    "f_conditional_family",
+    "f_datetime_family",
+    "f_hash_family",
+    "f_json_family",
+    "f_math_family",
+    "f_string_family",
+    "f_struct_family",
+    "j10_salted_skew_join",
+    "j1_inner_equi_join",
+    "j2_left_outer_join",
+    "j3_full_outer_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_broadcast_join",
+    "j7_range_join",
+    "j8_asof_join",
+    "j8c_asof_join_nearest",
+    "j9_cross_join",
+    "o1_order_by",
+    "s18_cdc_apply",
+    "s19_dynamic_partition_overwrite",
+    "u6_not_in_null_semantics",
+    "w11_cumulative_distinct",
+    "w12_retention_cohorts",
+    "x2e2b_global_dedup_clusters_full",
+    "x2e3_incremental_closure",
+    "x2s2_span_dedup_by_source",
+    "x2s_substring_span_dedup",
+    "x2v_containment_rescore",
+    "x3q_mrl_refine_topk",
+    "x3r_kmeans_step",
+    "x4z_mmr_diversified_retrieval",
+    "x6y2_dedup_survivorship_full",
+    "x6y3_incremental_survivorship",
+    "x6z2_dedup_aware_waterfill",
 )
 
 

@@ -208,6 +208,10 @@ QUERIES = [
     "x4z2_chunk_mmr_rerank",
     "a18_grouped_mad",
     "f7_apply_in_arrow",
+    # round-16 additions
+    "x2j2_semdedup_prune",
+    "x2e4_closure_retraction",
+    "e3_curation_pipeline",
 ]
 
 
