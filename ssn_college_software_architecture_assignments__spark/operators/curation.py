@@ -3449,3 +3449,139 @@ def e3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6y4 — survivor re-election after closure retraction -------------------------
+#
+# The manifest half of x2e4 (the r15 verdict's task 3 named it: "x6y2's
+# manifest gets the matching survivor re-election"): when a takedown
+# tombstones docs out of the standing closure, every NEW post-delete
+# cluster needs a survivor re-elected under the same keep-longest
+# (n_chars desc, doc_id asc) law x6y/x6y2/x6y3 pin — and the ledger
+# wants to know whether the OLD survivor was itself tombstoned
+# (old_survivor_lost) or merely dethroned by the split (keep_is_old
+# false). Composes the shared x2e4_retraction_members site (both
+# closures computed once per engine) plus one n_chars join and two
+# windows; the oracle extends the shared _X2E4_CTES chain with the
+# identical window algebra and carries both convergence guards.
+#
+# Scale shape: x2e4's touched-components slice bounds everything —
+# the n_chars join is doc_id-keyed on touched members only, and both
+# windows partition by (standing|new) cluster ids whose groups are
+# duplicate families, tiny by construction.
+
+from .dedup import _X2E4_CTES as _X2E4_CTES_REF  # noqa: E402
+
+_X6Y4_ORACLE = f"""{_X2E4_CTES_REF},
+ym AS (
+  SELECT mem.id, mem.cluster_id AS standing_cluster, mem.is_tomb,
+         dlab.cluster_id AS new_label, d.n_chars
+  FROM mem
+  LEFT JOIN dlab ON mem.id = dlab.id
+  JOIN documents d ON mem.id = d.doc_id
+),
+oldk AS (
+  SELECT standing_cluster, id AS old_keep_id, is_tomb AS old_survivor_lost
+  FROM (
+    SELECT standing_cluster, id, is_tomb,
+           row_number() OVER (PARTITION BY standing_cluster
+                              ORDER BY n_chars DESC, id) AS rnk
+    FROM ym
+  ) WHERE rnk = 1
+),
+newr AS (
+  SELECT ym.*, row_number() OVER (PARTITION BY new_label
+                                  ORDER BY n_chars DESC, id) AS rnk
+  FROM ym WHERE new_label IS NOT NULL
+),
+agg AS (
+  SELECT new_label, min(standing_cluster) AS standing_cluster,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(CASE WHEN rnk = 1 THEN id END) AS BIGINT) AS keep_doc_id,
+         CAST(max(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT)
+           AS keep_n_chars,
+         CAST(sum(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS freed_chars
+  FROM newr GROUP BY new_label
+)
+SELECT CAST(agg.new_label AS BIGINT)         AS new_cluster,
+       CAST(agg.standing_cluster AS BIGINT)  AS standing_cluster,
+       agg.n_members, agg.keep_doc_id, agg.keep_n_chars, agg.freed_chars,
+       CAST(oldk.old_keep_id AS BIGINT)      AS old_keep_id,
+       oldk.old_survivor_lost                AS old_survivor_lost,
+       (agg.keep_doc_id = oldk.old_keep_id)  AS keep_is_old,
+       (lconv.ok AND dconv.ok)               AS closure_converged
+FROM agg JOIN oldk ON agg.standing_cluster = oldk.standing_cluster
+CROSS JOIN lconv CROSS JOIN dconv
+ORDER BY new_cluster
+"""
+
+
+@register(
+    "x6y4_retraction_survivorship", oracle=_X6Y4_ORACLE,
+    tags=("X6", "X2", "X1"),
+)
+def x6y4_retraction_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivor re-election after tombstone retraction: per NEW
+    post-delete cluster (x2e4's shared members site), the keep-longest
+    survivor among the remaining members, the freed_chars accounting,
+    the standing cluster it came from, that cluster's OLD survivor,
+    whether the takedown removed the old survivor itself
+    (old_survivor_lost), and whether the crown moved (keep_is_old).
+    The oracle recomputes both closures from scratch and runs the
+    identical two windows."""
+    from .dedup import x2e4_retraction_members
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    ym = x2e4_retraction_members(spark, sf_dir).join(docs, "id")
+    w_old = W.partitionBy("standing_cluster").orderBy(
+        F.col("n_chars").desc(), "id"
+    )
+    oldk = (
+        ym.withColumn("rnk", F.row_number().over(w_old))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "standing_cluster",
+            F.col("id").alias("old_keep_id"),
+            F.col("is_tomb").alias("old_survivor_lost"),
+        )
+    )
+    w_new = W.partitionBy("new_label").orderBy(
+        F.col("n_chars").desc(), "id"
+    )
+    newr = (
+        ym.filter(F.col("new_label").isNotNull())
+        .withColumn("rnk", F.row_number().over(w_new))
+    )
+    agg = newr.groupBy("new_label").agg(
+        F.min("standing_cluster").alias("standing_cluster"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("rnk") == 1, F.col("id")))
+        .cast("long")
+        .alias("keep_doc_id"),
+        F.max(F.when(F.col("rnk") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("keep_n_chars"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("freed_chars"),
+    )
+    return (
+        agg.join(oldk, "standing_cluster")
+        .select(
+            F.col("new_label").cast("long").alias("new_cluster"),
+            F.col("standing_cluster").cast("long").alias("standing_cluster"),
+            "n_members", "keep_doc_id", "keep_n_chars", "freed_chars",
+            F.col("old_keep_id").cast("long").alias("old_keep_id"),
+            "old_survivor_lost",
+            (F.col("keep_doc_id") == F.col("old_keep_id")).alias(
+                "keep_is_old"
+            ),
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("new_cluster")
+    )

@@ -1140,7 +1140,10 @@ _X2E4_VERDICT_CASE = (
     "ELSE 'split' END"
 )
 
-_X2E4_ORACLE = f"""{_X2E2B_CTES},
+# The CTE chain through the touched-member table (standing labels llab,
+# post-delete labels dlab, tombstones, touched clusters, mem) — shared
+# with x6y4's survivor re-election oracle (the _X2E3_CTES precedent).
+_X2E4_CTES = f"""{_X2E2B_CTES},
 gd AS (SELECT * FROM g WHERE NOT ({_X2E4_TOMB.format(col="doc_id")})),
 pairs_d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1162,7 +1165,9 @@ mem AS (
   SELECT llab.id, llab.cluster_id,
          ({_X2E4_TOMB.format(col="llab.id")}) AS is_tomb
   FROM llab JOIN touched USING (cluster_id)
-),
+)"""
+
+_X2E4_ORACLE = f"""{_X2E4_CTES},
 stats AS (
   SELECT mem.cluster_id,
          CAST(count(*) AS BIGINT) AS n_members,
@@ -1209,6 +1214,27 @@ def x2e4_surviving_docs(spark: SparkSession, sf_dir: str):
     return members, subdocs
 
 
+def x2e4_retraction_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, standing_cluster, is_tomb, new_label) for every member of a
+    tombstone-touched standing cluster — ONE site shared by the x2e4
+    verdict stats and x6y4's survivor re-election (the
+    x2e3_touched_members precedent). new_label is null for tombstoned
+    members (they have no post-delete component)."""
+    members, subdocs = x2e4_surviving_docs(spark, sf_dir)
+    new_labels = large_star_small_star(
+        members.filter(~F.expr(_X2E4_TOMB.format(col="id"))).select("id"),
+        x2e2_shared_gram_pairs(subdocs),
+    ).select("id", F.col("label").alias("new_label"))
+    return (
+        members.select(
+            "id",
+            F.col("label").alias("standing_cluster"),
+            F.expr(_X2E4_TOMB.format(col="id")).alias("is_tomb"),
+        )
+        .join(new_labels, "id", "left")
+    )
+
+
 @register("x2e4_closure_retraction", oracle=_X2E4_ORACLE, tags=("X2", "X1"))
 def x2e4_closure_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retract a tombstoned doc set (doc_id % 10 = 3) from the standing
@@ -1220,18 +1246,8 @@ def x2e4_closure_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     min label. O(touched components), never O(corpus). The oracle
     recomputes the post-delete closure from scratch — incremental must
     equal recompute."""
-    members, subdocs = x2e4_surviving_docs(spark, sf_dir)
-    new_labels = large_star_small_star(
-        members.filter(~F.expr(_X2E4_TOMB.format(col="id"))).select("id"),
-        x2e2_shared_gram_pairs(subdocs),
-    ).select("id", F.col("label").alias("new_label"))
     stats = (
-        members.select(
-            "id",
-            F.col("label").alias("standing_cluster"),
-            F.expr(_X2E4_TOMB.format(col="id")).alias("is_tomb"),
-        )
-        .join(new_labels, "id", "left")
+        x2e4_retraction_members(spark, sf_dir)
         .groupBy("standing_cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -94,6 +94,7 @@ _CHECK_PRIORITY = (
     # tier 1: the round-16 additions — no driver evidence exists yet
     "x2j2_semdedup_prune",
     "x2e4_closure_retraction",
+    "x6y4_retraction_survivorship",
     "e3_curation_pipeline",
     # tier 2a: the 8-id r9 straggler cohort, then the 50-id r10 cohort
     # (the r15 verdict's ordered rotation goal; ~11 overflow to r17)

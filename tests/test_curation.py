@@ -1524,3 +1524,64 @@ def test_e3_pipeline_equals_stage_composition_planted(spark, tmp_path):
         assert r["packed_tokens"] == sum(
             p["n_tokens"] for p in packed if p["source"] == s
         )
+
+
+def test_x6y4_reelection_after_bridge_removal(spark):
+    """x6y4 law on the x2e4 planted corpus: tombstoning bridge doc 3
+    (the {1,3,4} cluster's OLD survivor — longest at 21 chars) splits
+    the family, so BOTH fragments re-elect (old_survivor_lost, crown
+    moved); in {5,6,23} the tombstoned leaf 23 was never the survivor,
+    so doc 5 keeps the crown (keep_is_old, freed_chars = doc 6's 13);
+    the dissolved singleton {13} yields no row."""
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6y4_retraction_survivorship,
+    )
+
+    texts = {
+        1: "a b c d e f g",
+        3: "a b c d e f q r s t u",
+        4: "q r s t u v w",
+        5: "h i j k l m n",
+        6: "h i j k l m z",
+        23: "i j k l m n",
+        13: "z1 z2 z3 z4",
+        7: "u1 u2 u3 u4 u5 u6",
+        8: "u1 u2 u3 u4 u5 u7",
+    }
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    # x6y4 reads Catalog in BOTH modules: dedup (members) and curation
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+
+    origs = (dmod.Catalog, cmod.Catalog)
+    dmod.Catalog = cmod.Catalog = _Cat
+    try:
+        rows = {
+            r["new_cluster"]: r
+            for r in x6y4_retraction_survivorship(spark, "x").collect()
+        }
+    finally:
+        dmod.Catalog, cmod.Catalog = origs
+
+    assert set(rows) == {1, 4, 5}
+    assert all(r["closure_converged"] for r in rows.values())
+    for nc in (1, 4):
+        r = rows[nc]
+        assert r["standing_cluster"] == 1
+        assert r["old_keep_id"] == 3 and r["old_survivor_lost"]
+        assert not r["keep_is_old"]
+        assert r["n_members"] == 1 and r["keep_doc_id"] == nc
+        assert r["freed_chars"] == 0
+    r5 = rows[5]
+    assert r5["standing_cluster"] == 5
+    assert r5["old_keep_id"] == 5 and not r5["old_survivor_lost"]
+    assert r5["keep_is_old"] and r5["keep_doc_id"] == 5
+    assert r5["n_members"] == 2 and r5["freed_chars"] == 13

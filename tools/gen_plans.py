@@ -211,6 +211,7 @@ QUERIES = [
     # round-16 additions
     "x2j2_semdedup_prune",
     "x2e4_closure_retraction",
+    "x6y4_retraction_survivorship",
     "e3_curation_pipeline",
 ]
 
