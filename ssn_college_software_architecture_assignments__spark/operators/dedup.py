@@ -24,6 +24,8 @@ from .similarity import (
     _x3r2_train,
     cosine,
     l2_norm,
+    _X3R2_ASG_CTES,
+    x3r2_trained_assign,
 )
 
 # X1 — exact dedup ------------------------------------------------------------
@@ -2109,17 +2111,14 @@ _X2J2_MERGE = (
     "THEN CAST([] AS DOUBLE[][]) ELSE x END)"
 )
 
-_X2J2_ORACLE = f"""{_x3r2_ctes()},
-asg AS (
-  SELECT vec_id, cid, emb FROM (
-    SELECT v.vec_id, c.cid, v.emb,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             list_reduce(list_transform(list_zip(v.emb, c.cvec),
-                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
-                         (a, x) -> a + x), c.cid) AS rn
-    FROM v CROSS JOIN c{_X3R2_STEPS} c
-  ) WHERE rn = 1
-),
+# The trained-centroid assignment chain (x3r2 training CTEs + the asg
+# nearest-final-centroid table) lives in similarity.py as
+# _X3R2_ASG_CTES — shared verbatim with x3z's trained-IVF search
+# oracle (the byte-identity split law; x2j2's registered string is
+# proven hash-unchanged across both factor steps).
+_X2J2_ASG_CTES = _X3R2_ASG_CTES
+
+_X2J2_ORACLE = f"""{_X2J2_ASG_CTES},
 mem AS (
   SELECT cid, vec_id,
          list_concat([CAST(vec_id AS DOUBLE),
@@ -2168,32 +2167,7 @@ def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector: cluster, keep verdict, cluster size, kept count. The fold
     is engine-identical (F.aggregate vs list_reduce, exact doubles);
     the lowest-id copy always survives."""
-    stats, cent, v = _x3r2_train(spark, sf_dir)
-
-    def sqdist(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("emb"), cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cent_df = spark.createDataFrame(
-        sorted(cent.items()), "cid long, cvec array<double>"
-    )
-    cent_row = cent_df.agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
-    )
-    am = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")
-            ),
-        )
-    )
-    assigned = v.crossJoin(F.broadcast(cent_row)).select(
-        "vec_id", "emb", am["cid"].alias("cid")
-    )
+    assigned, _cent = x3r2_trained_assign(spark, sf_dir)
     mem = assigned.select(
         "cid",
         F.expr(

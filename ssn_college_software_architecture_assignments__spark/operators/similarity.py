@@ -2068,6 +2068,62 @@ def _x3r2_train(
     return stats, cent, v
 
 
+def x3r2_trained_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """((vec_id, emb, cid) assignment frame, final centroid dict):
+    every embedding assigned to its x3r2-TRAINED centroid by the L2
+    (dist, cid) argmin law — the Spark half of the _X2J2_ASG_CTES
+    oracle chain, shared by x2j2 SemDeDup and the x3z trained-IVF
+    search. Training runs via _x3r2_train (only K x dims centroid
+    tables are ever collected); assignment is the map-side broadcast
+    argmin fold — no window, the corpus never shuffles for it."""
+    _stats, cent, v = _x3r2_train(spark, sf_dir)
+
+    def sqdist(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent_df = spark.createDataFrame(
+        sorted(cent.items()), "cid long, cvec array<double>"
+    )
+    cent_row = cent_df.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    am = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(c["cvec"]).alias("best_d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    assigned = v.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "emb", am["cid"].alias("cid")
+    )
+    return assigned, cent
+
+
+# The trained-centroid assignment chain: the x3r2 training CTEs plus
+# the asg nearest-final-centroid table (L2 (dist, cid) argmin over the
+# final centroids) - ONE oracle site shared by x2j2 SemDeDup (as
+# _X2J2_ASG_CTES) and the x3z trained-IVF search.
+_X3R2_ASG_CTES = f"""{_x3r2_ctes()},
+asg AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT v.vec_id, c.cid, v.emb,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_reduce(list_transform(list_zip(v.emb, c.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c.cid) AS rn
+    FROM v CROSS JOIN c{_X3R2_STEPS} c
+  ) WHERE rn = 1
+)"""
+
+
 @register("x3r2_kmeans_train", oracle=_X3R2_ORACLE, tags=("X3",))
 def x3r2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-step Lloyd training loop over the embedding corpus: per
@@ -2351,4 +2407,152 @@ def x3y_mips_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _X3Y_TOPK)
         .select("q_id", F.col("rn").cast("int").alias("rn"), "vec_id", "idot")
         .orderBy("q_id", "rn")
+    )
+
+
+# X3z — trained-centroid IVF top-k search (training -> serving) ----------------
+#
+# The serving face of the x3r2 training loop: x3d/x3m probe FIXED
+# deterministic centroids (vec_id < 16, the documented stand-in for a
+# trained codebook); x3z closes that gap by probing the x3r2-TRAINED
+# partition itself — the same final centroids, the same L2 (dist, cid)
+# assignment law, ONE oracle site (_X3R2_ASG_CTES, shared verbatim with
+# x2j2). Each of the 8 query vectors ranks the trained cells by L2
+# distance, probes the nearest _X3Z_NPROBE, and scores exact cosine
+# against ONLY the probed cells' members — the standard IVF recall
+# trade with a trained quantizer.
+#
+# Cross-engine exactness: assignment and probe ranking compare
+# bitwise-identical doubles (ordered folds, the x3r law); candidate
+# ranking orders by round(cos, 4) DESC with the vec_id tiebreak (the
+# x2d law), so the top-k cut is deterministic in both engines.
+# Zero-norm vectors are excluded before any cosine in BOTH engines.
+#
+# Scale shape: training collects only K x dims per step; assignment
+# and probe selection are map-side broadcast argmin folds; the scoring
+# join is a cell EQUI-join (queries x nprobe rows against the cell-keyed
+# corpus — never all-pairs, plan-gated); the final window partitions by
+# query id over <= nprobe cells' members.
+
+_X3Z_NPROBE = 2
+_X3Z_TOPK = 5
+
+_X3Z_ORACLE = f"""{_X3R2_ASG_CTES},
+nz AS (
+  SELECT vec_id, cid, emb,
+         sqrt(list_reduce(list_transform(emb, e -> e * e),
+                          (s, y) -> s + y)) AS nrm
+  FROM asg
+  WHERE list_reduce(list_transform(emb, e -> e * e), (s, y) -> s + y) > 0
+),
+q AS (SELECT vec_id AS q_id, emb AS qemb, nrm AS qnrm
+      FROM nz WHERE vec_id < 8),
+qc AS (
+  SELECT q_id, qemb, qnrm, cid FROM (
+    SELECT q.q_id, q.qemb, q.qnrm, c.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_reduce(list_transform(list_zip(q.qemb, c.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c.cid) AS rn
+    FROM q CROSS JOIN c{_X3R2_STEPS} c
+  ) WHERE rn <= {_X3Z_NPROBE}
+),
+cand AS (
+  SELECT qc.q_id, nz.vec_id, nz.cid,
+         list_reduce(list_transform(list_zip(qc.qemb, nz.emb),
+                                    p -> p[1] * p[2]),
+                     (s, y) -> s + y) / (qc.qnrm * nz.nrm) AS cos
+  FROM qc JOIN nz ON qc.cid = nz.cid
+  WHERE nz.vec_id <> qc.q_id
+)
+SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+       CAST(cid AS BIGINT) AS cell, cos_sim
+FROM (
+  SELECT q_id, vec_id, cid, round(cos, 4) + 0.0 AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 4) DESC, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= {_X3Z_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+@register("x3z_trained_ivf_topk", oracle=_X3Z_ORACLE, tags=("X3",))
+def x3z_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 cosine search over the x3r2-TRAINED partition: each of
+    the 8 query vectors probes its 2 L2-nearest trained cells and
+    scores exact cosine against only their members (self excluded,
+    zero-norm excluded). Assignment shares the x2j2 law site; ranking
+    is round(cos,4) DESC with the vec_id tiebreak."""
+    assigned, cent = x3r2_trained_assign(spark, sf_dir)
+    corpus = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
+        F.col("nrm") > 0
+    )
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cent_df = spark.createDataFrame(
+        sorted(cent.items()), "cid long, cvec array<double>"
+    )
+    cent_row = cent_df.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+
+    def sqd(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("qemb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .select(
+            "q_id", "qemb", "qnrm",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                sqd(c["cvec"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1, _X3Z_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probes.join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "cid",
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 4).desc(), "vec_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X3Z_TOPK)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.col("cid").cast("long").alias("cell"),
+            (F.round(F.col("cos"), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy("q_id", "rnk")
     )

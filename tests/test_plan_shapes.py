@@ -937,3 +937,16 @@ def test_x2e4_retraction_slices_touched_components_only(spark):
     pair_plan = explain_str(x2e2_shared_gram_pairs(subdocs))
     assert "CartesianProduct" not in pair_plan
     assert "BroadcastNestedLoopJoin" not in pair_plan
+
+
+def test_x3z_trained_ivf_scoring_is_cell_equi_join(spark):
+    """x3z's scale claim: assignment and probe selection are map-side
+    broadcast argmin folds (the 1-row centroid crossJoins), and the
+    scoring join is a cell EQUI-join of the queries-x-nprobe probe rows
+    against the cell-keyed corpus — no join may degrade to a shuffled
+    or all-pairs form."""
+    plan = _plan(spark, "x3z_trained_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "cell scoring join must broadcast"

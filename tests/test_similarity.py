@@ -937,3 +937,77 @@ def test_x3y_mips_partition_invariance_and_tie_law(spark):
         assert [rn for rn, _, _ in sorted(rows)] == list(
             range(1, len(rows) + 1)
         )
+
+
+def test_x3z_trained_ivf_planted_probe_and_ranking(spark):
+    """x3z law on the planted 2-D corpus (the x2j2 fixture): query 0's
+    probe set is its own trained cell 0 plus cell 1 (the L2 tie at
+    1980100 between centroids 1 and 3 resolves to the lower cid — the
+    (dist, cid) law); candidates are exactly the probed cells' nonzero
+    members (8, 9 from cell 0; 1 from cell 1; the zero vector 10 is
+    excluded), ranked 8 (cos ~ 1.0), 1 (0.7071), 9 (0.4061). The same
+    frame runs through the DuckDB oracle so both engines pin the same
+    ranking."""
+    import duckdb
+    import pandas as pd
+    import ssn_college_software_architecture_assignments__spark.operators.similarity as smod
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _X3Z_ORACLE,
+        x3z_trained_ivf_topk,
+    )
+
+    vecs = [
+        (0, [10.0, 0.0]),
+        (1, [1000.0, 1000.0]),
+        (2, [-1000.0, 1000.0]),
+        (3, [1000.0, -1000.0]),
+        (4, [-1000.0, -1000.0]),
+        (5, [2000.0, 0.0]),
+        (6, [0.0, 2000.0]),
+        (7, [-2000.0, 0.0]),
+        (8, [9.999, 0.001]),
+        (9, [4.0, 9.0]),
+        (10, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    orig = smod.Catalog
+    smod.Catalog = _Cat
+    try:
+        rows = x3z_trained_ivf_topk(spark, "x").collect()
+    finally:
+        smod.Catalog = orig
+
+    assert all(r["vec_id"] != r["q_id"] for r in rows)
+    assert all(1 <= r["rnk"] <= 5 for r in rows)
+    assert all(r["vec_id"] != 10 for r in rows), "zero vector excluded"
+    q0 = sorted(
+        (r["rnk"], r["vec_id"], r["cell"], r["cos_sim"])
+        for r in rows if r["q_id"] == 0
+    )
+    assert [x[1] for x in q0] == [8, 1, 9]
+    assert q0[0][2] == 0 and q0[1][2] == 1 and q0[2][2] == 0
+    assert q0[0][3] == 1.0
+    assert abs(q0[1][3] - 0.7071) < 1e-9
+    assert abs(q0[2][3] - 0.4061) < 1e-9
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in vecs], "embedding": [e for _, e in vecs]}
+        ),
+    )
+    oracle = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+        for r in con.execute(_X3Z_ORACLE).fetchall()
+    )
+    got = sorted(
+        (r["q_id"], r["rnk"], r["vec_id"], r["cell"], r["cos_sim"])
+        for r in rows
+    )
+    assert oracle == got

@@ -212,6 +212,7 @@ QUERIES = [
     "x2j2_semdedup_prune",
     "x2e4_closure_retraction",
     "x6y4_retraction_survivorship",
+    "x3z_trained_ivf_topk",
     "e3_curation_pipeline",
 ]
 
