@@ -3471,6 +3471,7 @@ def e3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate families, tiny by construction.
 
 from .dedup import _X2E4_CTES as _X2E4_CTES_REF  # noqa: E402
+from .dedup import _X2E4_TOMB as _X2E4_TOMB_REF  # noqa: E402
 
 _X6Y4_ORACLE = f"""{_X2E4_CTES_REF},
 ym AS (
@@ -3584,4 +3585,109 @@ def x6y4_retraction_survivorship(
             F.lit(True).alias("closure_converged"),
         )
         .orderBy("new_cluster")
+    )
+
+
+# X6b3 — takedown repack-cost audit over the packed lake -----------------------
+#
+# The operational face of retraction AFTER packing: once documents are
+# packed into fixed training sequences (x6b2), a takedown does not
+# just delete rows — every bin holding a tombstoned doc is DIRTY and
+# must be rewritten, dragging its clean co-residents (the collateral)
+# through the rewrite. This is the cost report a takedown run files
+# before touching storage: per source, total vs dirty bins, tombstoned
+# vs collateral docs, tokens freed vs tokens merely rewritten. The
+# tombstone predicate is THE shared x2e4 law site (_X2E4_TOMB), so the
+# closure-retraction manifest (x2e4/x6y4) and this pack audit can
+# never disagree about who is being taken down; the packing is the
+# registered x6b2 fold (x6b2_pack / _x6b2_fold_ctes, both shared).
+#
+# Scale shape: x6b2's per-source fold plus two map-combined integer
+# aggregates ((source, bin) then source) — no new shuffle class, all
+# BIGINT, exact.
+
+_X6B3_ORACLE = f"""
+WITH {_x6b2_fold_ctes(_X6B2_T_SELECT)},
+asg AS (
+  SELECT source, u[1] AS doc_id, u[3] AS n_tokens, u[2] AS bin_id
+  FROM (SELECT source, unnest(st[2:]) AS u FROM folded)
+),
+flag AS (
+  SELECT source, doc_id, n_tokens, bin_id,
+         ({_X2E4_TOMB_REF.format(col="doc_id")}) AS is_tomb
+  FROM asg
+),
+binstats AS (
+  SELECT source, bin_id,
+         max(CASE WHEN is_tomb THEN 1 ELSE 0 END)            AS dirty,
+         sum(CASE WHEN is_tomb THEN n_tokens ELSE 0 END)     AS tomb_toks,
+         sum(CASE WHEN is_tomb THEN 1 ELSE 0 END)            AS tomb_docs,
+         sum(CASE WHEN NOT is_tomb THEN n_tokens ELSE 0 END) AS clean_toks,
+         sum(CASE WHEN NOT is_tomb THEN 1 ELSE 0 END)        AS clean_docs
+  FROM flag GROUP BY source, bin_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_bins,
+       CAST(sum(dirty) AS BIGINT)   AS n_dirty_bins,
+       CAST(sum(CASE WHEN dirty = 1 THEN tomb_docs ELSE 0 END) AS BIGINT)
+         AS n_tomb_docs,
+       CAST(sum(CASE WHEN dirty = 1 THEN clean_docs ELSE 0 END) AS BIGINT)
+         AS n_collateral_docs,
+       CAST(sum(CASE WHEN dirty = 1 THEN clean_toks ELSE 0 END) AS BIGINT)
+         AS tokens_rewritten,
+       CAST(sum(tomb_toks) AS BIGINT) AS tokens_freed
+FROM binstats
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x6b3_takedown_pack_audit", oracle=_X6B3_ORACLE, tags=("X6", "X2"))
+def x6b3_takedown_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repack cost of the x2e4 takedown over the x6b2
+    packed layout: dirty bins (holding >= 1 tombstoned doc), the
+    tombstoned and collateral doc counts, tokens freed by the takedown
+    and tokens that must merely be rewritten. Composes the registered
+    x6b2 fold and the shared x2e4 tombstone law — all-integer, exact."""
+    from .dedup import _X2E4_TOMB
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    asg = x6b2_pack(
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
+    flag = asg.select(
+        "source", "bin_id", "n_tokens",
+        F.expr(_X2E4_TOMB.format(col="doc_id")).alias("is_tomb"),
+    )
+    binstats = flag.groupBy("source", "bin_id").agg(
+        F.max(F.col("is_tomb").cast("int")).alias("dirty"),
+        F.sum(F.when(F.col("is_tomb"), F.col("n_tokens")).otherwise(0))
+        .alias("tomb_toks"),
+        F.sum(F.when(F.col("is_tomb"), 1).otherwise(0)).alias("tomb_docs"),
+        F.sum(F.when(~F.col("is_tomb"), F.col("n_tokens")).otherwise(0))
+        .alias("clean_toks"),
+        F.sum(F.when(~F.col("is_tomb"), 1).otherwise(0)).alias("clean_docs"),
+    )
+    return (
+        binstats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("dirty").cast("long").alias("n_dirty_bins"),
+            F.sum(F.when(F.col("dirty") == 1, F.col("tomb_docs")).otherwise(0))
+            .cast("long")
+            .alias("n_tomb_docs"),
+            F.sum(
+                F.when(F.col("dirty") == 1, F.col("clean_docs")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_collateral_docs"),
+            F.sum(
+                F.when(F.col("dirty") == 1, F.col("clean_toks")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_rewritten"),
+            F.sum("tomb_toks").cast("long").alias("tokens_freed"),
+        )
+        .orderBy("source")
     )

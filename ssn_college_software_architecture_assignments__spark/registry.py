@@ -96,6 +96,7 @@ _CHECK_PRIORITY = (
     "x2e4_closure_retraction",
     "x6y4_retraction_survivorship",
     "x3z_trained_ivf_topk",
+    "x6b3_takedown_pack_audit",
     "e3_curation_pipeline",
     # tier 2a: the 8-id r9 straggler cohort, then the 50-id r10 cohort
     # (the r15 verdict's ordered rotation goal; ~11 overflow to r17)

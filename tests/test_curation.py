@@ -1585,3 +1585,42 @@ def test_x6y4_reelection_after_bridge_removal(spark):
     assert r5["old_keep_id"] == 5 and not r5["old_survivor_lost"]
     assert r5["keep_is_old"] and r5["keep_doc_id"] == 5
     assert r5["n_members"] == 2 and r5["freed_chars"] == 13
+
+
+def test_x6b3_takedown_audit_planted_bins(spark, tmp_path):
+    """x6b3 law on a planted single-source corpus whose BFD packing is
+    hand-derivable: cap 2048, docs sized 2000/1500/500/48 with ids
+    chosen so exactly one is tombstoned (doc_id % 10 = 3). BFD places
+    2000+48 in bin 0 and 1500+500 in bin 1; tombstoned doc 23 (1500
+    tokens) dirties bin 1 only, dragging the 500-token doc as
+    collateral; bin 0 stays clean."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6b3_takedown_pack_audit,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [
+        (1, mk(2000)),   # bin 0 (opens)
+        (23, mk(1500)),  # bin 1 (opens; 2000+1500 > cap) — TOMBSTONED
+        (4, mk(500)),    # bin 1 (1500+500 = 2000 <= cap; bin 1 fuller)
+        (6, mk(48)),     # bin 0 (2000+48 = 2048 <= cap; bin 0 fullest feasible)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = x6b3_takedown_pack_audit(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "s"
+    assert r["n_bins"] == 2
+    assert r["n_dirty_bins"] == 1
+    assert r["n_tomb_docs"] == 1
+    assert r["n_collateral_docs"] == 1
+    assert r["tokens_rewritten"] == 500
+    assert r["tokens_freed"] == 1500

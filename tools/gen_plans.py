@@ -213,6 +213,7 @@ QUERIES = [
     "x2e4_closure_retraction",
     "x6y4_retraction_survivorship",
     "x3z_trained_ivf_topk",
+    "x6b3_takedown_pack_audit",
     "e3_curation_pipeline",
 ]
 
