@@ -73,13 +73,14 @@ _loaded = False
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
 # round. For round 16 (cohorts computed from CORRECTNESS_r01..r15 by
-# script, not copied): the round-16 additions (tier 1 — SemDeDup
-# cluster-then-prune, closure retraction, the e3 end-to-end pipeline),
-# then the 8-id r9-evidence straggler cohort the r15 verdict's task 1
-# ordered to lead (tier 2a first block), then the full 50-id
-# r10-evidence cohort (tier 2a second block). 3 + 8 + 50 = 61 vs the
-# ~50-row budget, so the LAST ~11 r10 ids are the predicted overflow
-# for r17's rotation. Tier 2b: ids whose source round-16 changes
+# script, not copied): the six round-16 additions (tier 1 — SemDeDup
+# cluster-then-prune x2j2, closure retraction x2e4 and its re-election
+# manifest x6y4, trained-IVF search x3z, the takedown pack audit x6b3,
+# and the e3 end-to-end pipeline), then the 8-id r9-evidence straggler
+# cohort the r15 verdict's task 1 ordered to lead (tier 2a first
+# block), then the full 50-id r10-evidence cohort (tier 2a second
+# block). 6 + 8 + 50 = 64 vs the ~50-row budget, so the LAST ~14 r10
+# ids are the predicted overflow for r17's rotation. Tier 2b: ids whose source round-16 changes
 # touched, all value-preserving (the x4z2 unit guard, the x5u ok-frame
 # anchor restriction, the shared strict-maxval law in both PPM header
 # parsers, the x3r2 train-loop/oracle builder split, the x6n/x6b2
