@@ -92,3 +92,43 @@ def test_generated_connector_runs_e2e_against_mock_api(spark, tmp_path, monkeypa
     }
     # audit column present on every record (README.md:28,99)
     assert back.filter("_ingested_at IS NULL").count() == 0
+
+
+def test_check_priority_is_complete_and_duplicate_free():
+    """The evidence-age rotation list must stay a PERMUTATION of the
+    registry: a registered query missing from _CHECK_PRIORITY silently
+    sorts last forever (never rotates), a stale name is dead weight,
+    and a duplicate makes the rank mapping ambiguous. r16 rebuilt the
+    list by script; this pins the invariant for future hand edits."""
+    from ssn_college_software_architecture_assignments__spark.registry import (
+        _CHECK_PRIORITY,
+        load_all,
+    )
+
+    listed = list(_CHECK_PRIORITY)
+    names = set(load_all())
+    assert len(listed) == len(set(listed)), "duplicate priority entries"
+    assert set(listed) == names, (
+        sorted(set(listed) - names),
+        sorted(names - set(listed)),
+    )
+
+
+def test_bench_common18_is_frozen_and_headline_consistent():
+    """COMMON18 anchors the round-over-round series: exactly 18 names,
+    every one either a HEADLINE query or a j11 leg, and the full
+    HEADLINE set must still contain every COMMON18 member it is
+    supposed to time (a headline rename would silently zero the
+    subtotal)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c18 = list(mod.COMMON18)
+    assert len(c18) == 18 and len(set(c18)) == 18
+    timed = set(mod.HEADLINE) | {"j11_write", "j11_join"}
+    missing = [n for n in c18 if n not in timed]
+    assert not missing, missing
