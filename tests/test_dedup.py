@@ -1939,3 +1939,79 @@ def test_x2e4_planted_bridge_removal_splits_cluster(spark):
     assert (r13["n_members"], r13["n_tombstoned"], r13["n_remaining"]) == (1, 1, 0)
     assert r13["n_new_clusters"] == 0 and r13["verdict"] == "dissolved"
     assert r13["min_new_label"] is None
+
+
+def test_x2j2_fold_halves_match_python_reference_randomized(spark):
+    """Randomized cross-engine law for the x2j2 greedy keep fold: 5
+    seeded random member sets (float32-truncated so Spark's
+    array<float> ingest and DuckDB's registered float64 frame see
+    IDENTICAL doubles) run through the Spark F.aggregate half, the
+    DuckDB list_reduce half (on a REGISTERED in-memory frame — the
+    layout that corrupted the identity-return fold r16 fixed), and a
+    pure-python left-fold reference. All three keep sets must agree
+    exactly. Dims=4 random vectors collide above tau=0.45 often, so
+    drops are exercised in every seed (asserted)."""
+    import math
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2J2_MERGE,
+        _X2J2_SPARK_DUP,
+        _X2J2_TAU,
+    )
+
+    tau = float(_X2J2_TAU)
+    any_drop = False
+    for seed in range(5):
+        rng = random.Random(seed)
+        members = []
+        for vid in range(12):
+            emb = [float(np.float32(rng.uniform(-1, 1))) for _ in range(4)]
+            nrm = math.sqrt(sum(e * e for e in emb))
+            if nrm == 0:
+                continue
+            members.append([float(vid), nrm] + emb)
+
+        # python reference: ordered left fold, same association order
+        kept_ref, keep_ids = [], []
+        for m in members:
+            dup = any(
+                sum(a * b for a, b in zip(k[2:], m[2:]))
+                >= tau * k[1] * m[1]
+                for k in kept_ref
+            )
+            if not dup:
+                kept_ref.append(m)
+                keep_ids.append(int(m[0]))
+            else:
+                any_drop = True
+
+        # Spark half: one-row frame holding the sorted member list
+        sdf = spark.createDataFrame(
+            [(members,)], "members array<array<double>>"
+        )
+        got_spark = sdf.selectExpr(
+            "transform(aggregate(members, "
+            "CAST(array() AS array<array<double>>), "
+            f"(acc, m) -> CASE WHEN exists(acc, k -> {_X2J2_SPARK_DUP}) "
+            "THEN acc ELSE array_append(acc, m) END), "
+            "k -> CAST(element_at(k, 1) AS BIGINT)) AS kept"
+        ).collect()[0]["kept"]
+
+        # DuckDB half on a registered frame (the corrupting layout)
+        con = duckdb.connect()
+        con.register("mems", pd.DataFrame({"m": members}))
+        got_duck = con.execute(
+            "SELECT list_transform(list_reduce(l, (acc, x) -> "
+            + _X2J2_MERGE
+            + "), k -> CAST(k[1] AS BIGINT)) FROM ("
+            "SELECT list_concat([CAST([] AS DOUBLE[][])],"
+            " list([m] ORDER BY m[1])) AS l FROM mems)"
+        ).fetchall()[0][0]
+
+        assert list(got_spark) == keep_ids, f"seed {seed}: spark half"
+        assert [int(x) for x in got_duck] == keep_ids, f"seed {seed}: duck half"
+    assert any_drop, "fixture must exercise the drop branch"
