@@ -1624,3 +1624,109 @@ def test_x6b3_takedown_audit_planted_bins(spark, tmp_path):
     assert r["n_collateral_docs"] == 1
     assert r["tokens_rewritten"] == 500
     assert r["tokens_freed"] == 1500
+
+
+def test_e3_pipeline_source_with_zero_survivors_keeps_row(spark, tmp_path):
+    """e3 contract for a source the funnel kills entirely: src 'dead'
+    has only a spam doc (fails the x4t quality gate), so it reaches
+    the manifest with its attrition counts but NULL mixture rate (it
+    never enters the survivor-derived rates) and zeroed sampling/
+    packing stats — while the healthy source still flows end to end.
+    Both engines must agree on the NULL/zero posture (driver hash
+    covers the fixture corpus; this pins the planted edge)."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        e3_curation_pipeline,
+    )
+
+    good = " ".join(f"word{i}" for i in range(25))
+    spam = " ".join(["junk"] * 30)
+    rows = [
+        (1, good, "en", "ok"),
+        (9, " ".join(f"note{i}" for i in range(30)), "en", "ok"),
+        (2, spam, "en", "dead"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r["source"]: r for r in e3_curation_pipeline(spark, sf_dir).collect()}
+    assert set(got) == {"ok", "dead"}
+    d = got["dead"]
+    assert d["n_docs"] == 1 and d["n_clean"] == 0
+    assert d["rate"] is None
+    assert (d["n_sampled"], d["sampled_tokens"], d["n_bins"],
+            d["packed_tokens"]) == (0, 0, 0, 0)
+    ok = got["ok"]
+    assert ok["n_clean"] >= 1 and ok["rate"] is not None
+
+
+def test_x6b2_fold_halves_match_python_reference_randomized(spark):
+    """Randomized cross-engine law for the x6b2 BFD fold: 5 seeded
+    random size sets run through the Spark x6b2_pack fold, the DuckDB
+    _x6b2_fold_ctes chain on a REGISTERED in-memory frame (the layout
+    class that corrupted x2j2's pre-fix identity-return fold), and a
+    pure-python best-fit-decreasing reference — every (doc, bin)
+    assignment must agree, including tie resolution (fullest feasible
+    bin, lowest index on load ties)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _X6B2_CAP,
+        _x6b2_fold_ctes,
+        x6b2_pack,
+    )
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        docs = [(i, rng.randint(100, 1500)) for i in range(20)]
+
+        # python BFD reference
+        loads, asg = [], {}
+        for i, s in sorted(docs, key=lambda d: (-d[1], d[0])):
+            feas = [(ld, b) for b, ld in enumerate(loads)
+                    if ld + s <= _X6B2_CAP]
+            if not feas:
+                asg[i] = len(loads)
+                loads.append(s)
+            else:
+                best = max(feas, key=lambda t: (t[0], -t[1]))[1]
+                asg[i] = best
+                loads[best] += s
+
+        sdf = spark.createDataFrame(
+            [(i, "s", s) for i, s in docs],
+            "doc_id long, source string, n_tokens long",
+        )
+        got_spark = {
+            r["doc_id"]: r["bin_id"] for r in x6b2_pack(sdf).collect()
+        }
+        assert got_spark == asg, f"seed {seed}: spark half"
+
+        con = duckdb.connect()
+        con.register(
+            "tdocs",
+            pd.DataFrame(
+                {"doc_id": [i for i, _ in docs],
+                 "source": ["s"] * len(docs),
+                 "n_tokens": [s for _, s in docs]}
+            ),
+        )
+        got_duck = {
+            int(r[0]): int(r[1])
+            for r in con.execute(
+                "WITH "
+                + _x6b2_fold_ctes(
+                    "SELECT doc_id, source, n_tokens FROM tdocs"
+                )
+                + " SELECT u[1], u[2] FROM "
+                "(SELECT unnest(st[2:]) AS u FROM folded)"
+            ).fetchall()
+        }
+        assert got_duck == asg, f"seed {seed}: duck half"
