@@ -1126,3 +1126,95 @@ def a18_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "median_tokens", "mad_tokens")
         .orderBy("source")
     )
+
+
+# A19 — exact grouped TRIMMED mean (the outlier-robust location the MAD
+# spread pairs with) -----------------------------------------------------------
+#
+# a18 gives the robust SPREAD of per-source token counts; a19 is the
+# matching robust LOCATION: the 10%-trimmed mean — drop the
+# floor(n/10) smallest and largest values per source (ranked by
+# (value, doc_id), the deterministic tie law) and average the rest.
+# The mean itself is emitted in integer MICRO-TOKENS
+# ((1e6 * sum) div count, BIGINT floor division — no float crosses the
+# aggregate boundary), so the oracle match is bitwise. A length filter
+# reads (a19 location, a18 spread) the way a z-score filter reads
+# (mean, std), but immune to the pathological outliers raw corpora
+# carry.
+#
+# Scale shape: one shuffle on source for the rank window (per-source
+# partitions; at 100 TB the key becomes (source, split_bucket) with a
+# per-bucket trim, the x6b convention), then a map-combined hash-agg
+# back to a sources-sized table.
+
+_A19_TRIM_NUM = 1   # trim floor(n * 1/10) from each end
+_A19_TRIM_DEN = 10
+
+_A19_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+r AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source,
+       CAST(min(n) AS BIGINT)                          AS n_docs,
+       CAST(min(n) * {_A19_TRIM_NUM} // {_A19_TRIM_DEN} AS BIGINT)
+         AS n_trimmed_each_end,
+       CAST((1000000 * sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} // {_A19_TRIM_DEN}
+                            AND rnk <= n - n * {_A19_TRIM_NUM} // {_A19_TRIM_DEN}
+                           THEN v ELSE 0 END))
+            // sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} // {_A19_TRIM_DEN}
+                     AND rnk <= n - n * {_A19_TRIM_NUM} // {_A19_TRIM_DEN}
+                    THEN 1 ELSE 0 END) AS BIGINT)      AS trimmed_mean_micro,
+       CAST((1000000 * sum(v)) // min(n) AS BIGINT)    AS mean_micro
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("a19_grouped_trimmed_mean", oracle=_A19_ORACLE, tags=("A6",))
+def a19_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of per-source token counts in integer
+    micro-tokens, next to the raw mean: rank per source by
+    (value, doc_id), drop floor(n/10) from each end, average with
+    BIGINT floor division — bitwise cross-engine, outlier-immune."""
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("v"),
+    )
+    w = W.partitionBy("source").orderBy("v", "doc_id")
+    wc = W.partitionBy("source")
+    r = t.select(
+        "source", "v",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.min("n").cast("long").alias("n_docs"),
+            F.expr(
+                f"CAST(min(n) * {_A19_TRIM_NUM} div {_A19_TRIM_DEN} AS BIGINT)"
+            ).alias("n_trimmed_each_end"),
+            F.expr(
+                f"CAST((1000000 * sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} "
+                f"div {_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} "
+                f"div {_A19_TRIM_DEN} THEN v ELSE 0 END)) div "
+                f"sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} div "
+                f"{_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} div "
+                f"{_A19_TRIM_DEN} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("trimmed_mean_micro"),
+            F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
+                "mean_micro"
+            ),
+        )
+        .orderBy("source")
+    )

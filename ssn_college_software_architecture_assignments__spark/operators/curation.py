@@ -3691,3 +3691,123 @@ def x6b3_takedown_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# X6q — train/test split-leakage audit over the near-dup graph -----------------
+#
+# The check every eval pipeline needs and dedup alone cannot give: the
+# x6 deterministic split assigns DOCUMENTS, but near-duplicate PAIRS
+# can straddle the split — a test doc whose near-copy sits in train is
+# leaked evaluation signal even after per-doc dedup keeps both (they
+# may both be survivors of different clusters only under weaker edge
+# laws; under the shared-gram law they are one cluster, but a split
+# happens BEFORE dedup in many pipelines, and the audit quantifies the
+# exposure either way). One row per unordered cross-split class
+# (train/test, train/val, val/test): the straddling pair count, the
+# distinct documents involved, and their total character mass. Both
+# the edge law (the plan-gated x2e2 shared-gram pair site) and the
+# split (the registered x6 hash law) are composed, never restated, on
+# the Spark side; the oracle composes _grams3_cte + the x2e2b pair SQL
+# and wraps the registered _X6_ORACLE verbatim.
+#
+# Scale shape: the pair site's inverted-index join (never all-pairs) +
+# two doc_id-keyed joins against the map-only split + aggregates over
+# pair-class keys (at most 3 rows out).
+
+from .dedup import _X2E2_MIN_SHARED as _X6Q_MIN_SHARED  # noqa: E402
+from .dedup import _grams3_cte as _x6q_grams3_cte  # noqa: E402
+
+_X6Q_ORACLE = f"""
+WITH {_x6q_grams3_cte("TRUE")},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X6Q_MIN_SHARED}
+),
+sp AS ({_X6_ORACLE}),
+x AS (
+  SELECT p.id_a, p.id_b,
+         least(sa.split, sb.split)    AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi
+  FROM pairs p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+  WHERE sa.split <> sb.split
+),
+pstats AS (
+  SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM x GROUP BY split_lo, split_hi
+),
+docs_in AS (
+  SELECT DISTINCT split_lo, split_hi, id FROM (
+    SELECT split_lo, split_hi, id_a AS id FROM x
+    UNION ALL
+    SELECT split_lo, split_hi, id_b AS id FROM x
+  )
+),
+dstats AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT)       AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS leaked_chars
+  FROM docs_in JOIN documents d ON docs_in.id = d.doc_id
+  GROUP BY split_lo, split_hi
+)
+SELECT p.split_lo, p.split_hi, p.n_pairs, d.n_docs, d.leaked_chars
+FROM pstats p JOIN dstats d USING (split_lo, split_hi)
+ORDER BY split_lo, split_hi
+"""
+
+
+@register("x6q_split_leakage_audit", oracle=_X6Q_ORACLE, tags=("X6", "X2"))
+def x6q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling the x6 train/val/test split, per
+    unordered split-class: pair count, distinct documents involved,
+    and their character mass — the leaked-evaluation-signal exposure
+    report. Composes the plan-gated x2e2 shared-gram pair site and the
+    registered x6 split verbatim."""
+    from .dedup import x2e2_shared_gram_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = x2e2_shared_gram_pairs(docs)
+    sp = x6_deterministic_split(spark, sf_dir).select("doc_id", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("src"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("dst"), F.col("split").alias("split_b")
+    )
+    x = (
+        pairs.join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "src", "dst",
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+    )
+    pstats = x.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_in = (
+        x.select("split_lo", "split_hi", F.col("src").alias("id"))
+        .unionByName(
+            x.select("split_lo", "split_hi", F.col("dst").alias("id"))
+        )
+        .distinct()
+    )
+    dstats = (
+        docs_in.join(
+            docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("leaked_chars"),
+        )
+    )
+    return (
+        pstats.join(dstats, ["split_lo", "split_hi"])
+        .orderBy("split_lo", "split_hi")
+    )

@@ -73,13 +73,14 @@ _loaded = False
 # task since round 4): each round the ~50 slots go to the ids whose
 # newest driver row is OLDEST, plus any id whose source changed this
 # round. For round 16 (cohorts computed from CORRECTNESS_r01..r15 by
-# script, not copied): the six round-16 additions (tier 1 — SemDeDup
+# script, not copied): the eight round-16 additions (tier 1 — SemDeDup
 # cluster-then-prune x2j2, closure retraction x2e4 and its re-election
 # manifest x6y4, trained-IVF search x3z, the takedown pack audit x6b3,
-# and the e3 end-to-end pipeline), then the 8-id r9-evidence straggler
+# the exact trimmed mean a19, the split-leakage audit x6q, and the e3
+# end-to-end pipeline), then the 8-id r9-evidence straggler
 # cohort the r15 verdict's task 1 ordered to lead (tier 2a first
 # block), then the full 50-id r10-evidence cohort (tier 2a second
-# block). 6 + 8 + 50 = 64 vs the ~50-row budget, so the LAST ~14 r10
+# block). 8 + 8 + 50 = 66 vs the ~50-row budget, so the LAST ~16 r10
 # ids are the predicted overflow for r17's rotation. Tier 2b: ids whose source round-16 changes
 # touched, all value-preserving (the x4z2 unit guard, the x5u ok-frame
 # anchor restriction, the shared strict-maxval law in both PPM header
@@ -98,6 +99,8 @@ _CHECK_PRIORITY = (
     "x6y4_retraction_survivorship",
     "x3z_trained_ivf_topk",
     "x6b3_takedown_pack_audit",
+    "a19_grouped_trimmed_mean",
+    "x6q_split_leakage_audit",
     "e3_curation_pipeline",
     # tier 2a: the 8-id r9 straggler cohort, then the 50-id r10 cohort
     # (the r15 verdict's ordered rotation goal; ~11 overflow to r17)

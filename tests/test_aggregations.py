@@ -153,3 +153,38 @@ def test_a18_mad_planted_laws(spark):
     s, t = got["s"], got["t"]
     assert (s["n_docs"], s["median_tokens"], s["mad_tokens"]) == (4, 4, 2)
     assert (t["n_docs"], t["median_tokens"], t["mad_tokens"]) == (3, 5, 2)
+
+
+def test_a19_trimmed_mean_planted_outlier_immunity(spark):
+    """a19 law on a planted source: 10 docs sized 10..19 tokens (wait:
+    values 10,10,10,10,10,10,10,10,10,1000) — floor(10/10)=1 trimmed
+    from each end drops one 10 and the 1000-token outlier, so the
+    trimmed mean stays 10.0 exactly (10_000_000 micro) while the raw
+    mean is dragged to 109.0 (109_000_000 micro)."""
+    import ssn_college_software_architecture_assignments__spark.operators.aggregations as amod
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a19_grouped_trimmed_mean,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    df = spark.createDataFrame(
+        [(i, mk(10), "s") for i in range(9)] + [(9, mk(1000), "s")],
+        "doc_id long, text string, source string",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = amod.Catalog
+    amod.Catalog = _Cat
+    try:
+        rows = a19_grouped_trimmed_mean(spark, "x").collect()
+    finally:
+        amod.Catalog = orig
+
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 10 and r["n_trimmed_each_end"] == 1
+    assert r["trimmed_mean_micro"] == 10_000_000
+    assert r["mean_micro"] == 109_000_000

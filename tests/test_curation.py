@@ -1730,3 +1730,59 @@ def test_x6b2_fold_halves_match_python_reference_randomized(spark):
             ).fetchall()
         }
         assert got_duck == asg, f"seed {seed}: duck half"
+
+
+def test_x6q_leakage_planted_cross_split_pair(spark):
+    """x6q law on a planted corpus: two identical docs whose ids hash
+    into train and test buckets form exactly one train/test leakage
+    pair (2 docs, their combined chars); a third identical doc in val
+    adds val pairs; an unrelated singleton contributes nothing. Ids
+    are CHOSEN by the split-hash formula inside the test, so the
+    planted classes are guaranteed, not lucky."""
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6q_split_leakage_audit,
+    )
+
+    def bucket(i):
+        return ((i % 2147483648) * 2654435761) % 4294967296 % 100
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 80)
+    test_id = next(i for i in range(1, 500) if bucket(i) >= 90)
+    val_id = next(i for i in range(1, 500) if 80 <= bucket(i) < 90)
+    text = "a b c d e f g h"  # 6 shingles >= 3 shared
+    df = spark.createDataFrame(
+        [
+            (train_id, text, 100),
+            (test_id, text, 40),
+            (val_id, text, 7),
+            (next(i for i in range(500, 900) if bucket(i) < 80),
+             "z1 z2 z3 z4 z5", 11),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig = cmod.Catalog
+    cmod.Catalog = _Cat
+    try:
+        rows = {
+            (r["split_lo"], r["split_hi"]): r
+            for r in x6q_split_leakage_audit(spark, "x").collect()
+        }
+    finally:
+        cmod.Catalog = orig
+
+    assert set(rows) == {("test", "train"), ("test", "val"), ("train", "val")}
+    tt = rows[("test", "train")]
+    assert tt["n_pairs"] == 1 and tt["n_docs"] == 2
+    assert tt["leaked_chars"] == 140
+    tv = rows[("test", "val")]
+    assert tv["n_pairs"] == 1 and tv["n_docs"] == 2
+    assert tv["leaked_chars"] == 47
+    rv = rows[("train", "val")]
+    assert rv["n_pairs"] == 1 and rv["n_docs"] == 2
+    assert rv["leaked_chars"] == 107

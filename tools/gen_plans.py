@@ -214,6 +214,8 @@ QUERIES = [
     "x6y4_retraction_survivorship",
     "x3z_trained_ivf_topk",
     "x6b3_takedown_pack_audit",
+    "a19_grouped_trimmed_mean",
+    "x6q_split_leakage_audit",
     "e3_curation_pipeline",
 ]
 
