@@ -46,7 +46,16 @@ def split_hash(id_col: str | Column) -> Column:
     return (reduced * F.lit(2654435761)) % F.lit(4294967296)
 
 
-_HASH_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+def _hash_sql(col: str = "doc_id") -> str:
+    """The split-hash formula as SQL over an arbitrary id expression —
+    turned into a builder in r17 (the byte-identity law: _HASH_SQL is
+    this builder at its default and is pinned unchanged by pytest) so
+    x6q2 can hash the duplicate-family REPRESENTATIVE instead of the
+    document id without restating the formula."""
+    return f"(({col} % 2147483648) * 2654435761) % 4294967296"
+
+
+_HASH_SQL = _hash_sql()
 
 
 def split_bucket(id_col: str | Column) -> Column:
@@ -54,17 +63,39 @@ def split_bucket(id_col: str | Column) -> Column:
     return split_hash(id_col) % F.lit(100)
 
 
-_BUCKET_SQL = f"{_HASH_SQL} % 100"
+def _bucket_sql(col: str = "doc_id") -> str:
+    return f"{_hash_sql(col)} % 100"
+
+
+_BUCKET_SQL = _bucket_sql()
 
 
 # X6a — reproducible train/val/test split ------------------------------------
 
+
+def _split_case_sql(bucket: str) -> str:
+    """The 80/10/10 bucket->split CASE over an arbitrary bucket
+    expression — builder split of the _X6_ORACLE law (r17, for x6q2's
+    family-keyed split; byte-identity pytest-pinned)."""
+    return (
+        f"CASE WHEN {bucket} < 80 THEN 'train'\n"
+        f"            WHEN {bucket} < 90 THEN 'val'\n"
+        f"            ELSE 'test' END"
+    )
+
+
+def split_label(bucket: Column) -> Column:
+    """The Spark twin of _split_case_sql over a bucket column — ONE
+    site for the 80/10/10 thresholds, shared by x6 and x6q2."""
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
 _X6_ORACLE = f"""
 SELECT doc_id,
        CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
-       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
-            WHEN {_BUCKET_SQL} < 90 THEN 'val'
-            ELSE 'test' END          AS split
+       {_split_case_sql(_BUCKET_SQL)}          AS split
 FROM documents
 """
 
@@ -82,7 +113,7 @@ def x6_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         b.cast("long").alias("bucket"),
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        split_label(b).alias("split"),
     )
 
 
@@ -1058,22 +1089,25 @@ def x6m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X6B2_CAP = 2048
 
-def _x6b2_fold_ctes(t_select: str) -> str:
+def _x6b2_fold_ctes(t_select: str, prefix: str = "") -> str:
     """The x6b2 BFD fold CTE chain (t -> lst -> folded) parameterized
     on the t source — split out (r16, the byte-identity builder law)
     so e3's pipeline packs its SAMPLED survivors with the registered
     fold; the registered _X6B2_ORACLE is this builder applied to the
-    full documents table, proven hash-unchanged."""
-    return f"""t AS (
+    full documents table, proven hash-unchanged. ``prefix`` renames
+    the three CTEs (r17, for x6b4's SECOND fold in one oracle — two
+    unprefixed chains would collide); the default "" output is
+    byte-identical to the r16 builder, pytest-pinned."""
+    return f"""{prefix}t AS (
   {t_select}
 ),
-lst AS (
+{prefix}lst AS (
   SELECT source,
          [[CAST([] AS BIGINT[])]] ||
          list([[-n_tokens, doc_id]] ORDER BY n_tokens DESC, doc_id) AS l
-  FROM t GROUP BY source
+  FROM {prefix}t GROUP BY source
 ),
-folded AS (
+{prefix}folded AS (
   SELECT source,
          list_reduce(l, (acc, x) ->
            CASE WHEN len(list_filter(acc[1], b -> b - x[1][1] <= {_X6B2_CAP})) = 0
@@ -1089,7 +1123,7 @@ folded AS (
                      list_max(list_filter(acc[1], b -> b - x[1][1] <= {_X6B2_CAP}))) - 1 AS BIGINT),
                     -x[1][1]]])
            END) AS st
-  FROM lst
+  FROM {prefix}lst
 )"""
 
 
@@ -3811,3 +3845,230 @@ def x6q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pstats.join(dstats, ["split_lo", "split_hi"])
         .orderBy("split_lo", "split_hi")
     )
+
+
+# X6q2 — leakage-free cluster-coherent split (fix what x6q measures) -----------
+#
+# x6q quantifies the exposure; x6q2 removes it. The reason
+# dedup-then-split is a rule in public practice is exactly the pairs
+# x6q counts: a per-DOCUMENT hash split lets near-duplicate pairs
+# straddle train/test. The fix assigns the split at the duplicate-
+# FAMILY level: the split key is the x2e2b cluster REPRESENTATIVE
+# (cluster_id = the component's min doc_id — singletons are their own
+# representative, so they fall back to the existing x6 doc-hash law by
+# construction), pushed through the same portable hash / 80-10-10
+# bucket CASE via the builder split of the x6 law (_hash_sql /
+# _split_case_sql / split_label — byte-identity pinned). Every member
+# of a family then lands in the SAME split, so no x2e2b-edge pair can
+# straddle — and the output PROVES it, carrying a recomputed x6q-style
+# leakage count over the plan-gated x2e2 pair site that must be zero
+# (an all-zero audit column is the artifact's guarantee, not a
+# decoration: a drifted split law would surface as a nonzero count and
+# a loud hash mismatch). One row per (source, split) with doc and char
+# mass — the distribution a mixture planner reads to check the family-
+# coherent split stayed ~80/10/10 — plus the leaked_pairs column and
+# the closure convergence guard carried through from x2e2b.
+#
+# Scale shape: x2e2b's closure (log-round edge rewriting, the shared
+# plan-gated pair site), then ONE map-side hash/CASE over the label
+# table (the x6 posture — the split itself adds zero shuffles), one
+# doc_id-keyed join for the distribution aggregate, and the pair site
+# joined twice against the map-only split for the audit. Nothing new
+# shuffles beyond what x2e2b and x6q already do.
+
+_X6Q2_ORACLE = f"""{_X2E2B_CTES_REF},
+spl AS (
+  SELECT llab.id AS doc_id,
+         {_split_case_sql(_bucket_sql("llab.cluster_id"))} AS split
+  FROM llab
+),
+dist AS (
+  SELECT d.source, s.split,
+         CAST(count(*) AS BIGINT)       AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total
+  FROM documents d JOIN spl s ON d.doc_id = s.doc_id
+  GROUP BY d.source, s.split
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+  FROM pairs p
+  JOIN spl sa ON p.id_a = sa.doc_id
+  JOIN spl sb ON p.id_b = sb.doc_id
+  WHERE sa.split <> sb.split
+)
+SELECT dist.source, dist.split, dist.n_docs, dist.n_chars_total,
+       leak.leaked_pairs, lconv.ok AS closure_converged
+FROM dist CROSS JOIN leak CROSS JOIN lconv
+ORDER BY source, split
+"""
+
+
+@register(
+    "x6q2_cluster_coherent_split", oracle=_X6Q2_ORACLE, tags=("X6", "X2")
+)
+def x6q2_cluster_coherent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: hash the x2e2b duplicate-
+    family representative (cluster_id; singletons = their own doc_id —
+    the x6 law's fallback) through the portable split hash, so every
+    near-dup family lands whole in one split. Emits the per-(source,
+    split) doc/char distribution plus a recomputed x6q leakage audit
+    over the same x2e2 pair site — provably zero under this split —
+    and x2e2b's convergence guard."""
+    from .dedup import (
+        x2e2_shared_gram_pairs,
+        x2e2b_global_dedup_clusters_full,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    labels = x2e2b_global_dedup_clusters_full(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    spl = labels.select(
+        "doc_id",
+        split_label(split_bucket(F.col("cluster_id"))).alias("split"),
+    )
+    dist = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(spl, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+    pairs = x2e2_shared_gram_pairs(docs)
+    leak = (
+        pairs.join(
+            spl.select(F.col("doc_id").alias("src"), F.col("split").alias("split_a")),
+            "src",
+        )
+        .join(
+            spl.select(F.col("doc_id").alias("dst"), F.col("split").alias("split_b")),
+            "dst",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs"))
+    )
+    return (
+        dist.crossJoin(F.broadcast(leak))
+        .select(
+            "source", "split", "n_docs", "n_chars_total", "leaked_pairs",
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# X6b4 — incremental repack of the dirty bins (execute what x6b3 audits) -------
+#
+# x6b3 prices the takedown's repack; x6b4 is the repack manifest
+# itself — the artifact the storage layer applies. The law: bins
+# holding >= 1 tombstoned doc (the shared _X2E4_TOMB predicate) are
+# DIRTY; their surviving co-residents re-run the REGISTERED x6b2 BFD
+# fold per source (x6b2_pack / _x6b2_fold_ctes, prefix-parameterized
+# — byte-identity pinned at the default), landing in fresh bins
+# numbered from base = 1 + max standing bin id per source (base reads
+# the FULL standing layout, so new ids are collision-free and
+# independent of which bins happened to be dirty). Every clean bin is
+# carried through UNTOUCHED — its rows emitted bit-identically (the
+# s20 untouched-partitions idiom; the oracle hash covers every row,
+# and the planted pytest pins both the carry-through and the
+# collateral migration).
+#
+# Scale shape: O(dirty), never O(corpus) — the second fold's input is
+# only the dirty bins' survivors (collateral docs), reached by one
+# (source, bin_id) equi-join against the dirty-bin set; the standing
+# layout itself is one x6b2 fold (in production it is a STORED
+# manifest — recomputed here only to keep the registered query
+# self-contained on the raw fixture tables). Untouched bins never
+# enter the repack fold.
+
+_X6B4_ORACLE = f"""
+WITH {_x6b2_fold_ctes(_X6B2_T_SELECT)},
+asg AS (
+  SELECT source, u[1] AS doc_id, u[3] AS n_tokens, u[2] AS bin_id
+  FROM (SELECT source, unnest(st[2:]) AS u FROM folded)
+),
+flag AS (
+  SELECT source, doc_id, n_tokens, bin_id,
+         ({_X2E4_TOMB_REF.format(col="doc_id")}) AS is_tomb
+  FROM asg
+),
+dirty AS (
+  SELECT source, bin_id FROM flag
+  GROUP BY source, bin_id
+  HAVING max(CASE WHEN is_tomb THEN 1 ELSE 0 END) = 1
+),
+base AS (
+  SELECT source, max(bin_id) + 1 AS base FROM asg GROUP BY source
+),
+{_x6b2_fold_ctes(
+    '''SELECT f.doc_id, f.source, f.n_tokens
+  FROM flag f JOIN dirty USING (source, bin_id)
+  WHERE NOT f.is_tomb''',
+    prefix="r",
+)},
+migr AS (
+  SELECT r.source, u[1] AS doc_id, u[3] AS n_tokens,
+         b.base + u[2] AS bin_id, TRUE AS migrated
+  FROM (SELECT source, unnest(st[2:]) AS u FROM rfolded) r
+  JOIN base b ON r.source = b.source
+)
+SELECT f.source, f.doc_id, f.n_tokens, f.bin_id, FALSE AS migrated
+FROM flag f ANTI JOIN dirty d
+  ON f.source = d.source AND f.bin_id = d.bin_id
+UNION ALL
+SELECT source, doc_id, n_tokens, bin_id, migrated FROM migr
+ORDER BY source, doc_id
+"""
+
+
+@register("x6b4_incremental_repack", oracle=_X6B4_ORACLE, tags=("X6", "X2"))
+def x6b4_incremental_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-takedown repack manifest: clean bins carried through
+    bit-identically, dirty bins' surviving docs re-packed by the
+    registered x6b2 BFD fold into fresh bins numbered from 1 + the
+    per-source max standing bin id. One row per SURVIVING doc
+    (source, doc_id, n_tokens, bin_id, migrated) — tombstoned docs are
+    gone, untouched docs keep their bin, collateral docs migrate.
+    O(dirty): only dirty-bin survivors enter the second fold."""
+    from .dedup import _X2E4_TOMB
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    asg = x6b2_pack(
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
+    flag = asg.withColumn(
+        "is_tomb", F.expr(_X2E4_TOMB.format(col="doc_id"))
+    )
+    dirty = (
+        flag.groupBy("source", "bin_id")
+        .agg(F.max(F.col("is_tomb").cast("int")).alias("d"))
+        .filter(F.col("d") == 1)
+        .select("source", "bin_id")
+    )
+    base = asg.groupBy("source").agg(
+        (F.max("bin_id") + 1).alias("base")
+    )
+    collateral = (
+        flag.join(dirty, ["source", "bin_id"])
+        .filter(~F.col("is_tomb"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    migrated = (
+        x6b2_pack(collateral)
+        .join(base, "source")
+        .select(
+            "source", "doc_id", "n_tokens",
+            (F.col("base") + F.col("bin_id")).alias("bin_id"),
+            F.lit(True).alias("migrated"),
+        )
+    )
+    untouched = flag.join(
+        dirty, ["source", "bin_id"], "left_anti"
+    ).select(
+        "source", "doc_id", "n_tokens", "bin_id",
+        F.lit(False).alias("migrated"),
+    )
+    return untouched.unionByName(migrated).orderBy("source", "doc_id")
