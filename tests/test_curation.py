@@ -1786,3 +1786,144 @@ def test_x6q_leakage_planted_cross_split_pair(spark):
     rv = rows[("train", "val")]
     assert rv["n_pairs"] == 1 and rv["n_docs"] == 2
     assert rv["leaked_chars"] == 107
+
+
+def test_x6q2_planted_straddlers_land_in_one_split_zero_leakage(spark):
+    """x6q2 law on the SAME planted corpus whose per-document split
+    leaks in all three classes under x6q: the three identical docs
+    (hash-chosen train/test/val ids) form one x2e2b family, so the
+    family-keyed split lands them ALL in the representative's split
+    (min doc_id = the train-bucket id here) and the recomputed
+    leakage audit is exactly zero; the unrelated singleton falls back
+    to its own hash (a val-bucket id by construction)."""
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6q2_cluster_coherent_split,
+    )
+
+    def bucket(i):
+        return ((i % 2147483648) * 2654435761) % 4294967296 % 100
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 80)
+    test_id = next(i for i in range(1, 500) if bucket(i) >= 90)
+    val_id = next(i for i in range(1, 500) if 80 <= bucket(i) < 90)
+    lone_id = next(i for i in range(500, 900) if 80 <= bucket(i) < 90)
+    text = "a b c d e f g h"  # 6 shingles >= 3 shared
+    df = spark.createDataFrame(
+        [
+            (train_id, text, "s", 100),
+            (test_id, text, "s", 40),
+            (val_id, text, "s", 7),
+            (lone_id, "z1 z2 z3 z4 z5", "s", 11),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig_c, orig_d = cmod.Catalog, dmod.Catalog
+    cmod.Catalog = _Cat
+    dmod.Catalog = _Cat
+    try:
+        rows = {
+            (r["source"], r["split"]): r
+            for r in x6q2_cluster_coherent_split(spark, "x").collect()
+        }
+    finally:
+        cmod.Catalog = orig_c
+        dmod.Catalog = orig_d
+
+    assert train_id == min(train_id, test_id, val_id)  # rep is the train id
+    assert set(rows) == {("s", "train"), ("s", "val")}
+    fam = rows[("s", "train")]
+    assert fam["n_docs"] == 3 and fam["n_chars_total"] == 147
+    lone = rows[("s", "val")]
+    assert lone["n_docs"] == 1 and lone["n_chars_total"] == 11
+    assert all(r["leaked_pairs"] == 0 for r in rows.values())
+    assert all(r["closure_converged"] for r in rows.values())
+
+
+def test_x6b4_untouched_bins_bit_identical_and_collateral_migrates(spark, tmp_path):
+    """x6b4 law on the x6b3 planted packing (bin 0 = docs 1+6 clean,
+    bin 1 = tombstoned doc 23 + collateral doc 4): the clean bin's
+    rows carry through BIT-identical to the standing x6b2 layout, the
+    tombstoned doc vanishes, and the collateral doc re-packs into the
+    fresh bin base = 1 + max standing bin id."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6b2_bfd_packing,
+        x6b4_incremental_repack,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [
+        (1, mk(2000)),   # bin 0 (opens)
+        (23, mk(1500)),  # bin 1 (opens) — TOMBSTONED (doc_id % 10 = 3)
+        (4, mk(500)),    # bin 1 (best fit)
+        (6, mk(48)),     # bin 0 (fullest feasible)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    standing = {
+        r["doc_id"]: r for r in x6b2_bfd_packing(spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]: r for r in x6b4_incremental_repack(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 4, 6}  # doc 23 is taken down
+    for vid in (1, 6):  # untouched bin 0: bit-identical carry-through
+        assert got[vid]["bin_id"] == standing[vid]["bin_id"] == 0
+        assert got[vid]["n_tokens"] == standing[vid]["n_tokens"]
+        assert got[vid]["migrated"] is False
+    # collateral doc 4 migrates into base = 1 + max(bin_id) = 2
+    assert got[4]["bin_id"] == 2
+    assert got[4]["migrated"] is True
+    assert got[4]["n_tokens"] == 500
+
+
+def test_x6_split_and_x6b2_fold_builders_are_byte_identical_at_defaults():
+    """The r17 builder splits (x6q2's hash/CASE parameterization and
+    x6b4's fold-CTE prefix) must reproduce the registered r16 strings
+    BYTE-identically at their defaults — the byte-identity law every
+    oracle-reuse refactor carries (the _X2E3_CTES precedent)."""
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        _BUCKET_SQL,
+        _HASH_SQL,
+        _X6_ORACLE,
+        _bucket_sql,
+        _hash_sql,
+        _split_case_sql,
+        _x6b2_fold_ctes,
+    )
+
+    assert _hash_sql() == "((doc_id % 2147483648) * 2654435761) % 4294967296"
+    assert _HASH_SQL == _hash_sql()
+    assert _BUCKET_SQL == _bucket_sql() == f"{_HASH_SQL} % 100"
+    golden = f"""
+SELECT doc_id,
+       CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END          AS split
+FROM documents
+"""
+    assert _X6_ORACLE == golden  # the pre-builder r16 string, verbatim
+    assert _split_case_sql("B") == (
+        "CASE WHEN B < 80 THEN 'train'\n"
+        "            WHEN B < 90 THEN 'val'\n"
+        "            ELSE 'test' END"
+    )
+    q = "SELECT doc_id, source, n_tokens FROM anywhere"
+    assert _x6b2_fold_ctes(q) == _x6b2_fold_ctes(q, prefix="")
+    prefixed = _x6b2_fold_ctes(q, prefix="r")
+    for name in ("rt AS (", "rlst AS (", "rfolded AS (", "FROM rt", "FROM rlst"):
+        assert name in prefixed, name

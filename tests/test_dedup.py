@@ -2015,3 +2015,195 @@ def test_x2j2_fold_halves_match_python_reference_randomized(spark):
         assert list(got_spark) == keep_ids, f"seed {seed}: spark half"
         assert [int(x) for x in got_duck] == keep_ids, f"seed {seed}: duck half"
     assert any_drop, "fixture must exercise the drop branch"
+
+
+def test_x2j2_mega_cluster_guard_raises_on_oversized_cluster(spark, monkeypatch):
+    """The r17 per-cluster state guard: a trained assignment landing
+    more than _X2J2_MAX_CLUSTER members in one cluster must raise
+    loudly with the offending cluster id and size (the collect_list
+    row would be corpus-sized under a degenerate centroid set), while
+    a cluster exactly AT the bound passes through untouched. The
+    assignment is monkeypatched so the oversize is planted, not
+    lucky; the bound is lowered the same way (read at plan-build
+    time)."""
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    assigned = spark.createDataFrame(
+        [(i, 0, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, cid long, emb array<double>",
+    )
+    monkeypatch.setattr(
+        dmod, "x3r2_trained_assign", lambda s, d: (assigned, {})
+    )
+    monkeypatch.setattr(dmod, "_X2J2_MAX_CLUSTER", 3)
+    with pytest.raises(Exception) as ei:
+        dmod.x2j2_semdedup_prune(spark, "unused").collect()
+    assert "x2j2: cluster" in str(ei.value)
+    assert "5 members" in str(ei.value)
+
+    # boundary: n_members == bound is conforming, not an error
+    monkeypatch.setattr(dmod, "_X2J2_MAX_CLUSTER", 5)
+    rows = dmod.x2j2_semdedup_prune(spark, "unused").collect()
+    assert len(rows) == 5
+    assert sorted(r["vec_id"] for r in rows) == [0, 1, 2, 3, 4]
+    # identical vectors: the lowest id survives, everything else drops
+    assert [r["vec_id"] for r in rows if r["keep"]] == [0]
+
+
+def _x3x2_python_reference(rows, num, den, base, k):
+    """Pure-python x3x2 twin with Spark's exact association order:
+    left-to-right IEEE folds for every dot/norm, (cos desc, cid asc)
+    assignment, the integer load trigger, farthest-first seeds and the
+    2-way Lloyd step. Returns {vec_id: (cell_before, cell_after,
+    was_split)}."""
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def nrm(a):
+        return math.sqrt(dot(a, a))
+
+    cents = {vid: v for vid, v, _ in rows if vid < k}
+    cnrm = {cid: nrm(v) for cid, v in cents.items() if nrm(v) > 0}
+    asg = {}
+    for vid, v, _ in rows:
+        n = nrm(v)
+        if n == 0:
+            continue
+        best = None
+        for cid in sorted(cnrm):
+            cos = dot(v, cents[cid]) / (n * cnrm[cid])
+            if best is None or cos > best[0] or (cos == best[0] and cid < best[1]):
+                best = (cos, cid)
+        asg[vid] = best[1]
+    occ = {}
+    for vid, c in asg.items():
+        occ[c] = occ.get(c, 0) + 1
+    total = sum(occ.values())
+    flagged = {c for c, n in occ.items() if den * n * k > num * total and n >= 2}
+    emb = {vid: v for vid, v, _ in rows}
+    out = {}
+    for c in sorted(set(asg.values())):
+        members = sorted(vid for vid, cc in asg.items() if cc == c)
+        if c not in flagged:
+            for vid in members:
+                out[vid] = (c, c, False)
+            continue
+        sa = min(
+            members,
+            key=lambda vid: (
+                dot(emb[vid], cents[c]) / (nrm(emb[vid]) * cnrm[c]),
+                vid,
+            ),
+        )
+        sb = min(
+            (vid for vid in members if vid != sa),
+            key=lambda vid: (
+                dot(emb[vid], emb[sa]) / (nrm(emb[vid]) * nrm(emb[sa])),
+                vid,
+            ),
+        )
+        for vid in members:
+            ca = dot(emb[vid], emb[sa]) / (nrm(emb[vid]) * nrm(emb[sa]))
+            cb = dot(emb[vid], emb[sb]) / (nrm(emb[vid]) * nrm(emb[sb]))
+            seed = sa if ca > cb else sb if cb > ca else min(sa, sb)
+            out[vid] = (c, base + seed, True)
+    return out
+
+
+def test_x3x2_planted_overloaded_cell_matches_python_reference(spark, tmp_path):
+    """x3x2 laws on a handmade corpus (the x3x fixture shape): an
+    overloaded cell splits into the farthest-first sub-cells, every
+    untouched cell's rows pass through with cell_after == cell_before,
+    and EVERY decision — assignment, trigger, both seed elections, the
+    Lloyd step, tie resolution — matches a pure-python reference that
+    folds in Spark's exact IEEE order. A planted zero-norm vector
+    joins no cell on either side."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3X2_BASE,
+        _X3X2_DEN,
+        _X3X2_NUM,
+        _X3X_K,
+        x3x2_ivf_cell_split,
+    )
+
+    dim = 8
+    rows = []
+    for vid in range(16):
+        v = [0.0] * dim
+        v[vid % dim] = 1.0
+        v[(vid // dim) + 4] += 0.5
+        rows.append((vid, v, 0))
+    # overload cell 3: 12 jittered members near centroid 3
+    for j, vid in enumerate(range(100, 112)):
+        v = [0.0] * dim
+        v[3] = 1.0
+        v[4] += 0.5
+        v[(j * 3) % dim] += 0.02 * (j + 1)
+        rows.append((vid, v, 0))
+    # a second, mildly loaded cell: 3 members near centroid 7
+    for j, vid in enumerate(range(200, 203)):
+        v = [0.0] * dim
+        v[7] = 1.0
+        v[4] += 0.5
+        v[(j * 5) % dim] += 0.03 * (j + 1)
+        rows.append((vid, v, 0))
+    rows.append((999, [0.0] * dim, 0))  # zero-norm: excluded everywhere
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+
+    ref = _x3x2_python_reference(rows, _X3X2_NUM, _X3X2_DEN, _X3X2_BASE, _X3X_K)
+    got = {
+        r["vec_id"]: (r["cell_before"], r["cell_after"], r["was_split"])
+        for r in x3x2_ivf_cell_split(spark, str(tmp_path)).collect()
+    }
+    assert 999 not in got and 999 not in ref
+    assert got == ref
+    # the fixture exercises BOTH branches: cell 3 split, some untouched
+    assert any(split for _, _, split in got.values())
+    assert any(not split for _, _, split in got.values())
+    # every split member landed in a BASE-offset sub-cell of two seeds
+    subcells = {ca for _, ca, split in got.values() if split}
+    assert all(ca >= _X3X2_BASE for ca in subcells)
+
+
+def test_x3x2_flagged_singleton_cell_cannot_split(spark, tmp_path):
+    """The n >= 2 guard on the load trigger: with a 5-vector corpus
+    every singleton cell exceeds the 9/8-average law (8*1*16 = 128 >
+    9*5 = 45) yet none of them may split — only the 2-member cell
+    does, into two singleton sub-cells seeded by (farthest-from-
+    centroid, then farthest-from-seed)."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3X2_BASE,
+        x3x2_ivf_cell_split,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (20, [0.1, 0.0, 1.0, 0.0], 0),  # joins cell 2
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    got = {
+        r["vec_id"]: (r["cell_before"], r["cell_after"], r["was_split"])
+        for r in x3x2_ivf_cell_split(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (0, 0, False)
+    assert got[1] == (1, 1, False)
+    assert got[3] == (3, 3, False)
+    # cell 2 splits: seed_a = 20 (farther from centroid 2), seed_b = 2
+    assert got[20] == (2, _X3X2_BASE + 20, True)
+    assert got[2] == (2, _X3X2_BASE + 2, True)

@@ -950,3 +950,55 @@ def test_x3z_trained_ivf_scoring_is_cell_equi_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan, "cell scoring join must broadcast"
+
+
+def test_x3x2_split_work_is_keyed_on_flagged_cells_only(spark):
+    """x3x2's scale claim: the only corpus-wide work is the ONE
+    map-side assignment scan (its 1-row centroid broadcast is the
+    single nested-loop join) plus a K-row occupancy aggregate — every
+    split stage (seed elections, the Lloyd step) runs on the member
+    slice reached by an EQUI-join against the <= K-row broadcast
+    flagged set, so no split work can touch an untouched cell. No
+    window, no pairwise stage, no sort-merge join anywhere."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x3x2_flagged_members,
+    )
+    from ssn_college_software_architecture_assignments__spark import all_queries
+
+    spark.catalog.clearCache()
+    assigned, flagged, members, _cent = x3x2_flagged_members(spark, SF)
+    try:
+        mplan = explain_str(members)
+        assert "BroadcastHashJoin" in mplan, "flagged set must broadcast-equi-join"
+        assert "CartesianProduct" not in mplan
+        assert "SortMergeJoin" not in mplan
+        tree = mplan.split("\n\n")[0]
+        # the UNCACHED printed plan repeats the persisted assignment
+        # subtree (occupancy branch, totals branch, member slice), so
+        # its single 1-row centroid-array BNLJ prints three times plus
+        # one for the 1-row totals crossJoin — four 1-row broadcasts,
+        # zero corpus-sided nested loops (at run time the persist
+        # collapses the replays to one)
+        assert tree.count("BroadcastNestedLoopJoin") <= 4
+    finally:
+        assigned.unpersist()
+    spark.catalog.clearCache()
+    plan = explain_str(all_queries()["x3x2_ivf_cell_split"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    spark.catalog.clearCache()
+
+
+def test_x6q2_leakage_audit_carries_the_pair_site_gate(spark):
+    """x6q2's scale claim: the family split itself is map-side over
+    the closure labels (zero new shuffles), and the recomputed
+    leakage audit composes the SAME inverted-index pair site x2e2 is
+    gated on — nothing in the composed plan may degrade to an
+    all-pairs structure."""
+    plan = _plan(spark, "x6q2_cluster_coherent_split")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the 1-row leaked_pairs total glued
+    # onto the distribution rows — never a corpus-sided pair structure
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1

@@ -121,9 +121,10 @@ def test_bench_common18_is_frozen_and_headline_consistent():
     supposed to time (a headline rename would silently zero the
     subtotal)."""
     import importlib.util
+    from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
-        "benchmod", "/root/repo/bench.py"
+        "benchmod", str(Path(__file__).resolve().parents[1] / "bench.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
