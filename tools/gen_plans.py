@@ -217,6 +217,10 @@ QUERIES = [
     "a19_grouped_trimmed_mean",
     "x6q_split_leakage_audit",
     "e3_curation_pipeline",
+    # round-17 additions
+    "x3x2_ivf_cell_split",
+    "x6q2_cluster_coherent_split",
+    "x6b4_incremental_repack",
 ]
 
 
