@@ -4072,3 +4072,100 @@ def x6b4_incremental_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("migrated"),
     )
     return untouched.unionByName(migrated).orderBy("source", "doc_id")
+
+
+# X6b5 — repack reconciliation (x6b3's price vs x6b4's action) ------------------
+#
+# The audit-then-execute pair needs its closing ledger entry: per
+# source, the x6b3 PREDICTION (dirty bins, collateral docs, tokens to
+# rewrite) joined against what x6b4 actually DID (docs migrated,
+# tokens migrated, fresh bins opened), with the reconciliation
+# verdicts as boolean columns. Both sides share the x6b2 fold and the
+# _X2E4_TOMB law, so docs_reconcile / tokens_reconcile are true BY
+# CONSTRUCTION — the point of emitting them is that a drift in either
+# composed law (a changed tombstone predicate, a fold divergence)
+# surfaces here as a loud false + hash mismatch before it corrupts a
+# real repack. bin_delta (fresh bins minus dirty bins) is data, not a
+# law: BFD over the collateral usually packs TIGHTER than the dirty
+# layout it replaces, but bin packing gives no one-sided guarantee.
+#
+# Scale shape: the two registered queries' shapes plus one source-keyed
+# join of sources-sized aggregates. Sources the takedown empties
+# entirely reconcile with coalesced zeros (left join from the audit).
+
+_X6B5_ORACLE = f"""
+WITH audit AS ({_X6B3_ORACLE}),
+rep AS ({_X6B4_ORACLE}),
+mstats AS (
+  SELECT source,
+         CAST(count(*) FILTER (WHERE migrated) AS BIGINT)        AS n_migrated_docs,
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE migrated), 0)
+              AS BIGINT)                                         AS migrated_tokens,
+         CAST(count(DISTINCT CASE WHEN migrated THEN bin_id END)
+              AS BIGINT)                                         AS n_new_bins
+  FROM rep GROUP BY source
+)
+SELECT a.source,
+       a.n_dirty_bins,
+       a.n_collateral_docs,
+       coalesce(m.n_migrated_docs, 0)  AS n_migrated_docs,
+       a.tokens_rewritten,
+       coalesce(m.migrated_tokens, 0)  AS migrated_tokens,
+       coalesce(m.n_new_bins, 0)       AS n_new_bins,
+       coalesce(m.n_migrated_docs, 0) = a.n_collateral_docs AS docs_reconcile,
+       coalesce(m.migrated_tokens, 0) = a.tokens_rewritten  AS tokens_reconcile,
+       CAST(coalesce(m.n_new_bins, 0) - a.n_dirty_bins AS BIGINT) AS bin_delta
+FROM audit a LEFT JOIN mstats m ON a.source = m.source
+ORDER BY a.source
+"""
+
+
+@register("x6b5_repack_reconciliation", oracle=_X6B5_ORACLE, tags=("X6", "X2"))
+def x6b5_repack_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ledger closing the takedown pair: x6b3's predicted
+    repack cost joined to x6b4's executed manifest, with
+    docs_reconcile / tokens_reconcile verdicts (true by the shared
+    fold + tombstone laws — a drift in either surfaces as false) and
+    the bin_delta the new layout actually cost."""
+    audit = x6b3_takedown_pack_audit(spark, sf_dir).select(
+        "source", "n_dirty_bins", "n_collateral_docs", "tokens_rewritten"
+    )
+    rep = x6b4_incremental_repack(spark, sf_dir)
+    mstats = rep.groupBy("source").agg(
+        F.count(F.when(F.col("migrated"), 1))
+        .cast("long")
+        .alias("n_migrated_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("migrated"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("migrated_tokens"),
+        F.countDistinct(
+            F.when(F.col("migrated"), F.col("bin_id"))
+        )
+        .cast("long")
+        .alias("n_new_bins"),
+    )
+    j = audit.join(mstats, "source", "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))
+    return (
+        j.select(
+            "source",
+            "n_dirty_bins",
+            "n_collateral_docs",
+            z("n_migrated_docs").cast("long").alias("n_migrated_docs"),
+            "tokens_rewritten",
+            z("migrated_tokens").cast("long").alias("migrated_tokens"),
+            z("n_new_bins").cast("long").alias("n_new_bins"),
+            (z("n_migrated_docs") == F.col("n_collateral_docs")).alias(
+                "docs_reconcile"
+            ),
+            (z("migrated_tokens") == F.col("tokens_rewritten")).alias(
+                "tokens_reconcile"
+            ),
+            (z("n_new_bins") - F.col("n_dirty_bins"))
+            .cast("long")
+            .alias("bin_delta"),
+        )
+        .orderBy("source")
+    )

@@ -4948,7 +4948,11 @@ _X3X2_NUM = 9      # split when DEN * n * K > NUM * total (load > NUM/DEN x avg)
 _X3X2_DEN = 8
 _X3X2_BASE = 1_000_000  # new sub-cell id = BASE + seed vec_id (collision-free)
 
-_X3X2_ORACLE = f"""{_IVF_CELLS_SQL},
+# The CTE chain (cells -> occupancy -> flagged -> members -> seeds ->
+# Lloyd) and the final per-vector union are split (the byte-identity
+# builder law, proven by pytest) so x3x3's post-split centroid oracle
+# can compose the SAME chain with the union as a named CTE.
+_X3X2_CTES = f"""{_IVF_CELLS_SQL},
 occ AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
 tot AS (SELECT sum(n) AS total FROM occ),
 flagged AS (
@@ -4989,8 +4993,9 @@ re AS (
          list_aggregate(list_transform(list_zip(cb.emb, sb.sb_emb), p -> p[1] * p[2]), 'sum')
          / (cb.nrm * sb.sb_nrm) AS cos_b
   FROM cb JOIN sb ON cb.cell = sb.cell
-)
-SELECT vec_id,
+)"""
+
+_X3X2_FINAL = f"""SELECT vec_id,
        CAST(cell AS BIGINT) AS cell_before,
        CAST({_X3X2_BASE} + CASE WHEN cos_a > cos_b THEN sa_id
                                 WHEN cos_b > cos_a THEN sb_id
@@ -4999,7 +5004,10 @@ SELECT vec_id,
 FROM re
 UNION ALL
 SELECT cl.vec_id, CAST(cl.cell AS BIGINT), CAST(cl.cell AS BIGINT), FALSE
-FROM cells cl ANTI JOIN flagged f ON cl.cell = f.cell
+FROM cells cl ANTI JOIN flagged f ON cl.cell = f.cell"""
+
+_X3X2_ORACLE = f"""{_X3X2_CTES}
+{_X3X2_FINAL}
 ORDER BY vec_id
 """
 
@@ -5038,16 +5046,15 @@ def x3x2_flagged_members(
     return assigned, flagged, members, cent
 
 
-@register("x3x2_ivf_cell_split", oracle=_X3X2_ORACLE, tags=("X3",))
-def x3x2_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every overloaded IVF cell (load > _X3X2_NUM/_X3X2_DEN x
-    the average, the x3x integer load law) in two: Gonzalez
-    farthest-first seeds (farthest member from the standing centroid,
-    then farthest from that seed — min cosine, vec_id tiebreaks), one
-    Lloyd step assigning members to the higher-cosine seed (ties: the
-    lower seed id), new sub-cell ids _X3X2_BASE + seed vec_id. One row
-    per nonzero vector: cell_before, cell_after (identical for
-    untouched cells — bit-identical pass-through), was_split."""
+def x3x2_assignment_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(untouched, re_assigned, centroids): the per-vector post-split
+    assignment rows with the member VECTOR retained (vec_id,
+    cell_before, cell_after, was_split, emb) — the shared dataflow
+    behind x3x2's reassignment manifest (which drops emb) and x3x3's
+    post-split centroid table (which aggregates it). Factored r17 so
+    the split law has exactly one Spark site."""
     assigned, flagged, members, cent = x3x2_flagged_members(spark, sf_dir)
     centk = cent.select(
         F.col("cent_id").alias("cell"),
@@ -5111,6 +5118,7 @@ def x3x2_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cell_after"),
             F.lit(True).alias("was_split"),
+            "emb",
         )
     )
     untouched = assigned.join(F.broadcast(flagged), "cell", "left_anti").select(
@@ -5118,8 +5126,139 @@ def x3x2_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell_before"),
         F.col("cell").cast("long").alias("cell_after"),
         F.lit(False).alias("was_split"),
+        "emb",
     )
-    return untouched.unionByName(re_assigned).orderBy("vec_id")
+    return untouched, re_assigned, cent
+
+
+@register("x3x2_ivf_cell_split", oracle=_X3X2_ORACLE, tags=("X3",))
+def x3x2_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every overloaded IVF cell (load > _X3X2_NUM/_X3X2_DEN x
+    the average, the x3x integer load law) in two: Gonzalez
+    farthest-first seeds (farthest member from the standing centroid,
+    then farthest from that seed — min cosine, vec_id tiebreaks), one
+    Lloyd step assigning members to the higher-cosine seed (ties: the
+    lower seed id), new sub-cell ids _X3X2_BASE + seed vec_id. One row
+    per nonzero vector: cell_before, cell_after (identical for
+    untouched cells — bit-identical pass-through), was_split."""
+    untouched, re_assigned, _cent = x3x2_assignment_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_before", "cell_after", "was_split"]
+    return (
+        untouched.select(*cols)
+        .unionByName(re_assigned.select(*cols))
+        .orderBy("vec_id")
+    )
+
+
+# X3x3 — the post-split centroid table (the artifact x3z serves from) ----------
+#
+# x3x2 emits WHO moves; the serving layer also needs the centroid table
+# that results. One row per (occupied final cell, dimension): for a new
+# sub-cell the centroid is its member MEAN under the x3x rounding law
+# (per-(cell, dim) sums rounded at 4dp first — the only place summation
+# order exists — so both engines divide bit-identical doubles); for an
+# untouched cell the STANDING centroid vector carries through
+# bit-identically (the s20 idiom — its components are the raw stored
+# doubles, not a recomputed mean). Components ship as floor(x * 1e6)
+# BIGINTs so no float crosses the hash boundary. Cells with zero
+# members (a standing centroid nothing assigned to) do not appear —
+# the table mirrors the occupancy view, matching x3x's report.
+#
+# Scale shape: x3x2's dataflow plus ONE (cell, dim)-keyed hash
+# aggregate over split members only (K x dims rows out) and a <= K-row
+# join for the untouched centroids. Nothing new touches the corpus.
+
+_X3X3_SCALE = 1_000_000
+
+_X3X3_ORACLE = f"""{_X3X2_CTES},
+fasg AS (
+{_X3X2_FINAL}
+),
+nc AS (
+  SELECT cell_after AS cell, u.i AS dim_idx,
+         round(sum(u.val), 4) AS s, count(*) AS n
+  FROM (
+    SELECT fa.cell_after,
+           unnest(list_transform(range(1, len(cl.emb) + 1),
+                                 i -> {{'i': i - 1, 'val': cl.emb[i]}})) AS u
+    FROM fasg fa JOIN cells cl ON fa.vec_id = cl.vec_id
+    WHERE fa.was_split
+  )
+  GROUP BY cell_after, u.i
+),
+uc AS (
+  SELECT fa.cell_after AS cell, count(*) AS n
+  FROM fasg fa WHERE NOT fa.was_split GROUP BY fa.cell_after
+)
+SELECT CAST(cell AS BIGINT)                              AS cell,
+       CAST(dim_idx AS BIGINT)                           AS dim_idx,
+       CAST(floor(s / n * {_X3X3_SCALE}) AS BIGINT)      AS centroid_1e6,
+       CAST(n AS BIGINT)                                 AS n_members,
+       TRUE                                              AS is_new
+FROM nc
+UNION ALL
+SELECT CAST(uc.cell AS BIGINT),
+       CAST(cu.u.i AS BIGINT),
+       CAST(floor(cu.u.val * {_X3X3_SCALE}) AS BIGINT),
+       CAST(uc.n AS BIGINT),
+       FALSE
+FROM uc JOIN (
+  SELECT cent_id, unnest(list_transform(range(1, len(cemb) + 1),
+                         i -> {{'i': i - 1, 'val': cemb[i]}})) AS u
+  FROM c
+) cu ON uc.cell = cu.cent_id
+ORDER BY cell, dim_idx
+"""
+
+
+@register("x3x3_post_split_centroids", oracle=_X3X3_ORACLE, tags=("X3",))
+def x3x3_post_split_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid table after the x3x2 split — what x3z serves from
+    next: new sub-cells get their member mean (x3x rounding law: per-
+    dim sums rounded at 4dp, then divided), untouched cells carry
+    their standing centroid through bit-identically; components as
+    floor(x*1e6) BIGINTs, one row per (occupied cell, dim)."""
+    untouched, re_assigned, cent = x3x2_assignment_frames(spark, sf_dir)
+    nc = (
+        re_assigned.select(
+            F.col("cell_after").alias("cell"),
+            F.posexplode("emb").alias("dim_idx", "val"),
+        )
+        .groupBy("cell", "dim_idx")
+        .agg(
+            F.round(F.sum("val"), 4).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.floor(F.col("s") / F.col("n") * _X3X3_SCALE)
+            .cast("long")
+            .alias("centroid_1e6"),
+            F.col("n").cast("long").alias("n_members"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    ucnt = untouched.groupBy(
+        F.col("cell_after").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    uc = (
+        ucnt.join(
+            F.broadcast(cent.select(F.col("cent_id").alias("cell"), "cemb")),
+            "cell",
+        )
+        .select("cell", "n", F.posexplode("cemb").alias("dim_idx", "val"))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.floor(F.col("val") * _X3X3_SCALE)
+            .cast("long")
+            .alias("centroid_1e6"),
+            F.col("n").cast("long").alias("n_members"),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    return nc.unionByName(uc).orderBy("cell", "dim_idx")
 
 
 # X2z — LSH quality audit: precision/recall of the banded candidates -----------

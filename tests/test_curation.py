@@ -1927,3 +1927,33 @@ FROM documents
     prefixed = _x6b2_fold_ctes(q, prefix="r")
     for name in ("rt AS (", "rlst AS (", "rfolded AS (", "FROM rt", "FROM rlst"):
         assert name in prefixed, name
+
+
+def test_x6b5_reconciliation_on_planted_takedown(spark, tmp_path):
+    """x6b5 law on the x6b3/x6b4 planted packing: the prediction and
+    the executed manifest reconcile exactly — 1 dirty bin, 1
+    collateral doc migrated carrying its 500 tokens, 1 fresh bin
+    opened (bin_delta 0), both verdicts true."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6b5_repack_reconciliation,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [(1, mk(2000)), (23, mk(1500)), (4, mk(500)), (6, mk(48))]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = x6b5_repack_reconciliation(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_dirty_bins"] == 1
+    assert r["n_collateral_docs"] == r["n_migrated_docs"] == 1
+    assert r["tokens_rewritten"] == r["migrated_tokens"] == 500
+    assert r["n_new_bins"] == 1 and r["bin_delta"] == 0
+    assert r["docs_reconcile"] is True and r["tokens_reconcile"] is True

@@ -2207,3 +2207,55 @@ def test_x3x2_flagged_singleton_cell_cannot_split(spark, tmp_path):
     # cell 2 splits: seed_a = 20 (farther from centroid 2), seed_b = 2
     assert got[20] == (2, _X3X2_BASE + 20, True)
     assert got[2] == (2, _X3X2_BASE + 2, True)
+
+
+def test_x3x3_centroid_table_planted_split_and_carry_through(spark, tmp_path):
+    """x3x3 law on the mini split fixture (cell 2 splits into two
+    singleton sub-cells, cells 0/1/3 untouched): new sub-cells carry
+    their member MEAN (here: the member itself, n=1) in floor(x*1e6)
+    units with is_new=true; untouched cells carry the STANDING
+    centroid vector through bit-identically with their occupancy; the
+    composed oracle chain starts with the x3x2 CTEs verbatim (the
+    byte-identity composition law)."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3X2_BASE,
+        _X3X2_CTES,
+        _X3X3_ORACLE,
+        x3x3_post_split_centroids,
+    )
+
+    assert _X3X3_ORACLE.startswith(_X3X2_CTES)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (20, [0.1, 0.0, 1.0, 0.0], 0),  # joins cell 2 -> split
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    got = {
+        (r["cell"], r["dim_idx"]): r
+        for r in x3x3_post_split_centroids(spark, str(tmp_path)).collect()
+    }
+    cells = {c for c, _ in got}
+    assert cells == {0, 1, 3, _X3X2_BASE + 2, _X3X2_BASE + 20}
+    # untouched cell 0: standing centroid [1,0,0,0], one member
+    assert got[(0, 0)]["centroid_1e6"] == 1_000_000
+    assert got[(0, 1)]["centroid_1e6"] == 0
+    assert got[(0, 0)]["n_members"] == 1
+    assert got[(0, 0)]["is_new"] is False
+    # new sub-cell of member 20: mean of one member = the member,
+    # rounded-sum law: round(0.1, 4)/1 * 1e6 floors to 100000
+    sub20 = _X3X2_BASE + 20
+    assert got[(sub20, 0)]["centroid_1e6"] == 100_000
+    assert got[(sub20, 2)]["centroid_1e6"] == 1_000_000
+    assert got[(sub20, 0)]["n_members"] == 1
+    assert got[(sub20, 0)]["is_new"] is True
+    sub2 = _X3X2_BASE + 2
+    assert got[(sub2, 2)]["centroid_1e6"] == 1_000_000
+    assert got[(sub2, 0)]["centroid_1e6"] == 0

@@ -221,6 +221,8 @@ QUERIES = [
     "x3x2_ivf_cell_split",
     "x6q2_cluster_coherent_split",
     "x6b4_incremental_repack",
+    "x3x3_post_split_centroids",
+    "x6b5_repack_reconciliation",
 ]
 
 
