@@ -1218,3 +1218,108 @@ def a19_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# A20 — exact grouped WINSORIZED mean (clamp the tails a19 drops) --------------
+#
+# The robust-location twin a19 pairs with: instead of DROPPING the
+# floor(n/10) smallest and largest values per source, winsorizing
+# CLAMPS them to the surviving boundary values (the rank-(k+1) value
+# below, the rank-(n-k) value above) — the estimator a quality
+# pipeline uses when every document must keep a weight (mixture /
+# importance reweighting) but outliers must not own the average.
+# Same deterministic rank law as a19 ((value, doc_id)), same integer
+# micro-token emission ((1e6 * winsorized sum) div n, BIGINT floor
+# division end to end): the clamped sum is middle-sum + k*lo + k*hi in
+# pure BIGINT arithmetic, so the oracle match is bitwise. Emitted next
+# to the raw mean and a19's trim count so the three locations (raw,
+# trimmed, winsorized) read side by side.
+#
+# Scale shape: a19's exactly — one shuffle on source for the rank
+# window (sub-bucket the key at 100 TB, the x6b convention), then a
+# map-combined hash-agg to a sources-sized table; lo/hi are one-row
+# CASE picks inside the same aggregate, no extra pass.
+
+_A20_K_NUM = 1   # clamp floor(n * 1/10) at each end (the a19 ratio)
+_A20_K_DEN = 10
+
+# the shared per-group k / lo / hi / winsorized-sum algebra — ONE
+# f-string site interpolated into BOTH engines (div spelled per engine)
+def _a20_exprs(div: str) -> dict[str, str]:
+    k = f"min(n) * {_A20_K_NUM} {div} {_A20_K_DEN}"
+    krow = f"n * {_A20_K_NUM} {div} {_A20_K_DEN}"
+    lo = f"max(CASE WHEN rnk = {krow} + 1 THEN v END)"
+    hi = f"max(CASE WHEN rnk = n - {krow} THEN v END)"
+    mid = (
+        f"sum(CASE WHEN rnk > {krow} AND rnk <= n - {krow} "
+        f"THEN v ELSE 0 END)"
+    )
+    return {
+        "k": k,
+        "wsum": f"({mid} + ({k}) * ({lo}) + ({k}) * ({hi}))",
+    }
+
+
+_A20_DUCK = _a20_exprs("//")
+
+_A20_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+r AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source,
+       CAST(min(n) AS BIGINT)                           AS n_docs,
+       CAST({_A20_DUCK["k"]} AS BIGINT)                 AS n_clamped_each_end,
+       CAST((1000000 * {_A20_DUCK["wsum"]}) // min(n) AS BIGINT)
+         AS winsorized_mean_micro,
+       CAST((1000000 * sum(v)) // min(n) AS BIGINT)     AS mean_micro
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+_A20_SPARK = _a20_exprs("div")
+
+
+@register("a20_grouped_winsorized_mean", oracle=_A20_ORACLE, tags=("A6",))
+def a20_grouped_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-winsorized mean of per-source token counts in integer
+    micro-tokens, next to the raw mean: rank per source by
+    (value, doc_id), clamp the floor(n/10) values at each end to the
+    surviving boundary values, average with BIGINT floor division —
+    bitwise cross-engine, outlier-bounded without dropping weight."""
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("v"),
+    )
+    w = W.partitionBy("source").orderBy("v", "doc_id")
+    wc = W.partitionBy("source")
+    r = t.select(
+        "source", "v",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.min("n").cast("long").alias("n_docs"),
+            F.expr(f"CAST({_A20_SPARK['k']} AS BIGINT)").alias(
+                "n_clamped_each_end"
+            ),
+            F.expr(
+                f"CAST((1000000 * {_A20_SPARK['wsum']}) div min(n) AS BIGINT)"
+            ).alias("winsorized_mean_micro"),
+            F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
+                "mean_micro"
+            ),
+        )
+        .orderBy("source")
+    )

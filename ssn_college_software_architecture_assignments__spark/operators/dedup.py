@@ -5261,6 +5261,214 @@ def x3x3_post_split_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nc.unionByName(uc).orderBy("cell", "dim_idx")
 
 
+# X3z2 — IVF top-k over the POST-SPLIT partition (the loop, re-served) ----------
+#
+# x3z proves serving over the trained partition; x3z2 proves the
+# maintenance loop actually improves the index IN SERVICE: the same
+# top-5 cosine search, but probing the post-x3x2 partition — standing
+# cells carry their standing centroid, split cells are replaced by
+# their two sub-cells under the member-mean centroid (the EXACT
+# rounded-sum/n doubles, not the 1e6-floored export — both engines
+# divide bit-identical values, the x3x law). Same x3z ranking laws:
+# per-query 2 L2-nearest cells (cid tiebreak), exact cosine against
+# only their members, round(cos,4) DESC + vec_id.
+#
+# Scale shape: x3x2's dataflow for the partition, a (K + splits)-row
+# centroid table collapsed to ONE broadcast array row (probe selection
+# is a per-row sort/slice fold — no window over the corpus), and the
+# scoring join is a cell EQUI-join of queries x nprobe probe rows
+# against the cell_after-keyed corpus — the plan-gated x3z posture.
+
+_X3Z2_NPROBE = 2
+_X3Z2_TOPK = 5
+
+_X3Z2_ORACLE = f"""{_X3X2_CTES},
+fasg AS (
+{_X3X2_FINAL}
+),
+nc2 AS (
+  SELECT cell_after AS cid, u.i AS dim_idx,
+         round(sum(u.val), 4) AS s, count(*) AS n
+  FROM (
+    SELECT fa.cell_after,
+           unnest(list_transform(range(1, len(cl.emb) + 1),
+                                 i -> {{'i': i - 1, 'val': cl.emb[i]}})) AS u
+    FROM fasg fa JOIN cells cl ON fa.vec_id = cl.vec_id
+    WHERE fa.was_split
+  )
+  GROUP BY cell_after, u.i
+),
+cents AS (
+  SELECT cid, list(s / n ORDER BY dim_idx) AS cvec FROM nc2 GROUP BY cid
+  UNION ALL
+  SELECT c.cent_id, c.cemb
+  FROM c JOIN (SELECT DISTINCT cell_after FROM fasg WHERE NOT was_split) u2
+    ON c.cent_id = u2.cell_after
+),
+nz AS (
+  SELECT fa.vec_id, fa.cell_after AS cid, cl.emb,
+         sqrt(list_reduce(list_transform(cl.emb, e -> e * e),
+                          (s, y) -> s + y)) AS nrm
+  FROM fasg fa JOIN cells cl ON fa.vec_id = cl.vec_id
+),
+q AS (SELECT vec_id AS q_id, emb AS qemb, nrm AS qnrm
+      FROM nz WHERE vec_id < 8),
+qc AS (
+  SELECT q_id, qemb, qnrm, cid FROM (
+    SELECT q.q_id, q.qemb, q.qnrm, c2.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_reduce(list_transform(list_zip(q.qemb, c2.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c2.cid) AS rn
+    FROM q CROSS JOIN cents c2
+  ) WHERE rn <= {_X3Z2_NPROBE}
+),
+cand AS (
+  SELECT qc.q_id, nz.vec_id, nz.cid,
+         list_reduce(list_transform(list_zip(qc.qemb, nz.emb),
+                                    p -> p[1] * p[2]),
+                     (s, y) -> s + y) / (qc.qnrm * nz.nrm) AS cos
+  FROM qc JOIN nz ON qc.cid = nz.cid
+  WHERE nz.vec_id <> qc.q_id
+)
+SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+       CAST(cid AS BIGINT) AS cell, cos_sim
+FROM (
+  SELECT q_id, vec_id, cid, round(cos, 4) + 0.0 AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 4) DESC, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= {_X3Z2_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+@register("x3z2_post_split_ivf_topk", oracle=_X3Z2_ORACLE, tags=("X3",))
+def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 cosine search over the POST-x3x2 partition: each of
+    the 8 query vectors probes its 2 L2-nearest cells of the
+    post-split centroid table (standing centroids for untouched cells,
+    exact member means for the new sub-cells) and scores exact cosine
+    against only their members (self excluded). The x3z ranking laws
+    throughout — this is the serve leg of train -> admit -> split ->
+    re-serve."""
+    untouched, re_assigned, cent = x3x2_assignment_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_after", "emb"]
+    corpus = (
+        untouched.select(*cols)
+        .unionByName(re_assigned.select(*cols))
+        .select(
+            "vec_id",
+            F.col("cell_after").alias("cid"),
+            "emb",
+            l2_norm(F.col("emb")).alias("nrm"),
+        )
+    )
+    newc = (
+        re_assigned.select(
+            F.col("cell_after").alias("cid"),
+            F.posexplode("emb").alias("dim_idx", "val"),
+        )
+        .groupBy("cid", "dim_idx")
+        .agg(F.round(F.sum("val"), 4).alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("cid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "s", "n"))).alias(
+                "ds"
+            )
+        )
+        .select(
+            "cid",
+            F.transform("ds", lambda x: x["s"] / x["n"]).alias("cvec"),
+        )
+    )
+    untc = (
+        untouched.select("cell_after")
+        .distinct()
+        .join(
+            F.broadcast(
+                cent.select(
+                    F.col("cent_id").alias("cell_after"),
+                    F.col("cemb").alias("cvec"),
+                )
+            ),
+            "cell_after",
+        )
+        .select(F.col("cell_after").alias("cid"), "cvec")
+    )
+    cent_row = (
+        newc.unionByName(untc)
+        .select(F.struct("cid", "cvec").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+    def sqd(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("qemb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .select(
+            "q_id", "qemb", "qnrm",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                sqd(c["cvec"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1, _X3Z2_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
+    )
+    dotqe = F.aggregate(
+        F.zip_with("qemb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # probes = queries x nprobe rows by construction — broadcast it so
+    # the scoring join stays a broadcast cell equi-join (the x3z
+    # posture) instead of shuffling the corpus side twice
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "cid",
+            (dotqe / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 4).desc(), "vec_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X3Z2_TOPK)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.col("cid").cast("long").alias("cell"),
+            (F.round(F.col("cos"), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
 # X2z — LSH quality audit: precision/recall of the banded candidates -----------
 #
 # The dashboard a dedup operator watches before trusting LSH at 100 TB:

@@ -188,3 +188,39 @@ def test_a19_trimmed_mean_planted_outlier_immunity(spark):
     assert r["n_docs"] == 10 and r["n_trimmed_each_end"] == 1
     assert r["trimmed_mean_micro"] == 10_000_000
     assert r["mean_micro"] == 109_000_000
+
+
+def test_a20_winsorized_mean_planted_outlier(spark, tmp_path):
+    """a20 law on a hand corpus: values 1..9 plus a 1000-token
+    outlier (n=10, k=1). Ranks clamp value 1 up to 2 and 1000 down to
+    9, so the winsorized sum is 44 + 2 + 9 = 55 and the mean is
+    5.5 tokens = 5,500,000 micro — while the raw mean reads
+    104,500,000. A second source below the clamp threshold (n=3,
+    k=0) must pass through with winsorized == raw."""
+    import os
+
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a20_grouped_winsorized_mean,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [(i, mk(i), "big") for i in range(1, 10)] + [(10, mk(1000), "big")]
+    rows += [(20, mk(5), "tiny"), (21, mk(7), "tiny"), (22, mk(100), "tiny")]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["source"]: r
+        for r in a20_grouped_winsorized_mean(spark, sf_dir).collect()
+    }
+    big = got["big"]
+    assert big["n_docs"] == 10 and big["n_clamped_each_end"] == 1
+    assert big["winsorized_mean_micro"] == 5_500_000
+    assert big["mean_micro"] == 104_500_000
+    tiny = got["tiny"]
+    assert tiny["n_clamped_each_end"] == 0
+    assert tiny["winsorized_mean_micro"] == tiny["mean_micro"] == 37_333_333

@@ -2259,3 +2259,48 @@ def test_x3x3_centroid_table_planted_split_and_carry_through(spark, tmp_path):
     sub2 = _X3X2_BASE + 2
     assert got[(sub2, 2)]["centroid_1e6"] == 1_000_000
     assert got[(sub2, 0)]["centroid_1e6"] == 0
+
+
+def test_x3z2_post_split_serving_planted_neighbors(spark, tmp_path):
+    """x3z2 laws on the mini split fixture (cell 2 -> sub-cells
+    BASE+2 = {2} and BASE+20 = {20}): probe selection runs over the
+    POST-split centroid table, so query 2's two nearest cells are its
+    own singleton sub-cell and its near-twin's — candidate set = {20}
+    at rank 1 (cos 1/sqrt(1.01) -> 0.995); and query 0 (untouched
+    cell) probes the BASE+20 sub-cell as its second cell and surfaces
+    vector 20. (Vector 20 itself is NOT a query — the vec_id < 8 law.)
+    Self never matches; ranks are contiguous from 1."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X3X2_BASE,
+        x3z2_post_split_ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (20, [0.1, 0.0, 1.0, 0.0], 0),  # joins cell 2 -> split
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    out = x3z2_post_split_ivf_topk(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["q_id"], "self must never match"
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), q
+    assert set(by_q) <= {0, 1, 2, 3}, "only vec_id < 8 may query"
+    # query 2: nearest = its near-twin 20, served from the NEW sub-cell
+    r2 = by_q[2][0]
+    assert r2["vec_id"] == 20 and r2["cell"] == _X3X2_BASE + 20
+    assert r2["cos_sim"] == 0.995
+    # query 0 (untouched cell): second probe is the BASE+20 sub-cell
+    # (L2 1.81 < 2.0 of every other cell), so vector 20 surfaces
+    r0 = by_q[0][0]
+    assert r0["vec_id"] == 20 and r0["cell"] == _X3X2_BASE + 20
+    assert r0["cos_sim"] == 0.0995

@@ -1002,3 +1002,19 @@ def test_x6q2_leakage_audit_carries_the_pair_site_gate(spark):
     # onto the distribution rows — never a corpus-sided pair structure
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_x3z2_post_split_scoring_is_broadcast_cell_equi_join(spark):
+    """x3z2's scale claim (the x3z posture over the post-split
+    partition): probe selection is a per-row sort/slice fold over the
+    ONE broadcast centroid-array row, and the scoring join is a
+    BROADCAST cell equi-join of the queries-x-nprobe probe rows
+    against the cell_after-keyed corpus — no join may degrade to a
+    shuffled or all-pairs form. (The printed uncached plan replays the
+    persisted assignment subtree many times, so 1-row nested-loop
+    broadcasts appear repeatedly; none of them is corpus-sided.)"""
+    plan = _plan(spark, "x3z2_post_split_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

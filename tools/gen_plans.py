@@ -223,6 +223,8 @@ QUERIES = [
     "x6b4_incremental_repack",
     "x3x3_post_split_centroids",
     "x6b5_repack_reconciliation",
+    "x3z2_post_split_ivf_topk",
+    "a20_grouped_winsorized_mean",
 ]
 
 
