@@ -3959,6 +3959,106 @@ def x6q2_cluster_coherent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X6q3 — split-ratio drift: what the family-coherent split costs ---------------
+#
+# x6q2 buys zero leakage by moving whole duplicate families into one
+# split — which skews the 80/10/10 marginals exactly as much as the
+# families are big (a 3,000-doc family lands as one atomic unit). This
+# is the audit a data planner reads next to x6q2: per split class, the
+# doc-level (x6) head count against the family-level (x6q2) head
+# count, both as exact ppm of the corpus, and the doc delta. Both
+# split laws are composed from the SAME builder sites (_bucket_sql /
+# _split_case_sql / split_label / split_bucket), so the audit can
+# never drift from the splits it compares; x2e2b's convergence guard
+# carries through. A full outer join + coalesced zeros keeps a split
+# class visible even if one law empties it on a tiny corpus.
+#
+# Scale shape: x2e2b's closure (already the x6q2 cost), then two
+# map-side hash/CASE passes and three <= 3-row aggregates joined —
+# nothing new touches the corpus.
+
+_X6Q3_ORACLE = f"""{_X2E2B_CTES_REF},
+spl AS (
+  SELECT llab.id AS doc_id,
+         {_split_case_sql(_bucket_sql("llab.cluster_id"))} AS split
+  FROM llab
+),
+fam AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs_family
+  FROM spl GROUP BY split
+),
+docl AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs_doc
+  FROM ({_X6_ORACLE}) GROUP BY split
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT coalesce(d.split, f.split)                        AS split,
+       coalesce(d.n_docs_doc, 0)                         AS n_docs_doc,
+       coalesce(f.n_docs_family, 0)                      AS n_docs_family,
+       CAST((1000000 * coalesce(d.n_docs_doc, 0)) // n AS BIGINT)
+         AS doc_ppm,
+       CAST((1000000 * coalesce(f.n_docs_family, 0)) // n AS BIGINT)
+         AS family_ppm,
+       CAST(coalesce(f.n_docs_family, 0) - coalesce(d.n_docs_doc, 0)
+            AS BIGINT)                                   AS doc_delta,
+       lconv.ok                                          AS closure_converged
+FROM docl d FULL JOIN fam f ON d.split = f.split
+CROSS JOIN tot CROSS JOIN lconv
+ORDER BY split
+"""
+
+
+@register("x6q3_split_ratio_drift", oracle=_X6Q3_ORACLE, tags=("X6", "X2"))
+def x6q3_split_ratio_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per split class: the doc-level (x6) head count vs the
+    family-level (x6q2) head count, both in exact ppm of the corpus
+    (BIGINT floor division), and the doc delta — the marginal-ratio
+    price of the leakage-free split. Both laws composed from the
+    shared builder sites; convergence guard carried through."""
+    from .dedup import x2e2b_global_dedup_clusters_full
+
+    docs = Catalog(spark, sf_dir).documents
+    labels = x2e2b_global_dedup_clusters_full(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    fam = (
+        labels.select(
+            split_label(split_bucket(F.col("cluster_id"))).alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_family"))
+    )
+    docl = (
+        x6_deterministic_split(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_doc"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long"))
+    return (
+        docl.join(fam, "split", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            z("n_docs_doc").alias("n_docs_doc"),
+            z("n_docs_family").alias("n_docs_family"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_docs_doc, CAST(0 AS BIGINT))) "
+                "div n AS BIGINT)"
+            ).alias("doc_ppm"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_docs_family, CAST(0 AS BIGINT))) "
+                "div n AS BIGINT)"
+            ).alias("family_ppm"),
+            (z("n_docs_family") - z("n_docs_doc"))
+            .cast("long")
+            .alias("doc_delta"),
+            F.lit(True).alias("closure_converged"),
+        )
+        .orderBy("split")
+    )
+
+
 # X6b4 — incremental repack of the dirty bins (execute what x6b3 audits) -------
 #
 # x6b3 prices the takedown's repack; x6b4 is the repack manifest

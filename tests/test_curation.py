@@ -1957,3 +1957,61 @@ def test_x6b5_reconciliation_on_planted_takedown(spark, tmp_path):
     assert r["tokens_rewritten"] == r["migrated_tokens"] == 500
     assert r["n_new_bins"] == 1 and r["bin_delta"] == 0
     assert r["docs_reconcile"] is True and r["tokens_reconcile"] is True
+
+
+def test_x6q3_ratio_drift_on_planted_family(spark):
+    """x6q3 law on the x6q2 planted corpus (4 docs: a 3-doc family
+    whose members hash doc-level into train/val/test but land
+    family-level in train; a val-bucket singleton): doc-level counts
+    train/val/test = 1/2/1, family-level 3/1/0 — the test class
+    empties under the family split (doc_delta -1) yet stays VISIBLE
+    via the full outer join, train gains two, val loses the family
+    member it only had doc-level. ppm values are exact BIGINT floor
+    divisions of 4."""
+    import ssn_college_software_architecture_assignments__spark.operators.curation as cmod
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    from ssn_college_software_architecture_assignments__spark.operators.curation import (
+        x6q3_split_ratio_drift,
+    )
+
+    def bucket(i):
+        return ((i % 2147483648) * 2654435761) % 4294967296 % 100
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 80)
+    test_id = next(i for i in range(1, 500) if bucket(i) >= 90)
+    val_id = next(i for i in range(1, 500) if 80 <= bucket(i) < 90)
+    lone_id = next(i for i in range(500, 900) if 80 <= bucket(i) < 90)
+    text = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (train_id, text, "s", 100),
+            (test_id, text, "s", 40),
+            (val_id, text, "s", 7),
+            (lone_id, "z1 z2 z3 z4 z5", "s", 11),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.documents = df
+
+    orig_c, orig_d = cmod.Catalog, dmod.Catalog
+    cmod.Catalog = _Cat
+    dmod.Catalog = _Cat
+    try:
+        rows = {
+            r["split"]: r for r in x6q3_split_ratio_drift(spark, "x").collect()
+        }
+    finally:
+        cmod.Catalog = orig_c
+        dmod.Catalog = orig_d
+
+    assert set(rows) == {"train", "val", "test"}
+    tr, va, te = rows["train"], rows["val"], rows["test"]
+    assert (tr["n_docs_doc"], tr["n_docs_family"], tr["doc_delta"]) == (1, 3, 2)
+    assert (va["n_docs_doc"], va["n_docs_family"], va["doc_delta"]) == (2, 1, -1)
+    assert (te["n_docs_doc"], te["n_docs_family"], te["doc_delta"]) == (1, 0, -1)
+    assert tr["doc_ppm"] == 250_000 and tr["family_ppm"] == 750_000
+    assert te["family_ppm"] == 0
+    assert all(r["closure_converged"] for r in rows.values())

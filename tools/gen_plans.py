@@ -225,6 +225,7 @@ QUERIES = [
     "x6b5_repack_reconciliation",
     "x3z2_post_split_ivf_topk",
     "a20_grouped_winsorized_mean",
+    "x6q3_split_ratio_drift",
 ]
 
 
