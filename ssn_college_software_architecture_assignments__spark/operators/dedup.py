@@ -5469,6 +5469,50 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X3z3 — recall audit of the post-split serving leg ----------------------------
+#
+# The quality meter on the maintenance loop: does serving over the
+# post-x3x2 partition still find the true neighbors? Per query,
+# recall@5 of x3z2 against the exact brute-force truth (x3) — the x3h
+# audit shape verbatim (shared recall_report / composed oracles), so
+# the loop closes train -> admit -> split -> serve -> AUDIT with the
+# same yardstick the x3d index answers to. Scale shape: the two
+# registered legs' shapes plus a k-rows-per-query join/aggregate.
+
+from .similarity import _X3_ORACLE as _X3_ORACLE_REF  # noqa: E402
+from .similarity import recall_report  # noqa: E402
+
+_X3Z3_ORACLE = f"""
+WITH bf AS ({_X3_ORACLE_REF}),
+ps AS ({_X3Z2_ORACLE}),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hits
+  FROM bf JOIN ps ON bf.q_id = ps.q_id AND bf.vec_id = ps.vec_id
+  GROUP BY bf.q_id
+),
+truth AS (SELECT q_id, count(*) AS n_true FROM bf GROUP BY q_id)
+SELECT t.q_id,
+       t.n_true,
+       coalesce(h.n_hits, 0)                              AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(t.n_true AS DOUBLE), 4) AS recall_at_k
+FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
+ORDER BY t.q_id
+"""
+
+
+@register("x3z3_post_split_recall", oracle=_X3Z3_ORACLE, tags=("X3",))
+def x3z3_post_split_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the post-split IVF search (x3z2) against
+    exact brute force (x3) — the x3h audit applied to the maintenance
+    loop's serving leg. Composes the two registered queries and the
+    shared recall_report; the oracle composes their SQL verbatim."""
+    from .similarity import x3_similarity_bruteforce
+
+    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    ps = x3z2_post_split_ivf_topk(spark, sf_dir).select("q_id", "vec_id")
+    return recall_report(bf, ps)
+
+
 # X2z — LSH quality audit: precision/recall of the banded candidates -----------
 #
 # The dashboard a dedup operator watches before trusting LSH at 100 TB:

