@@ -284,11 +284,16 @@ def main() -> None:
     # host's raw common-18 subtotal flapped 16.3-21.2 s across three
     # isolated same-source runs in one hour, so a single reading per
     # round cannot distinguish a real 20% regression from host noise.
-    # The frozen set therefore runs THREE full sweeps (one timing per
-    # query per sweep, the same in-session policy as the headline
-    # pass) and the recorded value_common18 is the MEDIAN of the three
-    # sweep totals, with the raw totals shipped alongside as
+    # The frozen set therefore runs THREE full sweeps (ONE timing per
+    # query per sweep — unlike the headline pass, which times j11_join
+    # best-of-2; the sweeps also run warm, after the headline pass)
+    # and the recorded value_common18 is the MEDIAN of the three sweep
+    # totals, with the raw totals shipped alongside as
     # value_common18_runs so the spread is visible in the artifact.
+    # NOTE for cross-round reads: r16 and earlier recorded
+    # value_common18 as the single cold headline subtotal — the
+    # r16 -> r17 estimator change is a small step in the series
+    # (documented in BASELINE.md with the reading rule).
     # The full-headline pass above (and `value`) is unchanged.
     import statistics as _stats_c18
 

@@ -2096,9 +2096,14 @@ _X2J2_TAU = "0.45"
 # member, ~35 MB at the bound with 64 dims). A degenerate trained
 # centroid set — e.g. all vectors landing in one cell — would make that
 # row corpus-sized and fail far from the cause, so the size is guarded
-# LOUDLY at the declared bound instead. The remedy is structural, not a
-# bigger bound: split the overloaded cell (x3x2) or retrain (x3r2 with
-# larger K). Engine-input guard, x4z2-style — the oracle needs no twin.
+# LOUDLY at the declared bound instead. The guard runs on a COUNT-ONLY
+# K-row pre-aggregation whose broadcast the member fold join-depends
+# on (r18, the r17 advisory): the broadcast must materialize — firing
+# the raise — before any probe-side task of the fold stage can start,
+# so a corpus-sized collect_list row is never built, it is refused.
+# The remedy is structural, not a bigger bound: split the overloaded
+# cell (x3x2, composed as x2j2b) or retrain (x3r2 with larger K).
+# Engine-input guard, x4z2-style — the oracle needs no twin.
 _X2J2_MAX_CLUSTER = 65_536
 
 
@@ -2195,17 +2200,15 @@ _X2J2_SPARK_DUP = (
 )
 
 
-@register("x2j2_semdedup_prune", oracle=_X2J2_ORACLE, tags=("X2", "X3"))
-def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup cluster-then-prune manifest (Abbas et al. 2023): assign
-    every embedding to its x3r2-TRAINED centroid (L2 argmin, cid
-    tiebreak), then within each cluster greedily keep members in
-    vec_id-asc order, dropping any whose cosine to an already-kept
-    representative is >= the declared threshold. One row per nonzero
-    vector: cluster, keep verdict, cluster size, kept count. The fold
-    is engine-identical (F.aggregate vs list_reduce, exact doubles);
-    the lowest-id copy always survives."""
-    assigned, _cent = x3r2_trained_assign(spark, sf_dir)
+def _semdedup_prune(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup greedy prune over an assignment frame (cid, vec_id,
+    emb) — ONE Spark law site shared by x2j2 (the x3r2-trained
+    partition) and x2j2b (the post-x3x2 split partition). Zero-norm
+    members are excluded, then the per-cluster member COUNT aggregates
+    first (a K-row result) and passes through the mega-cluster guard;
+    the member fold joins against that guarded broadcast, so the guard
+    fires during broadcast materialization — strictly before any fold
+    task could build an over-bound collect_list row."""
     mem = assigned.select(
         "cid",
         F.expr(
@@ -2214,12 +2217,15 @@ def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0.0 AS DOUBLE), (s, y) -> s + y))), emb)"
         ).alias("m"),
     ).filter(F.expr("element_at(m, 2) > 0"))
-    grp = mem.groupBy("cid").agg(
-        F.sort_array(F.collect_list("m")).alias("members"),
-        F.count(F.lit(1)).alias("n_members"),
+    counts = mem.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    guarded = counts.select("cid", _x2j2_guarded_size())
+    grp = (
+        mem.join(F.broadcast(guarded), "cid")
+        .groupBy("cid", "n_members")
+        .agg(F.sort_array(F.collect_list("m")).alias("members"))
     )
     kept = grp.select(
-        "cid", _x2j2_guarded_size(), "members",
+        "cid", "n_members", "members",
         F.expr(
             "transform(aggregate(members, "
             "CAST(array() AS array<array<double>>), "
@@ -2244,6 +2250,20 @@ def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "vec_id")
     )
+
+
+@register("x2j2_semdedup_prune", oracle=_X2J2_ORACLE, tags=("X2", "X3"))
+def x2j2_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune manifest (Abbas et al. 2023): assign
+    every embedding to its x3r2-TRAINED centroid (L2 argmin, cid
+    tiebreak), then within each cluster greedily keep members in
+    vec_id-asc order, dropping any whose cosine to an already-kept
+    representative is >= the declared threshold. One row per nonzero
+    vector: cluster, keep verdict, cluster size, kept count. The fold
+    is engine-identical (F.aggregate vs list_reduce, exact doubles);
+    the lowest-id copy always survives."""
+    assigned, _cent = x3r2_trained_assign(spark, sf_dir)
+    return _semdedup_prune(assigned.select("cid", "vec_id", "emb"))
 
 
 # X1c — dedup rate report by source -------------------------------------------

@@ -912,9 +912,13 @@ def test_x2j2_prune_confines_pairwise_to_trained_clusters(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    # the r18 guard pre-aggregation replays the assignment subtree
+    # (count branch + fold branch), so the 1-row trained-centroid
+    # array's nested loop prints twice — neither is corpus-sided
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
     assert "Window" not in plan
     assert "hashpartitioning(cid" in plan, "corpus shuffle must key on cluster"
+    assert "BroadcastHashJoin" in plan, "guarded counts must broadcast"
 
 
 def test_x2e4_retraction_slices_touched_components_only(spark):
