@@ -1179,6 +1179,30 @@ ORDER BY source
 """
 
 
+def _a19_final_aggs() -> list:
+    """The a19 per-source aggregate columns over an (source, v, rnk, n)
+    frame — ONE Spark law site shared by the registered a19 (window
+    ranking) and its scale-safe twin a19b (range-bucketed ranking), so
+    the trim algebra cannot drift between the two."""
+    return [
+        F.min("n").cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST(min(n) * {_A19_TRIM_NUM} div {_A19_TRIM_DEN} AS BIGINT)"
+        ).alias("n_trimmed_each_end"),
+        F.expr(
+            f"CAST((1000000 * sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} "
+            f"div {_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} "
+            f"div {_A19_TRIM_DEN} THEN v ELSE 0 END)) div "
+            f"sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} div "
+            f"{_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} div "
+            f"{_A19_TRIM_DEN} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
+        F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    ]
+
+
 @register("a19_grouped_trimmed_mean", oracle=_A19_ORACLE, tags=("A6",))
 def a19_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 10%-trimmed mean of per-source token counts in integer
@@ -1197,27 +1221,7 @@ def a19_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.count(F.lit(1)).over(wc).alias("n"),
     )
-    return (
-        r.groupBy("source")
-        .agg(
-            F.min("n").cast("long").alias("n_docs"),
-            F.expr(
-                f"CAST(min(n) * {_A19_TRIM_NUM} div {_A19_TRIM_DEN} AS BIGINT)"
-            ).alias("n_trimmed_each_end"),
-            F.expr(
-                f"CAST((1000000 * sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} "
-                f"div {_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} "
-                f"div {_A19_TRIM_DEN} THEN v ELSE 0 END)) div "
-                f"sum(CASE WHEN rnk > n * {_A19_TRIM_NUM} div "
-                f"{_A19_TRIM_DEN} AND rnk <= n - n * {_A19_TRIM_NUM} div "
-                f"{_A19_TRIM_DEN} THEN 1 ELSE 0 END) AS BIGINT)"
-            ).alias("trimmed_mean_micro"),
-            F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
-                "mean_micro"
-            ),
-        )
-        .orderBy("source")
-    )
+    return r.groupBy("source").agg(*_a19_final_aggs()).orderBy("source")
 
 
 # A20 — exact grouped WINSORIZED mean (clamp the tails a19 drops) --------------
@@ -1307,19 +1311,133 @@ def a20_grouped_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.count(F.lit(1)).over(wc).alias("n"),
     )
-    return (
-        r.groupBy("source")
-        .agg(
-            F.min("n").cast("long").alias("n_docs"),
-            F.expr(f"CAST({_A20_SPARK['k']} AS BIGINT)").alias(
-                "n_clamped_each_end"
-            ),
-            F.expr(
-                f"CAST((1000000 * {_A20_SPARK['wsum']}) div min(n) AS BIGINT)"
-            ).alias("winsorized_mean_micro"),
-            F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
-                "mean_micro"
-            ),
-        )
-        .orderBy("source")
+    return r.groupBy("source").agg(*_a20_final_aggs()).orderBy("source")
+
+
+def _a20_final_aggs() -> list:
+    """The a20 per-source aggregate columns over an (source, v, rnk, n)
+    frame — the a19 builder's winsorized twin, shared by a20 and a20b
+    (both interpolate the one _a20_exprs algebra site)."""
+    return [
+        F.min("n").cast("long").alias("n_docs"),
+        F.expr(f"CAST({_A20_SPARK['k']} AS BIGINT)").alias(
+            "n_clamped_each_end"
+        ),
+        F.expr(
+            f"CAST((1000000 * {_A20_SPARK['wsum']}) div min(n) AS BIGINT)"
+        ).alias("winsorized_mean_micro"),
+        F.expr("CAST((1000000 * sum(v)) div min(n) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    ]
+
+
+# A19b / A20b — the same EXACT estimators with no per-source sort window ------
+#
+# a19/a20 rank each source's values in ONE window partitioned by
+# source: exact at the fixture's source cardinality, but at 100x a
+# single mega-source becomes one straggler sort partition — the
+# scale-killer the house already retired for global ranking (s16b) and
+# global ntile (w4b/x4n2). These twins are the registered estimators'
+# s16b-pattern scale forms, provably row-identical (pytest-pinned, and
+# they reuse a19/a20's oracles VERBATIM — the s16b precedent):
+#
+#   1. range-bucket the VALUE axis from broadcast quantile cutpoints
+#      (functions.bucketing; global cutpoints are fine because the law
+#      only needs equal values to share a bucket — ties at a cutpoint
+#      land low in both engines);
+#   2. rank within (source, bucket) — the window partition count
+#      multiplies by _A19B_BUCKETS, so a mega-source's sort spreads
+#      over the cluster instead of one reducer;
+#   3. stitch per-source global ranks back with per-(source, bucket)
+#      prefix offsets from a per-source <= B-element HOF fold (the
+#      s16b offsets idiom keyed by source), broadcast back, which
+#      also carries the per-source total n — the count window gone;
+#   4. the SAME final aggregate builders as the registered forms.
+#
+# Equal values never straddle buckets and (v, doc_id) ordering within
+# a bucket concatenates to the per-source (v, doc_id) order, so rnk
+# and n are IDENTICAL to the window form no matter where the cutpoints
+# fall — bucket count is a parallelism knob, not a semantics knob.
+# Cost: the value subtree is planned twice (cutpoint aggregate +
+# assignment, the documented bucketing trade) plus a counts pass.
+
+_A19B_BUCKETS = 32
+
+
+def _ranked_by_source_scalable(t: DataFrame) -> DataFrame:
+    """(source, v, rnk, n) with rnk = the per-source (v, doc_id) rank
+    and n = the per-source row count, computed with NO per-source sort
+    window: value-range buckets from broadcast quantile cutpoints,
+    (source, bucket)-partitioned ranking, and broadcast prefix-offset
+    stitching (the s16b law keyed by source)."""
+    from ..functions.bucketing import with_range_bucket
+
+    probs = [k / _A19B_BUCKETS for k in range(1, _A19B_BUCKETS)]
+    b = with_range_bucket(t, "v", probs, out="bucket")
+    ranked = b.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source", "bucket").orderBy("v", "doc_id")
+        ),
     )
+    counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    bc = counts.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("bc")
+    )
+    offsets = (
+        bc.select(
+            "source",
+            F.aggregate(
+                "bc", F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"]
+            ).alias("n"),
+            F.explode(
+                F.transform(
+                    "bc",
+                    lambda s, i: F.struct(
+                        s["bucket"].alias("bucket"),
+                        F.aggregate(
+                            F.slice("bc", F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x["cnt"],
+                        ).alias("off"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("source", "n", F.col("o.bucket").alias("bucket"),
+                F.col("o.off").alias("off"))
+    )
+    return ranked.join(F.broadcast(offsets), ["source", "bucket"]).select(
+        "source", "v", (F.col("off") + F.col("rn")).alias("rnk"), "n"
+    )
+
+
+def _a19b_a20b_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("v"),
+    )
+
+
+@register("a19b_trimmed_mean_scalable", oracle=_A19_ORACLE, tags=("A6",))
+def a19b_trimmed_mean_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a19's exact 10%-trimmed mean with the per-source sort window
+    replaced by range-bucketed ranking + broadcast prefix offsets —
+    row-identical output (same oracle verbatim), no single-reducer
+    sort under a mega-source. Plan-gated: every window partitions by
+    (source, bucket)."""
+    r = _ranked_by_source_scalable(_a19b_a20b_values(spark, sf_dir))
+    return r.groupBy("source").agg(*_a19_final_aggs()).orderBy("source")
+
+
+@register("a20b_winsorized_mean_scalable", oracle=_A20_ORACLE, tags=("A6",))
+def a20b_winsorized_mean_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """a20's exact 10%-winsorized mean in the a19b scale form: value-
+    bucketed ranking, broadcast offset stitch, the registered final
+    aggregate builder — row-identical output, same oracle verbatim."""
+    r = _ranked_by_source_scalable(_a19b_a20b_values(spark, sf_dir))
+    return r.groupBy("source").agg(*_a20_final_aggs()).orderBy("source")

@@ -99,3 +99,64 @@ def test_s16b_equals_global_rownumber_form(spark, sf_dir):
     a = sorted(map(tuple, s16_zorder_layout(spark, sf_dir).collect()))
     b = sorted(map(tuple, s16b_zorder_layout_scalable(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_a19b_equals_window_form(spark, sf_dir):
+    """a19b (range-bucketed ranking) must reproduce the registered
+    a19 (per-source sort window) row for row — the equivalence that
+    lets it reuse a19's oracle verbatim (the s16b precedent)."""
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a19_grouped_trimmed_mean,
+        a19b_trimmed_mean_scalable,
+    )
+
+    a = sorted(map(tuple, a19_grouped_trimmed_mean(spark, sf_dir).collect()))
+    b = sorted(map(tuple, a19b_trimmed_mean_scalable(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_a20b_equals_window_form(spark, sf_dir):
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        a20_grouped_winsorized_mean,
+        a20b_winsorized_mean_scalable,
+    )
+
+    a = sorted(map(tuple, a20_grouped_winsorized_mean(spark, sf_dir).collect()))
+    b = sorted(map(tuple, a20b_winsorized_mean_scalable(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ranked_by_source_scalable_matches_python_on_heavy_ties(spark):
+    """The stitched (rnk, n) law on a handmade corpus with heavy value
+    ties ACROSS would-be bucket boundaries and a deliberately skewed
+    mega-source: ranks must equal the python (v, doc_id) sort rank
+    per source, and n the per-source count."""
+    from ssn_college_software_architecture_assignments__spark.operators.aggregations import (
+        _ranked_by_source_scalable,
+    )
+
+    rows = []
+    # mega-source "big": 120 rows over only 5 distinct values
+    for i in range(120):
+        rows.append((i, "big", float(i % 5)))
+    # small source with its own value range
+    for i in range(7):
+        rows.append((1000 + i, "small", float(100 + i)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    got = _ranked_by_source_scalable(df).collect()
+    # python reference ranks
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for d, s, v in rows:
+        by_src[s].append((v, d))
+    expect = {}
+    for s, vals in by_src.items():
+        for rnk, (v, d) in enumerate(sorted(vals), start=1):
+            expect[d] = (s, v, rnk, len(vals))
+    got_by_rank = {}
+    for r in got:
+        got_by_rank[(r["source"], r["rnk"])] = (r["v"], r["n"])
+    assert len(got) == len(rows)
+    for d, (s, v, rnk, n) in expect.items():
+        assert got_by_rank[(s, rnk)] == (v, n), (d, s, rnk)

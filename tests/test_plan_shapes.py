@@ -1022,3 +1022,33 @@ def test_x3z2_post_split_scoring_is_broadcast_cell_equi_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a19b_a20b_rank_inside_source_value_buckets(spark):
+    """a19b/a20b's scale claim: no per-source (or global) sort window
+    — every Window node partitions by (source, bucket), the cutpoint
+    fold and the offsets stitch broadcast, and the count window is
+    gone (n rides the broadcast offsets row)."""
+    import re
+
+    for name in ("a19b_trimmed_mean_scalable", "a20b_winsorized_mean_scalable"):
+        plan = _plan(spark, name)
+        assert _global_window_args(plan) == []
+        assert "BroadcastExchange" in plan
+        # every Window partition spec must include the bucket column
+        lines = plan.splitlines()
+        n_windows = 0
+        for i, line in enumerate(lines):
+            if re.match(r"\(\d+\) Window\b", line.strip()):
+                n_windows += 1
+                args = next(
+                    (
+                        lines[j].strip()
+                        for j in range(i + 1, min(i + 6, len(lines)))
+                        if lines[j].strip().startswith("Arguments:")
+                    ),
+                    "",
+                )
+                part = args.split("], [")[-2] if "], [" in args else ""
+                assert "bucket#" in part, (name, args)
+        assert n_windows == 1, (name, n_windows)
