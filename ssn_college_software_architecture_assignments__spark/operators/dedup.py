@@ -2161,35 +2161,48 @@ _X2J2_MERGE = (
 # proven hash-unchanged across both factor steps).
 _X2J2_ASG_CTES = _X3R2_ASG_CTES
 
-_X2J2_ORACLE = f"""{_X2J2_ASG_CTES},
-mem AS (
+def _x2j2_prune_sql(asg: str, p: str = "") -> str:
+    """The SemDeDup prune CTE chain over an assignment relation
+    ``asg`` with columns (cid, vec_id, emb) — the DuckDB half of
+    :func:`_semdedup_prune`, shared by x2j2 (the trained assignment)
+    and x2j2b (the post-x3x2 split assignment). ``p`` prefixes the
+    chain's internal CTE names (the _x6b2_fold_ctes precedent: x2j2b
+    composes this after _X3X2_CTES, which already owns a ``mem``
+    CTE); the default '' keeps the registered x2j2 string
+    byte-identical across this factoring — pytest-pinned (the r15
+    split law)."""
+    return f"""{p}mem AS (
   SELECT cid, vec_id,
          list_concat([CAST(vec_id AS DOUBLE),
                       sqrt(list_reduce(list_transform(emb, e -> e * e),
                                        (s, y) -> s + y))], emb) AS m
-  FROM asg
+  FROM {asg}
 ),
-grp AS (
+{p}grp AS (
   SELECT cid,
          list_concat([CAST([] AS DOUBLE[][])], list([m] ORDER BY m[1])) AS l,
          count(*) AS n_members
-  FROM mem WHERE m[2] > 0 GROUP BY cid
+  FROM {p}mem WHERE m[2] > 0 GROUP BY cid
 ),
-kept AS (
+{p}kept AS (
   SELECT cid, n_members,
          list_transform(list_reduce(l, (acc, x) -> {_X2J2_MERGE}),
                         k -> CAST(k[1] AS BIGINT)) AS kept_ids
-  FROM grp
+  FROM {p}grp
 )
 SELECT CAST(e.cid AS BIGINT)                 AS cluster_id,
        e.vec_id,
        list_contains(k.kept_ids, e.vec_id)   AS keep,
        CAST(k.n_members AS BIGINT)           AS cluster_size,
        CAST(len(k.kept_ids) AS BIGINT)       AS n_kept
-FROM mem e JOIN kept k ON e.cid = k.cid
+FROM {p}mem e JOIN {p}kept k ON e.cid = k.cid
 WHERE e.m[2] > 0
 ORDER BY cluster_id, vec_id
 """
+
+
+_X2J2_ORACLE = f"""{_X2J2_ASG_CTES},
+{_x2j2_prune_sql("asg")}"""
 
 # Spark half of the per-candidate duplicate predicate (nested inside
 # the fold's exists()): k = a kept member, m = the candidate.
@@ -5695,3 +5708,60 @@ def x2z_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau_pct")
     )
+
+
+# X2j2b — SemDeDup prune over the POST-SPLIT partition ------------------------
+#
+# The composition the x2j2 mega-cluster guard names as its remedy,
+# executed: instead of refusing an overloaded cluster, prune WITHIN the
+# post-x3x2 cells — the split executor has already cut every
+# overloaded cell in two (Gonzalez seeds + one confined Lloyd step),
+# so the greedy fold's per-cluster state is bounded by construction
+# wherever one split suffices (recursive splitting is the same
+# dataflow re-run on the new partition). Assignment rows come from the
+# registered x3x2 law sites (one Spark site: x3x2_assignment_frames;
+# one oracle site: _X3X2_CTES + _X3X2_FINAL), the prune from the
+# registered x2j2 law sites (_semdedup_prune / _x2j2_prune_sql) — this
+# entry is pure composition, so it can never drift from either parent.
+# The guard itself is CARRIED (a post-split cell could still exceed
+# the bound under a degenerate corpus; it then refuses loudly with the
+# sub-cell id, and the planted pytest pins the flip: a corpus x2j2
+# refuses is split, then pruned, here).
+#
+# Scale shape: x3x2's (one corpus argmax scan + flagged-cell-confined
+# split passes) plus x2j2's (count-only guarded K-row pre-aggregate,
+# one cell_after-keyed corpus shuffle, quadratic work confined to
+# single sub-cells). Nothing new touches the corpus.
+
+_X2J2B_ORACLE = f"""{_X3X2_CTES},
+fasg AS (
+{_X3X2_FINAL}
+),
+asg2 AS (
+  SELECT fa.cell_after AS cid, fa.vec_id, cl.emb
+  FROM fasg fa JOIN cells cl ON fa.vec_id = cl.vec_id
+),
+{_x2j2_prune_sql("asg2", p="p_")}"""
+
+
+@register(
+    "x2j2b_semdedup_prune_post_split", oracle=_X2J2B_ORACLE, tags=("X2", "X3")
+)
+def x2j2b_semdedup_prune_post_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup keep/drop manifest over the POST-x3x2 partition: every
+    overloaded IVF cell is split first (the registered x3x2 dataflow),
+    then the registered x2j2 greedy fold prunes within each resulting
+    cell — the structural remedy the x2j2 mega-cluster guard
+    prescribes, composed from both registered law sites. Cluster ids
+    are post-split cell ids (standing cells unchanged, sub-cells
+    _X3X2_BASE + seed id); the lowest-id copy survives per cluster."""
+    untouched, re_assigned, _cent = x3x2_assignment_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_after", "emb"]
+    assigned = (
+        untouched.select(*cols)
+        .unionByName(re_assigned.select(*cols))
+        .select(F.col("cell_after").alias("cid"), "vec_id", "emb")
+    )
+    return _semdedup_prune(assigned)

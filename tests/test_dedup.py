@@ -2332,3 +2332,108 @@ def test_x3z3_recall_is_one_on_mini_fixture_and_bounded(spark, tmp_path):
     for r in out:
         assert 0 <= r["n_hits"] <= r["n_true"]
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_x2j2b_oracle_composes_both_registered_law_sites():
+    """x2j2b must be pure composition: the x3x2 split chain and the
+    x2j2 prune chain, both byte-identical to the registered strings
+    (the r15 split law) — and the x2j2 registered string itself must
+    be unchanged across the r18 builder factoring."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2J2_ASG_CTES,
+        _X2J2_ORACLE,
+        _X2J2B_ORACLE,
+        _X3X2_CTES,
+        _X3X2_FINAL,
+        _x2j2_prune_sql,
+    )
+
+    assert _X2J2_ORACLE == f"{_X2J2_ASG_CTES},\n" + _x2j2_prune_sql("asg")
+    assert _X2J2B_ORACLE.startswith(_X3X2_CTES)
+    assert _X3X2_FINAL in _X2J2B_ORACLE
+    assert _X2J2B_ORACLE.endswith(_x2j2_prune_sql("asg2", p="p_"))
+
+
+def test_x2j2b_planted_mega_cell_splits_then_prunes(spark, monkeypatch):
+    """The guard-remedy flip, pinned end to end: a planted corpus puts
+    5 members in standing cell 0 (4 extras within 9 degrees of the
+    centroid) — over a monkeypatched prune bound of 3, so the raw
+    (un-split) prune REFUSES loudly. x2j2b splits the cell first
+    (Gonzalez seeds 16 and 19 by the min-cos law, sub-assignment by
+    higher cosine), leaving sub-cells {16,17} and {0,18,19}, both
+    within bound — the prune then succeeds with the lowest id
+    surviving each sub-cluster. The DuckDB oracle folds the same
+    fixture to the same keep set (the guard is engine-input-side
+    only, so no bound patch is needed there)."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    from pyspark.sql import functions as F
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [float(np.float32(math.cos(r))), float(np.float32(math.sin(r)))]
+
+    rows = [(i, unit(i * 22.5)) for i in range(16)]          # standing centroids
+    rows += [(16, unit(-9.0)), (17, unit(-5.0)),
+             (18, unit(4.0)), (19, unit(8.0))]               # cell-0 extras
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    monkeypatch.setattr(dmod, "Catalog", _Cat)
+    monkeypatch.setattr(dmod, "_X2J2_MAX_CLUSTER", 3)
+
+    # the un-split prune refuses: standing cell 0 holds 5 > 3 members
+    cent = df.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), dmod._dvec("embedding").alias("cemb")
+    )
+    vecs = df.select("vec_id", dmod._dvec("embedding").alias("emb"))
+    raw = dmod.assign_cells(vecs, cent).select(
+        F.col("cell").alias("cid"), "vec_id", "emb"
+    )
+    with _pytest.raises(Exception) as ei:
+        dmod._semdedup_prune(raw).collect()
+    assert "x2j2: cluster 0 holds 5 members" in str(ei.value)
+
+    # x2j2b splits first, then prunes within bound
+    try:
+        got = {
+            r["vec_id"]: r
+            for r in dmod.x2j2b_semdedup_prune_post_split(spark, "x").collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+    assert set(got) == set(range(20))
+    base = dmod._X3X2_BASE
+    fam_a = {v for v, r in got.items() if r["cluster_id"] == base + 16}
+    fam_b = {v for v, r in got.items() if r["cluster_id"] == base + 19}
+    assert fam_a == {16, 17} and fam_b == {0, 18, 19}
+    assert all(r["cluster_size"] <= 3 for r in got.values())
+    assert got[16]["keep"] and not got[17]["keep"]
+    assert got[0]["keep"] and not got[18]["keep"] and not got[19]["keep"]
+    for vid in range(1, 16):
+        assert got[vid]["keep"] and got[vid]["cluster_size"] == 1
+        assert got[vid]["cluster_id"] == vid
+
+    # the DuckDB half agrees on the same bytes
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in rows], "embedding": [e for _, e in rows]}
+        ),
+    )
+    oracle = {
+        int(r[1]): (int(r[0]), bool(r[2]))
+        for r in con.execute(dmod._X2J2B_ORACLE).fetchall()
+    }
+    assert oracle == {
+        v: (int(r["cluster_id"]), bool(r["keep"])) for v, r in got.items()
+    }

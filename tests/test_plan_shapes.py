@@ -1052,3 +1052,19 @@ def test_a19b_a20b_rank_inside_source_value_buckets(spark):
                 part = args.split("], [")[-2] if "], [" in args else ""
                 assert "bucket#" in part, (name, args)
         assert n_windows == 1, (name, n_windows)
+
+
+def test_x2j2b_post_split_prune_carries_both_parents_gates(spark):
+    """x2j2b's scale claim is its parents' composed: no pair join
+    anywhere (the quadratic prune lives inside the cell_after-keyed
+    aggregate), no sort-merge or cartesian form, the guarded count
+    pre-aggregation broadcasts, and the prune shuffle keys on the
+    cluster id. (The printed uncached plan replays the persisted
+    x3x2 assignment subtree repeatedly; its 1-row centroid-array
+    nested loops are never corpus-sided.)"""
+    plan = _plan(spark, "x2j2b_semdedup_prune_post_split")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(cid" in plan, "prune shuffle must key on cluster"
+    assert "BroadcastHashJoin" in plan
