@@ -1918,6 +1918,24 @@ def _centroid_array(centroids: DataFrame) -> DataFrame:
     )
 
 
+# The per-row nearest-centroid argmax fold over the broadcast ``cents``
+# array — module-level (r18) so x3x4's merge reassignment can apply
+# THE SAME law while keeping its cell_before column in the projection
+# (assign_cells hardcodes its output columns). Strict (cos, cent_id)
+# comparison: the pick is independent of collect_list's array order.
+_ASSIGN_CELL_EXPR = """
+        aggregate(
+          transform(cents, c -> named_struct(
+            'cid', c.cent_id,
+            'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
+                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm))),
+          named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
+          (acc, s) -> IF(s.cos > acc.bcos OR (s.cos = acc.bcos AND s.cid < acc.bid),
+                         named_struct('bid', s.cid, 'bcos', s.cos), acc),
+          acc -> acc.bid)
+        """
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, emb, nrm, cell): MAP-SIDE nearest-centroid assignment
     shared by x2j SemDeDup and the x3u kNN graph. The K centroids
@@ -1931,22 +1949,9 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     a zero vector has no defined neighbor."""
     emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
     cent_arr = _centroid_array(centroids)
-    assign_expr = F.expr(
-        """
-        aggregate(
-          transform(cents, c -> named_struct(
-            'cid', c.cent_id,
-            'cos', aggregate(zip_with(emb, c.cemb, (x, y) -> x * y),
-                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm))),
-          named_struct('bid', CAST(-1 AS BIGINT), 'bcos', CAST(-2.0 AS DOUBLE)),
-          (acc, s) -> IF(s.cos > acc.bcos OR (s.cos = acc.bcos AND s.cid < acc.bid),
-                         named_struct('bid', s.cid, 'bcos', s.cos), acc),
-          acc -> acc.bid)
-        """
-    )
     return (
         emb.crossJoin(F.broadcast(cent_arr))
-        .select(assign_expr.alias("cell"), "vec_id", "emb", "nrm")
+        .select(F.expr(_ASSIGN_CELL_EXPR).alias("cell"), "vec_id", "emb", "nrm")
         .filter(F.col("cell") >= 0)
     )
 
@@ -5765,3 +5770,284 @@ def x2j2b_semdedup_prune_post_split(
         .select(F.col("cell_after").alias("cid"), "vec_id", "emb")
     )
     return _semdedup_prune(assigned)
+
+
+# X3x4 — merge underloaded IVF cells (the dual of x3x2) ------------------------
+#
+# Real index maintenance shrinks as well as splits: after takedowns
+# (x2e4) or admission drift (x3x), near-empty cells waste probes and
+# skew recall — each probe visits nprobe cells, so a cell holding a
+# handful of members buys almost no candidates for its probe slot.
+# x3x4 mirrors the x3x2 contract on the other tail: flag every cell
+# whose load falls UNDER the declared integer floor (the x3x load
+# law's dual — a cell merges when DEN * n * K < NUM * total, i.e.
+# load < NUM/DEN x the average), dissolve it, and reassign its
+# members to the nearest SURVIVING standing centroid — the
+# _ASSIGN_CELL_EXPR argmax law verbatim over the broadcast survivor
+# array, applied to flagged members only, keeping cell_before in the
+# same map-side projection (no join-back). Untouched (surviving)
+# cells pass through with cell_after = cell_before, bit-identical —
+# the s20/x3x2 idiom, provable because the oracle hash covers every
+# row.
+#
+# The floor is declared 7/8 (0.875x the average): the fixture cells
+# are near-uniform, and 7/8 fires on 5 cells at sf0.001, 3 at sf0.01
+# and 2 at sf0.1 (measured) — the fixture-visible-parameter precedent
+# (x3x2 declares 9/8 for the same reason); production swaps the
+# ratio, not the dataflow. Survivors are nonempty BY PIGEONHOLE for
+# any floor <= 1: sum(n) = total means some cell carries at least the
+# average load, and the flag is strict <, so that cell never flags —
+# no degenerate-corpus guard is needed.
+#
+# Scale shape: ONE corpus argmax scan (assign_cells, persisted for
+# its multiple consumers), a K-row occupancy aggregate, then the
+# reassignment confined to flagged-cell members by an equi-join
+# against the <= K-row broadcast flagged set (plan-gated) followed by
+# a map-side argmax over the <= K-row broadcast survivor array. No
+# window, no pairwise stage, O(merged members) beyond the standing
+# scan. Split (x3x2) and merge (x3x4) close both tails of the IVF
+# occupancy maintenance loop.
+
+_X3X4_NUM = 7      # merge when DEN * n * K < NUM * total (load < NUM/DEN x avg)
+_X3X4_DEN = 8
+
+# CTE chain (cells -> occupancy -> flagged -> survivors -> members ->
+# reassignment) and the final per-vector union, split the x3x2 way so
+# x3x5's post-merge centroid oracle composes the SAME chain.
+_X3X4_CTES = f"""{_IVF_CELLS_SQL},
+occ AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+tot AS (SELECT sum(n) AS total FROM occ),
+mflag AS (
+  SELECT cell FROM occ CROSS JOIN tot
+  WHERE {_X3X4_DEN} * n * {_X3X_K} < {_X3X4_NUM} * total
+),
+surv AS (
+  SELECT c.cent_id, c.cemb,
+         sqrt(list_aggregate(list_transform(c.cemb, x -> x * x), 'sum')) AS cnrm
+  FROM c ANTI JOIN mflag f ON c.cent_id = f.cell
+),
+mmem AS (
+  SELECT cl.cell, cl.vec_id, cl.emb,
+         sqrt(list_aggregate(list_transform(cl.emb, x -> x * x), 'sum')) AS nrm
+  FROM cells cl JOIN mflag f ON cl.cell = f.cell
+),
+mre AS (
+  SELECT vec_id, cell AS cell_before, cent_id AS cell_after FROM (
+    SELECT m.vec_id, m.cell, s.cent_id,
+           row_number() OVER (PARTITION BY m.vec_id ORDER BY
+             (list_aggregate(list_transform(list_zip(m.emb, s.cemb), p -> p[1] * p[2]), 'sum')
+              / (m.nrm * s.cnrm)) DESC, s.cent_id) AS rn
+    FROM mmem m CROSS JOIN surv s
+  ) WHERE rn = 1
+)"""
+
+_X3X4_FINAL = f"""SELECT vec_id,
+       CAST(cell_before AS BIGINT) AS cell_before,
+       CAST(cell_after AS BIGINT) AS cell_after,
+       TRUE AS was_merged
+FROM mre
+UNION ALL
+SELECT cl.vec_id, CAST(cl.cell AS BIGINT), CAST(cl.cell AS BIGINT), FALSE
+FROM cells cl ANTI JOIN mflag f ON cl.cell = f.cell"""
+
+_X3X4_ORACLE = f"""{_X3X4_CTES}
+{_X3X4_FINAL}
+ORDER BY vec_id
+"""
+
+
+def x3x4_merge_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(untouched, re_assigned, centroids): the per-vector post-merge
+    assignment rows with the member VECTOR retained (vec_id,
+    cell_before, cell_after, was_merged, emb) — the shared dataflow
+    behind x3x4's merge manifest (drops emb) and x3x5's post-merge
+    centroid table (aggregates it). The member slice is an equi-join
+    against the <= K-row broadcast flagged set (THE plan-gated claim
+    that all merge work is keyed on flagged cells only); reassignment
+    applies _ASSIGN_CELL_EXPR over the broadcast survivor array in
+    the same map-side projection, so cell_before rides along without
+    a join-back."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cent = emb.filter(F.col("vec_id") < _X3X_K).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
+    )
+    vecs = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    assigned = assign_cells(vecs, cent).persist()
+    occ = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    tot = occ.agg(F.sum("n").alias("total"))
+    flagged = (
+        occ.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(_X3X4_DEN) * F.col("n") * _X3X_K < _X3X4_NUM * F.col("total")
+        )
+        .select("cell")
+    )
+    members = assigned.join(F.broadcast(flagged), "cell")
+    surv = cent.join(
+        F.broadcast(flagged.select(F.col("cell").alias("cent_id"))),
+        "cent_id",
+        "left_anti",
+    )
+    re_assigned = (
+        members.crossJoin(F.broadcast(_centroid_array(surv)))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell_before"),
+            F.expr(_ASSIGN_CELL_EXPR).cast("long").alias("cell_after"),
+            F.lit(True).alias("was_merged"),
+            "emb",
+        )
+        .filter(F.col("cell_after") >= 0)
+    )
+    untouched = assigned.join(F.broadcast(flagged), "cell", "left_anti").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell_before"),
+        F.col("cell").cast("long").alias("cell_after"),
+        F.lit(False).alias("was_merged"),
+        "emb",
+    )
+    return untouched, re_assigned, cent
+
+
+@register("x3x4_ivf_cell_merge", oracle=_X3X4_ORACLE, tags=("X3",))
+def x3x4_ivf_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge every underloaded IVF cell (load < _X3X4_NUM/_X3X4_DEN x
+    the average, the x3x integer load law's dual): the cell dissolves
+    and its members reassign to the nearest surviving standing
+    centroid by the assign_cells (cos desc, cent_id) argmax law.
+    One row per nonzero vector: cell_before, cell_after (identical
+    for untouched cells — bit-identical pass-through), was_merged.
+    Survivors are nonempty by pigeonhole for any floor <= 1x."""
+    untouched, re_assigned, _cent = x3x4_merge_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_before", "cell_after", "was_merged"]
+    return (
+        untouched.select(*cols)
+        .unionByName(re_assigned.select(*cols))
+        .orderBy("vec_id")
+    )
+
+
+# X3x5 — the post-merge centroid table (the x3x3 dual) -------------------------
+#
+# x3x4 emits WHO moves; the serving layer needs the centroid table
+# that results. One row per (occupied post-merge cell, dimension):
+# a RECEIVER cell (one that absorbed merged members) gets its member
+# MEAN over ALL its post-merge members under the x3x rounding law
+# (per-(cell, dim) sums rounded at 4dp, then divided — the only place
+# summation order exists, so both engines divide bit-identical
+# doubles); a surviving cell that received nothing carries its
+# STANDING centroid vector through bit-identically (the s20 idiom).
+# Components ship as floor(x * 1e6) BIGINTs so no float crosses the
+# hash boundary; dissolved cells and memberless centroids do not
+# appear — the table mirrors the post-merge occupancy view, matching
+# x3x3's convention.
+#
+# Scale shape: x3x4's dataflow plus ONE (cell, dim)-keyed hash
+# aggregate confined to receiver-cell members (an equi-join against
+# the broadcast <= K-row receiver set) and a <= K-row join for the
+# untouched centroids. Nothing new touches the corpus.
+
+_X3X5_SCALE = 1_000_000
+
+_X3X5_ORACLE = f"""{_X3X4_CTES},
+fasg AS (
+{_X3X4_FINAL}
+),
+recv AS (SELECT DISTINCT cell_after AS cell FROM fasg WHERE was_merged),
+rc AS (
+  SELECT cell_after AS cell, u.i AS dim_idx,
+         round(sum(u.val), 4) AS s, count(*) AS n
+  FROM (
+    SELECT fa.cell_after,
+           unnest(list_transform(range(1, len(cl.emb) + 1),
+                                 i -> {{'i': i - 1, 'val': cl.emb[i]}})) AS u
+    FROM fasg fa
+    JOIN recv r ON fa.cell_after = r.cell
+    JOIN cells cl ON fa.vec_id = cl.vec_id
+  )
+  GROUP BY cell_after, u.i
+),
+uc AS (
+  SELECT fa.cell_after AS cell, count(*) AS n
+  FROM fasg fa ANTI JOIN recv r ON fa.cell_after = r.cell
+  GROUP BY fa.cell_after
+)
+SELECT CAST(cell AS BIGINT)                              AS cell,
+       CAST(dim_idx AS BIGINT)                           AS dim_idx,
+       CAST(floor(s / n * {_X3X5_SCALE}) AS BIGINT)      AS centroid_1e6,
+       CAST(n AS BIGINT)                                 AS n_members,
+       TRUE                                              AS is_receiver
+FROM rc
+UNION ALL
+SELECT CAST(uc.cell AS BIGINT),
+       CAST(cu.u.i AS BIGINT),
+       CAST(floor(cu.u.val * {_X3X5_SCALE}) AS BIGINT),
+       CAST(uc.n AS BIGINT),
+       FALSE
+FROM uc JOIN (
+  SELECT cent_id, unnest(list_transform(range(1, len(cemb) + 1),
+                         i -> {{'i': i - 1, 'val': cemb[i]}})) AS u
+  FROM c
+) cu ON uc.cell = cu.cent_id
+ORDER BY cell, dim_idx
+"""
+
+
+@register("x3x5_post_merge_centroids", oracle=_X3X5_ORACLE, tags=("X3",))
+def x3x5_post_merge_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid table after the x3x4 merge — what serving probes
+    next: receiver cells get the member mean over ALL their post-merge
+    members (x3x rounding law: per-dim sums rounded at 4dp, then
+    divided), surviving non-receiver cells carry their standing
+    centroid through bit-identically; components as floor(x*1e6)
+    BIGINTs, one row per (occupied post-merge cell, dim)."""
+    untouched, re_assigned, cent = x3x4_merge_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_after", "emb"]
+    allm = untouched.select(*cols).unionByName(re_assigned.select(*cols))
+    recv = re_assigned.select(
+        F.col("cell_after").alias("cell")
+    ).distinct()
+    rc = (
+        allm.join(F.broadcast(recv), allm.cell_after == recv.cell)
+        .select(F.col("cell"), F.posexplode("emb").alias("dim_idx", "val"))
+        .groupBy("cell", "dim_idx")
+        .agg(
+            F.round(F.sum("val"), 4).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.floor(F.col("s") / F.col("n") * _X3X5_SCALE)
+            .cast("long")
+            .alias("centroid_1e6"),
+            F.col("n").cast("long").alias("n_members"),
+            F.lit(True).alias("is_receiver"),
+        )
+    )
+    ucnt = (
+        allm.join(F.broadcast(recv), allm.cell_after == recv.cell, "left_anti")
+        .groupBy(F.col("cell_after").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uc = (
+        ucnt.join(
+            F.broadcast(cent.select(F.col("cent_id").alias("cell"), "cemb")),
+            "cell",
+        )
+        .select("cell", "n", F.posexplode("cemb").alias("dim_idx", "val"))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.floor(F.col("val") * _X3X5_SCALE)
+            .cast("long")
+            .alias("centroid_1e6"),
+            F.col("n").cast("long").alias("n_members"),
+            F.lit(False).alias("is_receiver"),
+        )
+    )
+    return rc.unionByName(uc).orderBy("cell", "dim_idx")

@@ -2437,3 +2437,101 @@ def test_x2j2b_planted_mega_cell_splits_then_prunes(spark, monkeypatch):
     assert oracle == {
         v: (int(r["cluster_id"]), bool(r["keep"])) for v, r in got.items()
     }
+
+
+def test_x3x4_planted_underloaded_cells_merge_to_nearest_survivor(spark):
+    """x3x4/x3x5 law on a hand-computed 2-D fixture: 16 standing
+    centroids at 22.5-degree spacing; cell 0 holds 5 members, cells
+    1..13 hold 2 each, cells 14/15 are singletons. total = 33, so the
+    7/8 floor flags exactly n = 1 (128 < 231) and spares n = 2
+    (256 > 231): cells 14 and 15 dissolve. Their members reassign by
+    the (cos desc, cent_id) survivor argmax — v14 (315 deg) to cell 13
+    (292.5, its other neighbor 337.5 is also dissolving), v15
+    (337.5 deg) to cell 0 (22.5 deg away vs 45 to cell 13). Everything
+    else passes through bit-identically. x3x5 then recomputes ONLY the
+    receiver centroids (0 and 13) as member means, carries survivors'
+    standing centroids through, and drops cells 14/15. Both engines
+    fold the same bytes to the same tables."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [float(np.float32(math.cos(r))), float(np.float32(math.sin(r)))]
+
+    rows = [(i, unit(i * 22.5)) for i in range(16)]
+    rows += [(16, unit(-9.0)), (17, unit(-5.0)),
+             (18, unit(4.0)), (19, unit(8.0))]            # cell-0 extras
+    rows += [(20 + i, unit((1 + i) * 22.5 + 2.0)) for i in range(13)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    orig = dmod.Catalog
+    dmod.Catalog = _Cat
+    try:
+        got = {
+            r["vec_id"]: r
+            for r in dmod.x3x4_ivf_cell_merge(spark, "x").collect()
+        }
+        cents = {
+            (r["cell"], r["dim_idx"]): r
+            for r in dmod.x3x5_post_merge_centroids(spark, "x").collect()
+        }
+    finally:
+        dmod.Catalog = orig
+        spark.catalog.clearCache()
+
+    assert set(got) == set(range(33))
+    merged = {v: r for v, r in got.items() if r["was_merged"]}
+    assert set(merged) == {14, 15}
+    assert (got[14]["cell_before"], got[14]["cell_after"]) == (14, 13)
+    assert (got[15]["cell_before"], got[15]["cell_after"]) == (15, 0)
+    for v, r in got.items():
+        if v not in (14, 15):
+            assert r["cell_after"] == r["cell_before"]
+
+    # x3x5: receivers 0 (6 members) and 13 (3), survivors n=2,
+    # dissolved cells absent, 2 dims per cell
+    cells_present = {c for c, _ in cents}
+    assert cells_present == set(range(14))
+    assert cents[(0, 0)]["is_receiver"] and cents[(0, 0)]["n_members"] == 6
+    assert cents[(13, 0)]["is_receiver"] and cents[(13, 0)]["n_members"] == 3
+    for c in range(1, 13):
+        assert not cents[(c, 0)]["is_receiver"]
+        assert cents[(c, 0)]["n_members"] == 2
+        # standing centroid carried through bit-identically
+        e = unit(c * 22.5)
+        assert cents[(c, 0)]["centroid_1e6"] == math.floor(e[0] * 1e6)
+        assert cents[(c, 1)]["centroid_1e6"] == math.floor(e[1] * 1e6)
+
+    # both engines fold the same bytes to the same tables
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in rows], "embedding": [e for _, e in rows]}
+        ),
+    )
+    o4 = {
+        int(r[0]): (int(r[1]), int(r[2]), bool(r[3]))
+        for r in con.execute(dmod._X3X4_ORACLE).fetchall()
+    }
+    assert o4 == {
+        v: (int(r["cell_before"]), int(r["cell_after"]), bool(r["was_merged"]))
+        for v, r in got.items()
+    }
+    o5 = {
+        (int(r[0]), int(r[1])): (int(r[2]), int(r[3]), bool(r[4]))
+        for r in con.execute(dmod._X3X5_ORACLE).fetchall()
+    }
+    assert o5 == {
+        k: (int(r["centroid_1e6"]), int(r["n_members"]), bool(r["is_receiver"]))
+        for k, r in cents.items()
+    }

@@ -1068,3 +1068,37 @@ def test_x2j2b_post_split_prune_carries_both_parents_gates(spark):
     assert "Window" not in plan
     assert "hashpartitioning(cid" in plan, "prune shuffle must key on cluster"
     assert "BroadcastHashJoin" in plan
+
+
+def test_x3x4_merge_work_is_keyed_on_flagged_cells_only(spark):
+    """x3x4's scale claim (the x3x2 dual): the only corpus-wide work
+    is the one map-side assignment scan plus a K-row occupancy
+    aggregate — the member slice reaches flagged cells by an
+    EQUI-join against the <= K-row broadcast flagged set, and the
+    reassignment is a map-side argmax over the broadcast survivor
+    array (no join-back, cell_before rides the same projection). No
+    window, no pairwise stage, no sort-merge join anywhere."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x3x4_merge_frames,
+    )
+    from ssn_college_software_architecture_assignments__spark import all_queries
+
+    spark.catalog.clearCache()
+    untouched, re_assigned, _cent = x3x4_merge_frames(spark, SF)
+    try:
+        rplan = explain_str(re_assigned)
+        assert "BroadcastHashJoin" in rplan, "flagged set must broadcast-equi-join"
+        assert "CartesianProduct" not in rplan
+        assert "SortMergeJoin" not in rplan
+    finally:
+        spark.catalog.clearCache()
+    plan = explain_str(all_queries()["x3x4_ivf_cell_merge"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    spark.catalog.clearCache()
+    plan5 = explain_str(all_queries()["x3x5_post_merge_centroids"](spark, SF))
+    assert "CartesianProduct" not in plan5
+    assert "SortMergeJoin" not in plan5
+    assert "Window" not in plan5
+    spark.catalog.clearCache()
