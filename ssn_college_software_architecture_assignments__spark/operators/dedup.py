@@ -6051,3 +6051,109 @@ def x3x5_post_merge_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rc.unionByName(uc).orderBy("cell", "dim_idx")
+
+
+# X3z4 — trained-IVF serving over a RETRACTED corpus ---------------------------
+#
+# x2e4 retracts docs from the dedup closure and x6b4 repacks bins, but
+# the ANN serving path had no retraction face: tombstoned vectors keep
+# sitting in their cells and keep surfacing in top-k answers until a
+# full index rebuild. x3z4 closes that loop the cheap way a real
+# serving tier does: the index structure (trained centroids, cell
+# assignment, probe selection) is UNCHANGED — the tombstone filter
+# applies to the MEMBER side at the cell equi-join, so a tombstoned
+# vector can never enter any candidate list while every untouched
+# ranking stays bit-identical to x3z (scores are per-pair, so removing
+# a candidate only compacts ranks below it — the planted pytest pins
+# the former-top-1-disappears / rank-2-promotes flip). Queries are
+# external callers and keep probing unfiltered, tombstoned ids
+# included. The predicate is THE shared x2e4 law site (_X2E4_TOMB),
+# so ANN retraction and closure retraction can never disagree on who
+# is gone. Both halves compose the registered x3z chain: Spark via
+# _trained_ivf_serve(corpus_pred=...), the oracle via _x3z_sql(extra)
+# — pure composition, byte-identity of x3z pinned across the split.
+#
+# Scale shape: exactly x3z's (map-side broadcast argmin assignment,
+# per-row probe fold, cell equi-join) plus one map-side integer-mod
+# predicate on the member side — pushed below the join, no new
+# shuffle, no rebuild. At 100 TB a takedown batch becomes a tombstone
+# table broadcast into the same predicate position.
+
+from .similarity import _trained_ivf_serve, _x3z_sql  # noqa: E402
+
+_X3Z4_ORACLE = _x3z_sql(
+    f" AND NOT ({_X2E4_TOMB.format(col='nz.vec_id')})"
+)
+
+
+@register("x3z4_tombstone_ivf_topk", oracle=_X3Z4_ORACLE, tags=("X3", "X2"))
+def x3z4_tombstone_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3z's trained-IVF top-5 search over the RETRACTED corpus: the
+    shared _X2E4_TOMB tombstone predicate filters the member side at
+    the cell equi-join, so tombstoned vectors never surface in any
+    top-k while untouched rankings match x3z bit-identically (ranks
+    compact below a removed candidate). Queries probe unfiltered —
+    retraction silences answers, not askers."""
+    return _trained_ivf_serve(
+        spark, sf_dir, corpus_pred=~F.expr(_X2E4_TOMB.format(col="vec_id"))
+    )
+
+
+# X3z5 — the per-cell occupancy delta of that retraction -----------------------
+#
+# The report an index operator reads before deciding maintenance: how
+# much did the takedown hollow out each cell? Per trained cell: member
+# count before, tombstoned count, count after, and the tombstone
+# fraction in exact floored ppm — the x3x occupancy view's retraction
+# delta. Cells whose n_after sinks under the x3x4 floor are the next
+# merge candidates; the two reports compose into the maintenance loop
+# (retract -> measure -> merge/split -> re-serve).
+#
+# Scale shape: the x3r2 assignment scan plus ONE map-combined hash
+# aggregate keyed on the cell id (K rows out). The tombstone flag is
+# the same map-side predicate as x3z4 — one law site.
+
+_X3Z5_ORACLE = f"""{_X3R2_ASG_CTES},
+nz AS (
+  SELECT vec_id, cid FROM asg
+  WHERE list_reduce(list_transform(emb, e -> e * e), (s, y) -> s + y) > 0
+)
+SELECT CAST(cid AS BIGINT)                       AS cell,
+       CAST(count(*) AS BIGINT)                  AS n_before,
+       CAST(sum(CASE WHEN {_X2E4_TOMB.format(col="vec_id")}
+                THEN 1 ELSE 0 END) AS BIGINT)    AS n_tomb,
+       CAST(count(*) - sum(CASE WHEN {_X2E4_TOMB.format(col="vec_id")}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       CAST((1000000 * sum(CASE WHEN {_X2E4_TOMB.format(col="vec_id")}
+                           THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS tomb_ppm
+FROM nz GROUP BY cid
+ORDER BY cell
+"""
+
+
+@register("x3z5_tombstone_occupancy", oracle=_X3Z5_ORACLE, tags=("X3", "X2"))
+def x3z5_tombstone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trained-cell occupancy delta under the shared _X2E4_TOMB
+    retraction: members before, tombstoned, after, and the floored
+    tombstone ppm — the measurement leg between retraction (x2e4/
+    x3z4) and occupancy maintenance (x3x2 split / x3x4 merge)."""
+    assigned, _cent = x3r2_trained_assign(spark, sf_dir)
+    nz = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
+        F.col("nrm") > 0
+    )
+    tomb = F.expr(_X2E4_TOMB.format(col="vec_id")).cast("int")
+    return (
+        nz.select(F.col("cid").cast("long").alias("cell"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(tomb).cast("long").alias("n_tomb"),
+            (F.count(F.lit(1)) - F.sum(tomb)).cast("long").alias("n_after"),
+            F.expr(
+                f"CAST((1000000 * sum(CAST({_X2E4_TOMB.format(col='vec_id')} "
+                "AS INT))) div count(*) AS BIGINT)"
+            ).alias("tomb_ppm"),
+        )
+        .orderBy("cell")
+    )

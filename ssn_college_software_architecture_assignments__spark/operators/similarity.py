@@ -2437,7 +2437,14 @@ def x3y_mips_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X3Z_NPROBE = 2
 _X3Z_TOPK = 5
 
-_X3Z_ORACLE = f"""{_X3R2_ASG_CTES},
+def _x3z_sql(extra_pred: str = "") -> str:
+    """The trained-IVF serving oracle as a builder (r18): the cand
+    CTE's member WHERE clause takes an optional extra predicate so
+    x3z4's tombstone-aware serving composes the SAME chain with the
+    shared _X2E4_TOMB law appended at the cell equi-join. The default
+    '' keeps the registered x3z string byte-identical across this
+    factoring — pytest-pinned (the r15 split law)."""
+    return f"""{_X3R2_ASG_CTES},
 nz AS (
   SELECT vec_id, cid, emb,
          sqrt(list_reduce(list_transform(emb, e -> e * e),
@@ -2463,7 +2470,7 @@ cand AS (
                                     p -> p[1] * p[2]),
                      (s, y) -> s + y) / (qc.qnrm * nz.nrm) AS cos
   FROM qc JOIN nz ON qc.cid = nz.cid
-  WHERE nz.vec_id <> qc.q_id
+  WHERE nz.vec_id <> qc.q_id{extra_pred}
 )
 SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
        CAST(cid AS BIGINT) AS cell, cos_sim
@@ -2477,13 +2484,17 @@ ORDER BY q_id, rnk
 """
 
 
-@register("x3z_trained_ivf_topk", oracle=_X3Z_ORACLE, tags=("X3",))
-def x3z_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 cosine search over the x3r2-TRAINED partition: each of
-    the 8 query vectors probes its 2 L2-nearest trained cells and
-    scores exact cosine against only their members (self excluded,
-    zero-norm excluded). Assignment shares the x2j2 law site; ranking
-    is round(cos,4) DESC with the vec_id tiebreak."""
+_X3Z_ORACLE = _x3z_sql()
+
+
+def _trained_ivf_serve(
+    spark: SparkSession, sf_dir: str, corpus_pred=None
+) -> DataFrame:
+    """The x3z serving dataflow as a helper (r18): ``corpus_pred``
+    optionally filters the MEMBER side at the cell equi-join (x3z4's
+    tombstone predicate) while queries keep probing unfiltered — the
+    Spark half of :func:`_x3z_sql`'s extra predicate. ``None``
+    reproduces the registered x3z plan exactly."""
     assigned, cent = x3r2_trained_assign(spark, sf_dir)
     corpus = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
         F.col("nrm") > 0
@@ -2533,8 +2544,9 @@ def x3z_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    members = corpus if corpus_pred is None else corpus.filter(corpus_pred)
     cand = (
-        probes.join(corpus, "cid")
+        probes.join(members, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "cid",
@@ -2556,3 +2568,13 @@ def x3z_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rnk")
     )
+
+
+@register("x3z_trained_ivf_topk", oracle=_X3Z_ORACLE, tags=("X3",))
+def x3z_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 cosine search over the x3r2-TRAINED partition: each of
+    the 8 query vectors probes its 2 L2-nearest trained cells and
+    scores exact cosine against only their members (self excluded,
+    zero-norm excluded). Assignment shares the x2j2 law site; ranking
+    is round(cos,4) DESC with the vec_id tiebreak."""
+    return _trained_ivf_serve(spark, sf_dir)

@@ -2535,3 +2535,132 @@ def test_x3x4_planted_underloaded_cells_merge_to_nearest_survivor(spark):
         k: (int(r["centroid_1e6"]), int(r["n_members"]), bool(r["is_receiver"]))
         for k, r in cents.items()
     }
+
+
+def test_x3z4_oracle_and_helper_compose_registered_x3z():
+    """x3z4 must be pure composition of the registered x3z chain: the
+    builder with extra_pred '' IS the registered x3z string (byte
+    identity across the r18 factoring), and x3z4's oracle is the same
+    builder with the shared _X2E4_TOMB law appended."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2E4_TOMB,
+        _X3Z4_ORACLE,
+    )
+    from ssn_college_software_architecture_assignments__spark.operators.similarity import (
+        _X3Z_ORACLE,
+        _x3z_sql,
+    )
+
+    assert _x3z_sql() == _X3Z_ORACLE
+    extra = f" AND NOT ({_X2E4_TOMB.format(col='nz.vec_id')})"
+    assert _X3Z4_ORACLE == _x3z_sql(extra)
+    assert "nz.vec_id % 10 = 3" in _X3Z4_ORACLE
+
+
+def test_x3z4_planted_tombstoned_top1_disappears_rank2_promotes(spark):
+    """The retraction law end to end on a planted corpus: v13
+    (tombstoned by the shared vec_id % 10 = 3 law) is a near-copy of
+    v8, so it sits in q0's pre-retraction top-k. x3z4 must (a) never
+    surface ANY tombstoned vec_id, (b) reproduce x3z's rankings
+    bit-identically for queries untouched by the retraction, and (c)
+    for touched queries, compact ranks below each removed candidate
+    (the former neighbor's rank promotes). Tombstoned QUERIES still
+    ask (q3 keeps its rows). The DuckDB oracle folds the same bytes
+    to the same table."""
+    import duckdb
+    import pandas as pd
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    import ssn_college_software_architecture_assignments__spark.operators.similarity as smod
+
+    vecs = [
+        (0, [10.0, 0.0]),
+        (1, [1000.0, 1000.0]),
+        (2, [-1000.0, 1000.0]),
+        (3, [1000.0, -1000.0]),
+        (4, [-1000.0, -1000.0]),
+        (5, [2000.0, 0.0]),
+        (6, [0.0, 2000.0]),
+        (7, [-2000.0, 0.0]),
+        (8, [9.999, 0.001]),
+        (9, [4.0, 9.0]),
+        (10, [0.0, 0.0]),
+        (13, [9.998, 0.002]),   # tombstoned near-copy of v8
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    orig = smod.Catalog
+    smod.Catalog = _Cat
+    try:
+        base = smod.x3z_trained_ivf_topk(spark, "x").collect()
+        got = dmod.x3z4_tombstone_ivf_topk(spark, "x").collect()
+    finally:
+        smod.Catalog = orig
+
+    tomb = lambda v: v % 10 == 3  # noqa: E731
+    assert any(tomb(r["vec_id"]) for r in base), "fixture must plant a hit"
+    assert all(not tomb(r["vec_id"]) for r in got)
+    # tombstoned queries still ask
+    assert {r["q_id"] for r in got} == {r["q_id"] for r in base}
+
+    by_q_base = {}
+    for r in sorted(base, key=lambda r: (r["q_id"], r["rnk"])):
+        by_q_base.setdefault(r["q_id"], []).append(r)
+    by_q_got = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rnk"])):
+        by_q_got.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q_base.items():
+        kept = [r for r in rows if not tomb(r["vec_id"])]
+        grows = by_q_got[q]
+        # same survivors in the same order, ranks compacted to 1..k
+        assert [r["vec_id"] for r in grows] == [r["vec_id"] for r in kept]
+        assert [r["rnk"] for r in grows] == list(range(1, len(kept) + 1))
+        assert [(r["cell"], r["cos_sim"]) for r in grows] == [
+            (r["cell"], r["cos_sim"]) for r in kept
+        ]
+        if all(not tomb(r["vec_id"]) for r in rows):
+            # untouched query: bit-identical rows
+            assert [tuple(r) for r in grows] == [tuple(r) for r in rows]
+    # the planted flip actually happened for q0
+    q0b = [r["vec_id"] for r in by_q_base[0]]
+    assert 13 in q0b
+    i = q0b.index(13)
+    assert [r["vec_id"] for r in by_q_got[0]] == q0b[:i] + q0b[i + 1:]
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in vecs], "embedding": [e for _, e in vecs]}
+        ),
+    )
+    oracle = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+        for r in con.execute(dmod._X3Z4_ORACLE).fetchall()
+    )
+    gt = sorted(
+        (r["q_id"], r["rnk"], r["vec_id"], r["cell"], r["cos_sim"])
+        for r in got
+    )
+    assert oracle == gt
+
+    # x3z5 on the same fixture: deltas reconcile and v13's cell shows it
+    smod.Catalog = _Cat
+    try:
+        occ = {r["cell"]: r for r in dmod.x3z5_tombstone_occupancy(spark, "x").collect()}
+    finally:
+        smod.Catalog = orig
+    assert sum(r["n_tomb"] for r in occ.values()) == 2  # v3 and v13
+    for r in occ.values():
+        assert r["n_after"] == r["n_before"] - r["n_tomb"]
+    o5 = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.execute(dmod._X3Z5_ORACLE).fetchall()
+    }
+    assert o5 == {
+        c: (r["n_before"], r["n_tomb"], r["n_after"], r["tomb_ppm"])
+        for c, r in occ.items()
+    }

@@ -1102,3 +1102,30 @@ def test_x3x4_merge_work_is_keyed_on_flagged_cells_only(spark):
     assert "SortMergeJoin" not in plan5
     assert "Window" not in plan5
     spark.catalog.clearCache()
+
+
+def test_x3z4_tombstone_filter_is_mapside_below_the_cell_join(spark):
+    """x3z4's scale claim: exactly x3z's plan (map-side assignment,
+    per-row probe fold, broadcast cell equi-join — no shuffled or
+    all-pairs join form) plus one map-side integer-mod predicate on
+    the member side; the filter must sit in the plan (pushed below
+    the join), and retraction must add no new join or window."""
+    plan = _plan(spark, "x3z4_tombstone_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "cell scoring join must broadcast"
+    assert "% 10) = 3" in plan.replace("#", "").replace("L", "") or "% 10" in plan, (
+        "tombstone predicate must appear as a map-side filter"
+    )
+
+
+def test_x3z5_occupancy_is_one_cell_keyed_aggregate(spark):
+    """x3z5's scale claim: the x3r2 assignment scan plus ONE
+    map-combined hash aggregate keyed on the cell id — no window, no
+    join beyond the assignment's 1-row centroid broadcast."""
+    plan = _plan(spark, "x3z5_tombstone_occupancy")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell" in plan, "aggregate must key on the cell"
