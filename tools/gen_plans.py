@@ -227,6 +227,14 @@ QUERIES = [
     "a20_grouped_winsorized_mean",
     "x6q3_split_ratio_drift",
     "x3z3_post_split_recall",
+    # round-18 additions
+    "a19b_trimmed_mean_scalable",
+    "a20b_winsorized_mean_scalable",
+    "x2j2b_semdedup_prune_post_split",
+    "x3x4_ivf_cell_merge",
+    "x3x5_post_merge_centroids",
+    "x3z4_tombstone_ivf_topk",
+    "x3z5_tombstone_occupancy",
 ]
 
 
