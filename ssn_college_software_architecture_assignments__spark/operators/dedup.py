@@ -6157,3 +6157,261 @@ def x3z5_tombstone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# X3z6 — IVF top-k over the POST-MERGE partition (the merge, re-served) --------
+#
+# x3z2 proves the split improves the index IN SERVICE; x3z6 is the
+# same proof for the merge leg: the x3z top-5 cosine search probing
+# the post-x3x4 partition — non-receiver survivors carry their
+# standing centroid, receiver cells are scored under their member-mean
+# centroid over ALL post-merge members (the EXACT x3x5 rounded-sum/n
+# doubles, not the 1e6-floored export — both engines divide
+# bit-identical values), dissolved cells are gone from both the probe
+# table and the corpus keying. Same x3z ranking laws: per-query
+# _X3Z6_NPROBE L2-nearest cells (cid tiebreak), exact cosine against
+# only their members, round(cos,4) DESC + vec_id. With fewer, fuller
+# cells each probe slot buys more candidates — the recall-per-probe
+# argument for merging, which x3z7 then measures.
+#
+# Scale shape: x3x4's dataflow for the partition, a <= K-row centroid
+# table collapsed to ONE broadcast array row (probe selection is a
+# per-row sort/slice fold — no window over the corpus), and the
+# scoring join is a BROADCAST cell equi-join of queries x nprobe
+# probe rows against the cell_after-keyed corpus (explicit hint — the
+# x3z2 lesson; plan-gated).
+
+_X3Z6_NPROBE = 2
+_X3Z6_TOPK = 5
+
+_X3Z6_ORACLE = f"""{_X3X4_CTES},
+fasg AS (
+{_X3X4_FINAL}
+),
+recv AS (SELECT DISTINCT cell_after AS cell FROM fasg WHERE was_merged),
+nc2 AS (
+  SELECT cell_after AS cid, u.i AS dim_idx,
+         round(sum(u.val), 4) AS s, count(*) AS n
+  FROM (
+    SELECT fa.cell_after,
+           unnest(list_transform(range(1, len(cl.emb) + 1),
+                                 i -> {{'i': i - 1, 'val': cl.emb[i]}})) AS u
+    FROM fasg fa
+    JOIN recv r ON fa.cell_after = r.cell
+    JOIN cells cl ON fa.vec_id = cl.vec_id
+  )
+  GROUP BY cell_after, u.i
+),
+cents AS (
+  SELECT cid, list(s / n ORDER BY dim_idx) AS cvec FROM nc2 GROUP BY cid
+  UNION ALL
+  SELECT c.cent_id, c.cemb
+  FROM c JOIN (
+    SELECT DISTINCT fa2.cell_after
+    FROM fasg fa2 ANTI JOIN recv r2 ON fa2.cell_after = r2.cell
+  ) u2 ON c.cent_id = u2.cell_after
+),
+nz AS (
+  SELECT fa.vec_id, fa.cell_after AS cid, cl.emb,
+         sqrt(list_reduce(list_transform(cl.emb, e -> e * e),
+                          (s, y) -> s + y)) AS nrm
+  FROM fasg fa JOIN cells cl ON fa.vec_id = cl.vec_id
+),
+q AS (SELECT vec_id AS q_id, emb AS qemb, nrm AS qnrm
+      FROM nz WHERE vec_id < 8),
+qc AS (
+  SELECT q_id, qemb, qnrm, cid FROM (
+    SELECT q.q_id, q.qemb, q.qnrm, c2.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_reduce(list_transform(list_zip(q.qemb, c2.cvec),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, x) -> a + x), c2.cid) AS rn
+    FROM q CROSS JOIN cents c2
+  ) WHERE rn <= {_X3Z6_NPROBE}
+),
+cand AS (
+  SELECT qc.q_id, nz.vec_id, nz.cid,
+         list_reduce(list_transform(list_zip(qc.qemb, nz.emb),
+                                    p -> p[1] * p[2]),
+                     (s, y) -> s + y) / (qc.qnrm * nz.nrm) AS cos
+  FROM qc JOIN nz ON qc.cid = nz.cid
+  WHERE nz.vec_id <> qc.q_id
+)
+SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+       CAST(cid AS BIGINT) AS cell, cos_sim
+FROM (
+  SELECT q_id, vec_id, cid, round(cos, 4) + 0.0 AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 4) DESC, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= {_X3Z6_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+@register("x3z6_post_merge_ivf_topk", oracle=_X3Z6_ORACLE, tags=("X3",))
+def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 cosine search over the POST-x3x4 partition: each of
+    the 8 query vectors probes its 2 L2-nearest cells of the
+    post-merge centroid table (standing centroids for non-receiver
+    survivors, exact member means over ALL post-merge members for
+    receiver cells; dissolved cells gone) and scores exact cosine
+    against only their members (self excluded). The x3z ranking laws
+    throughout — the serve leg of retract/drift -> measure -> merge ->
+    re-serve."""
+    untouched, re_assigned, cent = x3x4_merge_frames(spark, sf_dir)
+    cols = ["vec_id", "cell_after", "emb"]
+    allm = untouched.select(*cols).unionByName(re_assigned.select(*cols))
+    corpus = allm.select(
+        "vec_id",
+        F.col("cell_after").alias("cid"),
+        "emb",
+        l2_norm(F.col("emb")).alias("nrm"),
+    )
+    recv = re_assigned.select(F.col("cell_after").alias("cell")).distinct()
+    newc = (
+        allm.join(F.broadcast(recv), allm.cell_after == recv.cell)
+        .select(
+            F.col("cell").alias("cid"),
+            F.posexplode("emb").alias("dim_idx", "val"),
+        )
+        .groupBy("cid", "dim_idx")
+        .agg(F.round(F.sum("val"), 4).alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("cid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "s", "n"))).alias(
+                "ds"
+            )
+        )
+        .select(
+            "cid",
+            F.transform("ds", lambda x: x["s"] / x["n"]).alias("cvec"),
+        )
+    )
+    untc = (
+        allm.join(F.broadcast(recv), allm.cell_after == recv.cell, "left_anti")
+        .select("cell_after")
+        .distinct()
+        .join(
+            F.broadcast(
+                cent.select(
+                    F.col("cent_id").alias("cell_after"),
+                    F.col("cemb").alias("cvec"),
+                )
+            ),
+            "cell_after",
+        )
+        .select(F.col("cell_after").alias("cid"), "cvec")
+    )
+    cent_row = (
+        newc.unionByName(untc)
+        .select(F.struct("cid", "cvec").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+    def sqd(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("qemb"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .select(
+            "q_id", "qemb", "qnrm",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                sqd(c["cvec"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1, _X3Z6_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
+    )
+    dotqe = F.aggregate(
+        F.zip_with("qemb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # probes = queries x nprobe rows by construction — broadcast them
+    # so the scoring join stays a broadcast cell equi-join (the x3z2
+    # lesson) instead of shuffling the corpus side twice
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "cid",
+            (dotqe / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 4).desc(), "vec_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X3Z6_TOPK)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.col("cid").cast("long").alias("cell"),
+            (F.round(F.col("cos"), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+# X3z7 — recall audit of the post-merge serving leg ----------------------------
+#
+# The x3z3 dual: does serving over the post-x3x4 partition still find
+# the true neighbors? Per query, recall@5 of x3z6 against the exact
+# brute-force truth (x3) — the x3h audit shape verbatim (shared
+# recall_report / composed oracles), so the merge loop closes
+# measure -> merge -> re-serve -> AUDIT with the same yardstick as
+# the split loop. Scale shape: the two registered legs' shapes plus a
+# k-rows-per-query join/aggregate.
+
+_X3Z7_ORACLE = f"""
+WITH bf AS ({_X3_ORACLE_REF}),
+pm AS ({_X3Z6_ORACLE}),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hits
+  FROM bf JOIN pm ON bf.q_id = pm.q_id AND bf.vec_id = pm.vec_id
+  GROUP BY bf.q_id
+),
+truth AS (SELECT q_id, count(*) AS n_true FROM bf GROUP BY q_id)
+SELECT t.q_id,
+       t.n_true,
+       coalesce(h.n_hits, 0)                              AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(t.n_true AS DOUBLE), 4) AS recall_at_k
+FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
+ORDER BY t.q_id
+"""
+
+
+@register("x3z7_post_merge_recall", oracle=_X3Z7_ORACLE, tags=("X3",))
+def x3z7_post_merge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the post-merge IVF search (x3z6) against
+    exact brute force (x3) — the x3h audit applied to the merge loop's
+    serving leg. Composes the two registered queries and the shared
+    recall_report; the oracle composes their SQL verbatim."""
+    from .similarity import x3_similarity_bruteforce
+
+    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    pm = x3z6_post_merge_ivf_topk(spark, sf_dir).select("q_id", "vec_id")
+    return recall_report(bf, pm)

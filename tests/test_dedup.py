@@ -2664,3 +2664,80 @@ def test_x3z4_planted_tombstoned_top1_disappears_rank2_promotes(spark):
         c: (r["n_before"], r["n_tomb"], r["n_after"], r["tomb_ppm"])
         for c, r in occ.items()
     }
+
+
+def test_x3z6_planted_post_merge_serving_uses_dissolved_cells_never(spark):
+    """x3z6 law on a variant of the x3x4 planted fixture (three cell-0
+    extras instead of four, so the merged-in member fits the top-5):
+    dissolved cells 14/15 appear in NO candidate cell column, and v15
+    — merged into cell 0 — IS SERVED from its new cell: q0's top-5
+    ends [..., 1, 15], the rank-4/5 pair being the hand-computed
+    cos 22.5-degree TIE between v1 (22.5) and v15 (337.5) resolved to
+    the lower vec_id (the round(cos,4) DESC, vec_id law). Receiver
+    centroids enter probe ranking as exact member means, and the
+    DuckDB oracle folds the same bytes to the same table."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+    import ssn_college_software_architecture_assignments__spark.operators.similarity as smod
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [float(np.float32(math.cos(r))), float(np.float32(math.sin(r)))]
+
+    rows = [(i, unit(i * 22.5)) for i in range(16)]
+    rows += [(16, unit(-9.0)), (17, unit(-5.0)), (18, unit(4.0))]
+    rows += [(20 + i, unit((1 + i) * 22.5 + 2.0)) for i in range(13)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    class _Cat:
+        def __init__(self, spark, sf_dir):
+            self.embeddings = df
+
+    # x3z7's truth leg (x3 brute force) resolves Catalog in similarity
+    orig, orig_s = dmod.Catalog, smod.Catalog
+    dmod.Catalog = _Cat
+    smod.Catalog = _Cat
+    try:
+        got = dmod.x3z6_post_merge_ivf_topk(spark, "x").collect()
+        rec = {r["q_id"]: r for r in dmod.x3z7_post_merge_recall(spark, "x").collect()}
+    finally:
+        dmod.Catalog = orig
+        smod.Catalog = orig_s
+        spark.catalog.clearCache()
+
+    assert len(got) > 0
+    assert all(r["cell"] not in (14, 15) for r in got)
+    assert all(r["vec_id"] != r["q_id"] for r in got)
+    # v15 now lives in cell 0 and q0 serves it: hand-computed top-5 is
+    # 18 (cos 4deg), 17 (cos 5), 16 (cos 9), then the 0.9239 tie
+    # between v1 (22.5) and v15 (337.5) resolved lower-id-first
+    q0 = sorted((r["rnk"], r["vec_id"], r["cell"]) for r in got if r["q_id"] == 0)
+    assert [v for _, v, _ in q0] == [18, 17, 16, 1, 15]
+    assert q0[4][2] == 0, "v15 must be served FROM its new cell 0"
+
+    # recall rows exist for all 8 queries with sane fractions
+    assert set(rec) == set(range(8))
+    for r in rec.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] <= r["n_true"]
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v for v, _ in rows], "embedding": [e for _, e in rows]}
+        ),
+    )
+    oracle = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+        for r in con.execute(dmod._X3Z6_ORACLE).fetchall()
+    )
+    gt = sorted(
+        (r["q_id"], r["rnk"], r["vec_id"], r["cell"], r["cos_sim"])
+        for r in got
+    )
+    assert oracle == gt

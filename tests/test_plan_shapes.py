@@ -1129,3 +1129,19 @@ def test_x3z5_occupancy_is_one_cell_keyed_aggregate(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(cell" in plan, "aggregate must key on the cell"
+
+
+def test_x3z6_post_merge_scoring_is_broadcast_cell_equi_join(spark):
+    """x3z6's scale claim (the x3z posture over the post-merge
+    partition): probe selection is a per-row sort/slice fold over the
+    ONE broadcast centroid-array row, and the scoring join is a
+    BROADCAST cell equi-join of the queries-x-nprobe probe rows
+    against the cell_after-keyed corpus — no join may degrade to a
+    shuffled or all-pairs form. (The printed uncached plan replays
+    the persisted x3x4 assignment subtree; its 1-row nested-loop
+    broadcasts are never corpus-sided.)"""
+    plan = _plan(spark, "x3z6_post_merge_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -235,6 +235,7 @@ QUERIES = [
     "x3x5_post_merge_centroids",
     "x3z4_tombstone_ivf_topk",
     "x3z5_tombstone_occupancy",
+    "x3z6_post_merge_ivf_topk",
 ]
 
 
