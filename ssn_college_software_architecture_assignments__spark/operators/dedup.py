@@ -6415,3 +6415,92 @@ def x3z7_post_merge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
     pm = x3z6_post_merge_ivf_topk(spark, sf_dir).select("q_id", "vec_id")
     return recall_report(bf, pm)
+
+
+# X3x6 — the per-cell occupancy maintenance PLAN -------------------------------
+#
+# The decision table between measurement and execution: per standing
+# cell, its load against BOTH declared triggers — x3x2's split
+# threshold (DEN2*n*K > NUM2*total, load > 9/8 x average) and x3x4's
+# merge floor (DEN4*n*K < NUM4*total, load < 7/8 x average) — and the
+# resulting action verdict: 'split' (x3x2 executes), 'merge' (x3x4
+# executes), or 'hold'. Load ships as an exact floored ppm of the
+# average (1e6 * n * K div total) so no float crosses the hash
+# boundary, and the verdict CASE is generated from the same integer
+# constants the executors register — the plan can never disagree with
+# what the executors would do. The two trigger bands cannot overlap
+# (9/8 > 7/8), so the CASE order is immaterial; a cell with a single
+# member still reports honestly (x3x2 skips n < 2 cells — surfaced
+# here as 'hold' via the same n >= 2 conjunct).
+#
+# This closes the maintenance loop's control face: measure (x3x /
+# x3z5) -> PLAN (x3x6) -> execute (x3x2 split / x3x4 merge) ->
+# re-serve (x3z2 / x3z6) -> audit (x3z3 / x3z7).
+#
+# Scale shape: the ONE standing assignment scan plus a K-row
+# occupancy aggregate and a 1-row total broadcast — nothing else
+# touches the corpus; the report is K rows.
+
+_X3X6_ORACLE = f"""{_IVF_CELLS_SQL},
+occ AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+tot AS (SELECT sum(n) AS total FROM occ)
+SELECT CAST(cell AS BIGINT)                                AS cell,
+       CAST(n AS BIGINT)                                   AS n_members,
+       CAST((1000000 * n * {_X3X_K}) // total AS BIGINT)   AS load_ppm_of_avg,
+       ({_X3X2_DEN} * n * {_X3X_K} > {_X3X2_NUM} * total AND n >= 2)
+         AS over_split_trigger,
+       ({_X3X4_DEN} * n * {_X3X_K} < {_X3X4_NUM} * total)
+         AS under_merge_floor,
+       CASE WHEN {_X3X2_DEN} * n * {_X3X_K} > {_X3X2_NUM} * total AND n >= 2
+            THEN 'split'
+            WHEN {_X3X4_DEN} * n * {_X3X_K} < {_X3X4_NUM} * total
+            THEN 'merge'
+            ELSE 'hold' END                                AS action
+FROM occ CROSS JOIN tot
+ORDER BY cell
+"""
+
+
+@register("x3x6_maintenance_plan", oracle=_X3X6_ORACLE, tags=("X3",))
+def x3x6_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per standing IVF cell: member count, exact floored load ppm of
+    the average, both trigger verdicts, and the split/merge/hold
+    action — generated from the SAME integer constants x3x2 and x3x4
+    register, so the plan and the executors cannot disagree. One
+    assignment scan + a K-row aggregate; the report is K rows."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cent = emb.filter(F.col("vec_id") < _X3X_K).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
+    )
+    vecs = ensure_min_partitions(emb).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    occ = (
+        assign_cells(vecs, cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = occ.agg(F.sum("n").alias("total"))
+    over = (
+        F.lit(_X3X2_DEN) * F.col("n") * _X3X_K > _X3X2_NUM * F.col("total")
+    ) & (F.col("n") >= 2)
+    under = (
+        F.lit(_X3X4_DEN) * F.col("n") * _X3X_K < _X3X4_NUM * F.col("total")
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n").cast("long").alias("n_members"),
+            F.expr(
+                f"CAST((1000000 * n * {_X3X_K}) div total AS BIGINT)"
+            ).alias("load_ppm_of_avg"),
+            over.alias("over_split_trigger"),
+            under.alias("under_merge_floor"),
+            F.when(over, F.lit("split"))
+            .when(under, F.lit("merge"))
+            .otherwise(F.lit("hold"))
+            .alias("action"),
+        )
+        .orderBy("cell")
+    )

@@ -2741,3 +2741,43 @@ def test_x3z6_planted_post_merge_serving_uses_dissolved_cells_never(spark):
         for r in got
     )
     assert oracle == gt
+
+
+def test_x3x6_plan_verdicts_agree_with_both_executors(spark):
+    """The control-face law: on the real fixture, x3x6's 'split' rows
+    must be EXACTLY the cells x3x2 splits (distinct cell_before of
+    was_split rows) and its 'merge' rows exactly the cells x3x4
+    dissolves — the plan and the executors share the same integer
+    constants, so disagreement would mean a drifted law."""
+    from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        x3x2_ivf_cell_split,
+        x3x4_ivf_cell_merge,
+        x3x6_maintenance_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        plan = {r["cell"]: r for r in x3x6_maintenance_plan(spark, sf).collect()}
+        split_cells = {
+            r["cell_before"]
+            for r in x3x2_ivf_cell_split(spark, sf).collect()
+            if r["was_split"]
+        }
+        merge_cells = {
+            r["cell_before"]
+            for r in x3x4_ivf_cell_merge(spark, sf).collect()
+            if r["was_merged"]
+        }
+    finally:
+        spark.catalog.clearCache()
+
+    assert {c for c, r in plan.items() if r["action"] == "split"} == split_cells
+    assert {c for c, r in plan.items() if r["action"] == "merge"} == merge_cells
+    assert split_cells and merge_cells, "fixture must exercise both actions"
+    # verdict booleans are consistent with the action column
+    for r in plan.values():
+        assert r["action"] == (
+            "split" if r["over_split_trigger"]
+            else "merge" if r["under_merge_floor"] else "hold"
+        )
+        assert not (r["over_split_trigger"] and r["under_merge_floor"])

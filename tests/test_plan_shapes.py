@@ -1145,3 +1145,14 @@ def test_x3z6_post_merge_scoring_is_broadcast_cell_equi_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_x3x6_plan_is_one_scan_plus_k_row_aggregate(spark):
+    """x3x6's scale claim: one standing assignment scan, a K-row
+    occupancy aggregate, a 1-row total broadcast — no window, no
+    shuffled join, K rows out."""
+    plan = _plan(spark, "x3x6_maintenance_plan")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell" in plan

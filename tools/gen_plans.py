@@ -236,6 +236,7 @@ QUERIES = [
     "x3z4_tombstone_ivf_topk",
     "x3z5_tombstone_occupancy",
     "x3z6_post_merge_ivf_topk",
+    "x3x6_maintenance_plan",
 ]
 
 
