@@ -493,10 +493,14 @@ def connected_components(
     near-cliques), so rounds ~ 2-3 in practice; the same O(log n) bound
     is what the large-star/small-star formulation (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") provides."""
+    # lazy checkpoints: lineage still truncates, materialization rides
+    # the first action that needs the data (r18 — one job per round)
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -527,7 +531,7 @@ def connected_components(
                     F.coalesce(F.col("_plabel"), propagated["label"]),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -574,6 +578,10 @@ def large_star_small_star(
     truncated per round with localCheckpoint so plans stay flat. If the
     loop exits unconverged this RAISES rather than returning wrong
     labels (the connected_components posture). Returns (id, label)."""
+    # Lazy checkpoints throughout (r18, guide §1.2/§5): localCheckpoint
+    # still truncates lineage, but with eager=False the materialization
+    # rides the convergence count() that immediately follows — ONE
+    # driver-sequential job per round instead of two.
     e = (
         edges.select(
             F.greatest("src", "dst").alias("hi"),
@@ -581,7 +589,7 @@ def large_star_small_star(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_e = e.count()
     converged = False
@@ -590,6 +598,10 @@ def large_star_small_star(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        # NO intermediate distinct on ls (r18, guide §2.4): duplicate
+        # (hi, lo) rows are absorbed by mins2's groupBy-min and by the
+        # ss distinct below, so the extra exchange+aggregate pass per
+        # round bought nothing — output is identical.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -598,7 +610,6 @@ def large_star_small_star(
                 F.least("u", "mv").alias("lo"),
             )
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         # small-star: ls edges are already hi > lo oriented
         mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -608,7 +619,7 @@ def large_star_small_star(
             .union(joined.select("hi", F.col("m").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # fixpoint test on two DISTINCT sets: equal cardinality plus
         # one-sided difference emptiness IS set equality — half the
@@ -692,22 +703,44 @@ def _gram3_table(docs: DataFrame) -> DataFrame:
 
 def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
     """The x2e2 edge law as a plannable stage: (src, dst) doc pairs
-    sharing >= _X2E2_MIN_SHARED distinct 3-token shingles, built by the
-    inverted-index join (gram -> doc postings, never all-pairs). Kept
-    as its own site because x2e2's iterative half localCheckpoints —
-    the final plan can't witness this stage's shape, so the plan gate
-    targets it directly."""
+    sharing >= _X2E2_MIN_SHARED distinct 3-token shingles, built from
+    the gram inverted index (gram -> doc postings, never all-pairs).
+    Kept as its own site because x2e2's iterative half localCheckpoints
+    — the final plan can't witness this stage's shape, so the plan gate
+    targets it directly.
+
+    Postings-group form, NOT the gram self-join (r18 optimization,
+    guide §2.3/§2.4 — the x2 banding precedent): the self-join planned
+    the shingle explode TWICE (two documents scans, two Generates, no
+    ReusedExchange) and, statistics-blind, BROADCAST the entire
+    exploded gram table as the build side — corpus-sized at 100 TB.
+    Grouping the postings list per gram computes the explode ONCE and
+    replaces the join with a single groupBy-gram exchange; in-bucket
+    i<j expansion emits exactly the pairs the join emitted (postings
+    are per-doc-distinct and sorted, so src < dst by construction),
+    and the same (src, dst) count >= _X2E2_MIN_SHARED fold follows.
+    Measured at sf0.1: pair stage 5.8 s -> see OPTIMIZATION_r18.md.
+    The quadratic per-gram pair cost is IDENTICAL in both forms (a
+    k-doc gram emits k(k-1)/2 pairs either way, and both forms key by
+    gram, so the hot gram lands in one task regardless); the postings
+    row adds only k longs of buffer, the x2 banding caveat verbatim."""
     grams = _gram3_table(docs)
-    a, b = grams.alias("a"), grams.alias("b")
+    posts = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(0, size(ids) - 2), i ->
+          transform(sequence(i + 1, size(ids) - 1), j ->
+            named_struct('src', ids[i], 'dst', ids[j]))))
+        """
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
+        posts.select(F.explode(pair_expr).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _X2E2_MIN_SHARED)
         .select("src", "dst")
