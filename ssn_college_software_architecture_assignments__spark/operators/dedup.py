@@ -5191,6 +5191,16 @@ def x3x2_assignment_frames(
             F.lit(True).alias("was_split"),
             "emb",
         )
+        # Lazy checkpoint (r18, guide §3.3/§7.3): every downstream
+        # consumer (x3x3's per-dim means, x3z2's corpus + new-centroid
+        # branches, x2j2b's prune) references this frame 2+ times, and
+        # without truncation each reference re-expands the whole
+        # seed-election chain (three broadcast-join passes over the
+        # member slice) — x3z2's printed plan reached 106 parquet
+        # scans / 150 exchanges from the replays. The frame is small
+        # (flagged-cell members only) and the split-work plan gates
+        # witness the un-truncated shape at x3x2_flagged_members.
+        .localCheckpoint(eager=False)
     )
     untouched = assigned.join(F.broadcast(flagged), "cell", "left_anti").select(
         "vec_id",
@@ -5801,6 +5811,9 @@ def x2j2b_semdedup_prune_post_split(
         untouched.select(*cols)
         .unionByName(re_assigned.select(*cols))
         .select(F.col("cell_after").alias("cid"), "vec_id", "emb")
+        # the prune references its input twice (guard pre-aggregate +
+        # member fold); truncate so the x3x2 frames replay once (§7.3)
+        .localCheckpoint(eager=False)
     )
     return _semdedup_prune(assigned)
 
@@ -6039,6 +6052,11 @@ def x3x5_post_merge_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid through bit-identically; components as floor(x*1e6)
     BIGINTs, one row per (occupied post-merge cell, dim)."""
     untouched, re_assigned, cent = x3x4_merge_frames(spark, sf_dir)
+    # lazy checkpoint at the CONSUMER (not in x3x4_merge_frames, whose
+    # un-truncated plan the merge-work gate witnesses): re_assigned
+    # feeds both the member union and the receiver-cell set, and each
+    # reference would replay the flagged-member reassignment (§7.3)
+    re_assigned = re_assigned.localCheckpoint(eager=False)
     cols = ["vec_id", "cell_after", "emb"]
     allm = untouched.select(*cols).unionByName(re_assigned.select(*cols))
     recv = re_assigned.select(
@@ -6293,6 +6311,9 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout — the serve leg of retract/drift -> measure -> merge ->
     re-serve."""
     untouched, re_assigned, cent = x3x4_merge_frames(spark, sf_dir)
+    # lazy checkpoint at the consumer (the x3x5 rationale): re_assigned
+    # feeds the member union AND the receiver-cell set here (§7.3)
+    re_assigned = re_assigned.localCheckpoint(eager=False)
     cols = ["vec_id", "cell_after", "emb"]
     allm = untouched.select(*cols).unionByName(re_assigned.select(*cols))
     corpus = allm.select(
