@@ -3423,6 +3423,13 @@ def e3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "closure_keep", "quality_keep",
             F.coalesce(F.col("flagged"), F.lit(False)).alias("contaminated"),
         )
+        # lazy checkpoint (r18, guide §3.3/§7.3): staged feeds BOTH the
+        # survivor pipeline and the per-source attrition aggregate, and
+        # each un-truncated reference replays the full x4t quality
+        # ensemble and x6d decontamination subtrees (e3's printed plan
+        # reached 306 parquet scans / 193 exchanges). One narrow row
+        # per doc (id, source, n_tok, 4 bools) — cheap to materialize.
+        .localCheckpoint(eager=False)
     )
     clean = (
         F.col("is_unique") & F.col("closure_keep")
@@ -3434,6 +3441,8 @@ def e3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.join(F.broadcast(rates.select("source", "rate")), "source")
         .filter(x6n_accept_filter())
         .select("doc_id", "source", "n_tok")
+        # referenced by both the BFD pack and the sampled-yield stats
+        .localCheckpoint(eager=False)
     )
     packed = x6b2_pack(
         samp.select(
