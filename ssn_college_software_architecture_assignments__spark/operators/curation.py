@@ -3146,6 +3146,8 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     ranked = x6x_chunk_bm25_retrieval(spark, sf_dir)
+    # six consumers below each replayed the whole chunk-BM25 retrieval
+    # chain without this persist (r18, guide §3.3) — Q x top-10 rows
     cand = ranked.filter(F.col("rnk") <= _X6X_TOPK).select(
         "query_id",
         F.col("rnk").cast("long").alias("pa"),
@@ -3154,10 +3156,12 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(1000000 div ({_X4Z2_RRF_K} + rnk) AS BIGINT)").alias(
             "rel"
         ),
-    )
+    ).persist()
     chunks = overlapped_chunks(docs, _X6V_WINDOW, _X6V_OVERLAP).select(
         "doc_id", "chunk_id", "ctoks"
     )
+    # three consumers (both intersection sides, sizes): persist, or the
+    # corpus-wide overlapped-chunk build runs once per consumer
     ctoksd = (
         chunks.join(
             cand.select("doc_id", "chunk_id").distinct(),
@@ -3168,7 +3172,7 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_id",
             F.explode(F.array_distinct("ctoks")).alias("tok"),
         )
-    )
+    ).persist()
     csizes = ctoksd.groupBy("doc_id", "chunk_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -4536,12 +4536,15 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
     # consumers: queriers, members, home graph, truth leg -> persist
     cells = assign_cells(vecs, centroids).persist()
 
+    # three consumers (edge count, new-edge anti-join, truth hits):
+    # persist, or the 2-cell in-cell pair expansion runs per consumer
     repaired = multiprobe_knn_graph(cells, centroids).select(
         "q_id", "neighbor_id"
-    )
+    ).persist()
+    # two consumers (new-edge anti-join, home truth hits)
     home = knn_graph_from_cells(cells).select(
         F.col("vec_id").alias("q_id"), "neighbor_id"
-    )
+    ).persist()
     # x3v's truth convention, via the shared truth-leg site; two
     # consumers (home hits, repaired hits): persist or the 32-probe
     # brute leg runs twice

@@ -2366,6 +2366,9 @@ def x4z_mmr_diversified_retrieval(
     demotes a near-duplicate that plain BM25 ranks second."""
     docs = Catalog(spark, sf_dir).documents
     ranked = x4u_bm25_retrieval(spark, sf_dir)
+    # six consumers below (pair grid twice, sim grid twice, postings
+    # semi-join, fold rows) each replayed the whole BM25 retrieval
+    # chain without this persist (r18, guide §3.3) — Q x top-10 rows
     cand = ranked.filter(F.col("rnk") <= _X4U_TOPK).select(
         "query_id",
         F.col("rnk").cast("long").alias("pa"),
@@ -2373,14 +2376,15 @@ def x4z_mmr_diversified_retrieval(
         F.expr(f"CAST(1000000 div ({_X4V_RRF_K} + rnk) AS BIGINT)").alias(
             "rel"
         ),
-    )
+    ).persist()
+    # three consumers (both sides of the token-intersection join, sizes)
     toksd = (
         docs.join(cand.select("doc_id").distinct(), "doc_id", "semi")
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         )
-    )
+    ).persist()
     sizes = toksd.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
