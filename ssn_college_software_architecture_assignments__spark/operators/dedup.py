@@ -23,8 +23,11 @@ from .similarity import (
     _x3r2_ctes,
     _x3r2_train,
     cosine,
+    cosine_flat,
     dot,
+    dot_flat,
     l2_norm,
+    l2_norm_flat,
     _X3R2_ASG_CTES,
     x3r2_trained_assign,
 )
@@ -1351,7 +1354,7 @@ def x2f_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed 6-bit buckets produced exactly quadratic pair growth (99.9x
     pairs for 10x vectors, measured in tools/stress_sf1.py). The one
     count() here is a parquet-metadata read, not a scan."""
-    from .similarity import cosine, lsh_auto_params, lsh_buckets
+    from .similarity import lsh_auto_params, lsh_buckets
 
     emb = Catalog(spark, sf_dir).embeddings
     n_tables, planes = lsh_auto_params(emb.count())
@@ -1382,8 +1385,8 @@ def x2f_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
-        (cosine(F.col("emb_a"), F.col("emb_b")) >= 0.95).alias("is_near_dup"),
+        F.round(cosine_flat(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        (cosine_flat(F.col("emb_a"), F.col("emb_b")) >= 0.95).alias("is_near_dup"),
     )
 
 
@@ -1404,7 +1407,7 @@ def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "nn_id",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_raw"),
+            cosine_flat(F.col("emb_a"), F.col("emb_b")).alias("cos_raw"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(
@@ -1980,7 +1983,7 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     of collect_list's nondeterministic array order. Zero-norm guards
     run BEFORE any cosine: under ANSI mode the divide would throw, and
     a zero vector has no defined neighbor."""
-    emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
+    emb = emb.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(F.col("nrm") > 0)
     cent_arr = _centroid_array(centroids)
     return (
         emb.crossJoin(F.broadcast(cent_arr))
@@ -4148,11 +4151,8 @@ def brute_truth_edges(cells: DataFrame, n_probes: int, k: int) -> DataFrame:
         .crossJoin(F.broadcast(probes))
         .filter(F.col("nid") != F.col("q_id"))
     )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    dot = dot_flat(F.col("q_emb"), F.col("n_emb"))
     w = W.partitionBy("q_id").orderBy(
         F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
     )
@@ -4259,11 +4259,8 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe_cells_expr(max(_X3V_NPROBES)).alias("probe_cells"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "n_emb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    dot = dot_flat(F.col("q_emb"), F.col("n_emb"))
     members = cells.select(
         F.col("vec_id").alias("nid"),
         F.col("emb").alias("n_emb"),
@@ -5137,7 +5134,7 @@ def x3x2_assignment_frames(
     )
     ca = members.join(F.broadcast(centk), "cell").select(
         "cell", "vec_id", "emb", "nrm",
-        (dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")))
+        (dot_flat(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")))
         .alias("cosc"),
     )
     sa = (
@@ -5156,7 +5153,7 @@ def x3x2_assignment_frames(
     )
     cb = members.join(F.broadcast(sa), "cell").select(
         "cell", "vec_id", "emb", "nrm", "sa_id",
-        (dot(F.col("emb"), F.col("sa_emb")) / (F.col("nrm") * F.col("sa_nrm")))
+        (dot_flat(F.col("emb"), F.col("sa_emb")) / (F.col("nrm") * F.col("sa_nrm")))
         .alias("cos_a"),
     )
     sb = (
@@ -5174,7 +5171,7 @@ def x3x2_assignment_frames(
         )
         .select("cell", "sb.*")
     )
-    cos_b = dot(F.col("emb"), F.col("sb_emb")) / (
+    cos_b = dot_flat(F.col("emb"), F.col("sb_emb")) / (
         F.col("nrm") * F.col("sb_nrm")
     )
     re_assigned = (
@@ -5445,7 +5442,7 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("cell_after").alias("cid"),
             "emb",
-            l2_norm(F.col("emb")).alias("nrm"),
+            l2_norm_flat(F.col("emb")).alias("nrm"),
         )
     )
     newc = (
@@ -5519,11 +5516,8 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    dotqe = F.aggregate(
-        F.zip_with("qemb", "emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    dotqe = dot_flat(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast it so
     # the scoring join stays a broadcast cell equi-join (the x3z
     # posture) instead of shuffling the corpus side twice
@@ -6193,7 +6187,7 @@ def x3z5_tombstone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone ppm — the measurement leg between retraction (x2e4/
     x3z4) and occupancy maintenance (x3x2 split / x3x4 merge)."""
     assigned, _cent = x3r2_trained_assign(spark, sf_dir)
-    nz = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
+    nz = assigned.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(
         F.col("nrm") > 0
     )
     tomb = F.expr(_X2E4_TOMB.format(col="vec_id")).cast("int")
@@ -6323,7 +6317,7 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cell_after").alias("cid"),
         "emb",
-        l2_norm(F.col("emb")).alias("nrm"),
+        l2_norm_flat(F.col("emb")).alias("nrm"),
     )
     recv = re_assigned.select(F.col("cell_after").alias("cell")).distinct()
     newc = (
@@ -6399,11 +6393,8 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    dotqe = F.aggregate(
-        F.zip_with("qemb", "emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    dotqe = dot_flat(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast them
     # so the scoring join stays a broadcast cell equi-join (the x3z2
     # lesson) instead of shuffling the corpus side twice

@@ -53,24 +53,89 @@ def cosine(a: Column, b: Column) -> Column:
 EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 
 
+def _size_guard(flat: Column, hof: Column, dim: int, *arrs: Column) -> Column:
+    """Dispatch flat-unrolled vs HOF form on the RUNTIME array size.
+
+    The flat forms below index ``a[0] .. a[dim-1]`` statically — under
+    ANSI mode that throws on any shorter array, and the planted-fixture
+    pytests legitimately drive the registered functions with tiny
+    (e.g. 4-dim) vectors. A CASE on ``size() == dim`` keeps the flat
+    branch (whole-stage-codegen'd) on conforming rows — the entire
+    production table — and falls back to the interpreted HOF fold
+    otherwise, which is bit-identical on any dim (same left-to-right
+    IEEE adds). CaseWhen branches evaluate lazily, and Spark's
+    subexpression elimination never hoists branch-only subtrees, so the
+    out-of-bounds index in the untaken flat branch cannot fire."""
+    cond = F.size(arrs[0]) == dim
+    for arr in arrs[1:]:
+        cond = cond & (F.size(arr) == dim)
+    return F.when(cond, flat).otherwise(hof)
+
+
 def dot_flat(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """Dot product unrolled to a flat ``a[0]*b[0] + a[1]*b[1] + ...``
     expression. Same left-to-right fold order as ``F.aggregate`` (so
     results are bit-identical to :func:`dot`), but the flat form compiles
     inside whole-stage codegen while lambda HOFs evaluate interpreted —
     measured ~1.4x faster end-to-end on the brute-force scorer at sf0.1.
-    Use for fixed, known dims on hot paths; the HOF form stays for
-    dynamic dims."""
+    Arrays whose runtime size differs from ``dim`` (planted mini
+    fixtures) take the HOF fold via :func:`_size_guard`."""
     out = a[0] * b[0]
     for i in range(1, dim):
         out = out + a[i] * b[i]
-    return out
+    return _size_guard(out, dot(a, b), dim, a, b)
 
 
 def cosine_flat(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return dot_flat(a, b, dim) / (
         F.sqrt(dot_flat(a, a, dim)) * F.sqrt(dot_flat(b, b, dim))
     )
+
+
+def l2_norm_flat(a: Column, dim: int = EMB_DIM) -> Column:
+    """Flat-unrolled L2 norm. Unconditionally bit-identical to
+    :func:`l2_norm` (not just same-fold-order): every x*x term is
+    non-negative, so even the 0.0-init edge (-0.0 vs +0.0 first term)
+    cannot arise. Same size-guard dispatch as :func:`dot_flat`."""
+    return F.sqrt(dot_flat(a, a, dim))
+
+
+def sqdist_flat(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """Flat-unrolled squared L2 distance. Unconditionally bit-identical
+    to the (x-y)*(x-y) zip_with/aggregate fold: same left-to-right
+    order, and every term is non-negative so the 0.0-init edge cannot
+    arise.
+
+    Deliberately UNGUARDED (no :func:`_size_guard`): its only caller
+    (x3l) is never driven with non-``dim`` fixtures, and the guard is
+    not free — subexpression elimination cannot dedupe inside CaseWhen
+    branches, so if an input array is an inlined computed expression
+    the guarded form recomputes it per term (measured 4x WORSE than the
+    HOF fold on x3g). A dim mismatch fails loudly under ANSI
+    (INVALID_ARRAY_INDEX); add the guard if a planted-fixture caller
+    ever appears."""
+    out = (a[0] - b[0]) * (a[0] - b[0])
+    for i in range(1, dim):
+        out = out + (a[i] - b[i]) * (a[i] - b[i])
+    return out
+
+
+def dot_int_flat(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """Flat integer dot product: sum of (a[i]*b[i]) cast to long, the
+    codegen form of the zip_with/aggregate int fold. Integer addition is
+    associative and exact, so this is bitwise-identical to the HOF fold
+    in ANY order — no float edge cases at all.
+
+    Deliberately UNGUARDED — see :func:`sqdist_flat`: x3g's ``_q``
+    input is a heavy computed expression that projection collapse
+    inlines into every term; inside a CaseWhen branch those 128 copies
+    are not subexpression-eliminated (measured 61.8 s vs 2.6 s
+    unguarded at sf0.1), and no caller is driven with non-``dim``
+    fixtures."""
+    out = (a[0] * b[0]).cast("long")
+    for i in range(1, dim):
+        out = out + (a[i] * b[i]).cast("long")
+    return out
 
 
 # X3a — brute-force cosine top-k -----------------------------------------------
@@ -120,7 +185,8 @@ def x3_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            # flat form: identical fold order, compiles in codegen (r18)
+            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -262,7 +328,7 @@ def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "q_id",
         "vec_id",
-        cosine(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
+        cosine_flat(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(
         F.round("cos_sim", 4).desc(), F.col("vec_id")
@@ -372,7 +438,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
     assigned = (
         vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("cent_dist", -cosine(F.col("emb"), F.col("cent_emb")))
+        .withColumn("cent_dist", -cosine_flat(F.col("emb"), F.col("cent_emb")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", F.col("cent_id").alias("cell"))
@@ -384,7 +450,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
     probed = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cent_dist", -cosine(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn("cent_dist", -cosine_flat(F.col("q_emb"), F.col("cent_emb")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -399,7 +465,9 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim")
+            "q_id",
+            "vec_id",
+            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w_rank = W.partitionBy("q_id").orderBy(
@@ -603,11 +671,7 @@ def x3g_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized = _absmax_quantize(emb).select(
         "vec_id",
         "_q",
-        F.aggregate(
-            F.transform("_q", lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("_qq"),
+        dot_int_flat(F.col("_q"), F.col("_q")).alias("_qq"),
     )
     queries = quantized.filter(
         (F.col("vec_id") < 8) & (F.col("_qq") > 0)
@@ -623,12 +687,10 @@ def x3g_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
+            # flat integer dot (r18): exact in any order, so provably
+            # identical to the zip_with/aggregate fold — but codegen'd
             F.round(
-                F.aggregate(
-                    F.zip_with("_qa", "_q", lambda a, b: (a * b).cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
+                dot_int_flat(F.col("_qa"), F.col("_q"))
                 / F.sqrt(F.col("_aqq").cast("double") * F.col("_qq").cast("double")),
                 4,
             ).alias("cos_q"),
@@ -853,7 +915,9 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     sliced = F.slice(_dvec("embedding"), 1, 16)
     vecs = (
-        emb.select("vec_id", sliced.alias("emb"), l2_norm(sliced).alias("nrm"))
+        emb.select(
+            "vec_id", sliced.alias("emb"), l2_norm_flat(sliced, 16).alias("nrm")
+        )
         .filter(F.col("nrm") > 0)
     )
     queries = (
@@ -861,7 +925,7 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             sliced.alias("q_emb"),
-            l2_norm(sliced).alias("q_nrm"),
+            l2_norm_flat(sliced, 16).alias("q_nrm"),
         )
         .filter(F.col("q_nrm") > 0)
     )
@@ -870,7 +934,9 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(queries))
         .filter(F.col("q_id") != F.col("vec_id"))
         .select(
-            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos")
+            "q_id",
+            "vec_id",
+            cosine_flat(F.col("q_emb"), F.col("emb"), 16).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.round("cos", 4).desc(), F.col("vec_id"))
@@ -1203,11 +1269,8 @@ def x3l_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    sqdist = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    sqdist = sqdist_flat(F.col("q_emb"), F.col("emb"))
     scored = (
         ensure_min_partitions(vecs)
         .crossJoin(F.broadcast(queries))
@@ -1686,9 +1749,10 @@ def _mrl_topk(spark: SparkSession, sf_dir: str, pre_dim: int) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine(
+            cosine_flat(
                 F.slice(F.col("q_emb"), 1, pre_dim),
                 F.slice(F.col("emb"), 1, pre_dim),
+                pre_dim,
             ).alias("pre_cos"),
         )
     )
@@ -1704,7 +1768,9 @@ def _mrl_topk(spark: SparkSession, sf_dir: str, pre_dim: int) -> DataFrame:
         candidates.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(queries), "q_id")
         .select(
-            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim")
+            "q_id",
+            "vec_id",
+            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w_ex = W.partitionBy("q_id").orderBy(
@@ -2196,7 +2262,7 @@ def x3s_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _X3S_TAU)
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -2269,7 +2335,7 @@ def x3t_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "q_label",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -2496,7 +2562,7 @@ def _trained_ivf_serve(
     Spark half of :func:`_x3z_sql`'s extra predicate. ``None``
     reproduces the registered x3z plan exactly."""
     assigned, cent = x3r2_trained_assign(spark, sf_dir)
-    corpus = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
+    corpus = assigned.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(
         F.col("nrm") > 0
     )
     q = corpus.filter(F.col("vec_id") < 8).select(
@@ -2539,11 +2605,8 @@ def _trained_ivf_serve(
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    dot = F.aggregate(
-        F.zip_with("qemb", "emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # flat form (r18): identical left-to-right fold, compiles in codegen
+    dot = dot_flat(F.col("qemb"), F.col("emb"))
     members = corpus if corpus_pred is None else corpus.filter(corpus_pred)
     cand = (
         probes.join(members, "cid")
