@@ -225,13 +225,26 @@ def _asof_merge_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out["click_value"] = pd.Series([None] * len(left), dtype="object")
         return out
     right = right.sort_values(["c_ts", "c_event_id"]).reset_index(drop=True)
+    # left_by/right_by (r18): the kernel now handles MULTI-user frames
+    # so f5 can cogroup on a hash bucket (one Python call per bucket,
+    # not per user — guide §4.5's amortization). The right side's user
+    # column arrives as c_user_id, NOT user_id: both cogroup children
+    # derive from the same events parent, so an unaliased user_id would
+    # share the left side's attribute id and be analyzer-deduplicated
+    # away from the right pdf (the same pathology this docstring's
+    # c_-prefix note records for ts/event_id/value). Tie law unchanged:
+    # within a user, backward-asof keeps the last right row in
+    # (c_ts, c_event_id) order — the highest event_id on equal
+    # timestamps.
     merged = pd.merge_asof(
-        left[["ts", "event_id"]],
-        right[["c_ts", "c_event_id", "c_value"]].rename(
+        left[["user_id", "ts", "event_id"]],
+        right[["c_user_id", "c_ts", "c_event_id", "c_value"]].rename(
             columns={"c_event_id": "click_id", "c_value": "click_value"}
         ),
         left_on="ts",
         right_on="c_ts",
+        left_by="user_id",
+        right_by="c_user_id",
         direction="backward",
         allow_exact_matches=True,
     )
@@ -251,18 +264,34 @@ def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     face of the J8 as-of join, checked against the relational as-of
     law. Rounding stays OUT of the kernel (see _asof_merge_kernel)."""
     ev = Catalog(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    # Cogroup on a HASH BUCKET of user_id, not user_id itself (r18,
+    # guide §4.5): one Python call per bucket amortizes the per-call
+    # Arrow->pandas + merge_asof setup over many users; the kernel's
+    # by="user_id" keeps the per-user as-of law bit-identical (the
+    # bucket count only changes parallelism, never the result).
+    n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+        .withColumn("_b", F.pmod(F.col("user_id"), F.lit(n_buckets)))
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("c_event_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
+    # user_id aliased to c_user_id: same-parent cogroup children share
+    # attribute ids, and the analyzer deduplicates the shared column
+    # away from the right pdf (see _asof_merge_kernel's docstring) —
+    # a distinct name keeps it delivered.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withColumn("_b", F.pmod(F.col("c_user_id"), F.lit(n_buckets)))
     )
     out = (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("_b")
+        .cogroup(clicks.groupBy("_b"))
         .applyInPandas(
             _asof_merge_kernel,
             "user_id long, purchase_id long, click_id long, click_value double",

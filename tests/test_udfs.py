@@ -47,14 +47,25 @@ def test_f5_cogrouped_asof_matches_naive(spark):
         )
         ev = spark.createDataFrame(rows, schema)
 
-        purchases = ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "event_id", "ts"
+        # f5's real layout (r18): cogroup on a hash BUCKET of the user
+        # id, right side user column aliased to c_user_id — so the law
+        # exercises the kernel's multi-user left_by/right_by path, not
+        # only the per-user degenerate case. Two buckets guarantee
+        # multi-user frames whenever the strategy draws 2+ users.
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts")
+            .withColumn("_b", F.pmod(F.col("user_id"), F.lit(2)))
         )
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            "user_id",
-            F.col("event_id").alias("c_event_id"),
-            F.col("ts").alias("c_ts"),
-            F.col("value").alias("c_value"),
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("c_event_id"),
+                F.col("ts").alias("c_ts"),
+                F.col("value").alias("c_value"),
+            )
+            .withColumn("_b", F.pmod(F.col("c_user_id"), F.lit(2)))
         )
         from ssn_college_software_architecture_assignments__spark.operators.udfs import (
             _asof_merge_kernel,
@@ -62,8 +73,8 @@ def test_f5_cogrouped_asof_matches_naive(spark):
 
         got = {
             (r["user_id"], r["purchase_id"]): (r["click_id"], r["click_value"])
-            for r in purchases.groupBy("user_id")
-            .cogroup(clicks.groupBy("user_id"))
+            for r in purchases.groupBy("_b")
+            .cogroup(clicks.groupBy("_b"))
             .applyInPandas(
                 _asof_merge_kernel,
                 "user_id long, purchase_id long, click_id long, "
