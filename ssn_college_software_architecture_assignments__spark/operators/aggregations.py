@@ -157,14 +157,27 @@ def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HLL++ error bound: the query emits the exact count plus a boolean
     asserting |approx - exact| <= 5 * rsd * exact (rsd=0.01), and the
     DuckDB twin asserts that boolean is TRUE for every group. A sketch
-    regression flips the boolean and hash-mismatches."""
+    regression flips the boolean and hash-mismatches.
+
+    The sketch and the exact count run as SEPARATE aggregations joined on
+    the 3-row group key: mixed into one agg, Catalyst's distinct rewrite
+    evaluates the HLL++ partial over the (l_returnflag, l_orderkey)
+    pre-aggregation — one ~13 KB rsd=0.01 sketch buffer PER DISTINCT
+    ORDERKEY through the shuffle (the plan's Results [1641] row), ~2 GB of
+    buffer traffic at sf0.1 and unbounded at 100 TB. Split, the sketch
+    partials hold one buffer per group per task and the shuffle carries 3
+    rows. HLL register merge is max-per-register — associative and
+    commutative — so the estimate (and the within_bound boolean) is
+    bit-identical under either grouping."""
     li = Catalog(spark, sf_dir).lineitem
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
@@ -457,9 +470,22 @@ def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs exist only as oracle scaffolding — production keeps the
     sketch path alone (one scan, mergeable partials)."""
     ev = Catalog(spark, sf_dir).events
-    per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+    # Sketch and exact count in SEPARATE aggregations joined on the
+    # groups-sized key (the a4 lesson): mixed into one agg, the distinct
+    # rewrite evaluates the sketch partial over the (event_type, user_id)
+    # pre-aggregation — one sketch buffer per DISTINCT USER through the
+    # shuffle instead of one per group. Sketch updates are
+    # order-independent, so the estimates (and booleans) are identical.
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per = sketches.join(
+        F.broadcast(
+            ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")
+            )
+        ),
+        "event_type",
     )
     bound = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) <= 0.1 * exact
@@ -471,7 +497,7 @@ def a12_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
-    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    merged = sketches.agg(F.hll_union_agg("sk").alias("sk"))
     total_exact = ev.agg(
         F.countDistinct("user_id").alias("exact_users")
     )

@@ -291,20 +291,29 @@ def simhash64(text_col: str) -> Column:
 
     Written as a SQL expression because the DSL's shiftleft/shiftright
     take only literal bit counts, while the SQL forms accept expressions.
+
+    The token hash is computed ONCE per token (the inner transform maps
+    tokens to xxhash64 longs before the vote fold); an earlier form
+    evaluated ``xxhash64(t)`` inside the per-bit lambda — 64 string
+    hashes per token, as lambda bodies are re-evaluated per element with
+    no subexpression elimination. The vote itself is the branch-free
+    ``2*bit - 1`` (same +1/-1 values as the original CASE), and the fold
+    accumulates straight into the vote array via ``zip_with`` with the
+    constant bit-index sequence — no per-token intermediate array.
+    Integer arithmetic throughout, so the restructuring is bit-identical
+    (pinned by the x2b2 pairing twin and the property tests).
     """
     return F.expr(
         f"""
         aggregate(
           zip_with(
             aggregate(
-              split({text_col}, '\\\\s+'),
+              transform(split({text_col}, '\\\\s+'), t -> xxhash64(t)),
               array_repeat(0L, 64),
-              (acc, t) -> zip_with(
+              (acc, h) -> zip_with(
                 acc,
-                transform(sequence(0, 63),
-                          i -> CASE WHEN (shiftrightunsigned(xxhash64(t), CAST(i AS INT)) & 1L) = 1
-                                    THEN 1L ELSE -1L END),
-                (a, b) -> a + b)),
+                sequence(0, 63),
+                (a, i) -> a + 2L * (shiftrightunsigned(h, CAST(i AS INT)) & 1L) - 1L)),
             sequence(0, 63),
             (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
           0L,
