@@ -421,22 +421,22 @@ def x3d_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """THE IVF search kernel at probe width ``nprobe`` (the Spark half
-    of ``_x3d_oracle_sql``): nprobe=2 is the registered x3d; x3p sweeps
-    1/2/4. One implementation so the search and its tuning curve can
-    never score differently."""
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cell assignment for the fixed-centroid IVF kernel —
+    nearest cell per corpus vector (rank over the K broadcast
+    centroids). Factored out of :func:`_ivf_topk` because the
+    assignment is nprobe-INDEPENDENT: x3p's tuning sweep shares one
+    (optionally persisted) assignment across its probe-width legs
+    instead of re-running the corpus pass per leg."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
     )
     vecs = emb.select("vec_id", _dvec("embedding").alias("emb"))
-
-    # nearest cell per corpus vector (rank over K broadcast centroids)
     w_assign = W.partitionBy("vec_id").orderBy(
         F.col("cent_dist").asc(), F.col("cent_id")
     )
-    assigned = (
+    return (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("cent_dist", -cosine_flat(F.col("emb"), F.col("cent_emb")))
         .withColumn("rn", F.row_number().over(w_assign))
@@ -444,7 +444,17 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select("vec_id", "emb", F.col("cent_id").alias("cell"))
     )
 
-    # queries probe their nprobe nearest cells
+
+def _ivf_search(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame, nprobe: int
+) -> DataFrame:
+    """Probe + score + rank over a prebuilt cell assignment — the other
+    half of :func:`_ivf_topk`, single-site so the registered search and
+    the x3p tuning curve can never score differently."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_emb")
     )
@@ -460,7 +470,6 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_emb", F.col("cent_id").alias("cell"))
     )
-
     scored = (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -478,6 +487,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """THE IVF search kernel at probe width ``nprobe`` (the Spark half
+    of ``_x3d_oracle_sql``): nprobe=2 is the registered x3d; x3p sweeps
+    1/2/4. Composed from :func:`_ivf_assign` + :func:`_ivf_search` so
+    the search and its tuning curve share one implementation."""
+    return _ivf_search(spark, sf_dir, _ivf_assign(spark, sf_dir), nprobe)
 
 
 # X3c — vector feature engineering (norms / normalization), full oracle -----------
@@ -1626,12 +1643,25 @@ ORDER BY p.nprobe
 @register("x3p_ivf_nprobe_sweep", oracle=_x3p_oracle(), tags=("X3",))
 def x3p_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF search at nprobe in {1, 2, 4} against exact
-    brute-force truth — the tuning curve behind the nprobe knob."""
+    brute-force truth — the tuning curve behind the nprobe knob.
+
+    The corpus cell assignment is nprobe-independent, so the sweep
+    builds it ONCE (persisted, not checkpointed, so the plan still
+    witnesses the assignment subtree through InMemoryRelation) and
+    every probe-width leg searches over it; likewise the brute-force
+    truth (8 queries x 5 rows) is persisted across its two consumers
+    (hits join + truth count) instead of re-running the exact corpus
+    pass per consumer."""
     from functools import reduce
 
-    bf = x3_similarity_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    bf = (
+        x3_similarity_bruteforce(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .persist()
+    )
+    assigned = _ivf_assign(spark, sf_dir).persist()
     legs = [
-        _ivf_topk(spark, sf_dir, nprobe=p)
+        _ivf_search(spark, sf_dir, assigned, nprobe=p)
         .select("q_id", "vec_id")
         .withColumn("nprobe", F.lit(p))
         for p in _X3P_PROBES
