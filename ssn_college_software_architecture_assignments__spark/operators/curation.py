@@ -3927,19 +3927,26 @@ def x6q2_cluster_coherent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split) doc/char distribution plus a recomputed x6q leakage audit
     over the same x2e2 pair site — provably zero under this split —
     and x2e2b's convergence guard."""
-    from .dedup import (
-        x2e2_shared_gram_pairs,
-        x2e2b_global_dedup_clusters_full,
-    )
+    from .dedup import _x2e2b_frame, x2e2_shared_gram_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    labels = x2e2b_global_dedup_clusters_full(spark, sf_dir).select(
+    # ONE pair-stage run per query (r18, guide §2.4): the closure's
+    # edge law and the recomputed leakage audit need the IDENTICAL
+    # shared-gram pair set, so build it once behind a lazy checkpoint
+    # (materialized by the closure loop's first convergence count) and
+    # feed both consumers. The pair site itself is unchanged and stays
+    # plan-gated at its own site.
+    pairs = x2e2_shared_gram_pairs(docs).localCheckpoint(eager=False)
+    labels = _x2e2b_frame(spark, sf_dir, pairs=pairs).select(
         "doc_id", "cluster_id"
     )
+    # spl is consumed three times (the distribution join plus both
+    # sides of the leakage join); checkpoint the two narrow columns
+    # once instead of replaying the label->split map per consumer.
     spl = labels.select(
         "doc_id",
         split_label(split_bucket(F.col("cluster_id"))).alias("split"),
-    )
+    ).localCheckpoint(eager=False)
     dist = (
         docs.select("doc_id", "source", "n_chars")
         .join(spl, "doc_id")
@@ -3949,7 +3956,6 @@ def x6q2_cluster_coherent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
     )
-    pairs = x2e2_shared_gram_pairs(docs)
     leak = (
         pairs.join(
             spl.select(F.col("doc_id").alias("src"), F.col("split").alias("split_a")),

@@ -655,8 +655,18 @@ def large_star_small_star(
     # at the fixpoint e is a star forest: every non-root points at its
     # component's min id exactly once (groupBy-min is belt-and-braces)
     stars = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("label"))
-    return nodes.join(stars, "id", "left").select(
-        "id", F.coalesce("label", "id").alias("label")
+    # Lazy checkpoint on the label table (r18, guide §3.3/§5): every
+    # closure consumer references labels at least twice (the component-
+    # size aggregate plus the member rows — x2e2b alone replays the
+    # nodes-join-stars subtree once per reference, and x6y2/x6q2/x6q3
+    # fan out further). The frame is corpus-sized but two narrow BIGINT
+    # columns; materializing it once replaces N replays of the
+    # nodes-scan + star-join subtree with N cheap block reads. Label
+    # VALUES are untouched — checkpointing is plan truncation only.
+    return (
+        nodes.join(stars, "id", "left")
+        .select("id", F.coalesce("label", "id").alias("label"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -927,19 +937,20 @@ CROSS JOIN lconv
 """
 
 
-@register("x2e2b_global_dedup_clusters_full", oracle=_X2E2B_ORACLE, tags=("X2",))
-def x2e2b_global_dedup_clusters_full(
-    spark: SparkSession, sf_dir: str
+def _x2e2b_frame(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
-    """x2e2 with the oracle cap lifted: transitive-closure dedup
-    clusters of the shared-3-gram evidence graph over the ENTIRE
-    documents table — the manifest a curation run actually ships.
-    Same plan-gated pair site, same large-star/small-star closure
-    (which RAISES on non-convergence, hence the literal true
-    closure_converged; the oracle computes its flag and an unconverged
-    oracle mismatches loudly)."""
+    """The x2e2b cluster manifest, optionally over a PREBUILT pair
+    frame (r18, guide §2.4): x6q2 needs the identical shared-gram
+    pair set twice — once as the closure's edge law, once for its
+    recomputed leakage audit — and passing one lazily-checkpointed
+    frame here computes the pair stage ONCE per query instead of
+    twice. ``pairs=None`` (the registered x2e2b) builds them from the
+    plan-gated pair site as always; the emitted rows are identical
+    either way because the pair frame IS the same expression."""
     docs = Catalog(spark, sf_dir).documents
-    pairs = x2e2_shared_gram_pairs(docs)
+    if pairs is None:
+        pairs = x2e2_shared_gram_pairs(docs)
     nodes = docs.select(F.col("doc_id").alias("id"))
     labels = large_star_small_star(nodes, pairs)
     sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
@@ -958,6 +969,22 @@ def x2e2b_global_dedup_clusters_full(
             F.lit(True).alias("closure_converged"),
         )
     )
+
+
+@register("x2e2b_global_dedup_clusters_full", oracle=_X2E2B_ORACLE, tags=("X2",))
+def x2e2b_global_dedup_clusters_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x2e2 with the oracle cap lifted: transitive-closure dedup
+    clusters of the shared-3-gram evidence graph over the ENTIRE
+    documents table — the manifest a curation run actually ships.
+    Same plan-gated pair site, same large-star/small-star closure
+    (which RAISES on non-convergence, hence the literal true
+    closure_converged; the oracle computes its flag and an unconverged
+    oracle mismatches loudly). Body lives in :func:`_x2e2b_frame` so
+    x6q2 can feed the closure and its leakage audit one shared pair
+    frame."""
+    return _x2e2b_frame(spark, sf_dir)
 
 
 # X2e3 — incremental closure maintenance (batch admission into standing
