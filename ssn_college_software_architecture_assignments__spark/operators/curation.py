@@ -2666,7 +2666,15 @@ def x6y3_incremental_survivorship(
     docs = Catalog(spark, sf_dir).documents.select(
         F.col("doc_id").alias("id"), "n_chars"
     )
-    q = x2e3_touched_members(spark, sf_dir).join(docs, "id")
+    # Lazy checkpoint (r18, guide §3.3): q feeds BOTH survivor windows
+    # (newk and oldk), and each un-truncated reference replays the
+    # touched-members derivation (the membership joins over both
+    # closures' label tables). One narrow row per touched member.
+    q = (
+        x2e3_touched_members(spark, sf_dir)
+        .join(docs, "id")
+        .localCheckpoint(eager=False)
+    )
     w_new = W.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), "id"
     )
@@ -3585,7 +3593,16 @@ def x6y4_retraction_survivorship(
     docs = Catalog(spark, sf_dir).documents.select(
         F.col("doc_id").alias("id"), "n_chars"
     )
-    ym = x2e4_retraction_members(spark, sf_dir).join(docs, "id")
+    # Lazy checkpoint (r18, guide §3.3): ym feeds BOTH the old-survivor
+    # and the new-survivor windows; un-truncated, each reference
+    # replays the retraction-members derivation (touched-cluster
+    # semi-joins over both label tables). Narrow rows, touched-members
+    # sized.
+    ym = (
+        x2e4_retraction_members(spark, sf_dir)
+        .join(docs, "id")
+        .localCheckpoint(eager=False)
+    )
     w_old = W.partitionBy("standing_cluster").orderBy(
         F.col("n_chars").desc(), "id"
     )

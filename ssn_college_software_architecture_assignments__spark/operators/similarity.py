@@ -445,12 +445,15 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_search(
-    spark: SparkSession, sf_dir: str, assigned: DataFrame, nprobe: int
+def _ivf_probe(
+    spark: SparkSession, sf_dir: str, nprobe: int, with_rank: bool = False
 ) -> DataFrame:
-    """Probe + score + rank over a prebuilt cell assignment — the other
-    half of :func:`_ivf_topk`, single-site so the registered search and
-    the x3p tuning curve can never score differently."""
+    """Per-query probe cells at width ``nprobe``: rank the K broadcast
+    centroids per query by (distance asc, cent_id) and keep the top
+    ``nprobe``. ``with_rank=True`` carries the cell rank column
+    (``cell_rn``) so x3p can derive EVERY narrower probe width from the
+    one widest probe set (cell_rn <= k IS the width-k probe set — the
+    rank order is the probe-selection law)."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
@@ -468,17 +471,34 @@ def _ivf_search(
             ),
         )
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", F.col("cent_id").alias("cell"))
     )
-    scored = (
+    cols = ["q_id", "q_emb", F.col("cent_id").alias("cell")]
+    if with_rank:
+        cols.append(F.col("rn").alias("cell_rn"))
+    return probed.select(*cols)
+
+
+def _ivf_score(assigned: DataFrame, probed: DataFrame) -> DataFrame:
+    """Cell-equi-join scoring of a probe set against a cell assignment
+    — THE cosine-scoring site shared by the registered x3d search and
+    x3p's tuning curve. Passes a ``cell_rn`` column through when the
+    probe frame carries one (the x3p single-pass form)."""
+    extra = [c for c in ("cell_rn",) if c in probed.columns]
+    return (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            *extra,
         )
     )
+
+
+def _ivf_rank(scored: DataFrame) -> DataFrame:
+    """Top-5 per query by (rounded cosine desc, vec_id) — the rank law
+    both x3d and every x3p leg apply to a scored candidate frame."""
     w_rank = W.partitionBy("q_id").orderBy(
         F.round("cos_sim", 4).desc(), F.col("vec_id")
     )
@@ -486,6 +506,18 @@ def _ivf_search(
         scored.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _ivf_search(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame, nprobe: int
+) -> DataFrame:
+    """Probe + score + rank over a prebuilt cell assignment — the other
+    half of :func:`_ivf_topk`, composed from the single probe/score/
+    rank sites so the registered search and the x3p tuning curve can
+    never score differently."""
+    return _ivf_rank(
+        _ivf_score(assigned, _ivf_probe(spark, sf_dir, nprobe))
     )
 
 
@@ -1645,23 +1677,33 @@ def x3p_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF search at nprobe in {1, 2, 4} against exact
     brute-force truth — the tuning curve behind the nprobe knob.
 
-    The corpus cell assignment is nprobe-independent, so the sweep
-    builds it ONCE (persisted, not checkpointed, so the plan still
-    witnesses the assignment subtree through InMemoryRelation) and
-    every probe-width leg searches over it; likewise the brute-force
-    truth (8 queries x 5 rows) is persisted across its two consumers
-    (hits join + truth count) instead of re-running the exact corpus
-    pass per consumer."""
+    ONE corpus scoring pass serves every probe width (r18, guide
+    §1.2/§2.3): the width-k probe set is by definition the first k
+    cells of the width-4 probe ranking, so the sweep scores the corpus
+    once against the WIDEST probe set with the cell rank attached and
+    derives each leg by ``cell_rn <= k`` + the shared rank law — the
+    candidates and scores are the ones leg k would have computed
+    itself (identical join, filter, and scoring sites). The scored
+    frame is the only thing replayed across legs, and it checkpoints
+    as four narrow columns (two ids, a double, a rank) — the earlier
+    form re-ran the fat assignment+scoring corpus pass per leg (or,
+    persisted, materialized corpus x 64-double embeddings; measured
+    2x slower than recomputing at sf0.1). The brute-force truth (8
+    queries x 5 rows) checkpoints across its two consumers the same
+    way."""
     from functools import reduce
 
     bf = (
         x3_similarity_bruteforce(spark, sf_dir)
         .select("q_id", "vec_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    assigned = _ivf_assign(spark, sf_dir).persist()
+    scored = _ivf_score(
+        _ivf_assign(spark, sf_dir),
+        _ivf_probe(spark, sf_dir, max(_X3P_PROBES), with_rank=True),
+    ).localCheckpoint(eager=False)
     legs = [
-        _ivf_search(spark, sf_dir, assigned, nprobe=p)
+        _ivf_rank(scored.filter(F.col("cell_rn") <= p))
         .select("q_id", "vec_id")
         .withColumn("nprobe", F.lit(p))
         for p in _X3P_PROBES
