@@ -49,20 +49,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query to completion over the available data
     (availableNow trigger) into an in-memory table; return it as a batch
     DataFrame. Checkpoints go to a throwaway temp dir.
 
     Stateful streaming creates one state store per shuffle partition per
-    operator; at local scale that fixed cost dominates, so the partition
-    count is pinned low for the query's lifetime (on a cluster, size it
-    to key cardinality instead)."""
+    operator; at local scale that fixed cost dominates for FEW-key
+    queries, so the default pins the count low. Queries whose keyed
+    Python stage dominates instead (t6c: ~40k (user, day) groups, each
+    one ``applyInPandasWithState`` call — 8 partitions leave most cores
+    idle during the per-key Python work) pass ``state_partitions``
+    sized to the session's parallelism (r18, guide §2.5/§4: measured
+    24 s -> 10 s at sf0.1 with 32 cores, identical rows). On a cluster,
+    size it to key cardinality."""
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     checkpoint = scratch_dir(prefix="ssn_stream_ckpt_")
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions or 8))
     try:
         query = (
             stream_df.writeStream.outputMode(output_mode)

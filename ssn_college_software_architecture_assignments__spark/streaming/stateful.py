@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
+from ..session import default_parallelism
 from .core import run_to_memory, stream_events
 
 # transformWithStateInPandas serializes state over protobuf; probe once.
@@ -274,7 +275,14 @@ def t6c_state_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return run_to_memory(expired, "append").orderBy("user_id", "day")
+    # ~40k (user, day) state keys, each its own per-key Python call in
+    # BOTH the data batch and the timer flush batch — the per-key
+    # Python work dominates, so spread the state stores over the
+    # session's cores instead of the few-key default (r18, guide
+    # §2.5/§4; scale-adaptive via SPARK_GRAFT_CPUS, identical rows).
+    return run_to_memory(
+        expired, "append", state_partitions=default_parallelism()
+    ).orderBy("user_id", "day")
 
 
 class TTLExpiryProcessor(StatefulProcessor):
