@@ -185,8 +185,15 @@ def x3_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            # flat form: identical fold order, compiles in codegen (r18)
-            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            # HOF cosine DELIBERATELY (r18 re-measure): this query is
+            # 2000 corpus rows x 8 queries — at that volume the flat
+            # form's huge generated method pays more in codegen compile
+            # time than its per-row win returns (fresh-session A/B:
+            # HOF 0.44-0.60 s vs guarded-flat 1.4-1.9 s vs unguarded
+            # flat 1.4-1.6 s; the bench series read the flat version
+            # as a 0.64 -> 1.6 s regression). Results are bit-identical
+            # either way (same left-to-right fold).
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -425,9 +432,14 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cell assignment for the fixed-centroid IVF kernel —
     nearest cell per corpus vector (rank over the K broadcast
     centroids). Factored out of :func:`_ivf_topk` because the
-    assignment is nprobe-INDEPENDENT: x3p's tuning sweep shares one
-    (optionally persisted) assignment across its probe-width legs
-    instead of re-running the corpus pass per leg."""
+    assignment is nprobe-INDEPENDENT: x3p scores one assignment pass
+    against the widest probe set and derives every leg from it.
+
+    HOF cosine deliberately (r18 re-measure): at this query's volume
+    (2000 corpus rows x 16 centroids) the flat form's generated-code
+    compile time outweighs its per-row win — fresh-session A/B on the
+    full x3d shape read flat 3.9-4.3 s vs HOF 1.1-1.4 s. Results are
+    bit-identical either way (same left-to-right fold)."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cent_emb")
@@ -438,7 +450,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("cent_dist", -cosine_flat(F.col("emb"), F.col("cent_emb")))
+        .withColumn("cent_dist", -cosine(F.col("emb"), F.col("cent_emb")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", F.col("cent_id").alias("cell"))
@@ -463,7 +475,7 @@ def _ivf_probe(
     )
     probed = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cent_dist", -cosine_flat(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn("cent_dist", -cosine(F.col("q_emb"), F.col("cent_emb")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -490,7 +502,7 @@ def _ivf_score(assigned: DataFrame, probed: DataFrame) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
             *extra,
         )
     )
