@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from ..scratch import persist_scoped
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-style pricing summary (operators S5, P2, P5, A2, O1).
@@ -882,7 +883,7 @@ def a16_skew_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage survives, so PLANS.md keeps the scan-pushdown evidence
     # under the InMemoryRelation (review-caught — eager checkpoint ran
     # the shuffle at build time and erased the scan from the plan)
-    per_key = per_key.persist()
+    per_key = persist_scoped(per_key)
     assigned = with_range_bucket(
         per_key, "n_rows", list(_A16_PROBS), out="size_bucket"
     ).withColumn(

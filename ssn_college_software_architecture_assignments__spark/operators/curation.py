@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import register
+from ..scratch import persist_scoped
 
 # Shared: portable deterministic bucket in [0, 100) --------------------------
 
@@ -3156,21 +3157,23 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = x6x_chunk_bm25_retrieval(spark, sf_dir)
     # six consumers below each replayed the whole chunk-BM25 retrieval
     # chain without this persist (r18, guide §3.3) — Q x top-10 rows
-    cand = ranked.filter(F.col("rnk") <= _X6X_TOPK).select(
-        "query_id",
-        F.col("rnk").cast("long").alias("pa"),
-        "doc_id", "chunk_id",
-        _x4z2_unit_col(),
-        F.expr(f"CAST(1000000 div ({_X4Z2_RRF_K} + rnk) AS BIGINT)").alias(
-            "rel"
-        ),
-    ).persist()
+    cand = persist_scoped(
+        ranked.filter(F.col("rnk") <= _X6X_TOPK).select(
+            "query_id",
+            F.col("rnk").cast("long").alias("pa"),
+            "doc_id", "chunk_id",
+            _x4z2_unit_col(),
+            F.expr(
+                f"CAST(1000000 div ({_X4Z2_RRF_K} + rnk) AS BIGINT)"
+            ).alias("rel"),
+        )
+    )
     chunks = overlapped_chunks(docs, _X6V_WINDOW, _X6V_OVERLAP).select(
         "doc_id", "chunk_id", "ctoks"
     )
     # three consumers (both intersection sides, sizes): persist, or the
     # corpus-wide overlapped-chunk build runs once per consumer
-    ctoksd = (
+    ctoksd = persist_scoped(
         chunks.join(
             cand.select("doc_id", "chunk_id").distinct(),
             ["doc_id", "chunk_id"],
@@ -3180,7 +3183,7 @@ def x4z2_chunk_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_id",
             F.explode(F.array_distinct("ctoks")).alias("tok"),
         )
-    ).persist()
+    )
     csizes = ctoksd.groupBy("doc_id", "chunk_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

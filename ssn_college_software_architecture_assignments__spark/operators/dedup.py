@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
+from ..scratch import persist_scoped
 from .similarity import (
     _X3R2_STEPS,
     _dvec,
@@ -4013,12 +4014,24 @@ def x2y_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-confined: vectors meet only within their coarse cell (the
 # assign_cells law x2j shares), giving the standard recall trade —
 # cross-cell true neighbors are missed, which is why production runs
-# multi-probe; the dataflow is identical. Per-vector top-k happens
-# INSIDE the cell aggregation row (the x2j HOF expansion, extended
-# with a per-member neighbor sort) — the assignment is computed once,
-# the only corpus shuffle is the groupBy on the cell id, and no Window
-# node ever sees pair-inflated rows. Tie law: (round(cos,4) desc,
-# neighbor_id asc), x3's standard.
+# multi-probe; the dataflow is identical.
+#
+# r19 shape: an i<j cell-keyed SELF-JOIN scored by the codegen'd
+# dot_flat projection, both edge directions exploded from the one
+# score, then a per-vector top-k window. The r12-r18 form did the
+# pairwise work inside the cell aggregation row (collect_list + HOF
+# expansion); that evaluated n*(n-1) interpreted multiply-add folds
+# per cell AND buffered a whole cell plus its pair expansion in ONE
+# row's memory (the §5 hazard). The pair join halves the dots via
+# i<j symmetry (each a[k]*b[k] term is an IEEE product — bitwise
+# commutative — so one cos serves both directions), compiles the
+# scorer into whole-stage codegen, and the window partitions on
+# vec_id, whose partitions are bounded by cell size and spill
+# gracefully. The join carries a merge hint so the planner can never
+# BROADCAST a corpus-sized side; the only rows crossing the window
+# exchange are (cell, vid, nid, cos) — a lightweight proxy, never
+# embeddings. Tie law: (round(cos,4) desc, neighbor_id asc), x3's
+# standard.
 #
 # The oracle computes the same graph with the independent algorithm
 # (cells CTE composed from the shared _IVF_CELLS_SQL site, then a
@@ -4049,55 +4062,71 @@ ORDER BY vec_id, rank
 
 def knn_graph_from_cells(cells: DataFrame) -> DataFrame:
     """Per-member top-``_X3U_K`` neighbor expansion over an
-    ``assign_cells`` frame — the HOF core of x3u, shared with its
-    property test (one expression site)."""
-    grouped = (
-        cells.groupBy("cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", "emb", "nrm"))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+    ``assign_cells`` frame — THE x3u law site, shared with its
+    property test and x3w's home-graph leg (one scoring site).
+
+    r19 (guide §4.1/§2.3): i<j cell self-join + codegen'd
+    :func:`dot_flat` scorer + per-vector top-k window, replacing the
+    collect_list + HOF in-row expansion. Half the dots (one IEEE-
+    commutative score serves both edge directions bit-identically),
+    compiled instead of interpreted, and only the narrow
+    (cell, vid, nid, cos) proxy crosses the window exchange. The
+    merge hint keeps the statistics-blind planner from broadcasting
+    a corpus-sized join side; per-key SMJ groups spill gracefully
+    where the old single-row cell buffer could not (§5)."""
+    a = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "cell",
     )
-    # per member i: sort its n-1 candidates by the tie law, slice k,
-    # attach 1-based rank via the indexed transform — all one HOF
-    knn_expr = F.expr(
-        f"""
-        flatten(transform(sequence(0, size(ms) - 1), i ->
-          transform(
-            slice(
-              array_sort(
-                transform(filter(sequence(0, size(ms) - 1), j -> j != i), j ->
-                  named_struct(
-                    'nid', ms[j].vec_id,
-                    'cos',
-                    aggregate(zip_with(ms[i].emb, ms[j].emb, (x, y) -> x * y),
-                              0D, (acc, v) -> acc + v)
-                    / (ms[i].nrm * ms[j].nrm))),
-                (l, r) -> CASE
-                  WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
-                  WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
-                  WHEN l.nid < r.nid THEN -1
-                  WHEN l.nid > r.nid THEN 1
-                  ELSE 0 END),
-              1, {_X3U_K}),
-            (s, r) -> named_struct(
-              'vec_id', ms[i].vec_id, 'neighbor_id', s.nid,
-              'cos', s.cos, 'rank', r + 1))))
-        """
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "cell",
     )
-    return (
-        grouped.select(
-            F.col("cell").cast("long").alias("cell"),
-            F.explode(knn_expr).alias("p"),
-        )
+    # one score per unordered pair: dot_flat's k-th term a[k]*b[k] is
+    # an IEEE product (commutative bit-for-bit), summed in the same
+    # index order either way, so cos(a,b) == cos(b,a) exactly — the
+    # exploded reverse edge reuses it
+    cos = dot_flat(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    edges = (
+        a.hint("merge")
+        .join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("cell", "a_id", "b_id", cos.alias("cos"))
         .select(
-            F.col("p.vec_id").alias("vec_id"),
-            F.col("p.neighbor_id").alias("neighbor_id"),
             "cell",
-            F.col("p.rank").cast("int").alias("rank"),
-            F.round("p.cos", 4).alias("cos_sim"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("vid"),
+                        F.col("b_id").alias("nid"),
+                        F.col("cos"),
+                    ),
+                    F.struct(
+                        F.col("b_id").alias("vid"),
+                        F.col("a_id").alias("nid"),
+                        F.col("cos"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("cell", "e.vid", "e.nid", "e.cos")
+    )
+    w = W.partitionBy("vid").orderBy(F.round("cos", 4).desc(), F.col("nid"))
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X3U_K)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("cos", 4).alias("cos_sim"),
         )
     )
 
@@ -4105,9 +4134,9 @@ def knn_graph_from_cells(cells: DataFrame) -> DataFrame:
 @register("x3u_ivf_knn_graph", oracle=_X3U_ORACLE, tags=("X3", "X2"))
 def x3u_ivf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 cosine neighbors for EVERY corpus vector, confined to its
-    IVF cell: one assignment pass, one cell shuffle, per-member
-    neighbor ranking inside the cell aggregation row — the kNN-graph
-    primitive without an all-pairs stage."""
+    IVF cell: an i<j cell self-join scored once per pair by the
+    codegen'd flat dot, then a per-vector top-k window over the narrow
+    edge proxy — the kNN-graph primitive without an all-pairs stage."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cemb")
@@ -4284,7 +4313,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
     # four consumers (probe emb lookup, member join, both truth sides):
     # persist, not eager checkpoint — lazy and the scan stays in the plan
-    cells = assign_cells(vecs, centroids).persist()
+    cells = persist_scoped(assign_cells(vecs, centroids))
 
     cent_arr = _centroid_array(centroids)
     probes = (
@@ -4319,10 +4348,9 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two consumers (one per nprobe branch): persist, or the whole
     # brute-force leg executes once per branch (review-caught)
-    truth = (
+    truth = persist_scoped(
         brute_truth_edges(cells, _X3V_PROBES, _X3V_K)
         .withColumnRenamed("neighbor_id", "nid")
-        .persist()
     )
     nq = probes.agg(F.count(F.lit(1)).alias("n_probes"))
     rows = []
@@ -4386,13 +4414,16 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts exactly that law on random corpora (plus equality with a
 # naive Python recomputation).
 #
-# Scale shape: the only corpus-sized operations are the assign_cells
-# argmax (map-side), TWO cell-keyed aggregations (members, queriers —
-# the querier side is exactly 2x corpus rows), and a 16x16 cell-to-cell
-# equi-join whose HOF does the pairwise work inside the aggregation
-# row; the per-vector merge then handles <= 2*K candidate rows per
-# vector. No Window ever sees corpus-pair-inflated rows (the only
-# windows in the family live in the 32-row truth audit); plan-gated.
+# Scale shape (r19): the only corpus-sized operations are the
+# assign_cells argmax (map-side), a cell-keyed merge join (probe side
+# exactly 2x corpus rows; merge-hinted so no corpus side is ever
+# broadcast), the codegen'd dot_flat scorer projected map-side after
+# the join, and one window exchange that carries only the narrow
+# (q_id, nid, cos) proxy — never embeddings. Window partitions are
+# per-vector (bounded by its probed cells' occupancy) and spill
+# gracefully; no single row ever buffers a cell (the pre-r19 HOF
+# expansion held a whole cell + its pair expansion in one aggregation
+# row, and the planner broadcast a collect_list side). Plan-gated.
 
 _X3W_NPROBE = 2
 _X3W_PROBES = _X3V_PROBES  # the x3v truth convention
@@ -4478,78 +4509,52 @@ def multiprobe_knn_graph(
     """(q_id, neighbor_id, rank): top-``_X3U_K`` neighbors for every
     vector of an ``assign_cells`` frame with candidates drawn from its
     ``nprobe`` nearest cells — THE shared site for the x3w query and
-    its property test. Two cell-keyed aggregations + a cell equi-join;
-    the pairwise work and both top-k cuts run inside aggregation rows
-    (no Window over pair-inflated rows)."""
+    its property test.
+
+    r19 (guide §4.1/§2.3): the exploded probe frame (each vector
+    appears once per probed cell) joins members on the cell key, the
+    candidate is scored by the codegen'd :func:`dot_flat` projection,
+    and the per-vector top-k is one window — x3v's ``topk_edges``
+    shape lifted to the whole corpus. This replaces the two
+    collect_list aggregations + in-row HOF expansion (+ global merge
+    re-aggregation), which evaluated every candidate dot interpreted
+    and buffered whole cells per row. Top-k over all candidates equals
+    the old per-cell-top-k-then-merge under the one total order
+    (round(cos,4) desc, nid): any global top-k candidate is within its
+    own cell's top-k. A member has ONE home cell, so no (q, n)
+    candidate duplicates exist. The merge hint keeps the planner from
+    broadcasting a corpus-sized side; only (q_id, nid, cos) crosses
+    the window exchange."""
     cent_arr = _centroid_array(centroids)
-    queriers = (
-        cells.crossJoin(F.broadcast(cent_arr))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            F.explode(probe_cells_expr(nprobe)).alias("cell"),
-        )
-        .groupBy("cell")
-        .agg(F.collect_list(F.struct("q_id", "q_emb", "q_nrm")).alias("qs"))
+    probes = cells.crossJoin(F.broadcast(cent_arr)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probe_cells_expr(nprobe)).alias("cell"),
     )
-    members = cells.groupBy("cell").agg(
-        F.collect_list(F.struct("vec_id", "emb", "nrm")).alias("ms")
+    members = cells.select(
+        F.col("vec_id").alias("nid"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "cell",
     )
-    # per (cell, querier): top-k among that cell's members, inside the
-    # joined aggregation row — the x3u HOF with distinct q/m sides
-    per_cell = F.expr(
-        f"""
-        flatten(transform(qs, q ->
-          transform(
-            slice(
-              array_sort(
-                transform(filter(ms, m -> m.vec_id != q.q_id), m ->
-                  named_struct(
-                    'nid', m.vec_id,
-                    'cos',
-                    aggregate(zip_with(q.q_emb, m.emb, (x, y) -> x * y),
-                              0D, (acc, v) -> acc + v) / (q.q_nrm * m.nrm))),
-                (l, r) -> CASE
-                  WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
-                  WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
-                  WHEN l.nid < r.nid THEN -1
-                  WHEN l.nid > r.nid THEN 1
-                  ELSE 0 END),
-              1, {_X3U_K}),
-            s -> named_struct('q_id', q.q_id, 'nid', s.nid, 'cos', s.cos))))
-        """
+    cos = dot_flat(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
     )
-    cand = (
-        queriers.join(members, "cell")
-        .select(F.explode(per_cell).alias("p"))
-        .select("p.q_id", "p.nid", "p.cos")
+    scored = (
+        probes.hint("merge")
+        .join(members, "cell")
+        .filter(F.col("nid") != F.col("q_id"))
+        .select("q_id", "nid", cos.alias("cos"))
     )
-    # global merge: <= nprobe*K candidate rows per vector (a member has
-    # ONE home cell, so no duplicates), same total order, same slice
-    merge = F.expr(
-        f"""
-        transform(
-          slice(
-            array_sort(cs,
-              (l, r) -> CASE
-                WHEN round(l.cos, 4) > round(r.cos, 4) THEN -1
-                WHEN round(l.cos, 4) < round(r.cos, 4) THEN 1
-                WHEN l.nid < r.nid THEN -1
-                WHEN l.nid > r.nid THEN 1
-                ELSE 0 END),
-            1, {_X3U_K}),
-          (s, r) -> named_struct('nid', s.nid, 'rank', r + 1))
-        """
-    )
+    w = W.partitionBy("q_id").orderBy(F.round("cos", 4).desc(), F.col("nid"))
     return (
-        cand.groupBy("q_id")
-        .agg(F.collect_list(F.struct("nid", "cos")).alias("cs"))
-        .select("q_id", F.explode(merge).alias("e"))
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X3U_K)
         .select(
             "q_id",
-            F.col("e.nid").alias("neighbor_id"),
-            F.col("e.rank").cast("int").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
         )
     )
 
@@ -4569,21 +4574,23 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
     )
     vecs = emb.select("vec_id", dvec("embedding").alias("emb"))
     # consumers: queriers, members, home graph, truth leg -> persist
-    cells = assign_cells(vecs, centroids).persist()
+    cells = persist_scoped(assign_cells(vecs, centroids))
 
     # three consumers (edge count, new-edge anti-join, truth hits):
     # persist, or the 2-cell in-cell pair expansion runs per consumer
-    repaired = multiprobe_knn_graph(cells, centroids).select(
-        "q_id", "neighbor_id"
-    ).persist()
+    repaired = persist_scoped(
+        multiprobe_knn_graph(cells, centroids).select("q_id", "neighbor_id")
+    )
     # two consumers (new-edge anti-join, home truth hits)
-    home = knn_graph_from_cells(cells).select(
-        F.col("vec_id").alias("q_id"), "neighbor_id"
-    ).persist()
+    home = persist_scoped(
+        knn_graph_from_cells(cells).select(
+            F.col("vec_id").alias("q_id"), "neighbor_id"
+        )
+    )
     # x3v's truth convention, via the shared truth-leg site; two
     # consumers (home hits, repaired hits): persist or the 32-probe
     # brute leg runs twice
-    truth = brute_truth_edges(cells, _X3W_PROBES, _X3U_K).persist()
+    truth = persist_scoped(brute_truth_edges(cells, _X3W_PROBES, _X3U_K))
 
     def count1(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias(name))
@@ -5140,7 +5147,7 @@ def x3x2_flagged_members(
     vecs = ensure_min_partitions(emb).select(
         "vec_id", _dvec("embedding").alias("emb")
     )
-    assigned = assign_cells(vecs, cent).persist()
+    assigned = persist_scoped(assign_cells(vecs, cent))
     occ = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     tot = occ.agg(F.sum("n").alias("total"))
     flagged = (
@@ -5957,7 +5964,7 @@ def x3x4_merge_frames(
     vecs = ensure_min_partitions(emb).select(
         "vec_id", _dvec("embedding").alias("emb")
     )
-    assigned = assign_cells(vecs, cent).persist()
+    assigned = persist_scoped(assign_cells(vecs, cent))
     occ = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     tot = occ.agg(F.sum("n").alias("total"))
     flagged = (

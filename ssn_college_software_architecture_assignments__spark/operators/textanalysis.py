@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog, ensure_min_partitions
 from ..registry import register
+from ..scratch import persist_scoped
 
 # X4a — token counting ----------------------------------------------------------
 
@@ -2369,22 +2370,24 @@ def x4z_mmr_diversified_retrieval(
     # six consumers below (pair grid twice, sim grid twice, postings
     # semi-join, fold rows) each replayed the whole BM25 retrieval
     # chain without this persist (r18, guide §3.3) — Q x top-10 rows
-    cand = ranked.filter(F.col("rnk") <= _X4U_TOPK).select(
-        "query_id",
-        F.col("rnk").cast("long").alias("pa"),
-        "doc_id",
-        F.expr(f"CAST(1000000 div ({_X4V_RRF_K} + rnk) AS BIGINT)").alias(
-            "rel"
-        ),
-    ).persist()
+    cand = persist_scoped(
+        ranked.filter(F.col("rnk") <= _X4U_TOPK).select(
+            "query_id",
+            F.col("rnk").cast("long").alias("pa"),
+            "doc_id",
+            F.expr(
+                f"CAST(1000000 div ({_X4V_RRF_K} + rnk) AS BIGINT)"
+            ).alias("rel"),
+        )
+    )
     # three consumers (both sides of the token-intersection join, sizes)
-    toksd = (
+    toksd = persist_scoped(
         docs.join(cand.select("doc_id").distinct(), "doc_id", "semi")
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         )
-    ).persist()
+    )
     sizes = toksd.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -269,7 +269,28 @@ def f5_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow->pandas + merge_asof setup over many users; the kernel's
     # by="user_id" keeps the per-user as-of law bit-identical (the
     # bucket count only changes parallelism, never the result).
-    n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+    #
+    # r19 (guide §5): the bucket count tracks DATA VOLUME, not core
+    # count. With buckets == cores, a 100 TB events table would arrive
+    # as ONE pandas frame of ~1/cores of the table per cogroup call —
+    # the §5 Python-memory hazard the per-user form never had. The
+    # optimizer's sizeInBytes estimate (parquet file size; no extra
+    # job) caps per-bucket input at a conf-driven byte target; the
+    # floor stays at defaultParallelism so small inputs keep one call
+    # per core (the r18 amortization, and the exact r18 bucket count
+    # at fixture scales).
+    target = int(
+        spark.conf.get("spark.ssn.f5.targetBucketBytes", str(64 << 20))
+    )
+    try:
+        est_bytes = int(
+            str(ev._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # stats unavailable: fall back to the core floor
+        est_bytes = 0
+    n_buckets = max(
+        spark.sparkContext.defaultParallelism, est_bytes // max(target, 1), 1
+    )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", "event_id", "ts")

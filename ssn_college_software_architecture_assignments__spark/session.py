@@ -38,7 +38,15 @@ _RUNTIME_CONFS = {
 
 
 def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    """The session's core budget: ``SPARK_GRAFT_CPUS`` when the driver
+    sets it (the bench contract — its low-core pass scales everything
+    derived from this down with it), else the host's real core count —
+    a literal fallback would create that many state stores / shuffle
+    partitions per stateful operator on a smaller machine (r18 advisory)."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
 
 
 _PKG_SHIPPED_APP_IDS: set[str] = set()

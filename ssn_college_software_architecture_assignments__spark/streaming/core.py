@@ -70,8 +70,17 @@ def run_to_memory(
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     checkpoint = scratch_dir(prefix="ssn_stream_ckpt_")
+    if state_partitions is not None and state_partitions < 1:
+        raise ValueError(
+            f"state_partitions must be >= 1, got {state_partitions}"
+        )
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions or 8))
+    # `is None`, not `or`: an explicit 0/falsy must fail loudly above,
+    # never silently map to the few-key default (r18 advisory)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(8 if state_partitions is None else state_partitions),
+    )
     try:
         query = (
             stream_df.writeStream.outputMode(output_mode)

@@ -581,15 +581,22 @@ def test_skew_histogram_has_no_window(spark):
 
 
 def test_knn_graph_confines_pairs_to_cells(spark):
-    """x3u: the only all-pairs structure is the 1-row broadcast
-    centroid-array crossJoin; the corpus never self-joins (per-member
-    top-k happens inside the cell aggregation row) and no Window node
-    ever sees pair-inflated rows."""
+    """x3u (r19 shape): pairing rides the cell-keyed i<j MERGE join —
+    never a CartesianProduct and never a broadcast of a corpus side
+    (the only broadcast-shaped joins are the 1-row centroid-array
+    crossJoins) — and the per-vector top-k is a Window partitioned on
+    the pair proxy's vid, with Spark's WindowGroupLimit pushing the
+    rank<=k cut below the exchange so no full pair set is ever
+    sorted globally."""
     plan = _plan(spark, "x3u_ivf_knn_graph")
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastNestedLoopJoin") <= 1
-    assert "Window" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2  # 1-row cent_arr folds
+    assert "BroadcastHashJoin" not in tree  # corpus sides must not broadcast
+    assert "SortMergeJoin" in tree  # the i<j pair join on cell
+    # per-vector top-k window on vid, group-limit pushed below the shuffle
+    assert "windowspecdefinition(vid" in plan
+    assert "WindowGroupLimit" in tree
 
 
 def test_r11_additions_never_plan_all_pairs(spark):
@@ -667,14 +674,19 @@ def test_x1e_bloom_probe_broadcasts_the_filter(spark):
 
 
 def test_x3w_repair_never_plans_all_pairs(spark):
-    """x3w: corpus-sized pairing happens only inside cell aggregation
-    rows (queriers x members meet via the cell equi-join); the only
-    pair-inflated Window is the constant 32-probe truth audit, and no
-    CartesianProduct may appear anywhere — the whole-corpus multi-probe
-    repair must stay cell-confined."""
+    """x3w (r19 shape): corpus-sized pairing rides the cell equi-joins
+    (probe frame x members, home-graph i<j self-join) as MERGE joins —
+    no CartesianProduct anywhere and no BroadcastHashJoin of a
+    corpus-sized side (the pre-r19 collect_list form let the planner
+    broadcast a whole-cell aggregate); per-vector top-k windows see
+    only the narrow (q_id, nid, cos) proxy. The 1-row count/centroid
+    folds keep their broadcasts."""
     plan = _plan(spark, "x3w_knn_graph_multiprobe_repair")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert "BroadcastHashJoin" not in tree
 
 
 def test_x5m2_band_join_never_plans_all_pairs(spark):
