@@ -4576,12 +4576,12 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
     # consumers: queriers, members, home graph, truth leg -> persist
     cells = persist_scoped(assign_cells(vecs, centroids))
 
-    # three consumers (edge count, new-edge anti-join, truth hits):
-    # persist, or the 2-cell in-cell pair expansion runs per consumer
-    repaired = persist_scoped(
-        multiprobe_knn_graph(cells, centroids).select("q_id", "neighbor_id")
+    # single consumer since the r19 report collapse below — the
+    # multiprobe subtree executes exactly once, no persist needed
+    repaired = multiprobe_knn_graph(cells, centroids).select(
+        "q_id", "neighbor_id"
     )
-    # two consumers (new-edge anti-join, home truth hits)
+    # two consumers (repaired membership flag, home truth hits)
     home = persist_scoped(
         knn_graph_from_cells(cells).select(
             F.col("vec_id").alias("q_id"), "neighbor_id"
@@ -4592,25 +4592,41 @@ def x3w_knn_graph_multiprobe_repair(spark: SparkSession, sf_dir: str) -> DataFra
     # brute leg runs twice
     truth = persist_scoped(brute_truth_edges(cells, _X3W_PROBES, _X3U_K))
 
-    def count1(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
-
-    n_vectors = count1(cells, "n_vectors")
-    n_edges = count1(repaired, "n_edges")
-    n_edges_new = count1(
-        repaired.join(home, ["q_id", "neighbor_id"], "left_anti"), "n_edges_new"
+    # r19 report collapse (guide §1.2 — one pass where one pass
+    # suffices): the six independent count legs (each its own scheduled
+    # aggregation + 1-row broadcast) become three single-pass
+    # aggregates. Edge sets are unique on (q_id, neighbor_id) — top-k
+    # graphs emit each edge once, truth is a top-k graph too — so the
+    # left joins flag membership without multiplying rows, and every
+    # count below equals its old dedicated-leg twin by definition:
+    # n_edges_new = rows with no home match (the old left_anti count),
+    # n_hits_* = rows with a truth match (the old inner-join counts).
+    base = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count(F.when(F.col("vec_id") < _X3W_PROBES, F.lit(1)))
+        .cast("long")
+        .alias("n_probes"),
     )
-    n_probes = count1(cells.filter(F.col("vec_id") < _X3W_PROBES), "n_probes")
-    hits_home = count1(home.join(truth, ["q_id", "neighbor_id"]), "n_hits_home")
-    hits_rep = count1(
-        repaired.join(truth, ["q_id", "neighbor_id"]), "n_hits_repaired"
+    rep_stats = (
+        repaired.join(
+            home.withColumn("_h", F.lit(1)), ["q_id", "neighbor_id"], "left"
+        )
+        .join(
+            truth.withColumn("_t", F.lit(1)), ["q_id", "neighbor_id"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.count(F.when(F.col("_h").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_edges_new"),
+            F.count("_t").cast("long").alias("n_hits_repaired"),
+        )
     )
-    out = (
-        n_vectors.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_edges_new))
-        .crossJoin(F.broadcast(n_probes))
-        .crossJoin(F.broadcast(hits_home))
-        .crossJoin(F.broadcast(hits_rep))
+    home_stats = home.join(truth, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits_home")
+    )
+    out = base.crossJoin(F.broadcast(rep_stats)).crossJoin(
+        F.broadcast(home_stats)
     )
 
     def recall(hits_col: str, alias: str):
