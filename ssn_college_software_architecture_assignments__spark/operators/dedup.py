@@ -2285,12 +2285,24 @@ _X2J2_ORACLE = f"""{_X2J2_ASG_CTES},
 {_x2j2_prune_sql("asg")}"""
 
 # Spark half of the per-candidate duplicate predicate (nested inside
-# the fold's exists()): k = a kept member, m = the candidate.
+# the fold's exists()): k = a kept member, m = the candidate — structs
+# with fields (id, nrm, emb) since r19. The r16-r18 layout was a flat
+# double array [id, nrm, e1..ed]; its predicate paid TWO slice() COPIES
+# of the embedding per pair evaluation (interpreted lambdas never
+# hoist them). Struct field extraction is a pointer read; the dot is
+# the same left-to-right IEEE fold over the same doubles and the
+# threshold keeps the same association order ((tau * k.nrm) * m.nrm),
+# so verdicts are bit-identical — pinned by the randomized
+# three-way law test and the registered DuckDB oracle (byte-unchanged).
 _X2J2_SPARK_DUP = (
-    "aggregate(zip_with(slice(k, 3, size(k) - 2), slice(m, 3, size(m) - 2), "
+    "aggregate(zip_with(k.emb, m.emb, "
     "(p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, y) -> s + y) "
-    f">= {_X2J2_TAU} * element_at(k, 2) * element_at(m, 2)"
+    f">= {_X2J2_TAU} * k.nrm * m.nrm"
 )
+
+# the fold's member/accumulator element type (one site: the aggregate
+# init CAST below and the law test's frame schema must agree)
+_X2J2_MEMBER_T = "struct<id:bigint,nrm:double,emb:array<double>>"
 
 
 def _semdedup_prune(assigned: DataFrame) -> DataFrame:
@@ -2305,13 +2317,17 @@ def _semdedup_prune(assigned: DataFrame) -> DataFrame:
     mem = assigned.select(
         "cid",
         F.expr(
-            "concat(array(CAST(vec_id AS DOUBLE), "
-            "sqrt(aggregate(transform(emb, e -> e * e), "
-            "CAST(0.0 AS DOUBLE), (s, y) -> s + y))), emb)"
+            "named_struct('id', vec_id, "
+            "'nrm', sqrt(aggregate(transform(emb, e -> e * e), "
+            "CAST(0.0 AS DOUBLE), (s, y) -> s + y)), "
+            "'emb', emb)"
         ).alias("m"),
-    ).filter(F.expr("element_at(m, 2) > 0"))
+    ).filter(F.col("m.nrm") > 0)
     counts = mem.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     guarded = counts.select("cid", _x2j2_guarded_size())
+    # sort_array on the struct orders by its first field — the unique
+    # member id — so the fold still walks members in vec_id-asc order,
+    # exactly the old lexicographic [id, nrm, e...] array order
     grp = (
         mem.join(F.broadcast(guarded), "cid")
         .groupBy("cid", "n_members")
@@ -2321,10 +2337,10 @@ def _semdedup_prune(assigned: DataFrame) -> DataFrame:
         "cid", "n_members", "members",
         F.expr(
             "transform(aggregate(members, "
-            "CAST(array() AS array<array<double>>), "
+            f"CAST(array() AS array<{_X2J2_MEMBER_T}>), "
             f"(acc, m) -> CASE WHEN exists(acc, k -> {_X2J2_SPARK_DUP}) "
             "THEN acc ELSE array_append(acc, m) END), "
-            "k -> CAST(element_at(k, 1) AS BIGINT))"
+            "k -> k.id)"
         ).alias("kept_ids"),
     )
     return (
@@ -2334,10 +2350,8 @@ def _semdedup_prune(assigned: DataFrame) -> DataFrame:
         )
         .select(
             F.col("cid").cast("long").alias("cluster_id"),
-            F.expr("CAST(element_at(m, 1) AS BIGINT)").alias("vec_id"),
-            F.expr(
-                "array_contains(kept_ids, CAST(element_at(m, 1) AS BIGINT))"
-            ).alias("keep"),
+            F.col("m.id").alias("vec_id"),
+            F.expr("array_contains(kept_ids, m.id)").alias("keep"),
             F.col("n_members").cast("long").alias("cluster_size"),
             F.expr("CAST(size(kept_ids) AS BIGINT)").alias("n_kept"),
         )

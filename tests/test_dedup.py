@@ -1958,6 +1958,7 @@ def test_x2j2_fold_halves_match_python_reference_randomized(spark):
     import numpy as np
     import pandas as pd
     from ssn_college_software_architecture_assignments__spark.operators.dedup import (
+        _X2J2_MEMBER_T,
         _X2J2_MERGE,
         _X2J2_SPARK_DUP,
         _X2J2_TAU,
@@ -1989,16 +1990,20 @@ def test_x2j2_fold_halves_match_python_reference_randomized(spark):
             else:
                 any_drop = True
 
-        # Spark half: one-row frame holding the sorted member list
+        # Spark half: one-row frame holding the sorted member list in
+        # the r19 struct layout (same ids/nrm/emb doubles as the
+        # DuckDB half's array layout — the layouts differ, the law
+        # must not)
         sdf = spark.createDataFrame(
-            [(members,)], "members array<array<double>>"
+            [([(int(m[0]), m[1], m[2:]) for m in members],)],
+            f"members array<{_X2J2_MEMBER_T}>",
         )
         got_spark = sdf.selectExpr(
             "transform(aggregate(members, "
-            "CAST(array() AS array<array<double>>), "
+            f"CAST(array() AS array<{_X2J2_MEMBER_T}>), "
             f"(acc, m) -> CASE WHEN exists(acc, k -> {_X2J2_SPARK_DUP}) "
             "THEN acc ELSE array_append(acc, m) END), "
-            "k -> CAST(element_at(k, 1) AS BIGINT)) AS kept"
+            "k -> k.id) AS kept"
         ).collect()[0]["kept"]
 
         # DuckDB half on a registered frame (the corrupting layout)
