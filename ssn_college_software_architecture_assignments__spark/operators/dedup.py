@@ -24,11 +24,8 @@ from .similarity import (
     _x3r2_ctes,
     _x3r2_train,
     cosine,
-    cosine_flat,
     dot,
-    dot_flat,
     l2_norm,
-    l2_norm_flat,
     _X3R2_ASG_CTES,
     x3r2_trained_assign,
 )
@@ -1424,8 +1421,8 @@ def x2f_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine_flat(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
-        (cosine_flat(F.col("emb_a"), F.col("emb_b")) >= 0.95).alias("is_near_dup"),
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        (cosine(F.col("emb_a"), F.col("emb_b")) >= 0.95).alias("is_near_dup"),
     )
 
 
@@ -1446,7 +1443,7 @@ def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "nn_id",
-            cosine_flat(F.col("emb_a"), F.col("emb_b")).alias("cos_raw"),
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_raw"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(
@@ -2022,7 +2019,7 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     of collect_list's nondeterministic array order. Zero-norm guards
     run BEFORE any cosine: under ANSI mode the divide would throw, and
     a zero vector has no defined neighbor."""
-    emb = emb.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(F.col("nrm") > 0)
+    emb = emb.withColumn("nrm", l2_norm(F.col("emb"))).filter(F.col("nrm") > 0)
     cent_arr = _centroid_array(centroids)
     return (
         emb.crossJoin(F.broadcast(cent_arr))
@@ -4031,7 +4028,7 @@ def x2y_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-probe; the dataflow is identical.
 #
 # r19 shape: an i<j cell-keyed SELF-JOIN scored by the codegen'd
-# dot_flat projection, both edge directions exploded from the one
+# dot fold, both edge directions exploded from the one
 # score, then a per-vector top-k window. The r12-r18 form did the
 # pairwise work inside the cell aggregation row (collect_list + HOF
 # expansion); that evaluated n*(n-1) interpreted multiply-add folds
@@ -4079,11 +4076,10 @@ def knn_graph_from_cells(cells: DataFrame) -> DataFrame:
     ``assign_cells`` frame — THE x3u law site, shared with its
     property test and x3w's home-graph leg (one scoring site).
 
-    r19 (guide §4.1/§2.3): i<j cell self-join + codegen'd
-    :func:`dot_flat` scorer + per-vector top-k window, replacing the
-    collect_list + HOF in-row expansion. Half the dots (one IEEE-
-    commutative score serves both edge directions bit-identically),
-    compiled instead of interpreted, and only the narrow
+    r19 (guide §4.1/§2.3): i<j cell self-join + one dot per pair +
+    per-vector top-k window, replacing the collect_list + HOF in-row
+    expansion. Half the dots (one IEEE-commutative score serves both
+    edge directions bit-identically), and only the narrow
     (cell, vid, nid, cos) proxy crosses the window exchange. The
     merge hint keeps the statistics-blind planner from broadcasting
     a corpus-sized join side; per-key SMJ groups spill gracefully
@@ -4100,11 +4096,14 @@ def knn_graph_from_cells(cells: DataFrame) -> DataFrame:
         F.col("nrm").alias("b_nrm"),
         "cell",
     )
-    # one score per unordered pair: dot_flat's k-th term a[k]*b[k] is
+    # one score per unordered pair: the dot's k-th term a[k]*b[k] is
     # an IEEE product (commutative bit-for-bit), summed in the same
     # index order either way, so cos(a,b) == cos(b,a) exactly — the
-    # exploded reverse edge reuses it
-    cos = dot_flat(F.col("a_emb"), F.col("b_emb")) / (
+    # exploded reverse edge reuses it. HOF fold, not the flat codegen
+    # form: the r19 interleaved A/B read HOF faster on every fixture
+    # shape including this pair volume (each plan rebuild pays the
+    # flat form's expression compile; see dot_flat's docstring)
+    cos = dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
     edges = (
@@ -4232,10 +4231,9 @@ def brute_truth_edges(cells: DataFrame, n_probes: int, k: int) -> DataFrame:
         .crossJoin(F.broadcast(probes))
         .filter(F.col("nid") != F.col("q_id"))
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
-    dot = dot_flat(F.col("q_emb"), F.col("n_emb"))
+    dq = dot(F.col("q_emb"), F.col("n_emb"))
     w = W.partitionBy("q_id").orderBy(
-        F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
+        F.round(dq / (F.col("q_nrm") * F.col("n_nrm")), 4).desc(), F.col("nid")
     )
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -4340,8 +4338,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe_cells_expr(max(_X3V_NPROBES)).alias("probe_cells"),
         )
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
-    dot = dot_flat(F.col("q_emb"), F.col("n_emb"))
+    dq = dot(F.col("q_emb"), F.col("n_emb"))
     members = cells.select(
         F.col("vec_id").alias("nid"),
         F.col("emb").alias("n_emb"),
@@ -4350,7 +4347,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk_edges(cand: DataFrame) -> DataFrame:
-        cos = dot / (F.col("q_nrm") * F.col("n_nrm"))
+        cos = dq / (F.col("q_nrm") * F.col("n_nrm"))
         w = W.partitionBy("q_id").orderBy(
             F.round(cos, 4).desc(), F.col("nid")
         )
@@ -4431,7 +4428,7 @@ def x3v_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape (r19): the only corpus-sized operations are the
 # assign_cells argmax (map-side), a cell-keyed merge join (probe side
 # exactly 2x corpus rows; merge-hinted so no corpus side is ever
-# broadcast), the codegen'd dot_flat scorer projected map-side after
+# broadcast), the per-candidate dot projected map-side after
 # the join, and one window exchange that carries only the narrow
 # (q_id, nid, cos) proxy — never embeddings. Window partitions are
 # per-vector (bounded by its probed cells' occupancy) and spill
@@ -4527,7 +4524,7 @@ def multiprobe_knn_graph(
 
     r19 (guide §4.1/§2.3): the exploded probe frame (each vector
     appears once per probed cell) joins members on the cell key, the
-    candidate is scored by the codegen'd :func:`dot_flat` projection,
+    candidate is scored by one projected dot per candidate row,
     and the per-vector top-k is one window — x3v's ``topk_edges``
     shape lifted to the whole corpus. This replaces the two
     collect_list aggregations + in-row HOF expansion (+ global merge
@@ -4552,7 +4549,7 @@ def multiprobe_knn_graph(
         F.col("nrm").alias("n_nrm"),
         "cell",
     )
-    cos = dot_flat(F.col("q_emb"), F.col("n_emb")) / (
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (
         F.col("q_nrm") * F.col("n_nrm")
     )
     scored = (
@@ -5209,7 +5206,7 @@ def x3x2_assignment_frames(
     )
     ca = members.join(F.broadcast(centk), "cell").select(
         "cell", "vec_id", "emb", "nrm",
-        (dot_flat(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")))
+        (dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")))
         .alias("cosc"),
     )
     sa = (
@@ -5228,7 +5225,7 @@ def x3x2_assignment_frames(
     )
     cb = members.join(F.broadcast(sa), "cell").select(
         "cell", "vec_id", "emb", "nrm", "sa_id",
-        (dot_flat(F.col("emb"), F.col("sa_emb")) / (F.col("nrm") * F.col("sa_nrm")))
+        (dot(F.col("emb"), F.col("sa_emb")) / (F.col("nrm") * F.col("sa_nrm")))
         .alias("cos_a"),
     )
     sb = (
@@ -5246,7 +5243,7 @@ def x3x2_assignment_frames(
         )
         .select("cell", "sb.*")
     )
-    cos_b = dot_flat(F.col("emb"), F.col("sb_emb")) / (
+    cos_b = dot(F.col("emb"), F.col("sb_emb")) / (
         F.col("nrm") * F.col("sb_nrm")
     )
     re_assigned = (
@@ -5517,7 +5514,7 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("cell_after").alias("cid"),
             "emb",
-            l2_norm_flat(F.col("emb")).alias("nrm"),
+            l2_norm(F.col("emb")).alias("nrm"),
         )
     )
     newc = (
@@ -5592,7 +5589,7 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
     # flat form (r18): identical left-to-right fold, compiles in codegen
-    dotqe = dot_flat(F.col("qemb"), F.col("emb"))
+    dotqe = dot(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast it so
     # the scoring join stays a broadcast cell equi-join (the x3z
     # posture) instead of shuffling the corpus side twice
@@ -6262,7 +6259,7 @@ def x3z5_tombstone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone ppm — the measurement leg between retraction (x2e4/
     x3z4) and occupancy maintenance (x3x2 split / x3x4 merge)."""
     assigned, _cent = x3r2_trained_assign(spark, sf_dir)
-    nz = assigned.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(
+    nz = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
         F.col("nrm") > 0
     )
     tomb = F.expr(_X2E4_TOMB.format(col="vec_id")).cast("int")
@@ -6392,7 +6389,7 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cell_after").alias("cid"),
         "emb",
-        l2_norm_flat(F.col("emb")).alias("nrm"),
+        l2_norm(F.col("emb")).alias("nrm"),
     )
     recv = re_assigned.select(F.col("cell_after").alias("cell")).distinct()
     newc = (
@@ -6469,7 +6466,7 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
     # flat form (r18): identical left-to-right fold, compiles in codegen
-    dotqe = dot_flat(F.col("qemb"), F.col("emb"))
+    dotqe = dot(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast them
     # so the scoring join stays a broadcast cell equi-join (the x3z2
     # lesson) instead of shuffling the corpus side twice

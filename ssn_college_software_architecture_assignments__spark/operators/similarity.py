@@ -50,6 +50,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the ordered HOF fold (the x3r argmin
+    law's form)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Integer dot product as the ordered HOF fold — exact in any
+    order, so bitwise-identical to the flat form by construction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 
 
@@ -75,11 +95,24 @@ def _size_guard(flat: Column, hof: Column, dim: int, *arrs: Column) -> Column:
 def dot_flat(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """Dot product unrolled to a flat ``a[0]*b[0] + a[1]*b[1] + ...``
     expression. Same left-to-right fold order as ``F.aggregate`` (so
-    results are bit-identical to :func:`dot`), but the flat form compiles
-    inside whole-stage codegen while lambda HOFs evaluate interpreted —
-    measured ~1.4x faster end-to-end on the brute-force scorer at sf0.1.
+    results are bit-identical to :func:`dot`); the flat form compiles
+    inside whole-stage codegen while lambda HOFs evaluate interpreted.
     Arrays whose runtime size differs from ``dim`` (planted mini
-    fixtures) take the HOF fold via :func:`_size_guard`."""
+    fixtures) take the HOF fold via :func:`_size_guard`.
+
+    NO REGISTERED CALLER since r19: a fresh-session interleaved A/B
+    over every consuming query (x3b/g/i/l/q/s/t, x2d/x2f, the x3x/x3z
+    maintenance family, x3u/x3v/x3w's pair joins, x4v) read the HOF
+    fold faster on ALL of them at fixture volumes — each rebuilt plan
+    pays the flat form's expression compile (a 64-term tree per
+    codegen stage, keyed on generated source that embeds expression
+    ids, so never cache-hit across rebuilds), which the per-row win
+    cannot recover below roughly millions of scored rows per build.
+    The flat helpers stay for production-scale volumes, where one
+    compile amortizes over billions of rows and the flat form wins
+    per-row; flipping a site back needs only the measurement, not a
+    new proof — the fold order makes results bit-identical either way
+    (OPTIMIZATION_r19.md)."""
     out = a[0] * b[0]
     for i in range(1, dim):
         out = out + a[i] * b[i]
@@ -335,7 +368,7 @@ def x3b_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "q_id",
         "vec_id",
-        cosine_flat(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
+        cosine(_dvec("q_emb"), _dvec("embedding")).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(
         F.round("cos_sim", 4).desc(), F.col("vec_id")
@@ -732,7 +765,7 @@ def x3g_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized = _absmax_quantize(emb).select(
         "vec_id",
         "_q",
-        dot_int_flat(F.col("_q"), F.col("_q")).alias("_qq"),
+        dot_int(F.col("_q"), F.col("_q")).alias("_qq"),
     )
     queries = quantized.filter(
         (F.col("vec_id") < 8) & (F.col("_qq") > 0)
@@ -997,7 +1030,7 @@ def x3i_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine_flat(F.col("q_emb"), F.col("emb"), 16).alias("cos"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.round("cos", 4).desc(), F.col("vec_id"))
@@ -1330,13 +1363,14 @@ def x3l_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
-    sqdist = sqdist_flat(F.col("q_emb"), F.col("emb"))
+    # HOF fold (r19 adjudication): the flat codegen form loses at
+    # fixture volumes — each rebuilt plan pays expression compile that
+    # the per-row win never recovers (see dot_flat's docstring)
     scored = (
         ensure_min_partitions(vecs)
         .crossJoin(F.broadcast(queries))
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", sqdist.alias("d"))
+        .select("q_id", "vec_id", sqdist(F.col("q_emb"), F.col("emb")).alias("d"))
     )
     w = W.partitionBy("q_id").orderBy(F.round("d", 4).asc(), F.col("vec_id"))
     exact = (
@@ -1833,10 +1867,9 @@ def _mrl_topk(spark: SparkSession, sf_dir: str, pre_dim: int) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine_flat(
+            cosine(
                 F.slice(F.col("q_emb"), 1, pre_dim),
                 F.slice(F.col("emb"), 1, pre_dim),
-                pre_dim,
             ).alias("pre_cos"),
         )
     )
@@ -1854,7 +1887,7 @@ def _mrl_topk(spark: SparkSession, sf_dir: str, pre_dim: int) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w_ex = W.partitionBy("q_id").orderBy(
@@ -2346,7 +2379,7 @@ def x3s_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _X3S_TAU)
         .select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -2419,7 +2452,7 @@ def x3t_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "q_label",
             "vec_id",
-            cosine_flat(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -2646,7 +2679,7 @@ def _trained_ivf_serve(
     Spark half of :func:`_x3z_sql`'s extra predicate. ``None``
     reproduces the registered x3z plan exactly."""
     assigned, cent = x3r2_trained_assign(spark, sf_dir)
-    corpus = assigned.withColumn("nrm", l2_norm_flat(F.col("emb"))).filter(
+    corpus = assigned.withColumn("nrm", l2_norm(F.col("emb"))).filter(
         F.col("nrm") > 0
     )
     q = corpus.filter(F.col("vec_id") < 8).select(
@@ -2689,15 +2722,14 @@ def _trained_ivf_serve(
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
-    dot = dot_flat(F.col("qemb"), F.col("emb"))
+    dq = dot(F.col("qemb"), F.col("emb"))
     members = corpus if corpus_pred is None else corpus.filter(corpus_pred)
     cand = (
         probes.join(members, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "cid",
-            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+            (dq / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(

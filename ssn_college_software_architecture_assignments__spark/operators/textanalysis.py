@@ -1866,7 +1866,7 @@ def _x4v_dense_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank by round(cos, 4) DESC, doc_id) over the embedded documents,
     anchor excluded. Kept as its own site so a chunk-level or IVF
     variant can swap in without touching the fusion."""
-    from .similarity import _dvec, cosine_flat
+    from .similarity import _dvec, cosine
 
     cat = Catalog(spark, sf_dir)
     anch = spark.createDataFrame(
@@ -1886,7 +1886,7 @@ def _x4v_dense_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
-        F.round(cosine_flat(F.col("qemb"), F.col("emb")), 4).alias("cos_r4"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_r4"),
     )
     win = W.partitionBy("query_id").orderBy(
         F.col("cos_r4").desc(), F.col("doc_id")
