@@ -710,6 +710,39 @@ def x2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X2E2_MIN_SHARED = 3
 
+# Declared per-gram postings bound (r19, the x2j2 mega-cluster guard
+# precedent): the postings-group pair expansion materializes a k-doc
+# gram's k(k-1)/2 pair structs inside ONE row buffer — ~16 bytes a
+# pair, so the declared bound caps the buffer at ~134 MB while a
+# stop-shingle ("of the and" at corpus scale) would quietly kill an
+# executor with terabytes in a single row. A gram shared by thousands
+# of documents carries no dedup signal (standard MinHash/SemDeDup
+# practice is to drop such stop-grams); rather than silently change
+# the declared edge law with a document-frequency cap, the engine
+# REFUSES loudly and names the remedy. One size comparison per gram
+# row on conforming data.
+_X2E2_MAX_POSTINGS = 4096
+
+
+def _postings_guard(ids_col: str, op: str, bound: int) -> Column:
+    """Filter-shaped guard: True for conforming postings rows, raises
+    with the offending size and the remedy once any row exceeds the
+    declared bound. Sits between the postings aggregation and the pair
+    flatten, so the quadratic buffer is never built — it is refused."""
+    return F.when(F.size(ids_col) <= F.lit(bound), F.lit(True)).otherwise(
+        F.raise_error(
+            F.format_string(
+                op
+                + ": a group holds %s members, over the declared "
+                + f"pair-expansion bound {bound} — its in-row pair "
+                "buffer would grow quadratically; pre-filter stop-grams "
+                "/ split the overloaded cell, or raise the bound "
+                "knowingly",
+                F.size(ids_col),
+            )
+        ).cast("boolean")
+    )
+
 
 def _gram3_table(docs: DataFrame) -> DataFrame:
     """(doc_id, gram) with one row per DISTINCT 3-token shingle — the
@@ -751,6 +784,7 @@ def x2e2_shared_gram_pairs(docs: DataFrame) -> DataFrame:
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .filter(_postings_guard("ids", "x2e2", _X2E2_MAX_POSTINGS))
     )
     pair_expr = F.expr(
         """
@@ -2058,6 +2092,11 @@ def semantic_dup_candidates(
         cells.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
         .filter(F.size("ms") >= 2)
+        # r19: the same declared pair-expansion bound as x2e2's postings
+        # (a degenerate centroid set piling the corpus into one cell
+        # would otherwise build a quadratic single-row buffer here —
+        # the x2j2 guard's hazard, refused loudly instead)
+        .filter(_postings_guard("ms", "x2j", _X2E2_MAX_POSTINGS))
     )
     # i<j expansion (array_sort on struct(vec_id, ...) guarantees
     # keep_id < dup_id), exact cosine per pair, comparator sort on

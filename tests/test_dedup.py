@@ -2786,3 +2786,30 @@ def test_x3x6_plan_verdicts_agree_with_both_executors(spark):
             else "merge" if r["under_merge_floor"] else "hold"
         )
         assert not (r["over_split_trigger"] and r["under_merge_floor"])
+
+
+def test_x2e2_postings_guard_refuses_hot_gram(spark, monkeypatch):
+    """r19 hot-gram guard (the x2j2 mega-cluster precedent): a gram
+    whose postings exceed the declared pair-expansion bound must raise
+    loudly BEFORE the quadratic in-row pair buffer is built, naming
+    the size and the remedy; postings exactly AT the bound pass
+    through untouched. The bound is lowered by monkeypatch and the hot
+    gram planted (five docs sharing every 3-shingle)."""
+    import ssn_college_software_architecture_assignments__spark.operators.dedup as dmod
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z q") for i in range(5)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dmod, "_X2E2_MAX_POSTINGS", 4)
+    with pytest.raises(Exception) as ei:
+        dmod.x2e2_shared_gram_pairs(docs).collect()
+    assert "pair-expansion bound" in str(ei.value)
+    assert "5 members" in str(ei.value)
+
+    # boundary: postings == bound is conforming; every doc pair shares
+    # all three 3-shingles (>= the MIN_SHARED 3), so C(5,2) edges
+    monkeypatch.setattr(dmod, "_X2E2_MAX_POSTINGS", 5)
+    rows = dmod.x2e2_shared_gram_pairs(docs).collect()
+    assert len(rows) == 10
+    assert all(r["src"] < r["dst"] for r in rows)
