@@ -315,6 +315,23 @@ def main() -> None:
     common18_runs = [round(sum(s.values()), 3) for s in common18_sweeps]
     common18 = round(_stats_c18.median(common18_runs), 3)
 
+    # r19 estimator upgrade (additions-only, the r18 verdict's task 7):
+    # the single-timing headline pass fed the r18 round-table FOUR
+    # false per-query regressions (x1/x1b/x4b/t1 — untouched code, all
+    # at-or-below record in the same run's sweeps), so for the frozen
+    # common-18 the REPORTED per-query seconds are now the median of
+    # that query's three isolated sweep readings — the same estimator
+    # the common-18 subtotal has used since r17, applied per query.
+    # The raw first-pass numbers ship alongside in BENCH_DETAIL.json
+    # (queries_first_pass) for continuity; queries outside the frozen
+    # set (x2e2b and future headline additions) keep the best-of-2
+    # headline estimate, and nothing is removed or renamed.
+    per_query_first_pass = dict(per_query)
+    for name in COMMON18:
+        samples = [s[name] for s in common18_sweeps if name in s]
+        if samples:
+            per_query[name] = round(_stats_c18.median(samples), 3)
+
     total = round(sum(per_query.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -386,6 +403,10 @@ def main() -> None:
 
     detail = {
         "query_class": {n: QUERY_CLASS.get(n, "cpu") for n in per_query},
+        # the pre-r19 estimator's numbers (headline pass: best-of-2,
+        # j11_write single) — the continuity record behind the r19
+        # median-of-sweeps per-query upgrade above
+        "queries_first_pass": per_query_first_pass,
         # the three common-18 sweeps, per query (raw seconds) plus the
         # matched-normalized sweep totals — the spread record behind
         # value_common18's median
