@@ -5627,7 +5627,7 @@ def x3z2_post_split_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
+    # HOF fold (r19 adjudication — see dot_flat's docstring)
     dotqe = dot(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast it so
     # the scoring join stays a broadcast cell equi-join (the x3z
@@ -6504,7 +6504,7 @@ def x3z6_post_merge_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qemb", "qnrm", F.col("p.cid").alias("cid"))
     )
-    # flat form (r18): identical left-to-right fold, compiles in codegen
+    # HOF fold (r19 adjudication — see dot_flat's docstring)
     dotqe = dot(F.col("qemb"), F.col("emb"))
     # probes = queries x nprobe rows by construction — broadcast them
     # so the scoring join stays a broadcast cell equi-join (the x3z2
