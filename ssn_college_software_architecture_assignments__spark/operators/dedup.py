@@ -983,6 +983,17 @@ def _x2e2b_frame(
     docs = Catalog(spark, sf_dir).documents
     if pairs is None:
         pairs = x2e2_shared_gram_pairs(docs)
+    else:
+        # CONTRACT (r19, the r18 advisory): an injected pair frame must
+        # be exactly x2e2_shared_gram_pairs(docs) for the same corpus -
+        # the registered cluster law is defined over that edge set and
+        # nothing downstream can detect a substitute. Module-private
+        # name + this schema assertion are the guard; the only caller
+        # today is x6q2, which passes the checkpointed pair site.
+        assert set(pairs.columns) == {"src", "dst"}, (
+            "_x2e2b_frame: injected pair frame must be the (src, dst) "
+            "output of x2e2_shared_gram_pairs"
+        )
     nodes = docs.select(F.col("doc_id").alias("id"))
     labels = large_star_small_star(nodes, pairs)
     sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
